@@ -1,0 +1,26 @@
+"""la_fungus_search_spark — PySpark-native BM25 code-search engine.
+
+A from-scratch rebuild of the lexical retrieval path of
+Flissel/la_fungus_search (reference at /root/reference, read-only) as an
+idiomatic Spark engine:
+
+* distributed inverted-index build over a table of source-code files
+  (``repo, path, commit, lang, content``),
+* code-aware tokenization (JVM ``regexp_extract_all`` fast path, Arrow
+  pandas-UDF alternative — never per-row Python),
+* per-partition posting-run construction → shuffle-merge into global
+  term-bucketed posting lists with delta+varint compression and
+  block-max metadata,
+* BM25 (k1=1.5, b=0.75, epsilon=0.25) top-k query engine expressed as
+  DataFrame joins + grouped Arrow UDF scoring with block-max pruning,
+* rank-identical to a faithful BM25Okapi-semantics oracle
+  (``la_fungus_search_spark.oracle``) on the reference query set.
+
+Reference parity citations use ``file:line`` into /root/reference.
+"""
+
+from la_fungus_search_spark.tokenizer import tokenize, tokenize_query
+from la_fungus_search_spark.session import get_spark
+
+__all__ = ["tokenize", "tokenize_query", "get_spark"]
+__version__ = "0.1.0"

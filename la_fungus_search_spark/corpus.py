@@ -1,0 +1,225 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §1).
+
+Generates rows of exactly the shape mandated by BASELINE.json's
+``input_hint`` — ``(repo, path, commit, lang, content)`` — with:
+
+* seeded RNG (seed=42 by default), no wall clock anywhere;
+* Python-like files: module docstring, import block, def/class blocks
+  drawn from a ~500-identifier vocabulary; log-normal length
+  distribution so ``doclen`` varies (exercises BM25's ``b``);
+* stopword-like hot terms (``def``, ``import``, ``self``, ``return``)
+  in ≈every file — the skew the north rule calls out;
+* a long tail of rare identifiers in exactly 1–3 files (high-IDF path);
+* planted marker identifiers in known files so query → expected top
+  docs is human-checkable (reference analog: searching a real repo for
+  a known function name);
+* 1–2%% edge-case files: empty, whitespace-only, unicode identifiers.
+
+Reference data-model analog: one row per source file, the unit the
+reference walks in ``ui/corpus.py:160-172`` and reads in
+``realtime/server.py:43-60``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from typing import Iterator
+
+# Planted markers: (identifier, index of the file that gets a dense burst).
+MARKERS = [
+    "pheromone_decay_kernel",
+    "qdrant_upsert_batch",
+    "mycelium_trail_graph",
+    "wand_blockmax_pruner",
+    "varint_delta_codec",
+]
+
+_WORDS = [
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "theta", "kappa",
+    "vector", "matrix", "tensor", "index", "shard", "bucket", "merge",
+    "token", "parser", "lexer", "stream", "batch", "queue", "stack",
+    "cache", "store", "fetch", "load", "dump", "save", "read", "write",
+    "query", "result", "score", "rank", "sort", "filter", "map", "reduce",
+    "node", "edge", "graph", "tree", "trie", "heap", "list", "array",
+    "chunk", "block", "page", "frame", "slot", "cell", "row", "column",
+    "hash", "digest", "crc", "sum", "count", "total", "mean", "sigma",
+    "config", "option", "flag", "param", "state", "context", "session",
+    "client", "server", "worker", "driver", "executor", "task", "job",
+    "handle", "wrap", "emit", "flush", "sync", "async", "await", "yield",
+    "open", "close", "send", "recv", "push", "pull", "peek", "drop",
+    "build", "make", "init", "setup", "teardown", "reset", "clear",
+    "encode", "decode", "pack", "unpack", "zip", "split", "join", "slice",
+]
+
+
+def _vocab(rng: random.Random) -> list[str]:
+    """~500 identifiers: snake_case, camelCase, dunder names."""
+    vocab: list[str] = []
+    for i, w in enumerate(_WORDS):
+        vocab.append(w)
+    while len(vocab) < 380:
+        a, b = rng.choice(_WORDS), rng.choice(_WORDS)
+        vocab.append(f"{a}_{b}")
+    while len(vocab) < 470:
+        a, b = rng.choice(_WORDS), rng.choice(_WORDS)
+        vocab.append(a + b.capitalize())
+    while len(vocab) < 500:
+        vocab.append(f"__{rng.choice(_WORDS)}__")
+    # dedupe preserving order (rng combos can repeat)
+    seen: set[str] = set()
+    out = []
+    for v in vocab:
+        if v not in seen:
+            seen.add(v)
+            out.append(v)
+    return out
+
+
+def _rare_ident(rng: random.Random, i: int) -> str:
+    return f"{rng.choice(_WORDS)}_{rng.choice(_WORDS)}_rare{i:05d}"
+
+
+def _gen_file(rng: random.Random, vocab: list[str], idx: int, n_files: int) -> str:
+    """One Python-like file. Deterministic given (rng state, idx)."""
+    r = rng.random()
+    if r < 0.01:
+        return ""  # empty file (ui/corpus.py:67 skips empty — we must not choke)
+    if r < 0.02:
+        return "   \n\t\n  \n"
+    if r < 0.04:
+        # unicode identifiers / comments
+        return (
+            '"""módulo de prueba — unicode edge case."""\n'
+            "import os\n"
+            f"def übung_{idx}():\n"
+            f"    λ = {idx}\n"
+            "    return λ\n"
+        )
+
+    # log-normal target line count, clamped to [20, 400]
+    n_lines_target = int(min(400, max(20, rng.lognormvariate(4.0, 0.7))))
+    lines: list[str] = [f'"""Module {idx}: {rng.choice(vocab)} {rng.choice(vocab)}."""', ""]
+    for _ in range(rng.randint(2, 10)):
+        lines.append(f"import {rng.choice(vocab).replace('__', '')}")
+    lines.append("")
+
+    # markers: each marker gets a dense burst in one known file and
+    # sparse single mentions in ~0.5% of files
+    marker_lines: list[str] = []
+    for m_i, marker in enumerate(MARKERS):
+        if idx == (m_i * 7 + 3) % max(n_files, 1):
+            marker_lines.extend(
+                [
+                    f"def {marker}(data, rate):",
+                    f"    # {marker} applies decay to the {marker} state",
+                    f"    state = {marker}_state(data)",
+                    "    return state * rate",
+                ]
+            )
+        elif rng.random() < 0.005:
+            marker_lines.append(f"result = {marker}(payload, 0.95)")
+
+    while len(lines) < n_lines_target:
+        kind = rng.random()
+        if kind < 0.55:
+            fn = rng.choice(vocab)
+            lines.append(f"def {fn}_{rng.randint(0, 99)}(self, {rng.choice(vocab)}):")
+            for _ in range(rng.randint(1, 6)):
+                lines.append(
+                    f"    {rng.choice(vocab)} = {rng.choice(vocab)}"
+                    f"({rng.choice(vocab)}, {rng.randint(0, 1000)})"
+                )
+            lines.append(f"    return {rng.choice(vocab)}")
+        elif kind < 0.75:
+            cls = rng.choice(vocab).capitalize()
+            lines.append(f"class {cls}{rng.randint(0, 99)}:")
+            lines.append(f"    def __init__(self, {rng.choice(vocab)}):")
+            lines.append(f"        self.{rng.choice(vocab)} = {rng.choice(vocab)}")
+        elif kind < 0.85 and rng.random() < 0.3:
+            # rare identifier: appears in this file only (long tail)
+            lines.append(f"{_rare_ident(rng, idx)} = {rng.randint(0, 9)}")
+        else:
+            lines.append(f"# {rng.choice(vocab)} {rng.choice(vocab)} {rng.choice(vocab)}")
+        lines.append("")
+
+    insert_at = min(len(lines), 5)
+    return "\n".join(lines[:insert_at] + marker_lines + lines[insert_at:])
+
+
+def generate_rows(n_files: int, seed: int = 42) -> Iterator[tuple[str, str, str, str, str]]:
+    """Yield ``(repo, path, commit, lang, content)`` rows, deterministic."""
+    rng = random.Random(seed)
+    vocab = _vocab(rng)
+    n_repos = max(1, n_files // 200)
+    for i in range(n_files):
+        repo = f"org/project-{i % n_repos:03d}"
+        lang_r = rng.random()
+        if lang_r < 0.93:
+            lang, ext = "python", "py"
+        elif lang_r < 0.97:
+            lang, ext = "markdown", "md"
+        else:
+            lang, ext = "toml", "toml"
+        path = f"src/pkg{i % 37:02d}/mod_{i:06d}.{ext}"
+        commit = hashlib.sha1(f"{repo}:{path}".encode()).hexdigest()
+        content = _gen_file(rng, vocab, i, n_files)
+        yield (repo, path, commit, lang, content)
+
+
+CORPUS_SCHEMA = "repo STRING, path STRING, commit STRING, lang STRING, content STRING"
+SIZES = {"tiny": 50, "small": 2000, "bench": 50000}
+
+
+def corpus_df(spark, n_files: int, seed: int = 42, partitions: int | None = None):
+    """Synthetic corpus as a DataFrame.
+
+    Generation is distributed via ``mapInPandas``-free range + a
+    driver-side list only for small n; for bench size the rows are
+    generated on executors (deterministic per index) to avoid a
+    driver bottleneck.
+    """
+    if n_files <= 5000:
+        rows = list(generate_rows(n_files, seed))
+        df = spark.createDataFrame(rows, schema=CORPUS_SCHEMA)
+        return df.repartition(partitions) if partitions else df
+
+    # Executor-side generation: same global sequence is required for
+    # determinism, so we generate per contiguous slice with a fresh RNG
+    # seeded by (seed, slice) — deterministic, order-independent.
+    n_slices = partitions or 64
+    bounds = [(s, seed, n_files, n_slices) for s in range(n_slices)]
+
+    def gen_slice(it):
+        import pandas as pd
+
+        for pdf in it:
+            for _, r in pdf.iterrows():
+                s, sd, nf, ns = int(r["s"]), int(r["sd"]), int(r["nf"]), int(r["ns"])
+                lo = s * nf // ns
+                hi = (s + 1) * nf // ns
+                rng = random.Random((sd, s))
+                vocab = _vocab(rng)
+                out = {k: [] for k in ("repo", "path", "commit", "lang", "content")}
+                n_repos = max(1, nf // 200)
+                for i in range(lo, hi):
+                    repo = f"org/project-{i % n_repos:03d}"
+                    lang_r = rng.random()
+                    if lang_r < 0.93:
+                        lang, ext = "python", "py"
+                    elif lang_r < 0.97:
+                        lang, ext = "markdown", "md"
+                    else:
+                        lang, ext = "toml", "toml"
+                    path = f"src/pkg{i % 37:02d}/mod_{i:06d}.{ext}"
+                    out["repo"].append(repo)
+                    out["path"].append(path)
+                    out["commit"].append(hashlib.sha1(f"{repo}:{path}".encode()).hexdigest())
+                    out["lang"].append(lang)
+                    out["content"].append(_gen_file(rng, vocab, i, nf))
+                yield pd.DataFrame(out)
+
+    seed_df = spark.createDataFrame(bounds, schema="s INT, sd INT, nf INT, ns INT").repartition(
+        n_slices, "s"
+    )
+    return seed_df.mapInPandas(gen_slice, schema=CORPUS_SCHEMA)

@@ -1,0 +1,3 @@
+from la_fungus_search_spark.index.builder import IndexBuilder, build_index
+
+__all__ = ["IndexBuilder", "build_index"]

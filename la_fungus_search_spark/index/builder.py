@@ -1,0 +1,411 @@
+"""Distributed inverted-index build (SURVEY.md §7.1 M1–M2, M4–M5).
+
+Pipeline (all DataFrame ops; Python only inside Arrow-batched kernels):
+
+1. ``prepare``   docs → + ``doc_id`` (deterministic), ``content_sha256``
+                 (the per-row invariant, reference analog
+                 ``ui/corpus.py:12-27``).
+2. ``postings``  tokenize → explode → two-phase hash agg to
+                 ``(term, doc_id, tf)``; written partitioned by
+                 ``term_bucket`` (the sorted pre-merge runs).
+3. ``doc_stats`` per-doc token length via map-side agg of postings
+                 (zero extra tokenize pass) + sha256 carry-through.
+4. ``term_stats`` df per term → raw idf → corpus-wide ``average_idf``
+                 → epsilon floor (BM25Okapi semantics, FIXTURES.md §3).
+5. ``posting_lists`` postings ⋈ doclen ⋈ idf → per-(bucket, salt)
+                 grouped Arrow UDF builds delta+varint compressed,
+                 block-max-annotated blocks. The salt is a *monotone*
+                 function of doc_id, so per-salt block runs concatenate
+                 into a globally doc_id-sorted list with no extra merge
+                 pass — hot terms (``def``, ``import``: df ≈ N) fan out
+                 across salts instead of landing on one reducer
+                 (north-rule skew requirement).
+
+Checkpoint/resume: every stage persists to ``out_dir`` with a manifest
+line per unit (stage or bucket-group) carrying lineage + metrics
+(rows, elapsed, tokens/sec, postings/sec, merge fan-in). ``resume=True``
+skips completed units; rebuilt output is bit-identical (tested).
+Reference artifact-layout analog: ``.fungus_cache/runs/<id>/step_<i>``
+(``realtime/server.py:876-899``).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.index.codec import delta_encode_docids, encode_tfs
+from la_fungus_search_spark.tokenizer import tokenize, tokens_expr
+
+POSTING_LIST_SCHEMA = (
+    "term STRING, term_bucket INT, block_id BIGINT, first_doc BIGINT, "
+    "last_doc BIGINT, count INT, doc_ids BINARY, tfs BINARY, block_max DOUBLE"
+)
+
+
+@dataclass
+class BM25Index:
+    """Handle to a built index: stats DataFrames + globals."""
+
+    spark: SparkSession
+    doc_stats: DataFrame
+    term_stats: DataFrame
+    posting_lists: DataFrame
+    postings: DataFrame  # pre-merge (term, doc_id, tf) runs
+    globals: dict
+    out_dir: str | None = None
+
+    @property
+    def n_docs(self) -> int:
+        return self.globals["N"]
+
+    @property
+    def avgdl(self) -> float:
+        return self.globals["avgdl"]
+
+
+@dataclass
+class IndexBuilder:
+    spark: SparkSession
+    n_buckets: int = 32
+    block_size: int = 128
+    n_salts: int = 8
+    bucket_groups: int = 1  # >1 → per-group checkpointed posting_lists build
+    k1: float = 1.5
+    b: float = 0.75
+    epsilon: float = 0.25
+    id_mode: str = "dense"  # "dense" (row_number, test scale) | "hash" (xxhash64, 10^12 scale)
+    tokenizer_impl: str = "jvm"  # "jvm" (regexp_extract_all) | "arrow" (pandas UDF)
+    _manifest: list = field(default_factory=list)
+
+    # ---------------------------------------------------------- stages
+
+    def prepare(self, docs: DataFrame, id_col: str | None = None) -> DataFrame:
+        """Assign doc_id + content_sha256.
+
+        dense: row_number over canonical (repo, path, commit) sort —
+        stable, dense, matches the oracle's list index; fine at test
+        scale, a single-reducer sort at 10^12 docs.
+        hash: xxhash64(repo, path, commit) — fully parallel, sparse ids;
+        the scale mode (delta codec handles sparse ids natively).
+        """
+        out = docs.withColumn("content_sha256", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256))
+        if id_col:
+            return out.withColumn("doc_id", F.col(id_col).cast("bigint"))
+        if self.id_mode == "hash":
+            return out.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+        w = Window.orderBy("repo", "path", "commit")
+        return out.withColumn("doc_id", F.row_number().over(w).cast("bigint") - 1)
+
+    def postings_df(self, prepared: DataFrame, content_col: str = "content") -> DataFrame:
+        """(term, doc_id, tf) — map-side partial agg keeps the shuffle
+        at one row per distinct (term, doc_id)."""
+        if self.tokenizer_impl == "arrow":
+            toks = self._postings_arrow(prepared, content_col)
+        else:
+            toks = (
+                prepared.select("doc_id", F.explode(tokens_expr(content_col)).alias("term"))
+                .groupBy("term", "doc_id")
+                .agg(F.count("*").cast("int").alias("tf"))
+            )
+        return toks.withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int")
+        )
+
+    def _postings_arrow(self, prepared: DataFrame, content_col: str) -> DataFrame:
+        """Arrow-batched tokenize+count (no per-row Python, no explode
+        shuffle amplification) — alternative kernel, tested equal to
+        the JVM path."""
+
+        def count_terms(batches: Iterable[pd.DataFrame]):
+            from collections import Counter
+
+            for pdf in batches:
+                ids, terms, tfs = [], [], []
+                for doc_id, content in zip(pdf["doc_id"].to_numpy(), pdf[content_col]):
+                    c = Counter(tokenize(content))
+                    ids.extend([doc_id] * len(c))
+                    terms.extend(c.keys())
+                    tfs.extend(c.values())
+                yield pd.DataFrame({"term": terms, "doc_id": ids, "tf": tfs})
+
+        return prepared.select("doc_id", content_col).mapInPandas(
+            count_terms, schema="term STRING, doc_id BIGINT, tf INT"
+        )
+
+    def doc_stats_df(self, prepared: DataFrame, postings: DataFrame) -> DataFrame:
+        """doclen = Σ tf (no second tokenize pass); empty docs keep 0."""
+        doclen = postings.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("doclen"))
+        cols = [c for c in ("repo", "path", "commit", "lang") if c in prepared.columns]
+        return (
+            prepared.select("doc_id", *cols, "content_sha256")
+            .join(doclen, "doc_id", "left")
+            .withColumn("doclen", F.coalesce(F.col("doclen"), F.lit(0)))
+        )
+
+    def term_stats_df(self, postings: DataFrame, n_docs: int) -> DataFrame:
+        """df → raw idf → epsilon-floored idf (BM25Okapi, FIXTURES §3)."""
+        raw = postings.groupBy("term").agg(F.count("*").alias("df")).withColumn(
+            "idf_raw",
+            F.log(F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) - F.log(F.col("df") + F.lit(0.5)),
+        )
+        avg_idf = raw.agg(F.avg("idf_raw")).collect()[0][0]
+        eps = self.epsilon * (avg_idf if avg_idf is not None else 0.0)
+        return raw.select(
+            "term",
+            "df",
+            "idf_raw",
+            F.when(F.col("idf_raw") < 0, F.lit(eps)).otherwise(F.col("idf_raw")).alias("idf"),
+            F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int").alias("term_bucket"),
+        ), float(avg_idf if avg_idf is not None else 0.0), float(eps)
+
+    def _salt_expr(self, max_doc_id: int):
+        """Monotone-in-doc_id salt → per-salt block runs concatenate in
+        doc_id order (no merge pass). Hot terms spread over n_salts."""
+        if self.id_mode == "hash":
+            shift = 64 - max(1, int(math.log2(self.n_salts)))
+            return (F.shiftright(F.col("doc_id"), shift) + F.lit(self.n_salts // 2)).cast("int")
+        width = max(1, (max_doc_id + self.n_salts) // self.n_salts)
+        return F.floor(F.col("doc_id") / F.lit(width)).cast("int")
+
+    def posting_lists_df(
+        self, postings: DataFrame, doc_stats: DataFrame, term_stats: DataFrame, avgdl: float, max_doc_id: int
+    ) -> DataFrame:
+        """Compress runs into block-max-annotated posting lists."""
+        k1, b = self.k1, self.b
+        avgdl = max(avgdl, 1e-12)
+        scored = (
+            postings.join(doc_stats.select("doc_id", "doclen"), "doc_id")
+            .join(term_stats.select("term", "idf"), "term")
+            .withColumn(
+                "score",
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen") / F.lit(avgdl))),
+            )
+            .withColumn("salt", self._salt_expr(max_doc_id))
+        )
+
+        block_size = self.block_size
+
+        def build_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            out = {k: [] for k in (
+                "term", "term_bucket", "block_id", "first_doc", "last_doc",
+                "count", "doc_ids", "tfs", "block_max",
+            )}
+            for (term, salt), g in pdf.groupby(["term", "salt"], sort=False):
+                g = g.sort_values("doc_id")
+                ids = g["doc_id"].to_numpy()
+                tfs = g["tf"].to_numpy()
+                scores = g["score"].to_numpy()
+                bucket = int(g["term_bucket"].iloc[0])
+                for bi, lo in enumerate(range(0, len(ids), block_size)):
+                    hi = min(lo + block_size, len(ids))
+                    out["term"].append(term)
+                    out["term_bucket"].append(bucket)
+                    out["block_id"].append(int(salt) * (1 << 32) + bi)
+                    out["first_doc"].append(int(ids[lo]))
+                    out["last_doc"].append(int(ids[hi - 1]))
+                    out["count"].append(hi - lo)
+                    out["doc_ids"].append(delta_encode_docids(ids[lo:hi]))
+                    out["tfs"].append(encode_tfs(tfs[lo:hi]))
+                    out["block_max"].append(float(np.max(scores[lo:hi])))
+            return pd.DataFrame(out)
+
+        # applyInPandas shuffles on its grouping key; grouping by
+        # (term_bucket, salt) rather than term alone is the explicit
+        # skew control — a df≈N term is split into n_salts groups.
+        return scored.groupBy("term_bucket", "salt").applyInPandas(
+            build_blocks, schema=POSTING_LIST_SCHEMA
+        )
+
+    # ---------------------------------------------------------- orchestration
+
+    def _log_stage(self, stage: str, t0: float, rows: int, out_dir: str | None, **extra):
+        entry = {
+            "stage": stage,
+            "status": "complete",
+            "rows": rows,
+            "elapsed_sec": round(time.time() - t0, 3),
+            **extra,
+        }
+        self._manifest.append(entry)
+        if out_dir:
+            with open(os.path.join(out_dir, "manifest.jsonl"), "a") as f:
+                f.write(json.dumps(entry) + "\n")
+
+    @staticmethod
+    def _completed_units(out_dir: str | None) -> set:
+        done = set()
+        if out_dir:
+            p = os.path.join(out_dir, "manifest.jsonl")
+            if os.path.exists(p):
+                with open(p) as f:
+                    for line in f:
+                        e = json.loads(line)
+                        if e.get("status") == "complete":
+                            done.add(e.get("unit", e["stage"]))
+        return done
+
+    def build(
+        self,
+        docs: DataFrame,
+        out_dir: str | None = None,
+        resume: bool = False,
+        id_col: str | None = None,
+    ) -> BM25Index:
+        spark = self.spark
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            if not resume:
+                for fn in ("manifest.jsonl",):
+                    p = os.path.join(out_dir, fn)
+                    if os.path.exists(p):
+                        os.remove(p)
+        done = self._completed_units(out_dir) if resume else set()
+
+        prepared = self.prepare(docs, id_col=id_col)
+        if out_dir is None:
+            prepared = prepared.persist()
+
+        def _load(name):
+            return spark.read.parquet(os.path.join(out_dir, name))
+
+        # ---- stage: postings (pre-merge runs)
+        if out_dir:
+            if "postings" not in done:
+                t0 = time.time()
+                self.postings_df(prepared).write.mode("overwrite").partitionBy(
+                    "term_bucket"
+                ).parquet(os.path.join(out_dir, "postings"))
+                postings = _load("postings")
+                n_post = postings.count()
+                self._log_stage("postings", t0, n_post, out_dir,
+                                postings_per_sec=round(n_post / max(time.time() - t0, 1e-9), 1))
+            else:
+                postings = _load("postings")
+        else:
+            postings = self.postings_df(prepared).persist()
+
+        # ---- stage: doc_stats (+ globals N, avgdl, sha256 carry-through)
+        if out_dir and "doc_stats" in done:
+            doc_stats = _load("doc_stats")
+        else:
+            t0 = time.time()
+            doc_stats = self.doc_stats_df(prepared, postings)
+            if out_dir:
+                doc_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_stats"))
+                doc_stats = _load("doc_stats")
+            else:
+                doc_stats = doc_stats.persist()
+            self._log_stage("doc_stats", t0, doc_stats.count(), out_dir)
+
+        g = doc_stats.agg(
+            F.count("*").alias("N"),
+            F.avg("doclen").alias("avgdl"),
+            F.sum("doclen").alias("total_tokens"),
+            F.max("doc_id").alias("max_doc_id"),
+        ).collect()[0]
+        n_docs, avgdl = int(g["N"]), float(g["avgdl"] or 0.0)
+        max_doc_id = int(g["max_doc_id"] if g["max_doc_id"] is not None else 0)
+
+        # ---- stage: term_stats
+        t0 = time.time()
+        term_stats, average_idf, eps = self.term_stats_df(postings, n_docs)
+        if out_dir:
+            if "term_stats" not in done:
+                term_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
+            term_stats = _load("term_stats")
+        else:
+            term_stats = term_stats.persist()
+        if "term_stats" not in done:
+            self._log_stage("term_stats", t0, term_stats.count(), out_dir)
+
+        glob = {
+            "N": n_docs,
+            "avgdl": avgdl,
+            "total_tokens": int(g["total_tokens"] or 0),
+            "max_doc_id": max_doc_id,
+            "average_idf": average_idf,
+            "eps": eps,
+            "k1": self.k1,
+            "b": self.b,
+            "epsilon": self.epsilon,
+            "n_buckets": self.n_buckets,
+            "block_size": self.block_size,
+            "n_salts": self.n_salts,
+            "id_mode": self.id_mode,
+        }
+        if out_dir:
+            with open(os.path.join(out_dir, "globals.json"), "w") as f:
+                json.dump(glob, f, indent=2)
+
+        # ---- stage: posting_lists (merge+compress), bucket-group checkpointed
+        if out_dir:
+            groups = max(1, self.bucket_groups)
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            for gidx in range(groups):
+                unit = f"posting_lists/group={gidx}"
+                if unit in done:
+                    continue
+                t0 = time.time()
+                buckets = [b_ for b_ in range(self.n_buckets) if b_ % groups == gidx]
+                part = postings.filter(F.col("term_bucket").isin(buckets))
+                pl = self.posting_lists_df(part, doc_stats, term_stats, avgdl, max_doc_id)
+                pl.write.mode("overwrite").partitionBy("term_bucket").parquet(
+                    os.path.join(out_dir, "posting_lists")
+                )
+                n_rows = spark.read.parquet(os.path.join(out_dir, "posting_lists")).filter(
+                    F.col("term_bucket").isin(buckets)
+                ).count()
+                self._log_stage(
+                    "posting_lists", t0, n_rows, out_dir, unit=unit,
+                    merge_fanin=self.n_salts, buckets=len(buckets),
+                )
+            posting_lists = _load("posting_lists")
+        else:
+            posting_lists = self.posting_lists_df(
+                postings, doc_stats, term_stats, avgdl, max_doc_id
+            ).persist()
+
+        return BM25Index(
+            spark=spark,
+            doc_stats=doc_stats,
+            term_stats=term_stats,
+            posting_lists=posting_lists,
+            postings=postings,
+            globals=glob,
+            out_dir=out_dir,
+        )
+
+
+def build_index(spark: SparkSession, docs: DataFrame, **kwargs) -> BM25Index:
+    out_dir = kwargs.pop("out_dir", None)
+    resume = kwargs.pop("resume", False)
+    id_col = kwargs.pop("id_col", None)
+    return IndexBuilder(spark, **kwargs).build(docs, out_dir=out_dir, resume=resume, id_col=id_col)
+
+
+def load_index(spark: SparkSession, out_dir: str) -> BM25Index:
+    """Reopen a persisted index (resume / query-only sessions)."""
+    with open(os.path.join(out_dir, "globals.json")) as f:
+        glob = json.load(f)
+    return BM25Index(
+        spark=spark,
+        doc_stats=spark.read.parquet(os.path.join(out_dir, "doc_stats")),
+        term_stats=spark.read.parquet(os.path.join(out_dir, "term_stats")),
+        posting_lists=spark.read.parquet(os.path.join(out_dir, "posting_lists")),
+        postings=spark.read.parquet(os.path.join(out_dir, "postings")),
+        globals=glob,
+        out_dir=out_dir,
+    )

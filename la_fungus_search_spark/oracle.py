@@ -1,0 +1,95 @@
+"""Driver-side BM25 reference scorer (the rank-identity oracle).
+
+``rank_bm25`` is the reference's declared (never-imported) scorer
+(``/root/reference/requirements.txt:11``; SURVEY.md §0). The package is
+not installed in this sandbox, so this module reimplements the
+*published BM25Okapi semantics* pinned in FIXTURES.md §3, faithfully:
+
+* ``avgdl = total_tokens / N`` (empty docs included),
+* raw ``idf(t) = ln(N - df + 0.5) - ln(df + 0.5)``,
+* ``average_idf`` = mean of raw idf over the whole vocabulary
+  (negatives included),
+* terms with ``idf < 0`` (strictly) are floored to
+  ``epsilon * average_idf``,
+* ``score(q, d) = Σ_{t ∈ q} idf[t] · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
+  where the sum iterates query tokens *with duplicates* (a term counted
+  twice in the query contributes twice) and unknown terms contribute 0,
+* defaults ``k1=1.5, b=0.75, epsilon=0.25``; float64 throughout.
+
+Ranking for comparison is ``(score DESC, doc_id ASC)`` on both sides
+(Python stable-sort analog of the reference's top-k,
+``mcmp_rag.py:184``); ``get_top_n``-style argsort is never used.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from typing import Iterable, List, Sequence, Tuple
+
+K1 = 1.5
+B = 0.75
+EPSILON = 0.25
+
+
+class BM25Oracle:
+    """Pure-Python/float64 BM25Okapi-semantics scorer over a tokenized corpus."""
+
+    def __init__(
+        self,
+        corpus_tokens: Sequence[Sequence[str]],
+        k1: float = K1,
+        b: float = B,
+        epsilon: float = EPSILON,
+    ):
+        self.k1 = float(k1)
+        self.b = float(b)
+        self.epsilon = float(epsilon)
+        self.n = len(corpus_tokens)
+        if self.n == 0:
+            raise ValueError("empty corpus")
+        self.doc_freqs: List[dict] = [dict(Counter(doc)) for doc in corpus_tokens]
+        self.doc_len = [len(doc) for doc in corpus_tokens]
+        self.avgdl = sum(self.doc_len) / self.n
+
+        df: Counter = Counter()
+        for freqs in self.doc_freqs:
+            df.update(freqs.keys())
+        self.df = dict(df)
+
+        idf_sum = 0.0
+        negative: list[str] = []
+        self.idf: dict[str, float] = {}
+        for term, d in self.df.items():
+            v = math.log(self.n - d + 0.5) - math.log(d + 0.5)
+            self.idf[term] = v
+            idf_sum += v
+            if v < 0:
+                negative.append(term)
+        self.average_idf = idf_sum / len(self.idf) if self.idf else 0.0
+        eps = self.epsilon * self.average_idf
+        for term in negative:
+            self.idf[term] = eps
+
+    def get_scores(self, query_tokens: Iterable[str]) -> List[float]:
+        """Score every document (float64, duplicates in query counted)."""
+        scores = [0.0] * self.n
+        k1, b, avgdl = self.k1, self.b, self.avgdl
+        for q in query_tokens:
+            idf = self.idf.get(q)
+            if idf is None:
+                continue
+            for i, freqs in enumerate(self.doc_freqs):
+                tf = freqs.get(q, 0)
+                if tf:
+                    dl = self.doc_len[i]
+                    scores[i] += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        return scores
+
+    def top_k(self, query_tokens: Iterable[str], k: int) -> List[Tuple[int, float]]:
+        """Top-k ``(doc_index, score)`` among docs with score > 0,
+        ordered by ``(score DESC, doc_index ASC)``."""
+        scores = self.get_scores(query_tokens)
+        hits = [(i, s) for i, s in enumerate(scores) if s > 0.0]
+        hits.sort(key=lambda t: (-t[1], t[0]))
+        return hits[:k]

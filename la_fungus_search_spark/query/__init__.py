@@ -1,0 +1,3 @@
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+
+__all__ = ["BM25QueryEngine"]

@@ -1,0 +1,270 @@
+"""BM25 top-k query engine (SURVEY.md §3.2 lifecycle replacement).
+
+Reference contract: query string → top-k ``(doc, score)``
+(``mcmp_rag.py:178-188`` / ``POST /search`` ``realtime/server.py:1886``),
+re-expressed as a batch job over a whole query set at once:
+
+    queries (tiny, broadcast)
+      ⋈ term_stats   (equi on term; broadcast hash join)
+      ⋈ postings     (equi on term, partition-pruned on term_bucket)
+      ⋈ doc_stats    (doclen)
+      → per-posting contribution → groupBy(query_id, doc_id) sum
+      → row_number over (score DESC, doc_id ASC) ≤ k
+
+Two physical paths, identical results (tested):
+
+* ``mode="sql"``     — pure JVM expressions over the uncompressed
+  ``postings`` runs; whole-stage codegen end to end; the plan Catalyst
+  would pick itself. Baseline + oracle-parity path.
+* ``mode="blockmax"`` — reads the compressed ``posting_lists``, prunes
+  blocks that provably cannot reach the current top-k floor
+  (``block_max + Σ_{other terms} ub ≤ θ``), then decodes survivors in a
+  grouped Arrow kernel. θ is an exact lower bound obtained by fully
+  scoring the docs of each term's single best block (driver-side over
+  block metadata only). This is WAND-style *safe* pruning adapted to a
+  shared-nothing setting — no cursor coordination, never drops a true
+  top-k doc.
+
+Tie-break everywhere: ``(score DESC, doc_id ASC)`` — the stable-sort
+contract of the reference's top-k (``mcmp_rag.py:184``; FIXTURES §3).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.index.builder import BM25Index
+from la_fungus_search_spark.index.codec import decode_tfs, delta_decode_docids
+from la_fungus_search_spark.tokenizer import tokenize_query
+
+
+class BM25QueryEngine:
+    def __init__(self, index: BM25Index):
+        self.index = index
+        self.spark = index.spark
+        g = index.globals
+        self.k1, self.b = float(g["k1"]), float(g["b"])
+        self.avgdl = max(float(g["avgdl"]), 1e-12)
+
+    # ------------------------------------------------------------ helpers
+
+    def _query_terms_df(self, queries: Sequence[str]) -> DataFrame:
+        """(query_id, term, qtf) — BM25Okapi counts duplicate query
+        terms once per occurrence, hence qtf."""
+        rows = []
+        for qid, q in enumerate(queries):
+            for term, qtf in Counter(tokenize_query(q)).items():
+                rows.append((qid, term, qtf))
+        if not rows:
+            rows = [(0, "\x00__no_terms__", 0)]
+        return self.spark.createDataFrame(rows, schema="query_id INT, term STRING, qtf INT")
+
+    def _contribution(self, tf_col, doclen_col):
+        k1, b = self.k1, self.b
+        return (tf_col * F.lit(k1 + 1.0)) / (
+            tf_col + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * doclen_col / F.lit(self.avgdl))
+        )
+
+    @staticmethod
+    def _topk(scored: DataFrame, k: int) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .orderBy("query_id", "rank")
+        )
+
+    # ------------------------------------------------------------ SQL path
+
+    def search_sql(self, queries: Sequence[str], k: int = 10) -> DataFrame:
+        """Pure-JVM scoring over uncompressed postings."""
+        idx = self.index
+        qt = self._query_terms_df(queries)
+        # broadcast the tiny query-side dim through both joins
+        q_with_idf = F.broadcast(
+            qt.join(idx.term_stats.select("term", "idf", "term_bucket"), "term")
+        )
+        buckets = [r.term_bucket for r in q_with_idf.select("term_bucket").distinct().collect()]
+        postings = idx.postings.filter(F.col("term_bucket").isin(buckets))  # partition pruning
+        scored = (
+            postings.join(q_with_idf, "term")
+            .join(idx.doc_stats.select("doc_id", "doclen"), "doc_id")
+            .withColumn(
+                "contrib",
+                F.col("qtf") * F.col("idf") * self._contribution(F.col("tf"), F.col("doclen")),
+            )
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("contrib").alias("score"))
+            .filter(F.col("score") > 0)
+        )
+        return self._topk(scored, k)
+
+    # ------------------------------------------------------------ block-max path
+
+    def _theta_estimates(self, q_with_meta: pd.DataFrame, k: int) -> dict[int, float]:
+        """Exact top-k floor per query: decode only each term's single
+        highest-max block, fully score those docs on all decoded terms,
+        take the kth best. Cheap (≤ |q| blocks) and a true lower bound."""
+        thetas: dict[int, float] = {}
+        for qid, grp in q_with_meta.groupby("query_id"):
+            doc_scores: Counter = Counter()
+            for _, r in grp.iterrows():
+                if r["doc_ids"] is None:
+                    continue
+                ids = delta_decode_docids(bytes(r["doc_ids"]))
+                tfs = decode_tfs(bytes(r["tfs"]))
+                dls = r["doclens"]
+                contrib = (
+                    r["qtf"] * r["idf"] * (tfs * (self.k1 + 1.0))
+                    / (tfs + self.k1 * (1.0 - self.b + self.b * dls / self.avgdl))
+                )
+                for d, c in zip(ids.tolist(), contrib.tolist()):
+                    doc_scores[d] += c
+            if len(doc_scores) >= k:
+                thetas[int(qid)] = sorted(doc_scores.values(), reverse=True)[k - 1]
+            else:
+                thetas[int(qid)] = 0.0
+        return thetas
+
+    def search_blockmax(self, queries: Sequence[str], k: int = 10) -> DataFrame:
+        """Compressed-index scoring with safe block pruning."""
+        idx = self.index
+        qt = self._query_terms_df(queries)
+        q_with_idf = qt.join(idx.term_stats.select("term", "idf", "term_bucket"), "term")
+        q_meta = q_with_idf.toPandas()
+        if q_meta.empty:
+            return self._empty_result()
+        buckets = sorted(q_meta["term_bucket"].unique().tolist())
+        terms = sorted(q_meta["term"].unique().tolist())
+
+        lists = idx.posting_lists.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+
+        # per-(query, term) upper bound = qtf*idf*max(block_max); Σ over terms = UB_total
+        blk_meta = (
+            lists.groupBy("term").agg(F.max("block_max").alias("term_max")).toPandas()
+        )
+        qm = q_meta.merge(blk_meta, on="term", how="inner")
+        qm["ub"] = qm["qtf"] * qm["idf"] * qm["term_max"]
+        ub_total = qm.groupby("query_id")["ub"].sum().to_dict()
+
+        # θ: exact floor from each term's best block (block metadata +
+        # doclens for those docs only)
+        best_blocks = (
+            lists.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("term").orderBy(F.desc("block_max"), F.asc("block_id"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("term", "doc_ids", "tfs", "first_doc", "last_doc")
+        ).toPandas()
+        theta: dict[int, float] = {}
+        if not best_blocks.empty:
+            # attach doclens for the best-block docs via one small join
+            import numpy as np
+
+            all_ids = sorted(
+                {int(d) for _, r in best_blocks.iterrows()
+                 for d in delta_decode_docids(bytes(r["doc_ids"]))}
+            )
+            dl_pdf = (
+                idx.doc_stats.filter(F.col("doc_id").isin(all_ids))
+                .select("doc_id", "doclen")
+                .toPandas()
+            )
+            dl_map = dict(zip(dl_pdf["doc_id"], dl_pdf["doclen"]))
+            merged = q_meta.merge(best_blocks, on="term", how="inner")
+            merged["doclens"] = merged["doc_ids"].map(
+                lambda b_: np.array(
+                    [dl_map.get(int(d), 0) for d in delta_decode_docids(bytes(b_))], dtype="float64"
+                )
+            )
+            theta = self._theta_estimates(merged, k)
+
+        # safe skip: block can't matter if qtf*idf*block_max + (UB_total − ub_term) ≤ θ
+        prune_rows = []
+        for _, r in qm.iterrows():
+            qid = int(r["query_id"])
+            slack = theta.get(qid, 0.0) - (ub_total.get(qid, 0.0) - float(r["ub"]))
+            # keep block if qtf*idf*block_max > slack  → block_max > slack/(qtf*idf)
+            denom = float(r["qtf"] * r["idf"])
+            cutoff = slack / denom if denom > 0 else float("inf")
+            prune_rows.append((qid, r["term"], float(r["qtf"]), float(r["idf"]), cutoff))
+        prune_df = F.broadcast(
+            self.spark.createDataFrame(
+                prune_rows, schema="query_id INT, term STRING, qtf DOUBLE, idf DOUBLE, cutoff DOUBLE"
+            )
+        )
+
+        # >= so a block that can exactly tie θ is still decoded — a doc
+        # tying the kth score could win the doc_id tie-break.
+        survivors = lists.join(prune_df, "term").filter(F.col("block_max") >= F.col("cutoff"))
+
+        k1, b, avgdl = self.k1, self.b, self.avgdl
+
+        def decode_and_score(batches):
+            import numpy as np
+
+            for pdf in batches:
+                qids, dids, tf_arrs, w_arrs = [], [], [], []
+                for r in pdf.itertuples(index=False):
+                    ids = delta_decode_docids(bytes(r.doc_ids))
+                    tfs = decode_tfs(bytes(r.tfs)).astype("float64")
+                    qids.append(np.full(ids.shape, r.query_id, dtype="int32"))
+                    dids.append(ids)
+                    tf_arrs.append(tfs)
+                    w_arrs.append(np.full(ids.shape, r.qtf * r.idf))
+                if qids:
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.concatenate(qids),
+                            "doc_id": np.concatenate(dids),
+                            "tf": np.concatenate(tf_arrs),
+                            "w": np.concatenate(w_arrs),
+                        }
+                    )
+
+        decoded = survivors.select(
+            "query_id", "qtf", "idf", "doc_ids", "tfs"
+        ).mapInPandas(decode_and_score, schema="query_id INT, doc_id BIGINT, tf DOUBLE, w DOUBLE")
+
+        scored = (
+            decoded.join(self.index.doc_stats.select("doc_id", "doclen"), "doc_id")
+            .withColumn("contrib", F.col("w") * self._contribution(F.col("tf"), F.col("doclen")))
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("contrib").alias("score"))
+            .filter(F.col("score") > 0)
+        )
+        return self._topk(scored, k)
+
+    def _empty_result(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], schema="query_id INT, doc_id BIGINT, score DOUBLE, rank INT"
+        )
+
+    # ------------------------------------------------------------ facade
+
+    def search(self, queries: Sequence[str], k: int = 10, mode: str = "sql") -> DataFrame:
+        """Top-k per query: columns (query_id, doc_id, score, rank)."""
+        if mode == "blockmax":
+            df = self.search_blockmax(queries, k)
+        else:
+            df = self.search_sql(queries, k)
+        return df.select("query_id", "doc_id", "score", "rank")
+
+    def search_with_docs(self, queries: Sequence[str], k: int = 10, mode: str = "sql") -> DataFrame:
+        """Result enrichment (reference P8/J1: join hits back to content
+        by identity — here by doc_id, carrying the sha256 invariant)."""
+        hits = self.search(queries, k, mode)
+        cols = [c for c in ("repo", "path", "commit", "content_sha256") if c in self.index.doc_stats.columns]
+        return hits.join(self.index.doc_stats.select("doc_id", *cols), "doc_id", "left").orderBy(
+            "query_id", "rank"
+        )

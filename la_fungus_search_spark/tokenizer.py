@@ -1,0 +1,85 @@
+"""The shared tokenizer contract.
+
+Rank-identity between the Spark engine and the BM25 oracle is only
+meaningful if both tokenize identically, so this module is the single
+source of truth. Three equivalent implementations are provided:
+
+1. :func:`tokenize` — pure Python (drives the oracle and tests),
+2. :func:`tokens_expr` — Spark SQL expression (JVM-side, whole-stage
+   codegen, zero Python in the hot path),
+3. :func:`duckdb_tokens_sql` — DuckDB SQL fragment (drives the driver's
+   oracle-SQL correctness gate).
+
+Contract (deliberately engine-invariant):
+
+* extract maximal runs of ``[A-Za-z0-9_]`` from the *raw* text, then
+  lowercase each token. Extracting ASCII runs *before* lowercasing makes
+  the result independent of engine-specific Unicode case folding
+  (e.g. ``'İ'.lower()`` contains an ASCII ``i`` in Python but engines
+  disagree on the combining mark).
+* underscores are kept: code identifiers like ``pheromone_decay_kernel``
+  stay whole (code-aware split, SURVEY.md §7.0).
+* corpus tokens are NOT stopword-filtered; query tokens ARE — mirroring
+  the reference which only normalizes queries
+  (``ui/queries.py:6-18`` strips a fixed stopword set from queries and
+  never touches corpus text).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
+_TOKEN_PATTERN = "[A-Za-z0-9_]+"
+
+# Query stopword set — verbatim the reference's query-normalization set
+# (ui/queries.py:12-16). Applied to queries only.
+QUERY_STOPWORDS = frozenset(
+    {
+        "the", "a", "an", "is", "are", "be", "to", "of", "in", "on", "for",
+        "and", "or", "with", "how", "what", "where", "when", "which", "that",
+        "does", "do", "can", "i", "we", "you", "it", "this", "these",
+        "those", "about", "use", "used", "using", "run", "start", "guide",
+    }
+)
+
+
+def tokenize(text: str) -> List[str]:
+    """Corpus-side tokenization (pure Python; the oracle's tokenizer)."""
+    if not text:
+        return []
+    return [t.lower() for t in _TOKEN_RE.findall(text)]
+
+
+def tokenize_query(text: str) -> List[str]:
+    """Query-side tokenization: corpus contract + stopword removal.
+
+    Duplicates are preserved — BM25Okapi semantics sum a term's
+    contribution once per query occurrence.
+    """
+    return [t for t in tokenize(text) if t not in QUERY_STOPWORDS]
+
+
+def tokens_expr(col: str | Column) -> Column:
+    """Spark Column of ARRAY<STRING> tokens — JVM-only fast path.
+
+    ``regexp_extract_all`` + ``transform(lower)`` stays inside
+    whole-stage codegen; no Python round-trip.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        F.regexp_extract_all(F.coalesce(c, F.lit("")), F.lit(_TOKEN_PATTERN), F.lit(0)),
+        lambda t: F.lower(t),
+    )
+
+
+def duckdb_tokens_sql(col_sql: str) -> str:
+    """DuckDB SQL fragment producing the identical token list."""
+    return (
+        f"list_transform(regexp_extract_all(coalesce({col_sql}, ''), "
+        f"'{_TOKEN_PATTERN}'), t -> lower(t))"
+    )
