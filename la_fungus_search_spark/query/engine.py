@@ -146,12 +146,14 @@ class BM25QueryEngine:
             F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
         )
 
-        # per-(query, term) upper bound = qtf*idf*max(block_max); Σ over terms = UB_total
+        # per-(query, term) upper bound = qtf * max(block_max); Σ over
+        # terms = UB_total. NOTE block_max already includes the idf
+        # factor (baked in at build), so idf must NOT appear again here.
         blk_meta = (
             lists.groupBy("term").agg(F.max("block_max").alias("term_max")).toPandas()
         )
         qm = q_meta.merge(blk_meta, on="term", how="inner")
-        qm["ub"] = qm["qtf"] * qm["idf"] * qm["term_max"]
+        qm["ub"] = qm["qtf"] * qm["term_max"]
         ub_total = qm.groupby("query_id")["ub"].sum().to_dict()
 
         # θ: exact floor from each term's best block (block metadata +
@@ -189,13 +191,14 @@ class BM25QueryEngine:
             )
             theta = self._theta_estimates(merged, k)
 
-        # safe skip: block can't matter if qtf*idf*block_max + (UB_total − ub_term) ≤ θ
+        # safe skip: block can't matter if qtf*block_max + (UB_total − ub_term) ≤ θ
+        # (block_max carries idf already)
         prune_rows = []
         for _, r in qm.iterrows():
             qid = int(r["query_id"])
             slack = theta.get(qid, 0.0) - (ub_total.get(qid, 0.0) - float(r["ub"]))
-            # keep block if qtf*idf*block_max > slack  → block_max > slack/(qtf*idf)
-            denom = float(r["qtf"] * r["idf"])
+            # keep block if qtf*block_max ≥ slack  → block_max ≥ slack/qtf
+            denom = float(r["qtf"])
             cutoff = slack / denom if denom > 0 else float("inf")
             prune_rows.append((qid, r["term"], float(r["qtf"]), float(r["idf"]), cutoff))
         prune_df = F.broadcast(

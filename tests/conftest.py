@@ -1,0 +1,17 @@
+import pytest
+
+from la_fungus_search_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(master="local[4]", shuffle_partitions=8, app_name="lfs-tests")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def queries():
+    with open("tests/fixtures/queries.txt") as f:
+        return [line.strip() for line in f if line.strip()]

@@ -1,0 +1,93 @@
+"""Resumability (north rule): resume-from-partial == cold build,
+bit-identical results; manifest carries lineage + metrics."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from la_fungus_search_spark.corpus import corpus_df
+from la_fungus_search_spark.index.builder import IndexBuilder, load_index
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+
+N_FILES = 100
+
+
+def _snapshot(idx):
+    pl = sorted(
+        (r.term, r.block_id, bytes(r.doc_ids), bytes(r.tfs), r.block_max, r["count"])
+        for r in idx.posting_lists.collect()
+    )
+    ds = sorted((r.doc_id, r.doclen, r.content_sha256) for r in idx.doc_stats.collect())
+    ts = sorted((r.term, r.df, r.idf) for r in idx.term_stats.collect())
+    return pl, ds, ts
+
+
+def test_cold_vs_resume_identical(spark, tmp_path):
+    docs = corpus_df(spark, N_FILES).filter("lang = 'python'")
+
+    cold_dir = str(tmp_path / "cold")
+    cold = IndexBuilder(spark, n_buckets=8, n_salts=4, bucket_groups=4).build(
+        docs, out_dir=cold_dir
+    )
+    cold_snap = _snapshot(cold)
+
+    # partial build: same layout, then truncate the manifest to simulate
+    # a crash after 2 of 4 posting_lists bucket-groups
+    part_dir = str(tmp_path / "partial")
+    IndexBuilder(spark, n_buckets=8, n_salts=4, bucket_groups=4).build(docs, out_dir=part_dir)
+    manifest_path = os.path.join(part_dir, "manifest.jsonl")
+    with open(manifest_path) as f:
+        entries = [json.loads(line) for line in f]
+    pl_units = [e for e in entries if e["stage"] == "posting_lists"]
+    assert len(pl_units) == 4
+    kept = [e for e in entries if e["stage"] != "posting_lists"] + pl_units[:2]
+    with open(manifest_path, "w") as f:
+        for e in kept:
+            f.write(json.dumps(e) + "\n")
+    # also delete the parquet partitions of the "lost" groups to make it real
+    dropped_buckets = {b for e in pl_units[2:] for b in range(8) if b % 4 == int(e["unit"].split("=")[1])}
+    for b in dropped_buckets:
+        shutil.rmtree(os.path.join(part_dir, "posting_lists", f"term_bucket={b}"), ignore_errors=True)
+
+    resumed = IndexBuilder(spark, n_buckets=8, n_salts=4, bucket_groups=4).build(
+        docs, out_dir=part_dir, resume=True
+    )
+    assert _snapshot(resumed) == cold_snap
+
+    # resumed index answers queries identically
+    r1 = BM25QueryEngine(cold).search(["pheromone_decay_kernel", "def import"], k=10).collect()
+    r2 = BM25QueryEngine(resumed).search(["pheromone_decay_kernel", "def import"], k=10).collect()
+    assert [(x.query_id, x.doc_id, x.score) for x in r1] == [
+        (x.query_id, x.doc_id, x.score) for x in r2
+    ]
+
+
+def test_manifest_metrics(spark, tmp_path):
+    out = str(tmp_path / "m")
+    IndexBuilder(spark, n_buckets=8, bucket_groups=2).build(
+        corpus_df(spark, 60).filter("lang='python'"), out_dir=out
+    )
+    with open(os.path.join(out, "manifest.jsonl")) as f:
+        entries = [json.loads(line) for line in f]
+    stages = {e["stage"] for e in entries}
+    assert {"postings", "doc_stats", "term_stats", "posting_lists"} <= stages
+    post = next(e for e in entries if e["stage"] == "postings")
+    assert post["postings_per_sec"] > 0 and post["rows"] > 0
+    pl = [e for e in entries if e["stage"] == "posting_lists"]
+    assert len(pl) == 2 and all(e["merge_fanin"] >= 1 for e in pl)
+
+    # reload round-trip
+    idx = load_index(spark, out)
+    assert idx.globals["N"] == 56  # python-lang rows of the 60-file corpus (seed-fixed)
+
+
+def test_load_index_queryable(spark, tmp_path):
+    out = str(tmp_path / "q")
+    IndexBuilder(spark, n_buckets=8).build(
+        corpus_df(spark, 60).filter("lang='python'"), out_dir=out
+    )
+    idx = load_index(spark, out)
+    hits = BM25QueryEngine(idx).search(["pheromone_decay_kernel"], k=3).collect()
+    assert hits and hits[0].rank == 1

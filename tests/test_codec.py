@@ -1,0 +1,48 @@
+"""Delta+varint codec: round-trip identity (FIXTURES.md §4)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from la_fungus_search_spark.index.codec import (
+    decode_tfs,
+    delta_decode_docids,
+    delta_encode_docids,
+    encode_tfs,
+    varint_decode,
+    varint_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert varint_decode(varint_encode(arr)).tolist() == vals
+
+
+@given(st.sets(st.integers(min_value=0, max_value=10**13), max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_docid_roundtrip(ids):
+    arr = np.array(sorted(ids), dtype=np.int64)
+    out = delta_decode_docids(delta_encode_docids(arr))
+    assert out.tolist() == sorted(ids)
+
+
+@given(st.lists(st.integers(min_value=1, max_value=10**6), max_size=400))
+@settings(max_examples=100, deadline=None)
+def test_tf_roundtrip(tfs):
+    assert decode_tfs(encode_tfs(np.array(tfs, dtype=np.int64))).tolist() == tfs
+
+
+def test_empty():
+    assert varint_encode(np.empty(0, np.uint64)) == b""
+    assert varint_decode(b"").size == 0
+    assert delta_decode_docids(b"").size == 0
+
+
+def test_compression_is_real():
+    """Dense sorted ids must beat 8 bytes/id by a wide margin."""
+    ids = np.arange(10_000, dtype=np.int64) * 3
+    enc = delta_encode_docids(ids)
+    assert len(enc) < 10_000 * 2

@@ -1,0 +1,127 @@
+"""Index-build invariants (FIXTURES.md §4): stats equal naive recount,
+sha256 carried through, blocks sorted + bounded by block_max, codec
+round-trips from real posting_lists rows, salting preserves content."""
+
+import math
+from collections import Counter
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.corpus import corpus_df, generate_rows
+from la_fungus_search_spark.index.builder import IndexBuilder
+from la_fungus_search_spark.index.codec import decode_tfs, delta_decode_docids
+from la_fungus_search_spark.tokenizer import tokenize
+
+N_FILES = 120
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    docs = corpus_df(spark, N_FILES).filter("lang = 'python'")
+    idx = IndexBuilder(spark, n_buckets=8, block_size=16, n_salts=4).build(docs)
+    rows = sorted(
+        (r for r in generate_rows(N_FILES) if r[3] == "python"),
+        key=lambda r: (r[0], r[1], r[2]),
+    )
+    return idx, rows
+
+
+def test_globals_match_naive(built):
+    idx, rows = built
+    toks = [tokenize(r[4]) for r in rows]
+    assert idx.globals["N"] == len(rows)
+    assert idx.globals["avgdl"] == pytest.approx(sum(map(len, toks)) / len(rows), rel=1e-12)
+
+
+def test_doclen_and_sha_invariant(built):
+    idx, rows = built
+    import hashlib
+
+    stats = {r.doc_id: r for r in idx.doc_stats.collect()}
+    assert len(stats) == len(rows)
+    for doc_id, (repo, path, commit, lang, content) in enumerate(rows):
+        s = stats[doc_id]
+        assert s.doclen == len(tokenize(content)), path
+        assert s.content_sha256 == hashlib.sha256(content.encode()).hexdigest()
+        assert (s.repo, s.path, s.commit) == (repo, path, commit)
+
+
+def test_df_matches_naive(built):
+    idx, rows = built
+    naive_df = Counter()
+    for r in rows:
+        naive_df.update(set(tokenize(r[4])))
+    got = {r.term: r.df for r in idx.term_stats.collect()}
+    assert got == dict(naive_df)
+
+
+def test_idf_epsilon_floor(built):
+    idx, rows = built
+    n = idx.globals["N"]
+    ts = idx.term_stats.collect()
+    avg = sum(math.log(n - r.df + 0.5) - math.log(r.df + 0.5) for r in ts) / len(ts)
+    eps = 0.25 * avg
+    assert idx.globals["average_idf"] == pytest.approx(avg, rel=1e-12)
+    for r in ts:
+        raw = math.log(n - r.df + 0.5) - math.log(r.df + 0.5)
+        expect = eps if raw < 0 else raw
+        assert r.idf == pytest.approx(expect, rel=1e-12), r.term
+
+
+def test_posting_tf_sums_to_doclen(built):
+    idx, _ = built
+    bad = (
+        idx.postings.groupBy("doc_id")
+        .agg(F.sum("tf").alias("s"))
+        .join(idx.doc_stats, "doc_id")
+        .filter(F.col("s") != F.col("doclen"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_blocks_sorted_and_bounded(built):
+    idx, _ = built
+    k1, b, avgdl = idx.globals["k1"], idx.globals["b"], idx.globals["avgdl"]
+    dl = {r.doc_id: r.doclen for r in idx.doc_stats.collect()}
+    idf = {r.term: r.idf for r in idx.term_stats.collect()}
+    n_blocks = 0
+    for r in idx.posting_lists.collect():
+        ids = delta_decode_docids(bytes(r.doc_ids))
+        tfs = decode_tfs(bytes(r.tfs))
+        n_blocks += 1
+        assert len(ids) == r["count"] == len(tfs)
+        assert (np.diff(ids) > 0).all()  # strictly ascending within block
+        assert ids[0] == r.first_doc and ids[-1] == r.last_doc
+        scores = [
+            idf[r.term] * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl[d] / avgdl))
+            for d, tf in zip(ids.tolist(), tfs.tolist())
+        ]
+        assert r.block_max == pytest.approx(max(scores), rel=1e-12)
+    assert n_blocks > 0
+
+
+def test_posting_lists_cover_all_postings(built):
+    """Salted merge loses nothing: decoded (term, doc_id, tf) set equals
+    the postings runs exactly."""
+    idx, _ = built
+    from_lists = set()
+    for r in idx.posting_lists.collect():
+        for d, tf in zip(
+            delta_decode_docids(bytes(r.doc_ids)).tolist(), decode_tfs(bytes(r.tfs)).tolist()
+        ):
+            from_lists.add((r.term, d, tf))
+    from_runs = {(r.term, r.doc_id, r.tf) for r in idx.postings.collect()}
+    assert from_lists == from_runs
+
+
+def test_arrow_tokenizer_path_equal(spark, built):
+    idx, _ = built
+    docs = corpus_df(spark, N_FILES).filter("lang = 'python'")
+    b2 = IndexBuilder(spark, n_buckets=8, tokenizer_impl="arrow")
+    prepared = b2.prepare(docs)
+    arrow = {(r.term, r.doc_id, r.tf) for r in b2.postings_df(prepared).collect()}
+    jvm = {(r.term, r.doc_id, r.tf) for r in idx.postings.collect()}
+    assert arrow == jvm

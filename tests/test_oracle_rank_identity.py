@@ -1,0 +1,74 @@
+"""THE correctness gate (FIXTURES.md §3): engine top-k rank-identical
+to the BM25Okapi-semantics oracle on the reference query set, for both
+physical paths. Tolerance on scores: 1e-9 relative (recorded here, per
+FIXTURES §3 — float64 arithmetic order differs between a distributed
+sum and the oracle's sequential sum)."""
+
+import pytest
+
+from la_fungus_search_spark.corpus import corpus_df, generate_rows
+from la_fungus_search_spark.index.builder import IndexBuilder
+from la_fungus_search_spark.oracle import BM25Oracle
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.tokenizer import tokenize, tokenize_query
+
+N_FILES = 150
+SCORE_RTOL = 1e-9
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    docs = corpus_df(spark, N_FILES).filter("lang = 'python'")
+    idx = IndexBuilder(spark, n_buckets=8, block_size=16, n_salts=4).build(docs)
+    rows = sorted(
+        (r for r in generate_rows(N_FILES) if r[3] == "python"),
+        key=lambda r: (r[0], r[1], r[2]),
+    )
+    oracle = BM25Oracle([tokenize(r[4]) for r in rows])
+    return BM25QueryEngine(idx), oracle
+
+
+def _assert_rank_identical(engine, oracle, queries, mode, k=10):
+    res = engine.search(queries, k=k, mode=mode).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append((r.doc_id, r.score))
+    for qid, q in enumerate(queries):
+        expected = oracle.top_k(tokenize_query(q), k)
+        got = by_q.get(qid, [])
+        assert [d for d, _ in expected] == [d for d, _ in got], (mode, q)
+        for (_, es), (_, gs) in zip(expected, got):
+            assert gs == pytest.approx(es, rel=SCORE_RTOL), (mode, q)
+
+
+def test_sql_path_rank_identical(setup, queries):
+    engine, oracle = setup
+    _assert_rank_identical(engine, oracle, queries, "sql")
+
+
+def test_blockmax_path_rank_identical(setup, queries):
+    engine, oracle = setup
+    _assert_rank_identical(engine, oracle, queries, "blockmax")
+
+
+def test_k_variations(setup):
+    engine, oracle = setup
+    for k in (1, 3, 25):
+        _assert_rank_identical(
+            engine, oracle, ["def self return", "pheromone_decay_kernel", "import"], "sql", k=k
+        )
+        _assert_rank_identical(
+            engine, oracle, ["def self return", "pheromone_decay_kernel", "import"], "blockmax", k=k
+        )
+
+
+def test_or_semantics(setup):
+    """Every returned doc contains ≥1 query term (property test (a),
+    SURVEY §5.2)."""
+    engine, oracle = setup
+    q = "varint_delta_codec bucket"
+    hits = engine.search([q], k=50, mode="sql").collect()
+    terms = set(tokenize_query(q))
+    for h in hits:
+        doc_terms = set(oracle.doc_freqs[h.doc_id].keys())
+        assert doc_terms & terms

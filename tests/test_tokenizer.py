@@ -1,0 +1,60 @@
+"""Tokenizer contract: the three implementations must agree exactly.
+
+Golden cases per SURVEY.md §7.0.2 (code identifiers, snake_case,
+unicode) and cross-engine equality (pure Python vs Spark JVM expr vs
+DuckDB SQL) — rank-identity depends on this.
+"""
+
+import duckdb
+import pytest
+
+from la_fungus_search_spark.tokenizer import (
+    QUERY_STOPWORDS,
+    duckdb_tokens_sql,
+    tokenize,
+    tokenize_query,
+    tokens_expr,
+)
+
+GOLDEN = [
+    ("def pheromone_decay_kernel(data, rate):", ["def", "pheromone_decay_kernel", "data", "rate"]),
+    ("x = CamelCaseName + snake_case_name", ["x", "camelcasename", "snake_case_name"]),
+    ("__dunder__ = 0xFF  # comment!", ["__dunder__", "0xff", "comment"]),
+    ("", []),
+    (None, []),
+    ("   \t\n ", []),
+    ("a-b.c:d", ["a", "b", "c", "d"]),
+    ("übung λx: módulo", ["bung", "x", "m", "dulo"]),  # ASCII-run contract
+    ("if __name__ == '__main__':", ["if", "__name__", "__main__"]),
+]
+
+EDGE_TEXTS = [t for t, _ in GOLDEN if t] + [
+    "class Agent:\n    def __init__(self):\n        self.id = 42\n",
+    "İstanbul KelvinK sign ß sharp",  # unicode case-folding traps
+    "0 1 22 333 4444 a0b1c2",
+]
+
+
+@pytest.mark.parametrize("text,expected", GOLDEN)
+def test_golden(text, expected):
+    assert tokenize(text) == expected
+
+
+def test_query_stopwords():
+    assert tokenize_query("how to use the parser for a query") == ["parser", "query"]
+    # duplicates preserved (BM25Okapi counts per occurrence)
+    assert tokenize_query("merge merge merge") == ["merge", "merge", "merge"]
+    assert "the" in QUERY_STOPWORDS
+
+
+def test_jvm_expr_matches_python(spark):
+    df = spark.createDataFrame([(t,) for t in EDGE_TEXTS], "content STRING")
+    got = [r.toks for r in df.select(tokens_expr("content").alias("toks")).collect()]
+    assert got == [tokenize(t) for t in EDGE_TEXTS]
+
+
+def test_duckdb_sql_matches_python():
+    con = duckdb.connect()
+    for t in EDGE_TEXTS:
+        got = con.execute(f"select {duckdb_tokens_sql('?')}", [t]).fetchone()[0]
+        assert got == tokenize(t), t
