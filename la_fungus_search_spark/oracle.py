@@ -87,9 +87,20 @@ class BM25Oracle:
         return scores
 
     def top_k(self, query_tokens: Iterable[str], k: int) -> List[Tuple[int, float]]:
-        """Top-k ``(doc_index, score)`` among docs with score > 0,
-        ordered by ``(score DESC, doc_index ASC)``."""
+        """Top-k ``(doc_index, score)`` among docs containing ≥1 query
+        term, ordered by ``(score DESC, doc_index ASC)``.
+
+        Membership (not ``score > 0``) is the match test: in degenerate
+        corpora where most terms are stopword-like, BM25Okapi's epsilon
+        floor goes *negative* (average_idf < 0) and every matching doc
+        scores below zero — they are still the correct hits, ranked
+        least-negative first."""
+        qset = {q for q in query_tokens if q in self.idf}
         scores = self.get_scores(query_tokens)
-        hits = [(i, s) for i, s in enumerate(scores) if s > 0.0]
+        hits = [
+            (i, s)
+            for i, s in enumerate(scores)
+            if any(t in self.doc_freqs[i] for t in qset)
+        ]
         hits.sort(key=lambda t: (-t[1], t[0]))
         return hits[:k]

@@ -81,8 +81,9 @@ class BM25QueryEngine:
 
     # ------------------------------------------------------------ SQL path
 
-    def search_sql(self, queries: Sequence[str], k: int = 10) -> DataFrame:
-        """Pure-JVM scoring over uncompressed postings."""
+    def scored_sql(self, queries: Sequence[str]) -> DataFrame:
+        """Full scored set (query_id, doc_id, score) before top-k —
+        pure-JVM scoring over uncompressed postings."""
         idx = self.index
         qt = self._query_terms_df(queries)
         # broadcast the tiny query-side dim through both joins
@@ -100,9 +101,16 @@ class BM25QueryEngine:
             )
             .groupBy("query_id", "doc_id")
             .agg(F.sum("contrib").alias("score"))
-            .filter(F.col("score") > 0)
         )
-        return self._topk(scored, k)
+        # no score>0 filter: the postings join already enforces the
+        # match contract (doc contains ≥1 query term); scores can be
+        # legitimately negative when average_idf < 0 (stopword-heavy
+        # corpora — the epsilon floor is negative there)
+        return scored
+
+    def search_sql(self, queries: Sequence[str], k: int = 10) -> DataFrame:
+        """Pure-JVM scoring over uncompressed postings → top-k."""
+        return self._topk(self.scored_sql(queries), k)
 
     # ------------------------------------------------------------ block-max path
 
@@ -146,15 +154,22 @@ class BM25QueryEngine:
             F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
         )
 
-        # per-(query, term) upper bound = qtf * max(block_max); Σ over
-        # terms = UB_total. NOTE block_max already includes the idf
-        # factor (baked in at build), so idf must NOT appear again here.
+        # per-(query, term) upper bound = qtf * max(block_max, 0); a doc
+        # either contains the term (≤ block_max) or not (0), so the
+        # per-term bound is clipped at 0. Σ over terms = UB_total.
+        # NOTE block_max already includes the idf factor (baked in at
+        # build), so idf must NOT appear again here.
         blk_meta = (
             lists.groupBy("term").agg(F.max("block_max").alias("term_max")).toPandas()
         )
         qm = q_meta.merge(blk_meta, on="term", how="inner")
-        qm["ub"] = qm["qtf"] * qm["term_max"]
+        qm["ub"] = qm["qtf"] * qm["term_max"].clip(lower=0.0)
         ub_total = qm.groupby("query_id")["ub"].sum().to_dict()
+        # queries containing any negative-idf term get NO pruning: a
+        # partial sum then OVERestimates the true score, so the θ floor
+        # below would not be a safe lower bound (see oracle.top_k note
+        # on negative epsilon floors)
+        neg_idf_queries = set(q_meta.loc[q_meta["idf"] < 0, "query_id"].astype(int))
 
         # θ: exact floor from each term's best block (block metadata +
         # doclens for those docs only)
@@ -196,7 +211,10 @@ class BM25QueryEngine:
         prune_rows = []
         for _, r in qm.iterrows():
             qid = int(r["query_id"])
-            slack = theta.get(qid, 0.0) - (ub_total.get(qid, 0.0) - float(r["ub"]))
+            if qid in neg_idf_queries:
+                slack = float("-inf")  # decode everything — safety first
+            else:
+                slack = theta.get(qid, 0.0) - (ub_total.get(qid, 0.0) - float(r["ub"]))
             # keep block if qtf*block_max ≥ slack  → block_max ≥ slack/qtf
             denom = float(r["qtf"])
             cutoff = slack / denom if denom > 0 else float("inf")
@@ -244,7 +262,6 @@ class BM25QueryEngine:
             .withColumn("contrib", F.col("w") * self._contribution(F.col("tf"), F.col("doclen")))
             .groupBy("query_id", "doc_id")
             .agg(F.sum("contrib").alias("score"))
-            .filter(F.col("score") > 0)
         )
         return self._topk(scored, k)
 

@@ -1,0 +1,18 @@
+"""Training-data pipeline operators over document/embedding tables.
+
+Spark-first building blocks a 100 TB corpus-curation pipeline needs on
+top of the BM25 engine: text statistics / quality scoring / language id
+/ fingerprinting (:mod:`stats`), exact + near-duplicate detection
+(:mod:`dedup`), embedding similarity search (:mod:`similarity`), and
+binary/multimodal column plumbing (:mod:`multimodal`).
+
+Every operator is a DataFrame → DataFrame transformation built from
+JVM-side expressions (whole-stage codegen) wherever the semantics
+allow; Python appears only inside Arrow-batched kernels (SimHash).
+All hashing is md5/sha2-based so results are engine-portable — the
+DuckDB oracle in ``__spark_entry__.py`` reproduces them bit-for-bit.
+"""
+
+from la_fungus_search_spark.textops import dedup, multimodal, similarity, stats
+
+__all__ = ["stats", "dedup", "similarity", "multimodal"]

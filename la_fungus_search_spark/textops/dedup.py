@@ -1,0 +1,298 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of doing this on Spark):
+
+* **exact** — one hash-shuffle on the 16-byte normalized fingerprint,
+  never on raw text; at 100 TB the shuffle moves ~32 B/doc.
+* **n-gram Jaccard** — shingle self-join. Quadratic in docs *per
+  shared shingle group*, so it is the verification stage, not the
+  discovery stage: run it only on LSH candidate pairs at scale
+  (``lsh_candidate_pairs`` → ``verify`` here). Exposed standalone for
+  small corpora and for the oracle gate.
+* **MinHash + LSH** — the discovery stage: 16 md5-derived min-hashes →
+  4 bands × 4 rows; docs sharing a band key become candidates. Cost is
+  linear + one shuffle on band keys; hot bands (boilerplate docs) are
+  the skew risk — band keys are already ~uniform md5s, and the
+  band-group size cap bounds the blowup.
+* **SimHash** — 64-bit weighted-bit fingerprint via an Arrow-batched
+  kernel (numpy bit ops); hamming-≤τ pairs found by pigeonhole banding
+  over 4×16-bit chunks (a doc pair at hamming ≤3 must agree on ≥1
+  chunk), again linear + equi-join instead of all-pairs.
+
+All hashing is md5-hex based (engine-portable; the DuckDB oracle in
+``__spark_entry__.py`` reproduces exact/jaccard/minhash bit-for-bit —
+min over fixed-width lowercase-hex strings == min over the u64 they
+encode). Reference analog: content-SHA dedup keys
+(``ui/reports.py:158-169``), token/trigram Jaccard dedup of queries
+(``ui/queries.py:38-74``) — here lifted from driver-side lists to
+distributed joins.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.tokenizer import tokens_expr
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = 4
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-dup groups on the normalized md5 fingerprint.
+
+    Returns one row per distinct content: (norm_md5, n_dups,
+    canonical_id = min doc_id). Downstream `keep` = semi-join on
+    canonical_id.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    norm = F.trim(F.regexp_replace(F.lower(t), "\\s+", " "))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("norm_md5"))
+        .groupBy("norm_md5")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+    )
+
+
+def shingles(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Distinct word k-gram shingles per doc: (doc_id, shingle).
+
+    Tokens come from the shared tokenizer contract; shingle = k tokens
+    joined by a single space. Docs with < k tokens produce no shingles.
+    """
+    toks = tokens_expr(text_col)
+    sh = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All doc pairs with shingle-set Jaccard ≥ threshold.
+
+    intersection via shingle equi-join (group sizes bound the cost),
+    union = |A| + |B| − common. Output jaccard quantized to micro for
+    engine-portable comparison.
+    """
+    sh = shingles(docs, text_col, id_col, k).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard_micro", F.round(jac * F.lit(1e6)).cast("bigint"))
+        .filter(F.col("jaccard_micro") >= F.lit(int(round(threshold * 1e6))))
+        .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard_micro")
+    )
+
+
+def _hash_cols() -> list:
+    """16 independent md5-derived min-hash aggregators over `shingle`.
+
+    h_i = min over shingles of the first 16 hex chars of
+    md5("<i>:" + shingle); min over fixed-width lowercase hex == min
+    over the encoded u64, and is reproducible in any engine with md5.
+    """
+    return [
+        F.min(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 16)).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(doc_id, h0..h15) MinHash signature — one shuffle (groupBy doc)."""
+    return shingles(docs, text_col, id_col, k).groupBy("doc_id").agg(*_hash_cols())
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs agreeing on ≥1 of 4 bands
+    (band key = md5 of 4 concatenated row hashes). Linear scan + one
+    equi-join on (band_id, band_key).
+    """
+    sig = minhash_signatures(docs, text_col, id_col, k)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{bi * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                    )
+                ).alias("band_key"),
+            )
+            for bi in range(N_BANDS)
+        ]
+    )
+    exploded = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH discovery → exact Jaccard verify.
+
+    The verification join touches only candidate docs — at 100 TB the
+    candidate set is ~dup_rate·N, not N²."""
+    cands = lsh_candidate_pairs(docs, text_col, id_col, k)
+    cand_ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .union(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    subset = docs.join(cand_ids.withColumnRenamed("doc_id", id_col), id_col, "inner")
+    verified = ngram_jaccard_pairs(subset, text_col, id_col, k, threshold)
+    return cands.join(verified, ["id_a", "id_b"], "inner").select(
+        "id_a", "id_b", "jaccard_micro"
+    )
+
+
+# --------------------------------------------------------------- SimHash
+
+_SIMHASH_SCHEMA = "doc_id BIGINT, simhash_hex STRING"
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc, Arrow-batched numpy kernel.
+
+    bit_j(doc) = sign of Σ_t tf(t) · (±1 per bit j of md5-u64(t)).
+    Output hex-encoded (engine-portable string form).
+    """
+    from la_fungus_search_spark.tokenizer import tokenize
+
+    def kernel(batches: Iterable[pd.DataFrame]):
+        import hashlib
+
+        import numpy as np
+
+        bit_idx = np.arange(64, dtype=np.uint64)
+
+        def doc_hash(text: str) -> str:
+            from collections import Counter
+
+            acc = np.zeros(64, dtype=np.int64)
+            for tok, tf in Counter(tokenize(text)).items():
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                bits = (np.uint64(h) >> bit_idx) & np.uint64(1)
+                acc += tf * (2 * bits.astype(np.int64) - 1)
+            v = 0
+            for j in range(64):
+                if acc[j] > 0:
+                    v |= 1 << j
+            return f"{v:016x}"
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "simhash_hex": [doc_hash(t or "") for t in pdf[text_col]],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, schema=_SIMHASH_SCHEMA)
+
+
+def simhash_dup_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs at hamming distance ≤ max_hamming via pigeonhole
+    banding: split the 64-bit hash into 4×16-bit chunks; any pair at
+    distance ≤3 agrees on ≥1 chunk → equi-join on (chunk_id, chunk),
+    verify with popcount on the XOR. Linear + equi-join, no all-pairs.
+    """
+    sh = simhash(docs, text_col, id_col)
+    chunks = sh.select(
+        "doc_id",
+        "simhash_hex",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("chunk_id"),
+                        F.substring("simhash_hex", 1 + 4 * ci, 4).alias("chunk"),
+                    )
+                    for ci in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash_hex", "c.chunk_id", "c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash_hex").alias("hex_a"),
+            F.col("b.simhash_hex").alias("hex_b"),
+        )
+        .distinct()
+    )
+    # hamming = Σ popcount over 16-bit chunks (conv on a full u64 with
+    # the top bit set would overflow signed long, so chunk first)
+    ham = sum(
+        F.bit_count(
+            F.conv(F.substring("hex_a", 1 + 4 * ci, 4), 16, 10).cast("long")
+            ^ F.conv(F.substring("hex_b", 1 + 4 * ci, 4), 16, 10).cast("long")
+        )
+        for ci in range(4)
+    )
+    return cand.withColumn("hamming", ham.cast("int")).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

@@ -1,0 +1,147 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Treats image/audio/video as ``binary`` columns with a metadata struct,
+exactly how a 100 TB multimodal training pipeline carries them through
+Spark. The Spark-side machinery — schema, Arrow batch shape,
+``mapInPandas`` iterator signatures, partition sizing — is real and
+tested; the codec step itself is STUBBED (no image/audio libs in this
+container): ``decode_stub=True`` runs a deterministic fake decoder,
+``decode_stub=False`` raises ``NotImplementedError`` at the exact point
+a real `PIL.Image.open` / `soundfile.read` call would go.
+
+Design notes for scale:
+
+* binary payloads ride in Arrow buffers end-to-end — no base64, no
+  per-row Python until inside the batched kernel;
+* ``spark.sql.files.maxPartitionBytes`` / ``maxRecordsPerBatch`` bound
+  executor memory: a batch of B rows × S-byte blobs must fit in the
+  Arrow batch (tune maxRecordsPerBatch down for large blobs);
+* feature extraction emits fixed-width ``array<float>`` so downstream
+  similarity ops (:mod:`~la_fungus_search_spark.textops.similarity`)
+  apply unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id BIGINT, kind STRING, payload BINARY, "
+    "meta STRUCT<width:INT, height:INT, sample_rate:INT, n_frames:INT>"
+)
+
+DECODED_SCHEMA = (
+    "media_id BIGINT, kind STRING, ok BOOLEAN, n_bytes INT, "
+    "payload_sha256 STRING, features ARRAY<FLOAT>"
+)
+
+FEATURE_DIM = 16
+
+
+def synthesize_media(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake media table from a text table: payload =
+    the UTF-8 bytes of the text (opaque to the pipeline,
+    content-addressed via sha256), metadata derived from doc stats.
+    Stands in for `spark.read` of a real image/audio table; schema
+    matches MEDIA_SCHEMA."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    payload = F.encode(t, "UTF-8")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.struct(
+            (F.length(t) % 640 + 32).cast("int").alias("width"),
+            (F.length(t) % 480 + 32).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.length(t) % 300 + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
+    """Deterministic stand-in decoder: md5-seeded feature vector.
+    A real implementation decodes pixels/samples here."""
+    h = hashlib.md5(kind.encode() + payload).digest()
+    rng = np.frombuffer(h, dtype=np.uint8).astype("float32")
+    reps = int(np.ceil(FEATURE_DIM / len(rng)))
+    return np.tile(rng, reps)[:FEATURE_DIM] / 255.0
+
+
+def decode_and_featurize(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """mapInPandas decode/feature-extract over binary payloads.
+
+    Arrow-batched: each batch arrives as a pandas DataFrame whose
+    ``payload`` column holds raw ``bytes`` — the real-library call
+    site. Emits content hash (invariant carry-through) + a fixed-width
+    feature vector per row.
+    """
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decode needs PIL/soundfile/av — not in this "
+                    "container; run with decode_stub=True"
+                )
+            feats, shas, oks, nbytes = [], [], [], []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                raw = bytes(payload) if payload is not None else b""
+                shas.append(hashlib.sha256(raw).hexdigest())
+                nbytes.append(len(raw))
+                oks.append(len(raw) > 0)
+                feats.append(_fake_decode(raw, kind))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "ok": oks,
+                    "n_bytes": pd.array(nbytes, dtype="int32"),
+                    "payload_sha256": shas,
+                    "features": [f.tolist() for f in feats],
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        kernel, schema=DECODED_SCHEMA
+    )
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling plan: explode frame indices 0, n, 2n, …
+    per video row (JVM-side sequence — the sampling plan itself never
+    touches Python; the per-frame decode would be a second
+    decode_and_featurize pass)."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n))
+            ).alias("frame_idx"),
+        )
+    )
+
+
+def resize_plan(media: DataFrame, max_side: int = 224) -> DataFrame:
+    """Image resize planning: target dims preserving aspect ratio,
+    computed JVM-side; the pixel work belongs in the decode kernel."""
+    w, h = F.col("meta.width").cast("double"), F.col("meta.height").cast("double")
+    scale = F.least(F.lit(float(max_side)) / w, F.lit(float(max_side)) / h, F.lit(1.0))
+    return media.filter(F.col("kind") == "image").select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.round(w * scale).cast("int").alias("target_w"),
+        F.round(h * scale).cast("int").alias("target_h"),
+    )

@@ -1,0 +1,226 @@
+"""Embedding similarity search over an ``array<float>`` column.
+
+Two paths, mirroring the BM25 engine's sql/blockmax duality:
+
+* **brute-force cosine top-k** — exact baseline: broadcast the (small)
+  query-vector side, JVM-side ``zip_with``/``aggregate`` dot product in
+  float64, per-query top-k. One broadcast join, no shuffle of the
+  corpus side beyond the final top-k; linear in corpus size — the
+  correct plan when queries are few and corpus is huge.
+* **LSH-bucketed ANN** — scale path: sign-random-projection bit
+  signatures (deterministic md5-seeded hyperplanes, so the index is
+  reproducible across runs/clusters), bucket on the signature prefix,
+  search only buckets the query hashes into (multi-probe = flip one
+  bit). Turns the scan into a partition-pruned equi-join; recall is
+  tunable via n_bits / n_probes.
+
+Embedding-cosine near-dup detection reuses the same kernels.
+
+Reference analog: FAISS Flat/IVF switch (``mcmp/indexing.py:24-69``) —
+Flat ↔ brute force, IVF ↔ bucketed probing; cosine scoring
+``mcmp/simulation.py:127-150``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k for each query vector.
+
+    Output: (query_id, rank, vec_id, cos_micro), rank over
+    (cos_micro DESC, vec_id ASC); self-matches excluded.
+    """
+    from pyspark.sql import Window
+
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    t = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("tvec"))
+    cos = _dot(F.col("qvec"), F.col("tvec")) / (
+        F.greatest(_norm(F.col("qvec")) * _norm(F.col("tvec")), F.lit(1e-300))
+    )
+    scored = (
+        t.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("cos_micro", F.round(cos * F.lit(1e6)).cast("bigint"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_micro"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos_micro")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ------------------------------------------------------------------ LSH ANN
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: str = "srp") -> np.ndarray:
+    """Deterministic random hyperplanes: N(0,1) via md5-counter →
+    uniform → Box-Muller. Same planes on every run/cluster — the index
+    is rebuildable and query-side hashing always agrees."""
+    n = dim * n_bits
+    u = np.empty(2 * n, dtype="float64")
+    i = 0
+    c = 0
+    while i < len(u):
+        h = hashlib.md5(f"{seed}:{c}".encode()).digest()
+        for off in (0, 8):
+            if i < len(u):
+                v = int.from_bytes(h[off : off + 8], "big")
+                u[i] = (v + 1) / (2**64 + 2)  # (0,1) open
+                i += 1
+        c += 1
+    z = np.sqrt(-2.0 * np.log(u[0::2])) * np.cos(2.0 * np.pi * u[1::2])
+    return z[:n].reshape(n_bits, dim)
+
+
+def srp_signatures(
+    embeddings: DataFrame,
+    n_bits: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection signature per vector (Arrow kernel —
+    numpy matmul over the batch; one pass, no shuffle)."""
+    import pandas as pd
+
+    def kernel(batches):
+        planes = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype="float64")
+            if planes is None:
+                planes = _hyperplanes(mat.shape[1], n_bits)
+            bits = (mat @ planes.T) > 0  # (n, n_bits)
+            sig = np.zeros(len(pdf), dtype="int64")
+            for j in range(n_bits):
+                sig |= bits[:, j].astype("int64") << j
+            yield pd.DataFrame({"vec_id": pdf[id_col].astype("int64"), "sig": sig})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, schema="vec_id BIGINT, sig BIGINT"
+    )
+
+
+def srp_ann_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_bits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: candidates = vectors whose SRP
+    signature is within hamming ≤1 of the query's (multi-probe), exact
+    cosine re-rank on candidates only.
+
+    At scale the signature table is bucketed/partitioned by ``sig`` so
+    each query touches ≤ n_bits+1 partitions (partition pruning) rather
+    than the full corpus.
+    """
+    from pyspark.sql import Window
+
+    sig = srp_signatures(embeddings, n_bits, id_col, vec_col).persist()
+    qsig = sig.join(
+        F.broadcast(
+            embeddings.filter(F.col(id_col).isin(query_ids)).select(
+                F.col(id_col).alias("query_id")
+            )
+        ),
+        sig.vec_id == F.col("query_id"),
+    ).select("query_id", F.col("sig").alias("qsig"))
+    # multi-probe: the query's own bucket + every 1-bit flip
+    probes = qsig.select(
+        "query_id",
+        F.explode(
+            F.array(F.col("qsig"), *[F.col("qsig").bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)])
+        ).alias("sig"),
+    )
+    cands = probes.join(sig, "sig").filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "vec_id"
+    ).distinct()
+
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    t = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("tvec"))
+    cos = _dot(F.col("qvec"), F.col("tvec")) / (
+        F.greatest(_norm(F.col("qvec")) * _norm(F.col("tvec")), F.lit(1e-300))
+    )
+    scored = (
+        cands.join(F.broadcast(q), "query_id")
+        .join(t, "vec_id")
+        .withColumn("cos_micro", F.round(cos * F.lit(1e6)).cast("bigint"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_micro"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos_micro")
+        .orderBy("query_id", "rank")
+    )
+
+
+def cosine_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    block_col: str | None = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    Blocked all-pairs within ``block_col`` groups (or SRP buckets when
+    no natural block exists) — the standard blocking trick that keeps
+    the join from going N²."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    joined = a.join(b, (["blk"] if block_col else [])).filter(cond) if block_col else a.crossJoin(b).filter(cond)
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.greatest(_norm(F.col("va")) * _norm(F.col("vb")), F.lit(1e-300))
+    )
+    return (
+        joined.withColumn("cos_micro", F.round(cos * F.lit(1e6)).cast("bigint"))
+        .filter(F.col("cos_micro") >= F.lit(int(round(threshold * 1e6))))
+        .select("id_a", "id_b", "cos_micro")
+    )

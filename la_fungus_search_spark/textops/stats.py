@@ -1,0 +1,131 @@
+"""Text analysis operators: token counting, quality scoring, language
+ID, document fingerprinting.
+
+All pure JVM expressions (no Python in the hot path) so they run inside
+whole-stage codegen and scale linearly with partitions — per-doc map
+work, zero shuffles.
+
+Reference analogs: length prior / min-content filters
+(``realtime/server.py:329-334,595-605``), keyword-hit scoring
+(``rag/search.py:50-65``), content hashing (``ui/corpus.py:12-20``).
+Quantized ratios (``*_micro`` = round(x * 1e6) as BIGINT) make outputs
+engine-portable for the DuckDB oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single non-space
+# punctuation — the shape GPT-2-style byte-pair pretokenizers produce.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+WS_PATTERN = "[^\\s]+"
+
+# Tiny embedded stopword list for quality ratios (English function words).
+QUALITY_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "is", "are",
+    "was", "for", "with", "as", "at", "by", "it", "be", "this", "that",
+]
+
+# Language-ID marker lexicons (n-gram-heuristic stand-in: function-word
+# hit fractions per language; deterministic, engine-portable).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "es": ["el", "la", "los", "las", "es", "que", "de", "un", "una", "por"],
+    "fr": ["le", "la", "les", "et", "est", "que", "une", "dans", "pour", "du"],
+    "zh": ["de", "shi", "le", "bu", "wo", "zai", "you", "he", "ren", "zhe"],
+}
+# Fixed evaluation order for deterministic argmax tie-breaks.
+LANG_ORDER = ["en", "de", "es", "fr", "zh"]
+
+
+def _micro(c: Column) -> Column:
+    return F.round(c * F.lit(1e6)).cast("bigint")
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token counts: whitespace tokens, BPE-ish pre-tokens, chars.
+
+    ``est_bpe_tokens`` is the standard ``len/4`` heuristic the reference
+    uses for LLM budgeting (``rag/generation.py:153-154``).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    return docs.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        F.size(F.regexp_extract_all(t, F.lit(WS_PATTERN), F.lit(0))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_PATTERN), F.lit(0))).alias("bpe_tokens"),
+        F.floor(F.length(t) / F.lit(4)).cast("bigint").alias("est_bpe_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality signals: alpha/digit/punct/space ratios,
+    stopword fraction, mean word length — the usual pre-training
+    corpus-filter features (Gopher/C4-style rules), quantized.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+    nd = F.greatest(n, F.lit(1)).cast("double")
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    digit = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    space = F.length(F.regexp_replace(t, "[^ \\t\\n]", ""))
+    punct = n - alpha - digit - space
+    toks = F.regexp_extract_all(F.lower(t), F.lit(WS_PATTERN), F.lit(0))
+    n_toks = F.size(toks)
+    n_toksd = F.greatest(n_toks, F.lit(1)).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        _micro(alpha / nd).alias("alpha_ratio_micro"),
+        _micro(digit / nd).alias("digit_ratio_micro"),
+        _micro(punct / nd).alias("punct_ratio_micro"),
+        _micro(n_stop / n_toksd).alias("stopword_ratio_micro"),
+        _micro(alpha / n_toksd).alias("mean_word_len_micro"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-lexicon language ID: per-language hit fraction over
+    whitespace tokens; argmax with fixed tie-break order, 'und' when no
+    marker hits at all.
+    """
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.regexp_extract_all(t, F.lit(WS_PATTERN), F.lit(0))
+    n_toksd = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    frac_cols = {}
+    for lang in LANG_ORDER:
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        hits = F.size(F.filter(toks, lambda x: F.array_contains(markers, x)))
+        frac_cols[lang] = _micro(hits / n_toksd)
+    # strict > means earlier langs in LANG_ORDER win ties
+    pred, pred_score = F.lit("und"), F.lit(0).cast("bigint")
+    for lang in LANG_ORDER:
+        cond = frac_cols[lang] > pred_score
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+        pred_score = F.when(cond, frac_cols[lang]).otherwise(pred_score)
+    return docs.select(
+        F.col(id_col),
+        *[frac_cols[lang].alias(f"frac_{lang}_micro") for lang in LANG_ORDER],
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprints: exact sha256 (the pipeline invariant,
+    reference analog ``ui/corpus.py:12-20``) plus a
+    normalization-robust md5 over (lowercased, whitespace-collapsed,
+    trimmed) text — the exact-dedup key.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    norm = F.trim(F.regexp_replace(F.lower(t), "\\s+", " "))
+    return docs.select(
+        F.col(id_col),
+        F.sha2(t, 256).alias("content_sha256"),
+        F.md5(norm).alias("norm_md5"),
+    )
