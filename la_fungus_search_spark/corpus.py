@@ -198,7 +198,7 @@ def corpus_df(spark, n_files: int, seed: int = 42, partitions: int | None = None
                 s, sd, nf, ns = int(r["s"]), int(r["sd"]), int(r["nf"]), int(r["ns"])
                 lo = s * nf // ns
                 hi = (s + 1) * nf // ns
-                rng = random.Random((sd, s))
+                rng = random.Random(f"{sd}:{s}")
                 vocab = _vocab(rng)
                 out = {k: [] for k in ("repo", "path", "commit", "lang", "content")}
                 n_repos = max(1, nf // 200)

@@ -42,7 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from la_fungus_search_spark.index.codec import delta_encode_docids, encode_tfs
+from la_fungus_search_spark.index.codec import varint_encode_split
 from la_fungus_search_spark.tokenizer import tokenize, tokens_expr
 
 POSTING_LIST_SCHEMA = (
@@ -78,6 +78,11 @@ class IndexBuilder:
     n_buckets: int = 32
     block_size: int = 128
     n_salts: int = 8
+    # salting fans a term's postings over n_salts build groups — only
+    # worth it when df is large (the stopword-like skew the north rule
+    # calls out). Cold terms keep salt=0: one contiguous run, best
+    # delta compression, no per-salt block fragmentation.
+    hot_df_threshold: int = 4096
     bucket_groups: int = 1  # >1 → per-group checkpointed posting_lists build
     k1: float = 1.5
     b: float = 0.75
@@ -184,49 +189,100 @@ class IndexBuilder:
         avgdl = max(avgdl, 1e-12)
         scored = (
             postings.join(doc_stats.select("doc_id", "doclen"), "doc_id")
-            .join(term_stats.select("term", "idf"), "term")
+            .join(term_stats.select("term", "idf", "df"), "term")
             .withColumn(
                 "score",
                 F.col("idf")
                 * (F.col("tf") * F.lit(k1 + 1.0))
                 / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen") / F.lit(avgdl))),
             )
-            .withColumn("salt", self._salt_expr(max_doc_id))
+            .withColumn(
+                "salt",
+                F.when(
+                    F.col("df") >= F.lit(self.hot_df_threshold), self._salt_expr(max_doc_id)
+                ).otherwise(F.lit(0)).cast("int"),
+            )
         )
 
         block_size = self.block_size
 
         def build_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
+            """Fully vectorized: one lexsort, boundary masks, reduceat
+            for block-max, ONE batch varint encode split per column —
+            per-block Python work is a bytes slice, nothing else."""
             import numpy as np
 
-            out = {k: [] for k in (
-                "term", "term_bucket", "block_id", "first_doc", "last_doc",
-                "count", "doc_ids", "tfs", "block_max",
-            )}
-            for (term, salt), g in pdf.groupby(["term", "salt"], sort=False):
-                g = g.sort_values("doc_id")
-                ids = g["doc_id"].to_numpy()
-                tfs = g["tf"].to_numpy()
-                scores = g["score"].to_numpy()
-                bucket = int(g["term_bucket"].iloc[0])
-                for bi, lo in enumerate(range(0, len(ids), block_size)):
-                    hi = min(lo + block_size, len(ids))
-                    out["term"].append(term)
-                    out["term_bucket"].append(bucket)
-                    out["block_id"].append(int(salt) * (1 << 32) + bi)
-                    out["first_doc"].append(int(ids[lo]))
-                    out["last_doc"].append(int(ids[hi - 1]))
-                    out["count"].append(hi - lo)
-                    out["doc_ids"].append(delta_encode_docids(ids[lo:hi]))
-                    out["tfs"].append(encode_tfs(tfs[lo:hi]))
-                    out["block_max"].append(float(np.max(scores[lo:hi])))
-            return pd.DataFrame(out)
+            n = len(pdf)
+            if n == 0:
+                return pd.DataFrame(
+                    {
+                        "term": pd.Series(dtype="object"),
+                        "term_bucket": pd.Series(dtype="int32"),
+                        "block_id": pd.Series(dtype="int64"),
+                        "first_doc": pd.Series(dtype="int64"),
+                        "last_doc": pd.Series(dtype="int64"),
+                        "count": pd.Series(dtype="int32"),
+                        "doc_ids": pd.Series(dtype="object"),
+                        "tfs": pd.Series(dtype="object"),
+                        "block_max": pd.Series(dtype="float64"),
+                    }
+                )
+            codes, uniques = pd.factorize(pdf["term"], sort=False)
+            salts = pdf["salt"].to_numpy()
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            order = np.lexsort((ids, salts, codes))
+            codes, salts, ids = codes[order], salts[order], ids[order]
+            tfs = pdf["tf"].to_numpy()[order]
+            scores = pdf["score"].to_numpy()[order]
+            buckets = pdf["term_bucket"].to_numpy()[order]
+
+            grp_change = np.empty(n, dtype=bool)
+            grp_change[0] = True
+            grp_change[1:] = (codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1])
+            grp_id = np.cumsum(grp_change) - 1
+            grp_first_row = np.flatnonzero(grp_change)
+            pos_in_grp = np.arange(n, dtype=np.int64) - grp_first_row[grp_id]
+            is_start = grp_change | (pos_in_grp % block_size == 0)
+            bstarts = np.flatnonzero(is_start)
+            bends = np.append(bstarts[1:], n)
+            nblk = bstarts.size
+
+            # block index within its (term, salt) group
+            blk_new_grp = grp_change[bstarts]
+            blk_grp_first = np.flatnonzero(blk_new_grp)
+            blk_idx = np.arange(nblk, dtype=np.int64) - blk_grp_first[
+                np.cumsum(blk_new_grp) - 1
+            ]
+            block_id = salts[bstarts].astype(np.int64) * (1 << 32) + blk_idx
+
+            # deltas: absolute at block start (uint64 two's-complement
+            # wrap keeps hash-mode negative ids round-trippable)
+            ids_u = ids.astype(np.uint64)
+            deltas = np.empty(n, dtype=np.uint64)
+            deltas[1:] = ids_u[1:] - ids_u[:-1]
+            deltas[bstarts] = ids_u[bstarts]
+
+            return pd.DataFrame(
+                {
+                    "term": uniques.take(codes[bstarts]),
+                    "term_bucket": buckets[bstarts].astype("int32"),
+                    "block_id": block_id,
+                    "first_doc": ids[bstarts],
+                    "last_doc": ids[bends - 1],
+                    "count": (bends - bstarts).astype("int32"),
+                    "doc_ids": varint_encode_split(deltas, bstarts, bends),
+                    "tfs": varint_encode_split(tfs.astype(np.uint64), bstarts, bends),
+                    "block_max": np.maximum.reduceat(scores, bstarts),
+                }
+            )
 
         # applyInPandas shuffles on its grouping key; grouping by
         # (term_bucket, salt) rather than term alone is the explicit
         # skew control — a df≈N term is split into n_salts groups.
-        return scored.groupBy("term_bucket", "salt").applyInPandas(
-            build_blocks, schema=POSTING_LIST_SCHEMA
+        return (
+            scored.select("term", "term_bucket", "salt", "doc_id", "tf", "score")
+            .groupBy("term_bucket", "salt")
+            .applyInPandas(build_blocks, schema=POSTING_LIST_SCHEMA)
         )
 
     # ---------------------------------------------------------- orchestration

@@ -19,11 +19,8 @@ _MASK = np.uint64(0x7F)
 _CONT = np.uint64(0x80)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array. Vectorized over byte positions."""
-    v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
+def _varint_bytes(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Core LEB128 kernel: uint64 array → (byte stream, bytes-per-value)."""
     # bytes needed per value: ceil(bitlen/7), min 1
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -47,7 +44,33 @@ def varint_encode(values: np.ndarray) -> bytes:
         more = (b + 1) < nbytes[active]
         out[idx] = byte | np.where(more, 0x80, 0).astype(np.uint8)
         shifted[active] = shifted[active] >> np.uint64(7)
+    return out, nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array. Vectorized over byte positions."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    out, _ = _varint_bytes(v)
     return out.tobytes()
+
+
+def varint_encode_split(
+    values: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> list[bytes]:
+    """Encode the whole array ONCE, then split the byte stream at
+    value-index boundaries ``[starts[i], ends[i])`` — one bytes-slice per
+    segment instead of one vectorized-encode call per block (the batch
+    path for the posting-list builder: ~100× less per-block overhead)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return [b"" for _ in range(len(starts))]
+    out, nbytes = _varint_bytes(v)
+    offs = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offs[1:])
+    buf = out.tobytes()
+    return [buf[offs[s] : offs[e]] for s, e in zip(starts, ends)]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:

@@ -1,0 +1,89 @@
+"""One scaling-run data point: build the BM25 index + run the query set
+over the deterministic synthetic source-code corpus (corpus.py — the
+exact ``input_hint`` shape: repo/path/commit/lang/content) at a given
+parallelism level.
+
+Invoked by bench.py in a fresh subprocess per level (fresh JVM — the
+in-sandbox stand-in for ``spark-submit --py-files`` at N vs 4N
+executors; heap and thread count actually take effect, unlike re-using
+one JVM).
+
+The corpus is generated executor-side, persisted, and counted BEFORE
+the clock starts, so both levels time the identical in-memory input.
+``id_mode="hash"`` is the at-scale id assignment (xxhash64 — no global
+row_number sort, fully parallel).
+
+Usage: python scripts/scaling_run.py '<master>' <n_files> <shuffle>
+Prints one JSON line with throughput numbers on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from la_fungus_search_spark.corpus import corpus_df
+from la_fungus_search_spark.index.builder import IndexBuilder
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.session import get_spark
+
+BM25_QUERIES = [
+    "wand blockmax pruner rate",
+    "varint delta codec decode",
+    "pheromone decay kernel state",
+    "hash merge bucket shard index",
+    "stream batch queue flush",
+    "query result score rank filter",
+    "def class return self import",  # stopword-like hot terms (skew path)
+    "mycelium trail graph",
+]
+
+
+def main():
+    master, n_files, shuffle = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    spark = get_spark(
+        master=master,
+        shuffle_partitions=shuffle,
+        app_name=f"scaling-{master}",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus = corpus_df(spark, n_files, partitions=128).persist()
+    n_docs = corpus.count()
+
+    t0 = time.time()
+    builder = IndexBuilder(spark, n_buckets=64, n_salts=8, id_mode="hash")
+    idx = builder.build(corpus)
+    n_postings = idx.postings.count()
+    idx.doc_stats.count()
+    idx.term_stats.count()
+    n_blocks = idx.posting_lists.count()
+    build_sec = time.time() - t0
+
+    t0 = time.time()
+    eng = BM25QueryEngine(idx)
+    eng.search(BM25_QUERIES, k=10, mode="sql").collect()
+    query_sec = time.time() - t0
+
+    out = {
+        "master": master,
+        "n_docs": n_docs,
+        "n_postings": n_postings,
+        "n_blocks": n_blocks,
+        "total_tokens": idx.globals["total_tokens"],
+        "build_sec": round(build_sec, 3),
+        "query_sec": round(query_sec, 3),
+        "docs_per_sec": round(n_docs / build_sec, 1),
+        "tokens_per_sec": round(idx.globals["total_tokens"] / build_sec, 1),
+    }
+    spark.stop()
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
