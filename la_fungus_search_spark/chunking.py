@@ -1,0 +1,191 @@
+"""Corpus chunking + chunk-header lineage (SURVEY.md §2.1 S3, §2.2 P1/P2/P5).
+
+The reference splits each source file into line-window chunks with a
+provenance header line ``# file: <rel> | lines: a-b | window: w``
+(``ui/corpus.py:52-70``), later re-parsing that header back out of the
+string (``realtime/server.py:74-97``). This module reproduces the same
+semantics Spark-first:
+
+* :func:`chunk_line_windows` — the line-window chunker as pure JVM
+  expressions (``split`` → ``sequence`` of window starts → ``explode``
+  → ``slice`` + ``array_join``). No Python in the hot path, no shuffle:
+  chunking is a narrow map over the scan, so it pipelines into whatever
+  consumes the chunks (tokenizer, index build) inside one stage.
+* provenance is kept as REAL columns (path, start_line, end_line,
+  window) — the header string is also produced (:func:`header_expr`)
+  and re-parsed (:func:`parse_chunk_header`) only to prove parity with
+  the reference's schema-in-a-string round-trip.
+* :func:`is_import_only_expr` — the reference's import-only predicate
+  (``realtime/server.py:298-308``) as one vectorized expression.
+* :func:`snippet_expr` — first-match-line ± radius snippet extraction
+  (``ui/components.py:105-120``).
+
+Exact-parity notes (tested against a pure-Python port of the reference
+algorithm in ``tests/test_chunking.py``):
+
+* the reference iterates ``readlines()`` (keepends); a trailing newline
+  therefore does NOT create a phantom empty last line. We drop the
+  trailing empty element ``split`` produces when content ends with
+  ``\\n``.
+* windows whose body is whitespace-only are skipped (``body.strip()``).
+* ``strip()`` in the predicate strips all ASCII whitespace, not just
+  spaces — Spark's ``trim`` only strips spaces, so stripping is done
+  with an explicit regex that both engines (and DuckDB) agree on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEADER_RE = r"^# file: (.+?) \| lines: (\d+)-(\d+) \| window: (\d+)"
+
+# Python str.strip() whitespace (ASCII subset — corpus content is code).
+_STRIP_RE = "^[ \\t\\n\\r\\f\\x0b]+|[ \\t\\n\\r\\f\\x0b]+$"
+
+
+def _lines_expr(content_col: str | Column) -> Column:
+    """ARRAY<STRING> of lines, matching Python ``splitlines`` counts for
+    \\n-separated text: drop the phantom empty element after a trailing
+    newline."""
+    c = F.col(content_col) if isinstance(content_col, str) else content_col
+    c = F.coalesce(c, F.lit(""))
+    lines = F.split(c, "\n", -1)
+    return F.when(
+        c.endswith("\n"), F.slice(lines, 1, F.greatest(F.size(lines) - 1, F.lit(0)))
+    ).otherwise(lines)
+
+
+def _strip(col: Column) -> Column:
+    return F.regexp_replace(col, _STRIP_RE, "")
+
+
+def chunk_line_windows(
+    docs: DataFrame,
+    windows: list[int] | tuple[int, ...] = (50,),
+    content_col: str = "content",
+    carry_cols: tuple[str, ...] = ("repo", "path", "commit"),
+) -> DataFrame:
+    """Line-window chunking (reference ``_chunk_line_windows``,
+    ``ui/corpus.py:52-70``) lifted to columns.
+
+    One output row per (doc, window size, window position) whose body is
+    non-blank, with columns: carry_cols…, ``window INT, start_line INT,
+    end_line INT, body STRING, chunk_sha256 STRING``.
+
+    Plan shape: scan → project (split) → explode(sequence) → project —
+    a single narrow stage; Catalyst prunes ``content`` out of any
+    consumer that doesn't need ``body``.
+    """
+    carry = [c for c in carry_cols if c in docs.columns]
+    base = docs.select(*carry, _lines_expr(content_col).alias("_lines")).withColumn(
+        "_n", F.size("_lines")
+    )
+    per_window = F.explode(
+        F.array(*[F.lit(int(max(1, w))) for w in dict.fromkeys(windows)])
+    ).alias("window")
+    starts = F.explode(
+        F.when(
+            F.col("_n") > 0, F.sequence(F.lit(0), F.col("_n") - 1, F.col("window"))
+        ).otherwise(F.array().cast("array<int>"))
+    ).alias("_i")
+    out = (
+        base.select(*carry, "_lines", "_n", per_window)
+        .select(*carry, "_lines", "_n", "window", starts)
+        .select(
+            *carry,
+            "window",
+            (F.col("_i") + 1).cast("int").alias("start_line"),
+            F.least(F.col("_i") + F.col("window"), F.col("_n")).cast("int").alias("end_line"),
+            F.array_join(F.slice("_lines", F.col("_i") + 1, F.col("window")), "\n").alias("body"),
+        )
+        .filter(_strip(F.col("body")) != "")
+        .withColumn("chunk_sha256", F.sha2(F.col("body"), 256))
+    )
+    return out
+
+
+def header_expr(
+    path_col: str = "path",
+    start_col: str = "start_line",
+    end_col: str = "end_line",
+    window_col: str = "window",
+) -> Column:
+    """The reference's provenance header line (``ui/corpus.py:68``)."""
+    return F.format_string(
+        "# file: %s | lines: %d-%d | window: %d",
+        F.col(path_col),
+        F.col(start_col),
+        F.col(end_col),
+        F.col(window_col),
+    )
+
+
+def parse_chunk_header(chunk_col: str | Column) -> list[Column]:
+    """P1: parse (file, start, end, window) back out of a chunk's first
+    line (reference ``realtime/server.py:74-97``). Null columns when the
+    header doesn't match — same contract as the reference's
+    ``(None, None, None, None)``."""
+    c = F.col(chunk_col) if isinstance(chunk_col, str) else chunk_col
+    first = F.substring_index(c, "\n", 1)
+    path = F.regexp_extract(first, HEADER_RE, 1)
+    s = F.regexp_extract(first, HEADER_RE, 2)
+    e = F.regexp_extract(first, HEADER_RE, 3)
+    w = F.regexp_extract(first, HEADER_RE, 4)
+    return [
+        F.when(path != "", path).alias("hdr_path"),
+        F.when(s != "", s.cast("int")).alias("hdr_start"),
+        F.when(e != "", e.cast("int")).alias("hdr_end"),
+        F.when(w != "", w.cast("int")).alias("hdr_window"),
+    ]
+
+
+def is_import_only_expr(content_col: str | Column) -> Column:
+    """P2 (``realtime/server.py:298-308``): True iff every non-blank,
+    non-comment line is an import/from/docstring-delimiter line."""
+    lines = F.filter(
+        F.transform(_lines_expr(content_col), _strip), lambda x: x != F.lit("")
+    )
+    non_comments = F.filter(lines, lambda x: ~x.startswith("#"))
+    code_like = F.filter(
+        non_comments,
+        lambda x: ~(
+            x.startswith("import ")
+            | x.startswith("from ")
+            | x.startswith('"""')
+            | x.startswith("'''")
+        ),
+    )
+    return (
+        F.when(F.size(lines) == 0, F.lit(False))
+        .when(F.size(non_comments) == 0, F.lit(True))
+        .otherwise(F.size(code_like) == 0)
+    )
+
+
+def snippet_expr(content_col: str | Column, needle: str, radius: int = 5) -> Column:
+    """P5 (``ui/components.py:105-120``): lines around the first line
+    containing ``needle`` (case-insensitive, literal); first 10 lines
+    when absent."""
+    lines = _lines_expr(content_col)
+    low = needle.lower()
+    hit = F.array_position(
+        F.transform(lines, lambda x: F.instr(F.lower(x), low) > 0), F.lit(True)
+    )  # 1-based; 0 = no match
+    s = F.greatest(hit - F.lit(radius), F.lit(1))
+    fallback = F.array_join(F.slice(lines, 1, F.least(F.lit(10), F.size(lines))), "\n")
+    found = F.array_join(F.slice(lines, s, hit + F.lit(radius) - s + 1), "\n")
+    return F.when(hit > 0, found).otherwise(fallback)
+
+
+def chunks_with_header(
+    docs: DataFrame,
+    windows: list[int] | tuple[int, ...] = (50,),
+    content_col: str = "content",
+    carry_cols: tuple[str, ...] = ("repo", "path", "commit"),
+) -> DataFrame:
+    """Full reference chunk string (header + body) alongside the real
+    provenance columns — used by the header round-trip parity test and
+    as the chunk-granularity index input (SURVEY §7.0 v2 doc unit)."""
+    ch = chunk_line_windows(docs, windows, content_col, carry_cols)
+    return ch.withColumn("chunk", F.concat(header_expr(), F.lit("\n"), F.col("body")))

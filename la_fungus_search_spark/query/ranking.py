@@ -1,0 +1,201 @@
+"""Second-stage ranking operators (SURVEY.md §2.3 T6–T8, §2.5 A4,
+§2.8 D2, §2.6 W3).
+
+The reference's post-retrieval layer re-ranks its top-k three ways:
+
+* a **hybrid blend** ``alpha·semantic + (1−alpha)·keyword``
+  (``rag/search.py:13-47``),
+* a **blended score** mixing the base score with a length prior and
+  import-only / short-content penalties
+  (``realtime/server.py:310-350``, weights at ``:160-164``),
+* a **multi-query max-merge** — across per-query result lists, keep each
+  doc's best score (``realtime/server.py:763-778``),
+* a **seen-source dedup** — first hit per source wins in score order
+  (``rag/search.py:31-36``),
+* an **MMR-style diversity re-rank** — greedy in score order, skipping
+  results too similar to anything already selected or over a per-folder
+  cap (``ui/mcmp_runner.py:26-75``).
+
+All but MMR are single window/agg expressions — they run distributed and
+their cost is one shuffle on the grouping key. MMR is inherently
+sequential over an already-tiny top-k list, so it runs driver-side on
+pandas — same decision the reference made (its input is ≤ top_k rows).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.chunking import is_import_only_expr
+from la_fungus_search_spark.tokenizer import tokenize
+
+
+def hybrid_blend(
+    sem: DataFrame,
+    kw: DataFrame,
+    alpha: float = 0.7,
+    k: int = 10,
+    keys: tuple[str, ...] = ("query_id", "doc_id"),
+    sem_col: str = "sem_score",
+    kw_col: str = "kw_score",
+) -> DataFrame:
+    """T6 (``rag/search.py:39``): full-outer join the two channels (a
+    doc may match only one), missing channel scores as 0, blend, top-k
+    per query with the (score DESC, doc_id ASC) tie-break."""
+    joined = sem.join(kw, list(keys), "outer").select(
+        *keys,
+        F.coalesce(F.col(sem_col), F.lit(0.0)).alias("sem"),
+        F.coalesce(F.col(kw_col), F.lit(0.0)).alias("kw"),
+    )
+    blended = joined.withColumn(
+        "blend_score", F.lit(alpha) * F.col("sem") + F.lit(1.0 - alpha) * F.col("kw")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("blend_score"), F.asc("doc_id"))
+    return (
+        blended.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def length_prior_expr(
+    content_col: str = "content",
+    import_only_penalty: float = 0.4,
+    min_content_chars: int = 80,
+) -> F.Column:
+    """T7 (``realtime/server.py:329-334``): ``min(1, len/800)``, ×(1−p)
+    if import-only, ×0.5 if shorter than ``min_content_chars``."""
+    c = F.coalesce(F.col(content_col), F.lit(""))
+    prior = F.least(F.lit(1.0), F.length(c) / F.lit(800.0))
+    prior = F.when(
+        is_import_only_expr(content_col), prior * F.lit(1.0 - import_only_penalty)
+    ).otherwise(prior)
+    return F.when(F.length(c) < min_content_chars, prior * F.lit(0.5)).otherwise(prior)
+
+
+def blended_topk(
+    hits: DataFrame,
+    docs: DataFrame,
+    k: int = 10,
+    alpha: float = 0.7,
+    beta: float = 0.0,
+    gamma: float = 0.0,
+    delta: float = 0.0,
+    epsilon: float = 0.1,
+    import_only_penalty: float = 0.4,
+    min_content_chars: int = 80,
+    score_col: str = "score",
+    content_col: str = "content",
+    visit_col: str | None = None,
+    degree_col: str | None = None,
+    vote_col: str | None = None,
+) -> DataFrame:
+    """T8 (``realtime/server.py:310-350``): ``blended = α·base +
+    β·visit_norm + γ·deg_norm + δ·vote + ε·len_prior`` → top-k.
+
+    ``visit/degree/vote`` inputs are optional columns on ``hits`` (the
+    simulation supplied them in the reference; BM25 is stateless so they
+    default to absent = 0, keeping only the α and ε terms — the v1
+    contract in SURVEY §2.3 T8). The saturating ``x/(x+10)``
+    normalization is the reference's."""
+    j = hits.join(docs.select("doc_id", content_col), "doc_id", "left")
+
+    def _sat(col_name: str | None) -> F.Column:
+        if col_name is None:
+            return F.lit(0.0)
+        v = F.coalesce(F.col(col_name).cast("double"), F.lit(0.0))
+        return v / F.greatest(F.lit(1.0), v + F.lit(10.0))
+
+    blended = (
+        F.lit(alpha) * F.col(score_col)
+        + F.lit(beta) * _sat(visit_col)
+        + F.lit(gamma) * _sat(degree_col)
+        + F.lit(delta) * (F.coalesce(F.col(vote_col), F.lit(0.0)) if vote_col else F.lit(0.0))
+        + F.lit(epsilon) * length_prior_expr(content_col, import_only_penalty, min_content_chars)
+    )
+    out = j.withColumn("blended_score", blended)
+    w = Window.partitionBy("query_id").orderBy(F.desc("blended_score"), F.asc("doc_id"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop(content_col)
+        .orderBy("query_id", "rank")
+    )
+
+
+def max_merge(hits: DataFrame, key: str = "doc_id", score_col: str = "score") -> DataFrame:
+    """A4 (``realtime/server.py:763-778``): across multiple query runs,
+    keep each doc's best-scoring occurrence (ties → lowest query_id,
+    deterministic where the reference's dict-ordering was not)."""
+    return hits.groupBy(key).agg(
+        F.max(score_col).alias("best_score"),
+        F.max_by("query_id", F.struct(F.col(score_col), -F.col("query_id"))).alias(
+            "best_query_id"
+        ),
+        F.count("*").alias("n_queries"),
+    )
+
+
+def dedup_by_source(
+    hits: DataFrame,
+    source_col: str = "source",
+    score_col: str = "score",
+    per_query: bool = True,
+) -> DataFrame:
+    """D2 (``rag/search.py:31-36``): first result per source in score
+    order wins. The reference iterates a sorted list and skips seen
+    sources — as a window: rank per (query, source), keep rank 1."""
+    parts = ["query_id", source_col] if per_query else [source_col]
+    w = Window.partitionBy(*parts).orderBy(F.desc(score_col), F.asc("doc_id"))
+    return hits.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def mmr_diversify(
+    topk_pdf: pd.DataFrame,
+    k: int = 10,
+    dedup_tau: float = 0.85,
+    per_folder_cap: int = 3,
+    text_col: str = "content",
+    score_col: str = "score",
+    folder_col: str | None = None,
+) -> pd.DataFrame:
+    """W3 (``ui/mcmp_runner.py:26-75``): greedy diversity selection over
+    an already-collected top-k — driver-side by design (input ≤ k·|Q|
+    rows; the reference's own loop is sequential).
+
+    Similarity = token-set Jaccard (the lexical stand-in for the
+    reference's cosine over embeddings, which are out of scope per
+    SURVEY §0); skip if sim to ANY selected ≥ dedup_tau or the folder
+    already has per_folder_cap picks.
+    """
+    out_frames = []
+    for qid, grp in topk_pdf.groupby("query_id", sort=True):
+        grp = grp.sort_values([score_col, "doc_id"], ascending=[False, True])
+        selected: list[set] = []
+        folder_counts: dict = {}
+        keep_idx = []
+        for row in grp.itertuples():
+            toks = set(tokenize(getattr(row, text_col) or ""))
+            folder = getattr(row, folder_col) if folder_col else None
+            if folder is not None and folder_counts.get(folder, 0) >= per_folder_cap:
+                continue
+            too_close = any(
+                (len(toks & s) / len(toks | s) if toks | s else 1.0) >= dedup_tau
+                for s in selected
+            )
+            if too_close:
+                continue
+            keep_idx.append(row.Index)
+            selected.append(toks)
+            if folder is not None:
+                folder_counts[folder] = folder_counts.get(folder, 0) + 1
+            if len(keep_idx) >= k:
+                break
+        sel = grp.loc[keep_idx].copy()
+        sel["mmr_rank"] = range(1, len(sel) + 1)
+        out_frames.append(sel)
+    if not out_frames:
+        return topk_pdf.head(0).assign(mmr_rank=pd.Series(dtype="int64"))
+    return pd.concat(out_frames, ignore_index=True)

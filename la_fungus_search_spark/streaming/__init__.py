@@ -1,0 +1,5 @@
+from la_fungus_search_spark.streaming.metrics import (  # noqa: F401
+    run_available_now,
+    step_metrics_stream,
+    streamed_step_metrics,
+)

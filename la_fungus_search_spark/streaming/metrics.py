@@ -1,0 +1,95 @@
+"""Streaming step-metrics (SURVEY.md §2.10 ST1/ST2, Spark-first).
+
+The reference's engine loop emits per-step metrics (avg/max relevance,
+counts) over a WebSocket every iteration
+(``realtime/server.py:709-992`` loop, ``:724-733`` metrics,
+``:994-1008`` broadcast). That is a stream of events rolled up over
+time — in Spark, Structured Streaming:
+
+    readStream(events) → withWatermark → window(ts) → groupBy agg
+      → writeStream
+
+* micro-batch = the reference's step loop; the sink callback = its
+  WebSocket broadcast.
+* the watermark bounds state exactly like the reference's
+  stability/stagnation windows bound its history buffers.
+* ``availableNow`` processes a bounded backlog then stops — giving a
+  deterministic batch-equivalent result, which is how the oracle gate
+  checks it (streaming result == the same rollup as a batch query).
+
+At scale this runs against a file/Kafka source with checkpointing; the
+shuffle per micro-batch is on (window, event_type) — small state, and
+watermark eviction keeps it bounded.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def step_metrics_stream(
+    spark: SparkSession,
+    events_dir: str,
+    glob: str = "events.parquet",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming DataFrame: tumbling-window avg/max/count per event_type
+    (the reference's step metrics, keyed by time instead of step id)."""
+    schema = spark.read.option("pathGlobFilter", glob).parquet(events_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+    # watermarks require TIMESTAMP (with tz); parquet ships TIMESTAMP_NTZ.
+    # Session tz is pinned UTC (session.py) so the cast is deterministic.
+    src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        src.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value") * F.lit(1e6)).cast("bigint").alias("avg_value_micro"),
+            F.round(F.max("value") * F.lit(1e6)).cast("bigint").alias("max_value_micro"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value_micro",
+            "max_value_micro",
+        )
+    )
+
+
+def run_available_now(
+    agg: DataFrame, output_mode: str = "complete", timeout_sec: int = 300
+) -> DataFrame:
+    """Drain the stream with an availableNow trigger into a memory sink
+    and return the final result as a batch DataFrame (the deterministic
+    form the correctness gate compares against SQL)."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"lfs_ckpt_{name}")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return agg.sparkSession.table(name)
+
+
+def streamed_step_metrics(spark: SparkSession, events_dir: str, **kwargs) -> DataFrame:
+    """ST1/ST2 end-to-end: stream → windowed rollup → drained result."""
+    return run_available_now(step_metrics_stream(spark, events_dir, **kwargs))

@@ -1,0 +1,89 @@
+"""Graph-degree / usage rollup / cost operators (SURVEY.md §2.5 A2, A6,
+A7; §2.9 json family).
+
+* :func:`trail_degree` — A2 (``realtime/server.py:285-296``): node
+  degree of an undirected edge list. The reference loops a dict; here
+  it's ``explode(array(src,dst)) → groupBy(node).count()`` — one
+  map-side-combined shuffle, linear at any scale.
+* :func:`usage_rollup` — A6 (``realtime/server.py:1619-1649``): token
+  sums grouped *both* by provider and by model. The reference runs two
+  passes over JSON files; here one pass with ``GROUPING SETS`` —
+  Catalyst expands to a single shuffle.
+* :func:`cost_estimate` — A7 (``realtime/server.py:1651-1664``):
+  Σ tokens/1000 × model price — broadcast join against the (tiny) price
+  dim, then agg.
+* :func:`json_props` — the reference's loose-JSON field pulls
+  (``realtime/server.py:253-275`` parses LLM JSON; settings/usage files
+  everywhere): ``get_json_object`` stays JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def trail_degree(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, degree) for an undirected edge list."""
+    nodes = edges.select(
+        F.explode(F.array(F.col(src), F.col(dst))).alias("node")
+    )
+    return nodes.groupBy("node").agg(F.count("*").alias("degree"))
+
+
+def usage_rollup(
+    usage: DataFrame,
+    group_cols: tuple[str, str] = ("provider", "model"),
+    sum_cols: tuple[str, ...] = ("prompt_tokens", "completion_tokens", "total_tokens"),
+) -> DataFrame:
+    """Token sums by provider AND by model in one pass (GROUPING SETS).
+
+    Output has one row per provider (model NULL) and one per model
+    (provider NULL), plus a ``grp`` tag so rows are self-describing.
+    """
+    a, b = group_cols
+    sums = ", ".join(f"sum({c})::BIGINT AS {c}" for c in sum_cols)
+    usage.createOrReplaceTempView("_usage_rollup_in")
+    return usage.sparkSession.sql(
+        f"""
+        SELECT {a}, {b},
+               CASE WHEN {b} IS NULL THEN 'by_{a}' ELSE 'by_{b}' END AS grp,
+               count(*) AS n_rows, {sums}
+        FROM _usage_rollup_in
+        GROUP BY GROUPING SETS (({a}), ({b}))
+        """
+    )
+
+
+def cost_estimate(
+    usage: DataFrame,
+    prices: DataFrame,
+    model_col: str = "model",
+    tokens_col: str = "total_tokens",
+    price_col: str = "usd_per_1k",
+) -> DataFrame:
+    """Per-model cost: Σ tokens/1000 × price (broadcast price dim)."""
+    return (
+        usage.join(F.broadcast(prices), model_col, "left")
+        .groupBy(model_col)
+        .agg(
+            F.sum(tokens_col).alias("total_tokens"),
+            F.round(
+                F.sum(F.col(tokens_col) / F.lit(1000.0) * F.coalesce(F.col(price_col), F.lit(0.0)))
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("cost_usd_micro"),
+        )
+    )
+
+
+def json_props(df: DataFrame, json_col: str, fields: dict[str, str]) -> DataFrame:
+    """Pull scalar fields out of a JSON string column, JVM-side.
+
+    ``fields`` maps output column name → JSONPath (e.g. ``{"k": "$.k"}``).
+    """
+    return df.select(
+        "*",
+        *[F.get_json_object(F.col(json_col), path).alias(name) for name, path in fields.items()],
+    )

@@ -1,0 +1,191 @@
+"""Chunking parity vs a pure-Python port of the reference algorithm.
+
+The oracle here is the *algorithm* of ``_chunk_line_windows``
+(``/root/reference/src/embeddinggemma/ui/corpus.py:52-70``), the header
+parser (``realtime/server.py:74-97``), ``_is_import_only``
+(``realtime/server.py:298-308``) and ``snippet_for``
+(``ui/components.py:105-120``) — re-implemented independently below and
+asserted equal to the Spark expressions row-for-row.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.chunking import (
+    chunk_line_windows,
+    chunks_with_header,
+    is_import_only_expr,
+    parse_chunk_header,
+    snippet_expr,
+)
+from la_fungus_search_spark.corpus import corpus_df
+
+# ---------------------------------------------------------------- oracles
+
+
+def py_line_windows(path: str, content: str, windows: list[int]):
+    """Reference algorithm over content-in-memory (readlines keepends)."""
+    lines = content.splitlines(keepends=True)
+    total = len(lines)
+    out = []
+    for w in windows:
+        step = max(1, int(w))
+        for i in range(0, total, step):
+            start, end = i + 1, min(i + step, total)
+            body = "".join(lines[i:end])
+            if body.strip():
+                out.append((path, step, start, end, body))
+    return out
+
+
+def py_is_import_only(content: str) -> bool:
+    if not content:
+        return False
+    lines = [ln.strip() for ln in content.splitlines() if ln.strip()]
+    if not lines:
+        return False
+    non_comments = [ln for ln in lines if not ln.startswith("#")]
+    if not non_comments:
+        return True
+    code_like = [
+        ln
+        for ln in non_comments
+        if not (
+            ln.startswith("import ")
+            or ln.startswith("from ")
+            or ln.startswith('"""')
+            or ln.startswith("'''")
+        )
+    ]
+    return len(code_like) == 0
+
+
+def py_snippet(text: str, q: str, radius: int = 5) -> str:
+    lines = text.splitlines()
+    pattern = re.compile(re.escape(q), re.IGNORECASE)
+    idx = None
+    for i, ln in enumerate(lines):
+        if pattern.search(ln):
+            idx = i
+            break
+    if idx is None:
+        return "\n".join(lines[: min(10, len(lines))])
+    s = max(0, idx - radius)
+    e = min(len(lines), idx + radius + 1)
+    return "\n".join(lines[s:e])
+
+
+# ---------------------------------------------------------------- tests
+
+EDGE_DOCS = [
+    ("r", "empty.py", "c", "python", ""),
+    ("r", "blank.py", "c", "python", "   \n\t\n  \n"),
+    ("r", "one.py", "c", "python", "x = 1"),
+    ("r", "trail_nl.py", "c", "python", "a = 1\nb = 2\n"),
+    ("r", "no_trail.py", "c", "python", "a = 1\nb = 2"),
+    ("r", "inner_blank.py", "c", "python", "a = 1\n\n\n\n\n\nb = 2\n"),
+    ("r", "imports.py", "c", "python", "# hdr\nimport os\nfrom x import y\n"),
+    ("r", "docstring.py", "c", "python", '"""doc"""\nimport os\n'),
+    ("r", "comments.py", "c", "python", "# a\n# b\n"),
+    ("r", "code.py", "c", "python", "import os\nx = 1\n"),
+]
+SCHEMA = "repo STRING, path STRING, commit STRING, lang STRING, content STRING"
+
+
+def _sample_docs(spark, n=40):
+    return spark.createDataFrame(
+        [r for r in __import__("itertools").islice(iter_corpus(n), n)], schema=SCHEMA
+    )
+
+
+def iter_corpus(n):
+    from la_fungus_search_spark.corpus import generate_rows
+
+    yield from generate_rows(n, seed=7)
+
+
+def test_chunker_matches_reference_algorithm(spark):
+    docs = _sample_docs(spark, 40).union(spark.createDataFrame(EDGE_DOCS, schema=SCHEMA))
+    windows = [5, 50]
+    got = (
+        chunk_line_windows(docs, windows)
+        .select("path", "window", "start_line", "end_line", "body")
+        .collect()
+    )
+    # body trailing-newline note: the reference keeps the window's final
+    # line terminator(s) (readlines keepends); array_join does not —
+    # normalize with rstrip('\n') on BOTH sides, everything else must be
+    # byte-identical. Sort key excludes body (unique per path/window/start).
+    got_set = sorted(
+        ((r.path, r.window, r.start_line, r.end_line, r.body.rstrip("\n")) for r in got),
+        key=lambda t: t[:4],
+    )
+    want = []
+    for r in docs.select("path", "content").collect():
+        for path, w, s, e, body in py_line_windows(r.path, r.content or "", windows):
+            want.append((path, w, s, e, body.rstrip("\n")))
+    want_set = sorted(want, key=lambda t: t[:4])
+    assert [g[:4] for g in got_set] == [w_[:4] for w_ in want_set]
+    for g, w_ in zip(got_set, want_set):
+        assert g[4] == w_[4], (g[:4], g[4][:80], w_[4][:80])
+
+
+def test_header_roundtrip(spark):
+    docs = _sample_docs(spark, 20)
+    ch = chunks_with_header(docs, [30])
+    parsed = ch.select("path", "start_line", "end_line", "window", *parse_chunk_header("chunk"))
+    bad = parsed.filter(
+        (F.col("hdr_path") != F.col("path"))
+        | (F.col("hdr_start") != F.col("start_line"))
+        | (F.col("hdr_end") != F.col("end_line"))
+        | (F.col("hdr_window") != F.col("window"))
+        | F.col("hdr_path").isNull()
+    )
+    assert bad.count() == 0
+    # non-header content parses to nulls (reference contract)
+    noise = spark.createDataFrame([("x = 1\ny = 2",)], schema="chunk STRING")
+    row = noise.select(*parse_chunk_header("chunk")).collect()[0]
+    assert row.hdr_path is None and row.hdr_start is None
+
+
+def test_import_only_predicate(spark):
+    docs = _sample_docs(spark, 30).union(spark.createDataFrame(EDGE_DOCS, schema=SCHEMA))
+    got = {
+        r.path: r.flag
+        for r in docs.select(
+            "path", is_import_only_expr("content").alias("flag")
+        ).collect()
+    }
+    want = {r.path: py_is_import_only(r.content) for r in docs.select("path", "content").collect()}
+    assert got == want
+    assert want["imports.py"] is True and want["code.py"] is False
+
+
+def test_snippet_extraction(spark):
+    docs = _sample_docs(spark, 30).union(spark.createDataFrame(EDGE_DOCS, schema=SCHEMA))
+    needle = "import"
+    got = {
+        r.path: r.snip
+        for r in docs.select("path", snippet_expr("content", needle, 5).alias("snip")).collect()
+    }
+    for r in docs.select("path", "content").collect():
+        assert got[r.path] == py_snippet(r.content or "", needle, 5), r.path
+
+
+def test_chunk_index_end_to_end(spark):
+    """Chunk-granularity index (SURVEY §7.0 v2 doc unit): chunks feed the
+    same build pipeline and the sha256 invariant holds per chunk."""
+    from la_fungus_search_spark.index.builder import build_index
+
+    docs = corpus_df(spark, 30, seed=11)
+    ch = chunk_line_windows(docs, [40]).withColumn("content", F.col("body"))
+    idx = build_index(spark, ch.select("repo", "path", "commit", "content"))
+    n_chunks = ch.count()
+    assert idx.n_docs == n_chunks
+    # invariant: doc_stats sha256 equals sha256 recomputed from source
+    recheck = ch.select(F.sha2("content", 256).alias("s")).distinct()
+    stored = idx.doc_stats.select(F.col("content_sha256").alias("s")).distinct()
+    assert recheck.exceptAll(stored).count() == 0

@@ -1,0 +1,99 @@
+"""ST7 incremental reindex == cold rebuild; ST1/ST2 streaming rollup ==
+batch rollup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.corpus import CORPUS_SCHEMA, generate_rows
+from la_fungus_search_spark.index.builder import (
+    IncrementalIndexBuilder,
+    IndexBuilder,
+    snapshot_diff,
+)
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.streaming.metrics import streamed_step_metrics
+
+EVENTS_DIR = "/root/testdata/sf0.001"
+
+
+def _snapshots(spark):
+    rows = list(generate_rows(60, seed=13))
+    v1 = rows
+    # v2: mutate 5 docs (i%12==0), drop 4 (i%17==3), add 4
+    v2 = []
+    for i, (repo, path, commit, lang, content) in enumerate(rows):
+        if i % 12 == 0:
+            v2.append((repo, path, commit, lang, content + "\nmutated_sentinel_token = 1\n"))
+        elif i % 17 == 3:
+            continue  # removed
+        else:
+            v2.append((repo, path, commit, lang, content))
+    for j in range(4):
+        v2.append((f"org/new", f"src/new_{j}.py", f"c{j}", "python", f"def added_fn_{j}():\n    return {j}\n"))
+    return (
+        spark.createDataFrame(v1, schema=CORPUS_SCHEMA),
+        spark.createDataFrame(v2, schema=CORPUS_SCHEMA),
+    )
+
+
+def test_snapshot_diff_statuses(spark):
+    d1, d2 = _snapshots(spark)
+    b = IndexBuilder(spark, id_mode="hash", n_buckets=8)
+    old = b.build(d1)
+    diff = snapshot_diff(old.doc_stats, b.prepare(d2))
+    counts = {r.status: r.n for r in diff.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    assert counts["added"] == 4
+    assert counts["changed"] == 5
+    assert counts["removed"] == 4
+    assert counts["unchanged"] == 60 - 5 - 4
+
+
+def test_incremental_equals_cold_rebuild(spark):
+    d1, d2 = _snapshots(spark)
+    inc_b = IncrementalIndexBuilder(spark, id_mode="hash", n_buckets=8)
+    old = inc_b.build(d1)
+    inc = inc_b.incremental_build(old, d2)
+    cold = IndexBuilder(spark, id_mode="hash", n_buckets=8).build(d2)
+
+    # identical postings sets
+    assert inc.postings.exceptAll(cold.postings).count() == 0
+    assert cold.postings.exceptAll(inc.postings).count() == 0
+    # identical doc stats (incl. sha invariant) and globals
+    cols = ["doc_id", "doclen", "content_sha256"]
+    assert inc.doc_stats.select(cols).exceptAll(cold.doc_stats.select(cols)).count() == 0
+    assert inc.globals["N"] == cold.globals["N"]
+    assert abs(inc.globals["avgdl"] - cold.globals["avgdl"]) < 1e-12
+
+    # identical query results on both paths
+    queries = ["mutated_sentinel_token", "added_fn_2", "merge batch window"]
+    a = BM25QueryEngine(inc).search(queries, k=10).collect()
+    b_ = BM25QueryEngine(cold).search(queries, k=10).collect()
+    assert [(r.query_id, r.doc_id, round(r.score, 9)) for r in a] == [
+        (r.query_id, r.doc_id, round(r.score, 9)) for r in b_
+    ]
+    # the mutated sentinel is findable and the added docs are indexed
+    assert len([r for r in a if r.query_id == 0]) > 0
+    assert len([r for r in a if r.query_id == 1]) > 0
+    # manifest records the change-set economics
+    m = [e for e in inc_b._manifest if e["stage"] == "incremental_build"][0]
+    assert m["n_changed"] == 5 and m["n_added"] == 4 and m["n_removed"] == 4
+
+
+def test_streaming_rollup_equals_batch(spark):
+    got = streamed_step_metrics(spark, EVENTS_DIR)
+    want = (
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(EVENTS_DIR)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value") * F.lit(1e6)).cast("bigint").alias("avg_value_micro"),
+            F.round(F.max("value") * F.lit(1e6)).cast("bigint").alias("max_value_micro"),
+        )
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events",
+                "avg_value_micro", "max_value_micro")
+    )
+    assert got.count() == want.count() and got.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

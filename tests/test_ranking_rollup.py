@@ -1,0 +1,148 @@
+"""Second-stage ranking + rollup operators vs naive Python recomputation."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.query.ranking import (
+    blended_topk,
+    dedup_by_source,
+    hybrid_blend,
+    max_merge,
+    mmr_diversify,
+)
+from la_fungus_search_spark.textops.rollup import (
+    cost_estimate,
+    json_props,
+    trail_degree,
+    usage_rollup,
+)
+
+
+def test_hybrid_blend_outer_and_topk(spark):
+    sem = spark.createDataFrame(
+        [(0, 1, 0.9), (0, 2, 0.5), (1, 1, 0.4)],
+        schema="query_id INT, doc_id BIGINT, sem_score DOUBLE",
+    )
+    kw = spark.createDataFrame(
+        [(0, 2, 1.0), (0, 3, 0.8), (1, 1, 0.2)],
+        schema="query_id INT, doc_id BIGINT, kw_score DOUBLE",
+    )
+    out = hybrid_blend(sem, kw, alpha=0.5, k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.doc_id, round(r.blend_score, 6)))
+    # q0: doc2 = .5*.5+.5*1 = .75; doc1 = .45; doc3 = .4 → top2 = [2, 1]
+    assert by_q[0] == [(2, 0.75), (1, 0.45)]
+    assert by_q[1][0] == (1, 0.3)
+
+
+def test_blended_topk_length_prior(spark):
+    # import-only doc gets its prior cut by (1-0.4); short doc halved
+    docs = spark.createDataFrame(
+        [
+            (1, "import os\nfrom x import y\n" + "# pad\n" * 400),  # import-only, long
+            (2, "x = compute()\n" + "# pad\n" * 400),  # code, long
+            (3, "x = 1"),  # short
+        ],
+        schema="doc_id BIGINT, content STRING",
+    )
+    hits = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 1.0), (0, 3, 1.0)],
+        schema="query_id INT, doc_id BIGINT, score DOUBLE",
+    )
+    out = {
+        r.doc_id: round(r.blended_score, 6)
+        for r in blended_topk(hits, docs, k=3, alpha=1.0, epsilon=1.0).collect()
+    }
+    assert out[2] == 2.0  # prior = 1.0
+    assert out[1] == 1.6  # prior = 1.0 * 0.6
+    assert out[3] == round(1.0 + min(1.0, 5 / 800.0) * 0.5, 6)
+
+
+def test_max_merge(spark):
+    hits = spark.createDataFrame(
+        [(0, 7, 0.5), (1, 7, 0.9), (2, 7, 0.9), (0, 8, 0.1)],
+        schema="query_id INT, doc_id BIGINT, score DOUBLE",
+    )
+    rows = {r.doc_id: r for r in max_merge(hits).collect()}
+    assert rows[7].best_score == 0.9 and rows[7].best_query_id == 1  # tie → lowest qid
+    assert rows[7].n_queries == 3 and rows[8].n_queries == 1
+
+
+def test_dedup_by_source(spark):
+    hits = spark.createDataFrame(
+        [(0, 1, "a", 0.9), (0, 2, "a", 0.8), (0, 3, "b", 0.7), (1, 4, "a", 0.6)],
+        schema="query_id INT, doc_id BIGINT, source STRING, score DOUBLE",
+    )
+    out = sorted((r.query_id, r.doc_id) for r in dedup_by_source(hits).collect())
+    assert out == [(0, 1), (0, 3), (1, 4)]
+
+
+def test_mmr_diversify_driver_side():
+    pdf = pd.DataFrame(
+        {
+            "query_id": [0, 0, 0, 0],
+            "doc_id": [1, 2, 3, 4],
+            "score": [0.9, 0.8, 0.7, 0.6],
+            "content": [
+                "alpha beta gamma delta",
+                "alpha beta gamma delta",  # near-identical → skipped
+                "zeta eta theta iota",
+                "alpha beta zeta eta",  # jaccard 2/6 vs #1 → kept
+            ],
+            "folder": ["f1", "f1", "f2", "f1"],
+        }
+    )
+    out = mmr_diversify(pdf, k=3, dedup_tau=0.85, per_folder_cap=3, folder_col="folder")
+    assert list(out["doc_id"]) == [1, 3, 4]
+    assert list(out["mmr_rank"]) == [1, 2, 3]
+    # folder cap: with cap 1, doc 4 (folder f1, second) is skipped
+    out2 = mmr_diversify(pdf, k=3, dedup_tau=0.85, per_folder_cap=1, folder_col="folder")
+    assert list(out2["doc_id"]) == [1, 3]
+
+
+def test_trail_degree(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4)], schema="src BIGINT, dst BIGINT"
+    )
+    deg = {r.node: r.degree for r in trail_degree(edges).collect()}
+    assert deg == {1: 3, 2: 2, 3: 2, 4: 1}
+
+
+def test_usage_rollup_grouping_sets(spark):
+    usage = spark.createDataFrame(
+        [
+            ("openai", "gpt-a", 10, 5, 15),
+            ("openai", "gpt-b", 20, 5, 25),
+            ("ollama", "gpt-a", 1, 1, 2),
+        ],
+        schema="provider STRING, model STRING, prompt_tokens INT, completion_tokens INT, total_tokens INT",
+    )
+    rows = usage_rollup(usage).collect()
+    by_provider = {r.provider: r.total_tokens for r in rows if r.grp == "by_provider"}
+    by_model = {r.model: r.total_tokens for r in rows if r.grp == "by_model"}
+    assert by_provider == {"openai": 40, "ollama": 2}
+    assert by_model == {"gpt-a": 17, "gpt-b": 25}
+
+
+def test_cost_estimate(spark):
+    usage = spark.createDataFrame(
+        [("gpt-a", 1000), ("gpt-a", 500), ("gpt-b", 2000), ("mystery", 10)],
+        schema="model STRING, total_tokens INT",
+    )
+    prices = spark.createDataFrame(
+        [("gpt-a", 0.002), ("gpt-b", 0.01)], schema="model STRING, usd_per_1k DOUBLE"
+    )
+    out = {r.model: r.cost_usd_micro for r in cost_estimate(usage, prices).collect()}
+    assert out["gpt-a"] == 3000  # 1.5k tokens * 0.002/1k = 0.000003e6*... = 3000 micro-usd
+    assert out["gpt-b"] == 20000
+    assert out["mystery"] == 0  # unknown model → cost 0, not dropped
+
+
+def test_json_props(spark):
+    df = spark.createDataFrame([('{"k": 69, "s": "x"}',), ("not json",)], schema="props STRING")
+    out = json_props(df, "props", {"k": "$.k", "s": "$.s"}).collect()
+    assert (out[0].k, out[0].s) == ("69", "x")
+    assert out[1].k is None
