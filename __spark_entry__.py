@@ -30,9 +30,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from la_fungus_search_spark.index.builder import build_index
+from la_fungus_search_spark.chunking import (
+    chunk_line_windows,
+    is_import_only_expr,
+    snippet_expr,
+)
+from la_fungus_search_spark.index.builder import build_index, snapshot_diff
 from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.query.ranking import dedup_by_source, max_merge
+from la_fungus_search_spark.streaming.metrics import streamed_step_metrics
 from la_fungus_search_spark.textops import dedup, multimodal, similarity, stats
+from la_fungus_search_spark.textops.rollup import cost_estimate, trail_degree, usage_rollup
 from la_fungus_search_spark.tokenizer import duckdb_tokens_sql, tokenize_query
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -479,6 +487,237 @@ def q_interval_self_join(spark, sf_dir):
     return pairs
 
 
+# ---------------------------------------------------- chunking / second-stage
+
+CHUNK_W = 5
+SNIPPET_NEEDLE = "merge"
+BLEND_ALPHA = 0.7
+PRIOR_EPS = 0.1
+PRICES = [("m0", 0.002), ("m1", 0.01), ("m2", 0.0005)]
+
+
+def _doc_lines(spark, sf_dir) -> DataFrame:
+    """documents.text lifted to multi-line 'source files' (word → line;
+    the corpus is word soup with no sentence breaks) so the line-window
+    chunker has real windows to cut."""
+    return _documents(spark, sf_dir).select(
+        "doc_id", F.replace(F.coalesce(F.col("text"), F.lit("")), F.lit(" "), F.lit("\n")).alias("content")
+    )
+
+
+def q_chunks_line_windows(spark, sf_dir):
+    """S3 (ui/corpus.py:52-70): line-window chunking with provenance
+    lifted to real columns; body hashed for the value compare."""
+    ch = chunk_line_windows(_doc_lines(spark, sf_dir), [CHUNK_W], carry_cols=("doc_id",))
+    return ch.select(
+        "doc_id", "window", "start_line", "end_line", F.md5("body").alias("body_md5")
+    ).orderBy("doc_id", "start_line")
+
+
+def _code_view(spark, sf_dir) -> DataFrame:
+    """documents with planted import-only / comment-only rows (the
+    predicate needs positives of both kinds)."""
+    d = _doc_lines(spark, sf_dir)
+    content = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("import os\nfrom x import y"))
+        .when(F.col("doc_id") % 11 == 0, F.lit("# only comments\n# more"))
+        .otherwise(F.col("content"))
+    )
+    return d.select("doc_id", content.alias("content"))
+
+
+def q_import_only_filter(spark, sf_dir):
+    """P2 (realtime/server.py:298-308)."""
+    return (
+        _code_view(spark, sf_dir)
+        .select("doc_id", is_import_only_expr("content").cast("int").alias("import_only"))
+        .orderBy("doc_id")
+    )
+
+
+def q_snippet_extract(spark, sf_dir):
+    """P5 (ui/components.py:105-120): first-hit-line ± 2 snippet."""
+    return (
+        _doc_lines(spark, sf_dir)
+        .select("doc_id", F.md5(snippet_expr("content", SNIPPET_NEEDLE, 2)).alias("snippet_md5"))
+        .orderBy("doc_id")
+    )
+
+
+def _kw_scored(spark, sf_dir) -> DataFrame:
+    """Full keyword-score channel (no top-k cut): (query_id, doc_id,
+    kw_score DOUBLE) for KW_QUERIES."""
+    rows, nq = [], {}
+    for qid, q in enumerate(KW_QUERIES):
+        terms = sorted(set(tokenize_query(q)))
+        nq[qid] = len(terms)
+        rows.extend((qid, t) for t in terms)
+    qt = spark.createDataFrame(rows, schema="query_id INT, term STRING")
+    nq_df = spark.createDataFrame(list(nq.items()), schema="query_id INT, nq INT")
+    d = _documents(spark, sf_dir).select("doc_id", F.lower(F.col("text")).alias("lt"))
+    return (
+        d.join(F.broadcast(qt), F.instr(F.col("lt"), F.col("term")) > 0)
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("hits"))
+        .join(F.broadcast(nq_df), "query_id")
+        .withColumn("kw_score", F.col("hits") / F.col("nq"))
+        .select("query_id", "doc_id", "kw_score")
+    )
+
+
+def q_hybrid_blend_topk(spark, sf_dir):
+    """T6 (rag/search.py:13-47): α·bm25 + (1−α)·keyword over the FULL
+    outer-joined score sets, ranked on the quantized blend."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    sem = eng.scored_sql(KW_QUERIES).withColumnRenamed("score", "sem_score")
+    kw = _kw_scored(spark, sf_dir)
+    joined = sem.join(kw, ["query_id", "doc_id"], "outer").select(
+        "query_id",
+        "doc_id",
+        F.coalesce(F.col("sem_score"), F.lit(0.0)).alias("sem"),
+        F.coalesce(F.col("kw_score"), F.lit(0.0)).alias("kw"),
+    )
+    blend = F.lit(BLEND_ALPHA) * F.col("sem") + F.lit(1.0 - BLEND_ALPHA) * F.col("kw")
+    q = joined.withColumn("blend_micro", _micro(blend))
+    w = Window.partitionBy("query_id").orderBy(F.desc("blend_micro"), F.asc("doc_id"))
+    return (
+        q.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "doc_id", "blend_micro")
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_blended_topk_len_prior(spark, sf_dir):
+    """T7+T8 (realtime/server.py:310-350): bm25 + ε·length-prior with
+    import-only and short-content penalties, quantized rank."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    hits = eng.scored_sql(KW_QUERIES)
+    docs = _code_view(spark, sf_dir)
+    prior = F.least(F.lit(1.0), F.length("content") / F.lit(800.0))
+    prior = F.when(is_import_only_expr("content"), prior * F.lit(0.6)).otherwise(prior)
+    prior = F.when(F.length("content") < 80, prior * F.lit(0.5)).otherwise(prior)
+    j = hits.join(docs, "doc_id").withColumn(
+        "blended_micro", _micro(F.col("score") + F.lit(PRIOR_EPS) * prior)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("blended_micro"), F.asc("doc_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "doc_id", "blended_micro")
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_multi_query_max_merge(spark, sf_dir):
+    """A4 (realtime/server.py:763-778): per doc keep the best score
+    across the whole query set (tie → lowest query_id)."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    scored = eng.scored_sql(BM25_QUERIES).withColumn("score_q", _micro(F.col("score")))
+    return max_merge(scored, score_col="score_q").select(
+        "doc_id",
+        F.col("best_score").alias("best_score_q"),
+        "best_query_id",
+        "n_queries",
+    ).orderBy("doc_id")
+
+
+def q_dedup_by_source_results(spark, sf_dir):
+    """D2 (rag/search.py:31-36): best hit per (query, source)."""
+    kw = _kw_scored(spark, sf_dir).withColumn("kw_micro", _micro(F.col("kw_score")))
+    src = _documents(spark, sf_dir).select("doc_id", "source")
+    hits = kw.join(src, "doc_id")
+    return (
+        dedup_by_source(hits, source_col="source", score_col="kw_micro")
+        .select("query_id", "source", "doc_id", "kw_micro")
+        .orderBy("query_id", "source")
+    )
+
+
+def _usage_df(spark, sf_dir) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return e.select(
+        F.col("event_type").alias("provider"),
+        F.concat(F.lit("m"), (F.col("user_id") % 3).cast("string")).alias("model"),
+        (F.col("event_id") % 997).cast("bigint").alias("prompt_tokens"),
+        (F.col("user_id") % 131).cast("bigint").alias("completion_tokens"),
+        (F.col("event_id") % 997 + F.col("user_id") % 131).cast("bigint").alias("total_tokens"),
+    )
+
+
+def q_usage_rollup_sets(spark, sf_dir):
+    """A6 (realtime/server.py:1619-1649): token sums by provider AND by
+    model — one GROUPING SETS pass."""
+    return usage_rollup(_usage_df(spark, sf_dir)).orderBy("grp", "provider", "model")
+
+
+def q_usage_cost_estimate(spark, sf_dir):
+    """A7 (realtime/server.py:1651-1664): Σ tokens/1k × price."""
+    prices = spark.createDataFrame(PRICES, schema="model STRING, usd_per_1k DOUBLE")
+    return cost_estimate(_usage_df(spark, sf_dir), prices).orderBy("model")
+
+
+def q_trail_degree(spark, sf_dir):
+    """A2 (realtime/server.py:285-296): node degree of the interval
+    self-join pair graph."""
+    edges = q_interval_self_join(spark, sf_dir).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return trail_degree(edges).orderBy("node")
+
+
+def q_incremental_changed_docs(spark, sf_dir):
+    """ST7 (realtime/server.py:2129-2184): snapshot diff via the
+    sha256 invariant — the incremental-reindex change set."""
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    old = d.select(
+        F.lit("r").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        "doc_id",
+        F.sha2(F.coalesce("text", F.lit("")), 256).alias("content_sha256"),
+    )
+    new_text = F.when(F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" mutated"))).otherwise(
+        F.col("text")
+    )
+    new = (
+        d.filter(F.col("doc_id") % 17 != 3)
+        .select("doc_id", new_text.alias("text"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 50 == 1).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), F.lit("brand new doc").alias("text")
+            )
+        )
+        .select(
+            F.lit("r").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            "doc_id",
+            F.sha2(F.coalesce("text", F.lit("")), 256).alias("content_sha256"),
+        )
+    )
+    return (
+        snapshot_diff(old, new)
+        .select(
+            F.coalesce("old_doc_id", "new_doc_id").alias("doc_id"),
+            "status",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_streaming_step_metrics(spark, sf_dir):
+    """ST1/ST2 (realtime/server.py:709-1008): the step-metrics loop as
+    Structured Streaming (watermark + tumbling window, availableNow),
+    drained to a batch result."""
+    out = streamed_step_metrics(spark, sf_dir)
+    return out.select(
+        F.unix_timestamp("window_start").cast("bigint").alias("window_epoch"),
+        "event_type",
+        "n_events",
+        "avg_value_micro",
+        "max_value_micro",
+    ).orderBy("window_epoch", "event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, SF_SMOKE)
@@ -513,6 +752,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stability_window": q_events_stability_window,
         "events_topk_per_group": q_events_topk_per_group,
         "interval_self_join": q_interval_self_join,
+        "chunks_line_windows": q_chunks_line_windows,
+        "import_only_filter": q_import_only_filter,
+        "snippet_extract": q_snippet_extract,
+        "hybrid_blend_topk": q_hybrid_blend_topk,
+        "blended_topk_len_prior": q_blended_topk_len_prior,
+        "multi_query_max_merge": q_multi_query_max_merge,
+        "dedup_by_source_results": q_dedup_by_source_results,
+        "usage_rollup_sets": q_usage_rollup_sets,
+        "usage_cost_estimate": q_usage_cost_estimate,
+        "trail_degree": q_trail_degree,
+        "incremental_changed_docs": q_incremental_changed_docs,
+        "streaming_step_metrics": q_streaming_step_metrics,
     }
 
 
@@ -595,6 +846,91 @@ m AS (SELECT *, {mx} AS mx FROM f)
 SELECT doc_id, {", ".join(f"frac_{lang}_micro" for lang in stats.LANG_ORDER)},
        CASE WHEN mx = 0 THEN 'und' {whens} END AS pred_lang
 FROM m ORDER BY doc_id
+"""
+
+
+_SQL_STRIP = r"^[ \t\n\r\f\x0b]+|[ \t\n\r\f\x0b]+$"
+
+# multi-line 'source file' view of documents.text (word → line),
+# with the trailing-newline drop matching chunking._lines_expr
+_DOC_LINES_SQL = """
+dlv AS (SELECT doc_id, replace(coalesce(text, ''), ' ', chr(10)) AS content FROM documents),
+dl0 AS (SELECT doc_id, content, string_split(content, chr(10)) AS ls0 FROM dlv),
+dlx AS (
+    SELECT doc_id, content,
+           CASE WHEN content LIKE '%' || chr(10)
+                THEN list_slice(ls0, 1, greatest(len(ls0) - 1, 0)) ELSE ls0 END AS ls
+    FROM dl0
+)
+"""
+
+_CODE_VIEW_SQL = """
+cv AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN 'import os' || chr(10) || 'from x import y'
+                WHEN doc_id % 11 = 0 THEN '# only comments' || chr(10) || '# more'
+                ELSE replace(coalesce(text, ''), ' ', chr(10)) END AS content
+    FROM documents
+)
+"""
+
+
+def _import_only_ctes(src: str = "cv") -> str:
+    """lines → non_comments → code_like → import_only, per the reference
+    predicate (realtime/server.py:298-308)."""
+    return f"""
+io_l AS (
+    SELECT doc_id, content,
+           list_filter(list_transform(string_split(content, chr(10)),
+                       x -> regexp_replace(x, '{_SQL_STRIP}', '', 'g')), x -> x <> '') AS lines
+    FROM {src}
+),
+io_n AS (SELECT *, list_filter(lines, x -> NOT starts_with(x, '#')) AS non_comments FROM io_l),
+io_c AS (
+    SELECT *, list_filter(non_comments,
+        x -> NOT (starts_with(x, 'import ') OR starts_with(x, 'from ')
+                  OR starts_with(x, repeat(chr(34), 3)) OR starts_with(x, repeat(chr(39), 3)))) AS code_like
+    FROM io_n
+),
+io AS (
+    SELECT doc_id, content,
+           CASE WHEN len(lines) = 0 THEN FALSE
+                WHEN len(non_comments) = 0 THEN TRUE
+                ELSE len(code_like) = 0 END AS import_only
+    FROM io_c
+)
+"""
+
+
+_USAGE_SQL = """
+usage AS (
+    SELECT event_type AS provider,
+           'm' || (user_id % 3)::VARCHAR AS model,
+           (event_id % 997)::BIGINT AS prompt_tokens,
+           (user_id % 131)::BIGINT AS completion_tokens,
+           (event_id % 997 + user_id % 131)::BIGINT AS total_tokens
+    FROM events
+)
+"""
+
+
+def _kw_scored_sql() -> str:
+    """Full keyword channel CTE: kws(query_id, doc_id, hits, nq)."""
+    kw_values = []
+    for qid, q in enumerate(KW_QUERIES):
+        for t in sorted(set(tokenize_query(q))):
+            kw_values.append(f"({qid}, '{t}')")
+    return f"""
+kwt(query_id, term) AS (VALUES {", ".join(kw_values)}),
+kwn AS (SELECT query_id, count(*)::INT AS nq FROM kwt GROUP BY 1),
+kwh AS (
+    SELECT kwt.query_id, d.doc_id, count(*)::BIGINT AS hits
+    FROM kwt JOIN documents d ON instr(lower(d.text), kwt.term) > 0
+    GROUP BY 1, 2
+),
+kws AS (
+    SELECT h.query_id, h.doc_id, h.hits, n.nq FROM kwh h JOIN kwn n USING (query_id)
+)
 """
 
 
@@ -855,6 +1191,205 @@ FROM spans a JOIN spans b
   ON a.lang = b.lang AND a.doc_id < b.doc_id
  AND b.s_line <= a.e_line + 5 AND b.e_line >= a.s_line - 5
 ORDER BY id_a, id_b
+""",
+        "chunks_line_windows": f"""
+WITH {_DOC_LINES_SQL.strip()},
+s AS (SELECT doc_id, ls, unnest(range(0, len(ls), {CHUNK_W})) AS i FROM dlx WHERE len(ls) > 0),
+c AS (
+    SELECT doc_id, {CHUNK_W}::INT AS "window", (i + 1)::INT AS start_line,
+           least(i + {CHUNK_W}, len(ls))::INT AS end_line,
+           array_to_string(list_slice(ls, i + 1, least(i + {CHUNK_W}, len(ls))), chr(10)) AS body
+    FROM s
+)
+SELECT doc_id, "window", start_line, end_line, md5(body) AS body_md5
+FROM c WHERE regexp_replace(body, '{_SQL_STRIP}', '', 'g') <> ''
+ORDER BY doc_id, start_line
+""",
+        "import_only_filter": f"""
+WITH {_CODE_VIEW_SQL.strip()},
+{_import_only_ctes("cv").strip()}
+SELECT doc_id, import_only::INT AS import_only FROM io ORDER BY doc_id
+""",
+        "snippet_extract": f"""
+WITH {_DOC_LINES_SQL.strip()},
+h AS (
+    SELECT doc_id, ls,
+           coalesce(list_position(list_transform(ls, x -> instr(lower(x), '{SNIPPET_NEEDLE}') > 0),
+                    true), 0) AS hit
+    FROM dlx
+)
+SELECT doc_id,
+       md5(CASE WHEN hit > 0
+                THEN array_to_string(list_slice(ls, greatest(hit - 2, 1),
+                                                least(hit + 2, len(ls))), chr(10))
+                ELSE array_to_string(list_slice(ls, 1, least(10, len(ls))), chr(10)) END)
+           AS snippet_md5
+FROM h ORDER BY doc_id
+""",
+        "hybrid_blend_topk": f"""
+WITH {_bm25_base_cte()},
+qt2(query_id, term, qtf) AS (VALUES {_query_terms_values(KW_QUERIES)}),
+sem AS (
+    SELECT qt2.query_id, tf.doc_id,
+           sum(qt2.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS sem
+    FROM qt2 JOIN idf USING (term) JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+{_kw_scored_sql().strip()},
+j AS (
+    SELECT coalesce(s.query_id, k.query_id) AS query_id,
+           coalesce(s.doc_id, k.doc_id) AS doc_id,
+           coalesce(s.sem, 0.0) AS sem,
+           coalesce(k.hits * 1.0 / k.nq, 0.0) AS kw
+    FROM sem s FULL OUTER JOIN kws k ON s.query_id = k.query_id AND s.doc_id = k.doc_id
+),
+qz AS (
+    SELECT query_id, doc_id,
+           round(({BLEND_ALPHA} * sem + {1.0 - BLEND_ALPHA} * kw) * 1e6)::BIGINT AS blend_micro
+    FROM j
+),
+ranked AS (
+    SELECT query_id, doc_id, blend_micro,
+           row_number() OVER (PARTITION BY query_id ORDER BY blend_micro DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, blend_micro
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+""",
+        "blended_topk_len_prior": f"""
+WITH {_bm25_base_cte()},
+qt2(query_id, term, qtf) AS (VALUES {_query_terms_values(KW_QUERIES)}),
+scored AS (
+    SELECT qt2.query_id, tf.doc_id,
+           sum(qt2.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt2 JOIN idf USING (term) JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+{_CODE_VIEW_SQL.strip()},
+{_import_only_ctes("cv").strip()},
+pri AS (
+    SELECT doc_id,
+           CASE WHEN length(content) < 80 THEN 0.5 ELSE 1.0 END
+           * CASE WHEN import_only THEN 0.6 ELSE 1.0 END
+           * least(1.0, length(content) / 800.0) AS prior
+    FROM io
+),
+qz AS (
+    SELECT s.query_id, s.doc_id,
+           round((s.score + {PRIOR_EPS} * p.prior) * 1e6)::BIGINT AS blended_micro
+    FROM scored s JOIN pri p USING (doc_id)
+),
+ranked AS (
+    SELECT query_id, doc_id, blended_micro,
+           row_number() OVER (PARTITION BY query_id ORDER BY blended_micro DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, blended_micro
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+""",
+        "multi_query_max_merge": f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt JOIN idf USING (term) JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM scored),
+r AS (
+    SELECT doc_id, query_id,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, query_id ASC) AS rn
+    FROM qz
+),
+agg AS (
+    SELECT doc_id, max(score_q) AS best_score_q, count(*)::BIGINT AS n_queries
+    FROM qz GROUP BY 1
+)
+SELECT a.doc_id, a.best_score_q, r.query_id::INT AS best_query_id, a.n_queries
+FROM agg a JOIN r ON a.doc_id = r.doc_id AND r.rn = 1 ORDER BY a.doc_id
+""",
+        "dedup_by_source_results": f"""
+WITH {_kw_scored_sql().strip()},
+j AS (
+    SELECT k.query_id, d.source, k.doc_id,
+           round(1e6 * k.hits / k.nq)::BIGINT AS kw_micro
+    FROM kws k JOIN documents d USING (doc_id)
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id, source
+                                 ORDER BY kw_micro DESC, doc_id ASC) AS rn
+    FROM j
+)
+SELECT query_id, source, doc_id, kw_micro FROM r WHERE rn = 1 ORDER BY query_id, source
+""",
+        "usage_rollup_sets": f"""
+WITH {_USAGE_SQL.strip()}
+SELECT provider, model,
+       CASE WHEN model IS NULL THEN 'by_provider' ELSE 'by_model' END AS grp,
+       count(*)::BIGINT AS n_rows,
+       sum(prompt_tokens)::BIGINT AS prompt_tokens,
+       sum(completion_tokens)::BIGINT AS completion_tokens,
+       sum(total_tokens)::BIGINT AS total_tokens
+FROM usage GROUP BY GROUPING SETS ((provider), (model))
+ORDER BY grp, provider, model
+""",
+        "usage_cost_estimate": f"""
+WITH {_USAGE_SQL.strip()},
+prices(model, usd_per_1k) AS (VALUES {", ".join(f"('{m}', {p})" for m, p in PRICES)})
+SELECT u.model, sum(u.total_tokens)::BIGINT AS total_tokens,
+       round(sum(u.total_tokens / 1000.0 * coalesce(p.usd_per_1k, 0.0)) * 1e6)::BIGINT
+           AS cost_usd_micro
+FROM usage u LEFT JOIN prices p USING (model)
+GROUP BY 1 ORDER BY 1
+""",
+        "trail_degree": """
+WITH spans AS (
+    SELECT doc_id, lang,
+           (doc_id * 37) % 997 AS s_line,
+           (doc_id * 37) % 997 + n_chars % 80 AS e_line
+    FROM documents
+),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM spans a JOIN spans b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND b.s_line <= a.e_line + 5 AND b.e_line >= a.s_line - 5
+),
+nodes AS (SELECT unnest([id_a, id_b]) AS node FROM pairs)
+SELECT node, count(*)::BIGINT AS degree FROM nodes GROUP BY 1 ORDER BY 1
+""",
+        "incremental_changed_docs": """
+WITH old AS (SELECT doc_id, sha256(coalesce(text, '')) AS sha FROM documents),
+new AS (
+    SELECT doc_id,
+           sha256(coalesce(CASE WHEN doc_id % 10 = 0 THEN text || ' mutated' ELSE text END, ''))
+               AS sha
+    FROM documents WHERE doc_id % 17 <> 3
+    UNION ALL
+    SELECT doc_id + 1000000, sha256('brand new doc') FROM documents WHERE doc_id % 50 = 1
+),
+j AS (
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.sha AS osha, n.sha AS nsha
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT doc_id,
+       CASE WHEN osha IS NULL THEN 'added'
+            WHEN nsha IS NULL THEN 'removed'
+            WHEN osha = nsha THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM j ORDER BY doc_id
+""",
+        "streaming_step_metrics": """
+SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS window_epoch,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(avg(value) * 1e6)::BIGINT AS avg_value_micro,
+       round(max(value) * 1e6)::BIGINT AS max_value_micro
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
         # dedup_simhash / ann_srp_topk: non-SQL-expressible kernels
         # (64-bit simhash bit math; Box-Muller SRP hyperplanes) →
