@@ -70,6 +70,9 @@ def bench_main(results: dict):
     spark = _spark(f"local[{CPUS}]", shuffle=64)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # JVM/codegen warmup so timings measure the engine, not JIT
+    spark.range(10**6).select(F.sum("id")).collect()
+
     # --- index build (cold, fully forced): the engine-core pipeline
     docs = _documents(spark)
     n_docs = docs.count()
@@ -97,7 +100,10 @@ def bench_main(results: dict):
     eng = BM25QueryEngine(idx)
     queries: dict[str, float] = {"index_build": round(t_build, 3)}
 
-    # --- BM25 query paths (engine-core latency; per-query p50 too)
+    # --- BM25 query paths (engine-core latency; per-query p50 too).
+    # One untimed warm query first: steady-state latency is the metric
+    # (a long-lived query service, not per-process cold start).
+    eng.search(entry.BM25_QUERIES[:1], k=10, mode="sql").collect()
     t, _ = _timed(lambda: eng.search(entry.BM25_QUERIES, k=10, mode="sql").collect())
     queries["bm25_topk_sql"] = round(t, 3)
     t, _ = _timed(lambda: eng.search(entry.BM25_QUERIES, k=10, mode="blockmax").collect())

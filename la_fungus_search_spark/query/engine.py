@@ -154,15 +154,29 @@ class BM25QueryEngine:
             F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
         )
 
+        # ONE metadata job per query batch: per-term max bound AND the
+        # best block's payload (for the θ floor) via max_by — block
+        # metadata only, never full posting lists, so the collect stays
+        # O(|terms|) at any corpus scale.
+        blk_meta = (
+            lists.groupBy("term")
+            .agg(
+                F.max("block_max").alias("term_max"),
+                F.max_by(
+                    F.struct("doc_ids", "tfs"),
+                    F.struct(F.col("block_max"), -F.col("block_id")),
+                ).alias("_best"),
+            )
+            .select("term", "term_max", F.col("_best.doc_ids").alias("doc_ids"),
+                    F.col("_best.tfs").alias("tfs"))
+            .toPandas()
+        )
         # per-(query, term) upper bound = qtf * max(block_max, 0); a doc
         # either contains the term (≤ block_max) or not (0), so the
         # per-term bound is clipped at 0. Σ over terms = UB_total.
         # NOTE block_max already includes the idf factor (baked in at
         # build), so idf must NOT appear again here.
-        blk_meta = (
-            lists.groupBy("term").agg(F.max("block_max").alias("term_max")).toPandas()
-        )
-        qm = q_meta.merge(blk_meta, on="term", how="inner")
+        qm = q_meta.merge(blk_meta[["term", "term_max"]], on="term", how="inner")
         qm["ub"] = qm["qtf"] * qm["term_max"].clip(lower=0.0)
         ub_total = qm.groupby("query_id")["ub"].sum().to_dict()
         # queries containing any negative-idf term get NO pruning: a
@@ -171,18 +185,9 @@ class BM25QueryEngine:
         # on negative epsilon floors)
         neg_idf_queries = set(q_meta.loc[q_meta["idf"] < 0, "query_id"].astype(int))
 
-        # θ: exact floor from each term's best block (block metadata +
-        # doclens for those docs only)
-        best_blocks = (
-            lists.withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("term").orderBy(F.desc("block_max"), F.asc("block_id"))
-                ),
-            )
-            .filter(F.col("rn") == 1)
-            .select("term", "doc_ids", "tfs", "first_doc", "last_doc")
-        ).toPandas()
+        # θ: exact floor from each term's best block (already collected
+        # in blk_meta — no extra job)
+        best_blocks = blk_meta[["term", "doc_ids", "tfs"]]
         theta: dict[int, float] = {}
         if not best_blocks.empty:
             # attach doclens for the best-block docs via one small join
