@@ -88,7 +88,13 @@ class IndexBuilder:
     b: float = 0.75
     epsilon: float = 0.25
     id_mode: str = "dense"  # "dense" (row_number, test scale) | "hash" (xxhash64, 10^12 scale)
-    tokenizer_impl: str = "jvm"  # "jvm" (regexp_extract_all) | "arrow" (pandas UDF)
+    # "arrow" (mapInPandas Counter) is the default: tf is doc-local, so
+    # the kernel emits final (term, doc_id, tf) rows with ZERO shuffle —
+    # the JVM explode+groupBy(term, doc_id) path shuffles one row per
+    # posting and measured 7-20x slower at high parallelism (local[32]:
+    # 2.2s arrow vs 15-49s shuffle on 2.65M postings). "jvm" kept as the
+    # whole-stage-codegen cross-check path (tested equal).
+    tokenizer_impl: str = "arrow"
     _manifest: list = field(default_factory=list)
 
     # ---------------------------------------------------------- stages
@@ -146,14 +152,23 @@ class IndexBuilder:
             count_terms, schema="term STRING, doc_id BIGINT, tf INT"
         )
 
-    def doc_stats_df(self, prepared: DataFrame, postings: DataFrame) -> DataFrame:
-        """doclen = Σ tf (no second tokenize pass); empty docs keep 0."""
-        doclen = postings.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("doclen"))
+    def doc_stats_df(
+        self, prepared: DataFrame, postings: DataFrame | None = None, content_col: str = "content"
+    ) -> DataFrame:
+        """doclen per doc + sha256 carry-through.
+
+        doclen = size(tokens) as a narrow map over the prepared scan —
+        no shuffle, no join. (An earlier version aggregated ``postings``
+        to avoid a second tokenize pass; the groupBy(doc_id) shuffle of
+        one row per posting costs far more than re-tokenizing, which is
+        a pipelined columnar pass. Equality with Σ tf is invariant-
+        tested.)"""
         cols = [c for c in ("repo", "path", "commit", "lang") if c in prepared.columns]
-        return (
-            prepared.select("doc_id", *cols, "content_sha256")
-            .join(doclen, "doc_id", "left")
-            .withColumn("doclen", F.coalesce(F.col("doclen"), F.lit(0)))
+        return prepared.select(
+            "doc_id",
+            *cols,
+            "content_sha256",
+            F.size(tokens_expr(content_col)).cast("int").alias("doclen"),
         )
 
     def term_stats_df(self, postings: DataFrame, n_docs: int) -> DataFrame:
