@@ -718,6 +718,49 @@ def q_streaming_step_metrics(spark, sf_dir):
     ).orderBy("window_epoch", "event_type")
 
 
+def q_query_dedup(spark, sf_dir):
+    """D1 (ui/queries.py:38-74): greedy multi-query dedup, driver-side
+    by design (pool ≤ 100 in the reference) — rows-only check (greedy
+    keep-first is not SQL-expressible)."""
+    from la_fungus_search_spark.queries import dedup_multi_queries
+
+    pool = [r.text for r in _documents(spark, sf_dir).orderBy("doc_id").limit(60).collect()]
+    pool += pool[:10]  # plant exact dups
+    kept = dedup_multi_queries(pool, similarity_threshold=0.8)
+    return spark.createDataFrame(
+        [(i, q) for i, q in enumerate(kept)], schema="kept_rank INT, query STRING"
+    ).orderBy("kept_rank")
+
+
+def q_mmr_diverse_topk(spark, sf_dir):
+    """W3 (ui/mcmp_runner.py:26-75): greedy MMR diversity re-rank of the
+    collected top-k — driver-side over ≤ k·|Q| rows, like the reference.
+    Rows-only check (sequential greedy)."""
+    from la_fungus_search_spark.query.ranking import mmr_diversify
+
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    hits = eng.search(KW_QUERIES, k=30, mode="sql")
+    docs = _documents(spark, sf_dir).select("doc_id", F.col("text").alias("content"), "source")
+    pdf = hits.join(docs, "doc_id").toPandas()
+    out = mmr_diversify(pdf, k=10, dedup_tau=0.7, per_folder_cap=5, folder_col="source")
+    return spark.createDataFrame(
+        out[["query_id", "mmr_rank", "doc_id"]].astype("int64")
+    ).orderBy("query_id", "mmr_rank")
+
+
+def q_pagination(spark, sf_dir):
+    """W-family (realtime/server.py:1983-1993): offset/limit page of the
+    doc listing, ordered by (n_chars DESC, doc_id)."""
+    d = _documents(spark, sf_dir)
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 20) & (F.col("rn") <= 40))
+        .select(F.col("rn").cast("int").alias("rn"), "doc_id", "n_chars")
+        .orderBy("rn")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, SF_SMOKE)
@@ -764,6 +807,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trail_degree": q_trail_degree,
         "incremental_changed_docs": q_incremental_changed_docs,
         "streaming_step_metrics": q_streaming_step_metrics,
+        "query_dedup": q_query_dedup,
+        "mmr_diverse_topk": q_mmr_diverse_topk,
+        "pagination": q_pagination,
     }
 
 
@@ -1391,7 +1437,18 @@ SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS window_epoch,
        round(max(value) * 1e6)::BIGINT AS max_value_micro
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
+        "pagination": """
+WITH r AS (
+    SELECT doc_id, n_chars,
+           row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+    FROM documents
+)
+SELECT rn::INT AS rn, doc_id, n_chars FROM r
+WHERE rn > 20 AND rn <= 40 ORDER BY rn
+""",
         # dedup_simhash / ann_srp_topk: non-SQL-expressible kernels
         # (64-bit simhash bit math; Box-Muller SRP hyperplanes) →
-        # rows-only checks by design.
+        # rows-only checks by design. query_dedup / mmr_diverse_topk:
+        # sequential greedy algorithms (driver-side like the reference)
+        # → rows-only by design.
     }

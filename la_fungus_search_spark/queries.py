@@ -1,0 +1,97 @@
+"""Query normalization + multi-query dedup (SURVEY.md §2.3 T1–T3,
+§2.8 D1).
+
+Faithful port of the reference's query-side text pipeline
+(``ui/queries.py:6-74``) — note this is a *different* normalizer than
+the corpus tokenizer: it strips ``[^a-z0-9]`` (so ``snake_case`` splits
+into ``snake case``), while the corpus/BM25 contract keeps underscores
+(tokenizer.py). The reference applies this one only to LLM-generated
+query variants before dispatch; we keep that separation.
+
+These run driver-side by design: the reference caps the multi-query
+pool at ~100 (``realtime/server.py:176``) and greedy keep-first dedup
+is inherently sequential. The distributed analog for corpus-scale text
+is ``textops.dedup`` (MinHash/LSH).
+
+Deviation from the reference, documented: ``dedup_multi_queries`` in
+``ui/queries.py:59-64`` reads ``jacc3`` even when the kept trigram set
+is empty, which raises ``NameError``/uses a stale value on some paths —
+a latent bug. We implement the evident intent: the trigram test only
+fires when both trigram sets are non-empty.
+"""
+
+from __future__ import annotations
+
+import re
+
+_NON_ALNUM = re.compile(r"[^a-z0-9]+")
+_WS = re.compile(r"\s+")
+
+# verbatim ui/queries.py:12-16 (same set as tokenizer.QUERY_STOPWORDS)
+_STOP = {
+    "the", "a", "an", "is", "are", "be", "to", "of", "in", "on", "for",
+    "and", "or", "with", "how", "what", "where", "when", "which", "that",
+    "does", "do", "can", "i", "we", "you", "it", "this", "these",
+    "those", "about", "use", "used", "using", "run", "start", "guide",
+}
+
+
+def normalize_query_text(text: str) -> str:
+    """T1 (``ui/queries.py:6-18``): lower → strip non-alnum → collapse
+    whitespace → drop stopwords."""
+    t = (text or "").strip().lower()
+    t = _NON_ALNUM.sub(" ", t)
+    t = _WS.sub(" ", t).strip()
+    return " ".join(w for w in t.split() if w not in _STOP)
+
+
+def token_set(text: str) -> set[str]:
+    """T2 (``ui/queries.py:21-22``)."""
+    return set(normalize_query_text(text).split())
+
+
+def trigram_set(text: str) -> set[str]:
+    """T3 (``ui/queries.py:25-35``): word 3-grams; short queries yield
+    the whole normalized string as a single pseudo-gram."""
+    t = normalize_query_text(text)
+    if not t:
+        return set()
+    tokens = t.split()
+    if len(tokens) < 3:
+        return {" ".join(tokens)}
+    return {" ".join(tokens[i : i + 3]) for i in range(len(tokens) - 2)}
+
+
+def dedup_multi_queries(queries: list[str], similarity_threshold: float = 0.8) -> list[str]:
+    """D1 (``ui/queries.py:38-74``): greedy keep-first — drop a query if
+    token-Jaccard ≥ τ or trigram-Jaccard ≥ τ−0.1 against any kept one.
+    Falls back to the first query when everything normalizes away."""
+    if not queries:
+        return []
+    thr = max(0.0, min(float(similarity_threshold), 1.0))
+    kept: list[str] = []
+    kept_sets: list[set] = []
+    kept_tri: list[set] = []
+    for q in queries:
+        ts = token_set(q)
+        tg = trigram_set(q)
+        if not ts:
+            continue
+        duplicate = False
+        for ks, kt in zip(kept_sets, kept_tri):
+            jacc = len(ts & ks) / (len(ts | ks) or 1)
+            if jacc >= thr:
+                duplicate = True
+                break
+            if kt and tg:
+                jacc3 = len(tg & kt) / (len(tg | kt) or 1)
+                if jacc3 >= max(0.0, thr - 0.1):
+                    duplicate = True
+                    break
+        if not duplicate:
+            kept.append(q)
+            kept_sets.append(ts)
+            kept_tri.append(tg)
+    if not kept and queries:
+        kept = [queries[0]]
+    return kept

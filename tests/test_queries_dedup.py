@@ -1,0 +1,54 @@
+"""Query normalization / multi-query dedup (reference ui/queries.py port)."""
+
+from la_fungus_search_spark.queries import (
+    dedup_multi_queries,
+    normalize_query_text,
+    token_set,
+    trigram_set,
+)
+
+
+def test_normalize_matches_reference_semantics():
+    # snake_case splits on '_' here (unlike the corpus tokenizer)
+    assert normalize_query_text("How does the Pheromone_Decay work?") == "pheromone decay work"
+    assert normalize_query_text("  THE   a an ") == ""
+    assert normalize_query_text("x1,y2;z3") == "x1 y2 z3"
+
+
+def test_token_and_trigram_sets():
+    assert token_set("alpha beta alpha") == {"alpha", "beta"}
+    # <3 tokens → whole string as one pseudo-gram
+    assert trigram_set("alpha beta") == {"alpha beta"}
+    assert trigram_set("") == set()
+    assert trigram_set("a1 b2 c3 d4") == {"a1 b2 c3", "b2 c3 d4"}
+
+
+def test_dedup_greedy_keep_first():
+    qs = [
+        "how does the index build work",
+        "index build work",             # token-jaccard 1.0 after stopwords → dup
+        "completely different topic here",
+        "how is the index built work",  # near-dup of #1 (jaccard 3/5)
+    ]
+    kept = dedup_multi_queries(qs, similarity_threshold=0.8)
+    assert kept[0] == qs[0]
+    assert qs[2] in kept
+    assert qs[1] not in kept
+    assert qs[3] in kept  # token-jaccard 2/4 = 0.5 < 0.8 → kept
+    # lower threshold: the 0.5-overlap variant now also dropped
+    kept_low = dedup_multi_queries(qs, similarity_threshold=0.5)
+    assert qs[3] not in kept_low
+
+
+def test_dedup_trigram_channel():
+    # token jaccard 7/9 = 0.78 < 0.8, but trigram jaccard 5/7 = 0.71 ≥ 0.7
+    a = "t1 t2 t3 t4 t5 t6 t7"
+    b = "t1 t2 t3 t4 t5 t6 t7 x9 y9"
+    kept = dedup_multi_queries([a, b], similarity_threshold=0.8)
+    assert kept == [a]
+
+
+def test_dedup_edge_cases():
+    assert dedup_multi_queries([]) == []
+    # all-stopword queries: fallback keeps the first original
+    assert dedup_multi_queries(["the a an", "of in on"]) == ["the a an"]
