@@ -1,0 +1,81 @@
+"""Property-based tests (SURVEY.md §5.2): random small corpora.
+
+(a) match contract — every returned doc contains ≥1 query term
+    (OR semantics of the postings join);
+(b) stats — df / doclen / N / avgdl equal a naive Python recount over
+    the shared tokenizer;
+(c) rank-identity against the rank_bm25-semantics oracle holds on
+    random corpora, not just the curated fixtures.
+
+Codec round-trip and resume==cold properties live in test_codec.py /
+test_checkpoint_resume.py.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from la_fungus_search_spark.index.builder import build_index
+from la_fungus_search_spark.oracle import BM25Oracle
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.tokenizer import tokenize, tokenize_query
+
+WORDS = ["alpha", "beta", "gamma", "delta", "merge_sort", "Xx9", "ΩΩ", "a_b_c", "q"]
+
+doc_text = st.lists(st.sampled_from(WORDS), min_size=0, max_size=30).map(" ".join)
+corpus_strategy = st.lists(doc_text, min_size=3, max_size=16)
+query_strategy = st.lists(st.sampled_from(WORDS), min_size=1, max_size=4).map(" ".join)
+
+
+def _df(spark, texts):
+    rows = [(f"r", f"f{i:03d}.py", "c0", "python", t) for i, t in enumerate(texts)]
+    return spark.createDataFrame(
+        rows, schema="repo STRING, path STRING, commit STRING, lang STRING, content STRING"
+    )
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_properties_random_corpora(spark, seed):
+    """One pytest entry driving hypothesis over (corpus, query) pairs —
+    a single SparkSession, many random cases."""
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=corpus_strategy, query=query_strategy)
+    def inner(texts, query):
+        docs = _df(spark, texts)
+        idx = build_index(spark, docs, n_buckets=4, n_salts=2, block_size=4)
+        eng = BM25QueryEngine(idx)
+        hits = eng.search([query], k=5, mode="sql").collect()
+
+        q_terms = set(tokenize_query(query))
+        doc_tokens = {i: set(tokenize(t)) for i, t in enumerate(texts)}
+
+        # (a) OR-match contract
+        for r in hits:
+            assert doc_tokens[r.doc_id] & q_terms, (query, r.doc_id, texts[r.doc_id])
+
+        # (b) stats equal naive recount
+        n_docs = len(texts)
+        doclens = {i: len(tokenize(t)) for i, t in enumerate(texts)}
+        assert idx.n_docs == n_docs
+        got_dl = {r.doc_id: r.doclen for r in idx.doc_stats.collect()}
+        assert got_dl == doclens
+        df_naive = Counter(t for toks in doc_tokens.values() for t in toks)
+        got_df = {r.term: r.df for r in idx.term_stats.collect()}
+        assert got_df == dict(df_naive)
+
+        # (c) rank-identity vs the BM25Okapi-semantics oracle
+        oracle = BM25Oracle([tokenize(t) for t in texts])
+        want = oracle.top_k(tokenize_query(query), k=5)
+        got = [(r.doc_id, round(r.score, 9)) for r in hits]
+        assert got == [(d, round(s, 9)) for d, s in want]
+
+    inner()
