@@ -1,0 +1,72 @@
+"""Corpus source layer (SURVEY.md §2.1; BASELINE.json input contract).
+
+The engine's input is an Iceberg table of source-code files with
+columns ``(repo, path, commit, lang, content)``. This module is the
+single place that knows how to open it:
+
+* ``iceberg:<catalog.db.table>`` — ``spark.read.format("iceberg")``
+  (production path; needs the iceberg-spark runtime on the classpath,
+  which this sandbox does not ship — gated behind a clear error),
+* ``table:<name>`` — any catalog table,
+* a filesystem path — parquet (the sandbox path; same schema).
+
+Also hosts the scan-level pushdown helpers (S1/S2): language filter,
+path exclusion, file cap — expressed as Catalyst filters so they reach
+the source scan (predicate pushdown / partition pruning are free;
+verified via ``PushedFilters`` in the plan).
+
+Reference analog: ``list_code_files`` (``ui/corpus.py:160-172``) and
+the Qdrant scroll source (``realtime/server.py:647-669``), both
+replaced by one declarative scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CORPUS_COLUMNS = ("repo", "path", "commit", "lang", "content")
+
+
+def load_corpus(spark: SparkSession, source: str) -> DataFrame:
+    """Open the corpus table from an iceberg/table/path locator."""
+    if source.startswith("iceberg:"):
+        table = source[len("iceberg:"):]
+        try:
+            df = spark.read.format("iceberg").load(table)
+        except Exception as e:  # pragma: no cover - needs iceberg runtime
+            raise RuntimeError(
+                "Iceberg source requested but the iceberg-spark runtime is "
+                "not on the classpath (add org.apache.iceberg:iceberg-spark-"
+                "runtime and a catalog config). In this sandbox use a "
+                "parquet path instead — the engine is source-agnostic."
+            ) from e
+    elif source.startswith("table:"):
+        df = spark.read.table(source[len("table:"):])
+    else:
+        df = spark.read.parquet(source)
+    missing = [c for c in CORPUS_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(f"corpus source {source!r} missing columns {missing}")
+    return df.select(*CORPUS_COLUMNS)
+
+
+def filter_code_files(
+    corpus: DataFrame,
+    langs: tuple[str, ...] = ("python",),
+    exclude_dirs: tuple[str, ...] = (".venv", "node_modules", "__pycache__", ".git"),
+    max_files: int | None = None,
+) -> DataFrame:
+    """S1 (``ui/corpus.py:160-172``) as pushdown-friendly filters.
+
+    ``lang IN (...)`` and the path predicates are plain Catalyst
+    filters — they reach the parquet/Iceberg scan (PushedFilters), so
+    excluded trees are never read. ``max_files`` maps to LIMIT, which
+    Spark plans as CollectLimit/GlobalLimit with early termination.
+    """
+    out = corpus.filter(F.col("lang").isin(list(langs)))
+    for d in exclude_dirs:
+        out = out.filter(~F.col("path").contains(f"/{d}/") & ~F.col("path").startswith(f"{d}/"))
+    if max_files is not None:
+        out = out.limit(int(max_files))
+    return out

@@ -1,0 +1,53 @@
+"""Source layer: locator dispatch, schema enforcement, scan pushdown."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.corpus import corpus_df
+from la_fungus_search_spark.sources import filter_code_files, load_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("corpus") / "files.parquet")
+    docs = corpus_df(spark, 60, seed=3)
+    bad = spark.createDataFrame(
+        [("r", ".venv/lib/x.py", "c", "python", "x = 1"),
+         ("r", "node_modules/y.py", "c", "python", "y = 1"),
+         ("r", "src/__pycache__/z.py", "c", "python", "z = 1")],
+        schema="repo STRING, path STRING, commit STRING, lang STRING, content STRING",
+    )
+    docs.unionByName(bad).write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_load_corpus_parquet_and_schema(spark, corpus_path):
+    df = load_corpus(spark, corpus_path)
+    assert df.columns == ["repo", "path", "commit", "lang", "content"]
+    assert df.count() == 63
+
+
+def test_load_corpus_missing_columns(spark, tmp_path):
+    p = str(tmp_path / "bad.parquet")
+    spark.createDataFrame([(1,)], schema="x INT").write.parquet(p)
+    with pytest.raises(ValueError, match="missing columns"):
+        load_corpus(spark, p)
+
+
+def test_iceberg_locator_errors_cleanly(spark):
+    with pytest.raises(RuntimeError, match="iceberg"):
+        load_corpus(spark, "iceberg:cat.db.t")
+
+
+def test_filter_code_files_semantics_and_pushdown(spark, corpus_path):
+    df = load_corpus(spark, corpus_path)
+    out = filter_code_files(df, langs=("python",), max_files=1000)
+    rows = out.select("path", "lang").collect()
+    assert all(r.lang == "python" for r in rows)
+    assert not any(".venv" in r.path or "node_modules" in r.path or "__pycache__" in r.path
+                   for r in rows)
+    # the lang filter must reach the parquet scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters")[1][:400]
