@@ -109,8 +109,16 @@ def bench_main(results: dict):
     eng.search(entry.BM25_QUERIES[:1], k=10, mode="sql").collect()
     t, _ = _timed(lambda: eng.search(entry.BM25_QUERIES, k=10, mode="sql").collect())
     queries["bm25_topk_sql"] = round(t, 3)
-    t, _ = _timed(lambda: eng.search(entry.BM25_QUERIES, k=10, mode="blockmax").collect())
+    t, _ = _timed(lambda: eng.search_blockmax(entry.BM25_QUERIES, k=10, collect_stats=True)
+                  .select("query_id", "doc_id", "score", "rank").collect())
     queries["bm25_topk_blockmax"] = round(t, 3)
+    ps = eng.last_prune_stats
+    results["blockmax_pruning"] = {
+        **ps,
+        "posting_decode_ratio": round(
+            ps["decoded_postings"] / max(ps["total_postings"], 1), 4
+        ),
+    }
     per_q = []
     for q in entry.BM25_QUERIES[:4]:
         t, _ = _timed(lambda: eng.search([q], k=10, mode="sql").collect())

@@ -46,7 +46,7 @@ from la_fungus_search_spark.index.codec import varint_encode_split
 from la_fungus_search_spark.tokenizer import tokenize, tokens_expr
 
 POSTING_LIST_SCHEMA = (
-    "term STRING, term_bucket INT, block_id BIGINT, first_doc BIGINT, "
+    "term STRING, term_bucket INT, block_id BIGINT, range_id BIGINT, first_doc BIGINT, "
     "last_doc BIGINT, count INT, doc_ids BINARY, tfs BINARY, block_max DOUBLE"
 )
 
@@ -77,6 +77,14 @@ class IndexBuilder:
     spark: SparkSession
     n_buckets: int = 32
     block_size: int = 128
+    # doc-range width for block alignment: blocks never span a range
+    # boundary (range_id = doc_id // block_doc_range), so every term's
+    # blocks for one doc range are identifiable by range_id — the
+    # precondition for BMW-style cross-term range pruning at query time
+    # (Σ_t qtf·block_max_t(range) ≤ θ → skip the whole range). Defaults
+    # to block_size: a df≈N hot term then fills each range with ~one
+    # full block.
+    block_doc_range: int | None = None
     n_salts: int = 8
     # salting fans a term's postings over n_salts build groups — only
     # worth it when df is large (the stopword-like skew the north rule
@@ -197,7 +205,13 @@ class IndexBuilder:
         return F.floor(F.col("doc_id") / F.lit(width)).cast("int")
 
     def posting_lists_df(
-        self, postings: DataFrame, doc_stats: DataFrame, term_stats: DataFrame, avgdl: float, max_doc_id: int
+        self,
+        postings: DataFrame,
+        doc_stats: DataFrame,
+        term_stats: DataFrame,
+        avgdl: float,
+        max_doc_id: int,
+        n_docs: int | None = None,
     ) -> DataFrame:
         """Compress runs into block-max-annotated posting lists."""
         k1, b = self.k1, self.b
@@ -220,11 +234,27 @@ class IndexBuilder:
         )
 
         block_size = self.block_size
+        doc_range = int(self.block_doc_range or self.block_size)
+        # range function must put ~doc_range DOCS in each range. Dense
+        # ids: plain floor division. Hash ids are uniform over the full
+        # int64 space, so ranges come from the HIGH bits: pick a shift
+        # giving ~n_docs/doc_range ranges (id//doc_range would make
+        # every sparse id its own range → 1-posting blocks, destroying
+        # both compression and the θ floor).
+        if self.id_mode == "hash":
+            n_ranges = max(2, int(n_docs or (max_doc_id or 1)) // doc_range)
+            range_shift = max(1, 64 - int(math.ceil(math.log2(n_ranges))))
+        else:
+            range_shift = None
 
         def build_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
             """Fully vectorized: one lexsort, boundary masks, reduceat
             for block-max, ONE batch varint encode split per column —
-            per-block Python work is a bytes slice, nothing else."""
+            per-block Python work is a bytes slice, nothing else.
+
+            Block boundaries: (term, salt) group change, doc-range
+            change (alignment for BMW range pruning), or block_size
+            overflow within a range."""
             import numpy as np
 
             n = len(pdf)
@@ -234,6 +264,7 @@ class IndexBuilder:
                         "term": pd.Series(dtype="object"),
                         "term_bucket": pd.Series(dtype="int32"),
                         "block_id": pd.Series(dtype="int64"),
+                        "range_id": pd.Series(dtype="int64"),
                         "first_doc": pd.Series(dtype="int64"),
                         "last_doc": pd.Series(dtype="int64"),
                         "count": pd.Series(dtype="int32"),
@@ -250,10 +281,21 @@ class IndexBuilder:
             tfs = pdf["tf"].to_numpy()[order]
             scores = pdf["score"].to_numpy()[order]
             buckets = pdf["term_bucket"].to_numpy()[order]
+            if range_shift is not None:
+                # unsigned view: monotone within each sign region of the
+                # signed doc_id sort; the single sign-flip boundary just
+                # adds one block split
+                ranges = (ids.view(np.uint64) >> np.uint64(range_shift)).astype(np.int64)
+            else:
+                ranges = ids // doc_range
 
             grp_change = np.empty(n, dtype=bool)
             grp_change[0] = True
-            grp_change[1:] = (codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1])
+            grp_change[1:] = (
+                (codes[1:] != codes[:-1])
+                | (salts[1:] != salts[:-1])
+                | (ranges[1:] != ranges[:-1])
+            )
             grp_id = np.cumsum(grp_change) - 1
             grp_first_row = np.flatnonzero(grp_change)
             pos_in_grp = np.arange(n, dtype=np.int64) - grp_first_row[grp_id]
@@ -262,8 +304,13 @@ class IndexBuilder:
             bends = np.append(bstarts[1:], n)
             nblk = bstarts.size
 
-            # block index within its (term, salt) group
-            blk_new_grp = grp_change[bstarts]
+            # block index within its (term, salt) group (term+salt only:
+            # range changes don't reset the counter, keeping block_id
+            # monotone in doc_id within a salt)
+            ts_change = np.empty(n, dtype=bool)
+            ts_change[0] = True
+            ts_change[1:] = (codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1])
+            blk_new_grp = ts_change[bstarts]
             blk_grp_first = np.flatnonzero(blk_new_grp)
             blk_idx = np.arange(nblk, dtype=np.int64) - blk_grp_first[
                 np.cumsum(blk_new_grp) - 1
@@ -282,6 +329,7 @@ class IndexBuilder:
                     "term": uniques.take(codes[bstarts]),
                     "term_bucket": buckets[bstarts].astype("int32"),
                     "block_id": block_id,
+                    "range_id": ranges[bstarts],
                     "first_doc": ids[bstarts],
                     "last_doc": ids[bends - 1],
                     "count": (bends - bstarts).astype("int32"),
@@ -414,6 +462,7 @@ class IndexBuilder:
             "epsilon": self.epsilon,
             "n_buckets": self.n_buckets,
             "block_size": self.block_size,
+            "block_doc_range": int(self.block_doc_range or self.block_size),
             "n_salts": self.n_salts,
             "id_mode": self.id_mode,
         }
@@ -432,7 +481,7 @@ class IndexBuilder:
                 t0 = time.time()
                 buckets = [b_ for b_ in range(self.n_buckets) if b_ % groups == gidx]
                 part = postings.filter(F.col("term_bucket").isin(buckets))
-                pl = self.posting_lists_df(part, doc_stats, term_stats, avgdl, max_doc_id)
+                pl = self.posting_lists_df(part, doc_stats, term_stats, avgdl, max_doc_id, n_docs)
                 pl.write.mode("overwrite").partitionBy("term_bucket").parquet(
                     os.path.join(out_dir, "posting_lists")
                 )
@@ -446,7 +495,7 @@ class IndexBuilder:
             posting_lists = _load("posting_lists")
         else:
             posting_lists = self.posting_lists_df(
-                postings, doc_stats, term_stats, avgdl, max_doc_id
+                postings, doc_stats, term_stats, avgdl, max_doc_id, n_docs
             ).persist()
 
         return BM25Index(
@@ -543,7 +592,7 @@ class IncrementalIndexBuilder(IndexBuilder):
         term_stats, average_idf, eps = self.term_stats_df(postings, n_docs)
         term_stats = term_stats.persist()
         posting_lists = self.posting_lists_df(
-            postings, doc_stats, term_stats, avgdl, max_doc_id
+            postings, doc_stats, term_stats, avgdl, max_doc_id, n_docs
         ).persist()
 
         counts = {r["status"]: r["n"] for r in diff.groupBy("status").agg(F.count("*").alias("n")).collect()}

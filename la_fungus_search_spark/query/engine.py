@@ -139,8 +139,14 @@ class BM25QueryEngine:
                 thetas[int(qid)] = 0.0
         return thetas
 
-    def search_blockmax(self, queries: Sequence[str], k: int = 10) -> DataFrame:
-        """Compressed-index scoring with safe block pruning."""
+    def search_blockmax(
+        self, queries: Sequence[str], k: int = 10, collect_stats: bool = False
+    ) -> DataFrame:
+        """Compressed-index scoring with safe block pruning.
+
+        With ``collect_stats=True``, stores pruning evidence in
+        ``self.last_prune_stats`` (total vs decoded blocks/postings for
+        the query terms) — the measurable WAND win."""
         idx = self.index
         qt = self._query_terms_df(queries)
         q_with_idf = qt.join(idx.term_stats.select("term", "idf", "term_bucket"), "term")
@@ -154,40 +160,29 @@ class BM25QueryEngine:
             F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
         )
 
-        # ONE metadata job per query batch: per-term max bound AND the
-        # best block's payload (for the θ floor) via max_by — block
-        # metadata only, never full posting lists, so the collect stays
-        # O(|terms|) at any corpus scale.
+        # ONE metadata job per query batch: each term's top blocks by
+        # block_max, taking blocks until ≥ k postings are covered (a
+        # single block is too weak a floor with doc-range-aligned
+        # blocks — a rare term's best block may hold 2-3 docs). The
+        # collect stays O(|terms|·k) postings at any corpus scale.
+        w_blk = Window.partitionBy("term").orderBy(F.desc("block_max"), F.asc("block_id"))
         blk_meta = (
-            lists.groupBy("term")
-            .agg(
-                F.max("block_max").alias("term_max"),
-                F.max_by(
-                    F.struct("doc_ids", "tfs"),
-                    F.struct(F.col("block_max"), -F.col("block_id")),
-                ).alias("_best"),
+            lists.withColumn(
+                "cum",
+                F.sum("count").over(w_blk.rowsBetween(Window.unboundedPreceding, 0)),
             )
-            .select("term", "term_max", F.col("_best.doc_ids").alias("doc_ids"),
-                    F.col("_best.tfs").alias("tfs"))
+            .filter(F.col("cum") - F.col("count") < k)
+            .select("term", "doc_ids", "tfs")
             .toPandas()
         )
-        # per-(query, term) upper bound = qtf * max(block_max, 0); a doc
-        # either contains the term (≤ block_max) or not (0), so the
-        # per-term bound is clipped at 0. Σ over terms = UB_total.
-        # NOTE block_max already includes the idf factor (baked in at
-        # build), so idf must NOT appear again here.
-        qm = q_meta.merge(blk_meta[["term", "term_max"]], on="term", how="inner")
-        qm["ub"] = qm["qtf"] * qm["term_max"].clip(lower=0.0)
-        ub_total = qm.groupby("query_id")["ub"].sum().to_dict()
         # queries containing any negative-idf term get NO pruning: a
         # partial sum then OVERestimates the true score, so the θ floor
         # below would not be a safe lower bound (see oracle.top_k note
         # on negative epsilon floors)
         neg_idf_queries = set(q_meta.loc[q_meta["idf"] < 0, "query_id"].astype(int))
 
-        # θ: exact floor from each term's best block (already collected
-        # in blk_meta — no extra job)
-        best_blocks = blk_meta[["term", "doc_ids", "tfs"]]
+        # θ: exact floor from the collected top blocks (no extra job)
+        best_blocks = blk_meta
         theta: dict[int, float] = {}
         if not best_blocks.empty:
             # attach doclens for the best-block docs via one small join
@@ -211,28 +206,54 @@ class BM25QueryEngine:
             )
             theta = self._theta_estimates(merged, k)
 
-        # safe skip: block can't matter if qtf*block_max + (UB_total − ub_term) ≤ θ
-        # (block_max carries idf already)
-        prune_rows = []
-        for _, r in qm.iterrows():
-            qid = int(r["query_id"])
-            if qid in neg_idf_queries:
-                slack = float("-inf")  # decode everything — safety first
-            else:
-                slack = theta.get(qid, 0.0) - (ub_total.get(qid, 0.0) - float(r["ub"]))
-            # keep block if qtf*block_max ≥ slack  → block_max ≥ slack/qtf
-            denom = float(r["qtf"])
-            cutoff = slack / denom if denom > 0 else float("inf")
-            prune_rows.append((qid, r["term"], float(r["qtf"]), float(r["idf"]), cutoff))
+        # BMW-style doc-range pruning: blocks are doc-range-aligned at
+        # build (builder.block_doc_range), so for each (query, range)
+        # UB(range) = Σ_t qtf·max(block_max_t(range), 0) bounds every
+        # doc in the range — a doc only scores on terms it contains,
+        # each ≤ that term's block_max there (block_max carries idf
+        # already). Ranges with UB < θ cannot produce a top-k doc and
+        # are skipped wholesale. Per-term cutoffs (plain block-max WAND)
+        # never fire on doc_id-ordered blocks — every block's max sits
+        # at the same tail quantile — which is exactly why BMW ranges
+        # exist.
+        prune_rows = [
+            (int(r["query_id"]), r["term"], float(r["qtf"]), float(r["idf"]),
+             float("-inf") if int(r["query_id"]) in neg_idf_queries
+             else theta.get(int(r["query_id"]), 0.0))
+            for _, r in q_meta.iterrows()
+        ]
         prune_df = F.broadcast(
             self.spark.createDataFrame(
-                prune_rows, schema="query_id INT, term STRING, qtf DOUBLE, idf DOUBLE, cutoff DOUBLE"
+                prune_rows, schema="query_id INT, term STRING, qtf DOUBLE, idf DOUBLE, theta DOUBLE"
             )
         )
+        joined = lists.join(prune_df, "term")
+        range_ub = (
+            joined.groupBy("query_id", "range_id")
+            .agg(
+                F.sum(F.col("qtf") * F.greatest(F.col("block_max"), F.lit(0.0))).alias("ub"),
+                F.min("theta").alias("theta"),
+            )
+            # >= so a range that can exactly tie θ is still decoded — a
+            # doc tying the kth score could win the doc_id tie-break.
+            .filter(F.col("ub") >= F.col("theta"))
+            .select("query_id", "range_id")
+        )
+        survivors = joined.join(range_ub, ["query_id", "range_id"], "left_semi")
 
-        # >= so a block that can exactly tie θ is still decoded — a doc
-        # tying the kth score could win the doc_id tie-break.
-        survivors = lists.join(prune_df, "term").filter(F.col("block_max") >= F.col("cutoff"))
+        if collect_stats:
+            tot = joined.agg(
+                F.count("*").alias("blocks"), F.sum("count").alias("postings")
+            ).collect()[0]
+            dec = survivors.agg(
+                F.count("*").alias("blocks"), F.sum("count").alias("postings")
+            ).collect()[0]
+            self.last_prune_stats = {
+                "total_blocks": int(tot["blocks"] or 0),
+                "decoded_blocks": int(dec["blocks"] or 0),
+                "total_postings": int(tot["postings"] or 0),
+                "decoded_postings": int(dec["postings"] or 0),
+            }
 
         k1, b, avgdl = self.k1, self.b, self.avgdl
 
