@@ -245,6 +245,22 @@ def q_bm25_topk_blockmax(spark, sf_dir):
     return _bm25_rank(hits, 10)
 
 
+def q_bm25_topk_and(spark, sf_dir):
+    """Conjunctive top-k (posting-list intersection, SURVEY §2.8):
+    docs containing EVERY query term, BM25-ranked."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    nt = spark.createDataFrame(
+        [(qid, max(len(set(tokenize_query(q))), 1)) for qid, q in enumerate(BM25_QUERIES)],
+        schema="query_id INT, n_terms INT",
+    )
+    scored = (
+        eng.scored_sql(BM25_QUERIES)
+        .join(F.broadcast(nt), "query_id")
+        .filter(F.col("n_matched") >= F.col("n_terms"))
+    )
+    return _bm25_rank(scored, 10)
+
+
 def q_bm25_doc_stats(spark, sf_dir):
     idx = _index(spark, sf_dir)
     return idx.doc_stats.select(
@@ -770,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
         "bm25_topk_blockmax": q_bm25_topk_blockmax,
+        "bm25_topk_and": q_bm25_topk_and,
         "bm25_doc_stats": q_bm25_doc_stats,
         "bm25_term_stats": q_bm25_term_stats,
         "bm25_globals": q_bm25_globals,
@@ -1020,6 +1037,35 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _bm25_topk_sql(10),
         "bm25_topk_blockmax": _bm25_topk_sql(10),
+        "bm25_topk_and": f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),
+nt AS (SELECT query_id, count(*)::INT AS n_terms FROM qt GROUP BY 1),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score,
+           count(*)::INT AS n_matched
+    FROM qt
+    JOIN idf USING (term)
+    JOIN tf USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+conj AS (
+    SELECT s.query_id, s.doc_id, s.score
+    FROM scored s JOIN nt USING (query_id)
+    WHERE s.n_matched >= nt.n_terms
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM conj),
+ranked AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+""",
         "bm25_doc_stats": f"""
 WITH {_bm25_base_cte()}
 SELECT d.doc_id, dl.doclen, sha256(coalesce(d.text, '')) AS content_sha256

@@ -46,7 +46,7 @@ from la_fungus_search_spark.index.codec import varint_encode_split
 from la_fungus_search_spark.tokenizer import tokenize, tokens_expr
 
 POSTING_LIST_SCHEMA = (
-    "term STRING, term_bucket INT, block_id BIGINT, range_id BIGINT, first_doc BIGINT, "
+    "term STRING, term_bucket INT, block_id BIGINT, range_ids ARRAY<BIGINT>, first_doc BIGINT, "
     "last_doc BIGINT, count INT, doc_ids BINARY, tfs BINARY, block_max DOUBLE"
 )
 
@@ -77,13 +77,14 @@ class IndexBuilder:
     spark: SparkSession
     n_buckets: int = 32
     block_size: int = 128
-    # doc-range width for block alignment: blocks never span a range
-    # boundary (range_id = doc_id // block_doc_range), so every term's
-    # blocks for one doc range are identifiable by range_id — the
-    # precondition for BMW-style cross-term range pruning at query time
-    # (Σ_t qtf·block_max_t(range) ≤ θ → skip the whole range). Defaults
-    # to block_size: a df≈N hot term then fills each range with ~one
-    # full block.
+    # doc-range width for BMW pruning metadata: every block records the
+    # DISTINCT doc ranges its postings fall in (``range_ids`` array), so
+    # the query engine can bound each range across terms
+    # (Σ_t qtf·max block_max_t over blocks touching the range ≤ θ →
+    # skip the range) without fragmenting storage blocks at range
+    # boundaries — hard alignment was measured to blow the long tail
+    # into ~12x more (1-2 posting) blocks and double build cost.
+    # Defaults to block_size docs per range.
     block_doc_range: int | None = None
     n_salts: int = 8
     # salting fans a term's postings over n_salts build groups — only
@@ -246,15 +247,24 @@ class IndexBuilder:
             range_shift = max(1, 64 - int(math.ceil(math.log2(n_ranges))))
         else:
             range_shift = None
+            n_ranges = max(2, int(n_docs or (max_doc_id or 1)) // doc_range)
+        # Hybrid range alignment: FREQUENT terms (expected ≥1 posting
+        # per range) split blocks at range boundaries — their blocks
+        # then map 1:1 to ranges and pruning skips their decode, which
+        # is where the posting volume is. RARE terms keep dense
+        # block_size blocks (splitting would fragment them into 1-2
+        # posting blocks, measured 12x block blowup) and carry the
+        # distinct-range list instead — they are cheap to decode, so
+        # pruning precision on them doesn't matter.
+        # ≥4 expected postings per range: splitting below that turns
+        # mid-frequency terms into 1-2 posting fragments
+        range_split_min_df = 4 * n_ranges
 
         def build_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
             """Fully vectorized: one lexsort, boundary masks, reduceat
             for block-max, ONE batch varint encode split per column —
-            per-block Python work is a bytes slice, nothing else.
-
-            Block boundaries: (term, salt) group change, doc-range
-            change (alignment for BMW range pruning), or block_size
-            overflow within a range."""
+            per-block Python work is a bytes slice plus the distinct
+            range-id list (BMW pruning metadata)."""
             import numpy as np
 
             n = len(pdf)
@@ -264,7 +274,7 @@ class IndexBuilder:
                         "term": pd.Series(dtype="object"),
                         "term_bucket": pd.Series(dtype="int32"),
                         "block_id": pd.Series(dtype="int64"),
-                        "range_id": pd.Series(dtype="int64"),
+                        "range_ids": pd.Series(dtype="object"),
                         "first_doc": pd.Series(dtype="int64"),
                         "last_doc": pd.Series(dtype="int64"),
                         "count": pd.Series(dtype="int32"),
@@ -283,19 +293,22 @@ class IndexBuilder:
             buckets = pdf["term_bucket"].to_numpy()[order]
             if range_shift is not None:
                 # unsigned view: monotone within each sign region of the
-                # signed doc_id sort; the single sign-flip boundary just
-                # adds one block split
+                # signed doc_id sort (ranges are labels, not boundaries,
+                # so the sign flip is harmless)
                 ranges = (ids.view(np.uint64) >> np.uint64(range_shift)).astype(np.int64)
             else:
                 ranges = ids // doc_range
 
+            dfs = pdf["df"].to_numpy()[order]
+            split_rng = dfs >= range_split_min_df
+            range_change = np.empty(n, dtype=bool)
+            range_change[0] = False
+            range_change[1:] = ranges[1:] != ranges[:-1]
+
             grp_change = np.empty(n, dtype=bool)
             grp_change[0] = True
-            grp_change[1:] = (
-                (codes[1:] != codes[:-1])
-                | (salts[1:] != salts[:-1])
-                | (ranges[1:] != ranges[:-1])
-            )
+            grp_change[1:] = (codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1])
+            grp_change |= range_change & split_rng
             grp_id = np.cumsum(grp_change) - 1
             grp_first_row = np.flatnonzero(grp_change)
             pos_in_grp = np.arange(n, dtype=np.int64) - grp_first_row[grp_id]
@@ -304,9 +317,9 @@ class IndexBuilder:
             bends = np.append(bstarts[1:], n)
             nblk = bstarts.size
 
-            # block index within its (term, salt) group (term+salt only:
-            # range changes don't reset the counter, keeping block_id
-            # monotone in doc_id within a salt)
+            # block index within its (term, salt) group — term/salt
+            # boundaries ONLY (range splits must not reset the counter,
+            # or block_id would collide across ranges)
             ts_change = np.empty(n, dtype=bool)
             ts_change[0] = True
             ts_change[1:] = (codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1])
@@ -316,6 +329,21 @@ class IndexBuilder:
                 np.cumsum(blk_new_grp) - 1
             ]
             block_id = salts[bstarts].astype(np.int64) * (1 << 32) + blk_idx
+
+            # distinct ranges per block: ids are sorted within a block,
+            # so ranges are non-decreasing per sign region — keep rows
+            # where the range differs from the previous row or a block
+            # starts, then split per block
+            rng_keep = np.empty(n, dtype=bool)
+            rng_keep[0] = True
+            rng_keep[1:] = ranges[1:] != ranges[:-1]
+            rng_keep |= is_start
+            keep_pos = np.flatnonzero(rng_keep)
+            kept_ranges = ranges[keep_pos]
+            # for each block, its kept-entry span
+            kstart = np.searchsorted(keep_pos, bstarts, side="left")
+            kend = np.append(kstart[1:], keep_pos.size)
+            range_lists = [kept_ranges[s:e].tolist() for s, e in zip(kstart, kend)]
 
             # deltas: absolute at block start (uint64 two's-complement
             # wrap keeps hash-mode negative ids round-trippable)
@@ -329,7 +357,7 @@ class IndexBuilder:
                     "term": uniques.take(codes[bstarts]),
                     "term_bucket": buckets[bstarts].astype("int32"),
                     "block_id": block_id,
-                    "range_id": ranges[bstarts],
+                    "range_ids": range_lists,
                     "first_doc": ids[bstarts],
                     "last_doc": ids[bends - 1],
                     "count": (bends - bstarts).astype("int32"),
@@ -343,7 +371,7 @@ class IndexBuilder:
         # (term_bucket, salt) rather than term alone is the explicit
         # skew control — a df≈N term is split into n_salts groups.
         return (
-            scored.select("term", "term_bucket", "salt", "doc_id", "tf", "score")
+            scored.select("term", "term_bucket", "salt", "doc_id", "tf", "score", "df")
             .groupBy("term_bucket", "salt")
             .applyInPandas(build_blocks, schema=POSTING_LIST_SCHEMA)
         )

@@ -82,8 +82,13 @@ class BM25QueryEngine:
     # ------------------------------------------------------------ SQL path
 
     def scored_sql(self, queries: Sequence[str]) -> DataFrame:
-        """Full scored set (query_id, doc_id, score) before top-k —
-        pure-JVM scoring over uncompressed postings."""
+        """Full scored set (query_id, doc_id, score, n_matched) before
+        top-k — pure-JVM scoring over uncompressed postings.
+
+        ``n_matched`` = distinct query terms the doc contains (postings
+        are unique per (term, doc), so it's a plain count) — the AND-
+        semantics filter (SURVEY §2.8 posting-list intersection) is a
+        HAVING on it, no extra pass."""
         idx = self.index
         qt = self._query_terms_df(queries)
         # broadcast the tiny query-side dim through both joins
@@ -100,13 +105,34 @@ class BM25QueryEngine:
                 F.col("qtf") * F.col("idf") * self._contribution(F.col("tf"), F.col("doclen")),
             )
             .groupBy("query_id", "doc_id")
-            .agg(F.sum("contrib").alias("score"))
+            .agg(
+                F.sum("contrib").alias("score"),
+                F.count("*").cast("int").alias("n_matched"),
+            )
         )
         # no score>0 filter: the postings join already enforces the
         # match contract (doc contains ≥1 query term); scores can be
         # legitimately negative when average_idf < 0 (stopword-heavy
         # corpora — the epsilon floor is negative there)
         return scored
+
+    def search_and(self, queries: Sequence[str], k: int = 10) -> DataFrame:
+        """Conjunctive (AND) top-k: only docs containing EVERY query
+        term — posting-list intersection as a HAVING on the matched-
+        term count (SURVEY §2.8), then the usual BM25 ranking."""
+        n_terms = [
+            (qid, len({t for t in tokenize_query(q)} - {""}))
+            for qid, q in enumerate(queries)
+        ]
+        nt = F.broadcast(
+            self.spark.createDataFrame(
+                [(q, max(n, 1)) for q, n in n_terms], schema="query_id INT, n_terms INT"
+            )
+        )
+        scored = self.scored_sql(queries).join(nt, "query_id").filter(
+            F.col("n_matched") >= F.col("n_terms")
+        )
+        return self._topk(scored.select("query_id", "doc_id", "score"), k)
 
     def search_sql(self, queries: Sequence[str], k: int = 10) -> DataFrame:
         """Pure-JVM scoring over uncompressed postings → top-k."""
@@ -228,18 +254,34 @@ class BM25QueryEngine:
             )
         )
         joined = lists.join(prune_df, "term")
+        # explode each block's distinct range list (metadata only, query
+        # terms only). Two-level agg: per (query, term, range) MAX of
+        # block_max (a term may have several blocks touching a range —
+        # summing them would loosen the bound), then per (query, range)
+        # SUM across terms.
+        exploded = joined.select(
+            "query_id", "term", "qtf", "theta", "block_max",
+            F.explode("range_ids").alias("range_id"),
+        )
+        term_range = exploded.groupBy("query_id", "term", "range_id").agg(
+            F.max(F.col("qtf") * F.greatest(F.col("block_max"), F.lit(0.0))).alias("tub"),
+            F.min("theta").alias("theta"),
+        )
         range_ub = (
-            joined.groupBy("query_id", "range_id")
-            .agg(
-                F.sum(F.col("qtf") * F.greatest(F.col("block_max"), F.lit(0.0))).alias("ub"),
-                F.min("theta").alias("theta"),
-            )
+            term_range.groupBy("query_id", "range_id")
+            .agg(F.sum("tub").alias("ub"), F.min("theta").alias("theta"))
             # >= so a range that can exactly tie θ is still decoded — a
             # doc tying the kth score could win the doc_id tie-break.
             .filter(F.col("ub") >= F.col("theta"))
             .select("query_id", "range_id")
         )
-        survivors = joined.join(range_ub, ["query_id", "range_id"], "left_semi")
+        # a block survives if ANY of its ranges survived; left_semi on
+        # the exploded view then dedup back to one row per (query, block)
+        survivors = (
+            joined.withColumn("range_id", F.explode("range_ids"))
+            .join(range_ub, ["query_id", "range_id"], "left_semi")
+            .dropDuplicates(["query_id", "term", "block_id"])
+        )
 
         if collect_stats:
             tot = joined.agg(

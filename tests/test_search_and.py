@@ -1,0 +1,49 @@
+"""Conjunctive (AND) search: posting-list intersection semantics."""
+
+from la_fungus_search_spark.index.builder import build_index
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.tokenizer import tokenize, tokenize_query
+
+
+def test_search_and_semantics(spark):
+    rows = [
+        ("r", "a.py", "c", "python", "alpha beta gamma"),
+        ("r", "b.py", "c", "python", "alpha beta"),
+        ("r", "c.py", "c", "python", "alpha"),
+        ("r", "d.py", "c", "python", "beta gamma delta"),
+    ]
+    docs = spark.createDataFrame(
+        rows, schema="repo STRING, path STRING, commit STRING, lang STRING, content STRING"
+    )
+    idx = build_index(spark, docs, n_buckets=4, n_salts=2)
+    eng = BM25QueryEngine(idx)
+
+    texts = {i: set(tokenize(r[4])) for i, r in enumerate(rows)}
+    queries = ["alpha beta", "alpha beta gamma", "delta"]
+    hits = eng.search_and(queries, k=10).collect()
+    got = {}
+    for r in hits:
+        got.setdefault(r.query_id, set()).add(r.doc_id)
+    for qid, q in enumerate(queries):
+        q_terms = set(tokenize_query(q))
+        want = {i for i, toks in texts.items() if q_terms <= toks}
+        assert got.get(qid, set()) == want, (q, got.get(qid), want)
+
+    # AND results are a subset of OR results with identical scores
+    or_hits = {
+        (r.query_id, r.doc_id): round(r.score, 10)
+        for r in eng.search(queries, k=10, mode="sql").collect()
+    }
+    for r in hits:
+        assert round(r.score, 10) == or_hits[(r.query_id, r.doc_id)]
+
+
+def test_n_matched_column(spark):
+    docs = spark.createDataFrame(
+        [("r", "a.py", "c", "python", "alpha beta"), ("r", "b.py", "c", "python", "alpha")],
+        schema="repo STRING, path STRING, commit STRING, lang STRING, content STRING",
+    )
+    idx = build_index(spark, docs, n_buckets=2, n_salts=1)
+    eng = BM25QueryEngine(idx)
+    rows = {r.doc_id: r.n_matched for r in eng.scored_sql(["alpha beta"]).collect()}
+    assert rows == {0: 2, 1: 1}
