@@ -734,6 +734,29 @@ def q_streaming_step_metrics(spark, sf_dir):
     ).orderBy("window_epoch", "event_type")
 
 
+def q_streaming_stability_state(spark, sf_dir):
+    """ST5/A8 (realtime/server.py:948-983) as applyInPandasWithState:
+    per-user stability + stagnation verdicts from running state; final
+    state per user compared against a SQL re-derivation."""
+    from la_fungus_search_spark.streaming.metrics import run_available_now
+    from la_fungus_search_spark.streaming.stateful import stability_stream
+
+    out = run_available_now(stability_stream(spark, sf_dir), output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_seen"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "n_seen",
+            _micro(F.col("last_avg")).alias("last_avg_micro"),
+            F.col("stable").cast("int").alias("stable"),
+            F.col("stagnant").cast("int").alias("stagnant"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_query_dedup(spark, sf_dir):
     """D1 (ui/queries.py:38-74): greedy multi-query dedup, driver-side
     by design (pool ≤ 100 in the reference) — rows-only check (greedy
@@ -827,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_dedup": q_query_dedup,
         "mmr_diverse_topk": q_mmr_diverse_topk,
         "pagination": q_pagination,
+        "streaming_stability_state": q_streaming_stability_state,
     }
 
 
@@ -1482,6 +1506,35 @@ SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS window_epoch,
        round(avg(value) * 1e6)::BIGINT AS avg_value_micro,
        round(max(value) * 1e6)::BIGINT AS max_value_micro
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "streaming_stability_state": """
+WITH ordered AS (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_desc,
+           count(*) OVER (PARTITION BY user_id) AS n_seen
+    FROM events
+),
+l5 AS (SELECT user_id, n_seen, value FROM ordered WHERE rn_desc <= 5),
+m AS (
+    SELECT user_id, max(n_seen)::BIGINT AS n_seen, avg(value) AS mean, count(*) AS nvals
+    FROM l5 GROUP BY user_id
+),
+band AS (
+    SELECT l5.user_id,
+           bool_and(abs(l5.value - m.mean) <= 0.05 * abs(m.mean)) AS inband
+    FROM l5 JOIN m USING (user_id) GROUP BY l5.user_id
+),
+stag AS (
+    SELECT user_id,
+           coalesce(min(rn_desc) FILTER (WHERE value >= 1.0) - 1, max(rn_desc)) AS trailing_low
+    FROM ordered GROUP BY user_id
+)
+SELECT m.user_id, m.n_seen,
+       round(m.mean * 1e6)::BIGINT AS last_avg_micro,
+       (m.nvals = 5 AND band.inband)::INT AS stable,
+       (stag.trailing_low >= 8)::INT AS stagnant
+FROM m JOIN band USING (user_id) JOIN stag USING (user_id)
+ORDER BY m.user_id
 """,
         "pagination": """
 WITH r AS (

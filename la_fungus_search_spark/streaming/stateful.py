@@ -1,0 +1,122 @@
+"""Custom stateful streaming operator (SURVEY.md §2.10 ST5 / A8).
+
+The reference detects *stability* over a sliding window of the last 5
+``avg_rel`` metrics (stable iff all within ±5% of their mean —
+``realtime/server.py:966-983``) and *stagnation* (pause after N
+reportless steps — ``:948-961``). Both are per-key running state over
+an event stream — the canonical ``applyInPandasWithState`` shape:
+
+    readStream → groupBy(key) → applyInPandasWithState(update_fn)
+
+State per key = the last ``window`` values (a bounded deque) + a
+stagnation counter; each micro-batch appends the key's new events in
+timestamp order and emits one row per key with the current verdicts.
+
+At scale the state store shards by key across executors and the
+per-key state is O(window) bytes — no unbounded growth; a processing-
+time timeout (``GroupStateTimeout``) would evict idle keys in a
+long-running job (not needed for the bounded availableNow drains the
+tests use).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "values ARRAY<DOUBLE>, n_seen BIGINT, n_stagnant BIGINT"
+OUTPUT_SCHEMA = (
+    "user_id BIGINT, n_seen BIGINT, last_avg DOUBLE, stable BOOLEAN, "
+    "stagnant BOOLEAN"
+)
+
+WINDOW = 5
+BAND = 0.05  # ±5% of the window mean (reference realtime/server.py:973)
+STAGNATION_STEPS = 8  # reference realtime/server.py:182-183
+STAGNATION_VALUE = 1.0  # events below this value count as "reportless"
+
+
+def _update(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    values, n_seen, n_stagnant = (
+        state.get if state.exists else ([], 0, 0)
+    )
+    values = list(values)
+    n_seen = int(n_seen)
+    n_stagnant = int(n_stagnant)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for v in pdf["value"].astype(float):
+            values.append(v)
+            if len(values) > WINDOW:
+                values.pop(0)
+            n_seen += 1
+            n_stagnant = n_stagnant + 1 if v < STAGNATION_VALUE else 0
+    state.update((values, n_seen, n_stagnant))
+    mean = sum(values) / len(values) if values else 0.0
+    stable = (
+        len(values) == WINDOW
+        and all(abs(v - mean) <= BAND * abs(mean) for v in values)
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_seen": [n_seen],
+            "last_avg": [mean],
+            "stable": [stable],
+            "stagnant": [n_stagnant >= STAGNATION_STEPS],
+        }
+    )
+
+
+def stability_stream(
+    spark: SparkSession, events_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
+    """Streaming per-user stability/stagnation verdicts."""
+    schema = spark.read.option("pathGlobFilter", glob).parquet(events_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stability_py(events: list[tuple]) -> dict:
+    """Pure-Python oracle: same state machine over (user_id, ts,
+    event_id, value) rows — drives the equivalence test."""
+    per_user: dict = {}
+    for user_id, ts, event_id, value in sorted(events, key=lambda r: (r[1], r[2])):
+        st = per_user.setdefault(user_id, {"values": [], "n_seen": 0, "n_stagnant": 0})
+        st["values"].append(float(value))
+        if len(st["values"]) > WINDOW:
+            st["values"].pop(0)
+        st["n_seen"] += 1
+        st["n_stagnant"] = st["n_stagnant"] + 1 if value < STAGNATION_VALUE else 0
+    out = {}
+    for user_id, st in per_user.items():
+        mean = sum(st["values"]) / len(st["values"]) if st["values"] else 0.0
+        stable = len(st["values"]) == WINDOW and all(
+            abs(v - mean) <= BAND * abs(mean) for v in st["values"]
+        )
+        out[user_id] = {
+            "n_seen": st["n_seen"],
+            "last_avg": mean,
+            "stable": stable,
+            "stagnant": st["n_stagnant"] >= STAGNATION_STEPS,
+        }
+    return out

@@ -97,3 +97,32 @@ def test_streaming_rollup_equals_batch(spark):
     )
     assert got.count() == want.count() and got.count() > 0
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_stateful_stability_stream(spark):
+    """ST5/A8 as applyInPandasWithState: streaming verdicts equal the
+    pure-Python state machine over the same events."""
+    from la_fungus_search_spark.streaming.metrics import run_available_now
+    from la_fungus_search_spark.streaming.stateful import stability_py, stability_stream
+
+    out = run_available_now(
+        stability_stream(spark, EVENTS_DIR), output_mode="update"
+    ).toPandas()
+    # update mode may emit one row per (user, micro-batch); final state
+    # = the row with the largest n_seen per user
+    out = out.sort_values("n_seen").groupby("user_id").tail(1).set_index("user_id")
+
+    rows = (
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(EVENTS_DIR)
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    want = stability_py([(r.user_id, r.ts, r.event_id, r.value) for r in rows])
+    assert set(out.index) == set(want)
+    for uid, w in want.items():
+        got = out.loc[uid]
+        assert int(got["n_seen"]) == w["n_seen"], uid
+        assert abs(float(got["last_avg"]) - w["last_avg"]) < 1e-9, uid
+        assert bool(got["stable"]) == w["stable"], uid
+        assert bool(got["stagnant"]) == w["stagnant"], uid

@@ -117,11 +117,13 @@ def test_posting_lists_cover_all_postings(built):
     assert from_lists == from_runs
 
 
-def test_arrow_tokenizer_path_equal(spark, built):
-    idx, _ = built
+def test_arrow_and_jvm_postings_equal(spark, built):
+    """The default (arrow mapInPandas) and cross-check (JVM
+    explode+groupBy) kernels produce identical postings."""
+    idx, _ = built  # built with the default impl
     docs = corpus_df(spark, N_FILES).filter("lang = 'python'")
-    b2 = IndexBuilder(spark, n_buckets=8, tokenizer_impl="arrow")
+    b2 = IndexBuilder(spark, n_buckets=8, tokenizer_impl="jvm")
     prepared = b2.prepare(docs)
-    arrow = {(r.term, r.doc_id, r.tf) for r in b2.postings_df(prepared).collect()}
-    jvm = {(r.term, r.doc_id, r.tf) for r in idx.postings.collect()}
-    assert arrow == jvm
+    jvm = {(r.term, r.doc_id, r.tf) for r in b2.postings_df(prepared).collect()}
+    default = {(r.term, r.doc_id, r.tf) for r in idx.postings.collect()}
+    assert default == jvm
