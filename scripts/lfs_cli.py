@@ -1,0 +1,134 @@
+"""spark-submit entry point: build / search / update the BM25 index.
+
+The reference exposes ``POST /search {query, top_k}`` and corpus
+build/update endpoints (``realtime/server.py:1886-2295``); this CLI is
+the batch-native equivalent, launched exactly as the north rule
+prescribes::
+
+    spark-submit --py-files la_fungus_search_spark.zip scripts/lfs_cli.py \\
+        build --input /data/corpus.parquet --out /data/index --id-mode hash
+
+    spark-submit ... scripts/lfs_cli.py \\
+        search --index /data/index --query "pheromone decay kernel" -k 10
+
+    spark-submit ... scripts/lfs_cli.py \\
+        update --index /data/index --input /data/corpus_v2.parquet --out /data/index_v2
+
+Results print as JSON lines on stdout (one per hit), reproducing the
+reference result shape {id, score, metadata{path,...}}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from la_fungus_search_spark.session import get_spark
+
+
+def cmd_build(args) -> None:
+    from la_fungus_search_spark.index.builder import IndexBuilder
+    from la_fungus_search_spark.sources import filter_code_files, load_corpus
+
+    spark = get_spark(app_name="lfs-build")
+    corpus = load_corpus(spark, args.input)
+    if args.langs:
+        corpus = filter_code_files(corpus, langs=tuple(args.langs.split(",")))
+    builder = IndexBuilder(
+        spark, n_buckets=args.buckets, n_salts=args.salts, id_mode=args.id_mode
+    )
+    idx = builder.build(corpus, out_dir=args.out, resume=args.resume)
+    print(json.dumps({"status": "built", "out": args.out, **idx.globals}))
+
+
+def cmd_search(args) -> None:
+    from la_fungus_search_spark.index.builder import load_index
+    from la_fungus_search_spark.query.engine import BM25QueryEngine
+
+    spark = get_spark(app_name="lfs-search")
+    eng = BM25QueryEngine(load_index(spark, args.index))
+    if args.mode == "and":
+        hits = eng.search_and(args.query, k=args.k)
+        hits = hits.join(
+            eng.index.doc_stats.select(
+                "doc_id", *[c for c in ("repo", "path", "commit", "content_sha256")
+                            if c in eng.index.doc_stats.columns]
+            ),
+            "doc_id", "left",
+        ).orderBy("query_id", "rank")
+    else:
+        hits = eng.search_with_docs(args.query, k=args.k, mode=args.mode)
+    for r in hits.collect():
+        d = r.asDict()
+        print(json.dumps({
+            "query_id": d["query_id"],
+            "rank": d["rank"],
+            "id": d["doc_id"],
+            "score": d["score"],
+            "metadata": {k: d.get(k) for k in ("repo", "path", "commit", "content_sha256")},
+        }))
+
+
+def cmd_update(args) -> None:
+    from la_fungus_search_spark.index.builder import IncrementalIndexBuilder, load_index
+    from la_fungus_search_spark.sources import load_corpus
+
+    spark = get_spark(app_name="lfs-update")
+    old = load_index(spark, args.index)
+    builder = IncrementalIndexBuilder(
+        spark, n_buckets=old.globals["n_buckets"], n_salts=old.globals["n_salts"],
+        id_mode=old.globals.get("id_mode", "hash"),
+    )
+    new_docs = load_corpus(spark, args.input)
+    idx = builder.incremental_build(old, new_docs)
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        idx.postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
+            os.path.join(args.out, "postings"))
+        idx.doc_stats.write.mode("overwrite").parquet(os.path.join(args.out, "doc_stats"))
+        idx.term_stats.write.mode("overwrite").parquet(os.path.join(args.out, "term_stats"))
+        idx.posting_lists.write.mode("overwrite").partitionBy("term_bucket").parquet(
+            os.path.join(args.out, "posting_lists"))
+        with open(os.path.join(args.out, "globals.json"), "w") as f:
+            json.dump(idx.globals, f, indent=2)
+    stats = [e for e in builder._manifest if e["stage"] == "incremental_build"][-1]
+    print(json.dumps({"status": "updated", "out": args.out, **stats}))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(prog="lfs")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True, help="parquet path | iceberg:<tbl> | table:<tbl>")
+    b.add_argument("--out", required=True)
+    b.add_argument("--id-mode", default="hash", choices=["hash", "dense"])
+    b.add_argument("--buckets", type=int, default=64)
+    b.add_argument("--salts", type=int, default=8)
+    b.add_argument("--langs", default="")
+    b.add_argument("--resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", action="append", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--mode", default="sql", choices=["sql", "blockmax", "and"])
+    s.set_defaults(fn=cmd_search)
+
+    u = sub.add_parser("update")
+    u.add_argument("--index", required=True)
+    u.add_argument("--input", required=True)
+    u.add_argument("--out", default="")
+    u.set_defaults(fn=cmd_update)
+
+    args = p.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
