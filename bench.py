@@ -138,6 +138,9 @@ def bench_main(results: dict):
         "events_stability_window",
         "events_topk_per_group",
         "interval_self_join",
+        "chunks_line_windows",
+        "hybrid_blend_topk",
+        "streaming_step_metrics",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25
