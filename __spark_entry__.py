@@ -433,20 +433,23 @@ def q_events_step_metrics(spark, sf_dir):
 
 
 def q_events_stability_window(spark, sf_dir):
-    """Reference A8 (realtime/server.py:966-983): sliding last-5 window
-    per user; stable iff (max−min) ≤ 5% of 2·mean (±5% band)."""
+    """Reference A8 (realtime/server.py:966-983), exact semantics:
+    sliding last-5 window per user; stable iff EVERY value is within
+    band = 0.05·mean of the window mean (mean==0 → band 0.05·1.0).
+    max deviation = max(max−mean, mean−min), so the all-values check is
+    one window pass — no per-element explode."""
     e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    avg5 = F.avg("value").over(w)
+    band = F.lit(0.05) * F.when(avg5 != 0.0, avg5).otherwise(F.lit(1.0))
+    dev = F.greatest(F.max("value").over(w) - avg5, avg5 - F.min("value").over(w))
     return (
         e.select(
             "event_id",
             "user_id",
             F.count("*").over(w).alias("n_window"),
-            _micro(F.avg("value").over(w)).alias("avg5_micro"),
-            (
-                (F.max("value").over(w) - F.min("value").over(w))
-                <= F.lit(0.1) * F.avg("value").over(w)
-            ).alias("stable"),
+            _micro(avg5).alias("avg5_micro"),
+            (dev <= band).alias("stable"),
         )
         .orderBy("event_id")
     )
@@ -466,7 +469,20 @@ def q_events_topk_per_group(spark, sf_dir):
     )
 
 
-def q_interval_self_join(spark, sf_dir):
+_EDGES_CACHE: dict = {}
+
+
+def _interval_edges(spark, sf_dir) -> DataFrame:
+    """Interval-overlap pair set, persisted per (session, sf) — shared
+    by q_interval_self_join and q_trail_degree so the degree query
+    doesn't recompute the whole bin-join pipeline."""
+    key = (id(spark), sf_dir)
+    if key not in _EDGES_CACHE:
+        _EDGES_CACHE[key] = _interval_pairs(spark, sf_dir).persist()
+    return _EDGES_CACHE[key]
+
+
+def _interval_pairs(spark, sf_dir):
     """Reference J2 (realtime/server.py:553-575): same-file line-range
     overlap join within radius — binned to an equi-join prefix so Spark
     plans a hash join, not a nested loop (SURVEY §2.4)."""
@@ -498,9 +514,12 @@ def q_interval_self_join(spark, sf_dir):
         .filter((F.col("sb") <= F.col("ea") + r) & (F.col("eb") >= F.col("sa") - r))
         .select("id_a", "id_b")
         .distinct()
-        .orderBy("id_a", "id_b")
     )
     return pairs
+
+
+def q_interval_self_join(spark, sf_dir):
+    return _interval_edges(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------- chunking / second-stage
@@ -675,8 +694,8 @@ def q_usage_cost_estimate(spark, sf_dir):
 
 def q_trail_degree(spark, sf_dir):
     """A2 (realtime/server.py:285-296): node degree of the interval
-    self-join pair graph."""
-    edges = q_interval_self_join(spark, sf_dir).select(
+    self-join pair graph (cached edge set, not a recompute)."""
+    edges = _interval_edges(spark, sf_dir).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     return trail_degree(edges).orderBy("node")
@@ -1278,13 +1297,21 @@ SELECT event_type, count(*)::BIGINT AS n_events,
 FROM events GROUP BY event_type ORDER BY event_type
 """,
         "events_stability_window": """
-SELECT event_id, user_id,
-       count(*) OVER w AS n_window,
-       round(avg(value) OVER w * 1e6)::BIGINT AS avg5_micro,
-       (max(value) OVER w - min(value) OVER w) <= 0.1 * avg(value) OVER w AS stable
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-ORDER BY event_id
+WITH base AS (
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_window,
+           avg(value) OVER w AS avg5,
+           max(value) OVER w AS mx,
+           min(value) OVER w AS mn
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, n_window,
+       round(avg5 * 1e6)::BIGINT AS avg5_micro,
+       greatest(mx - avg5, avg5 - mn)
+           <= 0.05 * (CASE WHEN avg5 <> 0 THEN avg5 ELSE 1.0 END) AS stable
+FROM base ORDER BY event_id
 """,
         "events_topk_per_group": """
 WITH ranked AS (
@@ -1445,7 +1472,7 @@ SELECT query_id, source, doc_id, kw_micro FROM r WHERE rn = 1 ORDER BY query_id,
         "usage_rollup_sets": f"""
 WITH {_USAGE_SQL.strip()}
 SELECT provider, model,
-       CASE WHEN model IS NULL THEN 'by_provider' ELSE 'by_model' END AS grp,
+       CASE WHEN GROUPING(model) = 1 THEN 'by_provider' ELSE 'by_model' END AS grp,
        count(*)::BIGINT AS n_rows,
        sum(prompt_tokens)::BIGINT AS prompt_tokens,
        sum(completion_tokens)::BIGINT AS completion_tokens,
@@ -1521,7 +1548,8 @@ m AS (
 ),
 band AS (
     SELECT l5.user_id,
-           bool_and(abs(l5.value - m.mean) <= 0.05 * abs(m.mean)) AS inband
+           bool_and(abs(l5.value - m.mean)
+                    <= 0.05 * (CASE WHEN m.mean <> 0 THEN m.mean ELSE 1.0 END)) AS inband
     FROM l5 JOIN m USING (user_id) GROUP BY l5.user_id
 ),
 stag AS (

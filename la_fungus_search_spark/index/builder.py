@@ -537,24 +537,43 @@ class IndexBuilder:
         )
 
 
-def snapshot_diff(old_doc_stats: DataFrame, new_prepared: DataFrame) -> DataFrame:
+def _snapshot_keys(old_doc_stats: DataFrame, new_prepared: DataFrame) -> list[str]:
+    """Doc-identity join key for snapshot diffing. doc_id is derived
+    from (repo, path, commit), so ``commit`` MUST be part of the key
+    whenever both snapshots carry it — joining on (repo, path) alone
+    goes many-to-many when a snapshot legally holds one path at several
+    commits, and the resulting phantom 'changed' pairs would leave
+    stale postings behind in ``incremental_build`` (duplicated
+    (term, doc_id, tf) rows → doubled BM25 scores)."""
+    keys = ["repo", "path"]
+    if "commit" in old_doc_stats.columns and "commit" in new_prepared.columns:
+        keys.append("commit")
+    return keys
+
+
+def snapshot_diff(
+    old_doc_stats: DataFrame, new_prepared: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
     """ST7 change detection (``realtime/server.py:2129-2184``): compare
-    an indexed snapshot to a new corpus snapshot by (repo, path), using
-    the carried ``content_sha256`` invariant as the change signal — the
+    an indexed snapshot to a new corpus snapshot by doc identity
+    (repo, path[, commit] — see :func:`_snapshot_keys`), using the
+    carried ``content_sha256`` invariant as the change signal — the
     distributed form of the reference's corpus fingerprint + per-file
     sha check. Returns (repo, path, status, old_doc_id, new_doc_id)
-    with status ∈ {unchanged, changed, added, removed}."""
+    with status ∈ {unchanged, changed, added, removed}; a path moving
+    to a new commit surfaces as removed+added (its doc_id changes)."""
+    keys = keys or _snapshot_keys(old_doc_stats, new_prepared)
     o = old_doc_stats.select(
-        "repo", "path",
+        *keys,
         F.col("doc_id").alias("old_doc_id"),
         F.col("content_sha256").alias("old_sha"),
     )
     n = new_prepared.select(
-        "repo", "path",
+        *keys,
         F.col("doc_id").alias("new_doc_id"),
         F.col("content_sha256").alias("new_sha"),
     )
-    j = o.join(n, ["repo", "path"], "full_outer")
+    j = o.join(n, keys, "full_outer")
     status = (
         F.when(F.col("old_sha").isNull(), F.lit("added"))
         .when(F.col("new_sha").isNull(), F.lit("removed"))
@@ -564,7 +583,7 @@ def snapshot_diff(old_doc_stats: DataFrame, new_prepared: DataFrame) -> DataFram
         )
         .otherwise(F.lit("changed"))
     )
-    return j.select("repo", "path", status.alias("status"), "old_doc_id", "new_doc_id")
+    return j.select(*keys, status.alias("status"), "old_doc_id", "new_doc_id")
 
 
 class IncrementalIndexBuilder(IndexBuilder):
@@ -589,20 +608,22 @@ class IncrementalIndexBuilder(IndexBuilder):
             raise ValueError("incremental_build requires id_mode='hash' or an explicit id_col")
         spark = self.spark
         prepared = self.prepare(new_docs, id_col=id_col).persist()
-        diff = snapshot_diff(old.doc_stats, prepared).persist()
+        keys = _snapshot_keys(old.doc_stats, prepared)
+        diff = snapshot_diff(old.doc_stats, prepared, keys=keys).persist()
 
         stale_ids = diff.filter(F.col("status").isin("changed", "removed")).select(
             F.col("old_doc_id").alias("doc_id")
         )
-        fresh_keys = diff.filter(F.col("status").isin("changed", "added")).select(
-            "repo", "path"
-        )
+        # fresh selection must use the SAME identity key as the diff: a
+        # (repo, path)-only semi-join would re-tokenize every commit of
+        # a path that gained one, duplicating kept postings
+        fresh_keys = diff.filter(F.col("status").isin("changed", "added")).select(*keys)
         # old postings minus stale docs: broadcast anti-join — the stale
         # set is the change set, tiny relative to the corpus
         kept = old.postings.join(F.broadcast(stale_ids), "doc_id", "left_anti").select(
             "term", "doc_id", "tf", "term_bucket"
         )
-        fresh_docs = prepared.join(F.broadcast(fresh_keys), ["repo", "path"], "left_semi")
+        fresh_docs = prepared.join(F.broadcast(fresh_keys), keys, "left_semi")
         fresh_postings = self.postings_df(fresh_docs).select(
             "term", "doc_id", "tf", "term_bucket"
         )

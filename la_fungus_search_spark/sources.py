@@ -61,12 +61,16 @@ def filter_code_files(
 
     ``lang IN (...)`` and the path predicates are plain Catalyst
     filters — they reach the parquet/Iceberg scan (PushedFilters), so
-    excluded trees are never read. ``max_files`` maps to LIMIT, which
-    Spark plans as CollectLimit/GlobalLimit with early termination.
+    excluded trees are never read. ``max_files`` caps the corpus on the
+    canonical (repo, path, commit) order — Spark plans the sort+limit
+    as TakeOrderedAndProject (per-partition top-N, then one merge), so
+    the cap is deterministic across runs/partitionings; a bare LIMIT on
+    an unordered DataFrame picks a nondeterministic subset (the
+    reference's walk-order cap is deterministic, ``ui/corpus.py:160-172``).
     """
     out = corpus.filter(F.col("lang").isin(list(langs)))
     for d in exclude_dirs:
         out = out.filter(~F.col("path").contains(f"/{d}/") & ~F.col("path").startswith(f"{d}/"))
     if max_files is not None:
-        out = out.limit(int(max_files))
+        out = out.orderBy("repo", "path", "commit").limit(int(max_files))
     return out

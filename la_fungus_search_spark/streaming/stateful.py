@@ -51,8 +51,12 @@ def _update(
     values = list(values)
     n_seen = int(n_seen)
     n_stagnant = int(n_stagnant)
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # a group's rows arrive as multiple ~10k-row Arrow chunks in
+    # arbitrary shuffle order — materialize ALL chunks before sorting,
+    # or big groups fold events out of global timestamp order
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         for v in pdf["value"].astype(float):
             values.append(v)
             if len(values) > WINDOW:
@@ -61,9 +65,13 @@ def _update(
             n_stagnant = n_stagnant + 1 if v < STAGNATION_VALUE else 0
     state.update((values, n_seen, n_stagnant))
     mean = sum(values) / len(values) if values else 0.0
+    # reference band (realtime/server.py:972-973): 0.05 * mean, with a
+    # literal-1.0 fallback when the mean is exactly zero (NOT abs —
+    # a negative mean makes the band negative and stability impossible)
+    band = BAND * (mean if mean != 0.0 else 1.0)
     stable = (
         len(values) == WINDOW
-        and all(abs(v - mean) <= BAND * abs(mean) for v in values)
+        and all(abs(v - mean) <= band for v in values)
     )
     yield pd.DataFrame(
         {
@@ -110,8 +118,9 @@ def stability_py(events: list[tuple]) -> dict:
     out = {}
     for user_id, st in per_user.items():
         mean = sum(st["values"]) / len(st["values"]) if st["values"] else 0.0
+        band = BAND * (mean if mean != 0.0 else 1.0)
         stable = len(st["values"]) == WINDOW and all(
-            abs(v - mean) <= BAND * abs(mean) for v in st["values"]
+            abs(v - mean) <= band for v in st["values"]
         )
         out[user_id] = {
             "n_seen": st["n_seen"],

@@ -40,18 +40,24 @@ def usage_rollup(
 
     Output has one row per provider (model NULL) and one per model
     (provider NULL), plus a ``grp`` tag so rows are self-describing.
+
+    Pure DataFrame API (no shared temp view → concurrent callers on one
+    SparkSession can't clobber each other's input), and the tag comes
+    from ``grouping()`` — a ``model IS NULL`` CASE would misclassify
+    rows when the data itself contains NULL provider/model values.
     """
     a, b = group_cols
-    sums = ", ".join(f"sum({c})::BIGINT AS {c}" for c in sum_cols)
-    usage.createOrReplaceTempView("_usage_rollup_in")
-    return usage.sparkSession.sql(
-        f"""
-        SELECT {a}, {b},
-               CASE WHEN {b} IS NULL THEN 'by_{a}' ELSE 'by_{b}' END AS grp,
-               count(*) AS n_rows, {sums}
-        FROM _usage_rollup_in
-        GROUP BY GROUPING SETS (({a}), ({b}))
-        """
+    grp = (
+        F.when(F.grouping(b) == 1, F.lit(f"by_{a}")).otherwise(F.lit(f"by_{b}")).alias("grp")
+    )
+    return (
+        usage.groupingSets([[a], [b]], a, b)
+        .agg(
+            grp,
+            F.count("*").alias("n_rows"),
+            *[F.sum(c).cast("bigint").alias(c) for c in sum_cols],
+        )
+        .select(a, b, "grp", "n_rows", *sum_cols)
     )
 
 

@@ -77,6 +77,15 @@ def cmd_update(args) -> None:
     from la_fungus_search_spark.index.builder import IncrementalIndexBuilder, load_index
     from la_fungus_search_spark.sources import load_corpus
 
+    if args.out and os.path.realpath(args.out) == os.path.realpath(args.index):
+        # the new index is written while its inputs are still LAZY reads
+        # of the old one — an in-place overwrite would truncate the very
+        # parquet files Spark is reading. Write to a fresh dir (atomic
+        # rename afterwards if in-place replacement is wanted).
+        print(json.dumps({"status": "error",
+                          "message": "--out must differ from --index: update reads the "
+                                     "old index lazily while writing the new one"}))
+        sys.exit(2)
     spark = get_spark(app_name="lfs-update")
     old = load_index(spark, args.index)
     builder = IncrementalIndexBuilder(

@@ -80,6 +80,38 @@ def test_incremental_equals_cold_rebuild(spark):
     assert m["n_changed"] == 5 and m["n_added"] == 4 and m["n_removed"] == 4
 
 
+def test_incremental_multi_commit_path(spark):
+    """A snapshot may legally hold the same (repo, path) at several
+    commits (doc identity is (repo, path, commit)). The diff must join
+    on the full identity — a (repo, path)-only join goes many-to-many
+    and leaves stale postings behind (doubled BM25 scores)."""
+    v1 = [
+        ("org/r", "src/a.py", "c1", "python", "alpha beta gamma"),
+        ("org/r", "src/a.py", "c2", "python", "alpha beta delta"),
+        ("org/r", "src/b.py", "c1", "python", "epsilon zeta"),
+    ]
+    # v2: drop a.py@c1, keep a.py@c2 untouched, add a.py@c3, mutate b.py@c1
+    v2 = [
+        ("org/r", "src/a.py", "c2", "python", "alpha beta delta"),
+        ("org/r", "src/a.py", "c3", "python", "alpha beta omega"),
+        ("org/r", "src/b.py", "c1", "python", "epsilon zeta eta"),
+    ]
+    d1 = spark.createDataFrame(v1, schema=CORPUS_SCHEMA)
+    d2 = spark.createDataFrame(v2, schema=CORPUS_SCHEMA)
+    inc_b = IncrementalIndexBuilder(spark, id_mode="hash", n_buckets=4)
+    old = inc_b.build(d1)
+    diff = snapshot_diff(old.doc_stats, inc_b.prepare(d2))
+    counts = {r.status: r.n for r in diff.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"removed": 1, "unchanged": 1, "added": 1, "changed": 1}
+
+    inc = inc_b.incremental_build(old, d2)
+    cold = IndexBuilder(spark, id_mode="hash", n_buckets=4).build(d2)
+    # no duplicated (term, doc_id, tf) rows, identical postings sets
+    assert inc.postings.groupBy("term", "doc_id").count().filter("count > 1").count() == 0
+    assert inc.postings.exceptAll(cold.postings).count() == 0
+    assert cold.postings.exceptAll(inc.postings).count() == 0
+
+
 def test_streaming_rollup_equals_batch(spark):
     got = streamed_step_metrics(spark, EVENTS_DIR)
     want = (
