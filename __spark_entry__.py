@@ -394,9 +394,10 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_srp_topk(spark, sf_dir):
-    # n_bits sized to corpus: ~2^6 buckets for the sf-test corpora so
-    # multi-probe reaches enough candidates to fill k
-    return similarity.srp_ann_topk(_embeddings(spark, sf_dir), ANN_QUERY_IDS, k=10, n_bits=6)
+    # defaults (6 bits × 8 tables, probe hamming ≤2) are sized for
+    # ≥0.9 recall@10 even on unclustered corpora — asserted vs
+    # cosine_topk in tests/test_dedup_similarity.py, recorded in bench
+    return similarity.srp_ann_topk(_embeddings(spark, sf_dir), ANN_QUERY_IDS, k=10)
 
 
 def q_multimodal_decode(spark, sf_dir):

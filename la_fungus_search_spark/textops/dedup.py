@@ -12,8 +12,10 @@ Scale design (the point of doing this on Spark):
 * **MinHash + LSH** — the discovery stage: 16 md5-derived min-hashes →
   4 bands × 4 rows; docs sharing a band key become candidates. Cost is
   linear + one shuffle on band keys; hot bands (boilerplate docs) are
-  the skew risk — band keys are already ~uniform md5s, and the
-  band-group size cap bounds the blowup.
+  the skew risk — groups over ``max_band_size`` degrade from all-pairs
+  to a doc_id-ordered consecutive-pair *chain* (:func:`capped_self_pairs`):
+  n−1 candidates instead of n(n−1)/2, and the chain keeps the group
+  connected so cluster resolution still merges it transitively.
 * **SimHash** — 64-bit weighted-bit fingerprint via an Arrow-batched
   kernel (numpy bit ops); hamming-≤τ pairs found by pigeonhole banding
   over 4×16-bit chunks (a doc pair at hamming ≤3 must agree on ≥1
@@ -41,6 +43,47 @@ from la_fungus_search_spark.tokenizer import tokens_expr
 N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = 4
+# all-pairs within a blocking group is quadratic; above this size a
+# group degrades to a consecutive-pair chain (linear, still connected)
+MAX_GROUP_SIZE = 256
+
+
+def capped_self_pairs(
+    df: DataFrame, group_cols: list[str], id_col: str = "doc_id", cap: int = MAX_GROUP_SIZE
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) within blocking groups, with a hard
+    size cap on the quadratic path.
+
+    Groups ≤ ``cap``: full all-pairs self-join (≤ cap²/2 pairs each).
+    Groups > ``cap`` (boilerplate mega-clusters — the 100 TB skew
+    killer): consecutive pairs in doc-id order only — n−1 candidates
+    from one linear window pass, no self-join. A chain under-generates
+    *pairs* but preserves *connectivity*, which is what the downstream
+    verify → connected-components pipeline consumes; nothing quadratic
+    can be emitted by any input.
+
+    Both paths shuffle once on the group key; the window over a hot
+    group is a linear scan of one partition, not a join.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(id_col)
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    e = df.select(*group_cols, id_col).withColumn("_grp_n", F.count("*").over(wall))
+    small = e.filter(F.col("_grp_n") <= cap).drop("_grp_n")
+    a, b = small.alias("a"), small.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in group_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    small_pairs = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    )
+    hot_pairs = (
+        e.withColumn("_nxt", F.lead(id_col).over(w))
+        .filter((F.col("_grp_n") > cap) & F.col("_nxt").isNotNull())
+        .select(F.col(id_col).alias("id_a"), F.col("_nxt").alias("id_b"))
+    )
+    return small_pairs.unionByName(hot_pairs).distinct()
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -147,10 +190,15 @@ def minhash_signatures(
     return minhash_signatures_from_shingles(shingles(docs, text_col, id_col, k))
 
 
-def lsh_candidate_pairs_from_signatures(sig: DataFrame) -> DataFrame:
+def lsh_candidate_pairs_from_signatures(
+    sig: DataFrame, max_band_size: int = MAX_GROUP_SIZE
+) -> DataFrame:
     """MinHash-LSH candidate pairs: docs agreeing on ≥1 of 4 bands
     (band key = md5 of 4 concatenated row hashes). Linear scan + one
-    equi-join on (band_id, band_key).
+    equi-join on (band_id, band_key); band groups over ``max_band_size``
+    degrade to consecutive-pair chains (see :func:`capped_self_pairs`)
+    so a boilerplate band with 10⁶ members emits 10⁶−1 candidates, not
+    10¹².
     """
     bands = F.array(
         *[
@@ -168,18 +216,7 @@ def lsh_candidate_pairs_from_signatures(sig: DataFrame) -> DataFrame:
     exploded = sig.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
+    return capped_self_pairs(exploded, ["band_id", "band_key"], "doc_id", max_band_size)
 
 
 def lsh_candidate_pairs(
@@ -266,17 +303,22 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def simhash_dup_pairs(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_chunk_group: int = MAX_GROUP_SIZE,
 ) -> DataFrame:
     """Near-dup pairs at hamming distance ≤ max_hamming via pigeonhole
     banding: split the 64-bit hash into 4×16-bit chunks; any pair at
     distance ≤3 agrees on ≥1 chunk → equi-join on (chunk_id, chunk),
-    verify with popcount on the XOR. Linear + equi-join, no all-pairs.
+    verify with popcount on the XOR. Linear + equi-join, no all-pairs;
+    hot chunk groups (e.g. the all-zero chunk of short docs) fall back
+    to consecutive-pair chains like the LSH path.
     """
-    sh = simhash(docs, text_col, id_col)
+    sh = simhash(docs, text_col, id_col).persist()
     chunks = sh.select(
         "doc_id",
-        "simhash_hex",
         F.explode(
             F.array(
                 *[
@@ -288,29 +330,20 @@ def simhash_dup_pairs(
                 ]
             )
         ).alias("c"),
-    ).select("doc_id", "simhash_hex", "c.chunk_id", "c.chunk")
-    a, b = chunks.alias("a"), chunks.alias("b")
+    ).select("doc_id", "c.chunk_id", "c.chunk")
+    hexes = sh.select("doc_id", "simhash_hex")
     cand = (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.simhash_hex").alias("hex_a"),
-            F.col("b.simhash_hex").alias("hex_b"),
-        )
-        .distinct()
+        capped_self_pairs(chunks, ["chunk_id", "chunk"], "doc_id", max_chunk_group)
+        .join(hexes.select(F.col("doc_id").alias("id_a"), F.col("simhash_hex").alias("hex_a")), "id_a")
+        .join(hexes.select(F.col("doc_id").alias("id_b"), F.col("simhash_hex").alias("hex_b")), "id_b")
     )
     # hamming = Σ popcount over 16-bit chunks (conv on a full u64 with
     # the top bit set would overflow signed long, so chunk first)
     ham = sum(
         F.bit_count(
-            F.conv(F.substring("hex_a", 1 + 4 * ci, 4), 16, 10).cast("long")
-            ^ F.conv(F.substring("hex_b", 1 + 4 * ci, 4), 16, 10).cast("long")
+            F.conv(F.substring("hex_a", 1 + 4 * ci, 4), 16, 10)
+            .cast("long")
+            .bitwiseXOR(F.conv(F.substring("hex_b", 1 + 4 * ci, 4), 16, 10).cast("long"))
         )
         for ci in range(4)
     )

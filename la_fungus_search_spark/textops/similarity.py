@@ -111,6 +111,7 @@ def srp_signatures(
     n_bits: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: str = "srp",
 ) -> DataFrame:
     """Sign-random-projection signature per vector (Arrow kernel —
     numpy matmul over the batch; one pass, no shuffle)."""
@@ -123,7 +124,7 @@ def srp_signatures(
                 continue
             mat = np.array(pdf[vec_col].tolist(), dtype="float64")
             if planes is None:
-                planes = _hyperplanes(mat.shape[1], n_bits)
+                planes = _hyperplanes(mat.shape[1], n_bits, seed)
             bits = (mat @ planes.T) > 0  # (n, n_bits)
             sig = np.zeros(len(pdf), dtype="int64")
             for j in range(n_bits):
@@ -135,25 +136,89 @@ def srp_signatures(
     )
 
 
+def srp_signature_tables(
+    embeddings: DataFrame,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """L independent SRP signatures per vector — the multi-table LSH
+    blocking used for near-dup detection: two vectors at angle θ share
+    a table with prob 1−(1−(1−θ/π)^n_bits)^L, so several short tables
+    beat one long one for high-cosine pairs. One Arrow pass computes
+    all tables (a single (n_tables·n_bits × dim) matmul); output
+    (vec_id, table_id, sig)."""
+    import pandas as pd
+
+    def kernel(batches):
+        planes = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype="float64")
+            if planes is None:
+                planes = np.vstack(
+                    [_hyperplanes(mat.shape[1], n_bits, seed=f"srp-t{t}") for t in range(n_tables)]
+                )  # (n_tables*n_bits, dim)
+            bits = (mat @ planes.T) > 0  # (n, n_tables*n_bits)
+            n = len(pdf)
+            sigs = np.zeros((n, n_tables), dtype="int64")
+            for t in range(n_tables):
+                for j in range(n_bits):
+                    sigs[:, t] |= bits[:, t * n_bits + j].astype("int64") << j
+            ids = pdf[id_col].astype("int64").to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, n_tables),
+                    "table_id": np.tile(np.arange(n_tables, dtype="int32"), n),
+                    "sig": sigs.reshape(-1),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, schema="vec_id BIGINT, table_id INT, sig BIGINT"
+    )
+
+
+def _probe_masks(n_bits: int, probe_hamming: int) -> list[int]:
+    """XOR masks for all buckets within hamming ≤ probe_hamming."""
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << j for j in range(n_bits)]
+    if probe_hamming >= 2:
+        masks += [(1 << i) | (1 << j) for i in range(n_bits) for j in range(i + 1, n_bits)]
+    return masks
+
+
 def srp_ann_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 10,
-    n_bits: int = 12,
+    n_bits: int = 6,
+    n_tables: int = 8,
+    probe_hamming: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate cosine top-k: candidates = vectors whose SRP
-    signature is within hamming ≤1 of the query's (multi-probe), exact
-    cosine re-rank on candidates only.
+    """Approximate cosine top-k: multi-table multi-probe SRP LSH.
+    Candidates = vectors sharing, in ANY of ``n_tables`` independent
+    ``n_bits``-bit tables, a bucket within hamming ≤ ``probe_hamming``
+    of the query's; exact cosine re-rank on candidates only.
 
-    At scale the signature table is bucketed/partitioned by ``sig`` so
-    each query touches ≤ n_bits+1 partitions (partition pruning) rather
-    than the full corpus.
+    Recall for a neighbor at angle θ (p = 1−θ/π per bit):
+    1 − (1 − P1)^n_tables with P1 = Σ_{i≤h} C(n,i)·p^(n−i)(1−p)^i —
+    the knobs trade scan fraction for recall, and the defaults give
+    ≥0.9 recall@10 even on unclustered corpora (measured in
+    tests/test_dedup_similarity.py; real embedding corpora cluster, so
+    the same recall costs far fewer probes there). At scale the
+    signature table is bucketed/partitioned by (table_id, sig) so each
+    query touches only its probed buckets (partition pruning), not the
+    full corpus.
     """
     from pyspark.sql import Window
 
-    sig = srp_signatures(embeddings, n_bits, id_col, vec_col).persist()
+    sig = srp_signature_tables(embeddings, n_bits, n_tables, id_col, vec_col).persist()
     qsig = sig.join(
         F.broadcast(
             embeddings.filter(F.col(id_col).isin(query_ids)).select(
@@ -161,17 +226,19 @@ def srp_ann_topk(
             )
         ),
         sig.vec_id == F.col("query_id"),
-    ).select("query_id", F.col("sig").alias("qsig"))
-    # multi-probe: the query's own bucket + every 1-bit flip
+    ).select("query_id", "table_id", F.col("sig").alias("qsig"))
+    masks = _probe_masks(n_bits, probe_hamming)
     probes = qsig.select(
         "query_id",
-        F.explode(
-            F.array(F.col("qsig"), *[F.col("qsig").bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)])
-        ).alias("sig"),
+        "table_id",
+        F.explode(F.array(*[F.col("qsig").bitwiseXOR(F.lit(m)) for m in masks])).alias("sig"),
     )
-    cands = probes.join(sig, "sig").filter(F.col("vec_id") != F.col("query_id")).select(
-        "query_id", "vec_id"
-    ).distinct()
+    cands = (
+        probes.join(sig, ["table_id", "sig"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
 
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
@@ -200,22 +267,41 @@ def cosine_dup_pairs(
     block_col: str | None = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_bits: int = 8,
+    n_tables: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
-    Blocked all-pairs within ``block_col`` groups (or SRP buckets when
-    no natural block exists) — the standard blocking trick that keeps
-    the join from going N²."""
-    a = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-        *([F.col(block_col).alias("blk")] if block_col else []),
-    )
-    b = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-        *([F.col(block_col).alias("blk")] if block_col else []),
-    )
-    cond = F.col("id_a") < F.col("id_b")
-    joined = a.join(b, (["blk"] if block_col else [])).filter(cond) if block_col else a.crossJoin(b).filter(cond)
+    Blocked all-pairs within ``block_col`` groups when a natural block
+    exists; otherwise candidates come from multi-table SRP buckets
+    (:func:`srp_signature_tables` — agree on any of ``n_tables``
+    ``n_bits``-bit signatures) with the same hot-group chain cap as the
+    MinHash path. NO code path emits an unbounded cross join: blocking
+    makes the join an equi-join either way, and cosine is verified
+    exactly on candidates only. SRP recall for a pair at cos ≥ t is
+    1−(1−p^n_bits)^n_tables with p = 1−arccos(t)/π (defaults: ≥0.89 at
+    t=0.95, →1 as t→1; raise n_tables for stricter recall)."""
+    if block_col:
+        a = embeddings.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+            F.col(block_col).alias("blk"),
+        )
+        b = embeddings.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+            F.col(block_col).alias("blk"),
+        )
+        joined = a.join(b, ["blk"]).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        from la_fungus_search_spark.textops.dedup import capped_self_pairs
+
+        sigs = srp_signature_tables(embeddings, n_bits, n_tables, id_col, vec_col)
+        cand = capped_self_pairs(sigs.withColumnRenamed("vec_id", "doc_id"),
+                                 ["table_id", "sig"], "doc_id")
+        joined = cand.join(
+            embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")), "id_a"
+        ).join(
+            embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")), "id_b"
+        )
     cos = _dot(F.col("va"), F.col("vb")) / (
         F.greatest(_norm(F.col("va")) * _norm(F.col("vb")), F.lit(1e-300))
     )
