@@ -379,6 +379,15 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution: LSH-verified pairs → connected
+    components → (doc_id, cluster_id, keep) with keeper = min doc_id.
+    Completes the dedup pipeline (discover → verify → resolve)."""
+    docs = _docs_aug(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(docs, k=3, threshold=0.5)
+    return dedup.dedup_clusters(pairs, docs).orderBy("doc_id")
+
+
 def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash(_documents(spark, sf_dir)).orderBy("doc_id")
 
@@ -844,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -927,6 +937,36 @@ SELECT id_a, id_b, common, n_a, n_b, jaccard_micro
 FROM jac WHERE jaccard_micro >= {threshold_micro}
 ORDER BY id_a, id_b
 """
+
+
+def _minhash_lsh_ctes(minhash_band_keys: str, band_union: str) -> str:
+    """Shared CTE chain: docs_aug → shingles → signatures → banded
+    candidates → Jaccard-verified pairs (ends with ``jac``)."""
+    return f"""{_DOCS_AUG_SQL.strip()},
+{_shingle_cte()},
+sig AS (SELECT doc_id, {_minhash_cols_sql()} FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, {minhash_band_keys} FROM sig),
+bx AS ({band_union}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bx a JOIN bx b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+common AS (
+    SELECT c.id_a, c.id_b, count(*)::BIGINT AS common
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT c.id_a, c.id_b,
+           round(c.common / (sa.n_sh + sb.n_sh - c.common) * 1e6)::BIGINT AS jaccard_micro
+    FROM common c
+    JOIN sizes sa ON c.id_a = sa.doc_id
+    JOIN sizes sb ON c.id_b = sb.doc_id
+)"""
 
 
 def _lang_id_sql() -> str:
@@ -1208,33 +1248,25 @@ SELECT doc_id, {_minhash_cols_sql()}
 FROM sh GROUP BY doc_id ORDER BY doc_id
 """,
         "dedup_minhash_lsh": f"""
-WITH {_DOCS_AUG_SQL.strip()},
-{_shingle_cte()},
-sig AS (SELECT doc_id, {_minhash_cols_sql()} FROM sh GROUP BY doc_id),
-bands AS (SELECT doc_id, {minhash_band_keys} FROM sig),
-bx AS ({band_union}),
-cand AS (
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bx a JOIN bx b ON a.band_id = b.band_id AND a.band_key = b.band_key
-                      AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
-common AS (
-    SELECT c.id_a, c.id_b, count(*)::BIGINT AS common
-    FROM cand c
-    JOIN sh a ON a.doc_id = c.id_a
-    JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-    GROUP BY 1, 2
-),
-jac AS (
-    SELECT c.id_a, c.id_b,
-           round(c.common / (sa.n_sh + sb.n_sh - c.common) * 1e6)::BIGINT AS jaccard_micro
-    FROM common c
-    JOIN sizes sa ON c.id_a = sa.doc_id
-    JOIN sizes sb ON c.id_b = sb.doc_id
-)
+WITH {_minhash_lsh_ctes(minhash_band_keys, band_union)}
 SELECT id_a, id_b, jaccard_micro FROM jac
 WHERE jaccard_micro >= 500000 ORDER BY id_a, id_b
+""",
+        # connected components over the verified pairs: the recursive
+        # walk enumerates, per node, every node reachable through the
+        # undirected pair graph; min(front) is the component's keeper
+        "dedup_clusters": f"""
+WITH RECURSIVE {_minhash_lsh_ctes(minhash_band_keys, band_union)},
+vp AS (SELECT id_a, id_b FROM jac WHERE jaccard_micro >= 500000),
+und AS (SELECT id_a AS a, id_b AS b FROM vp UNION SELECT id_b, id_a FROM vp),
+walk(node, front) AS (
+    SELECT doc_id, doc_id FROM docs_aug
+    UNION
+    SELECT w.node, u.b FROM walk w JOIN und u ON w.front = u.a
+)
+SELECT node AS doc_id, min(front)::BIGINT AS cluster_id,
+       (min(front) = node)::INT AS keep
+FROM walk GROUP BY node ORDER BY doc_id
 """,
         "dedup_embedding_cosine": f"""
 WITH {_EMB_AUG_SQL.strip()},

@@ -257,6 +257,82 @@ def minhash_dedup_pairs(
     )
 
 
+# ------------------------------------------------- cluster resolution
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 64
+) -> DataFrame:
+    """(node, cluster_id) for every node in an undirected pair list;
+    cluster_id = min node id of the component (deterministic keeper).
+
+    Iterative min-label propagation with pointer jumping: each round
+    (a) pulls the min label across neighbors, (b) replaces every label
+    by its label's label. The jump makes chains collapse in O(log n)
+    rounds instead of O(n) — the capped-band chain path above produces
+    exactly such chains. Each round is two hash joins + one agg (all
+    key-partitioned shuffles, no driver data), and the loop stops at
+    the first fixpoint (one count per round, O(log n) rounds total).
+
+    Lineage is truncated per round with ``localCheckpoint`` — persist
+    alone leaves the logical plan doubling every iteration and Catalyst
+    analysis goes exponential by round ~5 (measured: 6s → 60s/round).
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("a").alias("node")).distinct().select("node", F.col("node").alias("label"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels.withColumnRenamed("node", "a"), "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node", F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label")
+        )
+        lmap = stepped.select(F.col("node").alias("_ln"), F.col("label").alias("_ll"))
+        jumped = (
+            stepped.join(lmap, stepped.label == lmap._ln, "left")
+            .select("node", F.least(F.col("label"), F.coalesce("_ll", F.col("label"))).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.join(labels.withColumnRenamed("label", "_old"), "node")
+            .filter(F.col("label") != F.col("_old"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    pairs: DataFrame, all_docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup cluster resolution — the step every production dedup
+    pipeline ends with: verified pairs → connected components →
+    ``(doc_id, cluster_id, keep)`` with the deterministic keeper
+    ``keep = (doc_id == min id of its component)``. Docs in no pair are
+    their own singleton cluster (keep=1). Training-data dedup then
+    filters ``keep = 1`` — exactly one survivor per near-dup cluster,
+    transitively closed (A~B, B~C → one keeper among {A,B,C} even if
+    A~C was never emitted as a pair)."""
+    cc = connected_components(pairs)
+    return (
+        all_docs.select(F.col(id_col).alias("doc_id"))
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"))
+        .withColumn("keep", (F.col("doc_id") == F.col("cluster_id")).cast("int"))
+    )
+
+
 # --------------------------------------------------------------- SimHash
 
 _SIMHASH_SCHEMA = "doc_id BIGINT, simhash_hex STRING"

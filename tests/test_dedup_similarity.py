@@ -114,6 +114,49 @@ def test_lsh_band_cap_bounds_hot_groups(spark):
     assert small == 6  # C(4,2)
 
 
+def _union_find_clusters(pairs, all_ids):
+    parent = {i: i for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    comp = {}
+    for i in all_ids:
+        comp.setdefault(find(i), []).append(i)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for i in members:
+            out[i] = m
+    return out
+
+
+def test_dedup_clusters_equal_union_find(spark):
+    """Connected components (min-label propagation + pointer jumping)
+    vs a driver union-find oracle, on a graph with a LONG chain (the
+    shape the capped-band path emits — exercises the log-round jump),
+    a triangle, and singletons."""
+    chain = [(i, i + 1) for i in range(100, 160)]
+    tri = [(1, 2), (2, 3)]
+    cross = [(300, 5), (300, 161)]  # merges a singleton range into others
+    pairs = chain + tri + cross
+    all_ids = sorted({x for p in pairs for x in p} | {900, 901})  # + true singletons
+    pdf = spark.createDataFrame(pairs, schema="id_a BIGINT, id_b BIGINT")
+    docs = spark.createDataFrame([(i,) for i in all_ids], schema="doc_id BIGINT")
+    got = {r.doc_id: (r.cluster_id, r.keep) for r in dedup.dedup_clusters(pdf, docs).collect()}
+    want = _union_find_clusters(pairs, all_ids)
+    assert {k: v[0] for k, v in got.items()} == want
+    for i, (cid, keep) in got.items():
+        assert keep == (1 if i == cid else 0)
+    # exactly one keeper per cluster, singletons keep themselves
+    assert got[900] == (900, 1) and got[901] == (901, 1)
+
+
 def test_cosine_dup_pairs_srp_fallback_no_crossjoin(spark):
     emb = spark.read.parquet(f"{SF_EMB}/embeddings.parquet").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
