@@ -146,20 +146,22 @@ def _micro(c):
 # ---------------------------------------------------------------- BM25 oracle SQL
 
 
-def _bm25_base_cte() -> str:
+def _bm25_base_cte(src: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
     """Shared CTEs: tokenization → tf → doclen (incl. empty docs) →
     globals → df → epsilon-floored idf (BM25Okapi semantics,
-    FIXTURES.md §3)."""
-    toks = duckdb_tokens_sql("text")
+    FIXTURES.md §3). Parameterized over the doc-unit source so the
+    chunk-granularity index reuses the identical scoring pipeline."""
+    toks = duckdb_tokens_sql(text_col)
     return f"""
 tok AS (
-    SELECT doc_id, unnest({toks}) AS term FROM documents
+    SELECT {id_col} AS doc_id, unnest({toks}) AS term FROM {src}
 ),
 tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
 dl AS (
-    SELECT d.doc_id, coalesce(t.doclen, 0)::BIGINT AS doclen
-    FROM documents d
-    LEFT JOIN (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY 1) t USING (doc_id)
+    SELECT d.{id_col} AS doc_id, coalesce(t.doclen, 0)::BIGINT AS doclen
+    FROM {src} d
+    LEFT JOIN (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY 1) t
+      ON d.{id_col} = t.doc_id
 ),
 g AS (SELECT count(*)::DOUBLE AS n, avg(doclen)::DOUBLE AS avgdl, sum(doclen)::BIGINT AS total FROM dl),
 df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
@@ -559,6 +561,32 @@ def q_chunks_line_windows(spark, sf_dir):
     ).orderBy("doc_id", "start_line")
 
 
+def q_chunks_ast(spark, sf_dir):
+    """S3 primary path (ui/corpus.py:73-157): AST-aligned chunking over
+    synthesized Python sources — one `def` whose body has one assignment
+    line per document token. Every 13th doc gets an unparseable header
+    (planted SyntaxError) and exercises the line-window fallback, so
+    both src paths occur. Rows-only gate (ast.parse is not
+    SQL-expressible); algorithm parity is pytest-enforced against a
+    pure-Python port (tests/test_chunking.py)."""
+    from la_fungus_search_spark.chunking import chunk_python_ast
+
+    d = _documents(spark, sf_dir)
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    body = F.array_join(
+        F.transform(toks, lambda x: F.concat(F.lit("    "), x, F.lit(" = 1"))), "\n"
+    )
+    head = F.when(F.col("doc_id") % 13 == 0, F.lit("def broken(:\n")).otherwise(
+        F.lit("def f():\n")
+    )
+    content = F.concat(head, body, F.lit("\n"))
+    ch = chunk_python_ast(d.select("doc_id", content.alias("content")), [10],
+                          carry_cols=("doc_id",))
+    return ch.select(
+        "doc_id", "window", "start_line", "end_line", F.md5("body").alias("body_md5"), "src"
+    ).orderBy("doc_id", "start_line")
+
+
 def _code_view(spark, sf_dir) -> DataFrame:
     """documents with planted import-only / comment-only rows (the
     predicate needs positives of both kinds)."""
@@ -569,6 +597,39 @@ def _code_view(spark, sf_dir) -> DataFrame:
         .otherwise(F.col("content"))
     )
     return d.select("doc_id", content.alias("content"))
+
+
+def q_bm25_topk_chunks(spark, sf_dir):
+    """Chunk-granularity BM25 end-to-end (SURVEY §7.0 v2 doc unit, the
+    reference's actual result shape mcmp_rag.py:185-188): line-window
+    chunks become the indexed doc unit; results carry (doc_id,
+    start_line, end_line). chunk_id = doc_id·100000 + start_line is the
+    deterministic dense unit id shared with the oracle."""
+    ch = chunk_line_windows(_doc_lines(spark, sf_dir), [CHUNK_W], carry_cols=("doc_id",))
+    chunks = ch.select(
+        (F.col("doc_id") * 100000 + F.col("start_line")).alias("chunk_id"),
+        F.col("doc_id").alias("orig_doc"),
+        "start_line",
+        "end_line",
+        F.col("body").alias("content"),
+    )
+    idx = build_index(spark, chunks, id_col="chunk_id")
+    eng = BM25QueryEngine(idx)
+    ranked = _bm25_rank(eng.scored_sql(BM25_QUERIES), 10)
+    meta = chunks.select(F.col("chunk_id").alias("doc_id"), "orig_doc", "start_line", "end_line")
+    return (
+        ranked.join(meta, "doc_id")
+        .select(
+            "query_id",
+            "rank",
+            F.col("doc_id").alias("chunk_id"),
+            F.col("orig_doc").alias("doc_id"),
+            "start_line",
+            "end_line",
+            "score_q",
+        )
+        .orderBy("query_id", "rank")
+    )
 
 
 def q_import_only_filter(spark, sf_dir):
@@ -866,6 +927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk_per_group": q_events_topk_per_group,
         "interval_self_join": q_interval_self_join,
         "chunks_line_windows": q_chunks_line_windows,
+        "chunks_ast": q_chunks_ast,
+        "bm25_topk_chunks": q_bm25_topk_chunks,
         "import_only_filter": q_import_only_filter,
         "snippet_extract": q_snippet_extract,
         "hybrid_blend_topk": q_hybrid_blend_topk,
@@ -1380,6 +1443,37 @@ c AS (
 SELECT doc_id, "window", start_line, end_line, md5(body) AS body_md5
 FROM c WHERE regexp_replace(body, '{_SQL_STRIP}', '', 'g') <> ''
 ORDER BY doc_id, start_line
+""",
+        "bm25_topk_chunks": f"""
+WITH {_DOC_LINES_SQL.strip()},
+cs AS (SELECT doc_id, ls, unnest(range(0, len(ls), {CHUNK_W})) AS i FROM dlx WHERE len(ls) > 0),
+cb AS (
+    SELECT doc_id * 100000 + i + 1 AS chunk_id, doc_id AS orig_doc,
+           (i + 1)::INT AS start_line,
+           least(i + {CHUNK_W}, len(ls))::INT AS end_line,
+           array_to_string(list_slice(ls, i + 1, least(i + {CHUNK_W}, len(ls))), chr(10)) AS body
+    FROM cs
+),
+chunks AS (SELECT * FROM cb WHERE regexp_replace(body, '{_SQL_STRIP}', '', 'g') <> ''),
+{_bm25_base_cte(src="chunks", id_col="chunk_id", text_col="body")},
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt JOIN idf USING (term) JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM scored),
+ranked AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT r.query_id::INT AS query_id, r.rank::INT AS rank, r.doc_id AS chunk_id,
+       c.orig_doc AS doc_id, c.start_line, c.end_line, r.score_q
+FROM ranked r JOIN chunks c ON r.doc_id = c.chunk_id
+WHERE r.rank <= 10 ORDER BY r.query_id, r.rank
 """,
         "import_only_filter": f"""
 WITH {_CODE_VIEW_SQL.strip()},

@@ -178,6 +178,131 @@ def snippet_expr(content_col: str | Column, needle: str, radius: int = 5) -> Col
     return F.when(hit > 0, found).otherwise(fallback)
 
 
+def chunk_python_ast(
+    docs: DataFrame,
+    windows: list[int] | tuple[int, ...] = (50,),
+    content_col: str = "content",
+    carry_cols: tuple[str, ...] = ("repo", "path", "commit"),
+) -> DataFrame:
+    """AST-aligned chunking — the reference's PRIMARY chunker
+    (``ui/corpus.py:73-148`` + the ``chunk_python_file`` fallback at
+    ``:151-157``), exact semantics:
+
+    * top-level ``def``/``async def``/``class`` blocks become chunks;
+    * a block longer than ``max(windows)`` lines splits into windows of
+      that size with 20% overlap (``i = e − int(0.2·step)``);
+    * a module with no top-level def/class chunks as one whole-file
+      block (same split rule);
+    * unparseable source (SyntaxError etc.) falls back to plain line
+      windows — the ``src`` column says which path produced each row;
+    * bodies keep line endings (the reference joins ``readlines()``
+      output), blank bodies are skipped.
+
+    Distributed as an Arrow-batched ``mapInPandas`` kernel: ``ast.parse``
+    is pure-Python by necessity, but it runs batched per Arrow chunk
+    with zero shuffle — chunking stays a narrow map over the scan, so
+    it pipelines into the tokenizer/index build exactly like the JVM
+    line-window path. Parity with a pure-Python port of the reference
+    algorithm is pytest-enforced (tests/test_chunking.py).
+    """
+    import pandas as pd
+
+    carry = [c for c in carry_cols if c in docs.columns]
+    carry_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields if f.name in carry
+    )
+    out_schema = (
+        (carry_schema + ", " if carry_schema else "")
+        + "window INT, start_line INT, end_line INT, body STRING, src STRING"
+    )
+    uniq_windows = list(dict.fromkeys(int(w) for w in windows)) or [1000]
+    max_window = max(1, max(uniq_windows))
+    step = max_window
+    overlap = max(0, int(0.2 * step))
+
+    def kernel(batches):
+        import ast
+
+        def slice_blocks(lines, total, s0, e0):
+            """(start, end, body) chunks for one block, reference split
+            rule (ui/corpus.py:88-113)."""
+            out = []
+            s_idx, e_idx = max(1, s0), min(e0, total)
+            body = "".join(lines[s_idx - 1 : e_idx])
+            if not body.strip():
+                return out
+            if (e_idx - s_idx + 1) <= max_window:
+                out.append((s_idx, e_idx, body))
+                return out
+            i = s_idx - 1
+            while i < e_idx:
+                s = i + 1
+                e = min(i + step, e_idx)
+                sub = "".join(lines[s - 1 : e])
+                if sub.strip():
+                    out.append((s, e, sub))
+                if e >= e_idx:
+                    break
+                i = e - overlap
+            return out
+
+        def ast_chunks(content, lines, total):
+            tree = ast.parse(content)
+            nodes = [
+                n
+                for n in tree.body
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef))
+            ]
+            if not nodes:
+                return slice_blocks(lines, total, 1, total)
+            out = []
+            for n in nodes:
+                s, e = getattr(n, "lineno", None), getattr(n, "end_lineno", None)
+                if s is None or e is None:
+                    return slice_blocks(lines, total, 1, total)
+                out.extend(slice_blocks(lines, total, int(s), int(e)))
+            return out
+
+        def line_chunks(lines, total):
+            out = []
+            for w in uniq_windows:
+                st = max(1, w)
+                for i in range(0, total, st):
+                    s, e = i + 1, min(i + st, total)
+                    body = "".join(lines[i:e])
+                    if body.strip():
+                        out.append((st, s, e, body))
+            return out
+
+        for pdf in batches:
+            cols: dict = {c: [] for c in carry}
+            W, S, E, B, SRC = [], [], [], [], []
+            for t in pdf.itertuples(index=False):
+                content = getattr(t, content_col) or ""
+                lines = content.splitlines(keepends=True)
+                total = len(lines)
+                try:
+                    chunks = [(max_window, s, e, b) for s, e, b in ast_chunks(content, lines, total)]
+                    src = "ast"
+                except Exception:
+                    chunks = []
+                if not chunks:
+                    chunks = line_chunks(lines, total)
+                    src = "line_fallback"
+                for w, s, e, b in chunks:
+                    for c in carry:
+                        cols[c].append(getattr(t, c))
+                    W.append(w)
+                    S.append(s)
+                    E.append(e)
+                    B.append(b)
+                    SRC.append(src)
+            yield pd.DataFrame({**cols, "window": W, "start_line": S, "end_line": E,
+                                "body": B, "src": SRC})
+
+    return docs.select(*carry, content_col).mapInPandas(kernel, schema=out_schema)
+
+
 def chunks_with_header(
     docs: DataFrame,
     windows: list[int] | tuple[int, ...] = (50,),

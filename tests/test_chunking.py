@@ -175,6 +175,98 @@ def test_snippet_extraction(spark):
         assert got[r.path] == py_snippet(r.content or "", needle, 5), r.path
 
 
+def py_ast_chunks(content: str, windows: list[int]):
+    """Independent port of the reference AST chunker
+    (``ui/corpus.py:73-157`` incl. the chunk_python_file fallback):
+    returns (window, start, end, body, src) tuples. Written
+    comprehension-style on purpose — the oracle shares no code with the
+    Arrow kernel under test."""
+    import ast as ast_mod
+
+    lines = content.splitlines(keepends=True)
+    total = len(lines)
+    uniq = list(dict.fromkeys(int(w) for w in windows)) or [1000]
+    mw = max(1, max(uniq))
+
+    def block(s0, e0):
+        s, e = max(1, s0), min(e0, total)
+        whole = "".join(lines[s - 1 : e])
+        if not whole.strip():
+            return []
+        if e - s + 1 <= mw:
+            return [(s, e, whole)]
+        pieces, i, ov = [], s - 1, max(0, int(0.2 * mw))
+        while i < e:
+            lo, hi = i + 1, min(i + mw, e)
+            seg = "".join(lines[lo - 1 : hi])
+            if seg.strip():
+                pieces.append((lo, hi, seg))
+            if hi >= e:
+                break
+            i = hi - ov
+        return pieces
+
+    try:
+        tree = ast_mod.parse(content)
+        tops = [
+            n for n in tree.body
+            if type(n).__name__ in ("FunctionDef", "AsyncFunctionDef", "ClassDef")
+        ]
+        if tops and all(getattr(n, "end_lineno", None) for n in tops):
+            found = [c for n in tops for c in block(n.lineno, n.end_lineno)]
+        else:
+            found = block(1, total)
+        if found:
+            return [(mw, s, e, b, "ast") for s, e, b in found]
+    except Exception:
+        pass
+    return [
+        (max(1, w), i + 1, min(i + max(1, w), total), "".join(lines[i : i + max(1, w)]), "line_fallback")
+        for w in uniq
+        for i in range(0, total, max(1, w))
+        if "".join(lines[i : i + max(1, w)]).strip()
+    ]
+
+
+AST_EDGE_DOCS = [
+    ("r", "syntax_err.py", "c", "python", "def broken(:\n    pass\nmore lines\nof text\n"),
+    ("r", "no_defs.py", "c", "python", "x = 1\ny = 2\nprint(x + y)\n"),
+    ("r", "empty2.py", "c", "python", ""),
+    ("r", "blank2.py", "c", "python", "\n\n   \n"),
+    ("r", "one_def.py", "c", "python", "def f():\n    return 1\n"),
+    ("r", "async_cls.py", "c", "python",
+     "async def g():\n    pass\n\nclass K:\n    def m(self):\n        return 2\n"),
+    ("r", "decorated.py", "c", "python", "@dec\ndef h():\n    pass\n"),
+    ("r", "long_fn.py", "c", "python",
+     "def big():\n" + "".join(f"    v{i} = {i}\n" for i in range(40))),
+    ("r", "long_module.py", "c", "python", "".join(f"m{i} = {i}\n" for i in range(35))),
+    ("r", "nested.py", "c", "python",
+     "def outer():\n    def inner():\n        pass\n    return inner\n"),
+]
+
+
+def test_ast_chunker_matches_reference_algorithm(spark):
+    from la_fungus_search_spark.chunking import chunk_python_ast
+
+    docs = _sample_docs(spark, 40).union(spark.createDataFrame(AST_EDGE_DOCS, schema=SCHEMA))
+    windows = [10]
+    got = {}
+    for r in chunk_python_ast(docs, windows).collect():
+        got.setdefault(r.path, []).append((r.window, r.start_line, r.end_line, r.body, r.src))
+    contents = {r.path: r.content for r in docs.select("path", "content").collect()}
+    for path, content in contents.items():
+        want = py_ast_chunks(content or "", windows)
+        assert sorted(got.get(path, [])) == sorted(want), path
+    # the interesting shapes actually occurred
+    assert all(s == "line_fallback" for *_, s in got["syntax_err.py"])
+    assert all(s == "ast" for *_, s in got["one_def.py"])
+    splits = got["long_fn.py"]
+    assert len(splits) > 1  # 41-line def, window 10 → overlap windows
+    starts = sorted(s for _, s, _, _, _ in splits)
+    assert starts[1] == starts[0] + 10 - 2  # 20% overlap of step 10
+    assert len(got["nested.py"]) == 1  # only top-level defs chunk
+
+
 def test_chunk_index_end_to_end(spark):
     """Chunk-granularity index (SURVEY §7.0 v2 doc unit): chunks feed the
     same build pipeline and the sha256 invariant holds per chunk."""
