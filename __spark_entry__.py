@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 
 from la_fungus_search_spark.chunking import (
     chunk_line_windows,
+    concrete_query_expr,
+    grep_context,
     is_import_only_expr,
     snippet_expr,
 )
@@ -599,6 +601,38 @@ def _code_view(spark, sf_dir) -> DataFrame:
     return d.select("doc_id", content.alias("content"))
 
 
+def q_grep_context(spark, sf_dir):
+    """P6 full grep (codespace_analyzer.py:57-93): one row per matching
+    line with ±2-line context snippet (md5'd for the value compare)."""
+    out = grep_context(
+        _doc_lines(spark, sf_dir), GREP_NEEDLE, radius=2, id_cols=("doc_id",)
+    )
+    return out.select(
+        "doc_id", F.col("line_no").cast("int").alias("line_no"),
+        F.md5("snippet").alias("snippet_md5"),
+    ).orderBy("doc_id", "line_no")
+
+
+def q_concrete_query_filter(spark, sf_dir):
+    """P7 (realtime/server.py:913-928): concrete-target keep-filter over
+    synthesized follow-up query strings (path / line-range / def-symbol
+    / free-text mix, one per doc)."""
+    d = _documents(spark, sf_dir)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    qstr = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("review src/"), F.col("source"), F.lit("/main.py")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("lines 10-20 of "), F.substring(txt, 1, 20)))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("def handler_"), F.col("doc_id").cast("string")))
+        .otherwise(F.substring(txt, 1, 30))
+    )
+    return d.select(
+        "doc_id", concrete_query_expr(qstr).cast("int").alias("concrete")
+    ).orderBy("doc_id")
+
+
 def q_bm25_topk_chunks(spark, sf_dir):
     """Chunk-granularity BM25 end-to-end (SURVEY §7.0 v2 doc unit, the
     reference's actual result shape mcmp_rag.py:185-188): line-window
@@ -905,6 +939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_globals": q_bm25_globals,
         "keyword_score_topk": q_keyword_score_topk,
         "grep_scan": q_grep_scan,
+        "grep_context": q_grep_context,
+        "concrete_query_filter": q_concrete_query_filter,
         "term_intersection": q_term_intersection,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
@@ -1255,6 +1291,34 @@ SELECT lang, count(*)::BIGINT AS n_docs,
        sum(CASE WHEN instr(lower(text), '{GREP_NEEDLE}') > 0 THEN 1 ELSE 0 END)::BIGINT AS n_match,
        round(avg(n_chars) * 1e6)::BIGINT AS avg_chars_micro
 FROM documents GROUP BY lang ORDER BY lang
+""",
+        "grep_context": f"""
+WITH {_DOC_LINES_SQL.strip()},
+h AS (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS line_no FROM dlx),
+m AS (SELECT doc_id, line_no, ls FROM h WHERE instr(lower(ls[line_no]), '{GREP_NEEDLE}') > 0)
+SELECT doc_id, line_no::INT AS line_no,
+       md5(array_to_string(list_slice(ls, greatest(line_no - 2, 1),
+                                      least(line_no + 2, len(ls))), chr(10))) AS snippet_md5
+FROM m ORDER BY doc_id, line_no
+""",
+        "concrete_query_filter": f"""
+WITH q AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0 THEN 'review src/' || source || '/main.py'
+                WHEN doc_id % 4 = 1 THEN 'lines 10-20 of ' || substr(coalesce(text, ''), 1, 20)
+                WHEN doc_id % 4 = 2 THEN 'def handler_' || doc_id::VARCHAR
+                ELSE substr(coalesce(text, ''), 1, 30) END AS s0
+    FROM documents
+),
+t AS (SELECT doc_id, regexp_replace(s0, '{_SQL_STRIP}', '', 'g') AS s FROM q)
+SELECT doc_id,
+       (s <> '' AND (
+            regexp_matches(s, '\\b(lines?\\s*[:#-]?\\s*\\d+(-\\d+)?)\\b')
+            OR instr(s, '/') > 0 OR instr(s, chr(92)) > 0
+            OR regexp_matches(s, '\\b(def|class)\\s+[A-Za-z_][A-Za-z0-9_]*')
+            OR regexp_matches(s, '@app\\.(get|post|put|patch|delete)\\(\\s*[' || chr(39) || chr(34) || ']')
+       ))::INT AS concrete
+FROM t ORDER BY doc_id
 """,
         "term_intersection": f"""
 WITH tok AS (SELECT doc_id, unnest({_tok_sql("text")}) AS term FROM documents),

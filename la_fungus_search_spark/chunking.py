@@ -178,6 +178,65 @@ def snippet_expr(content_col: str | Column, needle: str, radius: int = 5) -> Col
     return F.when(hit > 0, found).otherwise(fallback)
 
 
+def grep_context(
+    docs: DataFrame,
+    query: str,
+    radius: int = 5,
+    content_col: str = "content",
+    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+) -> DataFrame:
+    """P6 full grep (reference ``codespace_analyzer.py:57-93``): one
+    row per matching line with its 1-based ``line_no`` and the ``±radius``
+    context ``snippet``. ``query`` is a case-insensitive literal
+    substring, or a regex when delimited ``/.../`` (matched against the
+    raw line, like the reference).
+
+    Plan shape: the (pos, line) pairs are exploded WITHOUT carrying the
+    full line array (which would copy O(lines²) bytes per doc into the
+    exploded rows); matches — usually sparse — are then joined back to
+    the per-doc array by ``id_cols`` to slice their context. Both sides
+    of that join derive from one scan and the match side is small, so
+    at scale this is a broadcast-ish equi-join, not an amplification.
+    """
+    ids = [c for c in id_cols if c in docs.columns]
+    if not ids:
+        raise ValueError("grep_context needs id_cols that identify a doc")
+    lines = _lines_expr(content_col)
+    base = docs.select(*ids, lines.alias("_lines"))
+    pe = base.select(*ids, F.posexplode("_lines").alias("_pos0", "_line"))
+    if len(query) >= 2 and query.startswith("/") and query.endswith("/"):
+        cond = F.col("_line").rlike(query[1:-1])
+    else:
+        cond = F.instr(F.lower(F.col("_line")), query.lower()) > 0
+    hits = pe.filter(cond).select(*ids, (F.col("_pos0") + 1).alias("line_no"))
+    start = F.greatest(F.col("line_no") - F.lit(radius), F.lit(1))
+    end = F.least(F.col("line_no") + F.lit(radius), F.size("_lines"))
+    return (
+        hits.join(base, ids)
+        .select(
+            *ids,
+            "line_no",
+            F.array_join(F.slice("_lines", start, end - start + 1), "\n").alias("snippet"),
+        )
+    )
+
+
+def concrete_query_expr(query_col: str | Column) -> Column:
+    """P7 (reference ``realtime/server.py:913-928``): keep-filter for
+    follow-up queries that name a concrete target — a line range, a
+    path separator, a ``def``/``class`` symbol, or an HTTP route
+    decorator. One vectorized boolean expression, JVM-side."""
+    c = F.col(query_col) if isinstance(query_col, str) else query_col
+    s = _strip(F.coalesce(c, F.lit("")))
+    return (s != "") & (
+        s.rlike(r"\b(lines?\s*[:#-]?\s*\d+(-\d+)?)\b")
+        | s.contains("/")
+        | s.contains("\\")
+        | s.rlike(r"\b(def|class)\s+[A-Za-z_][A-Za-z0-9_]*")
+        | s.rlike(r"@app\.(get|post|put|patch|delete)\(\s*['\"]")
+    )
+
+
 def chunk_python_ast(
     docs: DataFrame,
     windows: list[int] | tuple[int, ...] = (50,),

@@ -175,6 +175,74 @@ def test_snippet_extraction(spark):
         assert got[r.path] == py_snippet(r.content or "", needle, 5), r.path
 
 
+def py_grep(content: str, query: str, n: int):
+    """Reference search_snippets port (codespace_analyzer.py:57-93)."""
+    lines = content.splitlines()
+    out = []
+    is_regex = query.startswith("/") and query.endswith("/") and len(query) >= 2
+    for i, line in enumerate(lines):
+        hit = (
+            re.search(query[1:-1], line)
+            if is_regex
+            else query.lower() in line.lower()
+        )
+        if hit:
+            s, e = max(0, i - n), min(len(lines), i + n + 1)
+            out.append((i + 1, "\n".join(lines[s:e])))
+    return out
+
+
+def py_is_concrete(q: str) -> bool:
+    """Reference _is_concrete port (realtime/server.py:913-928)."""
+    s = (q or "").strip()
+    if not s:
+        return False
+    return bool(
+        re.search(r"\b(lines?\s*[:#-]?\s*\d+(-\d+)?)\b", s)
+        or "/" in s
+        or "\\" in s
+        or re.search(r"\b(def|class)\s+[A-Za-z_][A-Za-z0-9_]*", s)
+        or re.search(r"@app\.(get|post|put|patch|delete)\(\s*['\"]", s)
+    )
+
+
+def test_grep_context_matches_reference(spark):
+    from la_fungus_search_spark.chunking import grep_context
+
+    docs = _sample_docs(spark, 30).union(spark.createDataFrame(EDGE_DOCS, schema=SCHEMA))
+    for q in ("import", "/de[f]\\s/", "/x = \\d/"):
+        got = {}
+        for r in grep_context(docs, q, radius=3, id_cols=("path",)).collect():
+            got.setdefault(r.path, []).append((r.line_no, r.snippet))
+        for r in docs.select("path", "content").collect():
+            want = py_grep(r.content or "", q, 3)
+            assert sorted(got.get(r.path, [])) == sorted(want), (q, r.path)
+
+
+def test_concrete_query_filter_matches_reference(spark):
+    from la_fungus_search_spark.chunking import concrete_query_expr
+
+    cases = [
+        "",
+        "   ",
+        "how does ranking work",
+        "look at src/engine.py",
+        "windows path C:\\repo\\x",
+        "check lines 10-20",
+        "line: 7",
+        "lines12",  # no boundary/space variant — digits directly attached
+        "what does def build_index do",
+        "class BM25Index internals",
+        "classify the results",  # 'class' prefix of another word, no symbol
+        '@app.get("/search") handler',
+        "defer the work",  # 'def' inside word
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i INT, q STRING")
+    got = {r.i: bool(r.c) for r in df.select("i", concrete_query_expr("q").alias("c")).collect()}
+    for i, c in enumerate(cases):
+        assert got[i] == py_is_concrete(c), (i, c)
+
+
 def py_ast_chunks(content: str, windows: list[int]):
     """Independent port of the reference AST chunker
     (``ui/corpus.py:73-157`` incl. the chunk_python_file fallback):
