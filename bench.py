@@ -27,6 +27,7 @@ import os
 import statistics
 import sys
 import time
+from collections import Counter
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -119,6 +120,33 @@ def bench_main(results: dict):
             ps["decoded_postings"] / max(ps["total_postings"], 1), 4
         ),
     }
+    # the user-facing path: per-query sql/blockmax choice. On THIS
+    # corpus (31-term vocab, min df = 5% of docs — no term is
+    # selective) the adaptive rule must route every query to sql,
+    # avoiding round-1's 3.4x-slower always-blockmax trap; the
+    # pruning-friendly evidence lives in the 400k-doc code-corpus run
+    # (blockmax_pruning_selective, from scaling_run.py).
+    t, _ = _timed(lambda: eng.search(entry.BM25_QUERIES, k=10, mode="auto").collect())
+    queries["bm25_topk_auto"] = round(t, 3)
+    results["auto_modes"] = dict(Counter(eng.last_auto_modes.values()))
+
+    # --- SRP-ANN quality: recall@10 vs the exact cosine scan
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    from la_fungus_search_spark.textops import similarity
+
+    qids = list(range(20))
+    exact = {(r.query_id, r.vec_id)
+             for r in similarity.cosine_topk(emb, qids, k=10).collect()}
+    t_ann, approx_rows = _timed(
+        lambda: similarity.srp_ann_topk(emb, qids, k=10).collect())
+    approx = {(r.query_id, r.vec_id) for r in approx_rows}
+    results["ann_recall"] = {
+        "recall_at_10": round(len(exact & approx) / max(len(exact), 1), 4),
+        "n_queries": len(qids),
+        "srp_sec": round(t_ann, 3),
+    }
     per_q = []
     for q in entry.BM25_QUERIES[:4]:
         t, _ = _timed(lambda: eng.search([q], k=10, mode="sql").collect())
@@ -134,7 +162,12 @@ def bench_main(results: dict):
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
+        "dedup_clusters",
         "ann_cosine_topk",
+        "chunks_ast",
+        "grep_context",
+        "concrete_query_filter",
+        "bm25_topk_chunks",
         "events_stability_window",
         "events_topk_per_group",
         "interval_self_join",
@@ -211,6 +244,12 @@ def bench_scaling(results: dict):
     hi = _scaling_job("local[8]", shuffle=64, n_files=SCALING_FILES)
     log(f"scaling 4N (local[8]): {hi}")
     eff = hi["docs_per_sec"] / (4.0 * lo["docs_per_sec"])
+    if hi.get("blockmax_selective"):
+        # pruning evidence at 400k docs (Zipfian code-corpus vocab —
+        # the documents bench table has 31 terms all at df >= 5% and is
+        # unprunable by construction)
+        results["blockmax_pruning_selective"] = hi.pop("blockmax_selective")
+        lo.pop("blockmax_selective", None)
     results["scaling"] = {
         "n": lo,
         "4n": hi,

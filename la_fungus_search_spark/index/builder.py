@@ -72,10 +72,20 @@ class BM25Index:
         return self.globals["avgdl"]
 
 
+# auto-sizing targets for n_buckets (the scale lever: buckets are the
+# posting-store partitions AND the block-build shuffle groups)
+EST_TERMS_PER_DOC = 200  # distinct terms per source file, conservative
+TARGET_POSTINGS_PER_BUCKET = 4_000_000
+MIN_BUCKETS, MAX_BUCKETS = 8, 4096
+
+
 @dataclass
 class IndexBuilder:
     spark: SparkSession
-    n_buckets: int = 32
+    # None → derived from the input's row count at build time
+    # (clamped power of two targeting ~4M postings/bucket); the chosen
+    # value and its derivation are recorded in globals.json
+    n_buckets: int | None = None
     block_size: int = 128
     # doc-range width for BMW pruning metadata: every block records the
     # DISTINCT doc ranges its postings fall in (``range_ids`` array), so
@@ -105,6 +115,29 @@ class IndexBuilder:
     # whole-stage-codegen cross-check path (tested equal).
     tokenizer_impl: str = "arrow"
     _manifest: list = field(default_factory=list)
+
+    # ---------------------------------------------------------- sizing
+
+    def resolve_n_buckets(self, docs: DataFrame) -> dict:
+        """Fix n_buckets for this build. Explicit value wins; otherwise
+        derive from the input row count (a metadata-only count for
+        parquet/Iceberg sources): next power of two fitting
+        ~TARGET_POSTINGS_PER_BUCKET estimated postings per bucket,
+        clamped to [8, 4096]. Returns the sizing record for
+        globals.json — no more hard-coded scale constant."""
+        if self.n_buckets is not None:
+            return {"n_buckets": int(self.n_buckets), "n_buckets_auto": False}
+        n_docs_est = docs.count()
+        est_postings = max(n_docs_est, 1) * EST_TERMS_PER_DOC
+        raw = 2 ** math.ceil(math.log2(max(est_postings / TARGET_POSTINGS_PER_BUCKET, 1.0)))
+        self.n_buckets = int(min(max(raw, MIN_BUCKETS), MAX_BUCKETS))
+        return {
+            "n_buckets": self.n_buckets,
+            "n_buckets_auto": True,
+            "n_docs_est": int(n_docs_est),
+            "est_postings": int(est_postings),
+            "target_postings_per_bucket": TARGET_POSTINGS_PER_BUCKET,
+        }
 
     # ---------------------------------------------------------- stages
 
@@ -412,6 +445,7 @@ class IndexBuilder:
         id_col: str | None = None,
     ) -> BM25Index:
         spark = self.spark
+        sizing = self.resolve_n_buckets(docs)
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
             if not resume:
@@ -488,7 +522,7 @@ class IndexBuilder:
             "k1": self.k1,
             "b": self.b,
             "epsilon": self.epsilon,
-            "n_buckets": self.n_buckets,
+            **sizing,
             "block_size": self.block_size,
             "block_doc_range": int(self.block_doc_range or self.block_size),
             "n_salts": self.n_salts,
@@ -606,6 +640,10 @@ class IncrementalIndexBuilder(IndexBuilder):
     ) -> BM25Index:
         if id_col is None and self.id_mode != "hash":
             raise ValueError("incremental_build requires id_mode='hash' or an explicit id_col")
+        # fresh postings MUST use the old index's bucketing — kept rows
+        # carry its term_bucket values; a mismatch would split a term
+        # across buckets and break partition pruning
+        self.n_buckets = int(old.globals["n_buckets"])
         spark = self.spark
         prepared = self.prepare(new_docs, id_col=id_col).persist()
         keys = _snapshot_keys(old.doc_stats, prepared)

@@ -140,43 +140,61 @@ class BM25QueryEngine:
 
     # ------------------------------------------------------------ block-max path
 
-    def _theta_estimates(self, q_with_meta: pd.DataFrame, k: int) -> dict[int, float]:
-        """Exact top-k floor per query: decode only each term's single
-        highest-max block, fully score those docs on all decoded terms,
-        take the kth best. Cheap (≤ |q| blocks) and a true lower bound."""
-        thetas: dict[int, float] = {}
-        for qid, grp in q_with_meta.groupby("query_id"):
-            doc_scores: Counter = Counter()
-            for _, r in grp.iterrows():
-                if r["doc_ids"] is None:
-                    continue
-                ids = delta_decode_docids(bytes(r["doc_ids"]))
-                tfs = decode_tfs(bytes(r["tfs"]))
-                dls = r["doclens"]
-                contrib = (
-                    r["qtf"] * r["idf"] * (tfs * (self.k1 + 1.0))
-                    / (tfs + self.k1 * (1.0 - self.b + self.b * dls / self.avgdl))
-                )
-                for d, c in zip(ids.tolist(), contrib.tolist()):
-                    doc_scores[d] += c
-            if len(doc_scores) >= k:
-                thetas[int(qid)] = sorted(doc_scores.values(), reverse=True)[k - 1]
-            else:
-                thetas[int(qid)] = 0.0
-        return thetas
+    def _query_meta(self, queries: Sequence[str]) -> pd.DataFrame:
+        """(query_id, term, qtf, idf, df, term_bucket) for a query
+        batch — the one tiny driver collect shared by the blockmax and
+        auto paths (term_stats filtered to the query terms)."""
+        qt = self._query_terms_df(queries)
+        return qt.join(
+            self.index.term_stats.select("term", "idf", "df", "term_bucket"), "term"
+        ).toPandas()
+
+    def _theta_from_best(self, q_meta: pd.DataFrame, best: pd.DataFrame, k: int) -> dict[int, float]:
+        """Top-k floor per query from the decoded best-block rows
+        (term, doc_id, tf, doclen): sum each candidate doc's
+        contributions over the rows present, take the kth best. Partial
+        sums UNDERestimate true scores (more matching terms only add),
+        so θ is always a safe lower bound. It is intentionally the
+        CHEAP floor — tightening it to exact candidate scores requires
+        re-scanning postings for the query terms, which costs as much
+        as the query itself (measured), defeating the point."""
+        if best.empty:
+            return {}
+        merged = q_meta.merge(best, on="term", how="inner")
+        if merged.empty:
+            return {}
+        tf = merged["tf"].astype("float64")
+        dl = merged["doclen"].astype("float64")
+        merged["contrib"] = (
+            merged["qtf"] * merged["idf"] * (tf * (self.k1 + 1.0))
+            / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
+        )
+        by_doc = merged.groupby(["query_id", "doc_id"])["contrib"].sum()
+        theta: dict[int, float] = {}
+        for qid, grp in by_doc.groupby(level=0):
+            vals = grp.to_numpy()
+            theta[int(qid)] = float(sorted(vals, reverse=True)[k - 1]) if len(vals) >= k else 0.0
+        return theta
 
     def search_blockmax(
-        self, queries: Sequence[str], k: int = 10, collect_stats: bool = False
+        self,
+        queries: Sequence[str],
+        k: int = 10,
+        collect_stats: bool = False,
+        _q_meta: pd.DataFrame | None = None,
     ) -> DataFrame:
         """Compressed-index scoring with safe block pruning.
 
-        With ``collect_stats=True``, stores pruning evidence in
-        ``self.last_prune_stats`` (total vs decoded blocks/postings for
-        the query terms) — the measurable WAND win."""
+        Driver round-trips per batch: ONE tiny term-stats lookup
+        (``_query_meta``; reused when the auto path already did it) and
+        ONE combined metadata job that picks each term's top blocks by
+        block_max (covering ≥ k postings), Arrow-decodes them, joins
+        doclen, and returns O(|terms|·k) rows — θ-estimation then needs
+        no further jobs. With ``collect_stats=True``, stores pruning
+        evidence in ``self.last_prune_stats`` (total vs decoded
+        blocks/postings for the query terms) — the measurable WAND win."""
         idx = self.index
-        qt = self._query_terms_df(queries)
-        q_with_idf = qt.join(idx.term_stats.select("term", "idf", "term_bucket"), "term")
-        q_meta = q_with_idf.toPandas()
+        q_meta = self._query_meta(queries) if _q_meta is None else _q_meta
         if q_meta.empty:
             return self._empty_result()
         buckets = sorted(q_meta["term_bucket"].unique().tolist())
@@ -186,51 +204,49 @@ class BM25QueryEngine:
             F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
         )
 
-        # ONE metadata job per query batch: each term's top blocks by
-        # block_max, taking blocks until ≥ k postings are covered (a
-        # single block is too weak a floor with doc-range-aligned
-        # blocks — a rare term's best block may hold 2-3 docs). The
-        # collect stays O(|terms|·k) postings at any corpus scale.
+        # ONE metadata job: top blocks per term until ≥ k postings are
+        # covered (a single block is too weak a floor with doc-range-
+        # aligned blocks) are Arrow-decoded and doclen-joined in one
+        # DAG; the collect stays O(|terms|·k) rows at any corpus scale.
         w_blk = Window.partitionBy("term").orderBy(F.desc("block_max"), F.asc("block_id"))
-        blk_meta = (
+        top_blocks = (
             lists.withColumn(
                 "cum",
                 F.sum("count").over(w_blk.rowsBetween(Window.unboundedPreceding, 0)),
             )
             .filter(F.col("cum") - F.col("count") < k)
             .select("term", "doc_ids", "tfs")
-            .toPandas()
         )
-        # queries containing any negative-idf term get NO pruning: a
-        # partial sum then OVERestimates the true score, so the θ floor
-        # below would not be a safe lower bound (see oracle.top_k note
-        # on negative epsilon floors)
-        neg_idf_queries = set(q_meta.loc[q_meta["idf"] < 0, "query_id"].astype(int))
 
-        # θ: exact floor from the collected top blocks (no extra job)
-        best_blocks = blk_meta
-        theta: dict[int, float] = {}
-        if not best_blocks.empty:
-            # attach doclens for the best-block docs via one small join
+        def decode_meta(batches):
             import numpy as np
 
-            all_ids = sorted(
-                {int(d) for _, r in best_blocks.iterrows()
-                 for d in delta_decode_docids(bytes(r["doc_ids"]))}
-            )
-            dl_pdf = (
-                idx.doc_stats.filter(F.col("doc_id").isin(all_ids))
-                .select("doc_id", "doclen")
-                .toPandas()
-            )
-            dl_map = dict(zip(dl_pdf["doc_id"], dl_pdf["doclen"]))
-            merged = q_meta.merge(best_blocks, on="term", how="inner")
-            merged["doclens"] = merged["doc_ids"].map(
-                lambda b_: np.array(
-                    [dl_map.get(int(d), 0) for d in delta_decode_docids(bytes(b_))], dtype="float64"
-                )
-            )
-            theta = self._theta_estimates(merged, k)
+            for pdf in batches:
+                ts, ids_all, tfs_all = [], [], []
+                for r in pdf.itertuples(index=False):
+                    ids = delta_decode_docids(bytes(r.doc_ids))
+                    ts.extend([r.term] * len(ids))
+                    ids_all.append(ids)
+                    tfs_all.append(decode_tfs(bytes(r.tfs)).astype("float64"))
+                if ts:
+                    yield pd.DataFrame(
+                        {"term": ts,
+                         "doc_id": np.concatenate(ids_all),
+                         "tf": np.concatenate(tfs_all)}
+                    )
+
+        best = (
+            top_blocks.mapInPandas(decode_meta, schema="term STRING, doc_id BIGINT, tf DOUBLE")
+            .join(idx.doc_stats.select("doc_id", "doclen"), "doc_id")
+            .toPandas()
+        )
+        # queries containing any negative-idf term keep NO pruning —
+        # conservative belt-and-braces (θ is exact over candidates, so
+        # it would still be safe, but the UB/θ interplay with negative
+        # contributions is not worth the risk for a corpus class the
+        # sql path serves fine)
+        neg_idf_queries = set(q_meta.loc[q_meta["idf"] < 0, "query_id"].astype(int))
+        theta = self._theta_from_best(q_meta, best, k)
 
         # BMW-style doc-range pruning: blocks are doc-range-aligned at
         # build (builder.block_doc_range), so for each (query, range)
@@ -338,12 +354,67 @@ class BM25QueryEngine:
             [], schema="query_id INT, doc_id BIGINT, score DOUBLE, rank INT"
         )
 
+    # ------------------------------------------------------------ adaptive path
+
+    # a query only benefits from block/range pruning when it contains a
+    # selective term: θ is then dominated by that term's contribution
+    # and most doc ranges of the common terms fall below it. All-common
+    # queries (every term matching > n/SELECTIVITY docs) decode ~100%
+    # of postings anyway — the BMW machinery is pure overhead there
+    # (measured 3.4x slower than the SQL path in BENCH_r01).
+    SELECTIVITY = 64
+
+    def choose_mode(self, q_meta: pd.DataFrame, query_id: int) -> str:
+        """sql|blockmax for one query from its terms' df/idf stats."""
+        grp = q_meta[q_meta["query_id"] == query_id]
+        if grp.empty:
+            return "sql"
+        if (grp["idf"] < 0).any():
+            return "sql"  # pruning is unsafe with negative contributions
+        n = max(self.index.n_docs, 1)
+        return "blockmax" if int(grp["df"].min()) * self.SELECTIVITY <= n else "sql"
+
+    def search_auto(self, queries: Sequence[str], k: int = 10) -> DataFrame:
+        """Per-query physical-path choice (the reference exposes one
+        logical search; which index machinery serves it is the engine's
+        call). One shared term-stats lookup decides; each sub-batch runs
+        its best path and query_ids are mapped back."""
+        q_meta = self._query_meta(queries)
+        chosen = [self.choose_mode(q_meta, qid) for qid in range(len(queries))]
+        self.last_auto_modes = dict(enumerate(chosen))
+        parts = []
+        for mode in ("sql", "blockmax"):
+            ids = [i for i, m in enumerate(chosen) if m == mode]
+            if not ids:
+                continue
+            sub = [queries[i] for i in ids]
+            if mode == "sql":
+                res = self.search_sql(sub, k)
+            else:
+                sub_meta = q_meta[q_meta["query_id"].isin(ids)].copy()
+                sub_meta["query_id"] = sub_meta["query_id"].map({q: i for i, q in enumerate(ids)})
+                res = self.search_blockmax(sub, k, _q_meta=sub_meta)
+            id_map = F.array(*[F.lit(i) for i in ids])
+            parts.append(
+                res.withColumn("query_id", F.element_at(id_map, F.col("query_id") + 1))
+                .select("query_id", "doc_id", "score", "rank")
+            )
+        if not parts:
+            return self._empty_result()
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy("query_id", "rank")
+
     # ------------------------------------------------------------ facade
 
     def search(self, queries: Sequence[str], k: int = 10, mode: str = "sql") -> DataFrame:
-        """Top-k per query: columns (query_id, doc_id, score, rank)."""
+        """Top-k per query: columns (query_id, doc_id, score, rank).
+        ``mode``: sql | blockmax | auto (per-query choice)."""
         if mode == "blockmax":
             df = self.search_blockmax(queries, k)
+        elif mode == "auto":
+            df = self.search_auto(queries, k)
         else:
             df = self.search_sql(queries, k)
         return df.select("query_id", "doc_id", "score", "rank")

@@ -95,7 +95,52 @@ def main():
     eng.search(BM25_QUERIES, k=10, mode="sql").collect()
     query_sec = time.time() - t0
 
+    # pruning-friendly query mix (one rare identifier + the two hottest
+    # terms): the regime where blockmax must beat the SQL path — decode
+    # ratio < 1 and wall <= sql, recorded in the JSON. The code corpus
+    # has a Zipfian identifier vocabulary, so genuinely rare terms
+    # exist (unlike the 31-term documents bench table).
+    # rare df >= 2k so the true top-k is rare-term-dominated (a rare
+    # term with df < k forces common-only docs into the top-k, whose
+    # scores sit just under every range's UB — nothing prunable); ONE
+    # common term, since each eps-floored hot term adds its full block
+    # max to every range's UB
+    df_hi = max(24, n_docs // BM25QueryEngine.SELECTIVITY)
+    rare = [r.term for r in idx.term_stats.filter(F.col("df").between(20, df_hi))
+            .orderBy("df", "term").limit(4).collect()]
+    common = [r.term for r in idx.term_stats
+              .orderBy(F.desc("df"), F.asc("term")).limit(1).collect()]
+    sel_queries = [f"{r} {' '.join(common)}" for r in rare]
+    if sel_queries:
+        # stats pass first (collect_stats adds two agg jobs — keep them
+        # out of the timed window) — it also warms both paths
+        eng.search_blockmax(sel_queries, k=10, collect_stats=True)
+        ps = eng.last_prune_stats
+        eng.search(sel_queries[:1], k=10, mode="sql").collect()  # warm
+        t0 = time.time()
+        eng.search(sel_queries, k=10, mode="sql").collect()
+        t_sql = time.time() - t0
+        t0 = time.time()
+        eng.search_blockmax(sel_queries, k=10).select(
+            "query_id", "doc_id", "score", "rank"
+        ).collect()
+        t_bmw = time.time() - t0
+        blockmax_selective = {
+            **ps,
+            "posting_decode_ratio": round(
+                ps["decoded_postings"] / max(ps["total_postings"], 1), 4
+            ),
+            "sql_sec": round(t_sql, 3),
+            "blockmax_sec": round(t_bmw, 3),
+            "n_queries": len(sel_queries),
+            "n_docs": n_docs,
+            "master": master,
+        }
+    else:
+        blockmax_selective = None
+
     out = {
+        "blockmax_selective": blockmax_selective,
         "master": master,
         "n_docs": n_docs,
         "n_postings": n_postings,

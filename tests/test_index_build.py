@@ -127,3 +127,30 @@ def test_arrow_and_jvm_postings_equal(spark, built):
     jvm = {(r.term, r.doc_id, r.tf) for r in b2.postings_df(prepared).collect()}
     default = {(r.term, r.doc_id, r.tf) for r in idx.postings.collect()}
     assert default == jvm
+
+
+def test_n_buckets_auto_sizing(spark):
+    """n_buckets derives from input scale when not set (VERDICT r1 #9):
+    clamped power of two targeting ~4M est. postings/bucket, recorded
+    for globals.json; explicit values win; incremental adopts the old
+    index's bucketing."""
+    import math
+
+    from la_fungus_search_spark.index.builder import (
+        EST_TERMS_PER_DOC,
+        TARGET_POSTINGS_PER_BUCKET,
+    )
+
+    tiny = spark.range(100).selectExpr("cast(id AS string) AS content")
+    b = IndexBuilder(spark)
+    s = b.resolve_n_buckets(tiny)
+    assert b.n_buckets == 8 and s["n_buckets_auto"] is True  # min clamp
+    b2 = IndexBuilder(spark, n_buckets=64)
+    assert b2.resolve_n_buckets(tiny) == {"n_buckets": 64, "n_buckets_auto": False}
+    # formula sanity at 400k docs: 80M est postings / 4M -> 32 buckets
+    raw = 2 ** math.ceil(math.log2(400_000 * EST_TERMS_PER_DOC / TARGET_POSTINGS_PER_BUCKET))
+    assert raw == 32
+    # a built index records the sizing decision
+    docs = corpus_df(spark, 30).filter("lang = 'python'")
+    idx = IndexBuilder(spark).build(docs)
+    assert idx.globals["n_buckets"] == 8 and idx.globals["n_buckets_auto"] is True

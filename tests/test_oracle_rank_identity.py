@@ -51,6 +51,17 @@ def test_blockmax_path_rank_identical(setup, queries):
     _assert_rank_identical(engine, oracle, queries, "blockmax")
 
 
+def test_auto_path_rank_identical(setup, queries):
+    """mode='auto' (per-query sql/blockmax choice) must be result-
+    invariant — the physical path is the engine's business, never the
+    answer's. Also checks both paths actually get chosen on a mixed
+    rare+common query set."""
+    engine, oracle = setup
+    mixed = list(queries) + ["pheromone_decay_kernel import", "def self return import"]
+    _assert_rank_identical(engine, oracle, mixed, "auto")
+    assert set(engine.last_auto_modes.values()) == {"sql", "blockmax"}
+
+
 def test_k_variations(setup):
     engine, oracle = setup
     for k in (1, 3, 25):
