@@ -666,6 +666,30 @@ def q_bm25_topk_chunks(spark, sf_dir):
     )
 
 
+def q_seed_neighbor_boost(spark, sf_dir):
+    """J4 (realtime/server.py:577-593 + 553-575): seed chunks boost
+    their same-file ±10-line neighbors (cap 3 per seed, lowest chunk id
+    first); per neighbor the adjacencies accumulate +0.3 boost and
+    +0.02 relevance bump."""
+    from la_fungus_search_spark.query.ranking import seed_neighbor_boost
+
+    ch = chunk_line_windows(_doc_lines(spark, sf_dir), [CHUNK_W], carry_cols=("doc_id",))
+    chunks = ch.select(
+        (F.col("doc_id") * 100000 + F.col("start_line")).alias("chunk_id"),
+        F.col("doc_id").cast("string").alias("path"),
+        "start_line",
+        "end_line",
+    )
+    seeds = chunks.filter(F.col("chunk_id") % 37 == 0).select("chunk_id")
+    out = seed_neighbor_boost(chunks, seeds, line_radius=10, max_neighbors_per_seed=3)
+    return out.select(
+        "chunk_id",
+        "n_seed_adjacencies",
+        _micro(F.col("boost")).alias("boost_micro"),
+        _micro(F.col("relevance_bump")).alias("rel_bump_micro"),
+    ).orderBy("chunk_id")
+
+
 def q_import_only_filter(spark, sf_dir):
     """P2 (realtime/server.py:298-308)."""
     return (
@@ -965,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_line_windows": q_chunks_line_windows,
         "chunks_ast": q_chunks_ast,
         "bm25_topk_chunks": q_bm25_topk_chunks,
+        "seed_neighbor_boost": q_seed_neighbor_boost,
         "import_only_filter": q_import_only_filter,
         "snippet_extract": q_snippet_extract,
         "hybrid_blend_topk": q_hybrid_blend_topk,
@@ -1108,6 +1133,21 @@ dlx AS (
                 THEN list_slice(ls0, 1, greatest(len(ls0) - 1, 0)) ELSE ls0 END AS ls
     FROM dl0
 )
+"""
+
+# chunk doc-unit over the multi-line doc view: chunk_id is the dense
+# (doc, start_line) composite shared by the Spark side
+_CHUNKS_SQL = f"""
+{_DOC_LINES_SQL.strip()},
+cs AS (SELECT doc_id, ls, unnest(range(0, len(ls), {CHUNK_W})) AS i FROM dlx WHERE len(ls) > 0),
+cb AS (
+    SELECT doc_id * 100000 + i + 1 AS chunk_id, doc_id AS orig_doc,
+           (i + 1)::INT AS start_line,
+           least(i + {CHUNK_W}, len(ls))::INT AS end_line,
+           array_to_string(list_slice(ls, i + 1, least(i + {CHUNK_W}, len(ls))), chr(10)) AS body
+    FROM cs
+),
+chunks AS (SELECT * FROM cb WHERE regexp_replace(body, '{_SQL_STRIP}', '', 'g') <> '')
 """
 
 _CODE_VIEW_SQL = """
@@ -1509,16 +1549,7 @@ FROM c WHERE regexp_replace(body, '{_SQL_STRIP}', '', 'g') <> ''
 ORDER BY doc_id, start_line
 """,
         "bm25_topk_chunks": f"""
-WITH {_DOC_LINES_SQL.strip()},
-cs AS (SELECT doc_id, ls, unnest(range(0, len(ls), {CHUNK_W})) AS i FROM dlx WHERE len(ls) > 0),
-cb AS (
-    SELECT doc_id * 100000 + i + 1 AS chunk_id, doc_id AS orig_doc,
-           (i + 1)::INT AS start_line,
-           least(i + {CHUNK_W}, len(ls))::INT AS end_line,
-           array_to_string(list_slice(ls, i + 1, least(i + {CHUNK_W}, len(ls))), chr(10)) AS body
-    FROM cs
-),
-chunks AS (SELECT * FROM cb WHERE regexp_replace(body, '{_SQL_STRIP}', '', 'g') <> ''),
+WITH {_CHUNKS_SQL.strip()},
 {_bm25_base_cte(src="chunks", id_col="chunk_id", text_col="body")},
 qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),
 scored AS (
@@ -1538,6 +1569,23 @@ SELECT r.query_id::INT AS query_id, r.rank::INT AS rank, r.doc_id AS chunk_id,
        c.orig_doc AS doc_id, c.start_line, c.end_line, r.score_q
 FROM ranked r JOIN chunks c ON r.doc_id = c.chunk_id
 WHERE r.rank <= 10 ORDER BY r.query_id, r.rank
+""",
+        "seed_neighbor_boost": f"""
+WITH {_CHUNKS_SQL.strip()},
+adj AS (
+    SELECT s.chunk_id AS seed_id, n.chunk_id AS nbr_id
+    FROM chunks s JOIN chunks n
+      ON s.orig_doc = n.orig_doc AND s.chunk_id <> n.chunk_id
+     AND NOT (n.end_line < s.start_line - 10 OR n.start_line > s.end_line + 10)
+    WHERE s.chunk_id % 37 = 0
+),
+capped AS (
+    SELECT *, row_number() OVER (PARTITION BY seed_id ORDER BY nbr_id) AS rn FROM adj
+)
+SELECT nbr_id AS chunk_id, count(*)::BIGINT AS n_seed_adjacencies,
+       round(count(*) * 0.3 * 1e6)::BIGINT AS boost_micro,
+       round(count(*) * 0.02 * 1e6)::BIGINT AS rel_bump_micro
+FROM capped WHERE rn <= 3 GROUP BY 1 ORDER BY 1
 """,
         "import_only_filter": f"""
 WITH {_CODE_VIEW_SQL.strip()},

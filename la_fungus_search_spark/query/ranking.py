@@ -199,3 +199,80 @@ def mmr_diversify(
     if not out_frames:
         return topk_pdf.head(0).assign(mmr_rank=pd.Series(dtype="int64"))
     return pd.concat(out_frames, ignore_index=True)
+
+
+def seed_neighbor_boost(
+    chunks: DataFrame,
+    seeds: DataFrame,
+    line_radius: int = 100,
+    max_neighbors_per_seed: int = 10,
+    boost_per_seed: float = 0.3,
+    rel_bump: float = 0.02,
+    bin_width: int = 128,
+) -> DataFrame:
+    """J4 seeds×neighbors boost (reference ``realtime/server.py:577-593``
+    + ``_neighbors_for_doc`` ``:553-575``): for every seed chunk, its
+    same-file neighbors within ±``line_radius`` lines (capped at
+    ``max_neighbors_per_seed``, lowest chunk id first) each accumulate
+    ``boost_per_seed`` doc-boost and ``rel_bump`` relevance bump per
+    seed adjacency.
+
+    ``chunks``: (chunk_id, path, start_line, end_line);
+    ``seeds``: (chunk_id). Output one row per boosted neighbor:
+    (chunk_id, n_seed_adjacencies, boost, relevance_bump).
+
+    Plan: the overlap predicate is binned to an equi-join prefix on
+    (path, floor(line/bin_width)) — a hash join at any scale, never a
+    nested loop (same trick as the J2 interval self-join, SURVEY §2.4);
+    the reference's per-seed first-N cap becomes a row_number window.
+    """
+    r = int(line_radius)
+    s = (
+        chunks.join(seeds.select("chunk_id"), "chunk_id", "left_semi")
+        .select(
+            F.col("chunk_id").alias("seed_id"),
+            F.col("path").alias("s_path"),
+            (F.col("start_line") - r).alias("lo"),
+            (F.col("end_line") + r).alias("hi"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.greatest(F.col("lo"), F.lit(0)) / bin_width),
+                    F.floor(F.col("hi") / bin_width),
+                )
+            ),
+        )
+    )
+    c = chunks.select(
+        F.col("chunk_id").alias("nbr_id"),
+        F.col("path").alias("n_path"),
+        "start_line",
+        "end_line",
+    ).withColumn(
+        "bin",
+        F.explode(
+            F.sequence(F.floor(F.col("start_line") / bin_width), F.floor(F.col("end_line") / bin_width))
+        ),
+    )
+    adj = (
+        s.join(c, (s.bin == c.bin) & (s.s_path == c.n_path) & (F.col("seed_id") != F.col("nbr_id")))
+        .filter(~((F.col("end_line") < F.col("lo")) | (F.col("start_line") > F.col("hi"))))
+        .select("seed_id", "nbr_id")
+        .distinct()
+    )
+    w = Window.partitionBy("seed_id").orderBy("nbr_id")
+    capped = adj.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= max_neighbors_per_seed
+    )
+    return (
+        capped.groupBy(F.col("nbr_id").alias("chunk_id"))
+        .agg(F.count("*").alias("n_seed_adjacencies"))
+        .select(
+            "chunk_id",
+            "n_seed_adjacencies",
+            (F.col("n_seed_adjacencies") * F.lit(boost_per_seed)).alias("boost"),
+            (F.col("n_seed_adjacencies") * F.lit(rel_bump)).alias("relevance_bump"),
+        )
+    )
