@@ -41,7 +41,7 @@ from la_fungus_search_spark.index.builder import build_index, snapshot_diff
 from la_fungus_search_spark.query.engine import BM25QueryEngine
 from la_fungus_search_spark.query.ranking import dedup_by_source, max_merge
 from la_fungus_search_spark.streaming.metrics import streamed_step_metrics
-from la_fungus_search_spark.textops import dedup, multimodal, similarity, stats
+from la_fungus_search_spark.textops import dedup, multimodal, pipeline, similarity, stats
 from la_fungus_search_spark.textops.rollup import cost_estimate, trail_degree, usage_rollup
 from la_fungus_search_spark.tokenizer import duckdb_tokens_sql, tokenize_query
 
@@ -411,6 +411,58 @@ def q_ann_srp_topk(spark, sf_dir):
     # ≥0.9 recall@10 even on unclustered corpora — asserted vs
     # cosine_topk in tests/test_dedup_similarity.py, recorded in bench
     return similarity.srp_ann_topk(_embeddings(spark, sf_dir), ANN_QUERY_IDS, k=10)
+
+
+SAMPLE_FRACTIONS = {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.1, "zh": 0.0}
+SHARD_BUDGET = 2000
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (training-mix rates per lang):
+    membership = md5(doc_id:salt) < rate·2³² — reproducible across
+    runs, partitionings, and engines."""
+    d = _documents(spark, sf_dir)
+    return (
+        pipeline.hash_sample(d, by="lang", fractions=SAMPLE_FRACTIONS)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def q_pack_token_shards(spark, sf_dir):
+    """Token-budget shard packing per lang partition: running token sum
+    in doc-id order, shard = floor(prefix/budget) — training-shard
+    planning as one window pass."""
+    d = _documents(spark, sf_dir)
+    toks = stats.token_counts(d).select(
+        "doc_id", F.col("ws_tokens").alias("n_tokens")
+    ).join(d.select("doc_id", "lang"), "doc_id")
+    return pipeline.pack_token_shards(
+        toks, budget=SHARD_BUDGET, part_col="lang"
+    ).orderBy("lang", "doc_id")
+
+
+def _clean_aug(spark, sf_dir) -> DataFrame:
+    """documents with planted rejects: too-short docs, digit-heavy
+    docs, and exact copies (the copies duplicate the POST-mutation
+    text so canonicalship actually fires)."""
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    mutated = (
+        F.when(F.col("doc_id") % 17 == 0, F.lit("tiny doc"))
+        .when(F.col("doc_id") % 19 == 0, F.lit("123 456 789 012 345 678"))
+        .otherwise(F.coalesce("text", F.lit("")))
+    )
+    base = d.select("doc_id", mutated.alias("text"))
+    copies = base.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+    )
+    return base.unionByName(copies)
+
+
+def q_corpus_clean(spark, sf_dir):
+    """Composed C4/Gopher-style cleaning verdict (first failing rule +
+    exact-dup canonicalship) in one pass."""
+    return pipeline.clean_corpus(_clean_aug(spark, sf_dir)).orderBy("doc_id")
 
 
 def q_multimodal_decode(spark, sf_dir):
@@ -977,6 +1029,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "sample_stratified": q_sample_stratified,
+        "pack_token_shards": q_pack_token_shards,
+        "corpus_clean": q_corpus_clean,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_srp_topk": q_ann_srp_topk,
         "multimodal_decode": q_multimodal_decode,
@@ -1443,6 +1498,69 @@ pairs AS (
 )
 SELECT id_a, id_b, cos_micro FROM pairs
 WHERE cos_micro >= 999000 ORDER BY id_a, id_b
+""",
+        "sample_stratified": f"""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':sample'), 1, 8))::BIGINT
+      < CAST(floor((CASE lang {' '.join(f"WHEN '{l}' THEN {f}" for l, f in sorted(SAMPLE_FRACTIONS.items()))} ELSE 0.0 END) * 4294967296.0) AS BIGINT)
+ORDER BY doc_id
+""",
+        "pack_token_shards": f"""
+WITH t AS (
+    SELECT doc_id, lang,
+           len(regexp_extract_all(coalesce(text, ''), '{_WS}'))::BIGINT AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT lang, doc_id, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS prefix
+    FROM t
+)
+SELECT lang, doc_id, n_tokens, (prefix // {SHARD_BUDGET})::BIGINT AS shard_id,
+       prefix AS shard_prefix_tokens
+FROM c ORDER BY lang, doc_id
+""",
+        "corpus_clean": f"""
+WITH base AS (
+    SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN 'tiny doc'
+                        WHEN doc_id % 19 = 0 THEN '123 456 789 012 345 678'
+                        ELSE coalesce(text, '') END AS text
+    FROM documents
+),
+aug AS (
+    SELECT * FROM base
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM base WHERE doc_id % 25 = 0
+),
+f AS (
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{_WS}')) AS nt,
+           round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 / greatest(length(text), 1) * 1e6)::BIGINT AS alpha,
+           round(len(list_filter(regexp_extract_all(lower(text), '{_WS}'),
+                                 x -> list_contains([{stop_list}], x)))
+                 / greatest(len(regexp_extract_all(lower(text), '{_WS}')), 1) * 1e6)::BIGINT AS stp,
+           round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 / greatest(len(regexp_extract_all(lower(text), '{_WS}')), 1) * 1e6)::BIGINT AS mwl,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS nmd5
+    FROM aug
+),
+canon AS (SELECT nmd5, min(doc_id) AS canonical_id FROM f GROUP BY 1),
+v AS (
+    SELECT f.doc_id,
+           CASE WHEN nt < {pipeline.MIN_TOKENS} THEN 'too_short'
+                WHEN nt > {pipeline.MAX_TOKENS} THEN 'too_long'
+                WHEN alpha < {pipeline.MIN_ALPHA_RATIO_MICRO} THEN 'low_alpha'
+                WHEN stp > {pipeline.MAX_STOPWORD_RATIO_MICRO} THEN 'stopword_heavy'
+                WHEN mwl > {pipeline.MAX_MEAN_WORD_LEN_MICRO} THEN 'long_words'
+                WHEN f.doc_id <> c.canonical_id THEN 'duplicate'
+           END AS reject_reason
+    FROM f JOIN canon c USING (nmd5)
+)
+SELECT doc_id, (reject_reason IS NULL)::INT AS keep, reject_reason
+FROM v ORDER BY doc_id
 """,
         "ann_cosine_topk": f"""
 WITH q AS (

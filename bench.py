@@ -168,6 +168,9 @@ def bench_main(results: dict):
         "grep_context",
         "concrete_query_filter",
         "bm25_topk_chunks",
+        "sample_stratified",
+        "pack_token_shards",
+        "corpus_clean",
         "events_stability_window",
         "events_topk_per_group",
         "interval_self_join",

@@ -1,0 +1,172 @@
+"""Training-data pipeline composition operators: deterministic
+sampling, token-budget shard packing, and the composed C4-style corpus
+cleaner. These are the stages a 100 TB pre-training data prep runs
+AFTER the per-doc analyses (stats.py) and dedup (dedup.py):
+
+* :func:`hash_sample` — reproducible (stratified) sampling: membership
+  is a pure function of the doc id + salt, so re-runs, resumes, and
+  different cluster sizes select the SAME sample (Spark's
+  ``df.sample`` is partition-dependent and irreproducible across
+  repartitioning). md5-based so any engine reproduces it bit-for-bit.
+* :func:`pack_token_shards` — assign docs to ~``budget``-token shards
+  for training-shard planning: deterministic order, running token sum,
+  ``shard_id = floor(prefix_sum / budget)``. Packing is sequential by
+  nature; at scale you pack WITHIN coarse partitions (``part_col``) so
+  each writer packs its own stream — the window then shuffles once on
+  the partition key instead of single-reducing the corpus.
+* :func:`clean_corpus` — one-pass Gopher/C4-style keep/reject with the
+  first failing rule recorded (length band, alpha ratio, stopword
+  band, max mean word length), composed with exact-dup canonicalship
+  (keep only each content group's min doc_id). One scan + the dedup
+  groupBy — no per-rule passes.
+
+All rules are plain JVM expressions; thresholds are micro-quantized so
+the DuckDB gate reproduces decisions exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.textops.stats import QUALITY_STOPWORDS, WS_PATTERN
+
+# clean_corpus default thresholds (micro units where ratios)
+MIN_TOKENS = 5
+MAX_TOKENS = 100_000
+MIN_ALPHA_RATIO_MICRO = 500_000  # ≥ 50% letters
+MAX_STOPWORD_RATIO_MICRO = 900_000  # ≤ 90% stopwords
+MAX_MEAN_WORD_LEN_MICRO = 40_000_000  # ≤ 40 chars/token (lorem/base64 guard)
+
+
+def _hash_unit(id_col: Column, salt: str) -> Column:
+    """Uniform value in [0, 2^32) from md5(id:salt) — engine-portable
+    (DuckDB: conv(substr(md5(...),1,8),16,10))."""
+    return F.conv(
+        F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(f":{salt}"))), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+def hash_sample(
+    docs: DataFrame,
+    fraction: float | None = None,
+    by: str | None = None,
+    fractions: dict | None = None,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic (optionally stratified) sample.
+
+    ``fraction`` applies one rate to every row; ``by`` + ``fractions``
+    applies a per-stratum rate (strata absent from the dict get 0 —
+    the training-mix use case: e.g. {'en': 1.0, 'de': 0.3}). Membership
+    = md5(id:salt) < rate·2³² — independent of partitioning, cluster
+    size, and execution order, and reproducible in any engine.
+    """
+    u = _hash_unit(F.col(id_col), salt)
+    if by is not None:
+        fr = fractions or {}
+        rate = F.lit(0.0)
+        for stratum, f in sorted(fr.items()):
+            rate = F.when(F.col(by) == stratum, F.lit(float(f))).otherwise(rate)
+    else:
+        rate = F.lit(float(fraction if fraction is not None else 1.0))
+    # floor (not cast) so the threshold is engine-portable: CAST of a
+    # double rounds in DuckDB but truncates in Spark
+    return docs.filter(u < F.floor(rate * F.lit(float(2**32))).cast("bigint"))
+
+
+def pack_token_shards(
+    docs: DataFrame,
+    budget: int,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    part_col: str | None = None,
+) -> DataFrame:
+    """Assign each doc a ``shard_id`` so consecutive docs (in id order)
+    fill ~``budget`` tokens per shard: shard = floor(prefix_sum/budget)
+    where prefix_sum excludes the doc itself (a shard may overflow by
+    at most one doc — the standard streaming-pack contract).
+
+    With ``part_col`` the packing runs per partition value (shard ids
+    are then (part, shard_id) pairs) — the scale path: one shuffle on
+    the partition key, each writer packs its own ordered stream. A
+    global pack (part_col=None) is a single-reducer window — test-scale
+    only, and documented as such.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(part_col).orderBy(id_col)
+        if part_col
+        else Window.orderBy(id_col)
+    )
+    csum = F.sum(F.col(tokens_col).cast("bigint")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prefix = csum - F.col(tokens_col).cast("bigint")
+    out_cols = ([F.col(part_col)] if part_col else []) + [
+        F.col(id_col),
+        F.col(tokens_col).cast("bigint").alias("n_tokens"),
+        F.floor(prefix / F.lit(int(budget))).cast("bigint").alias("shard_id"),
+        prefix.alias("shard_prefix_tokens"),
+    ]
+    return docs.select(*out_cols)
+
+
+def clean_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = MIN_TOKENS,
+    max_tokens: int = MAX_TOKENS,
+    min_alpha_ratio_micro: int = MIN_ALPHA_RATIO_MICRO,
+    max_stopword_ratio_micro: int = MAX_STOPWORD_RATIO_MICRO,
+    max_mean_word_len_micro: int = MAX_MEAN_WORD_LEN_MICRO,
+) -> DataFrame:
+    """One-pass C4/Gopher-style cleaning verdict per doc:
+    (doc_id, keep INT, reject_reason) where reject_reason is the FIRST
+    failing rule in fixed order (too_short, too_long, low_alpha,
+    stopword_heavy, long_words, duplicate) or NULL when kept.
+
+    'duplicate' = not the min-doc_id holder of its normalized-content
+    group (exact dedup canonicalship — the fuzzy stages run separately
+    via minhash/cluster resolution). Quality features are the same
+    expressions as stats.quality_scores; the whole verdict is one scan
+    plus the dedup groupBy's fingerprint shuffle (16-byte keys).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+    nd = F.greatest(n, F.lit(1)).cast("double")
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    toks = F.regexp_extract_all(F.lower(t), F.lit(WS_PATTERN), F.lit(0))
+    n_toks = F.size(toks)
+    n_toksd = F.greatest(n_toks, F.lit(1)).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    micro = lambda c: F.round(c * F.lit(1e6)).cast("bigint")  # noqa: E731
+
+    norm = F.trim(F.regexp_replace(F.lower(t), "\\s+", " "))
+    feat = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_toks.alias("_nt"),
+        micro(alpha / nd).alias("_alpha"),
+        micro(n_stop / n_toksd).alias("_stop"),
+        micro(alpha / n_toksd).alias("_mwl"),
+        F.md5(norm).alias("_norm_md5"),
+    )
+    canon = feat.groupBy("_norm_md5").agg(F.min("doc_id").alias("_canonical_id"))
+    reason = (
+        F.when(F.col("_nt") < min_tokens, F.lit("too_short"))
+        .when(F.col("_nt") > max_tokens, F.lit("too_long"))
+        .when(F.col("_alpha") < min_alpha_ratio_micro, F.lit("low_alpha"))
+        .when(F.col("_stop") > max_stopword_ratio_micro, F.lit("stopword_heavy"))
+        .when(F.col("_mwl") > max_mean_word_len_micro, F.lit("long_words"))
+        .when(F.col("doc_id") != F.col("_canonical_id"), F.lit("duplicate"))
+    )
+    return (
+        feat.join(canon, "_norm_md5")
+        .select("doc_id", reason.alias("reject_reason"))
+        .withColumn("keep", F.col("reject_reason").isNull().cast("int"))
+        .select("doc_id", "keep", "reject_reason")
+    )
