@@ -1,0 +1,83 @@
+"""Plan-shape audit over the driver-gate queries: no operator may plan
+an accidental CartesianProduct, and BroadcastNestedLoopJoin is allowed
+ONLY where the reference's semantics force a non-equi containment join
+(substring keyword scoring). Everything else must stay hash/merge/
+broadcast-hash joins — the shapes that survive a 100× scale-up.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+# instr(content, term) containment joins — the reference's T4 keyword
+# semantics (rag/search.py:50-65) are substring matches, inherently
+# non-equi; the broadcast side is the tiny query-term dim, so the BNLJ
+# is linear in corpus × |terms|, which is the operator's true cost.
+BNLJ_ALLOWED = {
+    "keyword_score_topk",
+    "hybrid_blend_topk",
+    "dedup_by_source_results",
+    "mmr_diverse_topk",  # consumes the kw channel before driver re-rank
+    # exact brute-force cosine IS a deliberate scan: every corpus vector
+    # scores against the broadcast (tiny) query side — the correct plan
+    # for few-queries/huge-corpus, and the recall baseline the SRP-LSH
+    # path is measured against
+    "ann_cosine_topk",
+}
+
+# lazy plans only — entries that materialize driver-side state or run
+# streaming drains are exercised elsewhere; here we audit join shapes
+AUDIT = [
+    "bm25_topk",
+    "bm25_topk_and",
+    "bm25_topk_chunks",
+    "keyword_score_topk",
+    "grep_scan",
+    "grep_context",
+    "concrete_query_filter",
+    "term_intersection",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_srp_topk",
+    "sample_stratified",
+    "pack_token_shards",
+    "corpus_clean",
+    "events_stability_window",
+    "events_topk_per_group",
+    "interval_self_join",
+    "seed_neighbor_boost",
+    "trail_degree",
+    "chunks_line_windows",
+    "chunks_ast",
+    "hybrid_blend_topk",
+    "multi_query_max_merge",
+    "dedup_by_source_results",
+    "usage_rollup_sets",
+    "usage_cost_estimate",
+    "incremental_changed_docs",
+    "pagination",
+    "snippet_extract",
+    "import_only_filter",
+]
+
+
+@pytest.mark.parametrize("name", AUDIT)
+def test_gate_plan_has_no_accidental_cartesian(spark, name):
+    df = entry.queries()[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, name
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    else:
+        # the allowlist is intentional, not vestigial: these plans DO
+        # use the containment BNLJ with the tiny side broadcast
+        assert "BroadcastNestedLoopJoin" in plan, name
