@@ -126,7 +126,7 @@ def main() -> None:
     s.add_argument("--index", required=True)
     s.add_argument("--query", action="append", required=True)
     s.add_argument("-k", type=int, default=10)
-    s.add_argument("--mode", default="sql", choices=["sql", "blockmax", "and"])
+    s.add_argument("--mode", default="auto", choices=["auto", "sql", "blockmax", "and"])
     s.set_defaults(fn=cmd_search)
 
     u = sub.add_parser("update")
