@@ -957,6 +957,23 @@ def q_streaming_stability_state(spark, sf_dir):
     )
 
 
+def q_streaming_dedup_state(spark, sf_dir):
+    """Streaming exact dedup (applyInPandasWithState): final per-key
+    state after an availableNow drain must equal the batch
+    dedup_exact result — same DuckDB oracle."""
+    from la_fungus_search_spark.streaming.metrics import run_available_now
+    from la_fungus_search_spark.streaming.stateful import exact_dedup_stream
+
+    out = run_available_now(exact_dedup_stream(spark, sf_dir), output_mode="update")
+    w = Window.partitionBy("norm_md5").orderBy(F.desc("n_dups"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("norm_md5", "n_dups", "canonical_id")
+        .orderBy("canonical_id")
+    )
+
+
 def q_query_dedup(spark, sf_dir):
     """D1 (ui/queries.py:38-74): greedy multi-query dedup, driver-side
     by design (pool ≤ 100 in the reference) — rows-only check (greedy
@@ -1056,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trail_degree": q_trail_degree,
         "incremental_changed_docs": q_incremental_changed_docs,
         "streaming_step_metrics": q_streaming_step_metrics,
+        "streaming_dedup_state": q_streaming_dedup_state,
         "query_dedup": q_query_dedup,
         "mmr_diverse_topk": q_mmr_diverse_topk,
         "pagination": q_pagination,
@@ -1459,6 +1477,11 @@ SELECT doc_id, sha256(coalesce(text, '')) AS content_sha256, {_NORM} AS norm_md5
 FROM documents ORDER BY doc_id
 """,
         "dedup_exact": f"""
+SELECT {_NORM} AS norm_md5, count(*)::BIGINT AS n_dups, min(doc_id) AS canonical_id
+FROM documents GROUP BY 1 ORDER BY canonical_id
+""",
+        # the streaming stateful form must converge to the same result
+        "streaming_dedup_state": f"""
 SELECT {_NORM} AS norm_md5, count(*)::BIGINT AS n_dups, min(doc_id) AS canonical_id
 FROM documents GROUP BY 1 ORDER BY canonical_id
 """,

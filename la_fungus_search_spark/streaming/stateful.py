@@ -104,6 +104,59 @@ def stability_stream(
     )
 
 
+DEDUP_STATE_SCHEMA = "canonical_id BIGINT, n_dups BIGINT"
+DEDUP_OUTPUT_SCHEMA = "norm_md5 STRING, canonical_id BIGINT, n_dups BIGINT"
+
+
+def _dedup_update(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Running exact-dedup state per content fingerprint: the canonical
+    holder (min doc_id seen so far) and the duplicate count. O(16 B)
+    state per distinct content — the streaming form of
+    ``dedup.exact_duplicates``, for continuously-ingested corpora."""
+    canonical, n = state.get if state.exists else (None, 0)
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
+        m = int(pdf["doc_id"].min())
+        canonical = m if canonical is None else min(int(canonical), m)
+        n = int(n) + len(pdf)
+    state.update((canonical, n))
+    yield pd.DataFrame(
+        {"norm_md5": [key[0]], "canonical_id": [canonical], "n_dups": [n]}
+    )
+
+
+def exact_dedup_stream(
+    spark: SparkSession, docs_dir: str, glob: str = "documents.parquet"
+) -> DataFrame:
+    """Streaming exact dedup: docs stream → normalized-content md5 →
+    per-fingerprint running (canonical_id, n_dups) state. After an
+    availableNow drain the final state per key equals the batch
+    ``dedup.exact_duplicates`` output (gate-checked against the same
+    DuckDB oracle)."""
+    schema = spark.read.option("pathGlobFilter", glob).parquet(docs_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(docs_dir)
+    )
+    t = F.coalesce(F.col("text"), F.lit(""))
+    norm = F.trim(F.regexp_replace(F.lower(t), "\\s+", " "))
+    keyed = src.select("doc_id", F.md5(norm).alias("norm_md5"))
+    return keyed.groupBy("norm_md5").applyInPandasWithState(
+        _dedup_update,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stability_py(events: list[tuple]) -> dict:
     """Pure-Python oracle: same state machine over (user_id, ts,
     event_id, value) rows — drives the equivalence test."""

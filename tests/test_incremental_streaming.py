@@ -131,6 +131,36 @@ def test_streaming_rollup_equals_batch(spark):
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
+def test_streaming_exact_dedup_equals_batch(spark, tmp_path):
+    """Streaming stateful exact dedup converges to the batch
+    exact_duplicates result on a corpus WITH planted duplicates."""
+    from la_fungus_search_spark.streaming.metrics import run_available_now
+    from la_fungus_search_spark.streaming.stateful import exact_dedup_stream
+    from la_fungus_search_spark.textops.dedup import exact_duplicates
+
+    import pandas as pd
+
+    rows = [(i, f"text body number {i % 7}") for i in range(60)]  # 7 groups
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    d = str(tmp_path / "docs")
+    (tmp_path / "docs").mkdir()
+    # single parquet FILE, like the driver's testdata layout (the
+    # stream source globs on the file name)
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(d + "/documents.parquet")
+
+    out = run_available_now(exact_dedup_stream(spark, d), output_mode="update").toPandas()
+    final = (
+        out.sort_values("n_dups").groupby("norm_md5").tail(1)
+        .set_index("norm_md5")[["canonical_id", "n_dups"]]
+    )
+    want = {
+        r.norm_md5: (r.canonical_id, r.n_dups)
+        for r in exact_duplicates(docs).collect()
+    }
+    assert len(want) == 7
+    assert {k: (int(v.canonical_id), int(v.n_dups)) for k, v in final.iterrows()} == want
+
+
 def test_stateful_stability_stream(spark):
     """ST5/A8 as applyInPandasWithState: streaming verdicts equal the
     pure-Python state machine over the same events."""
