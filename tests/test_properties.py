@@ -79,3 +79,45 @@ def test_properties_random_corpora(spark, seed):
         assert got == [(d, round(s, 9)) for d, s in want]
 
     inner()
+
+
+def test_capped_self_pairs_properties(spark):
+    """Property: for random blocking assignments, capped_self_pairs
+    (d) emits only within-group ordered pairs, each at most once;
+    (e) small groups are complete (all C(n,2) pairs);
+    (f) hot groups are linear (n-1 pairs) and stay CONNECTED;
+    (g) total output is bounded by sum(min(C(n,2), n-1 if n>cap))."""
+    from itertools import combinations
+
+    from la_fungus_search_spark.textops.dedup import capped_self_pairs
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        assign=st.lists(st.integers(min_value=0, max_value=3), min_size=2, max_size=40),
+        cap=st.integers(min_value=2, max_value=6),
+    )
+    def inner(assign, cap):
+        rows = [(g, i) for i, g in enumerate(assign)]
+        df = spark.createDataFrame(rows, "grp INT, doc_id BIGINT")
+        got = {(r.id_a, r.id_b) for r in capped_self_pairs(df, ["grp"], "doc_id", cap).collect()}
+        groups: dict = {}
+        for g, i in rows:
+            groups.setdefault(g, []).append(i)
+        want = set()
+        for members in groups.values():
+            members.sort()
+            if len(members) <= cap:
+                want |= set(combinations(members, 2))
+            else:
+                want |= {(a, b) for a, b in zip(members, members[1:])}
+        assert got == want
+        for members in groups.values():
+            if len(members) > cap:  # chain connectivity
+                ms = sorted(members)
+                assert all((a, b) in got for a, b in zip(ms, ms[1:]))
+
+    inner()
