@@ -166,6 +166,37 @@ def ngram_jaccard_pairs(
     return jaccard_pairs_from_shingles(sh, threshold)
 
 
+def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard for GIVEN candidate pairs — the verification-stage
+    shape: (pairs ⋈ shingles(a)) ⋈ shingles on (id_b, shingle). Cost is
+    Σ over pairs |shingles(a)| — linear in the candidate volume and
+    immune to hot-shingle blowup, because the shingle table is never
+    self-joined (a stop-shingle shared by 10⁶ candidate docs
+    contributes one hash-join probe per (pair, shingle), not 10¹²
+    join rows). Same output contract as
+    :func:`jaccard_pairs_from_shingles` restricted to ``pairs``."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard_micro", F.round(jac * F.lit(1e6)).cast("bigint"))
+        .filter(F.col("jaccard_micro") >= F.lit(int(round(threshold * 1e6))))
+        .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard_micro")
+    )
+
+
 def _hash_cols() -> list:
     """16 independent md5-derived min-hash aggregators over `shingle`.
 
@@ -236,25 +267,13 @@ def minhash_dedup_pairs(
 
     Shingles are computed ONCE and persisted; signatures, candidate
     generation, and verification all reuse them — tokenization is the
-    dominant cost and must not be repeated per stage. The verification
-    join touches only candidate docs' shingles (semi-join on the
-    candidate id set) — at 100 TB the candidate set is ~dup_rate·N,
-    not N²."""
+    dominant cost and must not be repeated per stage. Verification is
+    the per-PAIR join (:func:`jaccard_for_pairs`), linear in candidate
+    volume — at 100 TB the candidate set is ~dup_rate·N, and no stage
+    can go quadratic on hot shingles or hot bands."""
     sh = shingles(docs, text_col, id_col, k).persist()
-    # persist candidates too: they feed the id-set union (2 scans) and
-    # the final verification join — without it the band self-join runs
-    # three times
-    cands = lsh_candidate_pairs_from_signatures(minhash_signatures_from_shingles(sh)).persist()
-    cand_ids = (
-        cands.select(F.col("id_a").alias("doc_id"))
-        .union(cands.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    sh_cand = sh.join(cand_ids, "doc_id", "left_semi")
-    verified = jaccard_pairs_from_shingles(sh_cand, threshold)
-    return cands.join(verified, ["id_a", "id_b"], "inner").select(
-        "id_a", "id_b", "jaccard_micro"
-    )
+    cands = lsh_candidate_pairs_from_signatures(minhash_signatures_from_shingles(sh))
+    return jaccard_for_pairs(cands, sh, threshold).select("id_a", "id_b", "jaccard_micro")
 
 
 # ------------------------------------------------- cluster resolution

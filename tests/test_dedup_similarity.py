@@ -80,6 +80,25 @@ def test_simhash_pairs_equal_bruteforce(spark):
         assert r.hamming == bin(sh[r.id_a] ^ sh[r.id_b]).count("1")
 
 
+def test_jaccard_for_pairs_equals_selfjoin(spark):
+    """The linear per-pair verification join must agree exactly with
+    the shingle self-join restricted to the same pairs."""
+    docs = _docs50(spark)
+    copies = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", r"^[A-Za-z0-9_]+\s+", "").alias("text"),
+    )
+    aug = docs.unionByName(copies)
+    sh = dedup.shingles(aug).persist()
+    full = dedup.jaccard_pairs_from_shingles(sh, threshold=0.3)
+    cands = full.select("id_a", "id_b")
+    via_pairs = dedup.jaccard_for_pairs(cands, sh, threshold=0.3)
+    cols = ["id_a", "id_b", "common", "n_a", "n_b", "jaccard_micro"]
+    a = {tuple(r[c] for c in cols) for r in full.collect()}
+    b = {tuple(r[c] for c in cols) for r in via_pairs.collect()}
+    assert a and a == b
+
+
 def test_lsh_band_cap_bounds_hot_groups(spark):
     """A pathological boilerplate corpus (300 identical docs) must emit
     a LINEAR number of candidate pairs (the chain), and the chain must
