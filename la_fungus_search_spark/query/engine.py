@@ -208,6 +208,12 @@ class BM25QueryEngine:
         # covered (a single block is too weak a floor with doc-range-
         # aligned blocks) are Arrow-decoded and doclen-joined in one
         # DAG; the collect stays O(|terms|·k) rows at any corpus scale.
+        # The per-term window sorts that term's block METADATA on one
+        # partition — ~postings/128 rows, fine into the 10^9-doc range.
+        # Beyond that, note θ only needs a LOWER bound, so the exact
+        # argmax is optional: an extreme-scale variant can take per-salt
+        # local top blocks instead (hot terms' block_max is near-uniform
+        # — the eps floor — so any block gives the same floor).
         w_blk = Window.partitionBy("term").orderBy(F.desc("block_max"), F.asc("block_id"))
         top_blocks = (
             lists.withColumn(
