@@ -276,6 +276,29 @@ def minhash_dedup_pairs(
     return jaccard_for_pairs(cands, sh, threshold).select("id_a", "id_b", "jaccard_micro")
 
 
+def blocking_group_stats(
+    df: DataFrame, group_cols: list[str], id_col: str = "doc_id", cap: int = MAX_GROUP_SIZE
+) -> DataFrame:
+    """Observability for the cap in :func:`capped_self_pairs`: one row
+    summarizing the blocking-group size distribution and how many
+    groups degraded to chains — the record of what was capped that a
+    production dedup run logs next to its outputs. Columns:
+    (n_groups, n_hot_groups, max_group, hot_members, pairs_emitted,
+    pairs_uncapped) — `pairs_uncapped - pairs_emitted` is the quadratic
+    work the cap avoided."""
+    sizes = df.groupBy(*group_cols).agg(F.count(id_col).alias("n"))
+    full = (F.col("n") * (F.col("n") - 1) / 2).cast("bigint")
+    emitted = F.when(F.col("n") <= cap, full).otherwise((F.col("n") - 1).cast("bigint"))
+    return sizes.agg(
+        F.count("*").alias("n_groups"),
+        F.sum((F.col("n") > cap).cast("int")).alias("n_hot_groups"),
+        F.max("n").alias("max_group"),
+        F.sum(F.when(F.col("n") > cap, F.col("n")).otherwise(0)).alias("hot_members"),
+        F.sum(emitted).alias("pairs_emitted"),
+        F.sum(full).alias("pairs_uncapped"),
+    )
+
+
 # ------------------------------------------------- cluster resolution
 
 

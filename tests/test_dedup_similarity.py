@@ -176,6 +176,27 @@ def test_dedup_clusters_equal_union_find(spark):
     assert got[900] == (900, 1) and got[901] == (901, 1)
 
 
+def test_blocking_group_stats(spark):
+    """The cap's observability record: group histogram + avoided
+    quadratic work."""
+    rows = [(0, i) for i in range(10)] + [(1, 100 + i) for i in range(3)] + [(2, 200)]
+    df = spark.createDataFrame(rows, "grp INT, doc_id BIGINT")
+    s = dedup.blocking_group_stats(df, ["grp"], cap=5).collect()[0]
+    assert s.n_groups == 3 and s.n_hot_groups == 1 and s.max_group == 10
+    assert s.hot_members == 10
+    assert s.pairs_uncapped == 45 + 3 + 0
+    assert s.pairs_emitted == 9 + 3 + 0  # hot group chained
+
+
+def test_dedup_clusters_empty_pairs(spark):
+    """A corpus with zero near-dup pairs must resolve to all-singleton
+    clusters, not crash the iterative CC."""
+    pairs = spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id BIGINT")
+    got = {r.doc_id: (r.cluster_id, r.keep) for r in dedup.dedup_clusters(pairs, docs).collect()}
+    assert got == {i: (i, 1) for i in range(5)}
+
+
 def test_cosine_dup_pairs_srp_fallback_no_crossjoin(spark):
     emb = spark.read.parquet(f"{SF_EMB}/embeddings.parquet").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")

@@ -65,10 +65,11 @@ def test_incremental_equals_cold_rebuild(spark):
     assert inc.globals["N"] == cold.globals["N"]
     assert abs(inc.globals["avgdl"] - cold.globals["avgdl"]) < 1e-12
 
-    # identical query results on both paths
+    # identical query results on both paths (auto = per-query physical
+    # choice — the incremental index must serve blockmax too)
     queries = ["mutated_sentinel_token", "added_fn_2", "merge batch window"]
-    a = BM25QueryEngine(inc).search(queries, k=10).collect()
-    b_ = BM25QueryEngine(cold).search(queries, k=10).collect()
+    a = BM25QueryEngine(inc).search(queries, k=10, mode="auto").collect()
+    b_ = BM25QueryEngine(cold).search(queries, k=10, mode="auto").collect()
     assert [(r.query_id, r.doc_id, round(r.score, 9)) for r in a] == [
         (r.query_id, r.doc_id, round(r.score, 9)) for r in b_
     ]
