@@ -413,6 +413,18 @@ def q_ann_srp_topk(spark, sf_dir):
     return similarity.srp_ann_topk(_embeddings(spark, sf_dir), ANN_QUERY_IDS, k=10)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN (FAISS-IVF analog, reference
+    mcmp/indexing.py:24-69): distributed deterministic spherical
+    k-means → cell-partitioned assignment table → probe n_probe cells
+    per query, exact cosine re-rank. Recall@10 vs the exact scan is
+    asserted in tests/test_dedup_similarity.py (clustered + unclustered
+    regimes) and recorded in bench `ann_recall.ivf_recall_at_10`."""
+    return similarity.ivf_ann_topk(
+        _embeddings(spark, sf_dir), ANN_QUERY_IDS, k=10, n_centroids=32, n_probe=12
+    )
+
+
 SAMPLE_FRACTIONS = {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.1, "zh": 0.0}
 SHARD_BUDGET = 2000
 
@@ -1051,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_srp_topk": q_ann_srp_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_resize_plan": q_multimodal_resize_plan,
@@ -1953,9 +1966,11 @@ WITH r AS (
 SELECT rn::INT AS rn, doc_id, n_chars FROM r
 WHERE rn > 20 AND rn <= 40 ORDER BY rn
 """,
-        # dedup_simhash / ann_srp_topk: non-SQL-expressible kernels
-        # (64-bit simhash bit math; Box-Muller SRP hyperplanes) →
-        # rows-only checks by design. query_dedup / mmr_diverse_topk:
-        # sequential greedy algorithms (driver-side like the reference)
-        # → rows-only by design.
+        # dedup_simhash / ann_srp_topk / ann_ivf_topk: non-SQL-
+        # expressible kernels (64-bit simhash bit math; Box-Muller SRP
+        # hyperplanes; iterative k-means) → rows-only checks by design,
+        # each with a pytest oracle (recompute equality / recall@10
+        # floors). query_dedup / mmr_diverse_topk: sequential greedy
+        # algorithms (driver-side like the reference) → rows-only by
+        # design.
     }

@@ -142,10 +142,16 @@ def bench_main(results: dict):
     t_ann, approx_rows = _timed(
         lambda: similarity.srp_ann_topk(emb, qids, k=10).collect())
     approx = {(r.query_id, r.vec_id) for r in approx_rows}
+    t_ivf, ivf_rows = _timed(
+        lambda: similarity.ivf_ann_topk(
+            emb, qids, k=10, n_centroids=32, n_probe=12).collect())
+    ivf = {(r.query_id, r.vec_id) for r in ivf_rows}
     results["ann_recall"] = {
         "recall_at_10": round(len(exact & approx) / max(len(exact), 1), 4),
+        "ivf_recall_at_10": round(len(exact & ivf) / max(len(exact), 1), 4),
         "n_queries": len(qids),
         "srp_sec": round(t_ann, 3),
+        "ivf_sec": round(t_ivf, 3),
     }
     per_q = []
     for q in entry.BM25_QUERIES[:4]:

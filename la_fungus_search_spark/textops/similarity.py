@@ -310,3 +310,182 @@ def cosine_dup_pairs(
         .filter(F.col("cos_micro") >= F.lit(int(round(threshold * 1e6))))
         .select("id_a", "id_b", "cos_micro")
     )
+
+
+# ------------------------------------------------------------------ IVF ANN
+
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means centroids, trained distributed and
+    deterministically (FAISS-IVF analog of reference
+    ``mcmp/indexing.py:24-69``; the coarse quantizer).
+
+    * **init**: the ``n_centroids`` vectors with the smallest
+      ``md5(vec_id)`` — a reproducible uniform sample, no RNG state.
+    * **Lloyd iteration**: assignment is an Arrow kernel (one matmul
+      per batch against the broadcast centroid matrix); the update
+      step does the map-side combine EXPLICITLY — each batch emits one
+      (centroid_id, partial_sum, partial_count) row per centroid, so
+      the shuffle is ``n_partitions × n_centroids`` tiny rows, never
+      the vectors themselves. At 100 TB the per-iteration cost is one
+      corpus scan + a KB-scale shuffle.
+    * Partial sums are rounded to 1e-6 before the driver-side reduce
+      (sorted by partition-emitted centroid_id) so float-addition
+      order cannot flip assignments between runs.
+
+    Returns an (n_centroids, dim) L2-normalized float64 matrix —
+    small, driver-held, broadcast into the assign/query kernels.
+    """
+    import pandas as pd
+
+    seeds = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = np.array([r[vec_col] for r in seeds], dtype="float64")
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-300)
+
+    vecs = embeddings.select(vec_col)
+    for _ in range(n_iters):
+        c = cents  # capture for the kernel closure
+
+        def partial(batches, c=c):
+            sums = np.zeros_like(c)
+            counts = np.zeros(len(c), dtype="int64")
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(pdf[vec_col].tolist(), dtype="float64")
+                mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+                best = np.argmax(mat @ c.T, axis=1)
+                np.add.at(sums, best, mat)
+                np.add.at(counts, best, 1)
+            nz = counts > 0
+            if not nz.any():
+                return
+            yield pd.DataFrame(
+                {
+                    "centroid_id": np.arange(len(c))[nz].astype("int32"),
+                    "psum": [v.tolist() for v in np.round(sums[nz], 6)],
+                    "pcount": counts[nz],
+                }
+            )
+
+        rows = vecs.mapInPandas(
+            partial, schema="centroid_id INT, psum ARRAY<DOUBLE>, pcount BIGINT"
+        ).collect()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype="int64")
+        for r in sorted(rows, key=lambda r: (r["centroid_id"], r["pcount"])):
+            sums[r["centroid_id"]] += np.array(r["psum"])
+            counts[r["centroid_id"]] += r["pcount"]
+        upd = counts > 0
+        cents = cents.copy()
+        cents[upd] = sums[upd] / counts[upd, None]
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-300)
+    return cents
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, centroid_id) posting assignment — one Arrow pass, no
+    shuffle. At scale this table is written partitioned by
+    ``centroid_id`` so a query's probed lists are partition-pruned
+    reads (same layout trick as the BM25 ``term_bucket`` pruning)."""
+    import pandas as pd
+
+    c = np.asarray(centroids, dtype="float64")
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype="float64")
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].astype("int64"),
+                    "centroid_id": np.argmax(mat @ c.T, axis=1).astype("int32"),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, schema="vec_id BIGINT, centroid_id INT"
+    )
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate cosine top-k: probe the ``n_probe`` nearest
+    coarse cells per query, exact cosine re-rank on their members only.
+
+    Scan fraction ≈ n_probe / n_centroids (≈25% at the defaults;
+    1024 cells / 32 probes ≈ 3% at corpus scale). The probe list is
+    computed driver-side from the collected query vectors (O(|q|·dim),
+    same driver budget as the BM25 engine's query-stats collect) and
+    joined as a broadcast against the cell-partitioned assignment
+    table — a partition-pruned equi-join, never a corpus scan.
+    Output schema matches :func:`cosine_topk` exactly, so recall@k is
+    a one-join comparison (asserted in tests, recorded in bench).
+    """
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = ivf_train_centroids(embeddings, n_centroids, n_iters, id_col, vec_col)
+    assign = ivf_assign(embeddings, centroids, id_col, vec_col)
+
+    qrows = embeddings.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
+    spark = embeddings.sparkSession
+    probe_rows = []
+    for r in qrows:
+        qv = np.array(r[vec_col], dtype="float64")
+        qv /= max(np.linalg.norm(qv), 1e-300)
+        order = np.argsort(-(centroids @ qv), kind="stable")[:n_probe]
+        probe_rows += [(int(r[id_col]), int(cid)) for cid in order]
+    probes = spark.createDataFrame(probe_rows, "query_id BIGINT, centroid_id INT")
+
+    cands = (
+        assign.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    t = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("tvec"))
+    cos = _dot(F.col("qvec"), F.col("tvec")) / (
+        F.greatest(_norm(F.col("qvec")) * _norm(F.col("tvec")), F.lit(1e-300))
+    )
+    scored = (
+        cands.join(F.broadcast(q), "query_id")
+        .join(t, "vec_id")
+        .withColumn("cos_micro", F.round(cos * F.lit(1e6)).cast("bigint"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_micro"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos_micro")
+        .orderBy("query_id", "rank")
+    )

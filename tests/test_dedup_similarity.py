@@ -242,3 +242,73 @@ def test_srp_ann_is_subset_semantics(ann_sets):
     membership above; here: no duplicate (query, vec) and k results)."""
     _, approx = ann_sets
     assert len(approx) == 50 * 10
+
+
+# ------------------------------------------------------------------ IVF ANN
+
+
+def test_ivf_ann_recall_unclustered(spark):
+    """IVF recall on the sf0.01 embeddings — UNCLUSTERED vectors are
+    the worst case for a coarse quantizer (neighbors spread across
+    cells), so this is the lower bound; the clustered test below is
+    the regime IVF is built for."""
+    emb = spark.read.parquet(f"{SF_EMB}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qids = list(range(20))
+    exact = {(r.query_id, r.vec_id) for r in similarity.cosine_topk(emb, qids, k=10).collect()}
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_ann_topk(
+            emb, qids, k=10, n_centroids=32, n_probe=12
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"unclustered recall@10 = {recall:.3f}"
+    assert len(approx) == 20 * 10
+
+
+def test_ivf_ann_recall_clustered(spark):
+    """On clustered data (every real embedding corpus) the coarse
+    quantizer finds the cluster structure and recall → 1 at a small
+    scan fraction: 20 planted clusters, probe 5/20 cells = 25% scan,
+    recall@10 ≥ 0.95."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(20, 32) * 4.0
+    vecs = np.repeat(centers, 25, axis=0) + rng.randn(500, 32) * 0.3
+    rows = [(i, vecs[i].tolist()) for i in range(500)]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>").repartition(8)
+
+    qids = list(range(0, 500, 25))  # one query per planted cluster
+    exact = {(r.query_id, r.vec_id) for r in similarity.cosine_topk(emb, qids, k=10).collect()}
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_ann_topk(
+            emb, qids, k=10, n_centroids=20, n_probe=5
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.95, f"clustered recall@10 = {recall:.3f}"
+
+
+def test_ivf_train_deterministic_and_no_vector_shuffle(spark):
+    """Same centroids bit-for-bit across two trainings (md5-seeded
+    init, rounded partial sums, sorted driver reduce), and the Lloyd
+    update's shuffle carries per-partition partial rows — never the
+    vectors (the plan has no exchange of the embedding column at all;
+    partial aggregation is explicit inside the Arrow kernel)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_EMB}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    c1 = similarity.ivf_train_centroids(emb, n_centroids=8, n_iters=3)
+    c2 = similarity.ivf_train_centroids(emb, n_centroids=8, n_iters=3)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (8, 64)
+    # assignment covers every vector exactly once
+    assign = similarity.ivf_assign(emb, c1)
+    assert assign.count() == 500
+    assert assign.select("vec_id").distinct().count() == 500
