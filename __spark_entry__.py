@@ -363,6 +363,33 @@ def q_text_fingerprints(spark, sf_dir):
     return stats.fingerprints(_documents(spark, sf_dir)).orderBy("doc_id")
 
 
+def _rep_aug(spark, sf_dir) -> DataFrame:
+    """documents with planted line repetition (every 11th doc doubled
+    line-wise) so the repetition features have real positives."""
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.concat(t, F.lit("\n"), t))
+        .otherwise(t)
+        .alias("text"),
+    )
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition features (dup-line fraction, dup-line
+    char fraction, top-2-gram char coverage)."""
+    return stats.repetition_scores(_rep_aug(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every 7th doc plays the eval set;
+    overlap = |doc 3-grams ∩ benchmark 3-grams| / |doc 3-grams|."""
+    d = _documents(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 7 == 0)
+    return pipeline.decontaminate(d, bench, k=3, threshold=0.5).orderBy("doc_id")
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_documents(spark, sf_dir)).orderBy("canonical_id")
 
@@ -1051,6 +1078,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprints": q_text_fingerprints,
+        "text_repetition": q_text_repetition,
+        "decontaminate": q_decontaminate,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
@@ -1488,6 +1517,81 @@ FROM c ORDER BY doc_id
         "text_fingerprints": f"""
 SELECT doc_id, sha256(coalesce(text, '')) AS content_sha256, {_NORM} AS norm_md5
 FROM documents ORDER BY doc_id
+""",
+        "text_repetition": f"""
+WITH d AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0
+                THEN coalesce(text, '') || chr(10) || coalesce(text, '')
+                ELSE coalesce(text, '') END AS t
+    FROM documents
+),
+lines0 AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM d),
+lines AS (SELECT doc_id, line FROM lines0 WHERE trim(line) <> ''),
+lg AS (SELECT doc_id, line, count(*)::BIGINT AS cnt FROM lines GROUP BY 1, 2),
+lstats AS (
+    SELECT doc_id, sum(cnt)::BIGINT AS n_lines,
+           (sum(cnt) - count(*))::BIGINT AS n_dup_lines,
+           sum(CASE WHEN cnt > 1 THEN length(line) * cnt ELSE 0 END)::BIGINT AS dup_chars,
+           sum(length(line) * cnt)::BIGINT AS line_chars
+    FROM lg GROUP BY 1
+),
+tokd AS (SELECT doc_id, {_tok_sql('t')} AS toks FROM d),
+tchars AS (
+    SELECT doc_id,
+           coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS tok_chars
+    FROM tokd
+),
+grams0 AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= 2
+             THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+             ELSE []::VARCHAR[] END) AS g
+    FROM tokd
+),
+gg AS (SELECT doc_id, g, count(*)::BIGINT AS cnt FROM grams0 GROUP BY 1, 2),
+gstats AS (
+    SELECT doc_id, max(cnt * length(replace(g, ' ', '')))::BIGINT AS top2_chars
+    FROM gg GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(n_lines, 0)::BIGINT AS n_lines,
+       (CASE WHEN coalesce(n_lines, 0) > 0
+             THEN round(coalesce(n_dup_lines, 0) / n_lines * 1e6) ELSE 0 END)::BIGINT
+           AS dup_line_frac_micro,
+       (CASE WHEN coalesce(line_chars, 0) > 0
+             THEN round(coalesce(dup_chars, 0) / line_chars * 1e6) ELSE 0 END)::BIGINT
+           AS dup_line_char_frac_micro,
+       (CASE WHEN coalesce(tok_chars, 0) > 0
+             THEN round(coalesce(top2_chars, 0) / tok_chars * 1e6) ELSE 0 END)::BIGINT
+           AS top_2gram_frac_micro
+FROM d
+LEFT JOIN lstats USING (doc_id)
+LEFT JOIN gstats USING (doc_id)
+LEFT JOIN tchars USING (doc_id)
+ORDER BY doc_id
+""",
+        "decontaminate": f"""
+WITH d AS (SELECT doc_id, text FROM documents),
+{_shingle_cte('d').strip().rstrip()},
+bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 = 0),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM sh GROUP BY 1),
+hits AS (
+    SELECT s.doc_id, count(*)::BIGINT AS n_hits
+    FROM sh s JOIN bsh b ON s.shingle = b.shingle GROUP BY 1
+),
+scored AS (
+    SELECT d.doc_id,
+           coalesce(n_grams, 0)::BIGINT AS n_grams,
+           coalesce(n_hits, 0)::BIGINT AS n_hits,
+           (CASE WHEN coalesce(n_grams, 0) > 0
+                 THEN round(coalesce(n_hits, 0) / n_grams * 1e6) ELSE 0 END)::BIGINT
+               AS overlap_micro
+    FROM d LEFT JOIN sizes USING (doc_id) LEFT JOIN hits USING (doc_id)
+)
+SELECT doc_id, n_grams, n_hits, overlap_micro,
+       (CASE WHEN overlap_micro >= 500000 THEN 1 ELSE 0 END)::INT AS contaminated
+FROM scored ORDER BY doc_id
 """,
         "dedup_exact": f"""
 SELECT {_NORM} AS norm_md5, count(*)::BIGINT AS n_dups, min(doc_id) AS canonical_id

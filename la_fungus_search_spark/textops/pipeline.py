@@ -170,3 +170,68 @@ def clean_corpus(
         .withColumn("keep", F.col("reject_reason").isNull().cast("int"))
         .select("doc_id", "keep", "reject_reason")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs whose word k-gram
+    sets overlap an eval/benchmark set — the step every pre-training
+    corpus runs so test questions don't leak into training data.
+
+    overlap = |doc k-grams ∩ benchmark k-grams| / |doc k-grams| over
+    DISTINCT k-grams (the standard n-gram-membership decontamination
+    check, e.g. GPT-3 appendix C / Gopher §A.5-style).
+
+    Plan: one shingle pass per side (shared tokenizer contract), then
+    a broadcast semi-style join — the benchmark side is collapsed to a
+    DISTINCT k-gram set first, which for real eval suites is MBs
+    against a TB-scale corpus, so the probe is map-side and the only
+    shuffle is the per-doc hit count (map-side combined). If the
+    benchmark outgrows broadcast the same plan degrades to a shuffle
+    equi-join on the k-gram — never an all-pairs comparison.
+
+    Output (one row per input doc): (doc_id, n_grams, n_hits,
+    overlap_micro, contaminated) with ``contaminated = 1`` iff
+    overlap ≥ threshold; docs with no k-grams are clean by definition.
+    """
+    from la_fungus_search_spark.textops.dedup import shingles
+
+    doc_sh = shingles(docs, text_col, id_col, k)
+    bench_sh = (
+        shingles(benchmark, bench_text_col, id_col, k).select("shingle").distinct()
+    )
+    sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    thr = int(round(threshold * 1e6))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(sizes, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.round(F.coalesce("n_hits", F.lit(0)) / F.col("n_grams") * F.lit(1e6)),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("overlap_micro"),
+        )
+        .withColumn(
+            "contaminated",
+            (F.col("overlap_micro") >= F.lit(thr)).cast("int"),
+        )
+    )

@@ -129,3 +129,89 @@ def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.sha2(t, 256).alias("content_sha256"),
         F.md5(norm).alias("norm_md5"),
     )
+
+
+def repetition_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition features (Rae et al. 2021 §A1.1): the
+    quality signals that catch boilerplate/spam which per-token ratios
+    (:func:`quality_scores`) miss.
+
+    * ``dup_line_frac_micro`` — fraction of non-blank lines that are
+      repeats of an earlier-seen line (1 − distinct/total);
+    * ``dup_line_char_frac_micro`` — fraction of line characters that
+      sit inside duplicated lines (all occurrences counted);
+    * ``top_2gram_frac_micro`` — fraction of token characters covered
+      by the most frequent word 2-gram (count × gram chars / total
+      token chars).
+
+    Plan shape: two explode→groupBy chains (lines, 2-grams), both
+    keyed by (doc_id, value) then doc_id — partial aggregation
+    collapses each partition's repeats before the shuffle, so shuffled
+    bytes ≈ per-partition-distinct values, and nothing is quadratic in
+    doc length (the in-array alternative is O(L²) per doc on
+    pathological inputs). One row per input doc; blank/short docs get
+    zeros.
+    """
+    from la_fungus_search_spark.tokenizer import tokens_expr
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+    )
+    lines = d.select(
+        "doc_id", F.explode(F.split("t", "\n")).alias("line")
+    ).filter(F.trim(F.col("line")) != "")
+    lg = lines.groupBy("doc_id", "line").agg(F.count("*").alias("cnt"))
+    lstats = lg.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_lines"),
+        (F.sum("cnt") - F.count("*")).alias("n_dup_lines"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.length("line") * F.col("cnt")).otherwise(F.lit(0))
+        ).alias("dup_chars"),
+        F.sum(F.length("line") * F.col("cnt")).alias("line_chars"),
+    )
+
+    toks = tokens_expr("t")
+    tokd = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+        ).alias("tok_chars"),
+    )
+    m = F.greatest(F.size("toks") - F.lit(1), F.lit(0))
+    grams2 = F.zip_with(
+        F.slice("toks", 1, m), F.slice("toks", 2, m), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    gg = (
+        tokd.select("doc_id", F.explode(grams2).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
+    )
+    gstats = gg.groupBy("doc_id").agg(
+        F.max(F.col("cnt") * F.length(F.regexp_replace("g", " ", ""))).alias("top2_chars")
+    )
+
+    def _frac(num, den):
+        return (
+            F.when(F.coalesce(den, F.lit(0)) > 0,
+                   F.round(F.coalesce(num, F.lit(0)) / den * F.lit(1e6)))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
+
+    return (
+        d.select("doc_id")
+        .join(lstats, "doc_id", "left")
+        .join(gstats, "doc_id", "left")
+        .join(tokd.select("doc_id", "tok_chars"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+            _frac(F.col("n_dup_lines"), F.col("n_lines")).alias("dup_line_frac_micro"),
+            _frac(F.col("dup_chars"), F.col("line_chars")).alias("dup_line_char_frac_micro"),
+            _frac(F.col("top2_chars"), F.col("tok_chars")).alias("top_2gram_frac_micro"),
+        )
+    )

@@ -79,3 +79,59 @@ def test_clean_corpus_reasons(spark):
     assert got[5] == (0, "long_words")
     assert got[6] == (0, "duplicate")
     assert got[7] == (1, None)
+
+
+# ------------------------------------------------------- decontamination
+
+
+def test_decontaminate_planted(spark):
+    """Doc 2 IS a benchmark passage (overlap 1.0), doc 3 shares half
+    its 3-grams, doc 4 is unrelated, doc 5 is too short to shingle."""
+    train = spark.createDataFrame(
+        [
+            (2, "alpha beta gamma delta"),          # = bench verbatim
+            (3, "alpha beta gamma delta zeta"),    # grams 1&2 of 3 hit
+            (4, "one two three four five"),
+            (5, "hi"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id BIGINT, text STRING"
+    )
+    out = {r.doc_id: r for r in pipeline.decontaminate(train, bench, k=3, threshold=0.5).collect()}
+    assert out[2].overlap_micro == 1_000_000 and out[2].contaminated == 1
+    assert out[3].n_grams == 3 and out[3].n_hits == 2
+    assert out[3].overlap_micro == 666_667 and out[3].contaminated == 1
+    assert out[4].n_hits == 0 and out[4].contaminated == 0
+    assert out[5].n_grams == 0 and out[5].overlap_micro == 0 and out[5].contaminated == 0
+
+
+# ------------------------------------------------------- repetition
+
+
+def test_repetition_scores_planted(spark):
+    from la_fungus_search_spark.textops import stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y\nx y\nz"),   # dup line "x y"; top 2-gram "x y" ×2
+            (2, "a b c"),          # no repetition
+            (3, ""),               # empty
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r for r in stats.repetition_scores(docs).collect()}
+    # doc 1: 3 non-blank lines, 2 are the same line -> dup frac 1/3;
+    # dup chars 6 of 7; 2-grams (x y, y x, x y, y z) -> top = 2*2 chars
+    # of 5 token chars
+    assert out[1].n_lines == 3
+    assert out[1].dup_line_frac_micro == 333_333
+    assert out[1].dup_line_char_frac_micro == 857_143
+    assert out[1].top_2gram_frac_micro == 800_000
+    assert out[2].n_lines == 1
+    assert out[2].dup_line_frac_micro == 0
+    assert out[2].dup_line_char_frac_micro == 0
+    # doc 2: 2-grams (a b, b c) each once -> top = 1*2 of 3
+    assert out[2].top_2gram_frac_micro == 666_667
+    assert out[3].n_lines == 0 and out[3].top_2gram_frac_micro == 0
