@@ -440,6 +440,17 @@ def q_ann_srp_topk(spark, sf_dir):
     return similarity.srp_ann_topk(_embeddings(spark, sf_dir), ANN_QUERY_IDS, k=10)
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """PQ-ADC ANN (Jégou et al. 2011): per-subspace k-means codebooks,
+    compressed-domain lookup-table scan (16 bytes/vector here, 16×),
+    exact re-rank of the top-4k. Recall@10 asserted in
+    tests/test_dedup_similarity.py; recorded in bench
+    `ann_recall.pq_recall_at_10`."""
+    return similarity.pq_ann_topk(
+        _embeddings(spark, sf_dir), ANN_QUERY_IDS, k=10, m=32, n_codes=16, rerank=4
+    )
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF coarse-quantizer ANN (FAISS-IVF analog, reference
     mcmp/indexing.py:24-69): distributed deterministic spherical
@@ -1093,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_srp_topk": q_ann_srp_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_resize_plan": q_multimodal_resize_plan,

@@ -146,12 +146,18 @@ def bench_main(results: dict):
         lambda: similarity.ivf_ann_topk(
             emb, qids, k=10, n_centroids=32, n_probe=12).collect())
     ivf = {(r.query_id, r.vec_id) for r in ivf_rows}
+    t_pq, pq_rows = _timed(
+        lambda: similarity.pq_ann_topk(
+            emb, qids, k=10, m=32, n_codes=16, rerank=4).collect())
+    pq = {(r.query_id, r.vec_id) for r in pq_rows}
     results["ann_recall"] = {
         "recall_at_10": round(len(exact & approx) / max(len(exact), 1), 4),
         "ivf_recall_at_10": round(len(exact & ivf) / max(len(exact), 1), 4),
+        "pq_recall_at_10": round(len(exact & pq) / max(len(exact), 1), 4),
         "n_queries": len(qids),
         "srp_sec": round(t_ann, 3),
         "ivf_sec": round(t_ivf, 3),
+        "pq_sec": round(t_pq, 3),
     }
     per_q = []
     for q in entry.BM25_QUERIES[:4]:

@@ -489,3 +489,211 @@ def ivf_ann_topk(
         .select("query_id", "rank", "vec_id", "cos_micro")
         .orderBy("query_id", "rank")
     )
+
+
+# ------------------------------------------------------------------ PQ
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks: split each L2-normalized vector
+    into ``m`` subspaces, k-means each subspace to ``n_codes``
+    codewords (Jégou et al. 2011). One Arrow pass per Lloyd iteration
+    trains ALL subspaces at once — the kernel emits per-partition
+    partial sums keyed (subspace, code), so the shuffle is
+    ``n_partitions × m × n_codes`` tiny rows, never vectors.
+
+    Deterministic like :func:`ivf_train_centroids` (md5-ordered seed
+    rows, rounded partials, sorted driver reduce). Returns
+    (m, n_codes, dim/m) float64 codebooks, driver-held.
+    """
+    import pandas as pd
+
+    seeds = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_codes)
+        .collect()
+    )
+    smat = np.array([r[vec_col] for r in seeds], dtype="float64")
+    smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-300)
+    dim = smat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    books = np.stack([smat[:, s * dsub : (s + 1) * dsub] for s in range(m)])  # (m, n_codes, dsub)
+
+    vecs = embeddings.select(vec_col)
+    for _ in range(n_iters):
+        b = books
+
+        def partial(batches, b=b):
+            sums = np.zeros_like(b)
+            counts = np.zeros((m, n_codes), dtype="int64")
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(pdf[vec_col].tolist(), dtype="float64")
+                mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+                for s in range(m):
+                    sub = mat[:, s * dsub : (s + 1) * dsub]
+                    d2 = ((sub[:, None, :] - b[s][None, :, :]) ** 2).sum(-1)
+                    best = np.argmin(d2, axis=1)
+                    np.add.at(sums[s], best, sub)
+                    np.add.at(counts[s], best, 1)
+            out = []
+            for s in range(m):
+                nz = np.nonzero(counts[s])[0]
+                for c in nz:
+                    out.append((s, int(c), np.round(sums[s, c], 6).tolist(), int(counts[s, c])))
+            if out:
+                yield pd.DataFrame(out, columns=["sub", "code", "psum", "pcount"])
+
+        rows = vecs.mapInPandas(
+            partial, schema="sub INT, code INT, psum ARRAY<DOUBLE>, pcount BIGINT"
+        ).collect()
+        sums = np.zeros_like(books)
+        counts = np.zeros((m, n_codes), dtype="int64")
+        for r in sorted(rows, key=lambda r: (r["sub"], r["code"], r["pcount"])):
+            sums[r["sub"], r["code"]] += np.array(r["psum"])
+            counts[r["sub"], r["code"]] += r["pcount"]
+        books = books.copy()
+        upd = counts > 0
+        books[upd] = sums[upd] / counts[upd][:, None]
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes ARRAY<INT>) — each vector compressed to ``m``
+    codebook indices (m bytes at n_codes ≤ 256): 64 float32 dims →
+    8 bytes, a 32× shrink. At 10^12 vectors this is the difference
+    between scanning 256 TB of raw vectors and 8 TB of codes. One
+    Arrow pass, no shuffle."""
+    import pandas as pd
+
+    b = np.asarray(codebooks, dtype="float64")
+    m, _, dsub = b.shape
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype="float64")
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+            codes = np.empty((len(pdf), m), dtype="int32")
+            for s in range(m):
+                sub = mat[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - b[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].astype("int64"), "codes": list(codes)}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, schema="vec_id BIGINT, codes ARRAY<INT>"
+    )
+
+
+def pq_ann_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 5,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """PQ-ADC approximate cosine top-k: scan the CODES (not the
+    vectors) with a per-query (m × n_codes) dot-product lookup table,
+    keep the best ``rerank·k`` per query, then exact-cosine re-rank
+    those few raw vectors. The heavy scan is compressed-domain and
+    embarrassingly parallel (per-partition top-R inside the kernel,
+    tiny global shuffle); composes with :func:`ivf_assign` cells for
+    sub-linear scans. Output schema matches :func:`cosine_topk`.
+    """
+    from pyspark.sql import Window
+    import pandas as pd
+
+    if codebooks is None:
+        codebooks = pq_train(embeddings, m, n_codes, n_iters, id_col, vec_col)
+    b = np.asarray(codebooks, dtype="float64")
+    m_, n_codes_, dsub = b.shape
+    codes = pq_encode(embeddings, b, id_col, vec_col)
+
+    qrows = embeddings.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
+    luts = {}
+    for r in qrows:
+        qv = np.array(r[vec_col], dtype="float64")
+        qv /= max(np.linalg.norm(qv), 1e-300)
+        luts[int(r[id_col])] = np.stack(
+            [b[s] @ qv[s * dsub : (s + 1) * dsub] for s in range(m_)]
+        )  # (m, n_codes) partial dots
+    n_keep = rerank * k
+
+    def scan(batches):
+        # per-batch ADC: approx dot = Σ_s lut[s, code_s]; emit each
+        # batch's top n_keep per query (the global top-R survives any
+        # per-batch cut ≥ n_keep)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.array(pdf["codes"].tolist(), dtype="int64")
+            ids = pdf["vec_id"].astype("int64").to_numpy()
+            for qid, lut in luts.items():
+                approx = lut[np.arange(m_)[None, :], cmat].sum(1)
+                mask = ids != qid
+                aids, aapprox = ids[mask], approx[mask]
+                if len(aids) > n_keep:
+                    cut = np.argpartition(-aapprox, n_keep)[:n_keep]
+                    aids, aapprox = aids[cut], aapprox[cut]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "vec_id": aids,
+                        "approx_micro": np.round(aapprox * 1e6).astype("int64"),
+                    }
+                )
+
+    cand_all = codes.mapInPandas(
+        scan, schema="query_id BIGINT, vec_id BIGINT, approx_micro BIGINT"
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("approx_micro"), F.asc("vec_id"))
+    cands = (
+        cand_all.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= n_keep)
+        .select("query_id", "vec_id")
+    )
+
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    t = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("tvec"))
+    cos = _dot(F.col("qvec"), F.col("tvec")) / (
+        F.greatest(_norm(F.col("qvec")) * _norm(F.col("tvec")), F.lit(1e-300))
+    )
+    scored = (
+        cands.join(F.broadcast(q), "query_id")
+        .join(t, "vec_id")
+        .withColumn("cos_micro", F.round(cos * F.lit(1e6)).cast("bigint"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_micro"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos_micro")
+        .orderBy("query_id", "rank")
+    )

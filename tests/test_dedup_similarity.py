@@ -312,3 +312,41 @@ def test_ivf_train_deterministic_and_no_vector_shuffle(spark):
     assign = similarity.ivf_assign(emb, c1)
     assert assign.count() == 500
     assert assign.select("vec_id").distinct().count() == 500
+
+
+# ------------------------------------------------------------------ PQ ANN
+
+
+def test_pq_ann_recall_unclustered(spark):
+    """PQ-ADC (compressed-domain scan + exact re-rank) recall on the
+    unclustered sf0.01 embeddings: 64 float dims → 32 codes (16 bytes)
+    per vector, top-4k re-ranked exactly."""
+    emb = spark.read.parquet(f"{SF_EMB}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qids = list(range(20))
+    exact = {(r.query_id, r.vec_id) for r in similarity.cosine_topk(emb, qids, k=10).collect()}
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in similarity.pq_ann_topk(
+            emb, qids, k=10, m=32, n_codes=16, rerank=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.85, f"PQ recall@10 = {recall:.3f}"
+    assert len(approx) == 20 * 10
+
+
+def test_pq_train_encode_shapes_and_determinism(spark):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_EMB}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    b1 = similarity.pq_train(emb, m=8, n_codes=16, n_iters=3)
+    b2 = similarity.pq_train(emb, m=8, n_codes=16, n_iters=3)
+    assert np.array_equal(b1, b2)
+    assert b1.shape == (8, 16, 8)
+    codes = similarity.pq_encode(emb, b1).collect()
+    assert len(codes) == 500
+    assert all(len(r.codes) == 8 and all(0 <= c < 16 for c in r.codes) for r in codes)
