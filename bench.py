@@ -171,6 +171,8 @@ def bench_main(results: dict):
         "grep_scan",
         "text_quality",
         "text_lang_id",
+        "text_repetition",
+        "decontaminate",
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
@@ -221,15 +223,15 @@ def _scaling_job(master: str, shuffle: int, n_files: int) -> dict:
 
     spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
     if os.path.exists(spark_submit):
+        # always rebuilt — a stale cached zip would ship old code
         pkg_zip = "/tmp/la_fungus_search_spark.zip"
-        if not os.path.exists(pkg_zip):
-            with zipfile.ZipFile(pkg_zip, "w") as z:
-                pkg = os.path.join(here, "la_fungus_search_spark")
-                for root, _, files in os.walk(pkg):
-                    for fn in files:
-                        if fn.endswith(".py"):
-                            p = os.path.join(root, fn)
-                            z.write(p, os.path.relpath(p, here))
+        with zipfile.ZipFile(pkg_zip, "w") as z:
+            pkg = os.path.join(here, "la_fungus_search_spark")
+            for root, _, files in os.walk(pkg):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        p = os.path.join(root, fn)
+                        z.write(p, os.path.relpath(p, here))
         cmd = [
             spark_submit, "--master", master,
             "--driver-memory", env["SPARK_GRAFT_DRIVER_MEM"],

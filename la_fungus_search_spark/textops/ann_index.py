@@ -1,0 +1,204 @@
+"""Persistent IVF-PQ ANN index: the FAISS-IVFPQ analog (reference
+``mcmp/indexing.py:24-69``) re-expressed as a partitioned table layout,
+mirroring the BM25 index's bucket-pruned design.
+
+Layout under ``out_dir``:
+
+* ``cells/`` — parquet partitioned by ``centroid_id``: one row per
+  vector, carrying its PQ ``codes`` AND the raw ``embedding``. A query
+  probes ``n_probe`` cells → the read is a **partition-pruned** scan
+  (`centroid_id IN (...)` reaches the directory filter), the ADC pass
+  touches only the probed cells' codes, and the exact re-rank reads
+  only those cells' raw vectors. At fleet scale raw vectors can live
+  in a separate colder table with the same partitioning; co-locating
+  them here keeps the sandbox simple without changing the plan shape.
+* ``meta.json`` — centroids + PQ codebooks + params. Both are trained
+  deterministically (md5-seeded, rounded partial sums), so rebuilding
+  the index anywhere reproduces it bit-for-bit.
+
+Search = driver-side probe selection (O(|q|·n_centroids) — same
+driver budget as the BM25 engine's term-stats collect) → pruned ADC
+scan with in-kernel per-batch top-R → exact cosine re-rank of
+``rerank·k`` candidates per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.textops.similarity import (
+    _dot,
+    _norm,
+    ivf_assign,
+    ivf_train_centroids,
+    pq_encode,
+    pq_train,
+)
+
+
+class AnnIndex:
+    def __init__(self, spark: SparkSession, path: str, centroids: np.ndarray,
+                 codebooks: np.ndarray, params: dict):
+        self.spark = spark
+        self.path = path
+        self.centroids = centroids
+        self.codebooks = codebooks
+        self.params = params
+
+    @property
+    def cells(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "cells"))
+
+
+def build_ann_index(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    out_dir: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> AnnIndex:
+    """Train (IVF centroids + PQ codebooks), encode, and write the
+    cell-partitioned table. Two corpus passes for training per Lloyd
+    iteration (each with explicit map-side combine), one for the
+    encode+write — no shuffle except the partitioned write itself."""
+    centroids = ivf_train_centroids(embeddings, n_centroids, n_iters, id_col, vec_col)
+    books = pq_train(embeddings, m, n_codes, n_iters, id_col, vec_col)
+    assign = ivf_assign(embeddings, centroids, id_col, vec_col)
+    codes = pq_encode(embeddings, books, id_col, vec_col)
+    raw = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    )
+    table = assign.join(codes, "vec_id").join(raw, "vec_id")
+    table.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        os.path.join(out_dir, "cells")
+    )
+    params = {"n_centroids": n_centroids, "m": m, "n_codes": n_codes}
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "params": params,
+                "centroids": centroids.tolist(),
+                "codebooks": books.tolist(),
+            },
+            f,
+        )
+    return AnnIndex(spark, out_dir, centroids, books, params)
+
+
+def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return AnnIndex(
+        spark,
+        path,
+        np.array(meta["centroids"], dtype="float64"),
+        np.array(meta["codebooks"], dtype="float64"),
+        meta["params"],
+    )
+
+
+def ann_index_search(
+    index: AnnIndex,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 4,
+) -> DataFrame:
+    """Top-k cosine per query vector over the persisted index.
+
+    ``queries`` = [(query_id, vector), ...] — external vectors, not
+    required to be in the index (self-matches by id are excluded when
+    they are). Output (query_id, rank, vec_id, cos_micro), same schema
+    as ``similarity.cosine_topk``.
+    """
+    import pandas as pd
+    from pyspark.sql import Window
+
+    b = index.codebooks
+    m, n_codes, dsub = b.shape
+    cents = index.centroids
+
+    probe_rows = []
+    luts = {}
+    qvecs = {}
+    for qid, vec in queries:
+        qv = np.asarray(vec, dtype="float64")
+        qv /= max(np.linalg.norm(qv), 1e-300)
+        qvecs[int(qid)] = qv
+        order = np.argsort(-(cents @ qv), kind="stable")[:n_probe]
+        probe_rows += [(int(qid), int(c)) for c in order]
+        luts[int(qid)] = np.stack([b[s] @ qv[s * dsub : (s + 1) * dsub] for s in range(m)])
+    probed_cells = sorted({c for _, c in probe_rows})
+    cell_of = {}
+    for qid, c in probe_rows:
+        cell_of.setdefault(qid, set()).add(c)
+
+    # partition-pruned read: the IN-filter lands on the directory layout
+    cells = index.cells.filter(F.col("centroid_id").isin([int(c) for c in probed_cells]))
+    n_keep = rerank * k
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.array(pdf["codes"].tolist(), dtype="int64")
+            ids = pdf["vec_id"].astype("int64").to_numpy()
+            cellcol = pdf["centroid_id"].astype("int64").to_numpy()
+            for qid, lut in luts.items():
+                mask = np.isin(cellcol, list(cell_of[qid])) & (ids != qid)
+                if not mask.any():
+                    continue
+                aids = ids[mask]
+                approx = lut[np.arange(m)[None, :], cmat[mask]].sum(1)
+                if len(aids) > n_keep:
+                    cut = np.argpartition(-approx, n_keep)[:n_keep]
+                    aids, approx = aids[cut], approx[cut]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "vec_id": aids,
+                        "approx_micro": np.round(approx * 1e6).astype("int64"),
+                    }
+                )
+
+    cand_all = cells.select("centroid_id", "vec_id", "codes").mapInPandas(
+        scan, schema="query_id BIGINT, vec_id BIGINT, approx_micro BIGINT"
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("approx_micro"), F.asc("vec_id"))
+    cands = (
+        cand_all.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= n_keep)
+        .select("query_id", "vec_id")
+    )
+
+    spark = index.spark
+    q = spark.createDataFrame(
+        [(qid, qv.tolist()) for qid, qv in qvecs.items()],
+        "query_id BIGINT, qvec ARRAY<DOUBLE>",
+    )
+    t = cells.select("vec_id", F.col("embedding").alias("tvec"))
+    cos = _dot(F.col("qvec"), F.col("tvec")) / (
+        F.greatest(_norm(F.col("qvec")) * _norm(F.col("tvec")), F.lit(1e-300))
+    )
+    scored = (
+        cands.join(F.broadcast(q), "query_id")
+        .join(t, "vec_id")
+        .withColumn("cos_micro", F.round(cos * F.lit(1e6)).cast("bigint"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_micro"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos_micro")
+        .orderBy("query_id", "rank")
+    )

@@ -108,6 +108,41 @@ def cmd_update(args) -> None:
     print(json.dumps({"status": "updated", "out": args.out, **stats}))
 
 
+def cmd_ann_build(args) -> None:
+    from la_fungus_search_spark.textops.ann_index import build_ann_index
+
+    spark = get_spark(app_name="lfs-ann-build")
+    emb = spark.read.parquet(args.input)
+    idx = build_ann_index(
+        spark, emb, args.out,
+        n_centroids=args.centroids, m=args.m, n_codes=args.codes,
+        id_col=args.id_col, vec_col=args.vec_col,
+    )
+    print(json.dumps({"status": "built", "out": args.out, **idx.params}))
+
+
+def cmd_ann_search(args) -> None:
+    from pyspark.sql import functions as F
+
+    from la_fungus_search_spark.textops.ann_index import ann_index_search, load_ann_index
+
+    spark = get_spark(app_name="lfs-ann-search")
+    idx = load_ann_index(spark, args.index)
+    qids = [int(q) for q in args.query_id]
+    qrows = (
+        idx.cells.filter(F.col("vec_id").isin(qids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(r.vec_id, list(r.embedding)) for r in qrows]
+    hits = ann_index_search(idx, queries, k=args.k, n_probe=args.probe)
+    for r in hits.collect():
+        print(json.dumps({
+            "query_id": r.query_id, "rank": r.rank,
+            "id": r.vec_id, "cos_micro": r.cos_micro,
+        }))
+
+
 def main() -> None:
     p = argparse.ArgumentParser(prog="lfs")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -134,6 +169,24 @@ def main() -> None:
     u.add_argument("--input", required=True)
     u.add_argument("--out", default="")
     u.set_defaults(fn=cmd_update)
+
+    ab = sub.add_parser("ann-build")
+    ab.add_argument("--input", required=True, help="parquet with (vec_id, embedding)")
+    ab.add_argument("--out", required=True)
+    ab.add_argument("--centroids", type=int, default=16)
+    ab.add_argument("--m", type=int, default=8)
+    ab.add_argument("--codes", type=int, default=16)
+    ab.add_argument("--id-col", dest="id_col", default="vec_id")
+    ab.add_argument("--vec-col", dest="vec_col", default="embedding")
+    ab.set_defaults(fn=cmd_ann_build)
+
+    asr = sub.add_parser("ann-search")
+    asr.add_argument("--index", required=True)
+    asr.add_argument("--query-id", action="append", required=True,
+                     help="vec_id of an indexed vector to use as the query")
+    asr.add_argument("-k", type=int, default=10)
+    asr.add_argument("--probe", type=int, default=4)
+    asr.set_defaults(fn=cmd_ann_search)
 
     args = p.parse_args()
     args.fn(args)

@@ -350,3 +350,57 @@ def test_pq_train_encode_shapes_and_determinism(spark):
     codes = similarity.pq_encode(emb, b1).collect()
     assert len(codes) == 500
     assert all(len(r.codes) == 8 and all(0 <= c < 16 for c in r.codes) for r in codes)
+
+
+# -------------------------------------------------------- IVF-PQ index
+
+
+def test_ann_index_build_search_clustered(spark, tmp_path):
+    """Persistent IVF-PQ index: cell-partitioned write, partition-
+    pruned probe read, ADC scan + exact re-rank. On clustered data the
+    composed path keeps recall ≥ 0.9 while scanning 25% of cells."""
+    import numpy as np
+    from la_fungus_search_spark.textops import ann_index
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(20, 32) * 4.0
+    vecs = np.repeat(centers, 25, axis=0) + rng.randn(500, 32) * 0.3
+    emb = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(500)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    ).repartition(8)
+
+    idx = ann_index.build_ann_index(
+        spark, emb, str(tmp_path / "ann"), n_centroids=20, m=16, n_codes=16
+    )
+    qids = list(range(0, 500, 25))
+    qrows = {r.vec_id: list(r.embedding) for r in emb.filter(F.col("vec_id").isin(qids)).collect()}
+    res = ann_index.ann_index_search(
+        idx, [(q, qrows[q]) for q in qids], k=10, n_probe=5, rerank=4
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan  # pruned read
+    got = {(r.query_id, r.vec_id) for r in res.collect()}
+    exact = {(r.query_id, r.vec_id) for r in similarity.cosine_topk(emb, qids, k=10).collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"ivf-pq recall@10 = {recall:.3f}"
+
+
+def test_ann_index_load_roundtrip(spark, tmp_path):
+    """load_ann_index restores centroids/codebooks bit-for-bit and
+    serves the same results as the just-built index."""
+    import numpy as np
+    from la_fungus_search_spark.textops import ann_index
+
+    emb = spark.read.parquet(f"{SF_EMB}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    out = str(tmp_path / "ann")
+    built = ann_index.build_ann_index(spark, emb, out, n_centroids=8, m=8, n_codes=16)
+    loaded = ann_index.load_ann_index(spark, out)
+    assert np.array_equal(built.centroids, loaded.centroids)
+    assert np.array_equal(built.codebooks, loaded.codebooks)
+    q = [(0, list(emb.filter("vec_id = 0").collect()[0].embedding))]
+    a = ann_index.ann_index_search(built, q, k=5, n_probe=4).collect()
+    b = ann_index.ann_index_search(loaded, q, k=5, n_probe=4).collect()
+    assert a == b and len(a) == 5
