@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from la_fungus_search_spark.index.builder import BM25Index
 from la_fungus_search_spark.index.codec import decode_tfs, delta_decode_docids
 from la_fungus_search_spark.tokenizer import tokenize_query
+from la_fungus_search_spark.xxhash import term_bucket
 
 
 class BM25QueryEngine:
@@ -95,7 +96,13 @@ class BM25QueryEngine:
         q_with_idf = F.broadcast(
             qt.join(idx.term_stats.select("term", "idf", "term_bucket"), "term")
         )
-        buckets = [r.term_bucket for r in q_with_idf.select("term_bucket").distinct().collect()]
+        # bucket-pruning IN-list computed driver-side (xxhash64 twin of
+        # the build's pmod(xxhash64(term), n_buckets)) — ZERO Spark
+        # jobs before the query itself; parity asserted in tests
+        nb = int(self.index.globals["n_buckets"])
+        buckets = sorted(
+            {term_bucket(t, nb) for q in queries for t in tokenize_query(q)}
+        ) or [0]
         postings = idx.postings.filter(F.col("term_bucket").isin(buckets))  # partition pruning
         scored = (
             postings.join(q_with_idf, "term")

@@ -58,3 +58,25 @@ def test_duckdb_sql_matches_python():
     for t in EDGE_TEXTS:
         got = con.execute(f"select {duckdb_tokens_sql('?')}", [t]).fetchone()[0]
         assert got == tokenize(t), t
+
+
+def test_xxhash64_parity_with_spark(spark):
+    """Driver-side XXH64 == Spark's xxhash64 expression (signed value
+    AND pmod bucket) across ASCII/unicode/empty/len-boundary inputs —
+    the invariant the query engine's job-free bucket pruning rests on."""
+    from pyspark.sql import functions as F
+
+    from la_fungus_search_spark.xxhash import term_bucket, xxhash64_signed
+
+    words = ["", "a", "ab", "abc", "0123", "01234567", "0123456789abcdef",
+             "x" * 31, "y" * 32, "z" * 33, "w" * 100, "naïve", "日本語テキスト",
+             "🎉emoji", "def", "import", "_weird_", "MixedCase", "tab\tsep"]
+    rows = (
+        spark.createDataFrame([(w,) for w in words], "s STRING")
+        .select("s", F.xxhash64("s").alias("h"),
+                F.pmod(F.xxhash64("s"), F.lit(64)).cast("int").alias("b"))
+        .collect()
+    )
+    for r in rows:
+        assert xxhash64_signed(r.s) == r.h, r.s
+        assert term_bucket(r.s, 64) == r.b, r.s
