@@ -515,6 +515,13 @@ def q_corpus_clean(spark, sf_dir):
     return pipeline.clean_corpus(_clean_aug(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_corpus_clean_rep(spark, sf_dir):
+    """clean_corpus with the Gopher repetition rules slotted in
+    (dup_lines / repeated_2gram between quality and dedup rules), on
+    the line-doubled corpus so the new rules actually fire."""
+    return pipeline.clean_corpus(_rep_aug(spark, sf_dir), repetition=True).orderBy("doc_id")
+
+
 def q_multimodal_decode(spark, sf_dir):
     media = multimodal.synthesize_media(_documents(spark, sf_dir))
     return (
@@ -1101,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "pack_token_shards": q_pack_token_shards,
         "corpus_clean": q_corpus_clean,
+        "corpus_clean_rep": q_corpus_clean_rep,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_srp_topk": q_ann_srp_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1563,7 +1571,8 @@ grams0 AS (
 ),
 gg AS (SELECT doc_id, g, count(*)::BIGINT AS cnt FROM grams0 GROUP BY 1, 2),
 gstats AS (
-    SELECT doc_id, max(cnt * length(replace(g, ' ', '')))::BIGINT AS top2_chars
+    SELECT doc_id,
+           max(CASE WHEN cnt > 1 THEN cnt * length(replace(g, ' ', '')) END)::BIGINT AS top2_chars
     FROM gg GROUP BY 1
 )
 SELECT d.doc_id,
@@ -1710,6 +1719,82 @@ v AS (
                 WHEN f.doc_id <> c.canonical_id THEN 'duplicate'
            END AS reject_reason
     FROM f JOIN canon c USING (nmd5)
+)
+SELECT doc_id, (reject_reason IS NULL)::INT AS keep, reject_reason
+FROM v ORDER BY doc_id
+""",
+        "corpus_clean_rep": f"""
+WITH d AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0
+                THEN coalesce(text, '') || chr(10) || coalesce(text, '')
+                ELSE coalesce(text, '') END AS text
+    FROM documents
+),
+lines0 AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d),
+lines AS (SELECT doc_id, line FROM lines0 WHERE trim(line) <> ''),
+lg AS (SELECT doc_id, line, count(*)::BIGINT AS cnt FROM lines GROUP BY 1, 2),
+lstats AS (
+    SELECT doc_id, sum(cnt)::BIGINT AS n_lines,
+           (sum(cnt) - count(*))::BIGINT AS n_dup_lines
+    FROM lg GROUP BY 1
+),
+tokd AS (SELECT doc_id, {_tok_sql('text')} AS toks FROM d),
+tchars AS (
+    SELECT doc_id,
+           coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS tok_chars
+    FROM tokd
+),
+grams0 AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= 2
+             THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+             ELSE []::VARCHAR[] END) AS g
+    FROM tokd
+),
+gg AS (SELECT doc_id, g, count(*)::BIGINT AS cnt FROM grams0 GROUP BY 1, 2),
+gstats AS (
+    SELECT doc_id,
+           max(CASE WHEN cnt > 1 THEN cnt * length(replace(g, ' ', '')) END)::BIGINT AS top2_chars
+    FROM gg GROUP BY 1
+),
+rep AS (
+    SELECT d.doc_id,
+           (CASE WHEN coalesce(n_lines, 0) > 0
+                 THEN round(coalesce(n_dup_lines, 0) / n_lines * 1e6) ELSE 0 END)::BIGINT
+               AS dup_line_frac_micro,
+           (CASE WHEN coalesce(tok_chars, 0) > 0
+                 THEN round(coalesce(top2_chars, 0) / tok_chars * 1e6) ELSE 0 END)::BIGINT
+               AS top_2gram_frac_micro
+    FROM d LEFT JOIN lstats USING (doc_id) LEFT JOIN gstats USING (doc_id)
+           LEFT JOIN tchars USING (doc_id)
+),
+f AS (
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{_WS}')) AS nt,
+           round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 / greatest(length(text), 1) * 1e6)::BIGINT AS alpha,
+           round(len(list_filter(regexp_extract_all(lower(text), '{_WS}'),
+                                 x -> list_contains([{stop_list}], x)))
+                 / greatest(len(regexp_extract_all(lower(text), '{_WS}')), 1) * 1e6)::BIGINT AS stp,
+           round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 / greatest(len(regexp_extract_all(lower(text), '{_WS}')), 1) * 1e6)::BIGINT AS mwl,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS nmd5
+    FROM d
+),
+canon AS (SELECT nmd5, min(doc_id) AS canonical_id FROM f GROUP BY 1),
+v AS (
+    SELECT f.doc_id,
+           CASE WHEN nt < {pipeline.MIN_TOKENS} THEN 'too_short'
+                WHEN nt > {pipeline.MAX_TOKENS} THEN 'too_long'
+                WHEN alpha < {pipeline.MIN_ALPHA_RATIO_MICRO} THEN 'low_alpha'
+                WHEN stp > {pipeline.MAX_STOPWORD_RATIO_MICRO} THEN 'stopword_heavy'
+                WHEN mwl > {pipeline.MAX_MEAN_WORD_LEN_MICRO} THEN 'long_words'
+                WHEN r.dup_line_frac_micro > {pipeline.MAX_DUP_LINE_FRAC_MICRO} THEN 'dup_lines'
+                WHEN r.top_2gram_frac_micro > {pipeline.MAX_TOP_2GRAM_FRAC_MICRO} THEN 'repeated_2gram'
+                WHEN f.doc_id <> c.canonical_id THEN 'duplicate'
+           END AS reject_reason
+    FROM f JOIN canon c USING (nmd5) JOIN rep r ON f.doc_id = r.doc_id
 )
 SELECT doc_id, (reject_reason IS NULL)::INT AS keep, reject_reason
 FROM v ORDER BY doc_id

@@ -13,6 +13,13 @@ All hashing is md5/sha2-based so results are engine-portable — the
 DuckDB oracle in ``__spark_entry__.py`` reproduces them bit-for-bit.
 """
 
-from la_fungus_search_spark.textops import dedup, multimodal, similarity, stats
+from la_fungus_search_spark.textops import (
+    ann_index,
+    dedup,
+    multimodal,
+    pipeline,
+    similarity,
+    stats,
+)
 
-__all__ = ["stats", "dedup", "similarity", "multimodal"]
+__all__ = ["stats", "dedup", "similarity", "multimodal", "pipeline", "ann_index"]

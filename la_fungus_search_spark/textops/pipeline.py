@@ -37,6 +37,8 @@ MAX_TOKENS = 100_000
 MIN_ALPHA_RATIO_MICRO = 500_000  # ≥ 50% letters
 MAX_STOPWORD_RATIO_MICRO = 900_000  # ≤ 90% stopwords
 MAX_MEAN_WORD_LEN_MICRO = 40_000_000  # ≤ 40 chars/token (lorem/base64 guard)
+MAX_DUP_LINE_FRAC_MICRO = 300_000  # Gopher: ≤ 30% duplicate lines
+MAX_TOP_2GRAM_FRAC_MICRO = 200_000  # Gopher: top 2-gram covers ≤ 20% of chars
 
 
 def _hash_unit(id_col: Column, salt: str) -> Column:
@@ -123,6 +125,9 @@ def clean_corpus(
     min_alpha_ratio_micro: int = MIN_ALPHA_RATIO_MICRO,
     max_stopword_ratio_micro: int = MAX_STOPWORD_RATIO_MICRO,
     max_mean_word_len_micro: int = MAX_MEAN_WORD_LEN_MICRO,
+    repetition: bool = False,
+    max_dup_line_frac_micro: int = MAX_DUP_LINE_FRAC_MICRO,
+    max_top_2gram_frac_micro: int = MAX_TOP_2GRAM_FRAC_MICRO,
 ) -> DataFrame:
     """One-pass C4/Gopher-style cleaning verdict per doc:
     (doc_id, keep INT, reject_reason) where reject_reason is the FIRST
@@ -134,6 +139,13 @@ def clean_corpus(
     via minhash/cluster resolution). Quality features are the same
     expressions as stats.quality_scores; the whole verdict is one scan
     plus the dedup groupBy's fingerprint shuffle (16-byte keys).
+
+    ``repetition=True`` additionally applies the Gopher repetition
+    rules (dup_lines, repeated_2gram — Rae et al. 2021 §A1.1) via
+    :func:`~la_fungus_search_spark.textops.stats.repetition_scores`,
+    slotted between the per-doc quality rules and the dedup rule; this
+    adds that operator's two explode→partial-agg chains and a doc_id
+    join, still nothing quadratic.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
     n = F.length(t)
@@ -162,11 +174,27 @@ def clean_corpus(
         .when(F.col("_alpha") < min_alpha_ratio_micro, F.lit("low_alpha"))
         .when(F.col("_stop") > max_stopword_ratio_micro, F.lit("stopword_heavy"))
         .when(F.col("_mwl") > max_mean_word_len_micro, F.lit("long_words"))
-        .when(F.col("doc_id") != F.col("_canonical_id"), F.lit("duplicate"))
     )
+    verdict = feat.join(canon, "_norm_md5")
+    if repetition:
+        from la_fungus_search_spark.textops.stats import repetition_scores
+
+        rep = repetition_scores(docs, text_col, id_col).select(
+            "doc_id", "dup_line_frac_micro", "top_2gram_frac_micro"
+        )
+        verdict = verdict.join(rep, "doc_id", "left")
+        reason = (
+            reason.when(
+                F.coalesce("dup_line_frac_micro", F.lit(0)) > max_dup_line_frac_micro,
+                F.lit("dup_lines"),
+            ).when(
+                F.coalesce("top_2gram_frac_micro", F.lit(0)) > max_top_2gram_frac_micro,
+                F.lit("repeated_2gram"),
+            )
+        )
+    reason = reason.when(F.col("doc_id") != F.col("_canonical_id"), F.lit("duplicate"))
     return (
-        feat.join(canon, "_norm_md5")
-        .select("doc_id", reason.alias("reject_reason"))
+        verdict.select("doc_id", reason.alias("reject_reason"))
         .withColumn("keep", F.col("reject_reason").isNull().cast("int"))
         .select("doc_id", "keep", "reject_reason")
     )

@@ -143,8 +143,10 @@ def repetition_scores(
     * ``dup_line_char_frac_micro`` — fraction of line characters that
       sit inside duplicated lines (all occurrences counted);
     * ``top_2gram_frac_micro`` — fraction of token characters covered
-      by the most frequent word 2-gram (count × gram chars / total
-      token chars).
+      by the most frequent REPEATED word 2-gram (count × gram chars /
+      total token chars; grams occurring once aren't repetition — on
+      short docs a single long gram would otherwise trip any
+      threshold).
 
     Plan shape: two explode→groupBy chains (lines, 2-grams), both
     keyed by (doc_id, value) then doc_id — partial aggregation
@@ -190,8 +192,14 @@ def repetition_scores(
         .groupBy("doc_id", "g")
         .agg(F.count("*").alias("cnt"))
     )
+    # only REPEATED grams count — a single occurrence isn't repetition,
+    # and on short docs one long 2-gram alone can exceed any threshold
     gstats = gg.groupBy("doc_id").agg(
-        F.max(F.col("cnt") * F.length(F.regexp_replace("g", " ", ""))).alias("top2_chars")
+        F.max(
+            F.when(
+                F.col("cnt") > 1, F.col("cnt") * F.length(F.regexp_replace("g", " ", ""))
+            )
+        ).alias("top2_chars")
     )
 
     def _frac(num, den):

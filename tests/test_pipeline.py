@@ -132,6 +132,28 @@ def test_repetition_scores_planted(spark):
     assert out[2].n_lines == 1
     assert out[2].dup_line_frac_micro == 0
     assert out[2].dup_line_char_frac_micro == 0
-    # doc 2: 2-grams (a b, b c) each once -> top = 1*2 of 3
-    assert out[2].top_2gram_frac_micro == 666_667
+    # doc 2: 2-grams (a b, b c) each occur once -> no REPEATED gram
+    assert out[2].top_2gram_frac_micro == 0
     assert out[3].n_lines == 0 and out[3].top_2gram_frac_micro == 0
+
+
+def test_clean_corpus_repetition_rules(spark):
+    """repetition=True adds Gopher dup_lines / repeated_2gram between
+    the quality rules and the dedup rule."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "line one is here fine\n" * 10 + "unique closing line"),  # dup lines
+            (3, "spam ham " * 30),                                        # top 2-gram
+            (4, "the quick brown fox jumps over the lazy dog today"),     # exact dup of 1
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r for r in pipeline.clean_corpus(docs, repetition=True).collect()}
+    assert out[1].keep == 1 and out[1].reject_reason is None
+    assert out[2].reject_reason == "dup_lines"
+    assert out[3].reject_reason == "repeated_2gram"
+    assert out[4].reject_reason == "duplicate"
+    # without the flag, repetition spam passes (rule inactive)
+    base = {r.doc_id: r for r in pipeline.clean_corpus(docs).collect()}
+    assert base[2].keep == 1 and base[3].keep == 1

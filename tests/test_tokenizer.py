@@ -68,9 +68,16 @@ def test_xxhash64_parity_with_spark(spark):
 
     from la_fungus_search_spark.xxhash import term_bucket, xxhash64_signed
 
+    import hashlib
+
     words = ["", "a", "ab", "abc", "0123", "01234567", "0123456789abcdef",
              "x" * 31, "y" * 32, "z" * 33, "w" * 100, "naïve", "日本語テキスト",
              "🎉emoji", "def", "import", "_weird_", "MixedCase", "tab\tsep"]
+    # 200 pseudo-random strings covering every length mod-32 class
+    words += [
+        hashlib.md5(f"xx{i}".encode()).hexdigest()[: (i % 33)] + ("é" * (i % 3))
+        for i in range(200)
+    ]
     rows = (
         spark.createDataFrame([(w,) for w in words], "s STRING")
         .select("s", F.xxhash64("s").alias("h"),
