@@ -394,6 +394,22 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_documents(spark, sf_dir)).orderBy("canonical_id")
 
 
+def q_text_winnow(spark, sf_dir):
+    """Winnowing (rolling char-k-gram hash, per-window min) document
+    fingerprints — MOSS-style partial-copy detection."""
+    return stats.winnow_fingerprints(_documents(spark, sf_dir), k=8, w=4).orderBy(
+        "doc_id", "fp"
+    )
+
+
+def q_dedup_cross_doc_grams(spark, sf_dir):
+    """Token 8-grams shared verbatim across ≥2 docs (Lee et al. 2021
+    substring-dedup signal) on the near-dup-augmented corpus."""
+    return dedup.cross_doc_grams(_docs_aug(spark, sf_dir), k=8, min_docs=2).orderBy(
+        "gram_md5"
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs_aug(spark, sf_dir), k=3, threshold=0.5).orderBy(
         "id_a", "id_b"
@@ -1097,7 +1113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprints": q_text_fingerprints,
         "text_repetition": q_text_repetition,
+        "text_winnow": q_text_winnow,
         "decontaminate": q_decontaminate,
+        "dedup_cross_doc_grams": q_dedup_cross_doc_grams,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
@@ -1591,6 +1609,38 @@ LEFT JOIN lstats USING (doc_id)
 LEFT JOIN gstats USING (doc_id)
 LEFT JOIN tchars USING (doc_id)
 ORDER BY doc_id
+""",
+        "text_winnow": """
+WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+g AS (
+    SELECT doc_id,
+           CASE WHEN length(t) >= 8
+                THEN list_transform(range(1, length(t) - 6), i -> md5(substr(t, i, 8)))
+                ELSE []::VARCHAR[] END AS fps
+    FROM d
+),
+m AS (
+    SELECT doc_id,
+           CASE WHEN len(fps) >= 4
+                THEN list_transform(range(1, len(fps) - 2), j -> list_min(fps[j:j+3]))
+                WHEN len(fps) > 0 THEN [list_min(fps)]
+                ELSE []::VARCHAR[] END AS mins
+    FROM g
+)
+SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m ORDER BY doc_id, fp
+""",
+        "dedup_cross_doc_grams": f"""
+WITH {_DOCS_AUG_SQL.strip()},
+tokd AS (SELECT doc_id, {_tok_sql('text')} AS toks FROM docs_aug),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) >= 8
+             THEN list_transform(range(1, len(toks) - 6), i -> md5(array_to_string(toks[i:i+7], ' ')))
+             ELSE []::VARCHAR[] END)) AS gram_md5
+    FROM tokd
+)
+SELECT gram_md5, count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc_id
+FROM sh GROUP BY 1 HAVING count(*) >= 2 ORDER BY gram_md5
 """,
         "decontaminate": f"""
 WITH d AS (SELECT doc_id, text FROM documents),

@@ -282,7 +282,8 @@ def main():
         "sf": SF_DIR,
         "cpus": CPUS,
     }
-    bench_main(results)
+    if os.environ.get("SPARK_GRAFT_ONLY_SCALING") != "1":
+        bench_main(results)
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         bench_scaling(results)
     print(json.dumps(results), flush=True)

@@ -468,3 +468,31 @@ def simhash_dup_pairs(
     return cand.withColumn("hamming", ham.cast("int")).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def cross_doc_grams(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-dedup signal (Lee et al. 2021 fixed-length
+    approximation): token k-grams that appear verbatim in ≥ ``min_docs``
+    distinct documents — cross-doc boilerplate (license headers, nav
+    text, templated spans) that document-level dedup can't see because
+    the surrounding docs differ.
+
+    One shingle pass (distinct per doc) → groupBy(gram) with map-side
+    combine; the gram travels as its md5 (16 bytes), never the text.
+    Output (gram_md5, n_docs, min_doc_id) for flagged grams; join back
+    through :func:`shingles` to locate/excise the spans.
+    """
+    sh = shingles(docs, text_col, id_col, k).select(
+        "doc_id", F.md5("shingle").alias("gram_md5")
+    )
+    return (
+        sh.groupBy("gram_md5")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -223,3 +223,47 @@ def repetition_scores(
             _frac(F.col("top2_chars"), F.col("tok_chars")).alias("top_2gram_frac_micro"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the
+    MOSS algorithm): rolling char k-gram hashes, keep each w-window's
+    minimum — a position-robust fingerprint SET whose overlap finds
+    partial/contained plagiarism-style copies that whole-doc hashes
+    miss.
+
+    Hash = md5(k-gram) (engine-portable; a true Rabin-Karp rolling
+    hash saves only the hash constant factor, not the O(len) work).
+    The per-window minimum uses the same shifted-``zip_with`` trick as
+    the shingle builder — `slice` with a non-literal start falls out of
+    codegen — so the whole op is JVM expressions, zero shuffle, one
+    row per distinct selected fingerprint.
+
+    Output: (doc_id, fp) distinct pairs. Docs shorter than ``k`` chars
+    produce no rows (nothing to fingerprint).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
+    fps = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.md5(F.substring(t, i, k)),
+    )
+    # windows of w consecutive fps: elementwise min over w shifted views
+    m = F.greatest(F.size(fps) - F.lit(w - 1), F.lit(0))
+    mins = F.slice(fps, 1, m)
+    for j in range(1, w):
+        mins = F.zip_with(mins, F.slice(fps, j + 1, m), lambda a, b: F.least(a, b))
+    # short docs (k ≤ len < k+w-1): fewer grams than a window — keep
+    # the global min so every fingerprintable doc has ≥1 fingerprint
+    sel = F.when(
+        (n_grams > 0) & (F.size(mins) == 0), F.array(F.array_min(fps))
+    ).otherwise(mins)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sel)).alias("fp"))
+    )

@@ -404,3 +404,55 @@ def test_ann_index_load_roundtrip(spark, tmp_path):
     a = ann_index.ann_index_search(built, q, k=5, n_probe=4).collect()
     b = ann_index.ann_index_search(loaded, q, k=5, n_probe=4).collect()
     assert a == b and len(a) == 5
+
+
+# ---------------------------------------------------- winnow / substrings
+
+
+def test_winnow_fingerprints_partial_copy(spark):
+    """Winnowing guarantee: any shared substring of length ≥ k+w−1
+    yields ≥1 shared selected fingerprint — doc 2 embeds 13 chars of
+    doc 1 inside unrelated text and must collide; doc 3 (len == k)
+    gets exactly its single gram; empty doc → no rows."""
+    from la_fungus_search_spark.textops import stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefghijklmnopqrstuvwxyz"),
+            (2, "XXXXXfghijklmnopqrYYYY"),
+            (3, "zzzzz"),
+            (4, ""),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = stats.winnow_fingerprints(docs, k=5, w=3).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "embedded substring must share a fingerprint"
+    assert len(by_doc[3]) == 1
+    assert 4 not in by_doc
+    # fingerprints are a subset of the doc's own k-gram hashes
+    import hashlib
+    t = "abcdefghijklmnopqrstuvwxyz"
+    grams = {hashlib.md5(t[i:i+5].encode()).hexdigest() for i in range(len(t) - 4)}
+    assert by_doc[1] <= grams
+
+
+def test_cross_doc_grams_planted(spark):
+    boiler = "this license text is exactly the same in every single file"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " plus alpha specific content here"),
+            (2, boiler + " plus beta specific content there"),
+            (3, "entirely unrelated words that no other document shares at all today"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = dedup.cross_doc_grams(docs, k=8, min_docs=2).collect()
+    assert len(got) > 0
+    assert all(r.n_docs == 2 and r.min_doc_id == 1 for r in got)
+    # the boilerplate prefix has 11 tokens -> 4 shared 8-grams
+    # ("...file plus" diverges after token 11 + 1 shared 'plus')
+    shared = [r for r in got]
+    assert 3 <= len(shared) <= 6
