@@ -51,6 +51,11 @@ AUDIT = [
     "sample_stratified",
     "pack_token_shards",
     "corpus_clean",
+    "corpus_clean_rep",
+    "text_repetition",
+    "text_winnow",
+    "decontaminate",
+    "dedup_cross_doc_grams",
     "events_stability_window",
     "events_topk_per_group",
     "interval_self_join",
