@@ -10,12 +10,18 @@ plus extra evidence keys the judge reads against BASELINE.md:
 
 * ``build`` — index-build throughput (docs/sec, postings/sec) at the
   bench SF;
+* ``core_value`` — wall over EXACTLY the BENCH_r01 op sweep; ``value``
+  grows as new operators join the sweep each round, so use
+  ``core_value`` for cross-round comparisons;
+* ``ann_recall`` — SRP / IVF / PQ recall@10 vs the exact cosine scan;
 * ``scaling`` — the north-rule two-cluster-size criterion, evidenced
   in-sandbox by running the SAME job (index build + query set over an
-  identical replicated corpus) at ``local[8]`` (N) and ``local[32]``
-  (4N) and reporting throughput at both plus efficiency
+  identical replicated corpus) at ``local[2]`` (N) and ``local[8]``
+  (4N — both below this VM's ~20-core contention knee, see
+  ``bench_scaling``) and reporting throughput at both plus efficiency
   ``tp_4N / (4 * tp_N)`` (target ≥ 0.8). Skip with
-  ``SPARK_GRAFT_SKIP_SCALING=1``.
+  ``SPARK_GRAFT_SKIP_SCALING=1``; run ONLY it with
+  ``SPARK_GRAFT_ONLY_SCALING=1``.
 
 Everything chatty goes to stderr; stdout carries only the JSON line.
 """
@@ -202,6 +208,18 @@ def bench_main(results: dict):
 
     results["queries"] = queries
     results["value"] = round(sum(queries.values()), 3)
+    # apples-to-apples wall vs BENCH_r01 (its exact op sweep): the
+    # total above grows every round as NEW operators join the sweep,
+    # so cross-round comparisons must use core_value, not value
+    r1_ops = [
+        "index_build", "bm25_topk_sql", "bm25_topk_blockmax",
+        "keyword_score_topk", "grep_scan", "text_quality", "text_lang_id",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "ann_cosine_topk", "events_stability_window", "events_topk_per_group",
+        "interval_self_join", "chunks_line_windows", "hybrid_blend_topk",
+        "streaming_step_metrics",
+    ]
+    results["core_value"] = round(sum(queries.get(q, 0.0) for q in r1_ops), 3)
     stop_active_session()
 
 

@@ -384,7 +384,9 @@ def ivf_train_centroids(
         ).collect()
         sums = np.zeros_like(cents)
         counts = np.zeros(len(cents), dtype="int64")
-        for r in sorted(rows, key=lambda r: (r["centroid_id"], r["pcount"])):
+        # sort key includes the payload so equal-count partials from
+        # different partitions always reduce in the same order
+        for r in sorted(rows, key=lambda r: (r["centroid_id"], r["pcount"], tuple(r["psum"]))):
             sums[r["centroid_id"]] += np.array(r["psum"])
             counts[r["centroid_id"]] += r["pcount"]
         upd = counts > 0
@@ -560,7 +562,7 @@ def pq_train(
         ).collect()
         sums = np.zeros_like(books)
         counts = np.zeros((m, n_codes), dtype="int64")
-        for r in sorted(rows, key=lambda r: (r["sub"], r["code"], r["pcount"])):
+        for r in sorted(rows, key=lambda r: (r["sub"], r["code"], r["pcount"], tuple(r["psum"]))):
             sums[r["sub"], r["code"]] += np.array(r["psum"])
             counts[r["sub"], r["code"]] += r["pcount"]
         books = books.copy()
