@@ -456,3 +456,34 @@ def test_cross_doc_grams_planted(spark):
     # ("...file plus" diverges after token 11 + 1 shared 'plus')
     shared = [r for r in got]
     assert 3 <= len(shared) <= 6
+
+
+def test_winnow_matches_pure_python_on_random_strings(spark):
+    """Spark winnow == an independent pure-Python winnowing recompute
+    on 100 seeded-random strings (varied lengths incl. < k, == k,
+    k..k+w-1, long), batched into ONE job."""
+    import hashlib
+    import random
+
+    from la_fungus_search_spark.textops import stats
+
+    k, w = 5, 3
+    rng = random.Random(13)
+    alphabet = "abcdef \n"
+    docs = [(i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40))))
+            for i in range(100)]
+
+    def winnow_py(t: str) -> set:
+        grams = [hashlib.md5(t[i:i+k].encode()).hexdigest() for i in range(len(t) - k + 1)]
+        if not grams:
+            return set()
+        if len(grams) < w:
+            return {min(grams)}
+        return {min(grams[j:j+w]) for j in range(len(grams) - w + 1)}
+
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    got: dict = {}
+    for r in stats.winnow_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    for i, t in docs:
+        assert got.get(i, set()) == winnow_py(t), (i, repr(t))

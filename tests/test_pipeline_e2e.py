@@ -1,0 +1,61 @@
+"""End-to-end training-data pipeline composition: the stages chain on
+their public schemas — clean → decontaminate → fuzzy-dedup clusters →
+stratified sample → shard packing — over one corpus, one run. This is
+the 'a user can run the whole curation pipeline' contract; per-stage
+semantics are each verified in their own test files and driver gates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.textops import dedup, pipeline, stats
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_curation_pipeline_end_to_end(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text", "lang")
+
+    # 1. quality + repetition cleaning
+    verdicts = pipeline.clean_corpus(docs, repetition=True)
+    kept = docs.join(verdicts.filter("keep = 1").select("doc_id"), "doc_id")
+
+    # 2. decontamination against a benchmark (every 13th doc)
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    decon = pipeline.decontaminate(kept, bench, k=3, threshold=0.8)
+    clean = kept.join(decon.filter("contaminated = 0").select("doc_id"), "doc_id")
+
+    # 3. fuzzy dedup -> keep cluster keepers only
+    pairs = dedup.minhash_dedup_pairs(clean, k=3, threshold=0.5)
+    clusters = dedup.dedup_clusters(pairs, clean)
+    deduped = clean.join(clusters.filter("keep = 1").select("doc_id"), "doc_id")
+
+    # 4. stratified sample + token-budget shard packing
+    sample = pipeline.hash_sample(deduped, by="lang",
+                                  fractions={"en": 1.0, "de": 1.0, "es": 1.0,
+                                             "fr": 1.0, "zh": 0.5})
+    toks = stats.token_counts(sample).select(
+        "doc_id", F.col("ws_tokens").alias("n_tokens")
+    ).join(sample.select("doc_id", "lang"), "doc_id")
+    shards = pipeline.pack_token_shards(toks, budget=1000, part_col="lang")
+
+    n_docs = docs.count()
+    n_kept = kept.count()
+    n_clean = clean.count()
+    n_final = shards.count()
+    # monotone funnel, nothing lost to schema mismatches
+    assert n_docs >= n_kept >= n_clean >= n_final > 0
+    # benchmark members that survived cleaning are all flagged out
+    bench_clean = {r.doc_id for r in clean.select("doc_id").collect()}
+    flagged = {r.doc_id for r in decon.filter("contaminated = 1").collect()}
+    surviving_bench = {r.doc_id for r in kept.select("doc_id").collect()} & {
+        r.doc_id for r in bench.select("doc_id").collect()
+    }
+    assert surviving_bench <= flagged  # a bench doc overlaps itself 100%
+    assert not (flagged & bench_clean)
+    # every sampled doc landed in exactly one shard
+    assert shards.select("doc_id").distinct().count() == n_final
+    # shard ids are dense non-negative within each lang
+    mins = shards.groupBy("lang").agg(F.min("shard_id").alias("m")).collect()
+    assert all(r.m == 0 for r in mins)
