@@ -394,6 +394,13 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_documents(spark, sf_dir)).orderBy("canonical_id")
 
 
+def q_corpus_sketch(spark, sf_dir):
+    """One-row sketch profile (HLL++ distinct docs/vocab, GK doclen
+    percentiles) — rows-only: sketch estimates are engine-specific;
+    pytest bounds them against exact counts (test_pipeline.py)."""
+    return stats.corpus_sketch(_documents(spark, sf_dir))
+
+
 def q_text_winnow(spark, sf_dir):
     """Winnowing (rolling char-k-gram hash, per-window min) document
     fingerprints — MOSS-style partial-copy detection."""
@@ -1114,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": q_text_fingerprints,
         "text_repetition": q_text_repetition,
         "text_winnow": q_text_winnow,
+        "corpus_sketch": q_corpus_sketch,
         "decontaminate": q_decontaminate,
         "dedup_cross_doc_grams": q_dedup_cross_doc_grams,
         "dedup_exact": q_dedup_exact,

@@ -302,6 +302,12 @@ def main():
     }
     if os.environ.get("SPARK_GRAFT_ONLY_SCALING") != "1":
         bench_main(results)
+        # checkpoint line: if the (long) scaling section is killed by a
+        # harness timeout, the run still leaves a parseable JSON record;
+        # the final full line (with .scaling) supersedes it as the LAST
+        # line when everything completes
+        if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+            print(json.dumps(results), flush=True)
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         bench_scaling(results)
     print(json.dumps(results), flush=True)

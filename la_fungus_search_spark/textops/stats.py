@@ -267,3 +267,48 @@ def winnow_fingerprints(
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sel)).alias("fp"))
     )
+
+
+def corpus_sketch(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", rsd: float = 0.05
+) -> DataFrame:
+    """One-row corpus profile via sketches — the planning numbers a
+    100 TB curation run needs BEFORE committing to exact passes, at a
+    fraction of their cost:
+
+    * ``n_docs`` / ``total_tokens`` — exact (plain map-side sums);
+    * ``approx_distinct_docs`` — HLL++ over the exact-dedup key
+      (norm-md5): 1 − distinct/n ≈ exact-dup rate, sizing the dedup
+      stage's output before running it;
+    * ``approx_vocab`` — HLL++ over terms, the `n_buckets` /
+      `term_stats` sizing input (builder auto-sizing uses row counts;
+      this adds the vocabulary dimension);
+    * ``p50_doclen`` / ``p95_doclen`` — approximate percentiles
+      (Greenwald-Khanna), the doclen-skew planning signal.
+
+    Everything is map-side-combined sketch merging — two aggregations
+    (doc-level, exploded-term-level) shuffling only sketch bytes, then
+    a 1×1 join. Relative error is the ``rsd`` knob (HLL++ standard
+    error); the pytest oracle bounds it against exact counts.
+    """
+    from la_fungus_search_spark.tokenizer import tokens_expr
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    norm = F.trim(F.regexp_replace(F.lower(t), "\\s+", " "))
+    toks = tokens_expr(text_col)
+    doc_level = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(norm).alias("_norm"),
+        F.size(toks).alias("_len"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_len").alias("total_tokens"),
+        F.approx_count_distinct("_norm", rsd).alias("approx_distinct_docs"),
+        F.percentile_approx("_len", 0.5, 10000).alias("p50_doclen"),
+        F.percentile_approx("_len", 0.95, 10000).alias("p95_doclen"),
+    )
+    vocab = (
+        docs.select(F.explode(toks).alias("term"))
+        .agg(F.approx_count_distinct("term", rsd).alias("approx_vocab"))
+    )
+    return doc_level.join(vocab)

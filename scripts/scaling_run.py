@@ -76,7 +76,7 @@ def main():
     # warmup build on a 1/10 subset (codegen, python workers, shuffle
     # paths all get hot), then ONE timed full build — the criterion is
     # steady-state throughput, not cold-start
-    warm = corpus.sample(0.1, seed=1).persist()
+    warm = corpus.sample(0.05, seed=1).persist()
     warm.count()
     wi, _, _, _ = one_build(warm)
     for df in (wi.postings, wi.doc_stats, wi.term_stats, wi.posting_lists):

@@ -157,3 +157,25 @@ def test_clean_corpus_repetition_rules(spark):
     # without the flag, repetition spam passes (rule inactive)
     base = {r.doc_id: r for r in pipeline.clean_corpus(docs).collect()}
     assert base[2].keep == 1 and base[3].keep == 1
+
+
+def test_corpus_sketch_error_bounds(spark):
+    """Sketch estimates land within 3×rsd of exact counts on the
+    sf0.001 corpus; exact fields are exact."""
+    from la_fungus_search_spark.textops import stats
+    from la_fungus_search_spark.tokenizer import tokens_expr
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    row = stats.corpus_sketch(docs, rsd=0.05).collect()[0]
+    n_docs = docs.count()
+    exact_vocab = docs.select(F.explode(tokens_expr("text")).alias("t")).distinct().count()
+    exact_norm = (
+        docs.select(F.md5(F.trim(F.regexp_replace(F.lower(F.coalesce("text", F.lit(""))), "\\s+", " "))).alias("n"))
+        .distinct().count()
+    )
+    total_tokens = docs.select(F.sum(F.size(tokens_expr("text"))).alias("s")).collect()[0].s
+    assert row.n_docs == n_docs
+    assert row.total_tokens == total_tokens
+    assert abs(row.approx_vocab - exact_vocab) <= max(3, 0.15 * exact_vocab)
+    assert abs(row.approx_distinct_docs - exact_norm) <= max(3, 0.15 * exact_norm)
+    assert 0 < row.p50_doclen <= row.p95_doclen
