@@ -208,6 +208,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     bench_text_col: str = "text",
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs whose word k-gram
     sets overlap an eval/benchmark set — the step every pre-training
@@ -218,12 +219,14 @@ def decontaminate(
     check, e.g. GPT-3 appendix C / Gopher §A.5-style).
 
     Plan: one shingle pass per side (shared tokenizer contract), then
-    a broadcast semi-style join — the benchmark side is collapsed to a
-    DISTINCT k-gram set first, which for real eval suites is MBs
-    against a TB-scale corpus, so the probe is map-side and the only
-    shuffle is the per-doc hit count (map-side combined). If the
-    benchmark outgrows broadcast the same plan degrades to a shuffle
-    equi-join on the k-gram — never an all-pairs comparison.
+    a join against the benchmark side collapsed to a DISTINCT k-gram
+    set. With ``broadcast_bench=True`` (default — real eval suites are
+    MBs against a TB-scale corpus) the gram set broadcasts and the
+    probe is map-side; set it ``False`` when the benchmark outgrows
+    the broadcast limit and the same plan runs as a shuffle equi-join
+    on the k-gram. Either way it is never an all-pairs comparison,
+    and the only aggregation shuffle is the per-doc hit count
+    (map-side combined).
 
     Output (one row per input doc): (doc_id, n_grams, n_hits,
     overlap_micro, contaminated) with ``contaminated = 1`` iff
@@ -236,8 +239,9 @@ def decontaminate(
         shingles(benchmark, bench_text_col, id_col, k).select("shingle").distinct()
     )
     sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    probe = F.broadcast(bench_sh) if broadcast_bench else bench_sh
     hits = (
-        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        doc_sh.join(probe, "shingle")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )

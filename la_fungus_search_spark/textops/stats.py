@@ -245,6 +245,14 @@ def winnow_fingerprints(
     codegen — so the whole op is JVM expressions, zero shuffle, one
     row per distinct selected fingerprint.
 
+    Memory note: the intermediate gram-hash array is ~34 bytes/char
+    PER DOC transiently (a 10 MB doc peaks ~340 MB in one task). For
+    corpora with unbounded doc sizes, pre-chunk with
+    ``chunking.chunk_line_windows`` (fingerprint sets union across
+    chunks; only fingerprints within w grams of a chunk boundary can
+    differ) or cap inputs upstream — this op does not silently
+    truncate.
+
     Output: (doc_id, fp) distinct pairs. Docs shorter than ``k`` chars
     produce no rows (nothing to fingerprint).
     """

@@ -179,3 +179,15 @@ def test_corpus_sketch_error_bounds(spark):
     assert abs(row.approx_vocab - exact_vocab) <= max(3, 0.15 * exact_vocab)
     assert abs(row.approx_distinct_docs - exact_norm) <= max(3, 0.15 * exact_norm)
     assert 0 < row.p50_doclen <= row.p95_doclen
+
+
+def test_decontaminate_shuffle_join_mode_same_result(spark):
+    """broadcast_bench=False (big-benchmark mode) returns identical
+    results through the shuffle equi-join plan."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 7 == 0)
+    a = pipeline.decontaminate(d, bench, k=3, threshold=0.5).orderBy("doc_id").collect()
+    b = pipeline.decontaminate(
+        d, bench, k=3, threshold=0.5, broadcast_bench=False
+    ).orderBy("doc_id").collect()
+    assert a == b
