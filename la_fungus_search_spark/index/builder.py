@@ -47,7 +47,13 @@ from la_fungus_search_spark.tokenizer import tokenize, tokens_expr
 
 POSTING_LIST_SCHEMA = (
     "term STRING, term_bucket INT, block_id BIGINT, range_ids ARRAY<BIGINT>, first_doc BIGINT, "
-    "last_doc BIGINT, count INT, doc_ids BINARY, tfs BINARY, block_max DOUBLE"
+    "last_doc BIGINT, count INT, doc_ids BINARY, tfs BINARY, block_max DOUBLE, "
+    # score-free bound inputs: contribution is increasing in tf and
+    # decreasing in doclen, so idf_new * c(max_tf, min_dl, avgdl_new)
+    # upper-bounds every posting in the block under ANY later global
+    # stats — this is what lets incremental builds KEEP unaffected
+    # terms' compressed blocks and only refresh block_max by formula
+    "max_tf INT, min_dl INT"
 )
 
 
@@ -246,8 +252,15 @@ class IndexBuilder:
         avgdl: float,
         max_doc_id: int,
         n_docs: int | None = None,
+        range_n_docs: int | None = None,
     ) -> DataFrame:
-        """Compress runs into block-max-annotated posting lists."""
+        """Compress runs into block-max-annotated posting lists.
+
+        ``range_n_docs`` pins the doc-range grid: range ids must be
+        comparable ACROSS terms (the BMW range-UB sums per range_id), so
+        an affected-scope incremental rebuild passes the ORIGINAL
+        build's corpus size here — newly rebuilt terms then land on the
+        same grid as the kept blocks. Defaults to ``n_docs``."""
         k1, b = self.k1, self.b
         avgdl = max(avgdl, 1e-12)
         scored = (
@@ -275,12 +288,13 @@ class IndexBuilder:
         # giving ~n_docs/doc_range ranges (id//doc_range would make
         # every sparse id its own range → 1-posting blocks, destroying
         # both compression and the θ floor).
+        grid_docs = range_n_docs if range_n_docs is not None else n_docs
         if self.id_mode == "hash":
-            n_ranges = max(2, int(n_docs or (max_doc_id or 1)) // doc_range)
+            n_ranges = max(2, int(grid_docs or (max_doc_id or 1)) // doc_range)
             range_shift = max(1, 64 - int(math.ceil(math.log2(n_ranges))))
         else:
             range_shift = None
-            n_ranges = max(2, int(n_docs or (max_doc_id or 1)) // doc_range)
+            n_ranges = max(2, int(grid_docs or (max_doc_id or 1)) // doc_range)
         # Hybrid range alignment: FREQUENT terms (expected ≥1 posting
         # per range) split blocks at range boundaries — their blocks
         # then map 1:1 to ranges and pruning skips their decode, which
@@ -314,6 +328,8 @@ class IndexBuilder:
                         "doc_ids": pd.Series(dtype="object"),
                         "tfs": pd.Series(dtype="object"),
                         "block_max": pd.Series(dtype="float64"),
+                        "max_tf": pd.Series(dtype="int32"),
+                        "min_dl": pd.Series(dtype="int32"),
                     }
                 )
             codes, uniques = pd.factorize(pdf["term"], sort=False)
@@ -322,6 +338,7 @@ class IndexBuilder:
             order = np.lexsort((ids, salts, codes))
             codes, salts, ids = codes[order], salts[order], ids[order]
             tfs = pdf["tf"].to_numpy()[order]
+            doclens = pdf["doclen"].to_numpy()[order]
             scores = pdf["score"].to_numpy()[order]
             buckets = pdf["term_bucket"].to_numpy()[order]
             if range_shift is not None:
@@ -397,6 +414,8 @@ class IndexBuilder:
                     "doc_ids": varint_encode_split(deltas, bstarts, bends),
                     "tfs": varint_encode_split(tfs.astype(np.uint64), bstarts, bends),
                     "block_max": np.maximum.reduceat(scores, bstarts),
+                    "max_tf": np.maximum.reduceat(tfs, bstarts).astype("int32"),
+                    "min_dl": np.minimum.reduceat(doclens, bstarts).astype("int32"),
                 }
             )
 
@@ -404,7 +423,7 @@ class IndexBuilder:
         # (term_bucket, salt) rather than term alone is the explicit
         # skew control — a df≈N term is split into n_salts groups.
         return (
-            scored.select("term", "term_bucket", "salt", "doc_id", "tf", "score", "df")
+            scored.select("term", "term_bucket", "salt", "doc_id", "tf", "doclen", "score", "df")
             .groupBy("term_bucket", "salt")
             .applyInPandas(build_blocks, schema=POSTING_LIST_SCHEMA)
         )
@@ -523,6 +542,7 @@ class IndexBuilder:
             "b": self.b,
             "epsilon": self.epsilon,
             **sizing,
+            "range_n_docs": n_docs,
             "block_size": self.block_size,
             "block_doc_range": int(self.block_doc_range or self.block_size),
             "n_salts": self.n_salts,
@@ -636,8 +656,36 @@ class IncrementalIndexBuilder(IndexBuilder):
     only at oracle-test scale)."""
 
     def incremental_build(
-        self, old: BM25Index, new_docs: DataFrame, id_col: str | None = None
+        self,
+        old: BM25Index,
+        new_docs: DataFrame,
+        id_col: str | None = None,
+        rebuild_scope: str = "full",
     ) -> BM25Index:
+        """``rebuild_scope``:
+
+        * ``"full"`` (default) — posting_lists re-merged for every term
+          (bit-parity with a cold build; tokenize savings only).
+        * ``"affected"`` — keep unaffected terms' compressed blocks
+          VERBATIM (no decode, no shuffle) and only re-merge terms that
+          gained or lost postings. Kept blocks' ``block_max`` is
+          refreshed by formula from the stored (max_tf, min_dl):
+          ``max(idf_new, 0) × c(max_tf, min_dl, avgdl_new)`` — an upper
+          bound on every posting's new score (contribution is monotone
+          ↑tf, ↓doclen), so BMW pruning stays SAFE, merely a little
+          less tight than a cold build's exact maxima; top-k results
+          are identical (scoring recomputes from decoded tf + current
+          doclen/idf, never from block_max — tested). Rebuilt terms are
+          pinned to the old index's doc-range grid (``range_n_docs``)
+          so range UBs stay comparable across kept and rebuilt blocks.
+          At a daily change rate c, the merge cost drops from
+          O(all postings) to O(postings of affected terms) — hot
+          stopword-like terms are almost always affected, but their
+          salted groups bound each rebuild task; the long tail (the
+          block count) is untouched.
+        """
+        if rebuild_scope not in ("full", "affected"):
+            raise ValueError(f"unknown rebuild_scope {rebuild_scope!r}")
         if id_col is None and self.id_mode != "hash":
             raise ValueError("incremental_build requires id_mode='hash' or an explicit id_col")
         # fresh postings MUST use the old index's bucketing — kept rows
@@ -678,9 +726,43 @@ class IncrementalIndexBuilder(IndexBuilder):
         max_doc_id = int(g["max_doc_id"] if g["max_doc_id"] is not None else 0)
         term_stats, average_idf, eps = self.term_stats_df(postings, n_docs)
         term_stats = term_stats.persist()
-        posting_lists = self.posting_lists_df(
-            postings, doc_stats, term_stats, avgdl, max_doc_id, n_docs
-        ).persist()
+        range_n_docs = int(old.globals.get("range_n_docs", old.globals["N"]))
+        has_bound_cols = {"max_tf", "min_dl"} <= set(old.posting_lists.columns)
+        if rebuild_scope == "affected" and has_bound_cols:
+            # affected = terms whose doc membership changed: any term of
+            # a removed/changed doc, or of a fresh doc
+            aff_terms = (
+                old.postings.join(F.broadcast(stale_ids), "doc_id", "left_semi")
+                .select("term")
+                .unionByName(fresh_postings.select("term"))
+                .distinct()
+                .persist()
+            )
+            rebuilt = self.posting_lists_df(
+                postings.join(F.broadcast(aff_terms), "term", "left_semi"),
+                doc_stats, term_stats, avgdl, max_doc_id, n_docs,
+                range_n_docs=range_n_docs,
+            )
+            k1, b = self.k1, self.b
+            avgdl_safe = max(avgdl, 1e-12)
+            bound = (
+                F.col("max_tf").cast("double") * F.lit(k1 + 1.0)
+            ) / (
+                F.col("max_tf").cast("double")
+                + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("min_dl") / F.lit(avgdl_safe))
+            )
+            kept_lists = (
+                old.posting_lists.join(F.broadcast(aff_terms), "term", "left_anti")
+                .join(term_stats.select("term", "idf"), "term")
+                .withColumn("block_max", F.greatest(F.col("idf"), F.lit(0.0)) * bound)
+                .drop("idf")
+            )
+            posting_lists = kept_lists.unionByName(rebuilt).persist()
+        else:
+            posting_lists = self.posting_lists_df(
+                postings, doc_stats, term_stats, avgdl, max_doc_id, n_docs,
+                range_n_docs=n_docs,
+            ).persist()
 
         counts = {r["status"]: r["n"] for r in diff.groupBy("status").agg(F.count("*").alias("n")).collect()}
         self._manifest.append(
@@ -702,6 +784,12 @@ class IncrementalIndexBuilder(IndexBuilder):
                 "max_doc_id": max_doc_id,
                 "average_idf": average_idf,
                 "eps": eps,
+                # affected-scope keeps blocks on the original range
+                # grid; full rebuild re-grids to the new corpus size
+                "range_n_docs": (
+                    range_n_docs if rebuild_scope == "affected" and has_bound_cols
+                    else n_docs
+                ),
             }
         )
         return BM25Index(

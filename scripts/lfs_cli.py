@@ -93,7 +93,7 @@ def cmd_update(args) -> None:
         id_mode=old.globals.get("id_mode", "hash"),
     )
     new_docs = load_corpus(spark, args.input)
-    idx = builder.incremental_build(old, new_docs)
+    idx = builder.incremental_build(old, new_docs, rebuild_scope=args.scope)
     if args.out:
         os.makedirs(args.out, exist_ok=True)
         idx.postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
@@ -168,6 +168,9 @@ def main() -> None:
     u.add_argument("--index", required=True)
     u.add_argument("--input", required=True)
     u.add_argument("--out", default="")
+    u.add_argument("--scope", default="full", choices=["full", "affected"],
+                   help="affected: keep unaffected terms' blocks verbatim "
+                        "(merge cost ∝ changed terms, not the corpus)")
     u.set_defaults(fn=cmd_update)
 
     ab = sub.add_parser("ann-build")

@@ -189,3 +189,71 @@ def test_stateful_stability_stream(spark):
         assert abs(float(got["last_avg"]) - w["last_avg"]) < 1e-9, uid
         assert bool(got["stable"]) == w["stable"], uid
         assert bool(got["stagnant"]) == w["stagnant"], uid
+
+
+def test_incremental_affected_scope_reuses_blocks(spark):
+    """rebuild_scope='affected': (1) top-k identical to a cold rebuild
+    in every mode; (2) unaffected terms' compressed block BYTES are
+    reused verbatim; (3) every reused block's refreshed block_max is a
+    true upper bound on its postings' scores under the NEW stats
+    (decoded and checked directly)."""
+    from la_fungus_search_spark.corpus import corpus_df
+    from la_fungus_search_spark.index.builder import IncrementalIndexBuilder, IndexBuilder
+    from la_fungus_search_spark.index.codec import decode_tfs, delta_decode_docids
+    from la_fungus_search_spark.query.engine import BM25QueryEngine
+
+    base = corpus_df(spark, 120).filter("lang = 'python'")
+    kw = dict(n_buckets=8, n_salts=4, block_size=16, id_mode="hash")
+    old = IndexBuilder(spark, **kw).build(base)
+
+    changed = base.filter(F.col("path").contains("mod_000003")).withColumn(
+        "content", F.concat("content", F.lit("\nzz_new_token_alpha = 1\n"))
+    )
+    added = base.limit(2).select(
+        "repo",
+        F.concat(F.lit("new/"), "path").alias("path"),
+        "commit", "lang",
+        F.concat(F.lit("def zz_added(): return zz_new_token_beta\n"), "content").alias("content"),
+    )
+    new = base.filter(~F.col("path").contains("mod_000003")).unionByName(changed).unionByName(added)
+
+    cold = IndexBuilder(spark, **kw).build(new)
+    aff = IncrementalIndexBuilder(spark, **kw).incremental_build(
+        old, new, rebuild_scope="affected"
+    )
+
+    queries = ["pheromone decay kernel", "zz_new_token_alpha", "def class import return"]
+    for mode in ("sql", "blockmax"):
+        a = [(r.query_id, r.rank, r.doc_id, round(r.score, 9))
+             for r in BM25QueryEngine(cold).search(queries, k=10, mode=mode).collect()]
+        b = [(r.query_id, r.rank, r.doc_id, round(r.score, 9))
+             for r in BM25QueryEngine(aff).search(queries, k=10, mode=mode).collect()]
+        assert a == b, mode
+
+    old_rows = {(r.term, r.block_id): (bytes(r.doc_ids), bytes(r.tfs))
+                for r in old.posting_lists.collect()}
+    aff_rows = {(r.term, r.block_id): r for r in aff.posting_lists.collect()}
+    reused = [
+        aff_rows[key]
+        for key, (di, tf) in old_rows.items()
+        if key in aff_rows
+        and bytes(aff_rows[key].doc_ids) == di and bytes(aff_rows[key].tfs) == tf
+    ]
+    assert reused, "no blocks reused verbatim"
+    # and the affected term WAS rebuilt (its token appears only in new blocks)
+    assert aff.posting_lists.filter(F.col("term") == "zz_new_token_alpha").count() > 0
+
+    # direct safety check on up to 100 reused blocks
+    g = aff.globals
+    k1, b_, avgdl = g["k1"], g["b"], max(g["avgdl"], 1e-12)
+    doclen = {r.doc_id: r.doclen for r in aff.doc_stats.collect()}
+    idf = {r.term: r.idf for r in aff.term_stats.collect()}
+    for r in reused[:100]:
+        ids = delta_decode_docids(bytes(r.doc_ids))
+        tfs = decode_tfs(bytes(r.tfs))
+        true_max = max(
+            idf.get(r.term, 0.0)
+            * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b_ + b_ * doclen[d] / avgdl))
+            for d, tf in zip(ids.tolist(), tfs.tolist())
+        )
+        assert r.block_max >= true_max - 1e-9, (r.term, r.block_id)
