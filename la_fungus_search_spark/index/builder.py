@@ -802,6 +802,102 @@ class IncrementalIndexBuilder(IndexBuilder):
         )
 
 
+    def append_build(
+        self, old: BM25Index, batch_docs: DataFrame, id_col: str | None = None
+    ) -> BM25Index:
+        """Append-only index maintenance — the streaming-friendly path.
+
+        ``batch_docs`` are NEW documents only (no snapshot diff): their
+        identities must not collide with the index (checked; use
+        :meth:`incremental_build` for change/remove semantics). Kept
+        terms' compressed blocks are reused verbatim with the
+        (max_tf, min_dl) bound refresh (see ``rebuild_scope='affected'``);
+        only terms appearing in the batch re-merge, over old ∪ batch
+        postings. Per-batch cost: tokenize the batch + vocabulary-sized
+        stats aggs + merge of the batch's terms — nothing proportional
+        to the corpus except the (lazy, reused) old-postings scan that
+        feeds the affected-term merge.
+        """
+        if id_col is None and self.id_mode != "hash":
+            raise ValueError("append_build requires id_mode='hash' or an explicit id_col")
+        self.n_buckets = int(old.globals["n_buckets"])
+        prepared = self.prepare(batch_docs, id_col=id_col).persist()
+        keys = _snapshot_keys(old.doc_stats, prepared)
+        n_coll = prepared.join(old.doc_stats, keys, "left_semi").count()
+        if n_coll:
+            raise ValueError(
+                f"append_build: {n_coll} batch docs collide with existing identities "
+                "(repo, path, commit) — use incremental_build for updates/removals"
+            )
+        fresh_postings = self.postings_df(prepared).select(
+            "term", "doc_id", "tf", "term_bucket"
+        )
+        postings = old.postings.select("term", "doc_id", "tf", "term_bucket").unionByName(
+            fresh_postings
+        ).persist()
+        doc_stats = old.doc_stats.unionByName(
+            self.doc_stats_df(prepared, fresh_postings)
+        ).persist()
+        g = doc_stats.agg(
+            F.count("*").alias("N"),
+            F.avg("doclen").alias("avgdl"),
+            F.sum("doclen").alias("total_tokens"),
+            F.max("doc_id").alias("max_doc_id"),
+        ).collect()[0]
+        n_docs, avgdl = int(g["N"]), float(g["avgdl"] or 0.0)
+        max_doc_id = int(g["max_doc_id"] if g["max_doc_id"] is not None else 0)
+        term_stats, average_idf, eps = self.term_stats_df(postings, n_docs)
+        term_stats = term_stats.persist()
+        range_n_docs = int(old.globals.get("range_n_docs", old.globals["N"]))
+
+        aff_terms = fresh_postings.select("term").distinct().persist()
+        rebuilt = self.posting_lists_df(
+            postings.join(F.broadcast(aff_terms), "term", "left_semi"),
+            doc_stats, term_stats, avgdl, max_doc_id, n_docs,
+            range_n_docs=range_n_docs,
+        )
+        k1, b = self.k1, self.b
+        avgdl_safe = max(avgdl, 1e-12)
+        bound = (
+            F.col("max_tf").cast("double") * F.lit(k1 + 1.0)
+        ) / (
+            F.col("max_tf").cast("double")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("min_dl") / F.lit(avgdl_safe))
+        )
+        kept_lists = (
+            old.posting_lists.join(F.broadcast(aff_terms), "term", "left_anti")
+            .join(term_stats.select("term", "idf"), "term")
+            .withColumn("block_max", F.greatest(F.col("idf"), F.lit(0.0)) * bound)
+            .drop("idf")
+        )
+        posting_lists = kept_lists.unionByName(rebuilt).persist()
+
+        n_batch = prepared.count()
+        self._manifest.append(
+            {"stage": "append_build", "status": "complete", "n_added": n_batch}
+        )
+        glob = dict(old.globals)
+        glob.update(
+            {
+                "N": n_docs,
+                "avgdl": avgdl,
+                "total_tokens": int(g["total_tokens"] or 0),
+                "max_doc_id": max_doc_id,
+                "average_idf": average_idf,
+                "eps": eps,
+                "range_n_docs": range_n_docs,
+            }
+        )
+        return BM25Index(
+            spark=self.spark,
+            doc_stats=doc_stats,
+            term_stats=term_stats,
+            posting_lists=posting_lists,
+            postings=postings,
+            globals=glob,
+        )
+
+
 def build_index(spark: SparkSession, docs: DataFrame, **kwargs) -> BM25Index:
     out_dir = kwargs.pop("out_dir", None)
     resume = kwargs.pop("resume", False)

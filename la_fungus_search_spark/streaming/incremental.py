@@ -1,0 +1,77 @@
+"""Live index maintenance from a document stream.
+
+The reference's corpus watcher re-indexes on file change events
+(``realtime/server.py:2129-2184``); the Spark-native equivalent is a
+Structured Streaming file source feeding :meth:`IncrementalIndexBuilder.
+append_build` per micro-batch via ``foreachBatch``:
+
+* new parquet files landing under ``input_dir`` are one micro-batch
+  each trigger; the file source's checkpoint gives exactly-once batch
+  delivery (a re-started stream never re-appends a processed file);
+* each batch pays tokenize(batch) + vocabulary-sized stats aggs + a
+  merge of ONLY the batch's terms (kept terms' compressed blocks are
+  reused verbatim under the (max_tf, min_dl) bound refresh);
+* the maintained index is re-exposed after every batch through the
+  supplied callback (or collected from :class:`StreamingIndexMaintainer
+  .index` after an ``availableNow`` drain).
+
+This is append-only by design — renames/edits arrive as adds of new
+(repo, path, commit) identities, exactly like commits in a VCS; GC of
+superseded commits is a batch `incremental_build` with the full
+snapshot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from la_fungus_search_spark.index.builder import BM25Index, IncrementalIndexBuilder
+
+
+class StreamingIndexMaintainer:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_index: BM25Index,
+        n_salts: int = 4,
+        block_size: int = 32,
+        on_update=None,
+    ):
+        self.spark = spark
+        self.index = base_index
+        self._builder_kw = dict(
+            n_buckets=int(base_index.globals["n_buckets"]),
+            n_salts=n_salts,
+            block_size=block_size,
+            id_mode=base_index.globals.get("id_mode", "hash"),
+        )
+        self.on_update = on_update
+        self.n_batches = 0
+
+    def _process(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        builder = IncrementalIndexBuilder(self.spark, **self._builder_kw)
+        self.index = builder.append_build(self.index, batch_df)
+        # materialize the new lists so each batch's work is bounded and
+        # the lineage doesn't accumulate across batches
+        self.index.posting_lists.persist().count()
+        self.n_batches += 1
+        if self.on_update is not None:
+            self.on_update(self.index, batch_id)
+
+    def start(self, input_dir: str, checkpoint_dir: str, schema: str, available_now: bool = True):
+        """Start the maintenance stream over parquet files in
+        ``input_dir``. ``available_now=True`` drains everything present
+        and stops (test/batch-catchup mode); ``False`` runs continuous
+        triggers."""
+        reader = self.spark.readStream.schema(schema).parquet(input_dir)
+        writer = (
+            reader.writeStream.foreachBatch(self._process)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            q = writer.trigger(availableNow=True).start()
+        else:
+            q = writer.start()
+        return q

@@ -257,3 +257,52 @@ def test_incremental_affected_scope_reuses_blocks(spark):
             for d, tf in zip(ids.tolist(), tfs.tolist())
         )
         assert r.block_max >= true_max - 1e-9, (r.term, r.block_id)
+
+
+def test_streaming_index_maintenance_converges_to_cold(spark, tmp_path):
+    """Two parquet batches stream through the foreachBatch maintainer
+    (exactly-once via the file-source checkpoint); the maintained
+    index's top-k equals a cold build over the full corpus, and a
+    re-drain with the same checkpoint appends nothing."""
+    import os
+
+    from la_fungus_search_spark.corpus import corpus_df
+    from la_fungus_search_spark.index.builder import IndexBuilder
+    from la_fungus_search_spark.query.engine import BM25QueryEngine
+    from la_fungus_search_spark.streaming.incremental import StreamingIndexMaintainer
+
+    full = corpus_df(spark, 90).filter("lang = 'python'").persist()
+    base = full.filter(F.col("path") < "src/pkg05")
+    b1 = full.filter((F.col("path") >= "src/pkg05") & (F.col("path") < "src/pkg07"))
+    b2 = full.filter(F.col("path") >= "src/pkg07")
+
+    kw = dict(n_buckets=8, n_salts=4, block_size=16, id_mode="hash")
+    old = IndexBuilder(spark, **kw).build(base)
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    schema = "repo STRING, path STRING, commit STRING, lang STRING, content STRING"
+    b1.write.mode("append").parquet(in_dir)
+
+    m = StreamingIndexMaintainer(spark, old, n_salts=4, block_size=16)
+    q = m.start(in_dir, str(tmp_path / "ckpt"), schema, available_now=True)
+    q.awaitTermination(120)
+    b2.write.mode("append").parquet(in_dir)
+    q = m.start(in_dir, str(tmp_path / "ckpt"), schema, available_now=True)
+    q.awaitTermination(120)
+    assert m.n_batches >= 2
+
+    cold = IndexBuilder(spark, **kw).build(full)
+    queries = ["pheromone decay kernel", "def class import return", "varint delta codec"]
+    for mode in ("sql", "blockmax"):
+        a = [(r.query_id, r.rank, r.doc_id, round(r.score, 9))
+             for r in BM25QueryEngine(cold).search(queries, k=10, mode=mode).collect()]
+        b = [(r.query_id, r.rank, r.doc_id, round(r.score, 9))
+             for r in BM25QueryEngine(m.index).search(queries, k=10, mode=mode).collect()]
+        assert a == b, mode
+
+    # exactly-once: a third drain with no new files changes nothing
+    n = m.n_batches
+    q = m.start(in_dir, str(tmp_path / "ckpt"), schema, available_now=True)
+    q.awaitTermination(120)
+    assert m.n_batches == n
