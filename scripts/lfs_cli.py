@@ -108,6 +108,40 @@ def cmd_update(args) -> None:
     print(json.dumps({"status": "updated", "out": args.out, **stats}))
 
 
+def cmd_watch(args) -> None:
+    """Live index maintenance: drain new parquet files under --input
+    into the index via append_build (exactly-once per file through the
+    stream checkpoint), then write the updated index to --out."""
+    import json as _json
+
+    from la_fungus_search_spark.index.builder import load_index
+    from la_fungus_search_spark.streaming.incremental import StreamingIndexMaintainer
+
+    if args.out and os.path.realpath(args.out) == os.path.realpath(args.index):
+        print(_json.dumps({"status": "error",
+                           "message": "--out must differ from --index (lazy reads)"}))
+        sys.exit(2)
+    spark = get_spark(app_name="lfs-watch")
+    old = load_index(spark, args.index)
+    schema = "repo STRING, path STRING, commit STRING, lang STRING, content STRING"
+    m = StreamingIndexMaintainer(spark, old, n_salts=old.globals.get("n_salts", 4))
+    q = m.start(args.input, args.checkpoint, schema, available_now=not args.continuous)
+    q.awaitTermination()
+    idx = m.index
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        idx.postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
+            os.path.join(args.out, "postings"))
+        idx.doc_stats.write.mode("overwrite").parquet(os.path.join(args.out, "doc_stats"))
+        idx.term_stats.write.mode("overwrite").parquet(os.path.join(args.out, "term_stats"))
+        idx.posting_lists.write.mode("overwrite").partitionBy("term_bucket").parquet(
+            os.path.join(args.out, "posting_lists"))
+        with open(os.path.join(args.out, "globals.json"), "w") as f:
+            json.dump(idx.globals, f, indent=2)
+    print(json.dumps({"status": "watched", "batches": m.n_batches,
+                      "out": args.out, "N": idx.globals["N"]}))
+
+
 def cmd_ann_build(args) -> None:
     from la_fungus_search_spark.textops.ann_index import build_ann_index
 
@@ -172,6 +206,15 @@ def main() -> None:
                    help="affected: keep unaffected terms' blocks verbatim "
                         "(merge cost ∝ changed terms, not the corpus)")
     u.set_defaults(fn=cmd_update)
+
+    w = sub.add_parser("watch")
+    w.add_argument("--index", required=True)
+    w.add_argument("--input", required=True, help="directory new corpus parquet files land in")
+    w.add_argument("--checkpoint", required=True)
+    w.add_argument("--out", default="")
+    w.add_argument("--continuous", action="store_true",
+                   help="keep running (default: drain available files and exit)")
+    w.set_defaults(fn=cmd_watch)
 
     ab = sub.add_parser("ann-build")
     ab.add_argument("--input", required=True, help="parquet with (vec_id, embedding)")
