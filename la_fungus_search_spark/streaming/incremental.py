@@ -36,6 +36,7 @@ class StreamingIndexMaintainer:
         n_salts: int = 4,
         block_size: int = 32,
         on_update=None,
+        checkpoint_every: int = 8,
     ):
         self.spark = spark
         self.index = base_index
@@ -46,6 +47,7 @@ class StreamingIndexMaintainer:
             id_mode=base_index.globals.get("id_mode", "hash"),
         )
         self.on_update = on_update
+        self.checkpoint_every = max(1, checkpoint_every)
         self.n_batches = 0
 
     def _process(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -57,6 +59,20 @@ class StreamingIndexMaintainer:
         # the lineage doesn't accumulate across batches
         self.index.posting_lists.persist().count()
         self.n_batches += 1
+        if self.n_batches % self.checkpoint_every == 0:
+            # every union-per-batch deepens the logical plans linearly;
+            # truncate lineage periodically so Catalyst analysis stays
+            # O(1) per batch over an unbounded stream (same reason the
+            # CC loop localCheckpoints per round)
+            idx = self.index
+            self.index = BM25Index(
+                spark=self.spark,
+                doc_stats=idx.doc_stats.localCheckpoint(),
+                term_stats=idx.term_stats.localCheckpoint(),
+                posting_lists=idx.posting_lists.localCheckpoint(),
+                postings=idx.postings.localCheckpoint(),
+                globals=idx.globals,
+            )
         if self.on_update is not None:
             self.on_update(self.index, batch_id)
 

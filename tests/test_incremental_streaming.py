@@ -306,3 +306,46 @@ def test_streaming_index_maintenance_converges_to_cold(spark, tmp_path):
     q = m.start(in_dir, str(tmp_path / "ckpt"), schema, available_now=True)
     q.awaitTermination(120)
     assert m.n_batches == n
+
+
+def test_streaming_maintainer_many_batches_bounded_plans(spark, tmp_path):
+    """Five single-file batches through the maintainer with
+    checkpoint_every=2: results still exact vs cold, and the final
+    plans are lineage-truncated (LogicalRDD scan, not a 5-deep union).
+    """
+    import os
+
+    from la_fungus_search_spark.corpus import corpus_df
+    from la_fungus_search_spark.index.builder import IndexBuilder
+    from la_fungus_search_spark.query.engine import BM25QueryEngine
+    from la_fungus_search_spark.streaming.incremental import StreamingIndexMaintainer
+
+    full = corpus_df(spark, 60).filter("lang = 'python'").persist()
+    base = full.filter(F.col("path") < "src/pkg10")
+    rest = full.filter(F.col("path") >= "src/pkg10").collect()
+
+    kw = dict(n_buckets=8, n_salts=4, block_size=16, id_mode="hash")
+    old = IndexBuilder(spark, **kw).build(base)
+    in_dir = str(tmp_path / "in"); os.makedirs(in_dir)
+    schema = "repo STRING, path STRING, commit STRING, lang STRING, content STRING"
+
+    m = StreamingIndexMaintainer(spark, old, n_salts=4, block_size=16, checkpoint_every=2)
+    for i in range(0, min(5, len(rest))):
+        spark.createDataFrame([rest[i]], schema).write.mode("append").parquet(in_dir)
+        q = m.start(in_dir, str(tmp_path / "ckpt"), schema, available_now=True)
+        q.awaitTermination(120)
+    assert m.n_batches == min(5, len(rest))
+
+    cold = IndexBuilder(spark, **kw).build(
+        base.unionByName(spark.createDataFrame(rest[: m.n_batches], schema))
+    )
+    queries = ["pheromone decay kernel", "def class import return"]
+    a = [(r.query_id, r.rank, r.doc_id, round(r.score, 9))
+         for r in BM25QueryEngine(cold).search(queries, k=10, mode="sql").collect()]
+    b = [(r.query_id, r.rank, r.doc_id, round(r.score, 9))
+         for r in BM25QueryEngine(m.index).search(queries, k=10, mode="sql").collect()]
+    assert a == b
+    # lineage was truncated at batch 4: the postings plan roots in a
+    # checkpointed RDD scan, not a chain of unions back to the base
+    plan = m.index.postings._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan
