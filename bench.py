@@ -223,7 +223,7 @@ def bench_main(results: dict):
     stop_active_session()
 
 
-def _scaling_job(master: str, shuffle: int, n_files: int) -> dict:
+def _scaling_job(master: str, shuffle: int, n_files: int, n_timed: int = 2) -> dict:
     """The SAME job at one parallelism level, in a FRESH process via
     ``spark-submit --py-files`` when available (the north-rule launch
     mode; fresh JVM so heap/threads actually take effect), else plain
@@ -254,10 +254,10 @@ def _scaling_job(master: str, shuffle: int, n_files: int) -> dict:
             spark_submit, "--master", master,
             "--driver-memory", env["SPARK_GRAFT_DRIVER_MEM"],
             "--py-files", pkg_zip,
-            script, master, str(n_files), str(shuffle),
+            script, master, str(n_files), str(shuffle), str(n_timed),
         ]
     else:
-        cmd = [sys.executable, script, master, str(n_files), str(shuffle)]
+        cmd = [sys.executable, script, master, str(n_files), str(shuffle), str(n_timed)]
     proc = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=1200)
     if proc.returncode != 0:
         log(proc.stderr[-2000:])
@@ -274,10 +274,22 @@ def bench_scaling(results: dict):
     artifact, not an engine property. 2 vs 8 cores both sit below the
     contention knee and measure the engine's actual scaling.
     """
-    lo = _scaling_job("local[2]", shuffle=64, n_files=SCALING_FILES)
-    log(f"scaling N  (local[2]):  {lo}")
-    hi = _scaling_job("local[8]", shuffle=64, n_files=SCALING_FILES)
-    log(f"scaling 4N (local[8]): {hi}")
+    # interleave the levels (2,8,2,8) with ONE timed build per
+    # invocation and keep the best per level: co-tenant VM load varies
+    # on the minutes scale, so back-to-back per-level repeats can see
+    # different weather and skew the RATIO — alternation exposes both
+    # levels to the same conditions (observed: 0.96 quiet vs 0.66 when
+    # one sequential leg caught a noisy window)
+    lo = hi = None
+    for rnd in range(2):
+        lo_r = _scaling_job("local[2]", shuffle=64, n_files=SCALING_FILES, n_timed=1)
+        log(f"scaling N  (local[2], round {rnd}): {lo_r}")
+        if lo is None or lo_r["docs_per_sec"] > lo["docs_per_sec"]:
+            lo = lo_r
+        hi_r = _scaling_job("local[8]", shuffle=64, n_files=SCALING_FILES, n_timed=1)
+        log(f"scaling 4N (local[8], round {rnd}): {hi_r}")
+        if hi is None or hi_r["docs_per_sec"] > hi["docs_per_sec"]:
+            hi = hi_r
     eff = hi["docs_per_sec"] / (4.0 * lo["docs_per_sec"])
     if hi.get("blockmax_selective"):
         # pruning evidence at 400k docs (Zipfian code-corpus vocab —
