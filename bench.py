@@ -265,6 +265,29 @@ def _scaling_job(master: str, shuffle: int, n_files: int, n_timed: int = 2) -> d
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
+def _spin_calibration(n_procs: int, iters: int = 30_000_000) -> float:
+    """Aggregate iterations/sec of ``n_procs`` independent pure-CPU
+    spin processes — measures what the MACHINE gives a perfectly
+    parallel job at this thread count right now. The ratio
+    spin(8)/spin(2) is the ceiling any engine can reach for 2->8
+    scaling under current co-tenant load (4.0 on an idle machine)."""
+    import multiprocessing as mp
+
+    def spin(n):
+        x = 0
+        for i in range(n):
+            x += i
+        return x
+
+    t0 = time.time()
+    procs = [mp.Process(target=spin, args=(iters,)) for _ in range(n_procs)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    return n_procs * iters / max(time.time() - t0, 1e-9)
+
+
 def bench_scaling(results: dict):
     """North-rule two-cluster-size criterion, N=2 vs 4N=8 cores.
 
@@ -291,6 +314,17 @@ def bench_scaling(results: dict):
         if hi is None or hi_r["docs_per_sec"] > hi["docs_per_sec"]:
             hi = hi_r
     eff = hi["docs_per_sec"] / (4.0 * lo["docs_per_sec"])
+    # machine calibration at the SAME moment: what ratio could a
+    # perfectly-parallel CPU job get from 2 -> 8 threads right now?
+    # Under co-tenant load the hypervisor caps this below 4x (it steals
+    # proportionally more from wider jobs), capping ANY engine's raw
+    # efficiency; efficiency_vs_machine attributes that cap to the
+    # machine, not the engine. Criterion stays the raw number; the
+    # calibration makes a weather-degraded round interpretable.
+    spin2 = _spin_calibration(2)
+    spin8 = _spin_calibration(8)
+    machine_ratio = spin8 / max(spin2, 1e-9)
+    log(f"spin calibration: 2p={spin2:.3e}/s 8p={spin8:.3e}/s ratio={machine_ratio:.2f} (ideal 4)")
     if hi.get("blockmax_selective"):
         # pruning evidence at 400k docs (Zipfian code-corpus vocab —
         # the documents bench table has 31 terms all at df >= 5% and is
@@ -301,6 +335,13 @@ def bench_scaling(results: dict):
         "n": lo,
         "4n": hi,
         "efficiency": round(eff, 3),
+        "calibration": {
+            "spin2_per_sec": round(spin2, 1),
+            "spin8_per_sec": round(spin8, 1),
+            "machine_parallel_ratio": round(machine_ratio, 3),
+            "ideal_ratio": 4.0,
+        },
+        "efficiency_vs_machine": round(eff * 4.0 / max(machine_ratio, 1e-9), 3),
         "criterion": "docs_per_sec(local[8]) / (4 * docs_per_sec(local[2])) >= 0.8",
     }
 
