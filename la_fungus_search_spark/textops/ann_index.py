@@ -202,3 +202,36 @@ def ann_index_search(
         .select("query_id", "rank", "vec_id", "cos_micro")
         .orderBy("query_id", "rank")
     )
+
+
+def append_to_ann_index(index: AnnIndex, new_embeddings: DataFrame,
+                        id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Append vectors to a persisted index — the ANN twin of the BM25
+    ``append_build``. Centroids and codebooks are FROZEN (assignment
+    and codes are pure functions of them, so old rows stay valid and
+    queries see one consistent quantizer); new rows are assigned,
+    encoded, and partition-appended to the cell table — the write
+    touches only the cells the batch lands in. Re-train (rebuild) when
+    drift makes the frozen quantizer's recall degrade — recall vs the
+    exact scan is the measurable trigger (``bench.py .ann_recall``).
+
+    Collision check: appending an existing vec_id would duplicate it in
+    its cell; caller-side identity is asserted here.
+    """
+    n_coll = (
+        new_embeddings.select(F.col(id_col).alias("vec_id"))
+        .join(index.cells.select("vec_id"), "vec_id", "left_semi")
+        .count()
+    )
+    if n_coll:
+        raise ValueError(f"append_to_ann_index: {n_coll} vec_ids already indexed")
+    assign = ivf_assign(new_embeddings, index.centroids, id_col, vec_col)
+    codes = pq_encode(new_embeddings, index.codebooks, id_col, vec_col)
+    raw = new_embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    )
+    table = assign.join(codes, "vec_id").join(raw, "vec_id")
+    table.write.mode("append").partitionBy("centroid_id").parquet(
+        os.path.join(index.path, "cells")
+    )

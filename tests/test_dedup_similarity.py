@@ -487,3 +487,43 @@ def test_winnow_matches_pure_python_on_random_strings(spark):
         got.setdefault(r.doc_id, set()).add(r.fp)
     for i, t in docs:
         assert got.get(i, set()) == winnow_py(t), (i, repr(t))
+
+
+def test_ann_index_append(spark, tmp_path):
+    """append_to_ann_index: frozen quantizer, partition-append; an
+    appended vector is findable (it IS its own nearest neighbor when
+    queried externally), old results unchanged, id collisions refused."""
+    import numpy as np
+    import pytest as _pytest
+
+    from la_fungus_search_spark.textops import ann_index
+
+    emb = spark.read.parquet(f"{SF_EMB}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    out = str(tmp_path / "ann")
+    idx = ann_index.build_ann_index(spark, emb, out, n_centroids=8, m=8, n_codes=16)
+
+    q0 = [(0, list(emb.filter("vec_id = 0").collect()[0].embedding))]
+    before = ann_index.ann_index_search(idx, q0, k=5, n_probe=8).collect()
+
+    rng = np.random.RandomState(3)
+    newv = [(10_000 + i, (rng.randn(64) * 0.5).tolist()) for i in range(20)]
+    batch = spark.createDataFrame(newv, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    ann_index.append_to_ann_index(idx, batch)
+
+    assert idx.cells.count() == 520
+    # each appended vector is retrieved at rank 1 for its own query
+    probes = [(vid, vec) for vid, vec in newv[:5]]
+    got = ann_index.ann_index_search(idx, [(vid + 500_000, vec) for vid, vec in probes],
+                                     k=1, n_probe=8).collect()
+    assert {(r.query_id - 500_000, r.vec_id) for r in got} == {(v, v) for v, _ in probes}
+    # old rows untouched: re-running the original query still ranks the
+    # same corpus vectors wherever appended ones didn't genuinely win
+    after = ann_index.ann_index_search(idx, q0, k=5, n_probe=8).collect()
+    before_pairs = {(r.vec_id, r.cos_micro) for r in before}
+    after_pairs = {(r.vec_id, r.cos_micro) for r in after if r.vec_id < 10_000}
+    assert after_pairs <= before_pairs  # surviving old hits score identically
+    # collision refused
+    with _pytest.raises(ValueError):
+        ann_index.append_to_ann_index(idx, batch)
