@@ -91,3 +91,37 @@ class StreamingIndexMaintainer:
         else:
             q = writer.start()
         return q
+
+
+class StreamingAnnMaintainer:
+    """ANN twin of :class:`StreamingIndexMaintainer`: drain embedding
+    parquet files into a persisted IVF-PQ index via exactly-once
+    ``foreachBatch`` appends. The quantizer stays frozen (see
+    ``append_to_ann_index``); monitor recall vs the exact scan to decide
+    when drift warrants a re-train."""
+
+    def __init__(self, spark: SparkSession, ann_index, on_update=None):
+        self.spark = spark
+        self.index = ann_index
+        self.on_update = on_update
+        self.n_batches = 0
+
+    def _process(self, batch_df: DataFrame, batch_id: int) -> None:
+        from la_fungus_search_spark.textops.ann_index import append_to_ann_index
+
+        if batch_df.isEmpty():
+            return
+        append_to_ann_index(self.index, batch_df)
+        self.n_batches += 1
+        if self.on_update is not None:
+            self.on_update(self.index, batch_id)
+
+    def start(self, input_dir: str, checkpoint_dir: str,
+              schema: str = "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+              available_now: bool = True):
+        reader = self.spark.readStream.schema(schema).parquet(input_dir)
+        writer = (
+            reader.writeStream.foreachBatch(self._process)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        return (writer.trigger(availableNow=True) if available_now else writer).start()

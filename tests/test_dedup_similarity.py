@@ -527,3 +527,36 @@ def test_ann_index_append(spark, tmp_path):
     # collision refused
     with _pytest.raises(ValueError):
         ann_index.append_to_ann_index(idx, batch)
+
+
+def test_streaming_ann_ingest(spark, tmp_path):
+    """Embedding files stream into the persisted IVF-PQ index exactly
+    once; appended vectors are immediately searchable."""
+    import os
+
+    import numpy as np
+
+    from la_fungus_search_spark.streaming.incremental import StreamingAnnMaintainer
+    from la_fungus_search_spark.textops import ann_index
+
+    emb = spark.read.parquet(f"{SF_EMB}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    idx = ann_index.build_ann_index(spark, emb, str(tmp_path / "ann"),
+                                    n_centroids=8, m=8, n_codes=16)
+    in_dir = str(tmp_path / "in"); os.makedirs(in_dir)
+    rng = np.random.RandomState(5)
+    newv = [(20_000 + i, (rng.randn(64) * 0.5).tolist()) for i in range(10)]
+    spark.createDataFrame(newv, "vec_id BIGINT, embedding ARRAY<DOUBLE>").write.mode(
+        "append").parquet(in_dir)
+
+    m = StreamingAnnMaintainer(spark, idx)
+    q = m.start(in_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert m.n_batches == 1 and idx.cells.count() == 510
+    got = ann_index.ann_index_search(idx, [(999_999, newv[0][1])], k=1, n_probe=8).collect()
+    assert got[0].vec_id == 20_000
+    # exactly-once: re-drain with nothing new appends nothing
+    q = m.start(in_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert m.n_batches == 1 and idx.cells.count() == 510
