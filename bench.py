@@ -156,9 +156,29 @@ def bench_main(results: dict):
         lambda: similarity.pq_ann_topk(
             emb, qids, k=10, m=32, n_codes=16, rerank=4).collect())
     pq = {(r.query_id, r.vec_id) for r in pq_rows}
+    # IVF's operating regime is CLUSTERED data (every real embedding
+    # corpus); the sf embeddings are unclustered — the worst case. Add
+    # the clustered measurement so both regimes are on record.
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(20, 32) * 4.0
+    vecs = np.repeat(centers, 100, axis=0) + rng.randn(2000, 32) * 0.3
+    cemb = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(2000)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    ).repartition(8).cache()
+    cqids = list(range(0, 2000, 100))
+    cexact = {(r.query_id, r.vec_id)
+              for r in similarity.cosine_topk(cemb, cqids, k=10).collect()}
+    civf = {(r.query_id, r.vec_id)
+            for r in similarity.ivf_ann_topk(
+                cemb, cqids, k=10, n_centroids=20, n_probe=5).collect()}
     results["ann_recall"] = {
         "recall_at_10": round(len(exact & approx) / max(len(exact), 1), 4),
         "ivf_recall_at_10": round(len(exact & ivf) / max(len(exact), 1), 4),
+        "ivf_clustered_recall_at_10": round(len(cexact & civf) / max(len(cexact), 1), 4),
+        "ivf_clustered_scan_fraction": 0.25,
         "pq_recall_at_10": round(len(exact & pq) / max(len(exact), 1), 4),
         "n_queries": len(qids),
         "srp_sec": round(t_ann, 3),
