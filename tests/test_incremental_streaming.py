@@ -349,3 +349,25 @@ def test_streaming_maintainer_many_batches_bounded_plans(spark, tmp_path):
     # checkpointed RDD scan, not a chain of unions back to the base
     plan = m.index.postings._jdf.queryExecution().analyzed().toString()
     assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan
+
+
+def test_append_build_empty_batch_is_identity(spark):
+    """An empty batch must leave results identical (stats refreshed,
+    nothing rebuilt) — the streaming maintainer's no-op path."""
+    from la_fungus_search_spark.corpus import corpus_df
+    from la_fungus_search_spark.index.builder import IncrementalIndexBuilder, IndexBuilder
+    from la_fungus_search_spark.query.engine import BM25QueryEngine
+
+    base = corpus_df(spark, 40).filter("lang = 'python'")
+    kw = dict(n_buckets=8, n_salts=4, block_size=16, id_mode="hash")
+    old = IndexBuilder(spark, **kw).build(base)
+    empty = spark.createDataFrame(
+        [], "repo STRING, path STRING, commit STRING, lang STRING, content STRING"
+    )
+    new = IncrementalIndexBuilder(spark, **kw).append_build(old, empty)
+    assert new.globals["N"] == old.globals["N"]
+    a = [(r.doc_id, round(r.score, 9))
+         for r in BM25QueryEngine(old).search(["pheromone decay kernel"], k=5).collect()]
+    b = [(r.doc_id, round(r.score, 9))
+         for r in BM25QueryEngine(new).search(["pheromone decay kernel"], k=5).collect()]
+    assert a == b
