@@ -1731,14 +1731,18 @@ WITH t AS (
     FROM documents
 ),
 c AS (
+    -- CAST the window sum back to BIGINT: DuckDB promotes SUM(BIGINT)
+    -- to HUGEINT, which pandas renders as float64 — value-equal to
+    -- Spark's bigint but hash-different under the driver's raw-value
+    -- hashing (r2 `hash_match: false` root cause).
     SELECT lang, doc_id, n_tokens,
-           sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               - n_tokens AS prefix
+               - n_tokens AS BIGINT) AS prefix
     FROM t
 )
-SELECT lang, doc_id, n_tokens, (prefix // {SHARD_BUDGET})::BIGINT AS shard_id,
-       prefix AS shard_prefix_tokens
+SELECT lang, doc_id, n_tokens, CAST(prefix // {SHARD_BUDGET} AS BIGINT) AS shard_id,
+       CAST(prefix AS BIGINT) AS shard_prefix_tokens
 FROM c ORDER BY lang, doc_id
 """,
         "corpus_clean": f"""

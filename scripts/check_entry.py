@@ -76,6 +76,20 @@ def main():
             n_fail += 1
             continue
         a, b = canon(sdf), canon(odf)
+        # Driver parity: its value hash sees raw dtypes, so an int64
+        # column on one side rendered float64 on the other (e.g. DuckDB
+        # HUGEINT -> pandas float) hash-mismatches even when values are
+        # numerically equal. Surface that here as a hard FAIL.
+        kind_mism = [
+            (c, str(sdf[c].dtype), str(odf[c].dtype))
+            for c in sorted(set(sdf.columns) & set(odf.columns))
+            if getattr(sdf[c].dtype, "kind", "O") != getattr(odf[c].dtype, "kind", "O")
+            and {getattr(sdf[c].dtype, "kind", "O"), getattr(odf[c].dtype, "kind", "O")} != {"O"}
+        ]
+        if kind_mism:
+            print(f"FAIL {name}: dtype kind mismatch (driver hash hazard): {kind_mism}")
+            n_fail += 1
+            continue
         if list(a.columns) != list(b.columns):
             print(f"FAIL {name}: columns spark={list(a.columns)} oracle={list(b.columns)}")
             n_fail += 1
