@@ -1103,7 +1103,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is deliberate: the driver's correctness run checks a
+    # bounded PREFIX of this dict (r2 checked the first 50 of 62), so
+    # entries that have never had a driver-green row — plus this
+    # round's new gates — go first; entries already green in
+    # CORRECTNESS_r01/r02 rotate to the back.
     return {
+        "multi_query_max_merge": q_multi_query_max_merge,
+        "dedup_by_source_results": q_dedup_by_source_results,
+        "usage_rollup_sets": q_usage_rollup_sets,
+        "usage_cost_estimate": q_usage_cost_estimate,
+        "trail_degree": q_trail_degree,
+        "incremental_changed_docs": q_incremental_changed_docs,
+        "streaming_step_metrics": q_streaming_step_metrics,
+        "streaming_dedup_state": q_streaming_dedup_state,
+        "query_dedup": q_query_dedup,
+        "mmr_diverse_topk": q_mmr_diverse_topk,
+        "pagination": q_pagination,
+        "streaming_stability_state": q_streaming_stability_state,
+        "pack_token_shards": q_pack_token_shards,
         "bm25_topk": q_bm25_topk,
         "bm25_topk_blockmax": q_bm25_topk_blockmax,
         "bm25_topk_and": q_bm25_topk_and,
@@ -1132,7 +1150,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "sample_stratified": q_sample_stratified,
-        "pack_token_shards": q_pack_token_shards,
         "corpus_clean": q_corpus_clean,
         "corpus_clean_rep": q_corpus_clean_rep,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1154,18 +1171,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet_extract": q_snippet_extract,
         "hybrid_blend_topk": q_hybrid_blend_topk,
         "blended_topk_len_prior": q_blended_topk_len_prior,
-        "multi_query_max_merge": q_multi_query_max_merge,
-        "dedup_by_source_results": q_dedup_by_source_results,
-        "usage_rollup_sets": q_usage_rollup_sets,
-        "usage_cost_estimate": q_usage_cost_estimate,
-        "trail_degree": q_trail_degree,
-        "incremental_changed_docs": q_incremental_changed_docs,
-        "streaming_step_metrics": q_streaming_step_metrics,
-        "streaming_dedup_state": q_streaming_dedup_state,
-        "query_dedup": q_query_dedup,
-        "mmr_diverse_topk": q_mmr_diverse_topk,
-        "pagination": q_pagination,
-        "streaming_stability_state": q_streaming_stability_state,
     }
 
 

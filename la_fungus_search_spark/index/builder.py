@@ -220,11 +220,22 @@ class IndexBuilder:
         )
 
     def term_stats_df(self, postings: DataFrame, n_docs: int) -> DataFrame:
-        """df → raw idf → epsilon-floored idf (BM25Okapi, FIXTURES §3)."""
+        """df → raw idf → epsilon-floored idf (BM25Okapi, FIXTURES §3).
+
+        The pre-floor aggregate is persisted: the ``avg_idf`` collect
+        below and the caller's later materialization of the returned
+        frame would otherwise each run the full postings
+        ``groupBy(term)`` shuffle (measured: the duplicate shuffle is
+        a whole extra pass over every posting per build). The persisted
+        frame is vocabulary-sized (one row per term), and the returned
+        frame is a cheap projection over it — callers need not persist
+        again."""
         raw = postings.groupBy("term").agg(F.count("*").alias("df")).withColumn(
             "idf_raw",
             F.log(F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) - F.log(F.col("df") + F.lit(0.5)),
-        )
+        ).withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int")
+        ).persist()
         avg_idf = raw.agg(F.avg("idf_raw")).collect()[0][0]
         eps = self.epsilon * (avg_idf if avg_idf is not None else 0.0)
         return raw.select(
@@ -232,7 +243,7 @@ class IndexBuilder:
             "df",
             "idf_raw",
             F.when(F.col("idf_raw") < 0, F.lit(eps)).otherwise(F.col("idf_raw")).alias("idf"),
-            F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int").alias("term_bucket"),
+            "term_bucket",
         ), float(avg_idf if avg_idf is not None else 0.0), float(eps)
 
     def _salt_expr(self, max_doc_id: int):

@@ -123,18 +123,30 @@ def main():
     sel_queries = [f"{r} {' '.join(common)}" for r in rare]
     if sel_queries:
         # stats pass first (collect_stats adds two agg jobs — keep them
-        # out of the timed window) — it also warms both paths
+        # out of the timed window)
         eng.search_blockmax(sel_queries, k=10, collect_stats=True)
         ps = eng.last_prune_stats
-        eng.search(sel_queries[:1], k=10, mode="sql").collect()  # warm
-        t0 = time.time()
+        # FULL warm of both paths (collect, all queries): r2 recorded a
+        # cold-ish blockmax leg losing to sql on its own showcase while
+        # a warmed rerun won ~2x — single unwarmed samples on a shared
+        # VM measure weather, not the engine
         eng.search(sel_queries, k=10, mode="sql").collect()
-        t_sql = time.time() - t0
-        t0 = time.time()
         eng.search_blockmax(sel_queries, k=10).select(
             "query_id", "doc_id", "score", "rank"
         ).collect()
-        t_bmw = time.time() - t0
+        # alternate timed runs (sql, bmw, sql, bmw) and keep the best
+        # per path — both paths see the same weather window
+        sql_walls, bmw_walls = [], []
+        for _ in range(2):
+            t0 = time.time()
+            eng.search(sel_queries, k=10, mode="sql").collect()
+            sql_walls.append(time.time() - t0)
+            t0 = time.time()
+            eng.search_blockmax(sel_queries, k=10).select(
+                "query_id", "doc_id", "score", "rank"
+            ).collect()
+            bmw_walls.append(time.time() - t0)
+        t_sql, t_bmw = min(sql_walls), min(bmw_walls)
         blockmax_selective = {
             **ps,
             "posting_decode_ratio": round(
