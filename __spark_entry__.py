@@ -486,6 +486,74 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+_ANN_INDEX_CACHE: dict = {}
+
+
+def _ann_index(spark, sf_dir):
+    """Persistent IVF-PQ index over the embeddings table (cached per
+    session+sf; built under /tmp — deterministic, so rebuilds are
+    bit-identical)."""
+    import tempfile
+
+    from la_fungus_search_spark.textops import ann_index
+
+    key = (id(spark), sf_dir)
+    if key not in _ANN_INDEX_CACHE:
+        out = os.path.join(
+            tempfile.gettempdir(),
+            f"lfs_ann_index_{abs(hash(sf_dir)) % 10**8}",
+        )
+        emb = _embeddings(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        _ANN_INDEX_CACHE[key] = ann_index.build_ann_index(
+            spark, emb, out, n_centroids=32, m=8, n_codes=16
+        )
+    return _ANN_INDEX_CACHE[key]
+
+
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """Composed IVF-PQ production path: probe n_probe cells
+    (partition-pruned read) → ADC lookup-table scan inside the probed
+    cells only → exact cosine re-rank. This is the persisted-index
+    analog of q_ann_ivf_topk ∘ q_ann_pq_topk; recall@10 vs the exact
+    scan is asserted in tests/test_ann_index.py and recorded per bench
+    run in `ann_recall.ivfpq_recall_at_10`."""
+    from la_fungus_search_spark.textops import ann_index
+
+    idx = _ann_index(spark, sf_dir)
+    qrows = (
+        _embeddings(spark, sf_dir)
+        .filter(F.col("vec_id").isin(ANN_QUERY_IDS))
+        .select("vec_id", F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    queries = sorted((int(r[0]), list(r[1])) for r in qrows)
+    return ann_index.ann_index_search(idx, queries, k=10, n_probe=12, rerank=4)
+
+
+def q_text_bpe_counts(spark, sf_dir):
+    """Real merge-table BPE token counts (Sennrich 2015 training +
+    GPT-2 greedy application; deterministic embedded merges). Encode
+    cost is per DISTINCT word (kernel over the distinct-word frame,
+    join-back), not per occurrence. Equivalence vs an independent
+    sequential-apply oracle + driver recompute: tests/test_bpe.py;
+    rows-only here (iterative merges aren't SQL-expressible)."""
+    from la_fungus_search_spark.textops import bpe
+
+    return bpe.bpe_token_counts(_documents(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_text_lang_id_model(spark, sf_dir):
+    """Trigram-Naive-Bayes language ID (fastText/Cavnar-Trenkle
+    family): explode char trigrams → broadcast-join the embedded
+    profile table → groupBy argmax. Accuracy vs the marker baseline is
+    pytest-asserted on a held-out mixed-language fixture
+    (tests/test_lang_id_model.py); rows-only here (the ~6k-row profile
+    model is impractical to inline as SQL literals)."""
+    return stats.lang_id_model(_documents(spark, sf_dir)).orderBy("doc_id")
+
+
 SAMPLE_FRACTIONS = {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.1, "zh": 0.0}
 SHARD_BUDGET = 2000
 
@@ -546,9 +614,14 @@ def q_corpus_clean_rep(spark, sf_dir):
 
 
 def q_multimodal_decode(spark, sf_dir):
+    """REAL container decode: payloads are PPM/WAV/Y4M bytes built from
+    each doc's UTF-8 content; the kernel parses the container and emits
+    sha256 of the RECOVERED content, so the oracle's sha256(text)
+    verifies the decode round-trip (a wrong header parse, frame split,
+    or sample width breaks the hash)."""
     media = multimodal.synthesize_media(_documents(spark, sf_dir))
     return (
-        multimodal.decode_and_featurize(media, decode_stub=True)
+        multimodal.decode_and_featurize(media, decode_stub=False)
         .select("media_id", "kind", "ok", "n_bytes", "payload_sha256")
         .orderBy("media_id")
     )
@@ -1122,6 +1195,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination": q_pagination,
         "streaming_stability_state": q_streaming_stability_state,
         "pack_token_shards": q_pack_token_shards,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "text_lang_id_model": q_text_lang_id_model,
+        "text_bpe_counts": q_text_bpe_counts,
         "bm25_topk": q_bm25_topk,
         "bm25_topk_blockmax": q_bm25_topk_blockmax,
         "bm25_topk_and": q_bm25_topk_and,

@@ -1,0 +1,172 @@
+"""Real byte-pair-encoding token counts (Sennrich et al. 2015; GPT-2
+greedy merge application) — the model-grade upgrade over the
+``len/4`` heuristic and regex pre-token counts in :mod:`stats`.
+
+Everything is self-contained: the merge table is trained
+deterministically at call time from embedded seed text (code + prose),
+~hundreds of merges — no external vocab files.
+
+Spark-first shape (the 100 TB design): BPE encoding is an iterative
+per-word loop, so the cluster never runs it per token occurrence —
+
+1. pretokenize (JVM regex) → per-(doc, word) counts            [shuffle 1]
+2. DISTINCT words → Arrow-batched encode kernel → (word, n_bpe)
+3. join back on word, sum(count × n_bpe) per doc               [shuffle 2]
+
+Encode cost is ∝ |vocabulary| (Zipf: tiny vs corpus), join cost is the
+usual term-keyed hash join the rest of the engine already relies on.
+A salted variant isn't needed: the word join's build side is the
+distinct-word frame, and hot words are one row each.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.textops.stats import BPE_PATTERN, LANG_SEED_TEXTS
+
+# code-shaped seed so identifiers/operators get sensible merges too
+CODE_SEED = (
+    "def main(args): return self.value for item in range(len(items)) "
+    "if condition else None import numpy as np from collections import "
+    "Counter class Parser(object): print(format(result)) while True: "
+    "break except ValueError: raise index += 1 lambda x: x * x "
+    "string = 'hello world' with open(path) as f: data = f.read() "
+    "array list dict set tuple int float bool str bytes object static "
+    "public private void function var const let async await catch try"
+)
+
+N_MERGES_DEFAULT = 512
+END = "\ue000"  # end-of-word sentinel: private-use char, never equals a mid-word symbol
+
+
+def train_bpe(seed_texts: list[str] | None = None, n_merges: int = N_MERGES_DEFAULT) -> list[tuple[str, str]]:
+    """Classic BPE training over word frequencies: repeatedly merge the
+    most frequent adjacent symbol pair. Deterministic tie-break
+    (count desc, pair lexicographic asc). Returns the ordered merge
+    list — order IS the rank table."""
+    from collections import Counter
+
+    texts = seed_texts if seed_texts is not None else [
+        CODE_SEED, *[LANG_SEED_TEXTS[k] for k in sorted(LANG_SEED_TEXTS)]
+    ]
+    words = Counter()
+    for t in texts:
+        words.update(re.findall(BPE_PATTERN, t))
+    # symbol sequences per word, with an end sentinel so merges can't
+    # cross word boundaries when applied
+    seqs = {w: tuple(w) + (END,) for w in words}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, seq in seqs.items():
+            c = words[w]
+            for i in range(len(seq) - 1):
+                pairs[(seq[i], seq[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((a, b))
+        ab = a + b
+        new_seqs = {}
+        for w, seq in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i < len(seq) - 1 and seq[i] == a and seq[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_seqs[w] = tuple(out)
+        seqs = new_seqs
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Greedy lowest-rank-first merge loop (GPT-2 application order);
+    returns the number of BPE tokens for one pretoken."""
+    seq = list(word) + [END]
+    while len(seq) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(seq) - 1):
+            r = ranks.get((seq[i], seq[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        seq[best_i:best_i + 2] = [seq[best_i] + seq[best_i + 1]]
+    # the sentinel either merged into the last token or stands alone;
+    # a standalone sentinel is not a token
+    return sum(1 for s in seq if s != END)
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """(doc_id, n_pretokens, bpe_tokens) with REAL merge-table BPE.
+
+    Plan: JVM pretokenize/explode → (doc, word) counts → encode each
+    DISTINCT word once in an Arrow kernel → join back → per-doc sum.
+    Docs with no pretokens get zeros.
+    """
+    merges = train_bpe() if merges is None else merges
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_extract_all(
+            F.coalesce(F.col(text_col), F.lit("")), F.lit(BPE_PATTERN), F.lit(0)
+        ).alias("words"),
+    )
+    wc = (
+        d.select("doc_id", F.explode("words").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    distinct_words = wc.select("word").distinct()
+
+    def enc(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        @lru_cache(maxsize=1 << 16)
+        def n_tokens(w: str) -> int:
+            return encode_word(w, ranks)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_bpe": pd.array(
+                        [n_tokens(w) for w in pdf["word"]], dtype="int32"
+                    ),
+                }
+            )
+
+    encoded = distinct_words.mapInPandas(enc, schema="word STRING, n_bpe INT")
+    per_doc = (
+        wc.join(encoded, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_pretokens"),
+            F.sum(F.col("n") * F.col("n_bpe")).cast("bigint").alias("bpe_tokens"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_pretokens", F.lit(0)).cast("bigint").alias("n_pretokens"),
+            F.coalesce("bpe_tokens", F.lit(0)).cast("bigint").alias("bpe_tokens"),
+        )
+    )

@@ -2,12 +2,21 @@
 
 Treats image/audio/video as ``binary`` columns with a metadata struct,
 exactly how a 100 TB multimodal training pipeline carries them through
-Spark. The Spark-side machinery — schema, Arrow batch shape,
-``mapInPandas`` iterator signatures, partition sizing — is real and
-tested; the codec step itself is STUBBED (no image/audio libs in this
-container): ``decode_stub=True`` runs a deterministic fake decoder,
-``decode_stub=False`` raises ``NotImplementedError`` at the exact point
-a real `PIL.Image.open` / `soundfile.read` call would go.
+Spark. Payloads are REAL public container formats, built and parsed
+with stdlib + numpy only (no PIL/soundfile/av in this container):
+
+* image — binary PPM (``P6``), with the source byte length carried in
+  a standard ``#`` header comment;
+* audio — RIFF/WAVE, mono 16-bit PCM @ 16 kHz, one sample per source
+  byte;
+* video — YUV4MPEG2 (``Y4M``) C444 frame stream, with the source byte
+  length carried in a standard ``X`` extension parameter.
+
+``decode_and_featurize`` sniffs the magic, parses the container,
+recovers the embedded content bytes, and emits ``sha256(content)`` —
+so the driver's DuckDB oracle (``sha256(text)``) verifies the decode
+ROUND-TRIP, not just the plumbing: a wrong header parse, frame split,
+or sample width breaks the hash.
 
 Design notes for scale:
 
@@ -24,6 +33,8 @@ Design notes for scale:
 from __future__ import annotations
 
 import hashlib
+import math
+import struct
 from typing import Iterable, Iterator
 
 import numpy as np
@@ -42,65 +53,238 @@ DECODED_SCHEMA = (
 )
 
 FEATURE_DIM = 16
+SAMPLE_RATE = 16000
+PPM_WIDTH = 32          # fixed image width; height grows with content
+Y4M_FRAME_W, Y4M_FRAME_H = 16, 8  # 16*8*3 = 384 bytes per C444 frame
 
 
-def synthesize_media(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Deterministic fake media table from a text table: payload =
-    the UTF-8 bytes of the text (opaque to the pipeline,
-    content-addressed via sha256), metadata derived from doc stats.
-    Stands in for `spark.read` of a real image/audio table; schema
-    matches MEDIA_SCHEMA."""
+# ------------------------------------------------------------- encoders
+# Fixture-side container builders (the "camera"): real formats, stdlib
+# only. Per-row bytes work happens inside Arrow-batched kernels.
+
+
+def _encode_ppm(content: bytes) -> bytes:
+    n = len(content)
+    h = max(1, math.ceil(n / (PPM_WIDTH * 3)))
+    pixels = content + b"\x00" * (PPM_WIDTH * h * 3 - n)
+    header = f"P6\n# len={n}\n{PPM_WIDTH} {h}\n255\n".encode("ascii")
+    return header + pixels
+
+
+def _encode_wav(content: bytes) -> bytes:
+    # mono PCM16 @16kHz, one sample per source byte — data size 2n
+    samples = np.frombuffer(content, dtype=np.uint8).astype("<i2").tobytes()
+    byte_rate = SAMPLE_RATE * 2
+    fmt = struct.pack("<HHIIHH", 1, 1, SAMPLE_RATE, byte_rate, 2, 16)
+    data_sz = len(samples)
+    riff_sz = 4 + (8 + len(fmt)) + (8 + data_sz)
+    return (
+        b"RIFF" + struct.pack("<I", riff_sz) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", data_sz) + samples
+    )
+
+
+def _encode_y4m(content: bytes) -> bytes:
+    n = len(content)
+    frame_bytes = Y4M_FRAME_W * Y4M_FRAME_H * 3
+    n_frames = max(1, math.ceil(n / frame_bytes))
+    padded = content + b"\x00" * (n_frames * frame_bytes - n)
+    head = (
+        f"YUV4MPEG2 W{Y4M_FRAME_W} H{Y4M_FRAME_H} F25:1 Ip A1:1 C444 "
+        f"Xlen={n}\n".encode("ascii")
+    )
+    frames = b"".join(
+        b"FRAME\n" + padded[i * frame_bytes:(i + 1) * frame_bytes]
+        for i in range(n_frames)
+    )
+    return head + frames
+
+
+_ENCODERS = {"image": _encode_ppm, "audio": _encode_wav, "video": _encode_y4m}
+
+
+def synthesize_media(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    container: bool = True,
+) -> DataFrame:
+    """Deterministic media table from a text table: payload = the
+    doc's UTF-8 bytes packed into a REAL container (PPM / WAV / Y4M by
+    ``media_id % 3``), metadata derived from doc stats. Stands in for
+    ``spark.read`` of a real image/audio table; schema matches
+    MEDIA_SCHEMA. ``container=False`` keeps the raw-bytes payload (the
+    pre-round-3 fixture shape)."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    payload = F.encode(t, "UTF-8")
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col(id_col) % 3 + 1).cast("int"),
     )
-    return docs.select(
+    meta = F.struct(
+        (F.length(t) % 640 + 32).cast("int").alias("width"),
+        (F.length(t) % 480 + 32).cast("int").alias("height"),
+        F.lit(SAMPLE_RATE).alias("sample_rate"),
+        (F.length(t) % 300 + 1).cast("int").alias("n_frames"),
+    )
+    base = docs.select(
         F.col(id_col).alias("media_id"),
         kind.alias("kind"),
-        payload.alias("payload"),
-        F.struct(
-            (F.length(t) % 640 + 32).cast("int").alias("width"),
-            (F.length(t) % 480 + 32).cast("int").alias("height"),
-            F.lit(16000).alias("sample_rate"),
-            (F.length(t) % 300 + 1).cast("int").alias("n_frames"),
-        ).alias("meta"),
+        F.encode(t, "UTF-8").alias("payload"),
+        meta.alias("meta"),
     )
+    if not container:
+        return base
+
+    def pack(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                _ENCODERS[k](bytes(p) if p is not None else b"")
+                for k, p in zip(pdf["kind"], pdf["payload"])
+            ]
+            yield pdf
+
+    return base.mapInPandas(pack, schema=MEDIA_SCHEMA)
 
 
-def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
-    """Deterministic stand-in decoder: md5-seeded feature vector.
-    A real implementation decodes pixels/samples here."""
-    h = hashlib.md5(kind.encode() + payload).digest()
-    rng = np.frombuffer(h, dtype=np.uint8).astype("float32")
-    reps = int(np.ceil(FEATURE_DIM / len(rng)))
-    return np.tile(rng, reps)[:FEATURE_DIM] / 255.0
+# ------------------------------------------------------------- decoders
 
 
-def decode_and_featurize(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+def _parse_ppm(raw: bytes) -> tuple[bytes, np.ndarray]:
+    """Returns (content bytes, pixel array). Raises on malformed."""
+    if not raw.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    pos, fields, content_len = 2, [], None
+    while len(fields) < 3:
+        while pos < len(raw) and raw[pos:pos + 1].isspace():
+            pos += 1
+        if raw[pos:pos + 1] == b"#":
+            eol = raw.index(b"\n", pos)
+            comment = raw[pos + 1:eol].strip()
+            if comment.startswith(b"len="):
+                content_len = int(comment[4:])
+            pos = eol + 1
+            continue
+        start = pos
+        while pos < len(raw) and not raw[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(raw[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    pixels = np.frombuffer(raw, dtype=np.uint8, count=w * h * 3, offset=pos)
+    content = pixels.tobytes()[: content_len if content_len is not None else w * h * 3]
+    return content, pixels
+
+
+def _parse_wav(raw: bytes) -> tuple[bytes, np.ndarray]:
+    """Returns (content bytes, int16 sample array). Walks RIFF chunks
+    like a real reader (stdlib ``wave`` refuses streamed writes; chunk
+    walking is ~10 lines and handles any chunk order)."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE")
+    pos, samples = 12, None
+    while pos + 8 <= len(raw):
+        cid, sz = raw[pos:pos + 4], struct.unpack("<I", raw[pos + 4:pos + 8])[0]
+        body = raw[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            audio_fmt, _ch, _rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("only PCM16 supported")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + sz + (sz & 1)  # RIFF chunks are 2-byte aligned
+    if samples is None:
+        raise ValueError("no data chunk")
+    content = samples.astype(np.uint8).tobytes()
+    return content, samples
+
+
+def _parse_y4m(raw: bytes) -> tuple[bytes, np.ndarray]:
+    """Returns (content bytes, frame-byte array)."""
+    if not raw.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a Y4M stream")
+    eol = raw.index(b"\n")
+    w = h = None
+    content_len = None
+    for param in raw[9:eol].split():
+        if param.startswith(b"W"):
+            w = int(param[1:])
+        elif param.startswith(b"H"):
+            h = int(param[1:])
+        elif param.startswith(b"Xlen="):
+            content_len = int(param[5:])
+    if not w or not h:
+        raise ValueError("missing dimensions")
+    frame_bytes = w * h * 3  # C444: full-res Y, U, V planes
+    pos, planes = eol + 1, []
+    while pos < len(raw):
+        feol = raw.index(b"\n", pos)
+        if raw[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad frame marker")
+        planes.append(np.frombuffer(raw, dtype=np.uint8, count=frame_bytes, offset=feol + 1))
+        pos = feol + 1 + frame_bytes
+    data = np.concatenate(planes) if planes else np.empty(0, dtype=np.uint8)
+    content = data.tobytes()[: content_len if content_len is not None else len(data)]
+    return content, data
+
+
+_PARSERS = {"image": _parse_ppm, "audio": _parse_wav, "video": _parse_y4m}
+
+
+def _features(kind: str, decoded: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM real signal stats: [mean, std, min, max] over the
+    normalized samples + a 12-bin value histogram (density)."""
+    if decoded.size == 0:
+        return np.zeros(FEATURE_DIM, dtype="float32")
+    if kind == "audio":
+        x = decoded.astype("float32") / 32768.0
+        lo, hi = -1.0, 1.0
+    else:
+        x = decoded.astype("float32") / 255.0
+        lo, hi = 0.0, 1.0
+    hist = np.histogram(x, bins=FEATURE_DIM - 4, range=(lo, hi))[0]
+    stats = np.array([x.mean(), x.std(), x.min(), x.max()], dtype="float32")
+    return np.concatenate([stats, hist.astype("float32") / x.size])
+
+
+def decode_and_featurize(media: DataFrame, decode_stub: bool = False) -> DataFrame:
     """mapInPandas decode/feature-extract over binary payloads.
 
     Arrow-batched: each batch arrives as a pandas DataFrame whose
-    ``payload`` column holds raw ``bytes`` — the real-library call
-    site. Emits content hash (invariant carry-through) + a fixed-width
-    feature vector per row.
+    ``payload`` column holds raw container ``bytes``. The real path
+    (``decode_stub=False``, default) parses the PPM/WAV/Y4M container,
+    recovers the embedded content, and emits ``sha256(content)`` — the
+    round-trip invariant the driver oracle checks — plus real signal
+    features. Malformed payloads yield ``ok=False`` rows (never an
+    exception): at 100 TB a bad blob must not kill the stage.
+
+    ``decode_stub=True`` keeps the cheap md5-seeded fake featurizer
+    (hashes the raw payload, no parsing) for plumbing-only runs.
     """
 
     def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode needs PIL/soundfile/av — not in this "
-                    "container; run with decode_stub=True"
-                )
             feats, shas, oks, nbytes = [], [], [], []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 raw = bytes(payload) if payload is not None else b""
-                shas.append(hashlib.sha256(raw).hexdigest())
-                nbytes.append(len(raw))
-                oks.append(len(raw) > 0)
-                feats.append(_fake_decode(raw, kind))
+                if decode_stub:
+                    shas.append(hashlib.sha256(raw).hexdigest())
+                    nbytes.append(len(raw))
+                    oks.append(len(raw) > 0)
+                    feats.append(_fake_decode(raw, kind))
+                    continue
+                try:
+                    content, decoded = _PARSERS[kind](raw)
+                    ok = len(content) > 0
+                except (ValueError, KeyError, IndexError, struct.error):
+                    content, decoded, ok = b"", np.empty(0, dtype=np.uint8), False
+                shas.append(hashlib.sha256(content).hexdigest())
+                nbytes.append(len(content))
+                oks.append(ok)
+                feats.append(_features(kind, decoded))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
@@ -115,6 +299,15 @@ def decode_and_featurize(media: DataFrame, decode_stub: bool = True) -> DataFram
     return media.select("media_id", "kind", "payload").mapInPandas(
         kernel, schema=DECODED_SCHEMA
     )
+
+
+def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
+    """Deterministic stand-in featurizer: md5-seeded vector (plumbing
+    tests / cost-free smoke paths)."""
+    h = hashlib.md5(kind.encode() + payload).digest()
+    rng = np.frombuffer(h, dtype=np.uint8).astype("float32")
+    reps = int(np.ceil(FEATURE_DIM / len(rng)))
+    return np.tile(rng, reps)[:FEATURE_DIM] / 255.0
 
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:

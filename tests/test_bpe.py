@@ -1,0 +1,90 @@
+"""Real-BPE token counting: training determinism, encode equivalence
+against an independent sequential-apply oracle, and the distributed
+count pipeline vs a driver-side recompute.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from la_fungus_search_spark.textops import bpe
+from la_fungus_search_spark.textops.stats import BPE_PATTERN
+
+
+def seq_apply_oracle(word: str, merges: list[tuple[str, str]]) -> int:
+    """Independent reference: apply merges strictly in training order,
+    each exhaustively left-to-right (Sennrich's original application).
+    Equivalent to the greedy lowest-rank loop — the classic BPE
+    identity this test pins down."""
+    seq = list(word) + [bpe.END]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(seq):
+            if i < len(seq) - 1 and seq[i] == a and seq[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    return sum(1 for s in seq if s != bpe.END)
+
+
+@pytest.fixture(scope="module")
+def merges():
+    return bpe.train_bpe()
+
+
+def test_training_is_deterministic(merges):
+    assert merges == bpe.train_bpe()
+    assert 100 < len(merges) <= bpe.N_MERGES_DEFAULT
+    # ranks must be unique pairs
+    assert len(set(merges)) == len(merges)
+
+
+def test_encode_matches_sequential_oracle(merges):
+    ranks = {p: i for i, p in enumerate(merges)}
+    words = set(re.findall(BPE_PATTERN, bpe.CODE_SEED)) | {
+        "the", "functionality", "überraschung", "xyzzyq", "a", "((", "42",
+        "internationalization", "déjà", "straße",
+    }
+    for w in sorted(words):
+        got = bpe.encode_word(w, ranks)
+        want = seq_apply_oracle(w, merges)
+        assert got == want, (w, got, want)
+        assert 1 <= got <= len(w)
+
+
+def test_seed_text_compresses(merges):
+    """Merges learned from the seed must compress seed-like text well
+    below character count — the point of BPE over char tokens."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    words = re.findall(BPE_PATTERN, bpe.CODE_SEED)
+    n_chars = sum(len(w) for w in words)
+    n_tok = sum(bpe.encode_word(w, ranks) for w in words)
+    assert n_tok < 0.7 * n_chars, (n_tok, n_chars)
+    # frequent seed words must collapse to whole-word(ish) tokens
+    for w in ["the", "def", "import", "for", "in"]:
+        assert bpe.encode_word(w, ranks) <= 2, w
+
+
+def test_distributed_counts_match_driver_recompute(spark, merges):
+    rows = [
+        (0, "def main(args): return self.value"),
+        (1, "the quick brown fox the quick brown fox"),
+        (2, ""),
+        (3, None),
+        (4, "internationalization straße déjà vu 12345 (x*y)"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r.doc_id: r for r in bpe.bpe_token_counts(df, merges=merges).collect()}
+    ranks = {p: i for i, p in enumerate(merges)}
+    for doc_id, text in rows:
+        words = re.findall(BPE_PATTERN, text or "")
+        want_pre = len(words)
+        want_bpe = sum(bpe.encode_word(w, ranks) for w in words)
+        assert out[doc_id].n_pretokens == want_pre, doc_id
+        assert out[doc_id].bpe_tokens == want_bpe, doc_id
+    assert len(out) == len(rows)  # empty/null docs keep their row

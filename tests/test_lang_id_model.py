@@ -1,0 +1,108 @@
+"""Trigram-NB language ID vs the marker-lexicon baseline.
+
+Held-out sentences (none appear in the embedded seed texts), including
+short function-word-free phrases where marker lexicons go blind. The
+model must beat the marker baseline's accuracy on the shared-language
+subset and clear an absolute floor overall.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from la_fungus_search_spark.textops import stats
+
+FIXTURE = [
+    # --- en
+    ("en", "please remember to close the window before you leave tonight"),
+    ("en", "several students finished their homework early yesterday"),
+    ("en", "fresh bread smells wonderful every single morning"),
+    ("en", "good night everyone see you tomorrow"),
+    ("en", "heavy rain flooded three streets near my house"),
+    # --- de
+    ("de", "bitte schließen sie das fenster bevor sie heute abend gehen"),
+    ("de", "mehrere studenten haben ihre hausaufgaben gestern früh beendet"),
+    ("de", "frisches brot riecht jeden morgen wunderbar"),
+    ("de", "guten morgen zusammen bis später"),
+    ("de", "starker regen überflutete drei straßen in meiner nähe"),
+    # --- es
+    ("es", "por favor cierra la ventana antes de salir esta noche"),
+    ("es", "varios estudiantes terminaron sus tareas temprano ayer"),
+    ("es", "el pan fresco huele maravilloso cada mañana"),
+    ("es", "buenas noches hasta mañana amigos"),
+    ("es", "la lluvia fuerte inundó tres calles cerca de mi casa"),
+    # --- fr
+    ("fr", "veuillez fermer la fenêtre avant de partir ce soir"),
+    ("fr", "plusieurs étudiants ont terminé leurs devoirs tôt hier"),
+    ("fr", "le pain frais sent merveilleusement bon chaque matin"),
+    ("fr", "bonne nuit à demain tout le monde"),
+    ("fr", "la forte pluie a inondé trois rues près de chez moi"),
+    # --- it (outside the marker lexicon entirely)
+    ("it", "per favore chiudi la finestra prima di uscire stasera"),
+    ("it", "diversi studenti hanno finito i compiti presto ieri"),
+    ("it", "il pane fresco profuma meravigliosamente ogni mattina"),
+    ("it", "buonanotte a domani ragazzi"),
+    # --- pt (outside the marker lexicon entirely)
+    ("pt", "por favor feche a janela antes de sair hoje à noite"),
+    ("pt", "vários estudantes terminaram seus deveres cedo ontem"),
+    ("pt", "o pão fresco cheira maravilhosamente todas as manhãs"),
+    ("pt", "boa noite até amanhã pessoal"),
+]
+
+MARKER_LANGS = set(stats.LANG_ORDER)
+
+
+@pytest.fixture(scope="module")
+def fixture_df(spark):
+    return spark.createDataFrame(
+        [(i, lang, text) for i, (lang, text) in enumerate(FIXTURE)],
+        "doc_id BIGINT, true_lang STRING, text STRING",
+    )
+
+
+def _accuracy(pred_rows, subset=None):
+    truth = {i: lang for i, (lang, _) in enumerate(FIXTURE)}
+    hits = total = 0
+    for r in pred_rows:
+        if subset and truth[r.doc_id] not in subset:
+            continue
+        total += 1
+        hits += int(r.pred_lang == truth[r.doc_id])
+    return hits / max(total, 1)
+
+
+def test_model_beats_marker_baseline(spark, fixture_df):
+    marker = stats.lang_id(fixture_df).collect()
+    model = stats.lang_id_model(fixture_df).collect()
+    # head-to-head on the languages both know
+    marker_acc = _accuracy(marker, subset=MARKER_LANGS & {"en", "de", "es", "fr"})
+    model_acc_shared = _accuracy(model, subset={"en", "de", "es", "fr"})
+    assert model_acc_shared > marker_acc, (model_acc_shared, marker_acc)
+    # absolute floors: near-perfect on shared langs, strong overall
+    assert model_acc_shared >= 0.9
+    assert _accuracy(model) >= 0.85
+
+
+def test_model_determinism_and_schema(spark, fixture_df):
+    a = stats.lang_id_model(fixture_df).orderBy("doc_id").collect()
+    b = stats.lang_id_model(fixture_df).orderBy("doc_id").collect()
+    assert a == b
+    assert {c for c in stats.lang_id_model(fixture_df).columns} == {
+        "doc_id", "pred_lang", "score_micro", "margin_micro",
+    }
+
+
+def test_non_letter_docs_are_und(spark):
+    df = spark.createDataFrame(
+        [(0, "12345 67890 !!!"), (1, ""), (2, None), (3, "维基百科 自由的百科全书")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r.pred_lang for r in stats.lang_id_model(df).collect()}
+    assert out == {0: "und", 1: "und", 2: "und", 3: "und"}
+
+
+def test_profiles_are_broadcastable():
+    rows, floors = stats.trigram_profiles()
+    assert 1000 < len(rows) < 20000  # few thousand rows — broadcast side
+    assert set(floors) == set(stats.LANG_SEED_TEXTS)
+    assert all(lp < 0 for _, _, lp in rows)

@@ -1,0 +1,112 @@
+"""Multimodal container round-trip: encode real PPM/WAV/Y4M payloads,
+decode them back, and check content recovery + error behavior.
+
+The driver gate (`multimodal_decode`) checks sha256(content) equality
+vs DuckDB at sf0.01; these tests pin the stronger invariants — exact
+byte recovery, feature semantics, malformed-payload isolation — on
+hand-built fixtures.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.textops import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "plain ascii text"),            # image
+        (1, "unicode: héllo wörld ✓ 中文"),  # audio
+        (2, "x" * 2000),                    # video, multi-frame
+        (3, None),                          # empty content
+        (4, "short"),                       # audio
+        (5, "line\nbreaks\nand\x00nul?"),   # video with \n in payload data
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_roundtrip_sha_and_bytes(spark, docs):
+    media = mm.synthesize_media(docs)
+    out = {
+        r.media_id: r
+        for r in mm.decode_and_featurize(media, decode_stub=False).collect()
+    }
+    for row in docs.collect():
+        content = (row.text or "").encode("utf-8")
+        got = out[row.doc_id]
+        assert got.payload_sha256 == hashlib.sha256(content).hexdigest(), row
+        assert got.n_bytes == len(content)
+        assert got.ok == (len(content) > 0)
+        assert len(got.features) == mm.FEATURE_DIM
+
+
+def test_parsers_recover_exact_bytes():
+    for content in [b"", b"abc", b"\x00\xff" * 700, "héllo ✓".encode()]:
+        for kind, enc in mm._ENCODERS.items():
+            got, decoded = mm._PARSERS[kind](enc(content))
+            assert got == content, (kind, content[:20])
+            assert decoded.size >= len(content)
+
+
+def test_image_features_are_real_pixel_stats():
+    content = bytes(range(256))
+    _, pixels = mm._parse_ppm(mm._encode_ppm(content))
+    f = mm._features("image", pixels)
+    x = pixels.astype("float32") / 255.0
+    assert f[0] == pytest.approx(x.mean())
+    assert f[1] == pytest.approx(x.std())
+    assert f[2] == pytest.approx(x.min()) and f[3] == pytest.approx(x.max())
+    # histogram density over the remaining 12 dims sums to 1
+    assert float(np.sum(f[4:])) == pytest.approx(1.0)
+
+
+def test_malformed_payloads_yield_ok_false(spark):
+    rows = [
+        (0, "image", bytearray(b"NOTAPPM....")),
+        (1, "audio", bytearray(b"RIFF\x00\x00\x00\x00JUNK")),
+        (2, "video", bytearray(b"YUV4MPEG2 W16 H8\nBADFRAME")),
+        (3, "image", None),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id BIGINT, kind STRING, payload BINARY"
+    )
+    out = mm.decode_and_featurize(media, decode_stub=False).collect()
+    assert all(not r.ok for r in out)
+    empty_sha = hashlib.sha256(b"").hexdigest()
+    assert all(r.payload_sha256 == empty_sha and r.n_bytes == 0 for r in out)
+    assert all(list(r.features) == [0.0] * mm.FEATURE_DIM for r in out)
+
+
+def test_wav_is_readable_by_stdlib_wave(tmp_path):
+    """The WAV we emit is a real file other tools can open."""
+    import wave
+
+    content = b"stdlib interop check"
+    p = tmp_path / "x.wav"
+    p.write_bytes(mm._encode_wav(content))
+    with wave.open(str(p)) as w:
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        assert w.getframerate() == mm.SAMPLE_RATE
+        frames = w.readframes(w.getnframes())
+    assert np.frombuffer(frames, dtype="<i2").astype(np.uint8).tobytes() == content
+
+
+def test_container_false_keeps_raw_payload(spark, docs):
+    media = mm.synthesize_media(docs, container=False)
+    r = {x.media_id: bytes(x.payload) for x in media.collect()}
+    assert r[0] == b"plain ascii text"
+
+
+def test_meta_unchanged_by_container(spark, docs):
+    a = mm.synthesize_media(docs, container=True).select("media_id", "meta")
+    b = mm.synthesize_media(docs, container=False).select("media_id", "meta")
+    assert {(r.media_id, tuple(r.meta)) for r in a.collect()} == {
+        (r.media_id, tuple(r.meta)) for r in b.collect()
+    }
