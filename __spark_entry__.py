@@ -507,18 +507,20 @@ def _ann_index(spark, sf_dir):
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         )
         _ANN_INDEX_CACHE[key] = ann_index.build_ann_index(
-            spark, emb, out, n_centroids=32, m=8, n_codes=16
+            spark, emb, out, n_centroids=32, m=16, n_codes=16
         )
     return _ANN_INDEX_CACHE[key]
 
 
 def q_ann_ivfpq_topk(spark, sf_dir):
     """Composed IVF-PQ production path: probe n_probe cells
-    (partition-pruned read) → ADC lookup-table scan inside the probed
-    cells only → exact cosine re-rank. This is the persisted-index
-    analog of q_ann_ivf_topk ∘ q_ann_pq_topk; recall@10 vs the exact
-    scan is asserted in tests/test_ann_index.py and recorded per bench
-    run in `ann_recall.ivfpq_recall_at_10`."""
+    (partition-pruned read) → RESIDUAL-ADC lookup-table scan inside
+    the probed cells only (score = q·c_cell + Σ lut[code], the FAISS
+    IVFPQ decomposition) → exact cosine re-rank. Recall@10 vs the
+    exact scan is asserted in tests (clustered operating regime 1.0 at
+    25% scan; unclustered at parity with the coarse-probe ceiling) and
+    recorded per bench run in `ann_recall.ivfpq_recall_at_10` /
+    `.ivfpq_clustered_recall_at_10`."""
     from la_fungus_search_spark.textops import ann_index
 
     idx = _ann_index(spark, sf_dir)
@@ -529,7 +531,7 @@ def q_ann_ivfpq_topk(spark, sf_dir):
         .collect()
     )
     queries = sorted((int(r[0]), list(r[1])) for r in qrows)
-    return ann_index.ann_index_search(idx, queries, k=10, n_probe=12, rerank=4)
+    return ann_index.ann_index_search(idx, queries, k=10, n_probe=12, rerank=8)
 
 
 def q_text_bpe_counts(spark, sf_dir):

@@ -185,24 +185,30 @@ def bench_main(results: dict):
 
     from la_fungus_search_spark.textops import ann_index
 
-    def _ivfpq_recall(src, query_ids, exact_set, n_centroids, n_probe):
+    def _ivfpq_recall(src, query_ids, exact_set, n_centroids, n_probe, m, rerank):
         out = tempfile.mkdtemp(prefix="bench_ivfpq_")
         try:
             idx = ann_index.build_ann_index(
-                spark, src, out, n_centroids=n_centroids, m=16, n_codes=16)
+                spark, src, out, n_centroids=n_centroids, m=m, n_codes=16)
             qrows = {r.vec_id: list(r.embedding)
                      for r in src.filter(F.col("vec_id").isin(query_ids)).collect()}
             t0 = time.time()
             got = {(r.query_id, r.vec_id)
                    for r in ann_index.ann_index_search(
                        idx, [(q, qrows[q]) for q in query_ids], k=10,
-                       n_probe=n_probe, rerank=4).collect()}
+                       n_probe=n_probe, rerank=rerank).collect()}
             return round(len(exact_set & got) / max(len(exact_set), 1), 4), time.time() - t0
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
-    ivfpq_recall, t_ivfpq = _ivfpq_recall(emb, qids, exact, n_centroids=32, n_probe=12)
-    civfpq_recall, _ = _ivfpq_recall(cemb, cqids, cexact, n_centroids=20, n_probe=5)
+    # unclustered worst case: composed recall is bounded by the coarse
+    # probe (compare ivf_recall_at_10 — parity means the residual-ADC +
+    # re-rank stage recovers everything the probe admits); clustered is
+    # the operating regime (25% scan)
+    ivfpq_recall, t_ivfpq = _ivfpq_recall(
+        emb, qids, exact, n_centroids=32, n_probe=12, m=32, rerank=8)
+    civfpq_recall, _ = _ivfpq_recall(
+        cemb, cqids, cexact, n_centroids=20, n_probe=5, m=16, rerank=10)
     results["ann_recall"] = {
         "ivfpq_recall_at_10": ivfpq_recall,
         "ivfpq_clustered_recall_at_10": civfpq_recall,

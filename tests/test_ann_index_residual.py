@@ -1,0 +1,88 @@
+"""Residual IVF-PQ (FAISS IVFPQ layout): the composed persisted-index
+path in both regimes, pinning the numbers bench records.
+
+Raw-vector PQ inside IVF cells was measured at recall@10 ≈ 0.4 on
+clustered data (codes spend resolution on the cluster layout the cell
+id already encodes); residual encoding + the q·c_cell ADC offset is
+the fix these tests lock in.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.textops import ann_index, similarity
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = np.random.RandomState(7)
+    centers = rng.randn(20, 32) * 4.0
+    vecs = np.repeat(centers, 100, axis=0) + rng.randn(2000, 32) * 0.3
+    emb = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(2000)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    ).repartition(8).cache()
+    emb.count()
+    return emb
+
+
+def test_residual_flag_persisted(spark, clustered, tmp_path):
+    idx = ann_index.build_ann_index(
+        spark, clustered, str(tmp_path / "a"), n_centroids=8, m=8, n_codes=16
+    )
+    assert idx.params["residual"] is True
+    loaded = ann_index.load_ann_index(spark, str(tmp_path / "a"))
+    assert loaded.params["residual"] is True
+
+
+def test_clustered_operating_regime_recall(spark, clustered, tmp_path):
+    """100-member cells, 25% scan, rerank=10 → recall@10 = 1.0 (the
+    bench `ivfpq_clustered_recall_at_10` configuration)."""
+    qids = list(range(0, 2000, 100))
+    exact = {(r.query_id, r.vec_id)
+             for r in similarity.cosine_topk(clustered, qids, k=10).collect()}
+    idx = ann_index.build_ann_index(
+        spark, clustered, str(tmp_path / "b"), n_centroids=20, m=16, n_codes=16
+    )
+    qrows = {r.vec_id: list(r.embedding)
+             for r in clustered.filter(F.col("vec_id").isin(qids)).collect()}
+    got = {(r.query_id, r.vec_id)
+           for r in ann_index.ann_index_search(
+               idx, [(q, qrows[q]) for q in qids], k=10, n_probe=5, rerank=10
+           ).collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.95, f"residual ivf-pq clustered recall = {recall:.3f}"
+
+
+def test_unclustered_composed_matches_probe_ceiling(spark, tmp_path):
+    """Unclustered worst case: composed recall must sit at (not below)
+    the coarse-probe ceiling — i.e. residual-ADC + re-rank recovers
+    what the probe admits; the quantizer, not the codes, binds."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).cache()
+    qids = [int(r.vec_id) for r in emb.select("vec_id").orderBy("vec_id").limit(8).collect()]
+    exact = {(r.query_id, r.vec_id)
+             for r in similarity.cosine_topk(emb, qids, k=10).collect()}
+    cents = similarity.ivf_train_centroids(emb, n_centroids=8)
+    ivf = {(r.query_id, r.vec_id)
+           for r in similarity.ivf_ann_topk(
+               emb, qids, k=10, n_centroids=8, n_probe=3, centroids=cents).collect()}
+    ivf_recall = len(exact & ivf) / len(exact)
+
+    idx = ann_index.build_ann_index(
+        spark, emb, str(tmp_path / "c"), n_centroids=8, m=16, n_codes=16
+    )
+    qrows = {r.vec_id: list(r.embedding)
+             for r in emb.filter(F.col("vec_id").isin(qids)).collect()}
+    got = {(r.query_id, r.vec_id)
+           for r in ann_index.ann_index_search(
+               idx, [(q, qrows[q]) for q in qids], k=10, n_probe=3, rerank=10
+           ).collect()}
+    composed_recall = len(exact & got) / len(exact)
+    # same centroid training (deterministic) → same probe ceiling;
+    # composed must give back ≥ ~all of it
+    assert composed_recall >= ivf_recall - 0.05, (composed_recall, ivf_recall)
