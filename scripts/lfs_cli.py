@@ -169,12 +169,50 @@ def cmd_ann_search(args) -> None:
         .collect()
     )
     queries = [(r.vec_id, list(r.embedding)) for r in qrows]
-    hits = ann_index_search(idx, queries, k=args.k, n_probe=args.probe)
+    hits = ann_index_search(idx, queries, k=args.k, n_probe=args.probe,
+                            rerank=args.rerank)
     for r in hits.collect():
         print(json.dumps({
             "query_id": r.query_id, "rank": r.rank,
             "id": r.vec_id, "cos_micro": r.cos_micro,
         }))
+
+
+def cmd_curate(args) -> None:
+    """Training-data curation pass over a text corpus: quality/cleaning
+    verdicts, model lang-ID, real-BPE token counts, and near-dup
+    cluster resolution — one output table, one row per doc, written
+    partitioned by the keep verdict so downstream training reads prune
+    rejected docs at the directory level."""
+    from pyspark.sql import functions as F
+
+    from la_fungus_search_spark.textops import bpe, dedup, pipeline, stats
+
+    spark = get_spark(app_name="lfs-curate")
+    docs = spark.read.parquet(args.input).select(
+        F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
+    )
+    ops = set(args.ops.split(","))
+    out = pipeline.clean_corpus(docs, repetition="rep" in ops)
+    if "langid" in ops:
+        out = out.join(
+            stats.lang_id_model(docs).select("doc_id", "pred_lang"), "doc_id", "left"
+        )
+    if "bpe" in ops:
+        out = out.join(bpe.bpe_token_counts(docs), "doc_id", "left")
+    if "dedup" in ops:
+        pairs = dedup.minhash_dedup_pairs(docs, k=3, threshold=args.jaccard)
+        clusters = dedup.dedup_clusters(pairs, docs).select(
+            "doc_id", "cluster_id", F.col("keep").alias("cluster_keep")
+        )
+        out = out.join(clusters, "doc_id", "left").withColumn(
+            "keep", (F.col("keep").cast("boolean") & (F.col("cluster_keep") == 1)).cast("int")
+        )
+    out.write.mode("overwrite").partitionBy("keep").parquet(args.out)
+    kept = spark.read.parquet(args.out).filter(F.col("keep") == 1).count()
+    total = docs.count()
+    print(json.dumps({"status": "curated", "out": args.out,
+                      "n_docs": total, "n_kept": kept, "ops": sorted(ops)}))
 
 
 def main() -> None:
@@ -232,7 +270,19 @@ def main() -> None:
                      help="vec_id of an indexed vector to use as the query")
     asr.add_argument("-k", type=int, default=10)
     asr.add_argument("--probe", type=int, default=4)
+    asr.add_argument("--rerank", type=int, default=8,
+                     help="exact re-rank pool = rerank*k candidates")
     asr.set_defaults(fn=cmd_ann_search)
+
+    c = sub.add_parser("curate")
+    c.add_argument("--input", required=True, help="parquet with (doc_id, text)")
+    c.add_argument("--out", required=True)
+    c.add_argument("--ops", default="clean,langid,bpe,dedup",
+                   help="comma set from clean,rep,langid,bpe,dedup")
+    c.add_argument("--jaccard", type=float, default=0.5)
+    c.add_argument("--id-col", dest="id_col", default="doc_id")
+    c.add_argument("--text-col", dest="text_col", default="text")
+    c.set_defaults(fn=cmd_curate)
 
     args = p.parse_args()
     args.fn(args)

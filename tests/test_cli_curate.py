@@ -1,0 +1,61 @@
+"""CLI curate subcommand: one-pass curation verdict table — cleaning
++ lang-ID + BPE counts + near-dup cluster keeper — written partitioned
+by the final keep verdict."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import types
+
+from pyspark.sql import functions as F
+
+
+def _load_cli():
+    p = os.path.join(os.path.dirname(__file__), "..", "scripts", "lfs_cli.py")
+    spec = importlib.util.spec_from_file_location("lfs_cli_under_test", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_curate_end_to_end(spark, tmp_path, capsys):
+    cmd_curate = _load_cli().cmd_curate
+
+    base = "the quick brown fox jumps over the lazy dog and runs through the green fields every day"
+    rows = [
+        (0, base),
+        (1, base + " extra"),          # near-dup of 0 -> cluster loser
+        (2, "völlig anderer deutscher text über das wetter und die stadt"),
+        (3, "xx"),                     # too short -> clean reject
+        (4, base + " indeed"),         # near-dup of 0 as well
+    ]
+    src = tmp_path / "corpus.parquet"
+    spark.createDataFrame(rows, "doc_id BIGINT, text STRING").write.parquet(str(src))
+
+    args = types.SimpleNamespace(
+        input=str(src), out=str(tmp_path / "curated"),
+        ops="clean,langid,bpe,dedup", jaccard=0.5,
+        id_col="doc_id", text_col="text",
+    )
+    cmd_curate(args)
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["status"] == "curated"
+    assert summary["n_docs"] == 5
+
+    out = spark.read.parquet(str(tmp_path / "curated"))
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert got[3].keep == 0 and got[3].reject_reason == "too_short"
+    # near-dup cluster {0, 1, 4}: exactly one keeper, the min doc_id
+    cluster = [got[i] for i in (0, 1, 4)]
+    assert len({r.cluster_id for r in cluster}) == 1
+    assert [r.doc_id for r in cluster if r.keep == 1] == [0]
+    assert got[2].pred_lang == "de"
+    assert got[0].bpe_tokens > 0
+    # keep is the write partition column -> directory-level pruning
+    subdirs = {d for d in os.listdir(tmp_path / "curated") if d.startswith("keep=")}
+    assert subdirs == {"keep=0", "keep=1"}
+    plan = out.filter(F.col("keep") == 1)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "keep" in plan
