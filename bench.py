@@ -414,12 +414,17 @@ def bench_scaling(results: dict):
     # (bounded) until a perfectly-parallel spin job gets a near-ideal
     # 2->8 ratio — in a degraded window NO engine can hit raw 0.8
     # (observed machine ratio 2.96/4 caps raw at 0.74)
+    t_section = time.time()
+    budget = int(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "1900"))
     pre_ratio, pre_wait = _wait_for_quiet(max_wait_sec=240)
     for rnd in range(2):
         one_round(rnd)
     eff = hi["docs_per_sec"] / (4.0 * lo["docs_per_sec"])
     retries = 0
-    while eff < 0.8 and retries < 2:
+    # a retry round costs ~7 min; only start one if it fits the section
+    # budget (the harness running this script has its own timeout, and
+    # a killed process loses the whole record)
+    while eff < 0.8 and retries < 2 and time.time() - t_section < budget - 450:
         # co-tenant load windows pass on the minutes scale (measured:
         # same code, same day — 0.96 quiet, 0.61 loaded, machine spin
         # ratio 4.19 vs 2.79); bounded weather-gated retry rounds land

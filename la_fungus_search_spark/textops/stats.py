@@ -215,10 +215,13 @@ def lang_id_model(
     """Character-trigram Naive Bayes language ID.
 
     Per doc: score(lang) = Σ_tri logp(tri|lang), with unseen trigrams
-    charged the language's smoothing floor — computed as
-    sum(matched logp) + (n_tri − n_matched)·floor via one broadcast
-    join, so the plan is explode → broadcast-join(profiles) →
-    groupBy(doc_id, lang) → argmax window. Output:
+    charged the language's smoothing floor. The broadcast model packs
+    each trigram's per-language log-probs into ONE array row (langs
+    missing the trigram carry their floor), so the joined stream is
+    one row per (doc, matched trigram) — not × n_langs — and the doc
+    aggregate is n_langs column-sums:
+    score_l = Σ_matched logps[l] + (n_tri − n_matched)·floor_l,
+    algebraically identical to the per-(tri, lang) join. Output:
     (doc_id, pred_lang, score_micro, margin_micro); docs with no
     letters at all predict 'und'.
 
@@ -226,102 +229,110 @@ def lang_id_model(
     function words (pytest fixture oracle); keep :func:`lang_id` as the
     engine-portable SQL-oracle twin.
     """
-    from pyspark.sql import Window
-
     spark = docs.sparkSession
     rows, floors = trigram_profiles(langs)
+    lang_list = sorted(floors)
+    by_tri: dict[str, dict[str, float]] = {}
+    for tri, lang, logp in rows:
+        by_tri.setdefault(tri, {})[lang] = logp
+    packed = [
+        (tri, [m.get(lang, floors[lang]) for lang in lang_list])
+        for tri, m in sorted(by_tri.items())
+    ]
     model = F.broadcast(
-        spark.createDataFrame(rows, "tri STRING, lang STRING, logp DOUBLE")
-    )
-    floor_df = F.broadcast(
-        spark.createDataFrame(
-            sorted(floors.items()), "lang STRING, floor_logp DOUBLE"
-        )
+        spark.createDataFrame(packed, "tri STRING, logps ARRAY<DOUBLE>")
     )
 
-    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-    # classify a bounded prefix: language is a document-level property,
-    # and the per-doc trigram volume (the join+agg input) must not grow
-    # with doc length at 100 TB. 1000 normalized chars ≈ 150+ words —
-    # far past where trigram NB saturates.
-    norm = F.concat(
-        F.lit(" "),
-        F.substring(
-            F.trim(F.regexp_replace(F.regexp_replace(t, "[^a-zà-ÿß]+", " "), "\\s+", " ")),
-            1,
-            max_chars,
-        ),
-        F.lit(" "),
-    )
-    n_tris = F.greatest(F.length(norm) - F.lit(2), F.lit(0))
-    # trigrams via three shifted slices of ONE char split — NOT
-    # substring(norm, i, 3) inside transform(sequence(...)): Catalyst
-    # inlines the projection, so the regex-normalization in ``norm``
-    # would re-evaluate per element (measured 60 ms/doc; this form is
-    # ~3 norm evaluations per row, >100x faster)
-    chars = F.split(norm, "")
-    tris = F.zip_with(
-        F.zip_with(
-            F.slice(chars, 1, n_tris),
-            F.slice(chars, 2, n_tris),
-            lambda a, b: F.concat(a, b),
-        ),
-        F.slice(chars, 3, n_tris),
-        lambda ab, c: F.concat(ab, c),
-    )
+    # Trigram extraction is an Arrow kernel emitting DISTINCT-trigram
+    # counts per doc (~0.2 rows per char instead of 1): two JVM
+    # expression forms were measured first — substring-in-transform
+    # re-evaluates the normalization per element (60 ms/doc), and the
+    # shifted-slice zip_with chain still costs ~0.9 ms/doc in
+    # interpreted higher-order functions. The batched Python loop is
+    # ~0.1 ms/doc — the same measured call the repo's tokenizer makes
+    # (Arrow kernel over JVM explode).
+    #
+    # Both the normalization and the trigram volume are bounded by
+    # max_chars: language is a document-level property, so per-doc
+    # cost must be O(1) in doc length at 100 TB.
+    import re as _re
+    from collections import Counter as _Counter
+
+    def tri_counts(batches):
+        import pandas as pd
+
+        pat = _re.compile(r"[^a-zà-ÿß]+")
+        for pdf in batches:
+            ids, n_tris_l, tris_l, cnts = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"].to_numpy(), pdf["_t"]):
+                s = pat.sub(" ", (text or "")[: max_chars * 3].lower())
+                s = " " + " ".join(s.split())[:max_chars] + " "
+                n = len(s) - 2
+                if n < 3:
+                    continue
+                c = _Counter(s[i:i + 3] for i in range(n))
+                ids.extend([doc_id] * len(c))
+                n_tris_l.extend([n] * len(c))
+                tris_l.extend(c.keys())
+                cnts.extend(c.values())
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_tri": n_tris_l, "tri": tris_l, "cnt": cnts}
+            )
 
     base = docs.select(
-        F.col(id_col).alias("doc_id"), tris.alias("tris"), n_tris.alias("n_tri")
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
     )
-    # blank/non-letter docs ("  ") still produce 1 padded trigram of
-    # spaces; treat < 3 normalized chars as undetermined (they fall to
-    # the 'und' anti-join below)
-    tri_rows = base.filter(F.col("n_tri") >= 3).select(
-        "doc_id", "n_tri", F.explode("tris").alias("tri")
+    tri_rows = base.mapInPandas(
+        tri_counts, schema="doc_id BIGINT, n_tri INT, tri STRING, cnt INT"
     )
-    scores = (
+    agg = (
         tri_rows.join(model, "tri")
-        .groupBy("doc_id", "lang")
+        .groupBy("doc_id")
         .agg(
             F.first("n_tri").alias("n_tri"),
-            F.sum("logp").alias("matched_logp"),
-            F.count("*").alias("n_matched"),
-        )
-        .join(floor_df, "lang")
-        .withColumn(
-            "score",
-            F.col("matched_logp")
-            + (F.col("n_tri") - F.col("n_matched")) * F.col("floor_logp"),
+            F.sum("cnt").alias("n_matched"),
+            *[
+                F.sum(F.col("cnt") * F.col("logps")[i]).alias(f"_s{i}")
+                for i in range(len(lang_list))
+            ],
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
-    ranked = scores.withColumn("rn", F.row_number().over(w)).withColumn(
-        "margin", F.col("score") - F.lead("score").over(w)
+    unmatched = F.col("n_tri") - F.col("n_matched")
+    score_cols = [
+        (F.col(f"_s{i}") + unmatched * F.lit(floors[lang])).alias(f"_sc{i}")
+        for i, lang in enumerate(lang_list)
+    ]
+    scored = agg.select("doc_id", "n_tri", *score_cols)
+    # deterministic argmax: strict > keeps the earlier (lex-asc) lang
+    # on ties; margin = best − second best via a sorted score array
+    pred, pred_score = F.lit(lang_list[0]), F.col("_sc0")
+    for i, lang in enumerate(lang_list[1:], start=1):
+        cond = F.col(f"_sc{i}") > pred_score
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+        pred_score = F.when(cond, F.col(f"_sc{i}")).otherwise(pred_score)
+    arr = F.array_sort(F.array(*[F.col(f"_sc{i}") for i in range(len(lang_list))]))
+    margin = (
+        F.element_at(arr, -1) - F.element_at(arr, -2)
+        if len(lang_list) > 1
+        else F.lit(0.0)
     )
-    best = ranked.filter(F.col("rn") == 1).select(
+    n_tri_d = F.greatest(F.col("n_tri"), F.lit(1))
+    best = scored.select(
         "doc_id",
-        F.col("lang").alias("pred_lang"),
-        _micro(F.col("score") / F.greatest(F.col("n_tri"), F.lit(1))).alias(
-            "score_micro"
-        ),
-        _micro(
-            F.coalesce(F.col("margin"), F.lit(0.0))
-            / F.greatest(F.col("n_tri"), F.lit(1))
-        ).alias("margin_micro"),
+        pred.alias("pred_lang"),
+        _micro(pred_score / n_tri_d).alias("score_micro"),
+        _micro(margin / n_tri_d).alias("margin_micro"),
     )
-    # docs whose trigrams all miss the model (e.g. pure CJK after
-    # normalization strips them) fall back to 'und' too
-    und = (
-        base.select("doc_id")
-        .join(best.select("doc_id"), "doc_id", "left_anti")
-        .select(
-            "doc_id",
-            F.lit("und").alias("pred_lang"),
-            F.lit(0).cast("bigint").alias("score_micro"),
-            F.lit(0).cast("bigint").alias("margin_micro"),
-        )
+    # docs with no scored row — too few normalized letters, or every
+    # trigram missed the model (e.g. pure CJK) — fall back to 'und'.
+    # One LEFT join (not best ∪ anti-join: a union would execute the
+    # scoring branch twice).
+    return base.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+        F.coalesce("score_micro", F.lit(0)).cast("bigint").alias("score_micro"),
+        F.coalesce("margin_micro", F.lit(0)).cast("bigint").alias("margin_micro"),
     )
-    return best.unionByName(und)
 
 
 def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -72,6 +72,9 @@ AUDIT = [
     "pagination",
     "snippet_extract",
     "import_only_filter",
+    "text_lang_id_model",
+    "text_bpe_counts",
+    "multimodal_decode",
 ]
 
 
