@@ -381,7 +381,7 @@ def _wait_for_quiet(threshold: float = 3.55, max_wait_sec: int = 240,
         time.sleep(poll_sec)
 
 
-def bench_scaling(results: dict):
+def bench_scaling(results: dict):  # noqa: C901
     """North-rule two-cluster-size criterion, N=2 vs 4N=8 cores.
 
     Why not 8 vs 32: this sandbox VM's effective parallel capacity is
@@ -416,6 +416,19 @@ def bench_scaling(results: dict):
         # stays fair
         if sel and (best_sel is None or sel["blockmax_sec"] < best_sel["blockmax_sec"]):
             best_sel = sel
+        # per-round checkpoint line: a harness kill mid-scaling then
+        # still leaves the best-so-far scaling record as the LAST
+        # parseable stdout line (the final complete line supersedes it)
+        part = dict(results)
+        if best_sel:
+            part["blockmax_pruning_selective"] = best_sel
+        part["scaling"] = {
+            "n": lo, "4n": hi,
+            "efficiency": round(hi["docs_per_sec"] / (4.0 * lo["docs_per_sec"]), 3),
+            "partial": True, "rounds_done": rnd + 1,
+            "criterion": "docs_per_sec(local[8]) / (4 * docs_per_sec(local[2])) >= 0.8",
+        }
+        print(json.dumps(part), flush=True)
 
     # don't start the criterion run in a bad co-tenant window: wait
     # (bounded) until a perfectly-parallel spin job gets a near-ideal
