@@ -59,7 +59,27 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    corpus = corpus_df(spark, n_files, partitions=128).persist()
+    # corpus generation is deterministic and OUTSIDE the timed window;
+    # cache it as parquet so each of bench's 4-6 interleaved
+    # invocations skips the ~1-2 min generation pass (atomic rename so
+    # a killed invocation can't leave a corrupt half-written cache)
+    import hashlib
+    import inspect
+    import shutil
+
+    from la_fungus_search_spark import corpus as _corpus_mod
+
+    # fingerprint the generator source into the cache name: a future
+    # change to corpus_df must never silently serve stale data
+    src_fp = hashlib.md5(inspect.getsource(_corpus_mod).encode()).hexdigest()[:10]
+    cache = f"/tmp/lfs_scaling_corpus_{n_files}_{src_fp}"
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        tmp_dir = cache + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        corpus_df(spark, n_files, partitions=128).write.mode("overwrite").parquet(tmp_dir)
+        shutil.rmtree(cache, ignore_errors=True)
+        os.rename(tmp_dir, cache)
+    corpus = spark.read.parquet(cache).persist()
     n_docs = corpus.count()
     # JVM/codegen warmup outside the timed window
     from pyspark.sql import functions as F
