@@ -397,6 +397,7 @@ def bench_scaling(results: dict):  # noqa: C901
     # levels to the same conditions (observed: 0.96 quiet vs 0.66 when
     # one sequential leg caught a noisy window)
     lo = hi = best_sel = None
+    rounds = []  # per-round (lo, hi) matched pairs
 
     def one_round(rnd):
         nonlocal lo, hi, best_sel
@@ -416,6 +417,20 @@ def bench_scaling(results: dict):  # noqa: C901
         # stays fair
         if sel and (best_sel is None or sel["blockmax_sec"] < best_sel["blockmax_sec"]):
             best_sel = sel
+        # matched-pair record: lo and hi of the SAME round saw adjacent
+        # weather windows, so hi_r/(4*lo_r) is the paired estimator —
+        # best-per-level (the criterion, unchanged from r2) can pair a
+        # quiet lo with a loaded hi across rounds and understate
+        rounds.append(
+            {
+                "round": rnd,
+                "lo_docs_per_sec": lo_r["docs_per_sec"],
+                "hi_docs_per_sec": hi_r["docs_per_sec"],
+                "paired_eff": round(
+                    hi_r["docs_per_sec"] / (4.0 * lo_r["docs_per_sec"]), 3
+                ),
+            }
+        )
         # per-round checkpoint line: a harness kill mid-scaling then
         # still leaves the best-so-far scaling record as the LAST
         # parseable stdout line (the final complete line supersedes it)
@@ -474,6 +489,8 @@ def bench_scaling(results: dict):  # noqa: C901
         "n": lo,
         "4n": hi,
         "efficiency": round(eff, 3),
+        "efficiency_paired": max(r["paired_eff"] for r in rounds),
+        "rounds": rounds,
         "weather_gate": {"pre_ratio": round(pre_ratio, 3), "waited_sec": round(pre_wait, 1)},
         "calibration": {
             "spin2_per_sec": round(spin2, 1),
