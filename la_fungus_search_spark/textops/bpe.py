@@ -6,6 +6,11 @@ Everything is self-contained: the merge table is trained
 deterministically at call time from embedded seed text (code + prose),
 ~hundreds of merges — no external vocab files.
 
+Reference analog: none — the reference only budget-estimates tokens as
+``len(text) // 4`` (``rag/generation.py:153-154``, mirrored by
+``stats.token_counts.est_bpe_tokens``); this operator is brief-driven
+(training-data pipeline token accounting).
+
 Spark-first shape (the 100 TB design): BPE encoding is an iterative
 per-word loop, so the cluster never runs it per token occurrence —
 

@@ -28,6 +28,9 @@ Design notes for scale:
 * feature extraction emits fixed-width ``array<float>`` so downstream
   similarity ops (:mod:`~la_fungus_search_spark.textops.similarity`)
   apply unchanged.
+
+Reference analog: none — the reference is text-only; this module is
+brief-driven (multimodal columns for a training-data pipeline).
 """
 
 from __future__ import annotations

@@ -120,7 +120,9 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 # Model-grade path: character-trigram Naive Bayes (the fastText /
 # Cavnar-Trenkle 1994 n-gram-categorization family), trained at call
 # time from small embedded per-language seed texts (self-contained; no
-# external data). The profile table is a few thousand rows — broadcast
+# external data). Reference analog: none — brief-driven (training-data
+# pipeline language ID); the marker-lexicon lang_id above remains the
+# engine-portable SQL-oracle twin. The profile table is a few thousand rows — broadcast
 # side of a join — so the whole classifier is: explode trigrams →
 # broadcast-join profiles → groupBy(doc_id, lang) partial-agg sum →
 # argmax. Pure JVM expressions, one doc_id-keyed shuffle, no UDFs.
