@@ -1179,61 +1179,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness run checks a
-    # bounded PREFIX of this dict (r2 checked the first 50 of 62), so
-    # entries that have never had a driver-green row — plus this
-    # round's new gates — go first; entries already green in
-    # CORRECTNESS_r01/r02 rotate to the back.
+    # bounded PREFIX of this dict (~50 of 65). Round-4 rotation
+    # (VERDICT r3 item 3): (a) the 15 entries whose only driver-green
+    # row is from r2 go FIRST — especially multimodal_decode, whose
+    # real-container-decode semantics postdate its r2 row; (b) then
+    # the gates whose implementation changed this round
+    # (text_lang_id_model and dedup_simhash gained value-oracles,
+    # dedup_clusters/bm25_* changed internals); (c) then the
+    # remaining no_oracle entries (rows-only record stays fresh);
+    # (d) then greens touching this round's changed modules. The 15
+    # r3-green entries with unchanged code rotate to the back — every
+    # entry then has a green driver row in r3 ∪ r4.
     return {
-        "multi_query_max_merge": q_multi_query_max_merge,
-        "dedup_by_source_results": q_dedup_by_source_results,
-        "usage_rollup_sets": q_usage_rollup_sets,
-        "usage_cost_estimate": q_usage_cost_estimate,
-        "trail_degree": q_trail_degree,
-        "incremental_changed_docs": q_incremental_changed_docs,
-        "streaming_step_metrics": q_streaming_step_metrics,
-        "streaming_dedup_state": q_streaming_dedup_state,
-        "query_dedup": q_query_dedup,
-        "mmr_diverse_topk": q_mmr_diverse_topk,
-        "pagination": q_pagination,
-        "streaming_stability_state": q_streaming_stability_state,
-        "pack_token_shards": q_pack_token_shards,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "text_lang_id_model": q_text_lang_id_model,
-        "text_bpe_counts": q_text_bpe_counts,
-        "bm25_topk": q_bm25_topk,
-        "bm25_topk_blockmax": q_bm25_topk_blockmax,
-        "bm25_topk_and": q_bm25_topk_and,
-        "bm25_doc_stats": q_bm25_doc_stats,
-        "bm25_term_stats": q_bm25_term_stats,
-        "bm25_globals": q_bm25_globals,
-        "keyword_score_topk": q_keyword_score_topk,
-        "grep_scan": q_grep_scan,
-        "grep_context": q_grep_context,
-        "concrete_query_filter": q_concrete_query_filter,
-        "term_intersection": q_term_intersection,
-        "text_token_counts": q_text_token_counts,
-        "text_quality": q_text_quality,
-        "text_lang_id": q_text_lang_id,
-        "text_fingerprints": q_text_fingerprints,
-        "text_repetition": q_text_repetition,
-        "text_winnow": q_text_winnow,
-        "corpus_sketch": q_corpus_sketch,
-        "decontaminate": q_decontaminate,
-        "dedup_cross_doc_grams": q_dedup_cross_doc_grams,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_signatures": q_dedup_minhash_signatures,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "sample_stratified": q_sample_stratified,
-        "corpus_clean": q_corpus_clean,
-        "corpus_clean_rep": q_corpus_clean_rep,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_srp_topk": q_ann_srp_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_pq_topk": q_ann_pq_topk,
+        # (a) r2-green only, driver-unchecked in r3
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_resize_plan": q_multimodal_resize_plan,
@@ -1249,6 +1207,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet_extract": q_snippet_extract,
         "hybrid_blend_topk": q_hybrid_blend_topk,
         "blended_topk_len_prior": q_blended_topk_len_prior,
+        # (b) new value-oracles this round
+        "text_lang_id_model": q_text_lang_id_model,
+        "dedup_simhash": q_dedup_simhash,
+        # (c) remaining no_oracle entries (rows-only driver record)
+        "query_dedup": q_query_dedup,
+        "mmr_diverse_topk": q_mmr_diverse_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "text_bpe_counts": q_text_bpe_counts,
+        "corpus_sketch": q_corpus_sketch,
+        "ann_srp_topk": q_ann_srp_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
+        # (d) greens over modules changed this round + cheap staples
+        "bm25_topk": q_bm25_topk,
+        "bm25_topk_blockmax": q_bm25_topk_blockmax,
+        "bm25_topk_and": q_bm25_topk_and,
+        "bm25_doc_stats": q_bm25_doc_stats,
+        "bm25_term_stats": q_bm25_term_stats,
+        "bm25_globals": q_bm25_globals,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_minhash_signatures": q_dedup_minhash_signatures,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_cross_doc_grams": q_dedup_cross_doc_grams,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "decontaminate": q_decontaminate,
+        "sample_stratified": q_sample_stratified,
+        "pack_token_shards": q_pack_token_shards,
+        "corpus_clean": q_corpus_clean,
+        "corpus_clean_rep": q_corpus_clean_rep,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "keyword_score_topk": q_keyword_score_topk,
+        "grep_scan": q_grep_scan,
+        "grep_context": q_grep_context,
+        "concrete_query_filter": q_concrete_query_filter,
+        "term_intersection": q_term_intersection,
+        "text_token_counts": q_text_token_counts,
+        # r3-green, unchanged code — rotated behind the checked prefix
+        "multi_query_max_merge": q_multi_query_max_merge,
+        "dedup_by_source_results": q_dedup_by_source_results,
+        "usage_rollup_sets": q_usage_rollup_sets,
+        "usage_cost_estimate": q_usage_cost_estimate,
+        "trail_degree": q_trail_degree,
+        "incremental_changed_docs": q_incremental_changed_docs,
+        "streaming_step_metrics": q_streaming_step_metrics,
+        "streaming_dedup_state": q_streaming_dedup_state,
+        "pagination": q_pagination,
+        "streaming_stability_state": q_streaming_stability_state,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprints": q_text_fingerprints,
+        "text_repetition": q_text_repetition,
+        "text_winnow": q_text_winnow,
     }
 
 
@@ -1259,8 +1271,14 @@ def _tok_sql(col: str) -> str:
     return duckdb_tokens_sql(col)
 
 
-_WS = "[^\\s]+"
-_BPE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+# same engine-invariant pattern strings the Spark operators evaluate
+# (stats.WS_CHARS spells out the whitespace set as literal characters,
+# so Java / Python re / DuckDB RE2 all tokenize identically — RE2 and
+# Java \s are ASCII-only while Python's is Unicode-aware)
+from la_fungus_search_spark.textops.stats import (  # noqa: E402
+    BPE_PATTERN as _BPE,
+    WS_PATTERN as _WS,
+)
 _NORM = "md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')))"
 
 

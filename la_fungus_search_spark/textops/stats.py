@@ -17,10 +17,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Engine-invariant whitespace character class. The same pattern string
+# is evaluated by THREE regex engines — Java (Spark regexp_extract_all),
+# Python re (BPE trainer / oracles), DuckDB RE2 (driver oracle SQL) —
+# and ``\s`` means different sets in each (Java/RE2: ASCII-only;
+# Python: Unicode-aware), so a doc containing NBSP or another Unicode
+# space would tokenize differently per engine. Spelling out the Unicode
+# White_Space code points as literal characters (resolved at the Python
+# string level, before any regex engine parses the class) makes all
+# three engines see the identical set.
+WS_CHARS = (
+    " \t\n\r\f\u000b\u001c\u001d\u001e\u001f\u0085\u00a0\u1680"
+    "\u2000-\u200a\u2028\u2029\u202f\u205f\u3000"
+)
+
 # BPE-ish pre-tokenization: letter runs, digit runs, single non-space
 # punctuation — the shape GPT-2-style byte-pair pretokenizers produce.
-BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
-WS_PATTERN = "[^\\s]+"
+BPE_PATTERN = f"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CHARS}]"
+WS_PATTERN = f"[^{WS_CHARS}]+"
 
 # Tiny embedded stopword list for quality ratios (English function words).
 QUALITY_STOPWORDS = [
