@@ -443,6 +443,9 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
+    """64-bit SimHash per doc. Value-oracled since r4: the signature is
+    a deterministic md5-bit sum, expressed in DuckDB as per-bit sign
+    aggregation over the token tf vector (_simhash_sql)."""
     return dedup.simhash(_documents(spark, sf_dir)).orderBy("doc_id")
 
 
@@ -549,10 +552,12 @@ def q_text_bpe_counts(spark, sf_dir):
 def q_text_lang_id_model(spark, sf_dir):
     """Trigram-Naive-Bayes language ID (fastText/Cavnar-Trenkle
     family): explode char trigrams → broadcast-join the embedded
-    profile table → groupBy argmax. Accuracy vs the marker baseline is
-    pytest-asserted on a held-out mixed-language fixture
-    (tests/test_lang_id_model.py); rows-only here (the ~6k-row profile
-    model is impractical to inline as SQL literals)."""
+    profile table → groupBy argmax. Value-oracled since r4: the
+    ~1.6k-row profile table inlines as a VALUES list and the packed-
+    array join is algebraically the explode→join→argmax SQL
+    (_lang_id_model_sql). Accuracy vs the marker baseline is
+    additionally pytest-asserted on a held-out mixed-language fixture
+    (tests/test_lang_id_model.py)."""
     return stats.lang_id_model(_documents(spark, sf_dir)).orderBy("doc_id")
 
 
@@ -1382,6 +1387,115 @@ FROM m ORDER BY doc_id
 """
 
 
+def _lang_id_model_sql() -> str:
+    """DuckDB twin of stats.lang_id_model: the trigram-NB classifier as
+    explode-trigrams → join the (inlined) profile table → per-doc
+    argmax with the unseen floor. The ~1.6k-row profile VALUES list is
+    generated from the same trigram_profiles() the Spark side
+    broadcasts, so both engines score from identical doubles; the
+    packed-array join in stats.py is algebraically this SQL."""
+    rows, floors = stats.trigram_profiles()
+    prof_vals = ", ".join(f"('{t}', '{l}', {p!r})" for t, l, p in rows)
+    floor_vals = ", ".join(f"('{l}', {floors[l]!r})" for l in sorted(floors))
+    return f"""
+WITH prof(tri, lang, logp) AS (VALUES {prof_vals}),
+floors(lang, fl) AS (VALUES {floor_vals}),
+norm AS (
+    SELECT doc_id,
+           ' ' || substr(trim(regexp_replace(lower(substr(coalesce(text, ''), 1, 3000)),
+                                             '[^a-zà-ÿß]+', ' ', 'g')), 1, 1000) || ' ' AS s
+    FROM documents
+),
+elig AS (
+    SELECT doc_id, s, (length(s) - 2)::BIGINT AS n_tri
+    FROM norm WHERE length(s) - 2 >= 3
+),
+tri AS (
+    SELECT doc_id, n_tri,
+           unnest(list_transform(range(1, (n_tri + 1)::INT), i -> substr(s, i::INT, 3))) AS tri
+    FROM elig
+),
+cnts AS (
+    SELECT doc_id, any_value(n_tri) AS n_tri, tri, count(*)::BIGINT AS cnt
+    FROM tri GROUP BY doc_id, tri
+),
+matched AS (SELECT c.* FROM cnts c WHERE c.tri IN (SELECT DISTINCT tri FROM prof)),
+scores AS (
+    SELECT m.doc_id, f.lang,
+           any_value(m.n_tri) AS n_tri,
+           any_value(f.fl) AS fl,
+           sum(m.cnt) AS n_matched,
+           sum(m.cnt * coalesce(p.logp, f.fl)) AS s_matched
+    FROM matched m
+    CROSS JOIN floors f
+    LEFT JOIN prof p ON p.tri = m.tri AND p.lang = f.lang
+    GROUP BY m.doc_id, f.lang
+),
+full_scores AS (
+    SELECT doc_id, n_tri, lang,
+           s_matched + (n_tri - n_matched) * fl AS score
+    FROM scores
+),
+ranked AS (
+    SELECT doc_id, n_tri, lang, score,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+    FROM full_scores
+),
+best AS (
+    SELECT r1.doc_id, r1.n_tri, r1.lang AS pred_lang,
+           r1.score AS best_score, r2.score AS second_score
+    FROM ranked r1 JOIN ranked r2 ON r1.doc_id = r2.doc_id AND r2.rn = 2
+    WHERE r1.rn = 1
+)
+SELECT d.doc_id,
+       coalesce(b.pred_lang, 'und') AS pred_lang,
+       coalesce(round(b.best_score / b.n_tri * 1e6)::BIGINT, 0) AS score_micro,
+       coalesce(round((b.best_score - b.second_score) / b.n_tri * 1e6)::BIGINT, 0) AS margin_micro
+FROM documents d LEFT JOIN best b USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def _simhash_sql() -> str:
+    """DuckDB twin of dedup.simhash: bit_j = sign of
+    Σ_tok tf·(±1 per bit j of the md5-u64 of the token). Pure bit
+    arithmetic over the md5 hex — nibble j//4 of the first-8-bytes
+    big-endian u64 is hex char 16 − j//4 (1-based), bit j%4 within it;
+    the 64 per-doc sign bits then reassemble into the hex string
+    nibble-by-nibble. Same token list via duckdb_tokens_sql."""
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+tfc AS (
+    SELECT doc_id, tok, count(*)::BIGINT AS tf
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM tokd)
+    GROUP BY doc_id, tok
+),
+th AS (SELECT doc_id, tf, substr(md5(tok), 1, 16) AS h FROM tfc),
+bitacc AS (
+    SELECT doc_id, j,
+           sum(tf * (2 * ((strpos('0123456789abcdef',
+                                  substr(h, (16 - j // 4)::INT, 1)) - 1)
+                          >> (j % 4)::INT & 1) - 1)) AS acc
+    FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS j) bits
+    GROUP BY doc_id, j
+),
+nibs AS (
+    SELECT doc_id, j // 4 AS nib,
+           sum(CASE WHEN acc > 0 THEN 1 << (j % 4)::INT ELSE 0 END) AS nv
+    FROM bitacc GROUP BY doc_id, j // 4
+),
+hexes AS (
+    SELECT doc_id,
+           string_agg(substr('0123456789abcdef', (nv + 1)::INT, 1), '' ORDER BY nib DESC) AS simhash_hex
+    FROM nibs GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(h.simhash_hex, '0000000000000000') AS simhash_hex
+FROM documents d LEFT JOIN hexes h USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 _SQL_STRIP = r"^[ \t\n\r\f\x0b]+|[ \t\n\r\f\x0b]+$"
 
 # multi-line 'source file' view of documents.text (word → line),
@@ -1661,6 +1775,8 @@ SELECT doc_id, n_chars, n_tokens,
 FROM c ORDER BY doc_id
 """,
         "text_lang_id": _lang_id_sql(),
+        "text_lang_id_model": _lang_id_model_sql(),
+        "dedup_simhash": _simhash_sql(),
         "text_fingerprints": f"""
 SELECT doc_id, sha256(coalesce(text, '')) AS content_sha256, {_NORM} AS norm_md5
 FROM documents ORDER BY doc_id
