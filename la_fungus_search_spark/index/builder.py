@@ -48,6 +48,18 @@ from la_fungus_search_spark.tokenizer import tokenize, tokens_expr
 POSTING_LIST_SCHEMA = (
     "term STRING, term_bucket INT, block_id BIGINT, range_ids ARRAY<BIGINT>, first_doc BIGINT, "
     "last_doc BIGINT, count INT, doc_ids BINARY, tfs BINARY, block_max DOUBLE, "
+    # second_max/argmax_doc: BMW refinement for multi-hot-term queries.
+    # block_max alone makes every eps-floored hot term add its full max
+    # to every range's UB (hot block maxes are near-uniform), so one
+    # hot term prunes but two don't. Storing the block's top-scoring
+    # doc and the best score EXCLUDING one occurrence of it lets the
+    # query engine bound a doc-range by
+    #   Σ_t m1_t − second-largest (m1_t − m2_t) gap
+    # whenever the two largest-gap terms peak on DIFFERENT docs — a doc
+    # can be the argmax of at most one of them, so the bound is sound
+    # (query/engine.py search_blockmax). −inf second_max = single-
+    # posting block (no other doc in the block carries the term).
+    "second_max DOUBLE, argmax_doc BIGINT, "
     # score-free bound inputs: contribution is increasing in tf and
     # decreasing in doclen, so idf_new * c(max_tf, min_dl, avgdl_new)
     # upper-bounds every posting in the block under ANY later global
@@ -347,6 +359,8 @@ class IndexBuilder:
                         "doc_ids": pd.Series(dtype="object"),
                         "tfs": pd.Series(dtype="object"),
                         "block_max": pd.Series(dtype="float64"),
+                        "second_max": pd.Series(dtype="float64"),
+                        "argmax_doc": pd.Series(dtype="int64"),
                         "max_tf": pd.Series(dtype="int32"),
                         "min_dl": pd.Series(dtype="int32"),
                     }
@@ -421,6 +435,24 @@ class IndexBuilder:
             deltas[1:] = ids_u[1:] - ids_u[:-1]
             deltas[bstarts] = ids_u[bstarts]
 
+            # BMW refinement metadata: the block's top-scoring doc and
+            # the best score excluding ONE occurrence of it. First
+            # argmax position per block (positions ascending, block ids
+            # non-decreasing → searchsorted picks the first), then a
+            # masked second reduceat; a single-posting block second_max
+            # is −inf ("no other doc carries the term here"). Ties:
+            # only one position is masked, so second_max == block_max —
+            # exactly right (another doc achieves the same max).
+            bmax = np.maximum.reduceat(scores, bstarts)
+            blk_of_row = np.repeat(np.arange(nblk), bends - bstarts)
+            max_pos = np.flatnonzero(scores == bmax[blk_of_row])
+            first_max = max_pos[
+                np.searchsorted(blk_of_row[max_pos], np.arange(nblk), side="left")
+            ]
+            scores2 = scores.copy()
+            scores2[first_max] = -np.inf
+            second_max = np.maximum.reduceat(scores2, bstarts)
+
             return pd.DataFrame(
                 {
                     "term": uniques.take(codes[bstarts]),
@@ -432,7 +464,9 @@ class IndexBuilder:
                     "count": (bends - bstarts).astype("int32"),
                     "doc_ids": varint_encode_split(deltas, bstarts, bends),
                     "tfs": varint_encode_split(tfs.astype(np.uint64), bstarts, bends),
-                    "block_max": np.maximum.reduceat(scores, bstarts),
+                    "block_max": bmax,
+                    "second_max": second_max,
+                    "argmax_doc": ids[first_max],
                     "max_tf": np.maximum.reduceat(tfs, bstarts).astype("int32"),
                     "min_dl": np.minimum.reduceat(doclens, bstarts).astype("int32"),
                 }
@@ -792,8 +826,18 @@ class IncrementalIndexBuilder(IndexBuilder):
                 old.posting_lists.join(F.broadcast(aff_terms), "term", "left_anti")
                 .join(term_stats.select("term", "idf"), "term")
                 .withColumn("block_max", F.greatest(F.col("idf"), F.lit(0.0)) * bound)
+                # the stored second_max was computed under the OLD idf;
+                # degrade it to the refreshed block_max (gap 0 — no
+                # extra pruning from kept blocks, still sound). A later
+                # full rebuild restores the refined bound.
+                .withColumn("second_max", F.col("block_max"))
                 .drop("idf")
             )
+            if "argmax_doc" not in old.posting_lists.columns:
+                # pre-refinement index: no argmax metadata to keep
+                kept_lists = kept_lists.withColumn(
+                    "argmax_doc", F.lit(None).cast("bigint")
+                )
             posting_lists = kept_lists.unionByName(rebuilt).persist()
         else:
             posting_lists = self.posting_lists_df(
@@ -907,8 +951,15 @@ class IncrementalIndexBuilder(IndexBuilder):
             old.posting_lists.join(F.broadcast(aff_terms), "term", "left_anti")
             .join(term_stats.select("term", "idf"), "term")
             .withColumn("block_max", F.greatest(F.col("idf"), F.lit(0.0)) * bound)
+            # stale under the refreshed idf — degrade to gap 0 (sound)
+            .withColumn("second_max", F.col("block_max"))
             .drop("idf")
         )
+        if "argmax_doc" not in old.posting_lists.columns:
+            # pre-refinement index: no argmax metadata to keep
+            kept_lists = kept_lists.withColumn(
+                "argmax_doc", F.lit(None).cast("bigint")
+            )
         posting_lists = kept_lists.unionByName(rebuilt).persist()
 
         n_batch = prepared.count()

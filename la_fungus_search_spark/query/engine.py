@@ -210,6 +210,13 @@ class BM25QueryEngine:
         lists = idx.posting_lists.filter(
             F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
         )
+        # indexes built before the BMW second-max refinement lack the
+        # metadata columns — degrade to gap 0 (identical to the pre-r4
+        # bound, still sound)
+        if "second_max" not in idx.posting_lists.columns:
+            lists = lists.withColumn("second_max", F.col("block_max")).withColumn(
+                "argmax_doc", F.lit(None).cast("bigint")
+            )
 
         # ONE metadata job: top blocks per term until ≥ k postings are
         # covered (a single block is too weak a floor with doc-range-
@@ -228,6 +235,29 @@ class BM25QueryEngine:
                 F.sum("count").over(w_blk.rowsBetween(Window.unboundedPreceding, 0)),
             )
             .filter(F.col("cum") - F.col("count") < k)
+            .select("term", "block_id", "range_ids", "doc_ids", "tfs")
+        )
+        # Companion blocks (r4, the multi-hot θ fix): ALSO decode every
+        # query term's blocks in the doc-ranges the top blocks touch,
+        # so a rare term's candidate docs get their hot-term
+        # contributions counted into θ. Partial sums stay lower bounds
+        # (more decoded rows only raise them), so θ stays safe — but it
+        # now carries the eps-floored hot contributions that every
+        # range's UB charges, which is exactly what made two-hot
+        # queries unprunable (θ counted rare-only, UB charged
+        # rare+hot+hot). O(k·|terms|²) extra metadata blocks.
+        cand_ranges = F.broadcast(
+            top_blocks.select(F.explode("range_ids").alias("range_id")).distinct()
+        )
+        companions = (
+            lists.select("term", "block_id", "range_ids", "doc_ids", "tfs")
+            .withColumn("range_id", F.explode("range_ids"))
+            .join(cand_ranges, "range_id", "left_semi")
+            .drop("range_id")
+        )
+        theta_blocks = (
+            top_blocks.unionByName(companions)
+            .dropDuplicates(["term", "block_id"])
             .select("term", "doc_ids", "tfs")
         )
 
@@ -249,7 +279,7 @@ class BM25QueryEngine:
                     )
 
         best = (
-            top_blocks.mapInPandas(decode_meta, schema="term STRING, doc_id BIGINT, tf DOUBLE")
+            theta_blocks.mapInPandas(decode_meta, schema="term STRING, doc_id BIGINT, tf DOUBLE")
             .join(idx.doc_stats.select("doc_id", "doclen"), "doc_id")
             .toPandas()
         )
@@ -289,19 +319,62 @@ class BM25QueryEngine:
         # summing them would loosen the bound), then per (query, range)
         # SUM across terms.
         exploded = joined.select(
-            "query_id", "term", "qtf", "theta", "block_max",
-            F.explode("range_ids").alias("range_id"),
+            "query_id", "term", "qtf", "theta", "block_max", "second_max",
+            "argmax_doc", F.explode("range_ids").alias("range_id"),
         )
+        # per (query, term, range): m1 = best contribution any doc in
+        # the range can take from the term; m2 = best EXCLUDING the
+        # term's single top doc (amax_doc). With several blocks
+        # touching the range, a non-top doc is bounded by either some
+        # block's second_max or a non-top block's block_max — hence
+        # max(second_max over blocks, second-highest block_max).
         term_range = exploded.groupBy("query_id", "term", "range_id").agg(
             F.max(F.col("qtf") * F.greatest(F.col("block_max"), F.lit(0.0))).alias("tub"),
             F.min("theta").alias("theta"),
+            F.max_by("argmax_doc", "block_max").alias("amax_doc"),
+            F.max("second_max").alias("sm_blk"),
+            F.sort_array(F.collect_list("block_max"), asc=False).alias("bms"),
+            F.first("qtf").alias("qtf"),
         )
+        bm2 = F.when(F.size("bms") >= 2, F.element_at("bms", 2)).otherwise(
+            F.lit(float("-inf"))
+        )
+        m2 = F.col("qtf") * F.greatest(F.greatest(F.col("sm_blk"), bm2), F.lit(0.0))
+        term_range = term_range.withColumn(
+            "gap", F.greatest(F.col("tub") - m2, F.lit(0.0))
+        )
+        # Multi-hot refinement: UB(range) = Σ_t m1_t over-charges every
+        # eps-floored hot term (their block maxes are near-uniform, so
+        # one hot term prunes but two used to cancel pruning entirely).
+        # A doc can be the argmax of at most ONE of the two largest-gap
+        # terms when their argmax docs differ, so for every doc at
+        # least the smaller of those two gaps comes off:
+        #   UB'(range) = Σ_t m1_t − gap₂  (gap₂ = 2nd-largest gap).
         range_ub = (
             term_range.groupBy("query_id", "range_id")
-            .agg(F.sum("tub").alias("ub"), F.min("theta").alias("theta"))
+            .agg(
+                F.sum("tub").alias("ub"),
+                F.min("theta").alias("theta"),
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("gap").alias("gap"), F.col("amax_doc").alias("amax_doc"))
+                    ),
+                    asc=False,
+                ).alias("gs"),
+            )
+            .withColumn(
+                "red",
+                F.when(
+                    (F.size("gs") >= 2)
+                    & F.col("gs")[0]["amax_doc"].isNotNull()
+                    & F.col("gs")[1]["amax_doc"].isNotNull()
+                    & (F.col("gs")[0]["amax_doc"] != F.col("gs")[1]["amax_doc"]),
+                    F.col("gs")[1]["gap"],
+                ).otherwise(F.lit(0.0)),
+            )
             # >= so a range that can exactly tie θ is still decoded — a
             # doc tying the kth score could win the doc_id tie-break.
-            .filter(F.col("ub") >= F.col("theta"))
+            .filter(F.col("ub") - F.col("red") >= F.col("theta"))
             .select("query_id", "range_id")
         )
         # a block survives if ANY of its ranges survived; left_semi on
@@ -376,14 +449,28 @@ class BM25QueryEngine:
     # of postings anyway — the BMW machinery is pure overhead there
     # (measured 3.4x slower than the SQL path in BENCH_r01).
     SELECTIVITY = 64
+    # Past a machine's effective parallel capacity, blockmax's extra
+    # fixed-cost driver jobs (block-metadata pick + θ decode) stop
+    # amortizing: at 1M docs this VM's local[32] sits past its ~20-core
+    # contention knee and blockmax measured 4.65 s vs sql 4.47 s while
+    # winning at local[8] (4.12 vs 4.85 — bench_runs/r3_1m_local32.json).
+    # Above the knee the sql path is predicted cheaper regardless of
+    # term selectivity, so auto routes there. Real cluster deployments
+    # don't hit this: executors are sized 4–8 cores and never oversell
+    # the host, so defaultParallelism per JVM stays under any knee.
+    CONTENTION_KNEE_CORES = 20
 
     def choose_mode(self, q_meta: pd.DataFrame, query_id: int) -> str:
-        """sql|blockmax for one query from its terms' df/idf stats."""
+        """sql|blockmax for one query from its terms' df/idf stats and
+        the session's parallelism regime."""
         grp = q_meta[q_meta["query_id"] == query_id]
         if grp.empty:
             return "sql"
         if (grp["idf"] < 0).any():
             return "sql"  # pruning is unsafe with negative contributions
+        sc = self.spark.sparkContext
+        if sc.master.startswith("local") and sc.defaultParallelism > self.CONTENTION_KNEE_CORES:
+            return "sql"  # past the single-box contention knee (see above)
         n = max(self.index.n_docs, 1)
         return "blockmax" if int(grp["df"].min()) * self.SELECTIVITY <= n else "sql"
 

@@ -335,6 +335,7 @@ def connected_components(
         .agg(F.min("a").alias("nbr"))
         .select("node", F.least(F.col("node"), F.col("nbr")).alias("label"))
     ).localCheckpoint()
+    prev_sum = None
     for it in range(max_iter):
         nbr_min = (
             und.join(labels.withColumnRenamed("node", "a"), "a")
@@ -350,19 +351,24 @@ def connected_components(
             .select("node", F.least(F.col("label"), F.coalesce("_ll", F.col("label"))).alias("label"))
             .localCheckpoint()
         )
-        prev = labels
         labels = jumped
-        # fixpoint test every 2nd round: the count() action is the
-        # dominant per-round fixed cost at test scale; the worst case
-        # is ONE extra (cheap, already-converged) propagation round
-        if it % 2 == 1 or it == max_iter - 1:
-            changed = (
-                jumped.join(prev.withColumnRenamed("label", "_old"), "node")
-                .filter(F.col("label") != F.col("_old"))
-                .count()
-            )
-            if changed == 0:
-                break
+        # Fixpoint via the label-sum invariant: min-propagation only
+        # ever DECREASES a node's label, so Σ label is strictly
+        # decreasing until the fixpoint and unchanged exactly there.
+        # One scan-agg over the just-checkpointed blocks per round —
+        # no join, and it stops the loop on the first converged round
+        # (the former join+filter+count every 2nd round cost a full
+        # node-keyed shuffle and up to one extra propagation round).
+        # decimal(38,0): exact at any node count (a wrapped bigint sum
+        # could alias two different label states). NULL sum (zero
+        # pairs) compares equal round-over-round, so the empty input
+        # exits on round 1 like any other fixpoint.
+        s = jumped.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
+        if it > 0 and s == prev_sum:
+            break
+        prev_sum = s
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

@@ -181,8 +181,33 @@ def main():
     else:
         blockmax_selective = None
 
+    # two-hot evidence (BMW second-max refinement, r4): one rare term +
+    # the TWO hottest terms per query. Pre-r4 each eps-floored hot term
+    # added its full block max to every range's UB, so this mix decoded
+    # ~100%; the stored (second_max, argmax_doc) metadata lets the
+    # engine subtract the second-largest per-term gap whenever the two
+    # top-gap terms peak on different docs — graded claim: decode
+    # ratio < 0.5 with rank identity (pytest-asserted).
+    blockmax_two_hot = None
+    if sel_queries:
+        common2 = [r.term for r in idx.term_stats
+                   .orderBy(F.desc("df"), F.asc("term")).limit(2).collect()]
+        th_queries = [f"{r} {' '.join(common2)}" for r in rare]
+        eng.search_blockmax(th_queries, k=10, collect_stats=True)
+        ps2 = eng.last_prune_stats
+        blockmax_two_hot = {
+            **ps2,
+            "posting_decode_ratio": round(
+                ps2["decoded_postings"] / max(ps2["total_postings"], 1), 4
+            ),
+            "n_queries": len(th_queries),
+            "n_docs": n_docs,
+            "master": master,
+        }
+
     out = {
         "blockmax_selective": blockmax_selective,
+        "blockmax_two_hot": blockmax_two_hot,
         "master": master,
         "n_docs": n_docs,
         "n_postings": n_postings,
