@@ -1302,8 +1302,15 @@ sh AS (
 
 
 def _minhash_cols_sql() -> str:
+    """DuckDB mirror of dedup._hash_cols: one md5 per shingle → two
+    32-bit words → 16 universal hashes with the SAME literal constants
+    (dedup.MINHASH_PARAMS) and modulus."""
+    P = dedup.P_MINHASH
+    x1 = "('0x' || substr(md5(shingle), 1, 8))::BIGINT"
+    x2 = "('0x' || substr(md5(shingle), 9, 8))::BIGINT"
     return ", ".join(
-        f"min(substr(md5('{i}:' || shingle), 1, 16)) AS h{i}" for i in range(dedup.N_HASHES)
+        f"min((({a} * {x1}) % {P} + ({b} * {x2}) % {P} + {c}) % {P}) AS h{i}"
+        for i, (a, b, c) in enumerate(dedup.MINHASH_PARAMS)
     )
 
 
@@ -1607,7 +1614,9 @@ def oracle_sql() -> dict[str, str]:
 
     minhash_band_keys = ", ".join(
         "md5("
-        + " || '|' || ".join(f"h{bi * dedup.ROWS_PER_BAND + r}" for r in range(dedup.ROWS_PER_BAND))
+        + " || '|' || ".join(
+            f"h{bi * dedup.ROWS_PER_BAND + r}::VARCHAR" for r in range(dedup.ROWS_PER_BAND)
+        )
         + f") AS bk{bi}"
         for bi in range(dedup.N_BANDS)
     )

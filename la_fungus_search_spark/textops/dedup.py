@@ -9,7 +9,9 @@ Scale design (the point of doing this on Spark):
   discovery stage: run it only on LSH candidate pairs at scale
   (``lsh_candidate_pairs`` → ``verify`` here). Exposed standalone for
   small corpora and for the oracle gate.
-* **MinHash + LSH** — the discovery stage: 16 md5-derived min-hashes →
+* **MinHash + LSH** — the discovery stage: ONE md5 per shingle split
+  into two 32-bit words, expanded to 16 min-hashes by a
+  pairwise-independent universal family (a·x1+b·x2+c mod 2³¹−1) →
   4 bands × 4 rows; docs sharing a band key become candidates. Cost is
   linear + one shuffle on band keys; hot bands (boilerplate docs) are
   the skew risk — groups over ``max_band_size`` degrade from all-pairs
@@ -21,10 +23,11 @@ Scale design (the point of doing this on Spark):
   over 4×16-bit chunks (a doc pair at hamming ≤3 must agree on ≥1
   chunk), again linear + equi-join instead of all-pairs.
 
-All hashing is md5-hex based (engine-portable; the DuckDB oracle in
+All hashing is md5-seeded (engine-portable; the DuckDB oracle in
 ``__spark_entry__.py`` reproduces exact/jaccard/minhash bit-for-bit —
-min over fixed-width lowercase-hex strings == min over the u64 they
-encode). Reference analog: content-SHA dedup keys
+the minhash family extracts md5's 32-bit words identically in both
+engines and the a/b/c constants are shared literals). Reference
+analog: content-SHA dedup keys
 (``ui/reports.py:158-169``), token/trigram Jaccard dedup of queries
 (``ui/queries.py:38-74``) — here lifted from driver-side lists to
 distributed joins.
@@ -197,22 +200,65 @@ def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame, threshold: float = 0.5) -
     )
 
 
-def _hash_cols() -> list:
-    """16 independent md5-derived min-hash aggregators over `shingle`.
+# Universal-hash family over ONE md5 per shingle (not 16): the md5
+# yields two independent 32-bit words x1/x2, and h_i = (a_i·x1 + b_i·x2
+# + c_i) mod P is a pairwise-independent 31-bit hash (P = 2^31−1,
+# Mersenne). 16 md5/shingle was the dominant corpus-scan cost of the
+# whole dedup pipeline (md5 is ~100× a multiply); the family keeps the
+# engine-portability contract — DuckDB reproduces x1/x2 via
+# ('0x'||substr(md5(shingle),i,8))::BIGINT and the same literal
+# constants. a,b < 2^28 keeps every product < 2^60 (no int64 overflow
+# in either engine); each term is reduced mod P before the sum so the
+# sum stays < 3·2^31.
+P_MINHASH = (1 << 31) - 1
 
-    h_i = min over shingles of the first 16 hex chars of
-    md5("<i>:" + shingle); min over fixed-width lowercase hex == min
-    over the encoded u64, and is reproducible in any engine with md5.
+
+def _minhash_params() -> list[tuple[int, int, int]]:
+    import hashlib
+
+    params = []
+    for i in range(N_HASHES):
+        d = hashlib.md5(f"minhash-param:{i}".encode()).hexdigest()
+        a = 1 + int(d[0:7], 16)  # 1 .. 2^28 — a·x1 < 2^60
+        b = 1 + int(d[7:14], 16)
+        c = int(d[14:22], 16) % P_MINHASH
+        params.append((a, b, c))
+    return params
+
+
+MINHASH_PARAMS = _minhash_params()
+
+
+def _hash_cols() -> list:
+    """16 min-hash aggregators over pre-projected (x1, x2) word columns.
+
+    Pure 64-bit arithmetic per row — evaluated inside the partial
+    (map-side) aggregate, so the shuffle still carries 16 bigints/doc.
     """
+    P = F.lit(P_MINHASH)
     return [
-        F.min(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 16)).alias(f"h{i}")
-        for i in range(N_HASHES)
+        F.min(
+            ((F.lit(a) * F.col("x1")) % P + (F.lit(b) * F.col("x2")) % P + F.lit(c)) % P
+        ).alias(f"h{i}")
+        for i, (a, b, c) in enumerate(MINHASH_PARAMS)
     ]
 
 
 def minhash_signatures_from_shingles(sh: DataFrame) -> DataFrame:
-    """(doc_id, h0..h15) MinHash signature — one shuffle (groupBy doc)."""
-    return sh.groupBy("doc_id").agg(*_hash_cols())
+    """(doc_id, h0..h15) MinHash signature — one shuffle (groupBy doc).
+
+    One md5 per shingle, projected to the two 32-bit words BEFORE the
+    aggregate so the 16 h_i are cheap arithmetic over materialized
+    columns (an md5 referenced inside each agg child would be
+    re-evaluated 16×: Catalyst inlines projections — see the
+    lang_id_model precedent)."""
+    md = F.md5(F.col("shingle"))
+    xs = sh.select(
+        "doc_id",
+        F.conv(F.substring(md, 1, 8), 16, 10).cast("bigint").alias("x1"),
+        F.conv(F.substring(md, 9, 8), 16, 10).cast("bigint").alias("x2"),
+    )
+    return xs.groupBy("doc_id").agg(*_hash_cols())
 
 
 def minhash_signatures(
@@ -237,7 +283,11 @@ def lsh_candidate_pairs_from_signatures(
                 F.lit(bi).alias("band_id"),
                 F.md5(
                     F.concat_ws(
-                        "|", *[F.col(f"h{bi * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                        "|",
+                        *[
+                            F.col(f"h{bi * ROWS_PER_BAND + r}").cast("string")
+                            for r in range(ROWS_PER_BAND)
+                        ],
                     )
                 ).alias("band_key"),
             )

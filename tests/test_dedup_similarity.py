@@ -80,6 +80,48 @@ def test_simhash_pairs_equal_bruteforce(spark):
         assert r.hamming == bin(sh[r.id_a] ^ sh[r.id_b]).count("1")
 
 
+def _minhash_py(text: str, k: int = 3) -> list[int]:
+    """Independent MinHash oracle for the r4 universal-hash family:
+    one md5 per shingle → two 32-bit words → h_i = (a·x1+b·x2+c) mod
+    2³¹−1 with the module's literal constants. No Spark/DuckDB code
+    shared beyond the tokenizer contract and the constants themselves."""
+    toks = tokenize(text or "")
+    sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    P = dedup.P_MINHASH
+    out = []
+    for a, b, c in dedup.MINHASH_PARAMS:
+        best = None
+        for s in sh:
+            h = hashlib.md5(s.encode()).hexdigest()
+            x1, x2 = int(h[0:8], 16), int(h[8:16], 16)
+            v = ((a * x1) % P + (b * x2) % P + c) % P
+            if best is None or v < best:
+                best = v
+        out.append(best)
+    return out
+
+
+def test_minhash_signatures_match_pure_python(spark):
+    """The Spark conv/mod pipeline must reproduce the family exactly
+    (overflow or hex-parsing drift in either engine would break the
+    LSH bands AND the DuckDB gate)."""
+    docs = _docs50(spark)
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    got = {
+        r.doc_id: [r[f"h{i}"] for i in range(dedup.N_HASHES)]
+        for r in dedup.minhash_signatures(docs).collect()
+    }
+    checked = 0
+    for doc_id, text in rows.items():
+        want = _minhash_py(text)
+        if want[0] is None:
+            assert doc_id not in got  # < k tokens → no shingles → no row
+            continue
+        assert got[doc_id] == want, doc_id
+        checked += 1
+    assert checked >= 40
+
+
 def test_jaccard_for_pairs_equals_selfjoin(spark):
     """The linear per-pair verification join must agree exactly with
     the shingle self-join restricted to the same pairs."""
