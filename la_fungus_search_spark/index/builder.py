@@ -42,7 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from la_fungus_search_spark.index.codec import varint_encode_split
+from la_fungus_search_spark.index.codec import varint_encode_blocks
 from la_fungus_search_spark.tokenizer import tokenize, tokens_expr
 
 POSTING_LIST_SCHEMA = (
@@ -67,6 +67,11 @@ POSTING_LIST_SCHEMA = (
     # terms' compressed blocks and only refresh block_max by formula
     "max_tf INT, min_dl INT"
 )
+POSTING_LIST_COLUMNS = [f.strip().split()[0] for f in POSTING_LIST_SCHEMA.split(",")]
+# what the encode kernel emits: identical, except the term travels as
+# its xxhash64 code (all-numeric Arrow frames — see posting_lists_df);
+# the string is joined back at block granularity before returning
+POSTING_LIST_KERNEL_SCHEMA = POSTING_LIST_SCHEMA.replace("term STRING", "term_code BIGINT", 1)
 
 
 @dataclass
@@ -222,18 +227,29 @@ class IndexBuilder:
     ) -> DataFrame:
         """doclen per doc + sha256 carry-through.
 
-        doclen = size(tokens) as a narrow map over the prepared scan —
-        no shuffle, no join. (An earlier version aggregated ``postings``
-        to avoid a second tokenize pass; the groupBy(doc_id) shuffle of
-        one row per posting costs far more than re-tokenizing, which is
-        a pipelined columnar pass. Equality with Σ tf is invariant-
-        tested.)"""
+        With ``postings`` given (the build pipeline), doclen = Σ tf —
+        the tokenize pass already ran in the postings kernel, and the
+        kernel emits each doc's terms contiguously, so the
+        groupBy(doc_id) partial-aggregates ~n_docs/n_partitions rows
+        map-side and the shuffle moves one row per DOC, not per
+        posting. (An earlier version re-tokenized to avoid that
+        shuffle, paying a second full corpus pass — the map-side
+        combine makes the aggregate strictly cheaper. Equality of the
+        two definitions is invariant-tested.) Without ``postings``
+        (standalone use), doclen = size(tokens) as a narrow map."""
         cols = [c for c in ("repo", "path", "commit", "lang") if c in prepared.columns]
-        return prepared.select(
-            "doc_id",
-            *cols,
-            "content_sha256",
-            F.size(tokens_expr(content_col)).cast("int").alias("doclen"),
+        meta = prepared.select("doc_id", *cols, "content_sha256")
+        if postings is None:
+            return prepared.select(
+                "doc_id",
+                *cols,
+                "content_sha256",
+                F.size(tokens_expr(content_col)).cast("int").alias("doclen"),
+            )
+        dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("doclen"))
+        # left join + 0-fill: docs with no tokens have no posting rows
+        return meta.join(dl, "doc_id", "left").withColumn(
+            "doclen", F.coalesce(F.col("doclen"), F.lit(0))
         )
 
     def term_stats_df(self, postings: DataFrame, n_docs: int) -> DataFrame:
@@ -294,9 +310,29 @@ class IndexBuilder:
         same grid as the kept blocks. Defaults to ``n_docs``."""
         k1, b = self.k1, self.b
         avgdl = max(avgdl, 1e-12)
+        # Join and shuffle on xxhash64(term) codes, NOT term strings.
+        # Event-log profiling at 400k docs showed the encode stage was
+        # the build's scaling killer (2→8 cores: task-time sum inflated
+        # 128 s → 378 s, stage speedup 1.34×): 53M term strings through
+        # the shuffle (~800 MB of the 1.3 GB) and through Arrow→pandas
+        # conversion (53M PyObject allocations per pass) are memory-
+        # bandwidth-bound, which parallel cores contend for. All-numeric
+        # rows keep the kernel zero-copy; the string is joined back at
+        # BLOCK granularity (~n_postings/block_size rows) from the
+        # vocabulary-sized term_stats. Code injectivity is CHECKED at
+        # build time (_check_term_codes) — a 64-bit collision is ~1e-7
+        # at 10^6-term vocabularies; at 10^9+ vocab switch the code to
+        # the (xxhash64(term), xxhash64(term, salt')) pair and this
+        # check carries over unchanged.
         scored = (
-            postings.join(doc_stats.select("doc_id", "doclen"), "doc_id")
-            .join(term_stats.select("term", "idf", "df"), "term")
+            postings.select(
+                F.xxhash64("term").alias("term_code"), "term_bucket", "doc_id", "tf"
+            )
+            .join(doc_stats.select("doc_id", "doclen"), "doc_id")
+            .join(
+                term_stats.select(F.xxhash64("term").alias("term_code"), "idf", "df"),
+                "term_code",
+            )
             .withColumn(
                 "score",
                 F.col("idf")
@@ -349,7 +385,7 @@ class IndexBuilder:
             if n == 0:
                 return pd.DataFrame(
                     {
-                        "term": pd.Series(dtype="object"),
+                        "term_code": pd.Series(dtype="int64"),
                         "term_bucket": pd.Series(dtype="int32"),
                         "block_id": pd.Series(dtype="int64"),
                         "range_ids": pd.Series(dtype="object"),
@@ -365,7 +401,7 @@ class IndexBuilder:
                         "min_dl": pd.Series(dtype="int32"),
                     }
                 )
-            codes, uniques = pd.factorize(pdf["term"], sort=False)
+            codes, uniques = pd.factorize(pdf["term_code"], sort=False)
             salts = pdf["salt"].to_numpy()
             ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             order = np.lexsort((ids, salts, codes))
@@ -425,8 +461,15 @@ class IndexBuilder:
             kept_ranges = ranges[keep_pos]
             # for each block, its kept-entry span
             kstart = np.searchsorted(keep_pos, bstarts, side="left")
-            kend = np.append(kstart[1:], keep_pos.size)
-            range_lists = [kept_ranges[s:e].tolist() for s, e in zip(kstart, kend)]
+            # per-block range lists as a zero-copy Arrow ListArray
+            # (offsets into kept_ranges) — building n_blocks Python
+            # lists was measurable object churn in this kernel
+            import pyarrow as pa
+
+            range_arr = pa.ListArray.from_arrays(
+                pa.array(np.append(kstart, keep_pos.size).astype(np.int32)),
+                pa.array(kept_ranges.astype(np.int64)),
+            )
 
             # deltas: absolute at block start (uint64 two's-complement
             # wrap keeps hash-mode negative ids round-trippable)
@@ -455,15 +498,23 @@ class IndexBuilder:
 
             return pd.DataFrame(
                 {
-                    "term": uniques.take(codes[bstarts]),
+                    "term_code": uniques.take(codes[bstarts]),
                     "term_bucket": buckets[bstarts].astype("int32"),
                     "block_id": block_id,
-                    "range_ids": range_lists,
+                    "range_ids": pd.Series(
+                        range_arr, dtype=pd.ArrowDtype(pa.list_(pa.int64()))
+                    ),
                     "first_doc": ids[bstarts],
                     "last_doc": ids[bends - 1],
                     "count": (bends - bstarts).astype("int32"),
-                    "doc_ids": varint_encode_split(deltas, bstarts, bends),
-                    "tfs": varint_encode_split(tfs.astype(np.uint64), bstarts, bends),
+                    "doc_ids": pd.Series(
+                        varint_encode_blocks(deltas, bstarts, bends),
+                        dtype=pd.ArrowDtype(pa.binary()),
+                    ),
+                    "tfs": pd.Series(
+                        varint_encode_blocks(tfs.astype(np.uint64), bstarts, bends),
+                        dtype=pd.ArrowDtype(pa.binary()),
+                    ),
                     "block_max": bmax,
                     "second_max": second_max,
                     "argmax_doc": ids[first_max],
@@ -475,13 +526,43 @@ class IndexBuilder:
         # applyInPandas shuffles on its grouping key; grouping by
         # (term_bucket, salt) rather than term alone is the explicit
         # skew control — a df≈N term is split into n_salts groups.
-        return (
-            scored.select("term", "term_bucket", "salt", "doc_id", "tf", "doclen", "score", "df")
+        blocks = (
+            scored.select(
+                "term_code", "term_bucket", "salt", "doc_id", "tf", "doclen", "score", "df"
+            )
             .groupBy("term_bucket", "salt")
-            .applyInPandas(build_blocks, schema=POSTING_LIST_SCHEMA)
+            .applyInPandas(build_blocks, schema=POSTING_LIST_KERNEL_SCHEMA)
         )
+        # restore the term string at BLOCK granularity (~n_postings /
+        # block_size rows vs one string per posting). The vocabulary
+        # map is broadcast — right up to ~10^8 terms; past that, join
+        # on (term_bucket, term_code) with both sides bucketed so only
+        # the vocab side shuffles. Stored schema is unchanged from the
+        # string-keyed build (term_code is internal to the lineage).
+        vocab = term_stats.select(F.xxhash64("term").alias("term_code"), "term")
+        return blocks.join(F.broadcast(vocab), "term_code").select(*POSTING_LIST_COLUMNS)
 
     # ---------------------------------------------------------- orchestration
+
+    def _check_term_codes(self, term_stats: DataFrame) -> None:
+        """Deterministic guard for the code-keyed posting_lists build:
+        if two distinct terms collided on xxhash64, their postings
+        would merge into one run and the block→string join-back would
+        duplicate blocks under both spellings. One vocabulary-sized agg
+        over the (persisted) term_stats — raises instead of building a
+        silently wrong index. Odds ~1e-7 at 10^6-term vocabularies, but
+        checked, not assumed; at 10^9+ vocab switch to a 128-bit code
+        pair and keep this same check."""
+        r = term_stats.agg(
+            F.count("*").alias("n_terms"),
+            F.countDistinct(F.xxhash64("term")).alias("n_codes"),
+        ).collect()[0]
+        if int(r["n_terms"]) != int(r["n_codes"]):
+            raise RuntimeError(
+                f"xxhash64 term-code collision ({r['n_terms']} terms -> "
+                f"{r['n_codes']} codes); rebuild with a 128-bit code pair "
+                "(see posting_lists_df)"
+            )
 
     def release_aux(self) -> None:
         """Unpersist internal helper frames (see ``_aux_persists``).
@@ -599,6 +680,7 @@ class IndexBuilder:
         # the projection is materialized (count above / parquet reload)
         # — the internal pre-floor aggregate can go
         self.release_aux()
+        self._check_term_codes(term_stats)
 
         glob = {
             "N": n_docs,
@@ -797,6 +879,7 @@ class IncrementalIndexBuilder(IndexBuilder):
         term_stats = term_stats.persist()
         term_stats.count()
         self.release_aux()
+        self._check_term_codes(term_stats)
         range_n_docs = int(old.globals.get("range_n_docs", old.globals["N"]))
         has_bound_cols = {"max_tf", "min_dl"} <= set(old.posting_lists.columns)
         if rebuild_scope == "affected" and has_bound_cols:
@@ -931,6 +1014,7 @@ class IncrementalIndexBuilder(IndexBuilder):
         term_stats = term_stats.persist()
         term_stats.count()
         self.release_aux()
+        self._check_term_codes(term_stats)
         range_n_docs = int(old.globals.get("range_n_docs", old.globals["N"]))
 
         aff_terms = fresh_postings.select("term").distinct().persist()

@@ -73,6 +73,41 @@ def varint_encode_split(
     return [buf[offs[s] : offs[e]] for s, e in zip(starts, ends)]
 
 
+def varint_encode_blocks(values: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+    """Arrow-native variant of :func:`varint_encode_split`: encode the
+    whole array once, then expose the per-segment slices as a
+    ``pyarrow.BinaryArray`` over the SAME buffer (offsets only — zero
+    copies, zero per-block Python ``bytes`` objects). Requires the
+    segments to tile ``values`` contiguously (the posting-list
+    builder's blocks do: ``ends[i] == starts[i+1]``). The pandas→Arrow
+    conversion of millions of object cells was a measurable slice of
+    the build's encode stage; this hands Arrow a finished array.
+    """
+    import pyarrow as pa
+
+    v = np.asarray(values, dtype=np.uint64)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    n_seg = starts.size
+    if v.size == 0:
+        return pa.array([b""] * n_seg, type=pa.binary())
+    assert starts[0] == 0 and ends[-1] == v.size and np.array_equal(starts[1:], ends[:-1]), (
+        "varint_encode_blocks requires contiguous segment tiling"
+    )
+    out, nbytes = _varint_bytes(v)
+    offs = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offs[1:])
+    bounds = offs[np.append(starts, v.size)]
+    # pa.binary() carries int32 offsets — one build group encodes ~MBs
+    # (TARGET_POSTINGS_PER_BUCKET × ~2.5 B), nowhere near the 2 GB rim
+    assert bounds[-1] < 2**31, "group encoding exceeds int32 offsets — shrink bucket size"
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n_seg,
+        [None, pa.py_buffer(bounds.astype(np.int32).tobytes()), pa.py_buffer(out.tobytes())],
+    )
+
+
 def varint_decode(buf: bytes) -> np.ndarray:
     """Decode LEB128 bytes → uint64 array. Vectorized."""
     raw = np.frombuffer(buf, dtype=np.uint8)

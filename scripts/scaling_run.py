@@ -79,7 +79,17 @@ def main():
         corpus_df(spark, n_files, partitions=128).write.mode("overwrite").parquet(tmp_dir)
         shutil.rmtree(cache, ignore_errors=True)
         os.rename(tmp_dir, cache)
-    corpus = spark.read.parquet(cache).persist()
+    # repartition(128) BEFORE the (untimed) persist: the ~2.6 MB cache
+    # files coalesce to ~7 read splits under the default 128 MB
+    # maxPartitionBytes + 4 MB open-cost packing, and the in-memory
+    # cache inherits that layout — so the tokenize stage (the build's
+    # heaviest, a straight map over the corpus) ran ONE ragged wave of
+    # 7 tasks at local[8] while local[2] was unaffected. Measured as a
+    # ~54 s Amdahl "serial" term that capped 2→8 scaling at ~0.68 even
+    # on a quiet box. At the north rule's 100 TB the source has
+    # thousands of natural splits; 128 explicit partitions is the
+    # sandbox stand-in, identical for both parallelism levels.
+    corpus = spark.read.parquet(cache).repartition(128).persist()
     n_docs = corpus.count()
     # JVM/codegen warmup outside the timed window
     from pyspark.sql import functions as F
