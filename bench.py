@@ -418,6 +418,13 @@ def bench_scaling(results: dict):  # noqa: C901
         log(f"scaling N  (local[2], round {rnd}): {lo_r}")
         if lo is None or lo_r["docs_per_sec"] > lo["docs_per_sec"]:
             lo = lo_r
+        # symmetric per-leg gating: the pre-round gate covers the lo
+        # leg, but the hi leg used to start straight after lo's ~3.5
+        # minutes — co-tenant windows shift on that scale, and the hi
+        # leg (8 task threads + 8 Python workers) is the more exposed
+        # of the two. Each leg now starts from its own bounded
+        # quiet-window check.
+        _wait_for_quiet(max_wait_sec=75)
         hi_r = _scaling_job("local[8]", shuffle=64, n_files=SCALING_FILES, n_timed=1)
         sel = hi_r.pop("blockmax_selective", None)
         two_hot = hi_r.pop("blockmax_two_hot", None)

@@ -246,20 +246,38 @@ class BM25QueryEngine:
         # range's UB charges, which is exactly what made two-hot
         # queries unprunable (θ counted rare-only, UB charged
         # rare+hot+hot). O(k·|terms|²) extra metadata blocks.
-        cand_ranges = F.broadcast(
-            top_blocks.select(F.explode("range_ids").alias("range_id")).distinct()
+        #
+        # GATED on the batch actually containing a ≥2-hot-term query:
+        # with at most one eps-floored term per query, the top-block θ
+        # is already tight (the single hot charge is matched by the
+        # range UB's second-max reduction), and the companion pass —
+        # a broadcast + explode + semi-join over the term's block
+        # metadata — measurably costs wall on the rare+1-hot mixes the
+        # pruning showcase runs (r4 dress: it pushed blockmax from a
+        # ~1.2× win to a loss vs the sql path). Skipping only lowers θ
+        # → more decode, never a wrong result.
+        hot = q_meta[q_meta["df"].astype(float) > self.index.n_docs / 2]
+        multi_hot = (
+            (not hot.empty)
+            and int(hot.groupby("query_id")["term"].nunique().max()) >= 2
         )
-        companions = (
-            lists.select("term", "block_id", "range_ids", "doc_ids", "tfs")
-            .withColumn("range_id", F.explode("range_ids"))
-            .join(cand_ranges, "range_id", "left_semi")
-            .drop("range_id")
-        )
-        theta_blocks = (
-            top_blocks.unionByName(companions)
-            .dropDuplicates(["term", "block_id"])
-            .select("term", "doc_ids", "tfs")
-        )
+        if multi_hot:
+            cand_ranges = F.broadcast(
+                top_blocks.select(F.explode("range_ids").alias("range_id")).distinct()
+            )
+            companions = (
+                lists.select("term", "block_id", "range_ids", "doc_ids", "tfs")
+                .withColumn("range_id", F.explode("range_ids"))
+                .join(cand_ranges, "range_id", "left_semi")
+                .drop("range_id")
+            )
+            theta_blocks = (
+                top_blocks.unionByName(companions)
+                .dropDuplicates(["term", "block_id"])
+                .select("term", "doc_ids", "tfs")
+            )
+        else:
+            theta_blocks = top_blocks.select("term", "doc_ids", "tfs")
 
         def decode_meta(batches):
             import numpy as np
@@ -322,56 +340,77 @@ class BM25QueryEngine:
             "query_id", "term", "qtf", "theta", "block_max", "second_max",
             "argmax_doc", F.explode("range_ids").alias("range_id"),
         )
-        # per (query, term, range): m1 = best contribution any doc in
-        # the range can take from the term; m2 = best EXCLUDING the
-        # term's single top doc (amax_doc). With several blocks
-        # touching the range, a non-top doc is bounded by either some
-        # block's second_max or a non-top block's block_max — hence
-        # max(second_max over blocks, second-highest block_max).
-        term_range = exploded.groupBy("query_id", "term", "range_id").agg(
-            F.max(F.col("qtf") * F.greatest(F.col("block_max"), F.lit(0.0))).alias("tub"),
-            F.min("theta").alias("theta"),
-            F.max_by("argmax_doc", "block_max").alias("amax_doc"),
-            F.max("second_max").alias("sm_blk"),
-            F.sort_array(F.collect_list("block_max"), asc=False).alias("bms"),
-            F.first("qtf").alias("qtf"),
-        )
-        bm2 = F.when(F.size("bms") >= 2, F.element_at("bms", 2)).otherwise(
-            F.lit(float("-inf"))
-        )
-        m2 = F.col("qtf") * F.greatest(F.greatest(F.col("sm_blk"), bm2), F.lit(0.0))
-        term_range = term_range.withColumn(
-            "gap", F.greatest(F.col("tub") - m2, F.lit(0.0))
-        )
-        # Multi-hot refinement: UB(range) = Σ_t m1_t over-charges every
-        # eps-floored hot term (their block maxes are near-uniform, so
-        # one hot term prunes but two used to cancel pruning entirely).
-        # A doc can be the argmax of at most ONE of the two largest-gap
-        # terms when their argmax docs differ, so for every doc at
-        # least the smaller of those two gaps comes off:
-        #   UB'(range) = Σ_t m1_t − gap₂  (gap₂ = 2nd-largest gap).
-        range_ub = (
-            term_range.groupBy("query_id", "range_id")
-            .agg(
+        if multi_hot:
+            # per (query, term, range): m1 = best contribution any doc
+            # in the range can take from the term; m2 = best EXCLUDING
+            # the term's single top doc (amax_doc). With several blocks
+            # touching the range, a non-top doc is bounded by either
+            # some block's second_max or a non-top block's block_max —
+            # hence max(second_max over blocks, 2nd-highest block_max).
+            term_range = exploded.groupBy("query_id", "term", "range_id").agg(
+                F.max(F.col("qtf") * F.greatest(F.col("block_max"), F.lit(0.0))).alias("tub"),
+                F.min("theta").alias("theta"),
+                F.max_by("argmax_doc", "block_max").alias("amax_doc"),
+                F.max("second_max").alias("sm_blk"),
+                F.sort_array(F.collect_list("block_max"), asc=False).alias("bms"),
+                F.first("qtf").alias("qtf"),
+            )
+            bm2 = F.when(F.size("bms") >= 2, F.element_at("bms", 2)).otherwise(
+                F.lit(float("-inf"))
+            )
+            m2 = F.col("qtf") * F.greatest(F.greatest(F.col("sm_blk"), bm2), F.lit(0.0))
+            term_range = term_range.withColumn(
+                "gap", F.greatest(F.col("tub") - m2, F.lit(0.0))
+            )
+            # Multi-hot refinement: UB(range) = Σ_t m1_t over-charges
+            # every eps-floored hot term (their block maxes are
+            # near-uniform, so one hot term prunes but two used to
+            # cancel pruning entirely). A doc can be the argmax of at
+            # most ONE of the two largest-gap terms when their argmax
+            # docs differ, so for every doc at least the smaller of
+            # those two gaps comes off:
+            #   UB'(range) = Σ_t m1_t − gap₂  (gap₂ = 2nd-largest gap).
+            range_ub = (
+                term_range.groupBy("query_id", "range_id")
+                .agg(
+                    F.sum("tub").alias("ub"),
+                    F.min("theta").alias("theta"),
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(F.col("gap").alias("gap"), F.col("amax_doc").alias("amax_doc"))
+                        ),
+                        asc=False,
+                    ).alias("gs"),
+                )
+                .withColumn(
+                    "red",
+                    F.when(
+                        (F.size("gs") >= 2)
+                        & F.col("gs")[0]["amax_doc"].isNotNull()
+                        & F.col("gs")[1]["amax_doc"].isNotNull()
+                        & (F.col("gs")[0]["amax_doc"] != F.col("gs")[1]["amax_doc"]),
+                        F.col("gs")[1]["gap"],
+                    ).otherwise(F.lit(0.0)),
+                )
+            )
+        else:
+            # ≤1 hot term per query: the plain BMW bound Σ_t m1_t
+            # already prunes (the single hot charge is offset by θ's
+            # hot contribution from the top-block candidates), and the
+            # second-max/argmax machinery above — collect_list + sort
+            # per (query, range) — is pure overhead at ~n_ranges rows
+            # per hot term. Same bound with gap 0: strictly looser,
+            # always sound.
+            term_range = exploded.groupBy("query_id", "term", "range_id").agg(
+                F.max(F.col("qtf") * F.greatest(F.col("block_max"), F.lit(0.0))).alias("tub"),
+                F.min("theta").alias("theta"),
+            )
+            range_ub = term_range.groupBy("query_id", "range_id").agg(
                 F.sum("tub").alias("ub"),
                 F.min("theta").alias("theta"),
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(F.col("gap").alias("gap"), F.col("amax_doc").alias("amax_doc"))
-                    ),
-                    asc=False,
-                ).alias("gs"),
-            )
-            .withColumn(
-                "red",
-                F.when(
-                    (F.size("gs") >= 2)
-                    & F.col("gs")[0]["amax_doc"].isNotNull()
-                    & F.col("gs")[1]["amax_doc"].isNotNull()
-                    & (F.col("gs")[0]["amax_doc"] != F.col("gs")[1]["amax_doc"]),
-                    F.col("gs")[1]["gap"],
-                ).otherwise(F.lit(0.0)),
-            )
+            ).withColumn("red", F.lit(0.0))
+        range_ub = (
+            range_ub
             # >= so a range that can exactly tie θ is still decoded — a
             # doc tying the kth score could win the doc_id tie-break.
             .filter(F.col("ub") - F.col("red") >= F.col("theta"))
