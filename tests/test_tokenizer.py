@@ -40,6 +40,26 @@ def test_golden(text, expected):
     assert tokenize(text) == expected
 
 
+def test_fast_tokenize_equals_reference_property():
+    """The r4 C-level translate+split fast path must equal the regex
+    reference on arbitrary unicode — every gate's values rest on the
+    tokenizer, so the fast path gets a hypothesis property, not just
+    goldens."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from la_fungus_search_spark.tokenizer import tokenize_reference
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.text(max_size=200))
+    def check(s):
+        assert tokenize(s) == tokenize_reference(s)
+
+    check()
+    for t in EDGE_TEXTS + ["\x00nul\x7fdel\xa0nbsp", "🎉" * 10, "a" * 10_000]:
+        assert tokenize(t) == tokenize_reference(t)
+
+
 def test_query_stopwords():
     assert tokenize_query("how to use the parser for a query") == ["parser", "query"]
     # duplicates preserved (BM25Okapi counts per occurrence)
