@@ -436,10 +436,21 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup cluster resolution: LSH-verified pairs → connected
     components → (doc_id, cluster_id, keep) with keeper = min doc_id.
-    Completes the dedup pipeline (discover → verify → resolve)."""
+    Completes the dedup pipeline (discover → verify → resolve).
+
+    The membership side of the final join needs only doc_ids, so it is
+    derived arithmetically from the base table's id column (the planted
+    mutants are ``doc_id % 10 == 0`` shifted by 1e6) — the text column
+    is never read twice."""
     docs = _docs_aug(spark, sf_dir)
     pairs = dedup.minhash_dedup_pairs(docs, k=3, threshold=0.5)
-    return dedup.dedup_clusters(pairs, docs).orderBy("doc_id")
+    base_ids = _documents(spark, sf_dir).select("doc_id")
+    all_ids = base_ids.unionByName(
+        base_ids.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + F.lit(1000000)).alias("doc_id")
+        )
+    )
+    return dedup.dedup_clusters(pairs, all_ids).orderBy("doc_id")
 
 
 def q_dedup_simhash(spark, sf_dir):

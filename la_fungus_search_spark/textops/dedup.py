@@ -353,24 +353,72 @@ def blocking_group_stats(
 
 
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 64
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 64,
+    driver_edge_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(node, cluster_id) for every node in an undirected pair list;
     cluster_id = min node id of the component (deterministic keeper).
 
-    Iterative min-label propagation with pointer jumping: each round
-    (a) pulls the min label across neighbors, (b) replaces every label
-    by its label's label. The jump makes chains collapse in O(log n)
-    rounds instead of O(n) — the capped-band chain path above produces
-    exactly such chains. Each round is two hash joins + one agg (all
-    key-partitioned shuffles, no driver data), and the loop stops at
-    the first fixpoint (one count per round, O(log n) rounds total).
+    Two regimes, same result:
+
+    * **Small edge set** (≤ ``driver_edge_threshold`` undirected edges,
+      ~32 MB of longs at the default): exact union-find on the driver
+      after one collect. Near-dup pair lists are ~dup_rate·N — tiny
+      relative to the corpus — so most runs take this path, and it
+      replaces O(log n) Spark rounds (each a shuffle + a checkpoint +
+      a collect) with one job. GraphFrames' CC applies the same idea
+      as its broadcast threshold.
+    * **Large edge set**: iterative min-label propagation with pointer
+      jumping — each round (a) pulls the min label across neighbors,
+      (b) replaces every label by its label's label. The jump makes
+      chains collapse in O(log n) rounds instead of O(n) — the
+      capped-band chain path above produces exactly such chains. Each
+      round is two hash joins + one agg (key-partitioned shuffles, no
+      driver data), and the loop stops at the first fixpoint.
 
     Lineage is truncated per round with ``localCheckpoint`` — persist
     alone leaves the logical plan doubling every iteration and Catalyst
     analysis goes exponential by round ~5 (measured: 6s → 60s/round).
     """
-    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # Checkpoint the DIRECTED edges first: the undirected union below
+    # has the pair pipeline in both branches, so building it from the
+    # raw frame would execute the (expensive) candidate-pair plan twice.
+    # After the checkpoint both the regime probe and the union read
+    # already-materialized blocks.
+    e = pairs.select(
+        F.col(id_a).alias("a"), F.col(id_b).alias("b")
+    ).localCheckpoint()
+    # e is materialized (eager checkpoint) — count() is a block-metadata
+    # scan, not a recompute
+    if e.count() <= driver_edge_threshold:
+        edges = e.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges:
+            ra, rb = find(row.a), find(row.b)
+            if ra != rb:
+                # union by min: keep the smaller root so the final
+                # label IS the component min without a second pass
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        labels_rows = [(n, find(n)) for n in {x for row in edges for x in (row.a, row.b)}]
+        spark = pairs.sparkSession
+        return spark.createDataFrame(
+            labels_rows, schema="node BIGINT, cluster_id BIGINT"
+        )
     und = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()

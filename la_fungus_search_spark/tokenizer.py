@@ -27,6 +27,7 @@ Contract (deliberately engine-invariant):
 
 from __future__ import annotations
 
+import os
 import re
 from typing import List
 
@@ -83,6 +84,14 @@ def tokenize_reference(text: str) -> List[str]:
     if not text:
         return []
     return [t.lower() for t in _TOKEN_RE.findall(text)]
+
+
+# A/B knob (token-identical by the property test, so always safe):
+# LFS_TOKENIZE_IMPL=regex routes every caller through the reference
+# implementation — used to isolate the fast path's effect on the
+# memory-bandwidth-bound build without a code edit between runs.
+if os.environ.get("LFS_TOKENIZE_IMPL") == "regex":
+    tokenize = tokenize_reference  # noqa: F811
 
 
 def tokenize_query(text: str) -> List[str]:

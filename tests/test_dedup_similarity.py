@@ -197,11 +197,13 @@ def _union_find_clusters(pairs, all_ids):
     return out
 
 
-def test_dedup_clusters_equal_union_find(spark):
-    """Connected components (min-label propagation + pointer jumping)
-    vs a driver union-find oracle, on a graph with a LONG chain (the
-    shape the capped-band path emits — exercises the log-round jump),
-    a triangle, and singletons."""
+@pytest.mark.parametrize("driver_threshold", [2_000_000, 0])
+def test_dedup_clusters_equal_union_find(spark, driver_threshold):
+    """Connected components vs a driver union-find oracle, on a graph
+    with a LONG chain (the shape the capped-band path emits), a
+    triangle, and singletons — in BOTH regimes: the driver fast path
+    (threshold default) and the distributed pointer-jumping loop
+    (threshold 0 forces it; exercises the log-round jump)."""
     chain = [(i, i + 1) for i in range(100, 160)]
     tri = [(1, 2), (2, 3)]
     cross = [(300, 5), (300, 161)]  # merges a singleton range into others
@@ -209,8 +211,12 @@ def test_dedup_clusters_equal_union_find(spark):
     all_ids = sorted({x for p in pairs for x in p} | {900, 901})  # + true singletons
     pdf = spark.createDataFrame(pairs, schema="id_a BIGINT, id_b BIGINT")
     docs = spark.createDataFrame([(i,) for i in all_ids], schema="doc_id BIGINT")
-    got = {r.doc_id: (r.cluster_id, r.keep) for r in dedup.dedup_clusters(pdf, docs).collect()}
+    cc = dedup.connected_components(pdf, driver_edge_threshold=driver_threshold)
+    labels = {r.node: r.cluster_id for r in cc.collect()}
     want = _union_find_clusters(pairs, all_ids)
+    want_paired = {k: v for k, v in want.items() if k not in (900, 901)}
+    assert labels == want_paired
+    got = {r.doc_id: (r.cluster_id, r.keep) for r in dedup.dedup_clusters(pdf, docs).collect()}
     assert {k: v[0] for k, v in got.items()} == want
     for i, (cid, keep) in got.items():
         assert keep == (1 if i == cid else 0)
