@@ -256,10 +256,21 @@ class BM25QueryEngine:
         # pruning showcase runs (r4 dress: it pushed blockmax from a
         # ~1.2× win to a loss vs the sql path). Skipping only lowers θ
         # → more decode, never a wrong result.
-        hot = q_meta[q_meta["df"].astype(float) > self.index.n_docs / 2]
-        multi_hot = (
-            (not hot.empty)
-            and int(hot.groupby("query_id")["term"].nunique().max()) >= 2
+        # ... and further gated on that query ALSO having a rare term:
+        # an all-hot query is unprunable either way (every doc matches
+        # every term, so range UBs and θ are near-uniform and no range
+        # drops) — spending the companion pass there buys zero pruning.
+        # The machinery pays for itself exactly on the rare+multi-hot
+        # mix, where the rare term's top blocks pin a small candidate
+        # set whose hot contributions θ must include.
+        hot_mask = q_meta["df"].astype(float) > self.index.n_docs / 2
+        per_q_hot = q_meta[hot_mask].groupby("query_id")["term"].nunique()
+        per_q_rare = q_meta[~hot_mask].groupby("query_id")["term"].nunique()
+        multi_hot = bool(
+            (
+                (per_q_hot >= 2)
+                & per_q_hot.index.to_series().map(per_q_rare).fillna(0).gt(0)
+            ).any()
         )
         if multi_hot:
             cand_ranges = F.broadcast(
