@@ -192,9 +192,19 @@ class IndexBuilder:
         if self.tokenizer_impl == "arrow":
             toks = self._postings_arrow(prepared, content_col)
         else:
+            # doclen rides in the groupBy key (constant per doc, so the
+            # groups are unchanged) — see _postings_arrow for why the
+            # postings stream carries it
             toks = (
-                prepared.select("doc_id", F.explode(tokens_expr(content_col)).alias("term"))
-                .groupBy("term", "doc_id")
+                prepared.select(
+                    "doc_id", tokens_expr(content_col).alias("_toks")
+                )
+                .select(
+                    "doc_id",
+                    F.size("_toks").cast("int").alias("doclen"),
+                    F.explode("_toks").alias("term"),
+                )
+                .groupBy("term", "doc_id", "doclen")
                 .agg(F.count("*").cast("int").alias("tf"))
             )
         return toks.withColumn(
@@ -232,6 +242,17 @@ class IndexBuilder:
                     chain.from_iterable(c.keys() for c in counters),
                     type=pa.string(), size=n,
                 )
+                # per-doc token total (doclen) is known right here —
+                # emitting it per posting row lets the scoring stage
+                # skip a full postings-granularity shuffle join against
+                # doc_stats (53M-row Exchange + SortMergeJoin at 400k
+                # docs, and corpus-proportional at any scale; a
+                # broadcast would cap at driver memory — this local
+                # emission has no cap)
+                doclens = np.fromiter(
+                    (sum(c.values()) for c in counters),
+                    dtype=np.int64, count=len(counters),
+                )
                 yield pd.DataFrame(
                     {
                         "term": pd.Series(terms, dtype=pd.ArrowDtype(pa.string())),
@@ -240,11 +261,12 @@ class IndexBuilder:
                             chain.from_iterable(c.values() for c in counters),
                             dtype=np.int32, count=n,
                         ),
+                        "doclen": np.repeat(doclens, sizes).astype(np.int32),
                     }
                 )
 
         return prepared.select("doc_id", content_col).mapInPandas(
-            count_terms, schema="term STRING, doc_id BIGINT, tf INT"
+            count_terms, schema="term STRING, doc_id BIGINT, tf INT, doclen INT"
         )
 
     def doc_stats_df(
@@ -349,11 +371,16 @@ class IndexBuilder:
         # at 10^6-term vocabularies; at 10^9+ vocab switch the code to
         # the (xxhash64(term), xxhash64(term, salt')) pair and this
         # check carries over unchanged.
+        # doclen rides on the postings stream itself (emitted by the
+        # tokenize kernel, which knows each doc's length locally) — a
+        # doc_stats join here would shuffle every posting row by doc_id
+        # through a SortMergeJoin (corpus-proportional Exchange; a
+        # broadcast alternative caps at driver memory). The term_stats
+        # join below stays: it is vocabulary-sized.
         scored = (
             postings.select(
-                F.xxhash64("term").alias("term_code"), "term_bucket", "doc_id", "tf"
+                F.xxhash64("term").alias("term_code"), "term_bucket", "doc_id", "tf", "doclen"
             )
-            .join(doc_stats.select("doc_id", "doclen"), "doc_id")
             .join(
                 term_stats.select(F.xxhash64("term").alias("term_code"), "idf", "df"),
                 "term_code",
@@ -426,6 +453,13 @@ class IndexBuilder:
                         "min_dl": pd.Series(dtype="int32"),
                     }
                 )
+            # The (term_code, doc_id) sort happens HERE in numpy, not
+            # JVM-side: an A/B moving it into the stage's Tungsten Sort
+            # (sortWithinPartitions extending the grouping sort) looked
+            # cheaper on paper but measured ~2x this kernel's whole
+            # cost at 400k docs (row-at-a-time comparator over 41-byte
+            # rows: block stage task-time sum 124 -> 244 core-s) —
+            # numpy's columnar argsort + gathers win decisively.
             codes, uniques = pd.factorize(pdf["term_code"], sort=False)
             salts = pdf["salt"].to_numpy()
             ids = pdf["doc_id"].to_numpy(dtype=np.int64)
@@ -443,8 +477,7 @@ class IndexBuilder:
             else:
                 ranges = ids // doc_range
 
-            dfs = pdf["df"].to_numpy()[order]
-            split_rng = dfs >= range_split_min_df
+            split_rng = pdf["rng_split"].to_numpy()[order]
             range_change = np.empty(n, dtype=bool)
             range_change[0] = False
             range_change[1:] = ranges[1:] != ranges[:-1]
@@ -558,9 +591,23 @@ class IndexBuilder:
         # TRIPLED the stage's core-seconds while saving only the ~4 s
         # straggler tail an unlucky heavy-group pack costs at high
         # parallelism. Packing wins; the tail is bounded by n_salts.
+        # Narrow rows through the shuffle + Arrow boundary: the stage
+        # is memory-bandwidth-bound (its task-time sum is what inflates
+        # at high worker counts), so every byte per posting row counts.
+        # df (int64) is consumed in-kernel only as the boolean
+        # range-split predicate — ship the 1-byte boolean instead; cast
+        # doclen to int32 (it only feeds the int32 min_dl metadata —
+        # score was already computed JVM-side above).
         blocks = (
             scored.select(
-                "term_code", "term_bucket", "salt", "doc_id", "tf", "doclen", "score", "df"
+                "term_code",
+                "term_bucket",
+                "salt",
+                "doc_id",
+                "tf",
+                F.col("doclen").cast("int").alias("doclen"),
+                "score",
+                (F.col("df") >= F.lit(range_split_min_df)).alias("rng_split"),
             )
             .groupBy("term_bucket", "salt")
             .applyInPandas(build_blocks, schema=POSTING_LIST_KERNEL_SCHEMA)
@@ -584,7 +631,11 @@ class IndexBuilder:
         over the (persisted) term_stats — raises instead of building a
         silently wrong index. Odds ~1e-7 at 10^6-term vocabularies, but
         checked, not assumed; at 10^9+ vocab switch to a 128-bit code
-        pair and keep this same check."""
+        pair and keep this same check.
+
+        Returns the vocabulary size: callers use this single job to
+        also materialize a freshly-persisted term_stats and log the
+        stage row count (fused — one vocab job instead of two)."""
         r = term_stats.agg(
             F.count("*").alias("n_terms"),
             F.countDistinct(F.xxhash64("term")).alias("n_codes"),
@@ -595,6 +646,7 @@ class IndexBuilder:
                 f"{r['n_codes']} codes); rebuild with a 128-bit code pair "
                 "(see posting_lists_df)"
             )
+        return int(r["n_terms"])
 
     def release_aux(self) -> None:
         """Unpersist internal helper frames (see ``_aux_persists``).
@@ -675,8 +727,22 @@ class IndexBuilder:
             postings = self.postings_df(prepared).persist()
 
         # ---- stage: doc_stats (+ globals N, avgdl, sha256 carry-through)
+        def _globals_row(ds):
+            # one aggregate both materializes doc_stats (persist or
+            # reload) and yields N/avgdl — a separate count() for the
+            # stage log would be one more full doc_stats job
+            # (driver-side fixed cost the wide legs of the scaling
+            # criterion cannot parallelize away)
+            return ds.agg(
+                F.count("*").alias("N"),
+                F.avg("doclen").alias("avgdl"),
+                F.sum("doclen").alias("total_tokens"),
+                F.max("doc_id").alias("max_doc_id"),
+            ).collect()[0]
+
         if out_dir and "doc_stats" in done:
             doc_stats = _load("doc_stats")
+            g = _globals_row(doc_stats)
         else:
             t0 = time.time()
             doc_stats = self.doc_stats_df(prepared, postings)
@@ -685,14 +751,8 @@ class IndexBuilder:
                 doc_stats = _load("doc_stats")
             else:
                 doc_stats = doc_stats.persist()
-            self._log_stage("doc_stats", t0, doc_stats.count(), out_dir)
-
-        g = doc_stats.agg(
-            F.count("*").alias("N"),
-            F.avg("doclen").alias("avgdl"),
-            F.sum("doclen").alias("total_tokens"),
-            F.max("doc_id").alias("max_doc_id"),
-        ).collect()[0]
+            g = _globals_row(doc_stats)
+            self._log_stage("doc_stats", t0, int(g["N"]), out_dir)
         n_docs, avgdl = int(g["N"]), float(g["avgdl"] or 0.0)
         max_doc_id = int(g["max_doc_id"] if g["max_doc_id"] is not None else 0)
 
@@ -705,14 +765,14 @@ class IndexBuilder:
             term_stats = _load("term_stats")
         else:
             term_stats = term_stats.persist()
+        # one fused vocab job: materializes the persist/reload, checks
+        # code injectivity, and yields the row count for the stage log
+        n_terms = self._check_term_codes(term_stats)
         if "term_stats" not in done:
-            self._log_stage("term_stats", t0, term_stats.count(), out_dir)
-        else:
-            term_stats.count()
-        # the projection is materialized (count above / parquet reload)
+            self._log_stage("term_stats", t0, n_terms, out_dir)
+        # the projection is materialized (check above / parquet reload)
         # — the internal pre-floor aggregate can go
         self.release_aux()
-        self._check_term_codes(term_stats)
 
         glob = {
             "N": n_docs,
@@ -890,11 +950,11 @@ class IncrementalIndexBuilder(IndexBuilder):
         # old postings minus stale docs: broadcast anti-join — the stale
         # set is the change set, tiny relative to the corpus
         kept = old.postings.join(F.broadcast(stale_ids), "doc_id", "left_anti").select(
-            "term", "doc_id", "tf", "term_bucket"
+            "term", "doc_id", "tf", "doclen", "term_bucket"
         )
         fresh_docs = prepared.join(F.broadcast(fresh_keys), keys, "left_semi")
         fresh_postings = self.postings_df(fresh_docs).select(
-            "term", "doc_id", "tf", "term_bucket"
+            "term", "doc_id", "tf", "doclen", "term_bucket"
         )
         postings = kept.unionByName(fresh_postings).persist()
 
@@ -1026,9 +1086,9 @@ class IncrementalIndexBuilder(IndexBuilder):
                 "(repo, path, commit) — use incremental_build for updates/removals"
             )
         fresh_postings = self.postings_df(prepared).select(
-            "term", "doc_id", "tf", "term_bucket"
+            "term", "doc_id", "tf", "doclen", "term_bucket"
         )
-        postings = old.postings.select("term", "doc_id", "tf", "term_bucket").unionByName(
+        postings = old.postings.select("term", "doc_id", "tf", "doclen", "term_bucket").unionByName(
             fresh_postings
         ).persist()
         doc_stats = old.doc_stats.unionByName(

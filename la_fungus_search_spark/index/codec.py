@@ -19,31 +19,45 @@ _MASK = np.uint64(0x7F)
 _CONT = np.uint64(0x80)
 
 
+# LEB128 length thresholds: a value needs k+1 output bytes iff
+# v >= 2^(7k); searchsorted over these 9 boundaries gives the exact
+# byte count in ONE pass (binary search in a cache-resident array)
+_VARINT_THRESHOLDS = (np.uint64(1) << (np.uint64(7) * np.arange(1, 10, dtype=np.uint64)))
+
+
 def _varint_bytes(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Core LEB128 kernel: uint64 array → (byte stream, bytes-per-value)."""
-    # bytes needed per value: ceil(bitlen/7), min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        nz = tmp > 0
-        if not nz.any():
-            break
-        nbits[nz] += 1
-        tmp = tmp >> np.uint64(1)
-    nbytes = np.maximum((nbits + 6) // 7, 1)
+    """Core LEB128 kernel: uint64 array → (byte stream, bytes-per-value).
+
+    Byte counts come from one ``searchsorted`` pass (the old
+    shift-count loop made up to 64 full-array passes whenever the
+    array held one full-width value — every block's first doc_id in
+    hash-id mode, measured as the dominant cost of the posting-list
+    encode). The emission loop compacts to the still-active values
+    after the first byte: deltas are overwhelmingly 1 byte, so later
+    iterations touch only block-start absolutes (~1/block_size of
+    rows)."""
+    nbytes = np.searchsorted(_VARINT_THRESHOLDS, v, side="right") + 1
     total = int(nbytes.sum())
     out = np.zeros(total, dtype=np.uint8)
     # start offset of each value's encoding
     starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
-    shifted = v.copy()
-    max_b = int(nbytes.max())
-    for b in range(max_b):
-        active = nbytes > b  # values still emitting a byte at position b
-        idx = starts[active] + b
-        byte = (shifted[active] & _MASK).astype(np.uint8)
-        more = (b + 1) < nbytes[active]
-        out[idx] = byte | np.where(more, 0x80, 0).astype(np.uint8)
-        shifted[active] = shifted[active] >> np.uint64(7)
+    # byte 0 for every value in one vectorized shot
+    out[starts] = (v & _MASK).astype(np.uint8) | np.where(nbytes > 1, 0x80, 0).astype(np.uint8)
+    # compact to multi-byte values once, then emit their remaining bytes
+    rem = np.flatnonzero(nbytes > 1)
+    if rem.size:
+        rv = v[rem] >> np.uint64(7)
+        rstarts = starts[rem]
+        rbytes = nbytes[rem]
+        max_b = int(rbytes.max())
+        for b in range(1, max_b):
+            if b > 1:
+                active = rbytes > b
+                rv, rstarts, rbytes = rv[active], rstarts[active], rbytes[active]
+                rv = rv >> np.uint64(7)
+            byte = (rv & _MASK).astype(np.uint8)
+            more = (b + 1) < rbytes
+            out[rstarts + b] = byte | np.where(more, 0x80, 0).astype(np.uint8)
     return out, nbytes
 
 

@@ -104,9 +104,14 @@ class BM25QueryEngine:
             {term_bucket(t, nb) for q in queries for t in tokenize_query(q)}
         ) or [0]
         postings = idx.postings.filter(F.col("term_bucket").isin(buckets))  # partition pruning
+        joined = postings.join(q_with_idf, "term")
+        if "doclen" not in postings.columns:
+            # pre-inline-doclen index layout: postings lack the
+            # per-row doclen the tokenize kernel now emits — fall back
+            # to the doc_id shuffle join against doc_stats
+            joined = joined.join(idx.doc_stats.select("doc_id", "doclen"), "doc_id")
         scored = (
-            postings.join(q_with_idf, "term")
-            .join(idx.doc_stats.select("doc_id", "doclen"), "doc_id")
+            joined
             .withColumn(
                 "contrib",
                 F.col("qtf") * F.col("idf") * self._contribution(F.col("tf"), F.col("doclen")),
