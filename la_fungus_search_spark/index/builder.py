@@ -68,10 +68,18 @@ POSTING_LIST_SCHEMA = (
     "max_tf INT, min_dl INT"
 )
 POSTING_LIST_COLUMNS = [f.strip().split()[0] for f in POSTING_LIST_SCHEMA.split(",")]
-# what the encode kernel emits: identical, except the term travels as
-# its xxhash64 code (all-numeric Arrow frames — see posting_lists_df);
-# the string is joined back at block granularity before returning
-POSTING_LIST_KERNEL_SCHEMA = POSTING_LIST_SCHEMA.replace("term STRING", "term_code BIGINT", 1)
+# what the encode kernel emits: the term travels as its xxhash64 code
+# (all-numeric Arrow frames — see posting_lists_df), and the score
+# bounds travel in idf-free f-space (f = the tf/doclen factor of the
+# BM25 score; idf is constant per term so the block max/2nd-max/min
+# commute with the idf multiply). The string AND idf join back at
+# block granularity before returning, producing the stored
+# block_max/second_max columns of POSTING_LIST_SCHEMA.
+POSTING_LIST_KERNEL_SCHEMA = (
+    POSTING_LIST_SCHEMA.replace("term STRING", "term_code BIGINT", 1).replace(
+        "block_max DOUBLE,", "f_max DOUBLE,", 1
+    ).replace("second_max DOUBLE,", "f_second DOUBLE, f_min DOUBLE,", 1)
+)
 
 
 @dataclass
@@ -357,48 +365,6 @@ class IndexBuilder:
         same grid as the kept blocks. Defaults to ``n_docs``."""
         k1, b = self.k1, self.b
         avgdl = max(avgdl, 1e-12)
-        # Join and shuffle on xxhash64(term) codes, NOT term strings.
-        # Event-log profiling at 400k docs showed the encode stage was
-        # the build's scaling killer (2→8 cores: task-time sum inflated
-        # 128 s → 378 s, stage speedup 1.34×): 53M term strings through
-        # the shuffle (~800 MB of the 1.3 GB) and through Arrow→pandas
-        # conversion (53M PyObject allocations per pass) are memory-
-        # bandwidth-bound, which parallel cores contend for. All-numeric
-        # rows keep the kernel zero-copy; the string is joined back at
-        # BLOCK granularity (~n_postings/block_size rows) from the
-        # vocabulary-sized term_stats. Code injectivity is CHECKED at
-        # build time (_check_term_codes) — a 64-bit collision is ~1e-7
-        # at 10^6-term vocabularies; at 10^9+ vocab switch the code to
-        # the (xxhash64(term), xxhash64(term, salt')) pair and this
-        # check carries over unchanged.
-        # doclen rides on the postings stream itself (emitted by the
-        # tokenize kernel, which knows each doc's length locally) — a
-        # doc_stats join here would shuffle every posting row by doc_id
-        # through a SortMergeJoin (corpus-proportional Exchange; a
-        # broadcast alternative caps at driver memory). The term_stats
-        # join below stays: it is vocabulary-sized.
-        scored = (
-            postings.select(
-                F.xxhash64("term").alias("term_code"), "term_bucket", "doc_id", "tf", "doclen"
-            )
-            .join(
-                term_stats.select(F.xxhash64("term").alias("term_code"), "idf", "df"),
-                "term_code",
-            )
-            .withColumn(
-                "score",
-                F.col("idf")
-                * (F.col("tf") * F.lit(k1 + 1.0))
-                / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen") / F.lit(avgdl))),
-            )
-            .withColumn(
-                "salt",
-                F.when(
-                    F.col("df") >= F.lit(self.hot_df_threshold), self._salt_expr(max_doc_id)
-                ).otherwise(F.lit(0)).cast("int"),
-            )
-        )
-
         block_size = self.block_size
         doc_range = int(self.block_doc_range or self.block_size)
         # range function must put ~doc_range DOCS in each range. Dense
@@ -425,6 +391,56 @@ class IndexBuilder:
         # ≥4 expected postings per range: splitting below that turns
         # mid-frequency terms into 1-2 posting fragments
         range_split_min_df = 4 * n_ranges
+        # Join and shuffle on xxhash64(term) codes, NOT term strings.
+        # Event-log profiling at 400k docs showed the encode stage was
+        # the build's scaling killer (2→8 cores: task-time sum inflated
+        # 128 s → 378 s, stage speedup 1.34×): 53M term strings through
+        # the shuffle (~800 MB of the 1.3 GB) and through Arrow→pandas
+        # conversion (53M PyObject allocations per pass) are memory-
+        # bandwidth-bound, which parallel cores contend for. All-numeric
+        # rows keep the kernel zero-copy; the string is joined back at
+        # BLOCK granularity (~n_postings/block_size rows) from the
+        # vocabulary-sized term_stats. Code injectivity is CHECKED at
+        # build time (_check_term_codes) — a 64-bit collision is ~1e-7
+        # at 10^6-term vocabularies; at 10^9+ vocab switch the code to
+        # the (xxhash64(term), xxhash64(term, salt')) pair and this
+        # check carries over unchanged.
+        # doclen rides on the postings stream itself (emitted by the
+        # tokenize kernel, which knows each doc's length locally) — a
+        # doc_stats join here would shuffle every posting row by doc_id
+        # through a SortMergeJoin (corpus-proportional Exchange; a
+        # broadcast alternative caps at driver memory).
+        #
+        # NO per-posting term_stats join either: at 1M docs the
+        # vocabulary outgrew Catalyst's auto-broadcast estimate and the
+        # idf/df join silently became a SortMergeJoin shuffling every
+        # posting by term_code (event-logged: a 442 core-s stage with a
+        # 33 s skew straggler — the "1M-doc cliff"). Per-posting rows
+        # only need df for two BOOLEAN flags (salt eligibility, range
+        # split), so we broadcast just the hot tail of the vocabulary
+        # (df ≥ min(hot_df_threshold, range_split_min_df) — a few
+        # hundred stopword-class terms at any corpus size when the
+        # thresholds track the corpus). idf itself multiplies in at
+        # BLOCK granularity below: BM25's score factors as
+        # idf × f(tf, doclen), idf constant per term, so
+        # max/2nd-max/min over a block commute with the idf multiply.
+        flag_min_df = min(int(self.hot_df_threshold), int(range_split_min_df))
+        hot_flags = term_stats.filter(F.col("df") >= F.lit(flag_min_df)).select(
+            F.xxhash64("term").alias("term_code"), "df"
+        )
+        scored = (
+            postings.select(
+                F.xxhash64("term").alias("term_code"), "term_bucket", "doc_id", "tf", "doclen"
+            )
+            .join(F.broadcast(hot_flags), "term_code", "left")
+            .withColumn(
+                "salt",
+                F.when(
+                    F.col("df") >= F.lit(self.hot_df_threshold), self._salt_expr(max_doc_id)
+                ).otherwise(F.lit(0)).cast("int"),
+            )
+        )
+
 
         def build_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
             """Fully vectorized: one lexsort, boundary masks, reduceat
@@ -446,8 +462,9 @@ class IndexBuilder:
                         "count": pd.Series(dtype="int32"),
                         "doc_ids": pd.Series(dtype="object"),
                         "tfs": pd.Series(dtype="object"),
-                        "block_max": pd.Series(dtype="float64"),
-                        "second_max": pd.Series(dtype="float64"),
+                        "f_max": pd.Series(dtype="float64"),
+                        "f_second": pd.Series(dtype="float64"),
+                        "f_min": pd.Series(dtype="float64"),
                         "argmax_doc": pd.Series(dtype="int64"),
                         "max_tf": pd.Series(dtype="int32"),
                         "min_dl": pd.Series(dtype="int32"),
@@ -467,8 +484,19 @@ class IndexBuilder:
             codes, salts, ids = codes[order], salts[order], ids[order]
             tfs = pdf["tf"].to_numpy()[order]
             doclens = pdf["doclen"].to_numpy()[order]
-            scores = pdf["score"].to_numpy()[order]
             buckets = pdf["term_bucket"].to_numpy()[order]
+            # idf-free score factor f(tf, doclen): BM25's per-posting
+            # score is idf * f with idf CONSTANT per term, so block
+            # max / second-max / min over f commute with the idf
+            # multiply applied at block granularity after this kernel.
+            # The expression mirrors the query engine's _contribution
+            # operation-for-operation (same IEEE-754 op order), so
+            # idf*f here is bit-identical to the engine's qtf=1 score.
+            tfs_f = tfs.astype(np.float64)
+            dls_f = doclens.astype(np.float64)
+            scores = (tfs_f * (k1 + 1.0)) / (
+                tfs_f + k1 * ((1.0 - b) + (b * dls_f) / avgdl)
+            )
             if range_shift is not None:
                 # unsigned view: monotone within each sign region of the
                 # signed doc_id sort (ranges are labels, not boundaries,
@@ -553,6 +581,9 @@ class IndexBuilder:
             scores2 = scores.copy()
             scores2[first_max] = -np.inf
             second_max = np.maximum.reduceat(scores2, bstarts)
+            # block min of f: needed to form a true block_max when a
+            # term's (floored) idf is NEGATIVE — max(idf*f) = idf*min(f)
+            fmin = np.minimum.reduceat(scores, bstarts)
 
             return pd.DataFrame(
                 {
@@ -573,8 +604,9 @@ class IndexBuilder:
                         varint_encode_blocks(tfs.astype(np.uint64), bstarts, bends),
                         dtype=pd.ArrowDtype(pa.binary()),
                     ),
-                    "block_max": bmax,
-                    "second_max": second_max,
+                    "f_max": bmax,
+                    "f_second": second_max,
+                    "f_min": fmin,
                     "argmax_doc": ids[first_max],
                     "max_tf": np.maximum.reduceat(tfs, bstarts).astype("int32"),
                     "min_dl": np.minimum.reduceat(doclens, bstarts).astype("int32"),
@@ -606,8 +638,12 @@ class IndexBuilder:
                 "doc_id",
                 "tf",
                 F.col("doclen").cast("int").alias("doclen"),
-                "score",
-                (F.col("df") >= F.lit(range_split_min_df)).alias("rng_split"),
+                # df is NULL for cold terms (left join against the
+                # broadcast hot tail only) — null >= x is null, and
+                # coalesce makes it an honest False
+                F.coalesce(
+                    F.col("df") >= F.lit(range_split_min_df), F.lit(False)
+                ).alias("rng_split"),
             )
             .groupBy("term_bucket", "salt")
             .applyInPandas(build_blocks, schema=POSTING_LIST_KERNEL_SCHEMA)
@@ -618,8 +654,33 @@ class IndexBuilder:
         # on (term_bucket, term_code) with both sides bucketed so only
         # the vocab side shuffles. Stored schema is unchanged from the
         # string-keyed build (term_code is internal to the lineage).
-        vocab = term_stats.select(F.xxhash64("term").alias("term_code"), "term")
-        return blocks.join(F.broadcast(vocab), "term_code").select(*POSTING_LIST_COLUMNS)
+        # idf multiplies in HERE, at block granularity (~postings/128
+        # rows), riding the same broadcast vocab join that restores the
+        # term string — the per-posting idf join this replaces became a
+        # full-postings SortMergeJoin once the vocabulary outgrew the
+        # auto-broadcast estimate (the 1M-doc cliff). For a NEGATIVE
+        # (floored) idf, max over idf*f is idf*min(f); second_max then
+        # reuses block_max (a valid, looser upper bound — the engine
+        # disables pruning for negative-idf queries anyway, so the
+        # refinement metadata is never consumed there). The −inf
+        # single-posting marker short-circuits first so 0- or
+        # negative-idf terms can't turn it into NaN.
+        vocab = term_stats.select(F.xxhash64("term").alias("term_code"), "term", "idf")
+        neg_inf = F.lit(float("-inf"))
+        block_max = F.when(F.col("idf") >= 0, F.col("idf") * F.col("f_max")).otherwise(
+            F.col("idf") * F.col("f_min")
+        )
+        return (
+            blocks.join(F.broadcast(vocab), "term_code")
+            .withColumn("block_max", block_max)
+            .withColumn(
+                "second_max",
+                F.when(F.col("f_second") == neg_inf, neg_inf)
+                .when(F.col("idf") >= 0, F.col("idf") * F.col("f_second"))
+                .otherwise(F.col("block_max")),
+            )
+            .select(*POSTING_LIST_COLUMNS)
+        )
 
     # ---------------------------------------------------------- orchestration
 

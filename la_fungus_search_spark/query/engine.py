@@ -429,7 +429,17 @@ class BM25QueryEngine:
             range_ub
             # >= so a range that can exactly tie θ is still decoded — a
             # doc tying the kth score could win the doc_id tie-break.
-            .filter(F.col("ub") - F.col("red") >= F.col("theta"))
+            # The 1e-12 relative slack covers floating-point
+            # reassociation between the build kernel's stored bounds
+            # (idf × f-space max, multiplied at block granularity) and
+            # the engine's own score expression — those differ by at
+            # most a few ULPs (~4e-16 relative), so the slack provably
+            # keeps every true top-k candidate while pruning nothing
+            # measurable.
+            .filter(
+                F.col("ub") - F.col("red")
+                >= F.col("theta") - (F.abs(F.col("theta")) * F.lit(1e-12))
+            )
             .select("query_id", "range_id")
         )
         # a block survives if ANY of its ranges survived; left_semi on
