@@ -1,0 +1,96 @@
+"""Negative-idf soundness on the f-space block bounds.
+
+On a stopword-heavy corpus `average_idf` goes negative, so the epsilon
+floor (0.25 * average_idf) is itself negative and hot terms carry a
+NEGATIVE stored idf. The build kernel stores block bounds in idf-free
+f-space and multiplies idf in at block granularity — for idf < 0 the
+order flips, so the stored block_max must come from min(f), not max(f)
+(max over idf*f = idf*min(f)). These tests pin:
+
+(a) the stored block_max is still a TRUE max of the per-posting scores
+    for negative-idf terms (exact, same float expression);
+(b) second_max never exceeds block_max (the engine's refinement
+    invariant — for negative idf it degrades to block_max);
+(c) blockmax mode stays rank- and score-identical to sql when queries
+    contain negative-idf terms (the engine disables pruning for those
+    queries; nothing may be lost).
+"""
+
+import numpy as np
+import pytest
+
+from la_fungus_search_spark.index.builder import build_index
+from la_fungus_search_spark.index.codec import decode_tfs, delta_decode_docids
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.tokenizer import tokenize
+
+# 40 docs over a tiny vocabulary where every word appears in well over
+# half the docs -> every raw idf = ln((N-df+.5)/(df+.5)) < 0, so
+# average_idf < 0 and the floor keeps the sign: all stored idfs < 0.
+N_DOCS = 40
+VOCAB = ["the", "of", "and", "kernel", "decay"]
+
+
+def _docs(spark):
+    rows = []
+    for i in range(N_DOCS):
+        # deterministic mix: every doc holds most of the vocab, with
+        # varying tf so blocks have real max/second-max structure
+        words = []
+        for j, w in enumerate(VOCAB):
+            if (i + j) % 5 != 4:  # each word in 80% of docs
+                words.extend([w] * (1 + (i * 7 + j * 3) % 4))
+        rows.append(("r", f"f{i:03d}.py", "c0", "python", " ".join(words)))
+    return spark.createDataFrame(
+        rows, schema="repo STRING, path STRING, commit STRING, lang STRING, content STRING"
+    )
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    docs = _docs(spark)
+    idx = build_index(spark, docs, n_buckets=4, n_salts=2, block_size=8)
+    return idx
+
+
+def test_corpus_is_negative_idf(built):
+    idfs = {r.term: r.idf for r in built.term_stats.collect()}
+    assert idfs, "corpus produced no terms"
+    assert all(v < 0 for v in idfs.values()), idfs
+    assert built.globals["average_idf"] < 0
+
+
+def test_block_max_exact_for_negative_idf(built):
+    k1, b, avgdl = built.globals["k1"], built.globals["b"], built.globals["avgdl"]
+    dl = {r.doc_id: r.doclen for r in built.doc_stats.collect()}
+    idf = {r.term: r.idf for r in built.term_stats.collect()}
+    checked = 0
+    for r in built.posting_lists.collect():
+        ids = delta_decode_docids(bytes(r.doc_ids))
+        tfs = decode_tfs(bytes(r.tfs))
+        # same float expression as the engine/kernel: idf * f(tf, dl)
+        scores = [
+            idf[r.term]
+            * ((tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + (b * dl[d]) / avgdl)))
+            for d, tf in zip(ids.tolist(), tfs.tolist())
+        ]
+        assert r.block_max == pytest.approx(max(scores), rel=1e-12), r.term
+        assert r.second_max <= r.block_max or np.isinf(r.second_max)
+        checked += 1
+    assert checked > 0
+
+
+def test_blockmax_matches_sql_on_negative_idf_queries(built):
+    eng = BM25QueryEngine(built)
+    queries = ["the kernel", "of and decay", "the of and kernel decay"]
+    a = eng.search(queries, k=10, mode="sql").collect()
+    b = eng.search(queries, k=10, mode="blockmax").collect()
+    key = lambda r: (r.query_id, r.rank)
+    a, b = sorted(a, key=key), sorted(b, key=key)
+    assert [(r.query_id, r.rank, r.doc_id) for r in a] == [
+        (r.query_id, r.rank, r.doc_id) for r in b
+    ]
+    for ra, rb in zip(a, b):
+        assert rb.score == pytest.approx(ra.score, rel=1e-9)
+    # scores are genuinely negative here — the regime under test
+    assert all(r.score < 0 for r in a)
