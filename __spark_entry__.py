@@ -217,6 +217,153 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+def _query_dedup_oracle_sql() -> str:
+    """D1 value-oracle: greedy keep-first query dedup as a DuckDB
+    recursive CTE — same equivalence argument as ``_mmr_oracle_sql``
+    (the kept set only grows and the close relation is fixed pairwise
+    over the pool, so skip-once iteration == repeated min-position
+    selection among candidates not close to any kept entry). The
+    normalizer ([^a-z0-9] split + stopword drop), token-set Jaccard
+    (τ = 0.8) and word-trigram Jaccard (τ − 0.1, both-nonempty guard —
+    the reference's documented ``jacc3`` bug fixed the same way as the
+    Spark side) are all plain list expressions."""
+    from la_fungus_search_spark.queries import _STOP
+
+    stop_list = ", ".join(f"'{s}'" for s in sorted(_STOP))
+    return f"""
+WITH RECURSIVE
+pool0 AS (
+    SELECT row_number() OVER (ORDER BY doc_id) - 1 AS pos, text AS query
+    FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 60)
+),
+pool AS (
+    SELECT pos, query FROM pool0
+    UNION ALL
+    SELECT pos + 60 AS pos, query FROM pool0 WHERE pos < 10
+),
+norm AS (
+    SELECT pos, query,
+           list_filter(regexp_extract_all(lower(query), '[a-z0-9]+'),
+                       t -> t NOT IN ({stop_list})) AS toks
+    FROM pool
+),
+sets AS (
+    SELECT pos, query, list_distinct(toks) AS ts,
+           CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> array_to_string(toks[i:i+2], ' ')))
+           END AS tg
+    FROM norm
+),
+cand0 AS (SELECT * FROM sets WHERE len(ts) > 0),
+close_pairs AS (
+    SELECT a.pos AS a, b.pos AS b
+    FROM cand0 a JOIN cand0 b ON a.pos <> b.pos
+    WHERE (len(list_intersect(a.ts, b.ts))::DOUBLE
+           / greatest(len(list_distinct(list_concat(a.ts, b.ts))), 1)) >= 0.8
+       OR (len(a.tg) > 0 AND len(b.tg) > 0
+           AND (len(list_intersect(a.tg, b.tg))::DOUBLE
+                / greatest(len(list_distinct(list_concat(a.tg, b.tg))), 1)) >= 0.7)
+),
+cand AS (
+    SELECT c.pos, c.query,
+           coalesce((SELECT list(cl.b) FROM close_pairs cl WHERE cl.a = c.pos),
+                    CAST([] AS BIGINT[])) AS close_pos
+    FROM cand0 c
+),
+sel(step, kept, pick_pos, pick_query) AS (
+    SELECT 0, CAST([] AS BIGINT[]), NULL::BIGINT, NULL::VARCHAR
+    UNION ALL
+    SELECT s.step + 1, list_append(s.kept, c.pos), c.pos, c.query
+    FROM sel s JOIN LATERAL (
+        SELECT c2.pos, c2.query FROM cand c2
+        WHERE NOT list_contains(s.kept, c2.pos)
+          AND NOT list_has_any(s.kept, c2.close_pos)
+        ORDER BY c2.pos LIMIT 1
+    ) c ON true
+)
+SELECT (step - 1)::INT AS kept_rank, pick_query AS query
+FROM sel WHERE step >= 1 ORDER BY kept_rank
+"""
+
+
+def _mmr_oracle_sql() -> str:
+    """W3 value-oracle: the greedy MMR loop as a DuckDB recursive CTE.
+
+    Soundness: the Spark side's greedy iterates candidates once in
+    (score_q DESC, doc_id) order and skips a candidate whose folder is
+    at cap or whose token-set Jaccard to ANY selected doc ≥ tau. Both
+    constraints are monotone in the selected set (it only grows), so a
+    skipped candidate can never qualify later — which makes skip-once
+    iteration equivalent to "repeatedly select the min-rank candidate
+    that currently qualifies", and THAT is expressible as recursion:
+    one selection per step, state = (selected ids, selected folders).
+    The pairwise similarity graph is precomputed outside the recursion
+    (close_pairs/close_ids), so the recursive term is pure list ops +
+    one LATERAL min-rank pick."""
+    toks = duckdb_tokens_sql("d.text")
+    return f"""
+WITH RECURSIVE {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(KW_QUERIES)}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt
+    JOIN idf USING (term)
+    JOIN tf USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM scored),
+ranked AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rnk
+    FROM qz
+),
+cand0 AS (
+    SELECT r.query_id, r.doc_id, r.rnk, d.source,
+           list_distinct({toks}) AS toks
+    FROM ranked r JOIN documents d USING (doc_id)
+    WHERE r.rnk <= 30
+),
+close_pairs AS (
+    SELECT a.query_id, a.doc_id AS a, b.doc_id AS b
+    FROM cand0 a JOIN cand0 b
+      ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+    WHERE (CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0 THEN 1.0
+                ELSE len(list_intersect(a.toks, b.toks))::DOUBLE
+                     / len(list_distinct(list_concat(a.toks, b.toks))) END) >= 0.7
+),
+cand AS (
+    SELECT c.query_id, c.doc_id, c.rnk, c.source,
+           coalesce((SELECT list(cl.b) FROM close_pairs cl
+                     WHERE cl.query_id = c.query_id AND cl.a = c.doc_id),
+                    CAST([] AS BIGINT[])) AS close_ids
+    FROM cand0 c
+),
+sel(query_id, step, ids, folders, pick) AS (
+    SELECT query_id, 0, CAST([] AS BIGINT[]), CAST([] AS VARCHAR[]), NULL::BIGINT
+    FROM (SELECT DISTINCT query_id FROM cand0)
+    UNION ALL
+    SELECT s.query_id, s.step + 1, list_append(s.ids, c.doc_id),
+           list_append(s.folders, c.source), c.doc_id
+    FROM sel s JOIN LATERAL (
+        SELECT c2.doc_id, c2.source FROM cand c2
+        WHERE c2.query_id = s.query_id
+          AND NOT list_contains(s.ids, c2.doc_id)
+          AND len(list_filter(s.folders, f -> f = c2.source)) < 5
+          AND NOT list_has_any(s.ids, c2.close_ids)
+        ORDER BY c2.rnk LIMIT 1
+    ) c ON true
+    WHERE s.step < 10
+)
+SELECT query_id::BIGINT AS query_id, step::BIGINT AS mmr_rank, pick::BIGINT AS doc_id
+FROM sel WHERE step >= 1 ORDER BY query_id, mmr_rank
+"""
+
+
 def _bm25_rank(scored: DataFrame, k: int) -> DataFrame:
     q = scored.withColumn("score_q", _micro(F.col("score")))
     w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
@@ -1162,14 +1309,27 @@ def q_query_dedup(spark, sf_dir):
 def q_mmr_diverse_topk(spark, sf_dir):
     """W3 (ui/mcmp_runner.py:26-75): greedy MMR diversity re-rank of the
     collected top-k — driver-side over ≤ k·|Q| rows, like the reference.
-    Rows-only check (sequential greedy)."""
+
+    FULL value-oracle since r4: candidates rank on the micro-quantized
+    score (the gate-wide convention — ULP-level float differences
+    between engines can't flip candidate order), and the greedy loop
+    is expressed in DuckDB as a recursive CTE (see oracle_sql): the
+    skip-once iteration equals repeated min-rank selection because
+    both constraints are MONOTONE — the selected set only grows, so a
+    doc rejected once (similarity ≥ tau to some selected doc, or its
+    folder at cap) stays rejected forever."""
     from la_fungus_search_spark.query.ranking import mmr_diversify
 
     eng = BM25QueryEngine(_index(spark, sf_dir))
-    hits = eng.search(KW_QUERIES, k=30, mode="sql")
+    # full scored set -> rank <= 30 on the quantized score, so the
+    # candidate CUT (not just the order) resolves identically to the
+    # oracle (same pattern as q_bm25_topk_blockmax's over-fetch)
+    hits = _bm25_rank(eng.scored_sql(KW_QUERIES), 30)
     docs = _documents(spark, sf_dir).select("doc_id", F.col("text").alias("content"), "source")
     pdf = hits.join(docs, "doc_id").toPandas()
-    out = mmr_diversify(pdf, k=10, dedup_tau=0.7, per_folder_cap=5, folder_col="source")
+    out = mmr_diversify(
+        pdf, k=10, dedup_tau=0.7, per_folder_cap=5, folder_col="source", score_col="score_q"
+    )
     return spark.createDataFrame(
         out[["query_id", "mmr_rank", "doc_id"]].astype("int64")
     ).orderBy("query_id", "mmr_rank")
@@ -1656,6 +1816,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _bm25_topk_sql(10),
         "bm25_topk_blockmax": _bm25_topk_sql(10),
+        "mmr_diverse_topk": _mmr_oracle_sql(),
+        "query_dedup": _query_dedup_oracle_sql(),
         "bm25_topk_and": f"""
 WITH {_bm25_base_cte()},
 qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),
@@ -2466,11 +2628,14 @@ WITH r AS (
 SELECT rn::INT AS rn, doc_id, n_chars FROM r
 WHERE rn > 20 AND rn <= 40 ORDER BY rn
 """,
-        # dedup_simhash / ann_srp_topk / ann_ivf_topk: non-SQL-
-        # expressible kernels (64-bit simhash bit math; Box-Muller SRP
-        # hyperplanes; iterative k-means) → rows-only checks by design,
-        # each with a pytest oracle (recompute equality / recall@10
-        # floors). query_dedup / mmr_diverse_topk: sequential greedy
-        # algorithms (driver-side like the reference) → rows-only by
-        # design.
+        # ann_srp_topk / ann_ivf_topk / ann_pq_topk / ann_ivfpq_topk:
+        # non-SQL-expressible kernels (Box-Muller SRP hyperplanes;
+        # iterative k-means; PQ codebooks) → rows-only checks by
+        # design, each with a pytest oracle (recompute equality /
+        # recall@10 floors). corpus_sketch: HLL/GK sketch internals →
+        # rows-only with pytest bounds. The two greedy ops
+        # (query_dedup, mmr_diverse_topk) gained recursive-CTE
+        # value-oracles in r4 — see _query_dedup_oracle_sql /
+        # _mmr_oracle_sql for the monotone-constraint equivalence
+        # argument.
     }
