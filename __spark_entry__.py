@@ -1362,7 +1362,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the gates whose implementation changed this round
     # (text_lang_id_model and dedup_simhash gained value-oracles,
     # dedup_clusters/bm25_* changed internals); (c) then the
-    # remaining no_oracle entries (rows-only record stays fresh);
+    # entries that were no_oracle entering r4 (query_dedup and
+    # mmr_diverse_topk gained recursive-CTE value-oracles mid-round —
+    # kept in place, the prefix position is what matters);
     # (d) then greens touching this round's changed modules. The 15
     # r3-green entries with unchanged code rotate to the back — every
     # entry then has a green driver row in r3 ∪ r4.
@@ -1386,7 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b) new value-oracles this round
         "text_lang_id_model": q_text_lang_id_model,
         "dedup_simhash": q_dedup_simhash,
-        # (c) remaining no_oracle entries (rows-only driver record)
+        # (c) no_oracle entering r4 (first two now have value-oracles)
         "query_dedup": q_query_dedup,
         "mmr_diverse_topk": q_mmr_diverse_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
