@@ -1,0 +1,50 @@
+"""The recursive-CTE value-oracles for the greedy ops are themselves
+pinned here against the driver-side Python greedy they model — pure
+DuckDB vs pure Python, no Spark, so the equivalence argument (skip-once
+iteration == repeated min-rank selection under monotone constraints)
+stays tested even between driver rounds.
+
+The MMR oracle's recursion is the same construction with an extra
+folder-cap constraint; its end-to-end pin is the driver gate
+(`mmr_diverse_topk` hash vs `__spark_entry__.oracle_sql()`), which
+exercises the full BM25-candidates + recursion pipeline.
+"""
+
+import duckdb
+
+from __spark_entry__ import _query_dedup_oracle_sql
+from la_fungus_search_spark.queries import dedup_multi_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_query_dedup_oracle_matches_python_greedy():
+    con = duckdb.connect()
+    con.execute("PRAGMA threads=4")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    got = con.execute(_query_dedup_oracle_sql()).fetchall()
+
+    pool = [
+        r[0]
+        for r in con.execute(
+            "SELECT text FROM documents ORDER BY doc_id LIMIT 60"
+        ).fetchall()
+    ]
+    pool += pool[:10]  # the gate's planted exact dups
+    want = [(i, q) for i, q in enumerate(dedup_multi_queries(pool, similarity_threshold=0.8))]
+
+    assert got == want
+    assert len(got) > 0
+
+
+def test_query_dedup_oracle_drops_planted_dups():
+    """The 10 planted exact duplicates must never survive: token-set
+    Jaccard of an exact copy is 1.0 >= tau."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    kept = [q for _, q in con.execute(_query_dedup_oracle_sql()).fetchall()]
+    assert len(kept) == len(set(kept))
