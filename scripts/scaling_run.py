@@ -51,6 +51,15 @@ BM25_QUERIES = [
 def main():
     master, n_files, shuffle = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     n_timed = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    # local mode shares one JVM heap between driver and executors: the
+    # 8 GiB default that fits the 400 k criterion corpus GC-throttles
+    # 1M-doc stretch runs (measured 4,086 docs/s at 8 GiB vs 6,382 at
+    # 32 GiB for the HARDER 2M corpus) and OOMs outright at 2M. Scale
+    # the default with the corpus; an explicit env still wins.
+    # bench.py's criterion legs pin 32g themselves (SPARK_GRAFT_SCALE_MEM).
+    os.environ.setdefault(
+        "SPARK_GRAFT_DRIVER_MEM", "8g" if n_files <= 600_000 else "32g"
+    )
     spark = get_spark(
         master=master,
         shuffle_partitions=shuffle,
