@@ -217,6 +217,72 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+def _bpe_oracle_sql() -> str:
+    """BPE token-count value-oracle: the greedy merge loop as a DuckDB
+    recursive CTE over DISTINCT pretokens (mirroring the Spark plan's
+    distinct-word encode). ``encode_word`` merges the leftmost
+    occurrence of the lowest-rank applicable pair one at a time — the
+    recursion reproduces that literally: the 277-merge table (trained
+    deterministically from embedded seeds, same ``train_bpe()`` the
+    Spark kernel uses) ships as an inline MAP keyed ``a||chr(1)||b``;
+    each step computes the applicable pairs with a map probe (note
+    ``m[k][1]``: this DuckDB's map indexing returns a LIST), takes
+    (min rank, then min position), splices, and stops when nothing
+    applies. The terminal state per word is ``arg_max(seq, step)``;
+    tokens equal to the end-of-word sentinel don't count."""
+    from la_fungus_search_spark.textops.bpe import END, train_bpe
+    from la_fungus_search_spark.textops.stats import BPE_PATTERN
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    merges = train_bpe()
+    keys = ", ".join(q(a + chr(1) + b) for a, b in merges)
+    vals = ", ".join(str(i) for i in range(len(merges)))
+    return f"""
+WITH RECURSIVE
+mt AS (SELECT map([{keys}], [{vals}]) AS m),
+pt AS (
+    SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), {q(BPE_PATTERN)})) AS word
+    FROM documents
+),
+perdoc AS (SELECT doc_id, word, count(*)::BIGINT AS n FROM pt GROUP BY 1, 2),
+words AS (SELECT DISTINCT word FROM perdoc),
+bpe(word, step, seq) AS (
+    SELECT word, 0, list_append(regexp_extract_all(word, '.'), {q(END)}) FROM words
+    UNION ALL
+    SELECT r.word, r.step + 1,
+           r.seq[1:t2.best_i - 1] || [r.seq[t2.best_i] || r.seq[t2.best_i + 1]]
+               || r.seq[t2.best_i + 2:len(r.seq)]
+    FROM bpe r, mt,
+    LATERAL (
+        SELECT list_filter(
+                 list_transform(range(1, len(r.seq)),
+                                i -> {{'i': i, 'r': mt.m[r.seq[i] || chr(1) || r.seq[i + 1]][1]}}),
+                 x -> x.r IS NOT NULL) AS app
+    ) t1,
+    LATERAL (
+        SELECT list_min(list_transform(
+                 list_filter(t1.app, x -> x.r = list_min(list_transform(t1.app, y -> y.r))),
+                 x -> x.i)) AS best_i
+    ) t2
+    WHERE t2.best_i IS NOT NULL
+),
+counts AS (
+    SELECT word, len(list_filter(arg_max(seq, step), t -> t <> {q(END)}))::INT AS n_bpe
+    FROM bpe GROUP BY word
+)
+SELECT d.doc_id,
+       coalesce(sum(p.n), 0)::BIGINT AS n_pretokens,
+       coalesce(sum(p.n * c.n_bpe), 0)::BIGINT AS bpe_tokens
+FROM documents d
+LEFT JOIN perdoc p USING (doc_id)
+LEFT JOIN counts c USING (word)
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def _query_dedup_oracle_sql() -> str:
     """D1 value-oracle: greedy keep-first query dedup as a DuckDB
     recursive CTE — same equivalence argument as ``_mmr_oracle_sql``
@@ -699,9 +765,11 @@ def q_text_bpe_counts(spark, sf_dir):
     """Real merge-table BPE token counts (Sennrich 2015 training +
     GPT-2 greedy application; deterministic embedded merges). Encode
     cost is per DISTINCT word (kernel over the distinct-word frame,
-    join-back), not per occurrence. Equivalence vs an independent
-    sequential-apply oracle + driver recompute: tests/test_bpe.py;
-    rows-only here (iterative merges aren't SQL-expressible)."""
+    join-back), not per occurrence. FULL value-oracle since r4: the
+    greedy merge loop runs in DuckDB as a recursive CTE over distinct
+    pretokens (_bpe_oracle_sql — the merge table ships as an inline
+    MAP); tests/test_bpe.py additionally pins the kernel against an
+    independent sequential-apply oracle."""
     from la_fungus_search_spark.textops import bpe
 
     return bpe.bpe_token_counts(_documents(spark, sf_dir)).orderBy("doc_id")
@@ -1388,7 +1456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b) new value-oracles this round
         "text_lang_id_model": q_text_lang_id_model,
         "dedup_simhash": q_dedup_simhash,
-        # (c) no_oracle entering r4 (first two now have value-oracles)
+        # (c) no_oracle entering r4 (query_dedup / mmr_diverse_topk /
+        # text_bpe_counts gained value-oracles mid-round)
         "query_dedup": q_query_dedup,
         "mmr_diverse_topk": q_mmr_diverse_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -1820,6 +1889,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_blockmax": _bm25_topk_sql(10),
         "mmr_diverse_topk": _mmr_oracle_sql(),
         "query_dedup": _query_dedup_oracle_sql(),
+        "text_bpe_counts": _bpe_oracle_sql(),
         "bm25_topk_and": f"""
 WITH {_bm25_base_cte()},
 qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),
@@ -2635,9 +2705,10 @@ WHERE rn > 20 AND rn <= 40 ORDER BY rn
         # iterative k-means; PQ codebooks) → rows-only checks by
         # design, each with a pytest oracle (recompute equality /
         # recall@10 floors). corpus_sketch: HLL/GK sketch internals →
-        # rows-only with pytest bounds. The two greedy ops
-        # (query_dedup, mmr_diverse_topk) gained recursive-CTE
-        # value-oracles in r4 — see _query_dedup_oracle_sql /
-        # _mmr_oracle_sql for the monotone-constraint equivalence
-        # argument.
+        # rows-only with pytest bounds. The three iterative ops
+        # (query_dedup, mmr_diverse_topk, text_bpe_counts) gained
+        # recursive-CTE value-oracles in r4 — see
+        # _query_dedup_oracle_sql / _mmr_oracle_sql (monotone-
+        # constraint equivalence) and _bpe_oracle_sql (literal
+        # transcription of encode_word's leftmost-min-rank loop).
     }

@@ -12,7 +12,7 @@ exercises the full BM25-candidates + recursion pipeline.
 
 import duckdb
 
-from __spark_entry__ import _query_dedup_oracle_sql
+from __spark_entry__ import _bpe_oracle_sql, _query_dedup_oracle_sql
 from la_fungus_search_spark.queries import dedup_multi_queries
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -37,6 +37,48 @@ def test_query_dedup_oracle_matches_python_greedy():
 
     assert got == want
     assert len(got) > 0
+
+
+def test_bpe_oracle_recursion_matches_encode_word():
+    """The BPE oracle's recursive merge loop, probed on a word set far
+    richer than the sf corpora's tiny pretoken vocabulary: every seed
+    word the merge table was trained on, plus adversarial shapes
+    (overlap runs, unicode, quotes, long identifiers). The oracle runs
+    against a synthetic one-word-per-doc `documents` view so the SQL
+    path is exactly the gate's; expected counts come from the package's
+    own ``encode_word``."""
+    import re
+
+    from la_fungus_search_spark.textops.bpe import (
+        CODE_SEED,
+        encode_word,
+        train_bpe,
+    )
+    from la_fungus_search_spark.textops.stats import BPE_PATTERN, LANG_SEED_TEXTS
+
+    merges = train_bpe()
+    ranks = {p: i for i, p in enumerate(merges)}
+    words = sorted(
+        set(
+            re.findall(BPE_PATTERN, CODE_SEED)
+            + [w for t in LANG_SEED_TEXTS.values() for w in re.findall(BPE_PATTERN, t)]
+        )
+    )
+    words += ["aaaa", "ssssss", "thethethe", "Ω", "'", "x", "supercalifragilistic", "0123456789"]
+
+    con = duckdb.connect()
+    con.execute("PRAGMA threads=4")
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", [(i, w) for i, w in enumerate(words)]
+    )
+    got = {r[0]: (r[1], r[2]) for r in con.execute(_bpe_oracle_sql()).fetchall()}
+
+    assert len(got) == len(words)
+    for i, w in enumerate(words):
+        pretoks = re.findall(BPE_PATTERN, w)
+        want = (len(pretoks), sum(encode_word(p, ranks) for p in pretoks))
+        assert got[i] == want, (w, got[i], want)
 
 
 def test_query_dedup_oracle_drops_planted_dups():
