@@ -55,6 +55,15 @@ def test_properties_random_corpora(spark, seed):
         eng = BM25QueryEngine(idx)
         hits = eng.search([query], k=5, mode="sql").collect()
 
+        # (d) physical-path identity on random corpora — these tiny
+        # skewed corpora routinely produce negative floored idfs, so
+        # this also fuzzes the f-space block bounds' negative branch
+        # (idf*min(f)) end to end
+        bm = eng.search([query], k=5, mode="blockmax").collect()
+        assert [(r.doc_id, round(r.score, 9)) for r in hits] == [
+            (r.doc_id, round(r.score, 9)) for r in bm
+        ], query
+
         q_terms = set(tokenize_query(query))
         doc_tokens = {i: set(tokenize(t)) for i, t in enumerate(texts)}
 
