@@ -269,6 +269,8 @@ def bench_main(results: dict):
         "streaming_step_metrics",
         "text_lang_id_model",
         "multimodal_decode",
+        "phrase_match_topk",
+        "proximity_window_topk",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

@@ -1,0 +1,374 @@
+"""Positional search: exact phrase match and windowed proximity.
+
+The reference's lexical layer is a bag-of-words BM25 (its query
+normalization at ``ui/queries.py:6-18`` discards order entirely), so
+phrase and proximity semantics are a *delta* capability of this
+engine — the canonical next operator for a fulltext index tier
+(Lucene/ES ``match_phrase`` semantics; public textbook construction:
+Manning, Raghavan & Schütze, *Introduction to Information Retrieval*
+§2.4, positional postings + positional intersect).
+
+Semantics (engine-invariant, shared with the DuckDB oracle twin):
+
+* tokens = the corpus tokenizer contract (``tokenizer.tokenize``);
+  phrases are tokenized with the SAME corpus rule — NO stopword
+  removal, because a phrase is a literal sequence ("the scan" must
+  not collapse to "scan").
+* a phrase ``[t0..tm-1]`` matches doc D at start position ``s`` iff
+  ``tokens[s+j] == tj`` for every j. ``phrase_tf`` = number of
+  distinct starts; ``first_pos`` = min start (0-based).
+* proximity ``({t0..tm-1}, W)`` matches at anchor ``s`` iff ``s`` is
+  an occurrence position of *some* query term and every term has an
+  occurrence in ``[s, s+W)``. ``n_windows`` = number of matching
+  anchors (well-defined: a position holds exactly one token, so
+  anchor candidates are distinct).
+
+Two execution paths, tested equal:
+
+1. **Scan path** (`phrase_match_topk`, `proximity_topk`): one corpus
+   pass tokenizes + position-explodes, FILTERS to the queried terms
+   (so everything downstream is sized by term hits, not corpus), and
+   aggregates one ``map<term, positions>`` row per candidate doc.
+   Every per-query expression then reads that map ATTRIBUTE — the
+   expensive tokenizer runs exactly once per row on the scan side
+   and never inside a per-query or per-element re-evaluation (the
+   Catalyst lambda-CSE trap documented in the lang-ID notes:
+   lambda-bearing subtrees are excluded from codegen subexpression
+   elimination, so referencing a tokenizer tree from N projections
+   costs N evaluations — aggregating it into a real column doesn't).
+   Start verification is shifted ``array_intersect`` — pure JVM.
+2. **Indexed path** (`build_phrase_index` + `search_phrase_indexed`):
+   positional postings ``(term, doc_id, positions)`` written
+   bucketed by ``pmod(xxhash64(term), n_buckets)`` — the same layout
+   contract as the BM25 posting store, so a phrase query reads ONLY
+   its terms' buckets (PartitionFilters pruning, verified in
+   tests/test_phrase.py) and joins m per-term slices on ``doc_id``.
+   Cost ∝ Σ df(tj), independent of corpus size — the 100 TB path:
+   at 10^11 docs a 3-term phrase over million-df terms touches a few
+   GB across 3 of ~100k bucket partitions, never the corpus.
+
+At gate scale the scan path backs the driver entries (it builds from
+the raw table, like the oracle); pytest pins indexed == scan on the
+same corpus and both against a pure-Python recompute.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.tokenizer import duckdb_tokens_sql, tokenize, tokens_expr
+from la_fungus_search_spark.xxhash import term_bucket
+
+# ------------------------------------------------------------ shared
+
+
+def _occurrences(docs: DataFrame, terms: List[str] | None) -> DataFrame:
+    """(doc_id, term, pos) for every token occurrence, optionally
+    restricted to ``terms`` BEFORE any shuffle — the scan path's
+    working set is query-term hits, never the corpus."""
+    occ = docs.select(
+        "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "term")
+    )
+    if terms is not None:
+        occ = occ.filter(F.col("term").isin(terms))
+    return occ
+
+
+def _term_pos_map(docs: DataFrame, terms: List[str]) -> DataFrame:
+    """One row per doc containing ≥1 queried term:
+    ``(doc_id, pm: map<term, array<int>>)`` with sorted 0-based
+    positions (sort_array — collect_list order is not shuffle-stable).
+    Both aggregations carry partial (map-side) combine."""
+    return (
+        _occurrences(docs, terms)
+        .groupBy("doc_id", "term")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("pm")
+        )
+    )
+
+
+def _shifted(col: Column, j: int) -> Column:
+    """``transform(col, v -> v - j)``. NOTE: the lambda must stay
+    single-parameter — PySpark picks the (value, index) HOF form from
+    the Python function's arity, so a ``lambda v, _j=j:`` default-arg
+    capture silently binds ``_j`` to the ELEMENT INDEX. A dedicated
+    function scope makes the capture safe without a second parameter."""
+    return F.transform(col, lambda v: v - F.lit(j))
+
+
+def _starts_expr(terms: Sequence[str]) -> Column:
+    """Phrase start positions from the ``pm`` map attribute:
+    ∩_j (positions(tj) − j). NULL when any term is absent."""
+    starts = F.element_at("pm", F.lit(terms[0]))
+    for j, t in enumerate(terms[1:], start=1):
+        starts = F.array_intersect(
+            starts, _shifted(F.element_at("pm", F.lit(t)), j)
+        )
+    return starts
+
+
+def _windows_expr(terms: Sequence[str], window: int) -> Column:
+    """Matching proximity anchors from ``pm``: occurrences of any
+    query term whose ``[s, s+W)`` covers every term. NULL when a term
+    is absent (concat of arrays is NULL-propagating — exactly the
+    all-terms-required semantics)."""
+    anchors = F.concat(*[F.element_at("pm", F.lit(t)) for t in terms])
+
+    def in_window(positions: Column, s: Column) -> Column:
+        # single-parameter lambda (see _shifted's arity note)
+        return F.exists(
+            positions, lambda x: (x >= s) & (x < s + F.lit(window))
+        )
+
+    def covered(s: Column) -> Column:
+        cond = F.lit(True)
+        for t in terms:
+            cond = cond & in_window(F.element_at("pm", F.lit(t)), s)
+        return cond
+
+    return F.filter(anchors, covered)
+
+
+def _rank_topk(per_doc: DataFrame, k: int, count_col: str) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc(count_col), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col(count_col).cast("bigint").alias(count_col),
+            F.col("first_pos").cast("int").alias("first_pos"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+# --------------------------------------------------------- scan path
+
+
+def phrase_match_topk(
+    docs: DataFrame, phrases: Sequence[str], k: int = 10
+) -> DataFrame:
+    """Top-k docs per phrase by exact-occurrence count (ties → doc_id
+    asc). One corpus pass serves ALL phrases; the per-candidate-doc
+    projection emits an array of per-phrase (tf, first_pos) structs,
+    exploded and top-k'd per query."""
+    term_lists = [tokenize(p) for p in phrases]
+    if any(not t for t in term_lists):
+        raise ValueError("empty phrase after tokenization")
+    all_terms = sorted({t for ts in term_lists for t in ts})
+    pm = _term_pos_map(docs, all_terms)
+    per_q = []
+    for qid, terms in enumerate(term_lists):
+        starts = _starts_expr(terms)
+        per_q.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.coalesce(F.size(starts), F.lit(0)).alias("phrase_tf"),
+                F.coalesce(F.array_min(starts), F.lit(-1)).alias("first_pos"),
+            )
+        )
+    hits = (
+        pm.select("doc_id", F.explode(F.array(*per_q)).alias("h"))
+        .select("doc_id", "h.query_id", "h.phrase_tf", "h.first_pos")
+        .filter(F.col("phrase_tf") > 0)
+    )
+    return _rank_topk(hits, k, "phrase_tf")
+
+
+def proximity_topk(
+    docs: DataFrame, queries: Sequence[Tuple[str, int]], k: int = 10
+) -> DataFrame:
+    """Top-k docs per (terms, window) proximity query by matching-anchor
+    count. ``queries``: (query_string, window) pairs; terms are the
+    DISTINCT corpus-tokenized words of the string (all required)."""
+    parsed = []
+    for q, w in queries:
+        terms = sorted(set(tokenize(q)))
+        if not terms:
+            raise ValueError("empty proximity query after tokenization")
+        if int(w) < 1:
+            raise ValueError("window must be >= 1")
+        parsed.append((terms, int(w)))
+    all_terms = sorted({t for ts, _ in parsed for t in ts})
+    pm = _term_pos_map(docs, all_terms)
+    per_q = []
+    for qid, (terms, w) in enumerate(parsed):
+        wins = _windows_expr(terms, w)
+        per_q.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.coalesce(F.size(wins), F.lit(0)).alias("n_windows"),
+                F.coalesce(F.array_min(wins), F.lit(-1)).alias("first_pos"),
+            )
+        )
+    hits = (
+        pm.select("doc_id", F.explode(F.array(*per_q)).alias("h"))
+        .select("doc_id", "h.query_id", "h.n_windows", "h.first_pos")
+        .filter(F.col("n_windows") > 0)
+    )
+    return _rank_topk(hits, k, "n_windows")
+
+
+# ------------------------------------------------------ indexed path
+
+
+def build_phrase_index(docs: DataFrame, out_dir: str, n_buckets: int = 32) -> None:
+    """Positional postings ``(term, doc_id, positions array<int>)``
+    partitioned by ``bucket = pmod(xxhash64(term), n_buckets)`` — the
+    BM25 posting store's pruning contract. One corpus scan, one
+    posting-sized shuffle; at 100 TB ``n_buckets`` scales exactly like
+    the BM25 store's (index/builder.py sizing notes). Positions could
+    additionally delta-varint into a binary column like the BM25 tf
+    runs (index/codec.py) — at this table's access pattern (m pruned
+    buckets per query) plain ``array<int>`` keeps the JVM intersect
+    path decode-free, so we trade bytes for zero kernel cost."""
+    (
+        _occurrences(docs, None)
+        .groupBy("term", "doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
+
+
+def search_phrase_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    phrases: Sequence[str],
+    k: int = 10,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Phrase top-k from the positional index: read ONLY the phrase
+    terms' buckets (driver-side xxhash64 twin → partition-pruned
+    IN-list, zero pre-query jobs — same trick as the BM25 engine),
+    then m-way join the per-term position slices on doc_id with
+    shifted intersects. Cost ∝ Σ df(term)."""
+    term_lists = [tokenize(p) for p in phrases]
+    if any(not t for t in term_lists):
+        raise ValueError("empty phrase after tokenization")
+    all_terms = sorted({t for ts in term_lists for t in ts})
+    buckets = sorted({term_bucket(t, n_buckets) for t in all_terms})
+    pos = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
+        .select("term", "doc_id", "positions")
+    )
+    parts = []
+    for qid, terms in enumerate(term_lists):
+        cur = pos.filter(F.col("term") == terms[0]).select(
+            "doc_id", F.col("positions").alias("starts")
+        )
+        for j, t in enumerate(terms[1:], start=1):
+            nxt = pos.filter(F.col("term") == t).select(
+                "doc_id", _shifted(F.col("positions"), j).alias(f"p{j}")
+            )
+            cur = cur.join(nxt, "doc_id").select(
+                "doc_id", F.array_intersect("starts", f"p{j}").alias("starts")
+            )
+        parts.append(
+            cur.select(
+                F.lit(qid).alias("query_id"),
+                "doc_id",
+                F.size("starts").alias("phrase_tf"),
+                F.coalesce(F.array_min("starts"), F.lit(-1)).alias("first_pos"),
+            ).filter(F.col("phrase_tf") > 0)
+        )
+    hits = parts[0]
+    for p in parts[1:]:
+        hits = hits.unionByName(p)
+    return _rank_topk(hits, k, "phrase_tf")
+
+
+# -------------------------------------------------------- oracle SQL
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def phrase_oracle_sql(phrases: Sequence[str], k: int = 10) -> str:
+    """DuckDB twin of :func:`phrase_match_topk` (1-based list
+    positions internally, emitted 0-based to match the engine)."""
+    toks = duckdb_tokens_sql("text")
+    branches = []
+    for qid, p in enumerate(phrases):
+        terms = tokenize(p)
+        conds = " AND ".join(
+            f"toks[s + {j}] = {_sql_quote(t)}" for j, t in enumerate(terms)
+        )
+        starts = (
+            f"list_filter(range(1, len(toks) - {len(terms) - 1} + 1), s -> {conds})"
+        )
+        branches.append(
+            f"""SELECT {qid} AS query_id, doc_id,
+       len({starts})::BIGINT AS phrase_tf,
+       (list_min({starts}) - 1)::INT AS first_pos
+FROM tokd"""
+        )
+    body = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+hits AS ({body}),
+matched AS (SELECT * FROM hits WHERE phrase_tf > 0),
+ranked AS (
+    SELECT query_id, doc_id, phrase_tf, first_pos,
+           row_number() OVER (PARTITION BY query_id ORDER BY phrase_tf DESC, doc_id ASC) AS rank
+    FROM matched
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, phrase_tf, first_pos
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def proximity_oracle_sql(queries: Sequence[Tuple[str, int]], k: int = 10) -> str:
+    """DuckDB twin of :func:`proximity_topk`."""
+    toks = duckdb_tokens_sql("text")
+    branches = []
+    for qid, (q, w) in enumerate(queries):
+        terms = sorted(set(tokenize(q)))
+        inset = ", ".join(_sql_quote(t) for t in terms)
+        poscols = ", ".join(
+            f"list_filter(range(1, len(toks) + 1), i -> toks[i] = {_sql_quote(t)}) AS pos_{j}"
+            for j, t in enumerate(terms)
+        )
+        covered = " AND ".join(
+            f"len(list_filter(pos_{j}, x -> x >= s AND x < s + {int(w)})) > 0"
+            for j in range(len(terms))
+        )
+        wins = f"list_filter(anchors, s -> {covered})"
+        branches.append(
+            f"""SELECT query_id, doc_id, len({wins})::BIGINT AS n_windows,
+       (list_min({wins}) - 1)::INT AS first_pos
+FROM (
+    SELECT {qid} AS query_id, doc_id, {poscols},
+           list_filter(range(1, len(toks) + 1), i -> toks[i] IN ({inset})) AS anchors
+    FROM tokd
+)"""
+        )
+    body = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+hits AS ({body}),
+matched AS (SELECT * FROM hits WHERE n_windows > 0),
+ranked AS (
+    SELECT query_id, doc_id, n_windows, first_pos,
+           row_number() OVER (PARTITION BY query_id ORDER BY n_windows DESC, doc_id ASC) AS rank
+    FROM matched
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, n_windows, first_pos
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""

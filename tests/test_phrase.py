@@ -1,0 +1,175 @@
+"""Positional search (query/phrase.py): scan path vs a pure-Python
+recompute, indexed path vs scan path, oracle-SQL twins, partition
+pruning, and the degenerate shapes (single-term phrase, repeated-term
+phrase, phrase longer than any doc, absent term)."""
+
+import re
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.query.phrase import (
+    build_phrase_index,
+    phrase_match_topk,
+    phrase_oracle_sql,
+    proximity_oracle_sql,
+    proximity_topk,
+    search_phrase_indexed,
+)
+from la_fungus_search_spark.tokenizer import tokenize
+
+SF = "/root/testdata/sf0.001"
+
+PHRASES = [
+    "table part",
+    "scan slow",
+    "window stream sort",
+    "the table",  # stopword kept: phrases are literal sequences
+    "scan",  # single-term degenerates to tf
+    "table table",  # repeated term
+    "zebra quux",  # absent terms -> zero rows
+]
+PROX = [
+    ("customer join", 8),
+    ("spark filter", 5),
+    ("scan slow fast", 10),
+    ("zebra scan", 6),  # one absent term -> zero rows (all required)
+]
+
+
+# ------------------------------------------------- pure-Python oracles
+
+
+def py_phrase(docs, phrase, k=10):
+    terms = tokenize(phrase)
+    m = len(terms)
+    rows = []
+    for doc_id, text in docs:
+        toks = tokenize(text)
+        starts = [
+            s
+            for s in range(len(toks) - m + 1)
+            if all(toks[s + j] == terms[j] for j in range(m))
+        ]
+        if starts:
+            rows.append((doc_id, len(starts), starts[0]))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return [
+        (rank + 1, doc_id, tf, fp)
+        for rank, (doc_id, tf, fp) in enumerate(rows[:k])
+    ]
+
+
+def py_prox(docs, query, window, k=10):
+    terms = sorted(set(tokenize(query)))
+    rows = []
+    for doc_id, text in docs:
+        toks = tokenize(text)
+        pos = {t: [i for i, x in enumerate(toks) if x == t] for t in terms}
+        if any(not p for p in pos.values()):
+            continue
+        anchors = sorted(i for t in terms for i in pos[t])
+        wins = [
+            s
+            for s in anchors
+            if all(any(s <= x < s + window for x in pos[t]) for t in terms)
+        ]
+        if wins:
+            rows.append((doc_id, len(wins), wins[0]))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return [
+        (rank + 1, doc_id, n, fp)
+        for rank, (doc_id, n, fp) in enumerate(rows[:k])
+    ]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def docs_local(docs_df):
+    return [(r["doc_id"], r["text"]) for r in docs_df.collect()]
+
+
+# -------------------------------------------------------------- tests
+
+
+def test_phrase_scan_vs_python(spark, docs_df, docs_local):
+    got = phrase_match_topk(docs_df, PHRASES, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["phrase_tf"], r["first_pos"])
+        )
+    for qid, p in enumerate(PHRASES):
+        assert by_q.get(qid, []) == py_phrase(docs_local, p), p
+    assert by_q.get(PHRASES.index("zebra quux"), []) == []
+
+
+def test_prox_scan_vs_python(spark, docs_df, docs_local):
+    got = proximity_topk(docs_df, PROX, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["n_windows"], r["first_pos"])
+        )
+    for qid, (q, w) in enumerate(PROX):
+        assert by_q.get(qid, []) == py_prox(docs_local, q, w), (q, w)
+    assert by_q.get(3, []) == []  # absent term -> no matches
+
+
+def test_indexed_equals_scan_and_prunes(spark, docs_df, tmp_path):
+    out = str(tmp_path / "pos")
+    build_phrase_index(docs_df, out, n_buckets=8)
+    live = [p for p in PHRASES if p != "zebra quux"]
+    scan = [tuple(r) for r in phrase_match_topk(docs_df, live, k=10).collect()]
+    idx = [
+        tuple(r)
+        for r in search_phrase_indexed(spark, out, live, k=10, n_buckets=8).collect()
+    ]
+    assert idx == scan
+    # the read must be partition-pruned to the phrase terms' buckets
+    plan = (
+        search_phrase_indexed(spark, out, ["table part"], k=10, n_buckets=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_oracle_sql_twins(spark, docs_df):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    sph = [tuple(r) for r in phrase_match_topk(docs_df, PHRASES[:4], k=10).collect()]
+    oph = [tuple(r) for r in con.execute(phrase_oracle_sql(PHRASES[:4], 10)).fetchall()]
+    assert sph == oph
+    spx = [tuple(r) for r in proximity_topk(docs_df, PROX[:3], k=10).collect()]
+    opx = [tuple(r) for r in con.execute(proximity_oracle_sql(PROX[:3], 10)).fetchall()]
+    assert spx == opx
+
+
+def test_phrase_empty_raises(spark, docs_df):
+    with pytest.raises(ValueError):
+        phrase_match_topk(docs_df, ["..."], k=5)  # tokenizes to nothing
+    with pytest.raises(ValueError):
+        proximity_topk(docs_df, [("scan", 0)], k=5)  # window < 1
+
+
+def test_phrase_longer_than_doc(spark):
+    sess = spark
+    df = sess.createDataFrame(
+        [(1, "a b"), (2, "a b c a b c"), (3, None)],
+        schema="doc_id BIGINT, text STRING",
+    )
+    got = [tuple(r) for r in phrase_match_topk(df, ["a b c a b c a"], k=5).collect()]
+    assert got == []
+    got2 = [tuple(r) for r in phrase_match_topk(df, ["a b c"], k=5).collect()]
+    assert got2 == [(0, 1, 2, 2, 0)]  # doc 2: starts at 0 and 3

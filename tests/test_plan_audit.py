@@ -75,6 +75,8 @@ AUDIT = [
     "text_lang_id_model",
     "text_bpe_counts",
     "multimodal_decode",
+    "phrase_match_topk",
+    "proximity_window_topk",
 ]
 
 
