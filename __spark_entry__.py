@@ -65,6 +65,15 @@ KW_QUERIES = BM25_QUERIES[:4]
 # tokenizer (no stopword strip — a phrase is a literal sequence).
 PHRASE_QUERIES = ["table part", "scan slow", "window stream sort", "the table"]
 PROX_QUERIES = [("customer join", 8), ("spark filter", 5), ("scan slow fast", 10)]
+# Boolean retrieval fixtures (engine.search_boolean): Lucene
+# BooleanQuery semantics — must filters+scores, should boosts,
+# must_not excludes, phrase is a literal positional filter.
+BOOL_QUERIES = [
+    {"must": "table scan", "should": "hash join", "must_not": "merge"},
+    {"should": "window agg sort", "must_not": "customer"},
+    {"must": "spark", "phrase": "table part"},
+    {"must": "value", "should": "big small", "phrase": "scan slow", "must_not": "vector"},
+]
 GREP_NEEDLE = "merge"
 AND_TERMS = ["merge", "batch", "window"]
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -212,6 +221,89 @@ scored AS (
     GROUP BY 1, 2
 ),
 qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM scored),
+ranked AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def _boolean_oracle_sql(k: int = 10) -> str:
+    """DuckDB twin of q_boolean_query_topk: BM25 scoring over the
+    must∪should terms (the shared base CTE), must as a distinct-count
+    floor, must_not as an anti-join, phrase as the positional list
+    predicate — mirroring engine.search_boolean clause by clause."""
+    from la_fungus_search_spark.tokenizer import tokenize as corpus_tokenize
+
+    qt_rows, mt_rows, nm_rows, xt_rows, hp_rows, ph_branches = [], [], [], [], [], []
+    for qid, s in enumerate(BOOL_QUERIES):
+        scored_terms = tokenize_query(s.get("must") or "") + tokenize_query(
+            s.get("should") or ""
+        )
+        for term, qtf in Counter(scored_terms).items():
+            qt_rows.append(f"({qid}, '{term}', {qtf})")
+        must = sorted(set(tokenize_query(s.get("must") or "")))
+        mt_rows.extend(f"({qid}, '{t}')" for t in must)
+        nm_rows.append(f"({qid}, {len(must)})")
+        xt_rows.extend(
+            f"({qid}, '{t}')"
+            for t in sorted(set(tokenize_query(s.get("must_not") or "")))
+        )
+        hp_rows.append(f"({qid}, {1 if s.get('phrase') else 0})")
+        if s.get("phrase"):
+            terms = corpus_tokenize(s["phrase"])
+            conds = " AND ".join(
+                f"toks[s + {j}] = '{t}'" for j, t in enumerate(terms)
+            )
+            ph_branches.append(
+                f"SELECT {qid} AS query_id, doc_id FROM tokd WHERE "
+                f"len(list_filter(range(1, len(toks) - {len(terms) - 1} + 1), s -> {conds})) > 0"
+            )
+    mt_sql = ", ".join(mt_rows) or "(-1, '')"
+    xt_sql = ", ".join(xt_rows) or "(-1, '')"
+    ph_sql = "\nUNION ALL\n".join(ph_branches) or (
+        "SELECT -1 AS query_id, -1 AS doc_id WHERE 1=0"
+    )
+    return f"""
+WITH {_bm25_base_cte()},
+tokd AS (SELECT doc_id, {duckdb_tokens_sql('text')} AS toks FROM documents),
+qt(query_id, term, qtf) AS (VALUES {", ".join(qt_rows)}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt
+    JOIN idf USING (term)
+    JOIN tf USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+mt(query_id, term) AS (VALUES {mt_sql}),
+nm(query_id, n_must) AS (VALUES {", ".join(nm_rows)}),
+mm AS (
+    SELECT mt.query_id, tf.doc_id, count(DISTINCT tf.term)::BIGINT AS must_matched
+    FROM mt JOIN tf USING (term) GROUP BY 1, 2
+),
+xt(query_id, term) AS (VALUES {xt_sql}),
+ex AS (SELECT DISTINCT xt.query_id, tf.doc_id FROM xt JOIN tf USING (term)),
+hp(query_id, has_ph) AS (VALUES {", ".join(hp_rows)}),
+ph AS ({ph_sql}),
+elig AS (
+    SELECT s.query_id, s.doc_id, s.score
+    FROM scored s
+    JOIN nm ON nm.query_id = s.query_id
+    JOIN hp ON hp.query_id = s.query_id
+    LEFT JOIN mm ON mm.query_id = s.query_id AND mm.doc_id = s.doc_id
+    LEFT JOIN ex ON ex.query_id = s.query_id AND ex.doc_id = s.doc_id
+    LEFT JOIN ph ON ph.query_id = s.query_id AND ph.doc_id = s.doc_id
+    WHERE coalesce(mm.must_matched, 0) >= nm.n_must
+      AND ex.doc_id IS NULL
+      AND (hp.has_ph = 0 OR ph.doc_id IS NOT NULL)
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM elig),
 ranked AS (
     SELECT query_id, doc_id, score_q,
            row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
@@ -504,6 +596,24 @@ def q_bm25_globals(spark, sf_dir):
         F.sum(F.col("doclen").cast("bigint")).alias("total_tokens"),
         _micro(F.avg("doclen")).alias("avgdl_micro"),
     )
+
+
+def q_boolean_query_topk(spark, sf_dir):
+    """Boolean retrieval (engine.search_boolean): must/should/must_not
+    term clauses resolved from pruned postings + literal phrase
+    clauses resolved positionally (scan-path candidates here, matching
+    the oracle's construction; the positional-index variant is pinned
+    equal in tests/test_phrase.py). Over-fetch k=30 on the float path,
+    re-rank on the micro-quantized score so boundary ties resolve like
+    the oracle (same pattern as q_bm25_topk_blockmax)."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    qp = [(i, s["phrase"]) for i, s in enumerate(BOOL_QUERIES) if s.get("phrase")]
+    cand = None
+    if qp:
+        docs = _documents(spark, sf_dir).select("doc_id", "text")
+        cand = phrase_ops.phrase_candidates_scan(docs, qp)
+    hits = eng.search_boolean(BOOL_QUERIES, k=30, phrase_candidates=cand)
+    return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
 
 
 def q_phrase_match_topk(spark, sf_dir):
@@ -1445,7 +1555,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness run checks a
-    # bounded PREFIX of this dict (~50 of 67). Round-4 rotation
+    # bounded PREFIX of this dict (~50 of 68). Round-4 rotation
     # (VERDICT r3 item 3): (a) the 15 entries whose only driver-green
     # row is from r2 go FIRST — especially multimodal_decode, whose
     # real-container-decode semantics postdate its r2 row; (b) then
@@ -1457,10 +1567,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # kept in place, the prefix position is what matters);
     # (d) then greens touching this round's changed modules. The 15
     # r3-green entries with unchanged code rotate to the back — every
-    # entry then has a green driver row in r3 ∪ r4. The two NEW
-    # positional-search gates displace term_intersection and
-    # text_token_counts from the ~50 prefix; both are r3 hash-green
-    # on unchanged code.
+    # entry then has a green driver row in r3 ∪ r4. The three NEW
+    # gates (positional search ×2, boolean retrieval) displace
+    # concrete_query_filter, term_intersection and text_token_counts
+    # from the ~50 prefix; all three are r3 hash-green on unchanged
+    # code.
     return {
         # (a) r2-green only, driver-unchecked in r3
         "multimodal_decode": q_multimodal_decode,
@@ -1485,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "phrase_match_topk": q_phrase_match_topk,
         "proximity_window_topk": q_proximity_window_topk,
+        "boolean_query_topk": q_boolean_query_topk,
         # (c) no_oracle entering r4 (query_dedup / mmr_diverse_topk /
         # text_bpe_counts gained value-oracles mid-round)
         "query_dedup": q_query_dedup,
@@ -1918,6 +2030,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_blockmax": _bm25_topk_sql(10),
         "phrase_match_topk": phrase_ops.phrase_oracle_sql(PHRASE_QUERIES, 10),
         "proximity_window_topk": phrase_ops.proximity_oracle_sql(PROX_QUERIES, 10),
+        "boolean_query_topk": _boolean_oracle_sql(10),
         "mmr_diverse_topk": _mmr_oracle_sql(),
         "query_dedup": _query_dedup_oracle_sql(),
         "text_bpe_counts": _bpe_oracle_sql(),

@@ -271,6 +271,7 @@ def bench_main(results: dict):
         "multimodal_decode",
         "phrase_match_topk",
         "proximity_window_topk",
+        "boolean_query_topk",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

@@ -150,6 +150,85 @@ class BM25QueryEngine:
         """Pure-JVM scoring over uncompressed postings → top-k."""
         return self._topk(self.scored_sql(queries), k)
 
+    def search_boolean(
+        self,
+        specs: Sequence[dict],
+        k: int = 10,
+        phrase_candidates: DataFrame | None = None,
+    ) -> DataFrame:
+        """Lucene-BooleanQuery-semantics top-k over the index (public
+        semantics: Lucene's BooleanScorer — MUST clauses filter AND
+        score, SHOULD only boosts, MUST_NOT never scores).
+
+        Each spec is a dict with any of:
+
+        * ``must`` — terms that must ALL match (scored),
+        * ``should`` — optional terms (scored when present),
+        * ``must_not`` — terms that must NOT match (filter only),
+        * ``phrase`` — an exact phrase the doc must contain (filter
+          only; resolved via ``phrase_candidates``).
+
+        Scoring = BM25 over (must ∪ should) occurrences. At least one
+        scored term per spec. Term clauses use QUERY tokenization
+        (stopwords stripped, like every search path); phrases are
+        literal sequences.
+
+        ``phrase_candidates``: (query_id, doc_id) pairs satisfying
+        each spec's phrase clause — build with
+        ``phrase.phrase_candidates_scan`` (one corpus pass) or
+        ``phrase.phrase_candidates_indexed`` (pruned positional-index
+        read, the 100 TB path). Required iff any spec has a phrase.
+
+        Every term clause rides :meth:`scored_sql` (broadcast query
+        dim, driver-side bucket IN-list): the scoring pass reads the
+        must∪should buckets; the must-count and exclusion passes read
+        only their own terms' buckets. Nothing touches the corpus."""
+        scored_q = [
+            " ".join(filter(None, (s.get("must"), s.get("should")))) for s in specs
+        ]
+        if any(not tokenize_query(q) for q in scored_q):
+            raise ValueError("each boolean spec needs >= 1 scored (must/should) term")
+        scored = self.scored_sql(scored_q).select("query_id", "doc_id", "score")
+        n_must = [len(set(tokenize_query(s.get("must") or ""))) for s in specs]
+        if any(n_must):
+            mm = self.scored_sql([s.get("must") or "" for s in specs]).select(
+                "query_id", "doc_id", F.col("n_matched").alias("must_matched")
+            )
+            nt = F.broadcast(
+                self.spark.createDataFrame(
+                    list(enumerate(n_must)), schema="query_id INT, n_must INT"
+                )
+            )
+            scored = (
+                scored.join(nt, "query_id")
+                .join(mm, ["query_id", "doc_id"], "left")
+                .filter(F.coalesce("must_matched", F.lit(0)) >= F.col("n_must"))
+                .select("query_id", "doc_id", "score")
+            )
+        xq = [s.get("must_not") or "" for s in specs]
+        if any(tokenize_query(x) for x in xq):
+            ex = self.scored_sql(xq).select("query_id", "doc_id")
+            scored = scored.join(ex, ["query_id", "doc_id"], "left_anti")
+        has_ph = [1 if s.get("phrase") else 0 for s in specs]
+        if any(has_ph):
+            if phrase_candidates is None:
+                raise ValueError("specs contain phrase clauses; pass phrase_candidates")
+            hp = F.broadcast(
+                self.spark.createDataFrame(
+                    list(enumerate(has_ph)), schema="query_id INT, has_ph INT"
+                )
+            )
+            cand = phrase_candidates.select("query_id", "doc_id").withColumn(
+                "ph_ok", F.lit(1)
+            )
+            scored = (
+                scored.join(hp, "query_id")
+                .join(cand, ["query_id", "doc_id"], "left")
+                .filter((F.col("has_ph") == 0) | F.col("ph_ok").isNotNull())
+                .select("query_id", "doc_id", "score")
+            )
+        return self._topk(scored, k)
+
     # ------------------------------------------------------------ block-max path
 
     def _query_meta(self, queries: Sequence[str]) -> pd.DataFrame:

@@ -220,6 +220,32 @@ def proximity_topk(
     return _rank_topk(hits, k, "n_windows")
 
 
+def phrase_candidates_scan(
+    docs: DataFrame, qid_phrases: Sequence[Tuple[int, str]]
+) -> DataFrame:
+    """(query_id, doc_id) pairs whose doc contains the query's phrase —
+    the filter-clause form of the scan path (one corpus pass for all
+    phrases, working set ∝ term hits). Feeds
+    ``BM25QueryEngine.search_boolean``'s phrase clause."""
+    term_lists = [(qid, tokenize(p)) for qid, p in qid_phrases]
+    if any(not ts for _, ts in term_lists):
+        raise ValueError("empty phrase after tokenization")
+    all_terms = sorted({t for _, ts in term_lists for t in ts})
+    pm = _term_pos_map(docs, all_terms)
+    per_q = [
+        F.struct(
+            F.lit(qid).alias("query_id"),
+            F.coalesce(F.size(_starts_expr(terms)), F.lit(0)).alias("phrase_tf"),
+        )
+        for qid, terms in term_lists
+    ]
+    return (
+        pm.select("doc_id", F.explode(F.array(*per_q)).alias("h"))
+        .filter(F.col("h.phrase_tf") > 0)
+        .select(F.col("h.query_id").cast("int").alias("query_id"), "doc_id")
+    )
+
+
 # ------------------------------------------------------ indexed path
 
 
@@ -261,36 +287,76 @@ def search_phrase_indexed(
     if any(not t for t in term_lists):
         raise ValueError("empty phrase after tokenization")
     all_terms = sorted({t for ts in term_lists for t in ts})
-    buckets = sorted({term_bucket(t, n_buckets) for t in all_terms})
-    pos = (
-        spark.read.parquet(index_dir)
-        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
-        .select("term", "doc_id", "positions")
-    )
+    pos = _pruned_positions(spark, index_dir, all_terms, n_buckets)
     parts = []
     for qid, terms in enumerate(term_lists):
-        cur = pos.filter(F.col("term") == terms[0]).select(
-            "doc_id", F.col("positions").alias("starts")
-        )
-        for j, t in enumerate(terms[1:], start=1):
-            nxt = pos.filter(F.col("term") == t).select(
-                "doc_id", _shifted(F.col("positions"), j).alias(f"p{j}")
-            )
-            cur = cur.join(nxt, "doc_id").select(
-                "doc_id", F.array_intersect("starts", f"p{j}").alias("starts")
-            )
         parts.append(
-            cur.select(
+            _indexed_starts(pos, terms)
+            .select(
                 F.lit(qid).alias("query_id"),
                 "doc_id",
                 F.size("starts").alias("phrase_tf"),
                 F.coalesce(F.array_min("starts"), F.lit(-1)).alias("first_pos"),
-            ).filter(F.col("phrase_tf") > 0)
+            )
+            .filter(F.col("phrase_tf") > 0)
         )
     hits = parts[0]
     for p in parts[1:]:
         hits = hits.unionByName(p)
     return _rank_topk(hits, k, "phrase_tf")
+
+
+def _pruned_positions(
+    spark: SparkSession, index_dir: str, all_terms: List[str], n_buckets: int
+) -> DataFrame:
+    buckets = sorted({term_bucket(t, n_buckets) for t in all_terms})
+    return (
+        spark.read.parquet(index_dir)
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
+        .select("term", "doc_id", "positions")
+    )
+
+
+def _indexed_starts(pos: DataFrame, terms: Sequence[str]) -> DataFrame:
+    """(doc_id, starts) for one phrase: m-way doc_id join of per-term
+    position slices with shifted intersects."""
+    cur = pos.filter(F.col("term") == terms[0]).select(
+        "doc_id", F.col("positions").alias("starts")
+    )
+    for j, t in enumerate(terms[1:], start=1):
+        nxt = pos.filter(F.col("term") == t).select(
+            "doc_id", _shifted(F.col("positions"), j).alias(f"p{j}")
+        )
+        cur = cur.join(nxt, "doc_id").select(
+            "doc_id", F.array_intersect("starts", f"p{j}").alias("starts")
+        )
+    return cur
+
+
+def phrase_candidates_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    qid_phrases: Sequence[Tuple[int, str]],
+    n_buckets: int = 32,
+) -> DataFrame:
+    """(query_id, doc_id) phrase-clause pairs from the positional index
+    (pruned to the phrases' buckets) — the 100 TB form of
+    :func:`phrase_candidates_scan`; tested equal."""
+    term_lists = [(qid, tokenize(p)) for qid, p in qid_phrases]
+    if any(not ts for _, ts in term_lists):
+        raise ValueError("empty phrase after tokenization")
+    all_terms = sorted({t for _, ts in term_lists for t in ts})
+    pos = _pruned_positions(spark, index_dir, all_terms, n_buckets)
+    parts = [
+        _indexed_starts(pos, terms)
+        .filter(F.size("starts") > 0)
+        .select(F.lit(qid).cast("int").alias("query_id"), "doc_id")
+        for qid, terms in term_lists
+    ]
+    hits = parts[0]
+    for p in parts[1:]:
+        hits = hits.unionByName(p)
+    return hits
 
 
 # -------------------------------------------------------- oracle SQL

@@ -1,0 +1,112 @@
+"""Boolean retrieval (engine.search_boolean): Lucene BooleanQuery
+semantics pinned against a pure-Python recompute (BM25Oracle scores +
+hand-evaluated clause filters), indexed phrase candidates vs scan
+candidates, and the validation edges."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.index import build_index
+from la_fungus_search_spark.oracle import BM25Oracle
+from la_fungus_search_spark.query import BM25QueryEngine
+from la_fungus_search_spark.query.phrase import (
+    build_phrase_index,
+    phrase_candidates_indexed,
+    phrase_candidates_scan,
+)
+from la_fungus_search_spark.tokenizer import tokenize, tokenize_query
+
+SF = "/root/testdata/sf0.001"
+
+SPECS = [
+    {"must": "table scan", "should": "hash join", "must_not": "merge"},
+    {"should": "window agg sort", "must_not": "customer"},
+    {"must": "spark", "phrase": "table part"},
+    {"must": "value", "should": "big small", "phrase": "scan slow", "must_not": "vector"},
+    {"must": "zzz_not_in_vocab table"},  # absent must term -> zero rows
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .withColumnRenamed("text", "content")
+    )
+
+
+@pytest.fixture(scope="module")
+def engine(spark, docs_df):
+    return BM25QueryEngine(build_index(spark, docs_df, id_col="doc_id"))
+
+
+@pytest.fixture(scope="module")
+def docs_local(docs_df):
+    rows = docs_df.select("doc_id", F.col("content").alias("text")).collect()
+    return [(r["doc_id"], r["text"]) for r in rows]
+
+
+def py_boolean(docs_local, spec, k=10):
+    """Independent recompute: BM25Oracle scores over must+should, then
+    clause filters evaluated per doc on the raw token lists."""
+    ids = [d for d, _ in docs_local]
+    toks = [tokenize(t) for _, t in docs_local]
+    oracle = BM25Oracle(toks)
+    scored_terms = tokenize_query(spec.get("must") or "") + tokenize_query(
+        spec.get("should") or ""
+    )
+    scores = oracle.get_scores(scored_terms)
+    must = set(tokenize_query(spec.get("must") or ""))
+    must_not = set(tokenize_query(spec.get("must_not") or ""))
+    ph = tokenize(spec["phrase"]) if spec.get("phrase") else None
+    rows = []
+    for i, (doc_id, tk) in enumerate(zip(ids, toks)):
+        ts = set(tk)
+        if not (ts & set(scored_terms)):
+            continue  # no scored term matches -> not a hit
+        if must - ts or (must_not & ts):
+            continue
+        if ph is not None and not any(
+            tk[s : s + len(ph)] == ph for s in range(len(tk) - len(ph) + 1)
+        ):
+            continue
+        rows.append((doc_id, round(scores[i] * 1e6)))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return [(rank + 1, d, sq) for rank, (d, sq) in enumerate(rows[:k])]
+
+
+def test_boolean_vs_python(spark, engine, docs_df, docs_local):
+    qp = [(i, s["phrase"]) for i, s in enumerate(SPECS) if s.get("phrase")]
+    cand = phrase_candidates_scan(
+        docs_df.select("doc_id", F.col("content").alias("text")), qp
+    )
+    hits = engine.search_boolean(SPECS, k=30, phrase_candidates=cand)
+    got = {}
+    for r in hits.collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], round(r["score"] * 1e6)))
+    for qid, spec in enumerate(SPECS):
+        expect = py_boolean(docs_local, spec, k=30)
+        rows = sorted(got.get(qid, []), key=lambda x: (-x[1], x[0]))
+        assert [(i + 1, d, sq) for i, (d, sq) in enumerate(rows)] == expect, spec
+    assert 4 not in got  # absent must term
+
+
+def test_phrase_candidates_indexed_equals_scan(spark, docs_df, tmp_path):
+    pdocs = docs_df.select("doc_id", F.col("content").alias("text"))
+    out = str(tmp_path / "pos")
+    build_phrase_index(pdocs, out, n_buckets=8)
+    qp = [(0, "table part"), (2, "scan slow"), (5, "window stream sort")]
+    scan = {tuple(r) for r in phrase_candidates_scan(pdocs, qp).collect()}
+    idx = {
+        tuple(r)
+        for r in phrase_candidates_indexed(spark, out, qp, n_buckets=8).collect()
+    }
+    assert scan == idx and scan
+
+
+def test_boolean_validation(spark, engine):
+    with pytest.raises(ValueError):  # no scored clause
+        engine.search_boolean([{"must_not": "table"}], k=5)
+    with pytest.raises(ValueError):  # phrase without candidates
+        engine.search_boolean([{"must": "table", "phrase": "table part"}], k=5)

@@ -77,6 +77,7 @@ AUDIT = [
     "multimodal_decode",
     "phrase_match_topk",
     "proximity_window_topk",
+    "boolean_query_topk",
 ]
 
 
