@@ -54,6 +54,8 @@ same corpus and both against a pure-Python recompute.
 
 from __future__ import annotations
 
+import json
+import os
 from typing import List, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -269,6 +271,16 @@ def build_phrase_index(docs: DataFrame, out_dir: str, n_buckets: int = 32) -> No
         .partitionBy("bucket")
         .parquet(out_dir)
     )
+    # self-describing index (same convention as the BM25 store's
+    # globals.json): consumers recover the bucket modulus without
+    # out-of-band state
+    with open(os.path.join(out_dir, "phrase_globals.json"), "w") as f:
+        json.dump({"n_buckets": int(n_buckets)}, f)
+
+
+def phrase_index_n_buckets(index_dir: str) -> int:
+    with open(os.path.join(index_dir, "phrase_globals.json")) as f:
+        return int(json.load(f)["n_buckets"])
 
 
 def search_phrase_indexed(

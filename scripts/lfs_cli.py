@@ -178,6 +178,35 @@ def cmd_ann_search(args) -> None:
         }))
 
 
+def cmd_phrase_build(args) -> None:
+    from pyspark.sql import functions as F
+
+    from la_fungus_search_spark.query.phrase import build_phrase_index
+
+    spark = get_spark(app_name="lfs-phrase-build")
+    docs = spark.read.parquet(args.input).select(
+        F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
+    )
+    build_phrase_index(docs, args.out, n_buckets=args.buckets)
+    print(json.dumps({"status": "built", "out": args.out, "n_buckets": args.buckets}))
+
+
+def cmd_phrase_search(args) -> None:
+    from la_fungus_search_spark.query.phrase import (
+        phrase_index_n_buckets,
+        search_phrase_indexed,
+    )
+
+    spark = get_spark(app_name="lfs-phrase-search")
+    nb = phrase_index_n_buckets(args.index)
+    hits = search_phrase_indexed(spark, args.index, args.query, k=args.k, n_buckets=nb)
+    for r in hits.collect():
+        print(json.dumps({
+            "query_id": r.query_id, "rank": r.rank, "id": r.doc_id,
+            "phrase_tf": r.phrase_tf, "first_pos": r.first_pos,
+        }))
+
+
 def cmd_curate(args) -> None:
     """Training-data curation pass over a text corpus: quality/cleaning
     verdicts, model lang-ID, real-BPE token counts, and near-dup
@@ -273,6 +302,21 @@ def main() -> None:
     asr.add_argument("--rerank", type=int, default=8,
                      help="exact re-rank pool = rerank*k candidates")
     asr.set_defaults(fn=cmd_ann_search)
+
+    pb = sub.add_parser("phrase-build")
+    pb.add_argument("--input", required=True, help="parquet with (doc_id, text)")
+    pb.add_argument("--out", required=True)
+    pb.add_argument("--buckets", type=int, default=32)
+    pb.add_argument("--id-col", dest="id_col", default="doc_id")
+    pb.add_argument("--text-col", dest="text_col", default="text")
+    pb.set_defaults(fn=cmd_phrase_build)
+
+    ps = sub.add_parser("phrase-search")
+    ps.add_argument("--index", required=True)
+    ps.add_argument("--query", action="append", required=True,
+                    help="exact phrase (corpus tokenization, literal order)")
+    ps.add_argument("-k", type=int, default=10)
+    ps.set_defaults(fn=cmd_phrase_search)
 
     c = sub.add_parser("curate")
     c.add_argument("--input", required=True, help="parquet with (doc_id, text)")
