@@ -39,6 +39,9 @@ from la_fungus_search_spark.chunking import (
 )
 from la_fungus_search_spark.index.builder import build_index, snapshot_diff
 from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.query import expand as expand_ops
+from la_fungus_search_spark.query import facets as facet_ops
+from la_fungus_search_spark.query import feedback as feedback_ops
 from la_fungus_search_spark.query import phrase as phrase_ops
 from la_fungus_search_spark.query.ranking import dedup_by_source, max_merge
 from la_fungus_search_spark.streaming.metrics import streamed_step_metrics
@@ -74,6 +77,27 @@ BOOL_QUERIES = [
     {"must": "spark", "phrase": "table part"},
     {"must": "value", "should": "big small", "phrase": "scan slow", "must_not": "vector"},
 ]
+# Fuzzy / prefix expansion fixtures (query/expand.py — Lucene
+# FuzzyQuery/PrefixQuery semantics). Typos are 1 edit from corpus
+# vocabulary terms; the last entries expand to nothing (empty path).
+FUZZY_QUERIES = [
+    "hashh join tble scan",   # ins/exact mix; "scan" also matches at dist 0
+    "windoow sort ordr",      # deletion + deletion typos
+    "strem batch dta",        # "stream"/"data" at dist 1
+    "mergee",                 # single typo'd term
+    "qzzqx",                  # expands to nothing
+]
+PREFIX_QUERIES = ["sca", "wind", "st", "qzz"]
+# Wildcard patterns (Lucene WildcardQuery: * = any run, ? = one char);
+# "*ge" exercises the leading-wildcard vocab scan, the last matches
+# nothing.
+WILDCARD_QUERIES = ["sc?n", "wind*", "*ge", "b?tch*", "zz*qq"]
+# More-like-this seeds (doc_ids in the documents table; results
+# exclude the seed doc itself) and PRF fixtures (query/feedback.py).
+MLT_SEED_IDS = [3, 57, 123]
+PRF_QUERIES = BM25_QUERIES[:4]
+FACET_QUERIES = ["hash join table scan", "merge", "spark stream batch data"]
+FACET_FIELDS = ["lang", "source"]
 GREP_NEEDLE = "merge"
 AND_TERMS = ["merge", "batch", "window"]
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -311,6 +335,285 @@ ranked AS (
 )
 SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def _expanded_scored_tail_sql(k: int) -> str:
+    """Shared tail of the fuzzy/prefix oracles: the capped expansion
+    (CTE ``expn`` with per-query rank ``xr``) scored as a BM25
+    disjunction with qtf=1 (Lucene MultiTermQuery rewrite — each
+    matched dictionary term is one clause), quantized re-rank."""
+    return f"""
+qt AS (SELECT query_id, term FROM expn WHERE xr <= 50),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt
+    JOIN idf USING (term)
+    JOIN tf USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM scored),
+ranked AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def _fuzzy_oracle_sql(k: int = 10) -> str:
+    """DuckDB twin of q_fuzzy_query_topk: candidates = vocabulary terms
+    with levenshtein(qterm, term) <= 1 (DuckDB's levenshtein == Spark's
+    F.levenshtein == the variant set the engine joins on), min-dist
+    dedup across a query's terms, deterministic cap by (dist ASC,
+    df DESC, term ASC), then the shared disjunction scoring tail."""
+    rows = []
+    for qid, q in enumerate(FUZZY_QUERIES):
+        for t in sorted(set(tokenize_query(q))):
+            rows.append(f"({qid}, '{t}')")
+    return f"""
+WITH {_bm25_base_cte()},
+qraw(query_id, qterm) AS (VALUES {", ".join(rows)}),
+cand AS (
+    SELECT q.query_id, i.term, i.df, levenshtein(q.qterm, i.term) AS dist
+    FROM qraw q JOIN idf i ON levenshtein(q.qterm, i.term) <= 1
+),
+exp0 AS (
+    SELECT query_id, term, min(dist) AS dist, min(df) AS df
+    FROM cand GROUP BY 1, 2
+),
+expn AS (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist ASC, df DESC, term ASC) AS xr
+    FROM exp0
+),
+{_expanded_scored_tail_sql(k).lstrip()}"""
+
+
+def _prefix_oracle_sql(k: int = 10) -> str:
+    """DuckDB twin of q_prefix_query_topk: candidates = vocabulary
+    terms starting with the (normalized) prefix, cap by (df DESC,
+    term ASC), shared scoring tail."""
+    from la_fungus_search_spark.query.expand import normalize_prefix
+
+    rows = []
+    for qid, p in enumerate(PREFIX_QUERIES):
+        pn = normalize_prefix(p)
+        if pn:
+            rows.append(f"({qid}, '{pn}')")
+    return f"""
+WITH {_bm25_base_cte()},
+qpre(query_id, prefix) AS (VALUES {", ".join(rows)}),
+exp0 AS (
+    SELECT q.query_id, i.term, i.df
+    FROM qpre q JOIN idf i ON starts_with(i.term, q.prefix)
+),
+expn AS (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY df DESC, term ASC) AS xr
+    FROM exp0
+),
+{_expanded_scored_tail_sql(k).lstrip()}"""
+
+
+def _wildcard_oracle_sql(k: int = 10) -> str:
+    """DuckDB twin of q_wildcard_query_topk: candidates = vocabulary
+    terms fully matching the translated pattern regex (DuckDB RE2 and
+    Spark rlike agree exactly on the literal/[a-z0-9_]-class fragment
+    `wildcard_regex` emits), cap by (df DESC, term ASC), shared
+    scoring tail."""
+    from la_fungus_search_spark.query.expand import wildcard_regex
+
+    rows = []
+    for qid, p in enumerate(WILDCARD_QUERIES):
+        rx = wildcard_regex(p)
+        if rx is not None:
+            rows.append(f"({qid}, '^(?:{rx})$')")
+    return f"""
+WITH {_bm25_base_cte()},
+qpat(query_id, rx) AS (VALUES {", ".join(rows)}),
+exp0 AS (
+    SELECT q.query_id, i.term, i.df
+    FROM qpat q JOIN idf i ON regexp_matches(i.term, q.rx)
+),
+expn AS (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id ORDER BY df DESC, term ASC) AS xr
+    FROM exp0
+),
+{_expanded_scored_tail_sql(k).lstrip()}"""
+
+
+def _mlt_oracle_sql(k: int = 10, max_query_terms: int = 25, min_df: int = 2) -> str:
+    """DuckDB twin of q_more_like_this_topk: seed-doc tf from the
+    corpus tokenization, candidate terms gated on dictionary df,
+    ranked by quantized tf·idf (weight_q DESC, term ASC), top
+    max_query_terms as a qtf=1 disjunction, seed doc excluded from its
+    own results."""
+    seeds = ", ".join(f"({qid}, {did})" for qid, did in enumerate(MLT_SEED_IDS))
+    return f"""
+WITH {_bm25_base_cte()},
+seeds(query_id, sdoc) AS (VALUES {seeds}),
+stf AS (
+    SELECT s.query_id, t.term, count(*)::BIGINT AS tf
+    FROM seeds s JOIN tok t ON t.doc_id = s.sdoc
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT stf.query_id, stf.term,
+           round((stf.tf * i.idf) * 1000000.0)::BIGINT AS weight_q
+    FROM stf JOIN idf i USING (term)
+    WHERE i.df >= {min_df}
+),
+expn AS (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY weight_q DESC, term ASC) AS xr
+    FROM cand
+),
+qt AS (SELECT query_id, term FROM expn WHERE xr <= {max_query_terms}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt
+    JOIN idf USING (term)
+    JOIN tf USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+scx AS (
+    SELECT sc.query_id, sc.doc_id, sc.score
+    FROM scored sc JOIN seeds s USING (query_id)
+    WHERE sc.doc_id <> s.sdoc
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM scx),
+ranked AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def _prf_oracle_sql(k: int = 10, m: int = 10, n_expansion: int = 10) -> str:
+    """DuckDB twin of q_prf_expanded_topk (RM3-style PRF, integer-
+    quantized determinism contract — query/feedback.py docstring):
+    stage-1 BM25 top-m feedback docs on the quantized score, expansion
+    weights as integer sums of round(score_q·tf·1e6/doclen) addends,
+    original-term anti-join, top n_expansion new terms with qtf=1
+    joining the original weighted query, quantized final rank."""
+    return f"""
+WITH {_bm25_base_cte()},
+qraw(query_id, term, qtf) AS (VALUES {_query_terms_values(PRF_QUERIES)}),
+scored1 AS (
+    SELECT q.query_id, tf.doc_id,
+           sum(q.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qraw q
+    JOIN idf USING (term)
+    JOIN tf USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+qz1 AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM scored1),
+fb AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS fr
+    FROM qz1
+),
+fbm AS (SELECT query_id, doc_id, score_q FROM fb WHERE fr <= {m}),
+ftf AS (
+    SELECT f.query_id, f.doc_id, f.score_q, t.term, count(*)::BIGINT AS tf
+    FROM fbm f JOIN tok t USING (doc_id)
+    GROUP BY 1, 2, 3, 4
+),
+fw AS (
+    SELECT ftf.query_id, ftf.term,
+           sum(round((ftf.score_q * ftf.tf) * 1000000.0 / dl.doclen)::BIGINT) AS weight_int
+    FROM ftf JOIN dl ON ftf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+fresh AS (
+    SELECT fw.query_id, fw.term, fw.weight_int
+    FROM fw LEFT JOIN (SELECT DISTINCT query_id, term FROM qraw) o
+      ON fw.query_id = o.query_id AND fw.term = o.term
+    WHERE o.term IS NULL
+),
+expn2 AS (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY weight_int DESC, term ASC) AS xr
+    FROM fresh
+),
+qt AS (
+    SELECT query_id, term, qtf FROM qraw
+    UNION ALL
+    SELECT query_id, term, 1 AS qtf FROM expn2 WHERE xr <= {n_expansion}
+),
+scored2 AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt
+    JOIN idf USING (term)
+    JOIN tf USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+qz2 AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM scored2),
+ranked AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz2
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def _facet_oracle_sql(top_values: int = 10) -> str:
+    """DuckDB twin of q_facet_counts: the match set (≥1 query term,
+    the engine's match contract) joined to the docs-side metadata,
+    unpivoted over the facet fields, counted, top value buckets per
+    (query, field) by (n_docs DESC, value ASC)."""
+    field_union = "\n    UNION ALL\n".join(
+        f"    SELECT query_id, '{f}' AS field, coalesce({f}::VARCHAR, '(none)') AS value FROM j"
+        for f in FACET_FIELDS
+    )
+    return f"""
+WITH {_bm25_base_cte()},
+qraw(query_id, term) AS (VALUES {_query_terms_values(FACET_QUERIES, with_qtf=False)}),
+hits AS (SELECT DISTINCT q.query_id, tf.doc_id FROM qraw q JOIN tf USING (term)),
+j AS (
+    SELECT h.query_id, d.{", d.".join(FACET_FIELDS)}
+    FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+),
+un AS (
+{field_union}
+),
+counts AS (
+    SELECT query_id, field, value, count(*)::BIGINT AS n_docs
+    FROM un GROUP BY 1, 2, 3
+),
+ranked AS (
+    SELECT query_id, field, value, n_docs,
+           row_number() OVER (PARTITION BY query_id, field
+                              ORDER BY n_docs DESC, value ASC) AS vr
+    FROM counts
+)
+SELECT query_id::INT AS query_id, field, value, n_docs, vr::INT AS vr
+FROM ranked WHERE vr <= {top_values}
+ORDER BY query_id, field, vr
 """
 
 
@@ -631,6 +934,84 @@ def q_proximity_window_topk(spark, sf_dir):
     window, ranked by matching-anchor count (query/phrase.py)."""
     docs = _documents(spark, sf_dir).select("doc_id", "text")
     return phrase_ops.proximity_topk(docs, PROX_QUERIES, k=10)
+
+
+def q_fuzzy_query_topk(spark, sf_dir):
+    """Fuzzy retrieval (query/expand.py, Lucene FuzzyQuery semantics):
+    each query term expands to the dictionary terms within Levenshtein
+    distance 1 (driver-generated variant equi-join — exact over the
+    closed token alphabet), deterministic top-50 cap by (dist, df DESC,
+    term), then the engine's normal BM25 disjunction with qtf=1.
+    Over-fetch k=30 on the float path, re-rank micro-quantized (same
+    tie pattern as q_bm25_topk_blockmax)."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    hits = expand_ops.search_fuzzy(eng, FUZZY_QUERIES, k=30, max_edits=1, max_expansions=50)
+    return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+def q_prefix_query_topk(spark, sf_dir):
+    """Prefix retrieval (query/expand.py, Lucene PrefixQuery
+    semantics): each prefix expands to the dictionary terms that start
+    with it via pushable StartsWith filter branches (no join),
+    deterministic top-50 cap by (df DESC, term), BM25-ranked
+    disjunction."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    hits = expand_ops.search_prefix(eng, PREFIX_QUERIES, k=30, max_expansions=50)
+    return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+def q_wildcard_query_topk(spark, sf_dir):
+    """Wildcard retrieval (query/expand.py, Lucene WildcardQuery
+    semantics): each * / ? pattern expands to the dictionary terms
+    fully matching its translated regex (pushable rlike filter over
+    term_stats — vocabulary metadata, never the corpus), deterministic
+    top-50 cap by (df DESC, term), BM25-ranked disjunction."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    hits = expand_ops.search_wildcard(eng, WILDCARD_QUERIES, k=30, max_expansions=50)
+    return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+def q_more_like_this_topk(spark, sf_dir):
+    """More-like-this (query/feedback.py, Lucene MoreLikeThisQuery
+    semantics): seed docs' top-25 terms by quantized tf·idf (df >= 2)
+    run as a qtf=1 disjunction; the seed doc is excluded from its own
+    results. Corpus touch: the scoring pass only — term selection is
+    driver-tokenized seeds × broadcast term_stats."""
+    docs = _documents(spark, sf_dir)
+    txt = {
+        int(r["doc_id"]): r["text"]
+        for r in docs.filter(F.col("doc_id").isin(MLT_SEED_IDS))
+        .select("doc_id", "text").collect()
+    }
+    seeds = [(did, txt[did]) for did in MLT_SEED_IDS]
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    hits = feedback_ops.search_more_like_this(
+        eng, seeds, k=30, max_query_terms=25, min_tf=1, min_df=2
+    )
+    return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+def q_prf_expanded_topk(spark, sf_dir):
+    """Pseudo-relevance feedback (query/feedback.py, RM3-style):
+    stage-1 BM25 top-10 feedback docs per query on the quantized
+    score, expansion terms by integer-quantized Σ relevance·tf/doclen,
+    top-10 NEW terms join the original weighted query, re-scored and
+    re-ranked. Both scoring passes ride the bucket-pruned postings
+    path; term extraction reads only the m·|queries| feedback docs."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    hits = feedback_ops.search_prf(eng, docs, PRF_QUERIES, k=30, m=10, n_expansion=10)
+    return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+def q_facet_counts(spark, sf_dir):
+    """Faceted search (query/facets.py, Solr/ES field faceting): per
+    query, hit counts over the FULL match set per (lang, source)
+    value, top-10 buckets by (n_docs DESC, value ASC); NULLs bucket as
+    '(none)'."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    docs = _documents(spark, sf_dir)
+    return facet_ops.facet_counts(eng, docs, FACET_QUERIES, FACET_FIELDS, top_values=10)
 
 
 def q_keyword_score_topk(spark, sf_dir):
@@ -1567,11 +1948,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # kept in place, the prefix position is what matters);
     # (d) then greens touching this round's changed modules. The 15
     # r3-green entries with unchanged code rotate to the back — every
-    # entry then has a green driver row in r3 ∪ r4. The three NEW
-    # gates (positional search ×2, boolean retrieval) displace
-    # concrete_query_filter, term_intersection and text_token_counts
-    # from the ~50 prefix; all three are r3 hash-green on unchanged
-    # code.
+    # entry then has a green driver row in r3 ∪ r4. The nine NEW
+    # gates (positional search ×2, boolean retrieval, fuzzy/prefix/
+    # wildcard expansion, more-like-this, PRF, facets) displace
+    # concrete_query_filter, term_intersection, text_token_counts,
+    # grep_scan, grep_context, corpus_clean, corpus_clean_rep,
+    # ann_cosine_topk and keyword_score_topk from the ~50 prefix; all
+    # nine displaced entries are r3 hash-green on unchanged code.
     return {
         # (a) r2-green only, driver-unchecked in r3
         "multimodal_decode": q_multimodal_decode,
@@ -1597,6 +1980,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match_topk": q_phrase_match_topk,
         "proximity_window_topk": q_proximity_window_topk,
         "boolean_query_topk": q_boolean_query_topk,
+        "fuzzy_query_topk": q_fuzzy_query_topk,
+        "prefix_query_topk": q_prefix_query_topk,
+        "wildcard_query_topk": q_wildcard_query_topk,
+        "more_like_this_topk": q_more_like_this_topk,
+        "prf_expanded_topk": q_prf_expanded_topk,
+        "facet_counts": q_facet_counts,
         # (c) no_oracle entering r4 (query_dedup / mmr_diverse_topk /
         # text_bpe_counts gained value-oracles mid-round)
         "query_dedup": q_query_dedup,
@@ -2031,6 +2420,12 @@ def oracle_sql() -> dict[str, str]:
         "phrase_match_topk": phrase_ops.phrase_oracle_sql(PHRASE_QUERIES, 10),
         "proximity_window_topk": phrase_ops.proximity_oracle_sql(PROX_QUERIES, 10),
         "boolean_query_topk": _boolean_oracle_sql(10),
+        "fuzzy_query_topk": _fuzzy_oracle_sql(10),
+        "prefix_query_topk": _prefix_oracle_sql(10),
+        "wildcard_query_topk": _wildcard_oracle_sql(10),
+        "more_like_this_topk": _mlt_oracle_sql(10),
+        "prf_expanded_topk": _prf_oracle_sql(10),
+        "facet_counts": _facet_oracle_sql(10),
         "mmr_diverse_topk": _mmr_oracle_sql(),
         "query_dedup": _query_dedup_oracle_sql(),
         "text_bpe_counts": _bpe_oracle_sql(),

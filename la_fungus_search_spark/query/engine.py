@@ -90,8 +90,20 @@ class BM25QueryEngine:
         are unique per (term, doc), so it's a plain count) — the AND-
         semantics filter (SURVEY §2.8 posting-list intersection) is a
         HAVING on it, no extra pass."""
+        rows = []
+        for qid, q in enumerate(queries):
+            for term, qtf in Counter(tokenize_query(q)).items():
+                rows.append((qid, term, qtf))
+        return self.scored_from_terms(rows)
+
+    def scored_from_terms(self, qt_rows: Sequence[tuple]) -> DataFrame:
+        """Scored set from explicit ``(query_id, term, qtf)`` rows —
+        the shared body of :meth:`scored_sql`, also fed by the fuzzy /
+        prefix expansion layer (``query/expand.py``) whose scored term
+        set is the *rewritten* disjunction, not the tokenized query."""
         idx = self.index
-        qt = self._query_terms_df(queries)
+        rows = list(qt_rows) or [(0, "\x00__no_terms__", 0)]
+        qt = self.spark.createDataFrame(rows, schema="query_id INT, term STRING, qtf INT")
         # broadcast the tiny query-side dim through both joins
         q_with_idf = F.broadcast(
             qt.join(idx.term_stats.select("term", "idf", "term_bucket"), "term")
@@ -100,9 +112,7 @@ class BM25QueryEngine:
         # the build's pmod(xxhash64(term), n_buckets)) — ZERO Spark
         # jobs before the query itself; parity asserted in tests
         nb = int(self.index.globals["n_buckets"])
-        buckets = sorted(
-            {term_bucket(t, nb) for q in queries for t in tokenize_query(q)}
-        ) or [0]
+        buckets = sorted({term_bucket(t, nb) for _, t, _ in rows}) or [0]
         postings = idx.postings.filter(F.col("term_bucket").isin(buckets))  # partition pruning
         joined = postings.join(q_with_idf, "term")
         if "doclen" not in postings.columns:

@@ -1,0 +1,278 @@
+"""Fuzzy and prefix query expansion over the term dictionary.
+
+Lucene ``MultiTermQuery`` analogues (public semantics: ``FuzzyQuery`` /
+``PrefixQuery`` rewritten to a scored disjunction of the matched
+dictionary terms, with a deterministic ``maxExpansions``-style cap —
+Lucene's ``TopTermsBlendedFreqScoringRewrite`` keeps the highest-df
+terms, which is the tie-break used here). The reference has no
+fuzzy/prefix layer — its retrieval is exact-token BM25
+(``mcmp_rag.py:178-188``) — so like ``query/phrase.py`` these are
+fulltext-index delta capabilities over the same index.
+
+Contract (mirrored verbatim by the DuckDB value-oracles in
+``__spark_entry__.py``):
+
+* candidate terms: vocabulary terms with
+  ``levenshtein(qterm, term) <= max_edits`` (fuzzy) or
+  ``startswith(prefix)`` (prefix);
+* per ``(query_id, term)`` the distance is the min over the query's
+  terms (a term reachable from two qterms counts once — set
+  semantics, the disjunction rewrite);
+* deterministic selection: top ``max_expansions`` per query by
+  ``(dist ASC, df DESC, term ASC)`` — prefix uses ``(df DESC,
+  term ASC)``;
+* scoring: the engine's normal BM25 disjunction with ``qtf = 1`` per
+  expanded term (each matched dictionary term is one clause of the
+  rewritten query, regardless of how often the user misspelled it).
+
+Physical shape, and why it scales:
+
+* ``max_edits = 1``: the candidate set is resolved by a **driver-
+  generated variant equi-join**. Over the tokenizer's closed alphabet
+  ``[a-z0-9_]`` the set of strings within Levenshtein distance 1 of a
+  query term is exactly {the term} ∪ deletions ∪ substitutions ∪
+  insertions — ~73·len(term)+38 strings, generated driver-side and
+  broadcast. Candidate resolution is then a BroadcastHashJoin of that
+  tiny variant table against ``term_stats`` (vocabulary *metadata* —
+  the corpus and postings are never touched), the exact analogue of
+  Lucene walking its Levenshtein automaton over the FST term dict.
+  No nested-loop join, no vocabulary crossJoin.
+* ``max_edits >= 2``: variant enumeration explodes combinatorially, so
+  the fallback is a length-windowed ``levenshtein`` scan of the term
+  dictionary (broadcast nested loop over qterms × vocab) — one narrow
+  scan of vocab-sized metadata per query set, the same cost class as
+  Lucene's ed-2 automaton walk. Still zero corpus touch.
+* prefix: one pushable ``StartsWith`` filter branch per prefix over
+  ``term_stats``, unioned — no join at all.
+* the selected expansion is ≤ queries × max_expansions rows; it is
+  collected (Lucene's rewrite step materializes the same list) and fed
+  to the engine's normal bucket-pruned postings path, so the heavy
+  stage keeps its partition pruning and broadcast shape.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import reduce
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.index.builder import BM25Index
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.tokenizer import tokenize_query
+
+# The tokenizer's closed token alphabet (tokenizer.py contract:
+# maximal [A-Za-z0-9_] runs, lowercased) — every vocabulary term is a
+# string over this set, so ed-1 variant generation restricted to it is
+# exact, not approximate.
+ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789_"
+
+
+def ed1_variants(term: str) -> set:
+    """All strings within Levenshtein distance <= 1 of ``term`` over
+    :data:`ALPHABET` (classic one-edit enumeration — deletions,
+    substitutions, insertions — public algorithm, e.g. Norvig's
+    spelling-corrector edits1)."""
+    splits = [(term[:i], term[i:]) for i in range(len(term) + 1)]
+    deletes = {a + b[1:] for a, b in splits if b}
+    subs = {a + c + b[1:] for a, b in splits if b for c in ALPHABET}
+    inserts = {a + c + b for a, b in splits for c in ALPHABET}
+    return {term} | deletes | subs | inserts
+
+
+def _rank_expansions(cand: DataFrame, max_expansions: int, fuzzy: bool) -> DataFrame:
+    """min-dist dedup across qterms, then the deterministic per-query
+    cap: (dist ASC,) df DESC, term ASC."""
+    agg = cand.groupBy("query_id", "term").agg(
+        F.min("dist").alias("dist"), F.min("df").alias("df")
+    )
+    order = ([F.asc("dist")] if fuzzy else []) + [F.desc("df"), F.asc("term")]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        agg.withColumn("xr", F.row_number().over(w))
+        .filter(F.col("xr") <= max_expansions)
+        .select("query_id", "term", "dist", "df", "xr")
+    )
+
+
+def fuzzy_expansions(
+    index: BM25Index,
+    queries: Sequence[str],
+    max_edits: int = 1,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """(query_id, term, dist, df, xr) — the capped fuzzy rewrite of
+    each query against the index's term dictionary."""
+    qterms = [
+        (qid, t) for qid, q in enumerate(queries) for t in sorted(set(tokenize_query(q)))
+    ]
+    spark = index.spark
+    ts = index.term_stats.select("term", "df")
+    if max_edits <= 1:
+        rows = [(qid, qt, v) for qid, qt in qterms for v in sorted(ed1_variants(qt))]
+        if not rows:
+            rows = [(0, "\x00", "\x00")]
+        var = spark.createDataFrame(rows, schema="query_id INT, qterm STRING, variant STRING")
+        cand = ts.join(F.broadcast(var), ts["term"] == var["variant"])
+    else:
+        qrows = qterms or [(0, "\x00")]
+        var = F.broadcast(spark.createDataFrame(qrows, schema="query_id INT, qterm STRING"))
+        cand = ts.join(
+            var,
+            (F.length(ts["term"]) - F.length(var["qterm"])).between(-max_edits, max_edits)
+            & (F.levenshtein(ts["term"], var["qterm"]) <= max_edits),
+        )
+    # levenshtein on the surviving candidates only (≤ variants rows):
+    # 0 for the exact term, else the true distance — cheap and exact
+    # for both physical paths.
+    cand = cand.select(
+        "query_id", "term", "df", F.levenshtein("term", "qterm").alias("dist")
+    )
+    return _rank_expansions(cand, max_expansions, fuzzy=True)
+
+
+def normalize_prefix(prefix: str) -> str:
+    """Lowercase and keep the leading run of token-alphabet chars —
+    the prefix analogue of the query tokenizer (a prefix containing a
+    separator can never match a single term)."""
+    out = []
+    for ch in prefix.lower():
+        if ch in ALPHABET:
+            out.append(ch)
+        else:
+            break
+    return "".join(out)
+
+
+def prefix_expansions(
+    index: BM25Index, prefixes: Sequence[str], max_expansions: int = 50
+) -> DataFrame:
+    """(query_id, term, dist, df, xr) — the capped prefix rewrite
+    (dist is 0 for an exact-term hit, 1 otherwise, recorded for
+    symmetry; the cap order ignores it)."""
+    ts = index.term_stats.select("term", "df")
+    branches: List[DataFrame] = []
+    for qid, p in enumerate(prefixes):
+        pn = normalize_prefix(p)
+        if not pn:
+            continue
+        branches.append(
+            ts.filter(ts["term"].startswith(pn)).select(
+                F.lit(qid).alias("query_id"),
+                "term",
+                "df",
+                F.when(ts["term"] == pn, F.lit(0)).otherwise(F.lit(1)).alias("dist"),
+            )
+        )
+    if not branches:
+        schema = "query_id INT, term STRING, df BIGINT, dist INT"
+        empty = index.spark.createDataFrame([], schema=schema)
+        return _rank_expansions(empty, max_expansions, fuzzy=False)
+    cand = reduce(lambda a, b: a.unionByName(b), branches)
+    return _rank_expansions(cand, max_expansions, fuzzy=False)
+
+
+def wildcard_regex(pattern: str) -> Optional[str]:
+    """Translate a Lucene-style wildcard pattern (``*`` = any run,
+    ``?`` = exactly one char) into an anchored regex over the token
+    alphabet. Returns ``None`` when the pattern contains a character
+    no vocabulary term can ever contain (it matches nothing). The
+    regex uses only literals and ``[a-z0-9_]`` classes, a fragment
+    class on which Java regex (Spark ``rlike``) and RE2 (DuckDB
+    ``regexp_full_match``) agree exactly."""
+    out = []
+    for ch in pattern.lower():
+        if ch == "*":
+            out.append("[a-z0-9_]*")
+        elif ch == "?":
+            out.append("[a-z0-9_]")
+        elif ch in ALPHABET:
+            out.append(re.escape(ch))
+        else:
+            return None
+    return "".join(out)
+
+
+def wildcard_expansions(
+    index: BM25Index, patterns: Sequence[str], max_expansions: int = 50
+) -> DataFrame:
+    """(query_id, term, dist, df, xr) — the capped wildcard rewrite
+    (Lucene ``WildcardQuery``): candidates are vocabulary terms fully
+    matching the translated pattern, capped by (df DESC, term ASC)
+    like prefix. One joinless filter branch per pattern over
+    ``term_stats`` — a vocabulary-*metadata* scan per pattern, the
+    same cost class as Lucene walking the term dict for a
+    leading-wildcard pattern (and like Lucene, cheap patterns with a
+    literal prefix could prune further; the vocab scan is already
+    corpus-independent so it is left uniform)."""
+    ts = index.term_stats.select("term", "df")
+    branches: List[DataFrame] = []
+    for qid, p in enumerate(patterns):
+        rx = wildcard_regex(p)
+        if rx is None:
+            continue
+        branches.append(
+            ts.filter(ts["term"].rlike("^(?:" + rx + ")$")).select(
+                F.lit(qid).alias("query_id"),
+                "term",
+                "df",
+                F.when(ts["term"] == p.lower(), F.lit(0)).otherwise(F.lit(1)).alias("dist"),
+            )
+        )
+    if not branches:
+        schema = "query_id INT, term STRING, df BIGINT, dist INT"
+        empty = index.spark.createDataFrame([], schema=schema)
+        return _rank_expansions(empty, max_expansions, fuzzy=False)
+    cand = reduce(lambda a, b: a.unionByName(b), branches)
+    return _rank_expansions(cand, max_expansions, fuzzy=False)
+
+
+def _search_expanded(engine: BM25QueryEngine, expansions: DataFrame, k: int) -> DataFrame:
+    """Collect the (bounded) rewrite, then the engine's normal scored
+    path with qtf=1 per expanded term → top-k (score DESC, doc_id ASC)."""
+    rows: List[Tuple[int, str, int]] = [
+        (int(r["query_id"]), r["term"], 1)
+        for r in expansions.select("query_id", "term").collect()
+    ]
+    scored = engine.scored_from_terms(rows)
+    return engine._topk(scored.select("query_id", "doc_id", "score"), k)
+
+
+def search_fuzzy(
+    engine: BM25QueryEngine,
+    queries: Sequence[str],
+    k: int = 10,
+    max_edits: int = 1,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Fuzzy top-k: expand each query term to dictionary terms within
+    ``max_edits``, cap deterministically, BM25-rank the disjunction."""
+    exp = fuzzy_expansions(engine.index, queries, max_edits, max_expansions)
+    return _search_expanded(engine, exp, k)
+
+
+def search_prefix(
+    engine: BM25QueryEngine,
+    prefixes: Sequence[str],
+    k: int = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Prefix top-k: expand each prefix to the dictionary terms that
+    start with it, cap deterministically, BM25-rank the disjunction."""
+    exp = prefix_expansions(engine.index, prefixes, max_expansions)
+    return _search_expanded(engine, exp, k)
+
+
+def search_wildcard(
+    engine: BM25QueryEngine,
+    patterns: Sequence[str],
+    k: int = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Wildcard top-k: expand each ``*``/``?`` pattern to the matching
+    dictionary terms, cap deterministically, BM25-rank the
+    disjunction."""
+    exp = wildcard_expansions(engine.index, patterns, max_expansions)
+    return _search_expanded(engine, exp, k)

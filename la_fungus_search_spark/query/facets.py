@@ -1,0 +1,71 @@
+"""Faceted search: per-query hit counts over metadata fields.
+
+Public semantics: Lucene/Solr/Elasticsearch field faceting — for each
+query, count the *entire match set* (every doc containing ≥1 query
+term, the engine's match contract) per value of one or more metadata
+fields, returning the top value buckets. The reference has no facet
+layer (exact-token BM25 only); this is a fulltext-index delta
+capability over the same index.
+
+Physical shape: the match set comes off the engine's bucket-pruned
+``scored_sql`` (only query-term buckets are read), projected to bare
+``(query_id, doc_id)``; one hash join against the docs-side metadata
+projection (column-pruned — only doc_id + the facet fields are read,
+pushed to the parquet scan) then a map-side-combinable groupBy count
+per field. No top-k shortcut is taken because facets are defined over
+the full match set; the count aggregation is the cheapest full-set
+shape there is (partial aggregation per partition, one tiny shuffle of
+(query, field, value) partials). Multiple fields unpivot via a stack()
+of the already-joined rows — one join, not one per field.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+
+
+def facet_counts(
+    engine: BM25QueryEngine,
+    docs_df: DataFrame,
+    queries: Sequence[str],
+    fields: Sequence[str],
+    top_values: int = 10,
+) -> DataFrame:
+    """(query_id, field, value, n_docs, vr) — per query and facet
+    field, the ``top_values`` most frequent field values over the
+    query's full match set, ranked (n_docs DESC, value ASC); NULL
+    field values count under the literal bucket ``"(none)"`` (the
+    Solr ``facet.missing`` bucket, made explicit so the row is
+    hashable)."""
+    if not fields:
+        raise ValueError("facet_counts needs at least one field")
+    missing = [f for f in fields if f not in docs_df.columns]
+    if missing:
+        raise ValueError(f"facet fields not in docs: {missing}")
+    hits = engine.scored_sql(queries).select("query_id", "doc_id")
+    meta = docs_df.select(
+        "doc_id",
+        *[F.coalesce(F.col(f).cast("string"), F.lit("(none)")).alias(f) for f in fields],
+    )
+    joined = hits.join(meta, "doc_id")
+    stack = F.expr(
+        "stack({n}, {args}) AS (field, value)".format(
+            n=len(fields), args=", ".join(f"'{f}', {f}" for f in fields)
+        )
+    )
+    counts = (
+        joined.select("query_id", stack)
+        .groupBy("query_id", "field", "value")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = Window.partitionBy("query_id", "field").orderBy(F.desc("n_docs"), F.asc("value"))
+    return (
+        counts.withColumn("vr", F.row_number().over(w))
+        .filter(F.col("vr") <= top_values)
+        .orderBy("query_id", "field", "vr")
+    )

@@ -1,0 +1,203 @@
+"""Relevance-feedback retrieval: more-like-this and pseudo-relevance
+feedback (PRF) query expansion.
+
+Public semantics: Lucene ``MoreLikeThisQuery`` (select the seed text's
+highest tf·idf terms against the index's dictionary, then run them as
+a plain term disjunction) and RM3-style PRF (Lavrenko & Croft 2001 /
+Abdul-Jaleel 2004: score the original query, take the top-m feedback
+docs, weight candidate expansion terms by Σ_d relevance(d)·tf(t,d)/|d|,
+add the top-n new terms to the query, re-score). The reference has no
+feedback layer — exact-token BM25 only (``mcmp_rag.py:178-188``) — so
+like ``query/phrase.py`` / ``query/expand.py`` these are
+fulltext-index delta capabilities over the same index.
+
+Determinism contract (what the DuckDB value-oracles mirror): every
+selection step ranks on *quantized integer* weights —
+``round(x · 1e6)::bigint`` — with ``term ASC`` / ``doc_id ASC``
+tie-breaks, so the float-sum ordering jitter between a distributed sum
+and DuckDB's sequential sum can never change which terms/docs are
+selected. MLT term weights are a single product (``tf · idf``, bit-
+exact across engines); PRF feedback weights are sums of per-(doc,term)
+addends that are themselves quantized to integers BEFORE the sum
+(integer sums are order-independent). Addends stay well inside 2^53 at
+any realistic score scale, and inside int64 after summing.
+
+Physical shape, and why it scales:
+
+* MLT touches the corpus not at all: the seed text is tokenized
+  driver-side (seeds are a handful of docs by definition), the tiny
+  (seed-term, tf) dim is broadcast against ``term_stats`` for idf/df,
+  and the selected ≤ max_query_terms rewrite feeds the engine's
+  bucket-pruned ``scored_from_terms`` path.
+* PRF touches the corpus exactly twice (the two scoring passes — both
+  bucket-pruned postings joins) plus one *feedback-docs-only* pass:
+  the top-m doc ids per query are broadcast against the docs table, so
+  term extraction reads m·|queries| documents, never the corpus.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.tokenizer import tokenize, tokenize_query, tokens_expr
+
+SCALE = 1_000_000
+
+
+def _quantize(col):
+    """round(x·1e6)::bigint — the same micro-quantization the gate
+    re-ranks use (HALF_UP in both Spark and DuckDB)."""
+    return F.round(col * F.lit(float(SCALE))).cast("bigint")
+
+
+# ------------------------------------------------------------- MLT
+
+
+def mlt_select_terms(
+    engine: BM25QueryEngine,
+    seed_texts: Sequence[str],
+    max_query_terms: int = 25,
+    min_tf: int = 1,
+    min_df: int = 2,
+) -> DataFrame:
+    """(query_id, term, tf, df, weight_q, xr) — the interesting-term
+    selection of Lucene MoreLikeThis: seed-text terms with
+    ``tf >= min_tf`` and dictionary ``df >= min_df``, ranked by
+    quantized tf·idf (weight_q DESC, term ASC), top
+    ``max_query_terms`` per seed."""
+    rows: List[Tuple[int, str, int]] = []
+    for qid, text in enumerate(seed_texts):
+        for t, tf in Counter(tokenize(text or "")).items():
+            if tf >= min_tf:
+                rows.append((qid, t, tf))
+    spark = engine.spark
+    seed_tf = spark.createDataFrame(
+        rows or [(0, "\x00__no_terms__", 0)], schema="query_id INT, term STRING, tf INT"
+    )
+    ts = engine.index.term_stats.select("term", "df", "idf")
+    cand = (
+        ts.join(F.broadcast(seed_tf), "term")
+        .filter(F.col("df") >= min_df)
+        .withColumn("weight_q", _quantize(F.col("tf") * F.col("idf")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("weight_q"), F.asc("term"))
+    return (
+        cand.withColumn("xr", F.row_number().over(w))
+        .filter(F.col("xr") <= max_query_terms)
+        .select("query_id", "term", "tf", "df", "weight_q", "xr")
+    )
+
+
+def search_more_like_this(
+    engine: BM25QueryEngine,
+    seeds: Sequence[Tuple[Optional[int], str]],
+    k: int = 10,
+    max_query_terms: int = 25,
+    min_tf: int = 1,
+    min_df: int = 2,
+) -> DataFrame:
+    """More-like-this top-k. ``seeds`` are ``(doc_id | None, text)``
+    pairs; when a seed carries its own doc_id the doc is excluded from
+    its results (you already have it), matching Lucene MLT usage. Each
+    selected term scores as one disjunction clause (qtf=1 — Lucene's
+    default, boost-free rewrite)."""
+    sel = mlt_select_terms(
+        engine, [t for _, t in seeds], max_query_terms, min_tf, min_df
+    )
+    rows = [
+        (int(r["query_id"]), r["term"], 1)
+        for r in sel.select("query_id", "term").collect()
+    ]
+    scored = engine.scored_from_terms(rows).select("query_id", "doc_id", "score")
+    ex = [(qid, int(did)) for qid, (did, _) in enumerate(seeds) if did is not None]
+    if ex:
+        ex_df = engine.spark.createDataFrame(ex, schema="query_id INT, doc_id BIGINT")
+        scored = scored.join(F.broadcast(ex_df), ["query_id", "doc_id"], "left_anti")
+    return engine._topk(scored, k)
+
+
+# ------------------------------------------------------------- PRF
+
+
+def prf_expansion_terms(
+    engine: BM25QueryEngine,
+    docs_df: DataFrame,
+    queries: Sequence[str],
+    m: int = 10,
+    n_expansion: int = 10,
+) -> DataFrame:
+    """(query_id, term, weight_int, xr) — the PRF expansion-term
+    selection. Stage 1: BM25-score the original queries, take the
+    top-m feedback docs per query on the quantized score (score_q
+    DESC, doc_id ASC). Stage 2: weight each term of the feedback docs
+    by Σ_d round(score_q(d)·tf(t,d)·1e6 / doclen(d)) — the RM3 shape
+    relevance·P(t|d) with integer addends — drop the original query's
+    own terms, rank (weight_int DESC, term ASC), keep n_expansion."""
+    spark = engine.spark
+    scored = engine.scored_sql(queries).withColumn("score_q", _quantize(F.col("score")))
+    wm = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    fb = (
+        scored.withColumn("fr", F.row_number().over(wm))
+        .filter(F.col("fr") <= m)
+        .select("query_id", "doc_id", "score_q")
+    )
+    # feedback docs only: broadcast the tiny (query, doc, score) dim
+    # into the docs table — corpus touch ∝ m·|queries|
+    toks = (
+        docs_df.select("doc_id", tokens_expr("text").alias("toks"))
+        .join(F.broadcast(fb), "doc_id")
+        .select("query_id", "doc_id", "score_q", F.size("toks").alias("doclen"),
+                F.explode("toks").alias("term"))
+    )
+    addend = F.round(
+        (F.col("score_q") * F.col("tf")).cast("double") * F.lit(float(SCALE))
+        / F.col("doclen")
+    ).cast("bigint")
+    weights = (
+        toks.groupBy("query_id", "doc_id", "score_q", "doclen", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("addend", addend)
+        .groupBy("query_id", "term")
+        .agg(F.sum("addend").alias("weight_int"))
+    )
+    orig = [
+        (qid, t) for qid, q in enumerate(queries) for t in sorted(set(tokenize_query(q)))
+    ] or [(0, "\x00__no_terms__")]
+    orig_df = spark.createDataFrame(orig, schema="query_id INT, term STRING")
+    fresh = weights.join(F.broadcast(orig_df), ["query_id", "term"], "left_anti")
+    wr = Window.partitionBy("query_id").orderBy(F.desc("weight_int"), F.asc("term"))
+    return (
+        fresh.withColumn("xr", F.row_number().over(wr))
+        .filter(F.col("xr") <= n_expansion)
+        .select("query_id", "term", "weight_int", "xr")
+    )
+
+
+def search_prf(
+    engine: BM25QueryEngine,
+    docs_df: DataFrame,
+    queries: Sequence[str],
+    k: int = 10,
+    m: int = 10,
+    n_expansion: int = 10,
+) -> DataFrame:
+    """PRF top-k: the original query's terms keep their qtf; the
+    selected expansion terms join the disjunction with qtf=1 (they are
+    guaranteed new terms — the selection anti-joins the originals, so
+    no (query, term) collision)."""
+    exp = prf_expansion_terms(engine, docs_df, queries, m, n_expansion)
+    rows: List[Tuple[int, str, int]] = []
+    for qid, q in enumerate(queries):
+        for term, qtf in Counter(tokenize_query(q)).items():
+            rows.append((qid, term, qtf))
+    rows += [
+        (int(r["query_id"]), r["term"], 1)
+        for r in exp.select("query_id", "term").collect()
+    ]
+    scored = engine.scored_from_terms(rows)
+    return engine._topk(scored.select("query_id", "doc_id", "score"), k)

@@ -207,6 +207,28 @@ def cmd_phrase_search(args) -> None:
         }))
 
 
+def cmd_fuzzy_search(args) -> None:
+    """Fuzzy/prefix retrieval over a BM25 index (query/expand.py,
+    Lucene MultiTermQuery rewrite semantics)."""
+    from la_fungus_search_spark.index.builder import load_index
+    from la_fungus_search_spark.query.engine import BM25QueryEngine
+    from la_fungus_search_spark.query.expand import search_fuzzy, search_prefix
+
+    spark = get_spark(app_name="lfs-fuzzy-search")
+    eng = BM25QueryEngine(load_index(spark, args.index))
+    if args.prefix:
+        hits = search_prefix(eng, args.query, k=args.k, max_expansions=args.max_expansions)
+    else:
+        hits = search_fuzzy(
+            eng, args.query, k=args.k,
+            max_edits=args.max_edits, max_expansions=args.max_expansions,
+        )
+    for r in hits.collect():
+        print(json.dumps({
+            "query_id": r.query_id, "rank": r.rank, "id": r.doc_id, "score": r.score,
+        }))
+
+
 def cmd_curate(args) -> None:
     """Training-data curation pass over a text corpus: quality/cleaning
     verdicts, model lang-ID, real-BPE token counts, and near-dup
@@ -317,6 +339,17 @@ def main() -> None:
                     help="exact phrase (corpus tokenization, literal order)")
     ps.add_argument("-k", type=int, default=10)
     ps.set_defaults(fn=cmd_phrase_search)
+
+    fz = sub.add_parser("fuzzy-search")
+    fz.add_argument("--index", required=True)
+    fz.add_argument("--query", action="append", required=True,
+                    help="query text (fuzzy) or term prefix (--prefix)")
+    fz.add_argument("-k", type=int, default=10)
+    fz.add_argument("--prefix", action="store_true",
+                    help="PrefixQuery semantics instead of FuzzyQuery")
+    fz.add_argument("--max-edits", dest="max_edits", type=int, default=1)
+    fz.add_argument("--max-expansions", dest="max_expansions", type=int, default=50)
+    fz.set_defaults(fn=cmd_fuzzy_search)
 
     c = sub.add_parser("curate")
     c.add_argument("--input", required=True, help="parquet with (doc_id, text)")

@@ -1,0 +1,221 @@
+"""Fuzzy / prefix expansion (query/expand.py): ed-1 variant enumeration
+exactness, expansion sets vs a pure-Python recompute (both physical
+paths: ed-1 variant equi-join and ed-2 levenshtein scan), end-to-end
+fuzzy/prefix top-k vs BM25Okapi-oracle scoring of the rewritten
+disjunction, empty-expansion degenerates, and plan shape (no
+BroadcastNestedLoopJoin / CartesianProduct on the ed-1 and prefix
+paths)."""
+
+import pytest
+
+from la_fungus_search_spark.index.builder import build_index
+from la_fungus_search_spark.oracle import BM25Oracle
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.query.expand import (
+    ed1_variants,
+    fuzzy_expansions,
+    normalize_prefix,
+    prefix_expansions,
+    search_fuzzy,
+    search_prefix,
+    search_wildcard,
+    wildcard_expansions,
+    wildcard_regex,
+)
+from la_fungus_search_spark.tokenizer import tokenize, tokenize_query
+
+# Paths sort in row order, so doc_id == row index (builder assigns ids
+# over sorted (repo, path, commit)).
+TEXTS = [
+    "merge sort merge batch order",
+    "marge table scan slow",
+    "window stream data merge",
+    "windows sort order stream",
+    "scan scan scan batch",
+    "stream strem data dta window",
+]
+FUZZY_QS = [
+    "mergee tble",   # insertion + deletion typos
+    "windoow strem", # strem is itself a corpus term (dist 0) AND near stream
+    "scan",          # exact hit, plus any ed-1 vocab neighbours
+    "qzzqx",         # expands to nothing
+]
+PREFIXES = ["sca", "wind", "st", "qzz", "!!"]
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    rows = [
+        ("r", f"{chr(97 + i)}.py", "c", "python", t) for i, t in enumerate(TEXTS)
+    ]
+    docs = spark.createDataFrame(
+        rows, schema="repo STRING, path STRING, commit STRING, lang STRING, content STRING"
+    )
+    idx = build_index(spark, docs, n_buckets=4, n_salts=2)
+    vocab = {}
+    for toks in (tokenize(t) for t in TEXTS):
+        for t in set(toks):
+            vocab[t] = vocab.get(t, 0) + 1  # df
+    return BM25QueryEngine(idx), vocab
+
+
+def _py_fuzzy_exp(vocab, queries, max_edits, max_expansions):
+    out = {}
+    for qid, q in enumerate(queries):
+        cand = {}
+        for qt in sorted(set(tokenize_query(q))):
+            for term, df in vocab.items():
+                d = _lev(qt, term)
+                if d <= max_edits:
+                    cand[term] = min(cand.get(term, (99, df))[0], d), df
+        ranked = sorted(cand.items(), key=lambda kv: (kv[1][0], -kv[1][1], kv[0]))
+        out[qid] = [(t, d, df) for t, (d, df) in ranked[:max_expansions]]
+    return out
+
+
+def test_ed1_variants_exact():
+    """Over the token alphabet, ed1_variants(q) is EXACTLY the ed<=1
+    ball: any string is in the ball iff it's in the variant set."""
+    probes = ["merge", "a", "scan_2", "x9"]
+    universe = {"merge", "marge", "merg", "merges", "mxrge", "amerge",
+                "scan_2", "scan_22", "scn_2", "a", "ab", "b", "", "x9",
+                "x", "9", "xx9", "x99", "table", "qq"}
+    for q in probes:
+        ball = {u for u in universe if _lev(q, u) <= 1}
+        assert ball == ed1_variants(q) & universe, q
+        # and every generated variant really is within distance 1
+        for v in ed1_variants(q):
+            assert _lev(q, v) <= 1
+
+
+@pytest.mark.parametrize("max_edits", [1, 2])
+def test_expansions_vs_python(setup, max_edits):
+    """Both physical paths (ed-1 variant equi-join, ed-2 levenshtein
+    scan) produce the pure-Python expansion sets, caps and all."""
+    eng, vocab = setup
+    got = fuzzy_expansions(eng.index, FUZZY_QS, max_edits=max_edits, max_expansions=3)
+    by_q = {}
+    for r in got.orderBy("query_id", "xr").collect():
+        by_q.setdefault(r["query_id"], []).append((r["term"], r["dist"], r["df"]))
+    want = _py_fuzzy_exp(vocab, FUZZY_QS, max_edits, 3)
+    for qid in range(len(FUZZY_QS)):
+        assert by_q.get(qid, []) == want[qid], (max_edits, FUZZY_QS[qid])
+    assert by_q.get(3, []) == []  # qzzqx expands to nothing
+
+
+def test_search_fuzzy_vs_oracle(setup):
+    """End-to-end fuzzy top-k == BM25Okapi oracle scoring the rewritten
+    disjunction (each expanded dictionary term once: qtf=1)."""
+    eng, vocab = setup
+    oracle = BM25Oracle([tokenize(t) for t in TEXTS])
+    exp = _py_fuzzy_exp(vocab, FUZZY_QS, 1, 50)
+    got = {}
+    for r in search_fuzzy(eng, FUZZY_QS, k=10, max_edits=1, max_expansions=50).collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid in range(len(FUZZY_QS)):
+        terms = [t for t, _, _ in exp[qid]]
+        want = oracle.top_k(terms, 10) if terms else []
+        have = got.get(qid, [])
+        assert [d for d, _ in want] == [d for d, _ in have], FUZZY_QS[qid]
+        for (_, es), (_, gs) in zip(want, have):
+            assert gs == pytest.approx(es, rel=1e-9)
+    assert got.get(3, []) == []
+
+
+def test_prefix_expansions_and_search(setup):
+    eng, vocab = setup
+    exp = prefix_expansions(eng.index, PREFIXES, max_expansions=50)
+    by_q = {}
+    for r in exp.orderBy("query_id", "xr").collect():
+        by_q.setdefault(r["query_id"], []).append(r["term"])
+    for qid, p in enumerate(PREFIXES):
+        pn = normalize_prefix(p)
+        want = sorted(
+            (t for t in vocab if pn and t.startswith(pn)),
+            key=lambda t: (-vocab[t], t),
+        )
+        assert by_q.get(qid, []) == want, p
+    assert by_q.get(3, []) == [] and by_q.get(4, []) == []
+
+    oracle = BM25Oracle([tokenize(t) for t in TEXTS])
+    got = {}
+    for r in search_prefix(eng, PREFIXES, k=10, max_expansions=50).collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid in range(len(PREFIXES)):
+        want = oracle.top_k(by_q.get(qid, []), 10) if by_q.get(qid) else []
+        assert [d for d, _ in want] == [d for d, _ in got.get(qid, [])], PREFIXES[qid]
+
+
+def test_normalize_prefix():
+    assert normalize_prefix("Sca") == "sca"
+    assert normalize_prefix("win.dow") == "win"   # stops at separator
+    assert normalize_prefix("...x") == ""         # leading separator -> empty
+    assert normalize_prefix("a_b9") == "a_b9"
+
+
+def test_wildcard_regex_translation():
+    assert wildcard_regex("sc?n") == "sc[a-z0-9_]n"
+    assert wildcard_regex("Wind*") == "wind[a-z0-9_]*"
+    assert wildcard_regex("a.b") is None  # '.' can't occur in a term
+    assert wildcard_regex("x") == "x"
+
+
+def _py_wildcard(vocab, pattern):
+    import re as _re
+
+    rx = wildcard_regex(pattern)
+    if rx is None:
+        return []
+    pat = _re.compile("^(?:" + rx + ")$")
+    return sorted(
+        (t for t in vocab if pat.match(t)), key=lambda t: (-vocab[t], t)
+    )
+
+
+def test_wildcard_expansions_and_search(setup):
+    eng, vocab = setup
+    pats = ["sc?n", "wind*", "*ge", "s*m", "zz*q", "b.d"]
+    exp = wildcard_expansions(eng.index, pats, max_expansions=50)
+    by_q = {}
+    for r in exp.orderBy("query_id", "xr").collect():
+        by_q.setdefault(r["query_id"], []).append(r["term"])
+    for qid, p in enumerate(pats):
+        assert by_q.get(qid, []) == _py_wildcard(vocab, p), p
+    # '*ge' must hit both 'merge' and 'marge' (leading-wildcard scan)
+    assert set(by_q[2]) == {t for t in vocab if t.endswith("ge")}
+    assert by_q.get(4, []) == [] and by_q.get(5, []) == []
+
+    oracle = BM25Oracle([tokenize(t) for t in TEXTS])
+    got = {}
+    for r in search_wildcard(eng, pats, k=10).collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid in range(len(pats)):
+        want = oracle.top_k(by_q.get(qid, []), 10) if by_q.get(qid) else []
+        assert [d for d, _ in want] == [d for d, _ in got.get(qid, [])], pats[qid]
+
+
+def test_plan_shapes(setup):
+    """ed-1 expansion is a broadcast equi-join; prefix expansion is
+    joinless filter branches — neither may plan a nested loop. The
+    documented ed>=2 fallback IS a BroadcastNestedLoopJoin over
+    vocabulary metadata (asserted so a regression to a corpus-sized
+    NLJ would be caught by the other tests' row counts, and a silent
+    planner change here is visible)."""
+    eng, _ = setup
+    p1 = fuzzy_expansions(eng.index, FUZZY_QS, 1, 50)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in p1 and "CartesianProduct" not in p1
+    assert "BroadcastHashJoin" in p1
+    p2 = prefix_expansions(eng.index, PREFIXES, 50)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p2 and "CartesianProduct" not in p2
+    p3 = fuzzy_expansions(eng.index, FUZZY_QS, 2, 50)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in p3 and "CartesianProduct" not in p3

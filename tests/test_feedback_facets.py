@@ -1,0 +1,188 @@
+"""Relevance feedback (query/feedback.py) and facets (query/facets.py):
+MLT term selection + end-to-end vs a pure-Python recompute, seed-doc
+exclusion, PRF expansion weights + final ranking vs pure-Python (the
+integer-quantized determinism contract recomputed exactly), facet
+counts vs brute force, and degenerate shapes (no-match query, empty
+seed text, field validation)."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.index.builder import build_index
+from la_fungus_search_spark.oracle import BM25Oracle
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.query.facets import facet_counts
+from la_fungus_search_spark.query.feedback import (
+    SCALE,
+    mlt_select_terms,
+    prf_expansion_terms,
+    search_more_like_this,
+    search_prf,
+)
+from la_fungus_search_spark.tokenizer import tokenize, tokenize_query
+
+TEXTS = [
+    "merge sort merge batch order",
+    "merge table scan slow table",
+    "window stream data merge",
+    "window sort order stream stream",
+    "scan scan scan batch",
+    "stream batch data window merge",
+    "table scan window order",
+    "data data batch sort",
+]
+LANGS = ["py", "py", "go", "go", "py", "rs", "go", "py"]
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    rows = [
+        ("r", f"{chr(97 + i)}.py", "c", LANGS[i], t) for i, t in enumerate(TEXTS)
+    ]
+    docs = spark.createDataFrame(
+        rows, schema="repo STRING, path STRING, commit STRING, lang STRING, content STRING"
+    )
+    idx = build_index(spark, docs, n_buckets=4, n_salts=2)
+    eng = BM25QueryEngine(idx)
+    oracle = BM25Oracle([tokenize(t) for t in TEXTS])
+    docs_df = spark.createDataFrame(
+        [(i, t, LANGS[i]) for i, t in enumerate(TEXTS)],
+        schema="doc_id BIGINT, text STRING, lang STRING",
+    )
+    return eng, oracle, docs_df
+
+
+def _idf_df(oracle):
+    return oracle.idf, {t: sum(1 for d in oracle.doc_freqs if t in d) for t in oracle.idf}
+
+
+def _py_mlt_terms(oracle, text, max_terms, min_tf, min_df):
+    idf, df = _idf_df(oracle)
+    cand = []
+    for t, tf in Counter(tokenize(text or "")).items():
+        if t in idf and tf >= min_tf and df[t] >= min_df:
+            wq = round(tf * idf[t] * SCALE)
+            cand.append((t, wq))
+    cand.sort(key=lambda x: (-x[1], x[0]))
+    return [t for t, _ in cand[:max_terms]]
+
+
+def test_mlt_select_terms_vs_python(setup):
+    eng, oracle, _ = setup
+    seeds = [TEXTS[0], TEXTS[3], ""]
+    sel = mlt_select_terms(eng, seeds, max_query_terms=3, min_tf=1, min_df=2)
+    by_q = {}
+    for r in sel.orderBy("query_id", "xr").collect():
+        by_q.setdefault(r["query_id"], []).append(r["term"])
+    for qid, text in enumerate(seeds):
+        assert by_q.get(qid, []) == _py_mlt_terms(oracle, text, 3, 1, 2), qid
+    assert by_q.get(2, []) == []  # empty seed expands to nothing
+
+
+def test_mlt_search_excludes_seed_and_matches_oracle(setup):
+    eng, oracle, _ = setup
+    seeds = [(0, TEXTS[0]), (None, TEXTS[3])]
+    got = {}
+    for r in search_more_like_this(eng, seeds, k=10, max_query_terms=5, min_df=2).collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, (sdoc, text) in enumerate(seeds):
+        terms = _py_mlt_terms(oracle, text, 5, 1, 2)
+        want = [(d, s) for d, s in oracle.top_k(terms, 11) if d != sdoc][:10]
+        have = got.get(qid, [])
+        assert [d for d, _ in want] == [d for d, _ in have], qid
+        for (_, es), (_, gs) in zip(want, have):
+            assert gs == pytest.approx(es, rel=1e-9)
+    assert all(d != 0 for d, _ in got[0])  # seed excluded
+    # seedless query keeps every hit
+    assert 3 in {d for d, _ in got[1]}
+
+
+def _py_prf(oracle, docs, queries, m, n_exp):
+    """Pure-Python recompute of prf_expansion_terms + search_prf."""
+    out_terms, out_rank = {}, {}
+    for qid, q in enumerate(queries):
+        qtoks = tokenize_query(q)
+        scores = oracle.top_k(qtoks, len(docs))
+        fb = sorted(
+            ((d, round(s * SCALE)) for d, s in scores),
+            key=lambda x: (-x[1], x[0]),
+        )[:m]
+        w = {}
+        for d, sq in fb:
+            toks = tokenize(docs[d])
+            dl = len(toks)
+            for t, tf in Counter(toks).items():
+                w[t] = w.get(t, 0) + round((sq * tf) * float(SCALE) / dl)
+        for t in set(qtoks):
+            w.pop(t, None)
+        exp = sorted(w.items(), key=lambda x: (-x[1], x[0]))[:n_exp]
+        out_terms[qid] = [t for t, _ in exp]
+        final = list(qtoks) + out_terms[qid]
+        out_rank[qid] = oracle.top_k(final, 10)
+    return out_terms, out_rank
+
+
+def test_prf_expansion_and_search_vs_python(setup):
+    eng, oracle, docs_df = setup
+    queries = ["merge table", "stream window", "qzzqx scan"]
+    want_terms, want_rank = _py_prf(oracle, TEXTS, queries, m=3, n_exp=2)
+    exp = prf_expansion_terms(eng, docs_df, queries, m=3, n_expansion=2)
+    by_q = {}
+    for r in exp.orderBy("query_id", "xr").collect():
+        by_q.setdefault(r["query_id"], []).append(r["term"])
+    for qid in range(len(queries)):
+        assert by_q.get(qid, []) == want_terms[qid], queries[qid]
+
+    got = {}
+    for r in search_prf(eng, docs_df, queries, k=10, m=3, n_expansion=2).collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid in range(len(queries)):
+        have = got.get(qid, [])
+        assert [d for d, _ in want_rank[qid]] == [d for d, _ in have], queries[qid]
+        for (_, es), (_, gs) in zip(want_rank[qid], have):
+            assert gs == pytest.approx(es, rel=1e-9)
+
+
+def test_prf_no_match_query_yields_nothing(setup):
+    eng, _, docs_df = setup
+    got = search_prf(eng, docs_df, ["qzzqx zzz"], k=5, m=3, n_expansion=2).collect()
+    assert got == []
+
+
+def test_facet_counts_vs_python(setup):
+    eng, _, docs_df = setup
+    docs_f = docs_df.withColumn(
+        "src", F.when(F.col("doc_id") % 2 == 0, F.lit("even")).otherwise(F.lit(None))
+    )
+    queries = ["merge", "stream batch", "qzzqx"]
+    got = {}
+    for r in facet_counts(eng, docs_f, queries, ["lang", "src"], top_values=10).collect():
+        got.setdefault((r["query_id"], r["field"]), []).append(
+            (r["value"], r["n_docs"], r["vr"])
+        )
+    for qid, q in enumerate(queries):
+        terms = set(tokenize_query(q))
+        hits = [i for i, t in enumerate(TEXTS) if terms & set(tokenize(t))]
+        for field, vals in (
+            ("lang", [LANGS[i] for i in hits]),
+            ("src", ["even" if i % 2 == 0 else "(none)" for i in hits]),
+        ):
+            cnt = Counter(vals)
+            want = [
+                (v, n, i + 1)
+                for i, (v, n) in enumerate(
+                    sorted(cnt.items(), key=lambda x: (-x[1], x[0]))
+                )
+            ]
+            assert got.get((qid, field), []) == want, (q, field)
+    assert (2, "lang") not in got  # no-match query has no facet rows
+
+
+def test_facet_field_validation(setup):
+    eng, _, docs_df = setup
+    with pytest.raises(ValueError):
+        facet_counts(eng, docs_df, ["merge"], [])
+    with pytest.raises(ValueError):
+        facet_counts(eng, docs_df, ["merge"], ["nope"])

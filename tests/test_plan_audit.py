@@ -78,6 +78,12 @@ AUDIT = [
     "phrase_match_topk",
     "proximity_window_topk",
     "boolean_query_topk",
+    "fuzzy_query_topk",
+    "prefix_query_topk",
+    "wildcard_query_topk",
+    "more_like_this_topk",
+    "prf_expanded_topk",
+    "facet_counts",
 ]
 
 
