@@ -98,6 +98,15 @@ MLT_SEED_IDS = [3, 57, 123]
 PRF_QUERIES = BM25_QUERIES[:4]
 FACET_QUERIES = ["hash join table scan", "merge", "spark stream batch data"]
 FACET_FIELDS = ["lang", "source"]
+# Ordered span-near fixtures (query/phrase.py span_near_topk): (query,
+# slop) — slop 0 degenerates to exact phrase adjacency.
+SPAN_QUERIES = [
+    ("table part", 0),
+    ("scan slow", 3),
+    ("window stream sort", 5),
+    ("the table", 1),
+    ("merge", 0),
+]
 GREP_NEEDLE = "merge"
 AND_TERMS = ["merge", "batch", "window"]
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -617,6 +626,30 @@ ORDER BY query_id, field, vr
 """
 
 
+def _facet_ranges_oracle_sql(lo: int = 0, width: int = 100, n_buckets: int = 8) -> str:
+    """DuckDB twin of q_facet_ranges: match set → floor((v−lo)/width)
+    buckets inside [lo, hi), catch-all −1 (NULL and out-of-range),
+    bucket_lo = bucket·width + lo (NULL for −1)."""
+    hi = lo + width * n_buckets
+    return f"""
+WITH {_bm25_base_cte()},
+qraw(query_id, term) AS (VALUES {_query_terms_values(FACET_QUERIES, with_qtf=False)}),
+hits AS (SELECT DISTINCT q.query_id, tf.doc_id FROM qraw q JOIN tf USING (term)),
+b AS (
+    SELECT h.query_id,
+           CASE WHEN d.n_chars IS NOT NULL AND d.n_chars >= {lo} AND d.n_chars < {hi}
+                THEN CAST(floor((d.n_chars - {lo}) / {float(width)}) AS INT)
+                ELSE -1 END AS bucket
+    FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+),
+counts AS (SELECT query_id, bucket, count(*)::BIGINT AS n_docs FROM b GROUP BY 1, 2)
+SELECT query_id::INT AS query_id, bucket,
+       CASE WHEN bucket >= 0 THEN bucket::BIGINT * {width} + {lo} END AS bucket_lo,
+       n_docs
+FROM counts ORDER BY query_id, bucket
+"""
+
+
 def _bpe_oracle_sql() -> str:
     """BPE token-count value-oracle: the greedy merge loop as a DuckDB
     recursive CTE over DISTINCT pretokens (mirroring the Spark plan's
@@ -1012,6 +1045,28 @@ def q_facet_counts(spark, sf_dir):
     eng = BM25QueryEngine(_index(spark, sf_dir))
     docs = _documents(spark, sf_dir)
     return facet_ops.facet_counts(eng, docs, FACET_QUERIES, FACET_FIELDS, top_values=10)
+
+
+def q_span_near_topk(spark, sf_dir):
+    """Ordered span-near (query/phrase.py, Lucene SpanNearQuery
+    inOrder=true): terms must appear in query order within slop extra
+    positions; greedy-chain existence test (exact — greedy minimizes
+    the span for a fixed start). Same one-pass scan shape as
+    phrase_match_topk."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return phrase_ops.span_near_topk(docs, SPAN_QUERIES, k=10)
+
+
+def q_facet_ranges(spark, sf_dir):
+    """Numeric range facets (query/facets.py, Lucene
+    LongRangeFacetCounts shape): per query, match-set counts over
+    fixed-width n_chars buckets [0, 800) at width 100, catch-all
+    bucket -1 conserves per-query totals."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    docs = _documents(spark, sf_dir)
+    return facet_ops.facet_ranges(
+        eng, docs, FACET_QUERIES, "n_chars", lo=0, width=100, n_buckets=8
+    )
 
 
 def q_keyword_score_topk(spark, sf_dir):
@@ -1986,6 +2041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this_topk": q_more_like_this_topk,
         "prf_expanded_topk": q_prf_expanded_topk,
         "facet_counts": q_facet_counts,
+        "span_near_topk": q_span_near_topk,
+        "facet_ranges": q_facet_ranges,
         # (c) no_oracle entering r4 (query_dedup / mmr_diverse_topk /
         # text_bpe_counts gained value-oracles mid-round)
         "query_dedup": q_query_dedup,
@@ -2426,6 +2483,8 @@ def oracle_sql() -> dict[str, str]:
         "more_like_this_topk": _mlt_oracle_sql(10),
         "prf_expanded_topk": _prf_oracle_sql(10),
         "facet_counts": _facet_oracle_sql(10),
+        "span_near_topk": phrase_ops.span_near_oracle_sql(SPAN_QUERIES, 10),
+        "facet_ranges": _facet_ranges_oracle_sql(),
         "mmr_diverse_topk": _mmr_oracle_sql(),
         "query_dedup": _query_dedup_oracle_sql(),
         "text_bpe_counts": _bpe_oracle_sql(),

@@ -272,6 +272,11 @@ def bench_main(results: dict):
         "phrase_match_topk",
         "proximity_window_topk",
         "boolean_query_topk",
+        "fuzzy_query_topk",
+        "wildcard_query_topk",
+        "more_like_this_topk",
+        "prf_expanded_topk",
+        "facet_counts",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

@@ -69,3 +69,46 @@ def facet_counts(
         .filter(F.col("vr") <= top_values)
         .orderBy("query_id", "field", "vr")
     )
+
+
+def facet_ranges(
+    engine: BM25QueryEngine,
+    docs_df: DataFrame,
+    queries: Sequence[str],
+    field: str,
+    lo: int,
+    width: int,
+    n_buckets: int,
+) -> DataFrame:
+    """(query_id, bucket, bucket_lo, n_docs) — fixed-width numeric
+    range facets (the Lucene ``LongRangeFacetCounts`` shape): per
+    query, hit counts over ``floor((v − lo)/width)`` buckets for
+    values in ``[lo, lo + width·n_buckets)``; everything else (NULL
+    included) lands in the catch-all bucket −1 so per-query totals
+    are conserved. ``bucket_lo`` is the bucket's inclusive lower
+    bound (−1 bucket reports NULL). floor() of one exact integer
+    division stays engine-invariant for |v| < 2^52. Same physical
+    shape as :func:`facet_counts` minus the unpivot."""
+    if width <= 0 or n_buckets <= 0:
+        raise ValueError("width and n_buckets must be positive")
+    if field not in docs_df.columns:
+        raise ValueError(f"facet field not in docs: {field}")
+    hits = engine.scored_sql(queries).select("query_id", "doc_id")
+    v = F.col(field).cast("bigint")
+    hi = lo + width * n_buckets
+    bucket = F.when(
+        v.isNotNull() & (v >= lo) & (v < hi),
+        F.floor((v - F.lit(lo)) / F.lit(float(width))).cast("int"),
+    ).otherwise(F.lit(-1))
+    meta = docs_df.select("doc_id", bucket.alias("bucket"))
+    return (
+        hits.join(meta, "doc_id")
+        .groupBy("query_id", "bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn(
+            "bucket_lo",
+            F.when(F.col("bucket") >= 0, F.col("bucket").cast("bigint") * width + lo),
+        )
+        .select("query_id", "bucket", "bucket_lo", "n_docs")
+        .orderBy("query_id", "bucket")
+    )

@@ -139,6 +139,38 @@ def _windows_expr(terms: Sequence[str], window: int) -> Column:
     return F.filter(anchors, covered)
 
 
+def _next_after(positions: Column, cur: Column) -> Column:
+    """min position in ``positions`` strictly greater than ``cur`` —
+    the greedy-chain step (NULL when no such position exists or the
+    term is absent). The predicate is a dedicated single-parameter
+    function so the captured ``cur`` never becomes a second HOF
+    parameter (see :func:`_shifted`'s arity note)."""
+
+    def after(x):
+        return x > cur
+
+    return F.array_min(F.filter(positions, after))
+
+
+def _spans_expr(terms: Sequence[str], slop: int) -> Column:
+    """Ordered span-near starts from ``pm``: occurrences ``s`` of the
+    first term from which the GREEDY chain (each next term's smallest
+    position after the previous link) lands within
+    ``span = p_last − s − (m−1) <= slop``. Greedy minimizes the span
+    for a fixed start, so greedy-existence is exact existence — the
+    match test is not an approximation. NULL-propagating when any
+    term is absent (filter drops NULL predicates)."""
+    m = len(terms)
+
+    def matches(s):
+        cur = s
+        for t in terms[1:]:
+            cur = _next_after(F.element_at("pm", F.lit(t)), cur)
+        return (cur - s - F.lit(m - 1)) <= F.lit(slop)
+
+    return F.filter(F.element_at("pm", F.lit(terms[0])), matches)
+
+
 def _rank_topk(per_doc: DataFrame, k: int, count_col: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc(count_col), F.asc("doc_id"))
     return (
@@ -220,6 +252,46 @@ def proximity_topk(
         .filter(F.col("n_windows") > 0)
     )
     return _rank_topk(hits, k, "n_windows")
+
+
+def span_near_topk(
+    docs: DataFrame, queries: Sequence[Tuple[str, int]], k: int = 10
+) -> DataFrame:
+    """Ordered span-near top-k (Lucene ``SpanNearQuery`` with
+    ``inOrder=true``): ``queries`` are (query_string, slop) pairs;
+    terms keep the query's ORDER (corpus tokenization, repeats
+    allowed — a phrase with slop 0 degenerates to exact phrase
+    match). A doc matches at start ``s`` iff the terms appear in
+    order starting at ``s`` with at most ``slop`` total extra
+    positions between the first and last link. ``n_spans`` = number
+    of matching starts; ``first_pos`` = min. Same one-corpus-pass
+    scan shape as :func:`phrase_match_topk`."""
+    parsed = []
+    for q, slop in queries:
+        terms = tokenize(q)
+        if not terms:
+            raise ValueError("empty span query after tokenization")
+        if int(slop) < 0:
+            raise ValueError("slop must be >= 0")
+        parsed.append((terms, int(slop)))
+    all_terms = sorted({t for ts, _ in parsed for t in ts})
+    pm = _term_pos_map(docs, all_terms)
+    per_q = []
+    for qid, (terms, slop) in enumerate(parsed):
+        spans = _spans_expr(terms, slop)
+        per_q.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.coalesce(F.size(spans), F.lit(0)).alias("n_spans"),
+                F.coalesce(F.array_min(spans), F.lit(-1)).alias("first_pos"),
+            )
+        )
+    hits = (
+        pm.select("doc_id", F.explode(F.array(*per_q)).alias("h"))
+        .select("doc_id", "h.query_id", "h.n_spans", "h.first_pos")
+        .filter(F.col("n_spans") > 0)
+    )
+    return _rank_topk(hits, k, "n_spans")
 
 
 def phrase_candidates_scan(
@@ -448,5 +520,44 @@ ranked AS (
     FROM matched
 )
 SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, n_windows, first_pos
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def span_near_oracle_sql(queries: Sequence[Tuple[str, int]], k: int = 10) -> str:
+    """DuckDB twin of :func:`span_near_topk`: the greedy chain
+    transcribed as nested list_min(list_filter(...)) steps with
+    uniquely-named lambda variables (1-based internally, 0-based
+    out)."""
+    toks = duckdb_tokens_sql("text")
+    branches = []
+    for qid, (q, slop) in enumerate(queries):
+        terms = tokenize(q)
+        m = len(terms)
+        poscols = ", ".join(
+            f"list_filter(range(1, len(toks) + 1), i -> toks[i] = {_sql_quote(t)}) AS pos_{j}"
+            for j, t in enumerate(terms)
+        )
+        cur = "s"
+        for j in range(1, m):
+            cur = f"list_min(list_filter(pos_{j}, x{j} -> x{j} > ({cur})))"
+        cond = f"(({cur}) - s - {m - 1}) <= {int(slop)}"
+        spans = f"list_filter(pos_0, s -> {cond})"
+        branches.append(
+            f"""SELECT query_id, doc_id, len({spans})::BIGINT AS n_spans,
+       (list_min({spans}) - 1)::INT AS first_pos
+FROM (SELECT {qid} AS query_id, doc_id, {poscols} FROM tokd)"""
+        )
+    body = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+hits AS ({body}),
+matched AS (SELECT * FROM hits WHERE n_spans > 0),
+ranked AS (
+    SELECT query_id, doc_id, n_spans, first_pos,
+           row_number() OVER (PARTITION BY query_id ORDER BY n_spans DESC, doc_id ASC) AS rank
+    FROM matched
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, n_spans, first_pos
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """

@@ -186,3 +186,50 @@ def test_facet_field_validation(setup):
         facet_counts(eng, docs_df, ["merge"], [])
     with pytest.raises(ValueError):
         facet_counts(eng, docs_df, ["merge"], ["nope"])
+
+
+def test_facet_ranges_vs_python(setup):
+    from la_fungus_search_spark.query.facets import facet_ranges
+
+    eng, _, docs_df = setup
+    # in-range, bucket edges, NULL, negative, and >= hi values
+    vals = [5, 120, None, 9999, 250, 300, 0, -3]
+    docs_v = docs_df.withColumn(
+        "val",
+        F.element_at(
+            F.array(*[F.lit(v).cast("bigint") for v in vals]),
+            (F.col("doc_id") + 1).cast("int"),
+        ),
+    )
+    queries = ["merge", "stream batch", "qzzqx"]
+    got = {}
+    for r in facet_ranges(
+        eng, docs_v, queries, "val", lo=0, width=100, n_buckets=3
+    ).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["bucket"], r["bucket_lo"], r["n_docs"])
+        )
+    for qid, q in enumerate(queries):
+        terms = set(tokenize_query(q))
+        hits = [i for i, t in enumerate(TEXTS) if terms & set(tokenize(t))]
+        cnt = Counter(
+            vals[i] // 100 if vals[i] is not None and 0 <= vals[i] < 300 else -1
+            for i in hits
+        )
+        want = [
+            (b, b * 100 if b >= 0 else None, n) for b, n in sorted(cnt.items())
+        ]
+        assert got.get(qid, []) == want, q
+        # catch-all conserves the per-query total
+        assert sum(n for _, _, n in got.get(qid, [])) == len(hits), q
+    assert 2 not in got  # no-match query has no rows
+
+
+def test_facet_ranges_validation(setup):
+    from la_fungus_search_spark.query.facets import facet_ranges
+
+    eng, _, docs_df = setup
+    with pytest.raises(ValueError):
+        facet_ranges(eng, docs_df, ["merge"], "nope", lo=0, width=10, n_buckets=2)
+    with pytest.raises(ValueError):
+        facet_ranges(eng, docs_df, ["merge"], "doc_id", lo=0, width=0, n_buckets=2)

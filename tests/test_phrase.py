@@ -173,3 +173,112 @@ def test_phrase_longer_than_doc(spark):
     assert got == []
     got2 = [tuple(r) for r in phrase_match_topk(df, ["a b c"], k=5).collect()]
     assert got2 == [(0, 1, 2, 2, 0)]  # doc 2: starts at 0 and 3
+
+
+# ------------------------------------------- ordered span-near (r4)
+
+SPANS = [
+    ("table part", 0),  # slop 0 == exact phrase adjacency
+    ("scan slow", 3),
+    ("window stream sort", 5),
+    ("the table", 1),
+    ("scan", 0),  # single term degenerates to tf
+    ("zebra quux", 4),  # absent terms -> zero rows
+]
+
+
+def py_span(docs, query, slop, k=10):
+    """Exhaustive (memoized) in-order chain search — independent of the
+    impl's greedy shortcut: a start matches iff ANY strictly-increasing
+    assignment of the remaining terms lands within slop."""
+    terms = tokenize(query)
+    m = len(terms)
+    rows = []
+    for doc_id, text in docs:
+        toks = tokenize(text)
+        pos = {t: [i for i, x in enumerate(toks) if x == t] for t in set(terms)}
+        memo = {}
+
+        def min_last(j, cur):
+            if j == m:
+                return cur
+            key = (j, cur)
+            if key not in memo:
+                best = None
+                for p in pos.get(terms[j], []):
+                    if p > cur:
+                        r = min_last(j + 1, p)
+                        if r is not None and (best is None or r < best):
+                            best = r
+                memo[key] = best
+            return memo[key]
+
+        starts = [
+            s
+            for s in pos.get(terms[0], [])
+            if (lambda last: last is not None and last - s - (m - 1) <= slop)(
+                min_last(1, s)
+            )
+        ]
+        if starts:
+            rows.append((doc_id, len(starts), starts[0]))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return [
+        (rank + 1, doc_id, n, fp) for rank, (doc_id, n, fp) in enumerate(rows[:k])
+    ]
+
+
+def test_span_near_vs_python(spark, docs_df, docs_local):
+    from la_fungus_search_spark.query.phrase import span_near_topk
+
+    got = span_near_topk(docs_df, SPANS, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["n_spans"], r["first_pos"])
+        )
+    for qid, (q, slop) in enumerate(SPANS):
+        assert by_q.get(qid, []) == py_span(docs_local, q, slop), (q, slop)
+    assert by_q.get(SPANS.index(("zebra quux", 4)), []) == []
+
+
+def test_span_slop0_equals_phrase(spark, docs_df):
+    """slop=0 must reproduce exact phrase-match counts (incl. repeated
+    terms, where the strictly-increasing chain == adjacency)."""
+    from la_fungus_search_spark.query.phrase import span_near_topk
+
+    phrases = ["table part", "the table", "table table"]
+    ph = {
+        (r["query_id"], r["doc_id"]): (r["phrase_tf"], r["first_pos"])
+        for r in phrase_match_topk(docs_df, phrases, k=10).collect()
+    }
+    sp = {
+        (r["query_id"], r["doc_id"]): (r["n_spans"], r["first_pos"])
+        for r in span_near_topk(docs_df, [(p, 0) for p in phrases], k=10).collect()
+    }
+    assert ph == sp
+
+
+def test_span_oracle_sql_twin(spark, docs_df):
+    from la_fungus_search_spark.query.phrase import (
+        span_near_oracle_sql,
+        span_near_topk,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    qs = SPANS[:4]
+    got = [tuple(r) for r in span_near_topk(docs_df, qs, k=10).collect()]
+    want = [tuple(r) for r in con.execute(span_near_oracle_sql(qs, 10)).fetchall()]
+    assert got == want
+
+
+def test_span_validation(spark, docs_df):
+    from la_fungus_search_spark.query.phrase import span_near_topk
+
+    with pytest.raises(ValueError):
+        span_near_topk(docs_df, [("...", 2)], k=5)  # tokenizes to nothing
+    with pytest.raises(ValueError):
+        span_near_topk(docs_df, [("scan slow", -1)], k=5)

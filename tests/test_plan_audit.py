@@ -84,6 +84,8 @@ AUDIT = [
     "more_like_this_topk",
     "prf_expanded_topk",
     "facet_counts",
+    "span_near_topk",
+    "facet_ranges",
 ]
 
 
