@@ -277,6 +277,9 @@ def bench_main(results: dict):
         "more_like_this_topk",
         "prf_expanded_topk",
         "facet_counts",
+        "prefix_query_topk",
+        "span_near_topk",
+        "facet_ranges",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25
