@@ -88,6 +88,11 @@ FUZZY_QUERIES = [
     "qzzqx",                  # expands to nothing
 ]
 PREFIX_QUERIES = ["sca", "wind", "st", "qzz"]
+# Did-you-mean suggester inputs (expand.suggest_terms, Lucene
+# DirectSpellChecker semantics): dist-2 ("tabel" → "table" via
+# transposition = 2 classic edits), dist-1 typos, an exact vocabulary
+# hit (dist 0 included by contract), and a no-match word.
+SUGGEST_INPUTS = ["tabel", "windoow", "merge", "scann", "qzzqx", "dat", "rw"]
 # Wildcard patterns (Lucene WildcardQuery: * = any run, ? = one char);
 # "*ge" exercises the leading-wildcard vocab scan, the last matches
 # nothing.
@@ -403,6 +408,38 @@ expn AS (
     FROM exp0
 ),
 {_expanded_scored_tail_sql(k).lstrip()}"""
+
+
+def _suggest_oracle_sql(k: int = 8) -> str:
+    """DuckDB twin of q_term_suggest: candidates = vocabulary terms
+    within 2 edits of the (corpus-tokenized) input word — DuckDB's
+    levenshtein == Spark's F.levenshtein, classic unweighted edit
+    distance — ranked (dist ASC, df DESC, term ASC), top 8."""
+    from la_fungus_search_spark.tokenizer import tokenize as corpus_tokenize
+
+    rows = []
+    for qid, w in enumerate(SUGGEST_INPUTS):
+        toks = corpus_tokenize(w)
+        if toks:
+            rows.append(f"({qid}, '{toks[0]}')")
+    return f"""
+WITH {_bm25_base_cte()},
+qw(query_id, qterm) AS (VALUES {", ".join(rows)}),
+cand AS (
+    SELECT q.query_id, i.term, i.df, levenshtein(q.qterm, i.term)::INT AS dist
+    FROM qw q JOIN idf i
+      ON abs(length(i.term) - length(q.qterm)) <= 2
+     AND levenshtein(q.qterm, i.term) <= 2
+),
+ranked AS (
+    SELECT query_id, term, dist, df,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist ASC, df DESC, term ASC) AS rank
+    FROM cand
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, term, dist, df
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
 
 
 def _prefix_oracle_sql(k: int = 10) -> str:
@@ -1002,6 +1039,17 @@ def q_wildcard_query_topk(spark, sf_dir):
     eng = BM25QueryEngine(_index(spark, sf_dir))
     hits = expand_ops.search_wildcard(eng, WILDCARD_QUERIES, k=30, max_expansions=50)
     return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+def q_term_suggest(spark, sf_dir):
+    """Did-you-mean term suggester (query/expand.py, Lucene
+    DirectSpellChecker / ES TermSuggester semantics): vocabulary terms
+    within 2 edits of each input word ranked (dist ASC, df DESC,
+    term ASC), top 8 per word. One length-windowed levenshtein scan of
+    term_stats (vocabulary metadata) against the broadcast inputs —
+    never a corpus touch."""
+    idx = _index(spark, sf_dir)
+    return expand_ops.suggest_terms(idx, SUGGEST_INPUTS, max_edits=2, n_suggestions=8)
 
 
 def q_more_like_this_topk(spark, sf_dir):
@@ -2036,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_window_topk": q_proximity_window_topk,
         "boolean_query_topk": q_boolean_query_topk,
         "fuzzy_query_topk": q_fuzzy_query_topk,
+        "term_suggest": q_term_suggest,
         "prefix_query_topk": q_prefix_query_topk,
         "wildcard_query_topk": q_wildcard_query_topk,
         "more_like_this_topk": q_more_like_this_topk,
@@ -2478,6 +2527,7 @@ def oracle_sql() -> dict[str, str]:
         "proximity_window_topk": phrase_ops.proximity_oracle_sql(PROX_QUERIES, 10),
         "boolean_query_topk": _boolean_oracle_sql(10),
         "fuzzy_query_topk": _fuzzy_oracle_sql(10),
+        "term_suggest": _suggest_oracle_sql(8),
         "prefix_query_topk": _prefix_oracle_sql(10),
         "wildcard_query_topk": _wildcard_oracle_sql(10),
         "more_like_this_topk": _mlt_oracle_sql(10),

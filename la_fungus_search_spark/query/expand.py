@@ -61,7 +61,7 @@ from pyspark.sql import functions as F
 
 from la_fungus_search_spark.index.builder import BM25Index
 from la_fungus_search_spark.query.engine import BM25QueryEngine
-from la_fungus_search_spark.tokenizer import tokenize_query
+from la_fungus_search_spark.tokenizer import tokenize, tokenize_query
 
 # The tokenizer's closed token alphabet (tokenizer.py contract:
 # maximal [A-Za-z0-9_] runs, lowercased) — every vocabulary term is a
@@ -227,6 +227,61 @@ def wildcard_expansions(
         return _rank_expansions(empty, max_expansions, fuzzy=False)
     cand = reduce(lambda a, b: a.unionByName(b), branches)
     return _rank_expansions(cand, max_expansions, fuzzy=False)
+
+
+def suggest_terms(
+    index: BM25Index,
+    words: Sequence[str],
+    max_edits: int = 2,
+    n_suggestions: int = 8,
+    min_df: int = 1,
+) -> DataFrame:
+    """Did-you-mean term suggestions: ``(query_id, rank, term, dist,
+    df)`` — for each input word, the dictionary terms within
+    ``max_edits`` Levenshtein edits ranked by ``(dist ASC, df DESC,
+    term ASC)``, top ``n_suggestions``.
+
+    Public semantics: Lucene ``DirectSpellChecker`` /
+    ``TermSuggester`` (Elasticsearch) — candidate generation over the
+    term dictionary by edit distance, popularity-ranked. Simplified
+    deterministic contract (mirrored by the DuckDB value-oracle): an
+    exact vocabulary hit is *included* as a ``dist = 0`` row rather
+    than suppressing suggestions, so the output is a pure function of
+    (word, dictionary); callers wanting Lucene's
+    ``suggestMode=MISSING`` drop rows where any ``dist = 0`` exists.
+
+    Physical shape: one length-windowed ``levenshtein`` scan of
+    ``term_stats`` (vocabulary *metadata* — the corpus and postings
+    are never touched) against the broadcast input words, the same
+    cost class as the ed-2 fuzzy fallback above and as Lucene's ed-2
+    automaton walk over its FST. Never a corpus scan; never a
+    vocabulary crossJoin against anything corpus-sized.
+    """
+    qrows = []
+    for qid, w in enumerate(words):
+        toks = tokenize(w or "")
+        if toks:
+            qrows.append((qid, toks[0]))
+    spark = index.spark
+    var = F.broadcast(
+        spark.createDataFrame(qrows or [(-1, "\x00")], schema="query_id INT, qterm STRING")
+    )
+    ts = index.term_stats.select("term", "df").filter(F.col("df") >= int(min_df))
+    cand = ts.join(
+        var,
+        (F.length(ts["term"]) - F.length(var["qterm"])).between(-max_edits, max_edits)
+        & (F.levenshtein(ts["term"], var["qterm"]) <= max_edits),
+    ).select(
+        "query_id", "term", "df", F.levenshtein("term", "qterm").alias("dist")
+    )
+    w_ = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w_))
+        .filter(F.col("rank") <= n_suggestions)
+        .select("query_id", "rank", "term", "dist", "df")
+    )
 
 
 def _search_expanded(engine: BM25QueryEngine, expansions: DataFrame, k: int) -> DataFrame:

@@ -219,3 +219,27 @@ def test_plan_shapes(setup):
     assert "Join" not in p2 and "CartesianProduct" not in p2
     p3 = fuzzy_expansions(eng.index, FUZZY_QS, 2, 50)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in p3 and "CartesianProduct" not in p3
+
+
+def test_suggest_terms_vs_python(setup):
+    """Did-you-mean suggester == pure-Python recompute: ed<=2
+    candidates over the vocabulary ranked (dist, df DESC, term), top-n
+    per input; exact hits appear as dist=0 rows; no-match inputs
+    produce nothing."""
+    from la_fungus_search_spark.query.expand import suggest_terms
+
+    eng, vocab = setup
+    words = ["marge", "strem", "tble", "wndow", "qzzqx", "scan"]
+    got = {}
+    for r in suggest_terms(eng.index, words, max_edits=2, n_suggestions=3).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["term"], r["dist"], r["df"])
+        )
+    for qid, w in enumerate(words):
+        cand = sorted(
+            ((d, -df, t) for t, df in vocab.items() if (d := _lev(w, t)) <= 2),
+        )[:3]
+        want = [(i + 1, t, d, -ndf) for i, (d, ndf, t) in enumerate(cand)]
+        assert sorted(got.get(qid, [])) == want, w
+    # exact vocabulary hit surfaces as the dist=0 top suggestion
+    assert got[5][0][1:3] == ("scan", 0)

@@ -27,6 +27,11 @@ BNLJ_ALLOWED = {
     # for few-queries/huge-corpus, and the recall baseline the SRP-LSH
     # path is measured against
     "ann_cosine_topk",
+    # ed-2 suggester: length-windowed levenshtein over term_stats
+    # (vocabulary METADATA, corpus-independent) × broadcast input
+    # words — the ed-2 automaton-walk cost class; no equi-join exists
+    # for an edit-distance predicate
+    "term_suggest",
 }
 
 # lazy plans only — entries that materialize driver-side state or run
@@ -86,6 +91,7 @@ AUDIT = [
     "facet_counts",
     "span_near_topk",
     "facet_ranges",
+    "term_suggest",
 ]
 
 
