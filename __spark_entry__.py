@@ -410,6 +410,40 @@ expn AS (
 {_expanded_scored_tail_sql(k).lstrip()}"""
 
 
+def _collocations_oracle_sql(min_count: int = 5, top_n: int = 50) -> str:
+    """DuckDB twin of q_collocations: adjacent-pair counts via lateral
+    unnest over 1-based positions, unigram counts, Church-&-Hanks PMI
+    with the identical operand association (n_ab·T)/(n_a·n_b) and
+    micro-quantized ln, ranked (pmi_q DESC, term_a, term_b)."""
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH tokd AS (SELECT {toks} AS toks FROM documents),
+uni AS (SELECT unnest(toks) AS term FROM tokd),
+uc AS (SELECT term, count(*)::BIGINT AS n_uni FROM uni GROUP BY 1),
+tot AS (SELECT count(*)::DOUBLE AS t_total FROM uni),
+big AS (
+    SELECT toks[i] AS term_a, toks[i + 1] AS term_b
+    FROM tokd, unnest(range(1, len(toks))) AS r(i)
+),
+bc AS (
+    SELECT term_a, term_b, count(*)::BIGINT AS n_ab
+    FROM big GROUP BY 1, 2 HAVING count(*) >= {min_count}
+),
+joined AS (
+    SELECT b.term_a, b.term_b, b.n_ab, ua.n_uni AS n_a, ub.n_uni AS n_b,
+           round(ln((b.n_ab::DOUBLE * (SELECT t_total FROM tot))
+                    / (ua.n_uni::DOUBLE * ub.n_uni::DOUBLE)) * 1000000.0)::BIGINT AS pmi_q
+    FROM bc b JOIN uc ua ON b.term_a = ua.term JOIN uc ub ON b.term_b = ub.term
+),
+ranked AS (
+    SELECT *, row_number() OVER (ORDER BY pmi_q DESC, term_a ASC, term_b ASC) AS rank
+    FROM joined
+)
+SELECT rank::INT AS rank, term_a, term_b, n_ab, n_a, n_b, pmi_q
+FROM ranked WHERE rank <= {top_n} ORDER BY rank
+"""
+
+
 def _suggest_oracle_sql(k: int = 8) -> str:
     """DuckDB twin of q_term_suggest: candidates = vocabulary terms
     within 2 edits of the (corpus-tokenized) input word — DuckDB's
@@ -1039,6 +1073,19 @@ def q_wildcard_query_topk(spark, sf_dir):
     eng = BM25QueryEngine(_index(spark, sf_dir))
     hits = expand_ops.search_wildcard(eng, WILDCARD_QUERIES, k=30, max_expansions=50)
     return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+def q_collocations(spark, sf_dir):
+    """PMI collocations (textops/collocations.py, Church & Hanks 1990;
+    the significance-ranking layer behind phrase suggestion /
+    ShingleFilter selection): adjacent-pair and unigram counts via
+    explode→partial-agg, min_count=5 floor, micro-quantized PMI,
+    top-50 by (pmi_q DESC, term_a, term_b). Shuffles carry type
+    counts, never tokens."""
+    from la_fungus_search_spark.textops.collocations import collocations
+
+    docs = _documents(spark, sf_dir).select("text")
+    return collocations(docs, min_count=5, top_n=50)
 
 
 def q_term_suggest(spark, sf_dir):
@@ -2085,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_query_topk": q_boolean_query_topk,
         "fuzzy_query_topk": q_fuzzy_query_topk,
         "term_suggest": q_term_suggest,
+        "collocations": q_collocations,
         "prefix_query_topk": q_prefix_query_topk,
         "wildcard_query_topk": q_wildcard_query_topk,
         "more_like_this_topk": q_more_like_this_topk,
@@ -2528,6 +2576,7 @@ def oracle_sql() -> dict[str, str]:
         "boolean_query_topk": _boolean_oracle_sql(10),
         "fuzzy_query_topk": _fuzzy_oracle_sql(10),
         "term_suggest": _suggest_oracle_sql(8),
+        "collocations": _collocations_oracle_sql(5, 50),
         "prefix_query_topk": _prefix_oracle_sql(10),
         "wildcard_query_topk": _wildcard_oracle_sql(10),
         "more_like_this_topk": _mlt_oracle_sql(10),

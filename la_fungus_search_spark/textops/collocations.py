@@ -1,0 +1,126 @@
+"""Collocation extraction: statistically significant adjacent token
+pairs by pointwise mutual information.
+
+Public semantics: Church & Hanks 1990 ("Word Association Norms, Mutual
+Information, and Lexicography") — for an adjacent pair (a, b),
+``PMI = ln( P(a,b) / (P(a)·P(b)) ) = ln( c(a,b)·T / (c(a)·c(b)) )``
+with unigram counts ``c(·)`` over all corpus tokens and ``T`` the total
+token count; pairs below a minimum frequency are discarded (rare pairs
+have unreliable, inflated PMI — the classic caveat). This is the
+analysis layer behind phrase suggestion / shingle selection in a
+fulltext index (Lucene ``ShingleFilter`` + significance ranking, ES
+``significant_text``); the reference has no collocation layer — its
+retrieval is exact-token BM25 (``mcmp_rag.py:178-188``) — so like
+``query/phrase.py`` this is a fulltext-index delta capability.
+
+Determinism contract (mirrored by the DuckDB value-oracle in
+``__spark_entry__.py``): counts are exact integers; the only float is
+the final ``ln``, quantized to ``pmi_q = round(1e6 · ln(x))::bigint``
+with the identical operand association ``(n_ab·T) / (n_a·n_b)`` in
+both engines; ranking is ``(pmi_q DESC, term_a ASC, term_b ASC)``.
+
+Physical shape, and why it scales: two explode→partial-agg chains over
+the corpus (bigrams and unigrams — map-side combine, shuffle carries
+one row per *type*, not per token), two shuffle joins of the
+``min_count``-filtered bigram types against the unigram counts (both
+metadata-sized — vocabulary and vocabulary², never the corpus), a
+single-row broadcast for the total, and a distributed TakeOrdered
+top-N. Nothing quadratic, nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.tokenizer import tokenize, tokens_expr
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 100,
+) -> DataFrame:
+    """Top-N adjacent-pair collocations: ``(rank, term_a, term_b,
+    n_ab, n_a, n_b, pmi_q)`` ranked by quantized PMI.
+
+    Tokenization is the search tokenizer (``tokens_expr`` — the same
+    token stream the positional/phrase layer indexes, so a high-PMI
+    pair is exactly a phrase-query candidate).
+    """
+    tokd = docs.select(tokens_expr(text_col).alias("toks"))
+    n = F.size("toks")
+    # adjacent pairs via two shifted slice views of one token array —
+    # JVM-only, no per-element lambda re-evaluation (slice length is
+    # clamped so 0/1-token docs yield an empty pair list, not an error)
+    pairs = F.zip_with(
+        F.slice("toks", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("toks", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("term_a"), b.alias("term_b")),
+    )
+    big = tokd.select(F.explode(pairs).alias("p")).select("p.term_a", "p.term_b")
+    uni = tokd.select(F.explode("toks").alias("term"))
+    uc = uni.groupBy("term").agg(F.count("*").cast("bigint").alias("n_uni"))
+    tot = uni.agg(F.count("*").cast("double").alias("t_total"))
+    bc = (
+        big.groupBy("term_a", "term_b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_count))
+    )
+    joined = (
+        bc.join(uc.select(F.col("term").alias("term_a"), F.col("n_uni").alias("n_a")), "term_a")
+        .join(uc.select(F.col("term").alias("term_b"), F.col("n_uni").alias("n_b")), "term_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    # identical operand association as the oracle: (n_ab·T) / (n_a·n_b)
+    pmi_q = F.round(
+        F.log(
+            (F.col("n_ab").cast("double") * F.col("t_total"))
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        )
+        * F.lit(1e6)
+    ).cast("bigint")
+    ranked = (
+        joined.withColumn("pmi_q", pmi_q)
+        .orderBy(F.desc("pmi_q"), F.asc("term_a"), F.asc("term_b"))
+        .limit(int(top_n))
+    )
+    # rank over the ≤ top_n surviving rows only (the global sort above
+    # is a distributed TakeOrdered; this window touches top_n rows)
+    w = Window.orderBy(F.desc("pmi_q"), F.asc("term_a"), F.asc("term_b"))
+    return ranked.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "term_a", "term_b", "n_ab", "n_a", "n_b", "pmi_q"
+    )
+
+
+def collocations_py(texts: list[str], min_count: int = 5, top_n: int = 100) -> list[tuple]:
+    """Pure-Python oracle twin (tests): identical counts, quantization
+    and ordering."""
+    import math
+
+    uni: dict[str, int] = {}
+    big: dict[tuple, int] = {}
+    total = 0
+    for t in texts:
+        toks = tokenize(t or "")
+        total += len(toks)
+        for x in toks:
+            uni[x] = uni.get(x, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    out = []
+    for (a, b), nab in big.items():
+        if nab < min_count:
+            continue
+        pmi = math.log((nab * float(total)) / (float(uni[a]) * float(uni[b])))
+        # Python round() is banker's; mirror Spark/DuckDB HALF_UP
+        # (away from zero) explicitly
+        x = pmi * 1e6
+        q = int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+        out.append((a, b, nab, uni[a], uni[b], q))
+    out.sort(key=lambda r: (-r[5], r[0], r[1]))
+    return [
+        (i + 1, a, b, nab, na, nb, q)
+        for i, (a, b, nab, na, nb, q) in enumerate(out[:top_n])
+    ]

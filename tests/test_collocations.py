@@ -1,0 +1,42 @@
+"""Collocations (textops/collocations.py): Spark == pure-Python
+recompute (counts, PMI quantization, ordering, min_count floor,
+top_n cap), degenerate docs (empty / 1-token) contribute no pairs,
+and planted collocations outrank independent pairs."""
+
+from la_fungus_search_spark.textops.collocations import collocations, collocations_py
+
+# "kuala lumpur" always adjacent (the planted collocation); "data" and
+# "table" frequent but independently mixed; degenerate docs included.
+TEXTS = (
+    ["kuala lumpur data table scan"] * 6
+    + ["data kuala lumpur table data scan table"] * 4
+    + ["table data table scan data", "scan data table", "", "data", "  ?!  "]
+)
+
+
+def _spark_rows(spark, texts, min_count, top_n):
+    docs = spark.createDataFrame([(t,) for t in texts], schema="text STRING")
+    return [
+        (r["rank"], r["term_a"], r["term_b"], r["n_ab"], r["n_a"], r["n_b"], r["pmi_q"])
+        for r in collocations(docs, min_count=min_count, top_n=top_n).collect()
+    ]
+
+
+def test_collocations_match_python(spark):
+    for min_count, top_n in [(5, 100), (2, 3), (1, 100)]:
+        got = _spark_rows(spark, TEXTS, min_count, top_n)
+        want = collocations_py(TEXTS, min_count=min_count, top_n=top_n)
+        assert got == want, (min_count, top_n)
+
+
+def test_planted_collocation_ranks_first(spark):
+    got = _spark_rows(spark, TEXTS, 5, 10)
+    assert (got[0][1], got[0][2]) == ("kuala", "lumpur")
+    # perfect collocation: every 'kuala' and every 'lumpur' occurs in
+    # the pair, so PMI = ln(T / n_ab) — strictly above any mixed pair
+    assert got[0][6] > got[1][6]
+
+
+def test_degenerate_corpus(spark):
+    docs = spark.createDataFrame([("",), ("one",), (None,)], schema="text STRING")
+    assert collocations(docs, min_count=1, top_n=10).count() == 0

@@ -32,6 +32,10 @@ BNLJ_ALLOWED = {
     # words — the ed-2 automaton-walk cost class; no equi-join exists
     # for an edit-distance predicate
     "term_suggest",
+    # the corpus-total scalar joins in as a SINGLE-ROW broadcast
+    # (crossJoin of an agg over one row) — Spark plans any crossJoin
+    # as BNLJ; here the build side is exactly 1 row, cost-free
+    "collocations",
 }
 
 # lazy plans only — entries that materialize driver-side state or run
@@ -92,6 +96,7 @@ AUDIT = [
     "span_near_topk",
     "facet_ranges",
     "term_suggest",
+    "collocations",
 ]
 
 
