@@ -93,6 +93,9 @@ PREFIX_QUERIES = ["sca", "wind", "st", "qzz"]
 # transposition = 2 classic edits), dist-1 typos, an exact vocabulary
 # hit (dist 0 included by contract), and a no-match word.
 SUGGEST_INPUTS = ["tabel", "windoow", "merge", "scann", "qzzqx", "dat", "rw"]
+# Highlighting fixtures (query/highlight.py): BM25 top-k + best-window
+# snippet with bracket-marked matched terms.
+HL_QUERIES = ["hash join table scan", "window stream sort", "merge"]
 # Wildcard patterns (Lucene WildcardQuery: * = any run, ? = one char);
 # "*ge" exercises the leading-wildcard vocab scan, the last matches
 # nothing.
@@ -408,6 +411,69 @@ expn AS (
     FROM exp0
 ),
 {_expanded_scored_tail_sql(k).lstrip()}"""
+
+
+def _highlight_oracle_sql(k: int = 5, window: int = 8) -> str:
+    """DuckDB twin of q_highlight_topk: the bm25_topk scored/ranked
+    CTEs (identical quantized tie contract), then per hit the 0-based
+    match-position list, candidate windows anchored at matches,
+    integer argmax (n_window DESC, s ASC), bracket-marked snippet."""
+    toks = duckdb_tokens_sql("d.text")
+    qt_vals = _query_terms_values(HL_QUERIES)
+    qterm_rows = ", ".join(
+        f"({qid}, {sorted(set(tokenize_query(q)))!r}".replace('"', "'") + ")"
+        for qid, q in enumerate(HL_QUERIES)
+    )
+    return f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {qt_vals}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt
+    JOIN idf USING (term)
+    JOIN tf USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM scored),
+rankedh AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+),
+qterms(query_id, terms) AS (VALUES {qterm_rows}),
+hit AS (
+    SELECT r.query_id, r.rank, r.doc_id, r.score_q, q.terms, {toks} AS toks
+    FROM rankedh r
+    JOIN documents d ON r.doc_id = d.doc_id
+    JOIN qterms q USING (query_id)
+    WHERE r.rank <= {k}
+),
+pos AS (
+    SELECT *, list_filter(range(0, len(toks)), i -> list_contains(terms, toks[i + 1])) AS mpos
+    FROM hit
+),
+cand AS (
+    SELECT query_id, rank, doc_id, score_q, terms, toks, mpos, s,
+           len(list_filter(mpos, p -> p >= s AND p < s + {window}))::INT AS n_window
+    FROM pos, unnest(mpos) AS u(s)
+),
+best AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+                                 ORDER BY n_window DESC, s ASC) AS br
+    FROM cand
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q,
+       s::INT AS start_pos, n_window,
+       array_to_string(
+           list_transform(toks[s + 1 : s + {window}],
+                          t -> CASE WHEN list_contains(terms, t)
+                                    THEN '[' || t || ']' ELSE t END),
+           ' ') AS snippet
+FROM best WHERE br = 1 ORDER BY query_id, rank
+"""
 
 
 def _collocations_oracle_sql(min_count: int = 5, top_n: int = 50) -> str:
@@ -1073,6 +1139,21 @@ def q_wildcard_query_topk(spark, sf_dir):
     eng = BM25QueryEngine(_index(spark, sf_dir))
     hits = expand_ops.search_wildcard(eng, WILDCARD_QUERIES, k=30, max_expansions=50)
     return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+def q_highlight_topk(spark, sf_dir):
+    """Search-result highlighting (query/highlight.py, Lucene
+    UnifiedHighlighter semantics): BM25 top-5 on the quantized score,
+    then per hit the best window of 8 tokens anchored at a match
+    position (max matches in window, ties to smallest start),
+    matched terms bracket-marked. Corpus touch = the scoring pass; the
+    highlight stage reads exactly the k·|queries| hit docs via
+    broadcast joins."""
+    from la_fungus_search_spark.query import highlight as hl_ops
+
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return hl_ops.highlight_topk(eng, docs, HL_QUERIES, k=5, window=8)
 
 
 def q_collocations(spark, sf_dir):
@@ -2133,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_query_topk": q_fuzzy_query_topk,
         "term_suggest": q_term_suggest,
         "collocations": q_collocations,
+        "highlight_topk": q_highlight_topk,
         "prefix_query_topk": q_prefix_query_topk,
         "wildcard_query_topk": q_wildcard_query_topk,
         "more_like_this_topk": q_more_like_this_topk,
@@ -2577,6 +2659,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_query_topk": _fuzzy_oracle_sql(10),
         "term_suggest": _suggest_oracle_sql(8),
         "collocations": _collocations_oracle_sql(5, 50),
+        "highlight_topk": _highlight_oracle_sql(5, 8),
         "prefix_query_topk": _prefix_oracle_sql(10),
         "wildcard_query_topk": _wildcard_oracle_sql(10),
         "more_like_this_topk": _mlt_oracle_sql(10),

@@ -1,0 +1,103 @@
+"""Highlighting (query/highlight.py): Spark == pure-Python recompute
+of the full contract (quantized BM25 top-k via the package oracle,
+best-window argmax, bracket marking), window clamping at doc end,
+and plan shape (hit/term dims broadcast — no nested loop)."""
+
+import pytest
+
+from la_fungus_search_spark.index.builder import build_index
+from la_fungus_search_spark.oracle import BM25Oracle
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.query.highlight import highlight_topk
+from la_fungus_search_spark.tokenizer import tokenize, tokenize_query
+
+TEXTS = [
+    "alpha beta gamma delta alpha beta epsilon zeta eta theta alpha",
+    "beta beta beta alpha noise noise noise alpha beta",
+    "gamma delta epsilon",
+    "alpha",
+    "noise only words here none match at all",
+    "zeta eta theta alpha beta gamma zeta eta theta",
+]
+QUERIES = ["alpha beta", "gamma zeta", "theta"]
+W = 4
+
+
+def _q(x):
+    import math
+
+    return int(math.floor(x * 1e6 + 0.5)) if x >= 0 else -int(math.floor(-x * 1e6 + 0.5))
+
+
+def _py_highlight(texts, queries, k, window):
+    oracle = BM25Oracle([tokenize(t) for t in texts])
+    out = []
+    for qid, q in enumerate(queries):
+        qtoks = tokenize_query(q)
+        terms = sorted(set(qtoks))
+        scores = oracle.get_scores(qtoks)
+        qset = {t for t in qtoks if t in oracle.idf}
+        hits = [
+            (i, s)
+            for i, s in enumerate(scores)
+            if any(t in oracle.doc_freqs[i] for t in qset)
+        ]
+        ranked = sorted(((_q(s), i) for i, s in hits), key=lambda x: (-x[0], x[1]))[:k]
+        for rank, (sq, d) in enumerate(ranked, 1):
+            toks = tokenize(texts[d])
+            mpos = [i for i, t in enumerate(toks) if t in terms]
+            best = max(
+                ((sum(1 for p in mpos if s <= p < s + window), -s) for s in mpos),
+            )
+            n_win, s = best[0], -best[1]
+            snip = " ".join(
+                f"[{t}]" if t in terms else t for t in toks[s : s + window]
+            )
+            out.append((qid, rank, d, sq, s, n_win, snip))
+    return out
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    rows = [
+        ("r", f"{chr(97 + i)}.py", "c", "python", t) for i, t in enumerate(TEXTS)
+    ]
+    docs = spark.createDataFrame(
+        rows, schema="repo STRING, path STRING, commit STRING, lang STRING, content STRING"
+    )
+    idx = build_index(spark, docs, n_buckets=4, n_salts=2)
+    # builder assigns doc_id over sorted (repo, path, commit) == row order
+    hl_docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], schema="doc_id BIGINT, text STRING"
+    )
+    return BM25QueryEngine(idx), hl_docs
+
+
+def test_highlight_matches_python(setup, spark):
+    eng, docs = setup
+    got = [
+        (r.query_id, r.rank, r.doc_id, r.score_q, r.start_pos, r.n_window, r.snippet)
+        for r in highlight_topk(eng, docs, QUERIES, k=3, window=W).collect()
+    ]
+    want = _py_highlight(TEXTS, QUERIES, 3, W)
+    assert got == want
+
+
+def test_window_clamps_at_doc_end(setup, spark):
+    eng, docs = setup
+    rows = highlight_topk(eng, docs, ["theta"], k=6, window=W).collect()
+    # doc 5 ends "...zeta eta theta": a match at the last position
+    # yields a snippet shorter than the window, never padding
+    tail = [r for r in rows if r.doc_id == 5]
+    assert tail and all(len(r.snippet.split(" ")) <= W for r in tail)
+    assert all("[theta]" in r.snippet for r in rows)
+
+
+def test_plan_is_broadcast_only(setup, spark):
+    eng, docs = setup
+    plan = (
+        highlight_topk(eng, docs, QUERIES, k=3, window=W)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -97,6 +97,7 @@ AUDIT = [
     "facet_ranges",
     "term_suggest",
     "collocations",
+    "highlight_topk",
 ]
 
 
