@@ -96,6 +96,12 @@ SUGGEST_INPUTS = ["tabel", "windoow", "merge", "scann", "qzzqx", "dat", "rw"]
 # Highlighting fixtures (query/highlight.py): BM25 top-k + best-window
 # snippet with bracket-marked matched terms.
 HL_QUERIES = ["hash join table scan", "window stream sort", "merge"]
+# SynonymQuery fixtures (query/synonyms.py): groups over corpus
+# vocabulary ("large" is out-of-vocabulary — its clause df must equal
+# df("big")); "fast window query" routes "query" through the
+# scan-group clause.
+SYN_GROUPS = [["merge", "join"], ["big", "large"], ["scan", "query"]]
+SYN_QUERIES = ["big table scan", "merge the data", "fast window query"]
 # Wildcard patterns (Lucene WildcardQuery: * = any run, ? = one char);
 # "*ge" exercises the leading-wildcard vocab scan, the last matches
 # nothing.
@@ -411,6 +417,55 @@ expn AS (
     FROM exp0
 ),
 {_expanded_scored_tail_sql(k).lstrip()}"""
+
+
+def _synonym_oracle_sql(k: int = 10) -> str:
+    """DuckDB twin of q_synonym_query_topk: the driver-side clause
+    rewrite ships as VALUES dims; per-(clause, doc) summed tf, clause
+    df over that set, the index's idf construction on clause df
+    (epsilon floor from the corpus aidf), then the engine's exact
+    contribution expression and quantized ranking."""
+    from la_fungus_search_spark.query.synonyms import synonym_rewrite
+
+    cl_rows, qc_rows = synonym_rewrite(SYN_QUERIES, SYN_GROUPS)
+    cl_sql = ", ".join(f"({cid}, '{t}')" for cid, t in cl_rows)
+    qc_sql = ", ".join(f"({qid}, {cid}, {qtf})" for qid, cid, qtf in qc_rows)
+    return f"""
+WITH {_bm25_base_cte()},
+cl(clause_id, term) AS (VALUES {cl_sql}),
+qc(query_id, clause_id, qtf) AS (VALUES {qc_sql}),
+ctf AS (
+    SELECT c.clause_id, t.doc_id, sum(t.tf)::BIGINT AS tfc
+    FROM tf t JOIN cl c USING (term) GROUP BY 1, 2
+),
+cdf AS (SELECT clause_id, count(*)::BIGINT AS dfc FROM ctf GROUP BY 1),
+cidf AS (
+    SELECT clause_id,
+           CASE WHEN raw < 0 THEN {EPS} * (SELECT average_idf FROM aidf)
+                ELSE raw END AS idfc
+    FROM (SELECT clause_id,
+                 ln((SELECT n FROM g) - dfc + 0.5) - ln(dfc + 0.5) AS raw
+          FROM cdf)
+),
+scored AS (
+    SELECT qc.query_id, ctf.doc_id,
+           sum(qc.qtf * cidf.idfc * (ctf.tfc * {K1 + 1.0})
+               / (ctf.tfc + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qc
+    JOIN ctf USING (clause_id)
+    JOIN cidf USING (clause_id)
+    JOIN dl ON ctf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM scored),
+ranked AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
 
 
 def _highlight_oracle_sql(k: int = 5, window: int = 8) -> str:
@@ -1138,6 +1193,21 @@ def q_wildcard_query_topk(spark, sf_dir):
     top-50 cap by (df DESC, term), BM25-ranked disjunction."""
     eng = BM25QueryEngine(_index(spark, sf_dir))
     hits = expand_ops.search_wildcard(eng, WILDCARD_QUERIES, k=30, max_expansions=50)
+    return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+def q_synonym_query_topk(spark, sf_dir):
+    """Synonym-aware retrieval (query/synonyms.py, Lucene SynonymQuery
+    semantics): query terms in a synonym group score as one pseudo-term
+    — summed tf, any-member df, the index's idf construction on the
+    clause df — so rare synonyms don't get IDF-inflated. Clause dims
+    broadcast against bucket-pruned postings. Over-fetch k=30 on the
+    float path, re-rank micro-quantized (same tie pattern as
+    q_bm25_topk_blockmax)."""
+    from la_fungus_search_spark.query import synonyms as syn_ops
+
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    hits = syn_ops.search_synonyms(eng, SYN_QUERIES, SYN_GROUPS, k=30)
     return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
 
 
@@ -2215,6 +2285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_suggest": q_term_suggest,
         "collocations": q_collocations,
         "highlight_topk": q_highlight_topk,
+        "synonym_query_topk": q_synonym_query_topk,
         "prefix_query_topk": q_prefix_query_topk,
         "wildcard_query_topk": q_wildcard_query_topk,
         "more_like_this_topk": q_more_like_this_topk,
@@ -2660,6 +2731,7 @@ def oracle_sql() -> dict[str, str]:
         "term_suggest": _suggest_oracle_sql(8),
         "collocations": _collocations_oracle_sql(5, 50),
         "highlight_topk": _highlight_oracle_sql(5, 8),
+        "synonym_query_topk": _synonym_oracle_sql(10),
         "prefix_query_topk": _prefix_oracle_sql(10),
         "wildcard_query_topk": _wildcard_oracle_sql(10),
         "more_like_this_topk": _mlt_oracle_sql(10),

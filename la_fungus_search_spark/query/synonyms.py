@@ -1,0 +1,156 @@
+"""Synonym-aware retrieval: Lucene ``SynonymQuery`` scoring over the
+BM25 index.
+
+Public semantics (Lucene ``SynonymQuery`` / the query-time
+``SynonymGraphFilter`` rewrite): terms of a synonym group score as ONE
+pseudo-term — the document's term frequency is the *sum* of the member
+terms' frequencies, and the document frequency is the number of
+documents containing *any* member — so a document saying "quick" three
+times and "fast" once scores exactly like one saying either four
+times. This removes the IDF distortion a plain disjunction would give
+rare synonyms. The reference has no synonym layer (exact-token BM25,
+``mcmp_rag.py:178-188``); like ``query/expand.py`` this is a
+fulltext-index delta capability over the same index.
+
+Deterministic contract (mirrored by the DuckDB value-oracle in
+``__spark_entry__.py``):
+
+* the rewrite is driver-side: each query token maps to its synonym
+  group's clause (first group wins if a term is listed twice) or to a
+  singleton clause; ``qtf`` = number of the query's tokens mapping to
+  the clause (BM25Okapi duplicate-token semantics, as in
+  ``engine._query_terms_df``);
+* per (clause, doc): ``tfc = Σ member tf``; per clause:
+  ``dfc = |{doc : tfc > 0}|``;
+* clause idf = the index's exact idf construction on ``dfc`` —
+  ``ln(N − dfc + ½) − ln(dfc + ½)``, epsilon-floored to the *stored*
+  corpus floor (``globals["eps"]`` = ε·average_idf over the real
+  vocabulary; a synonym clause reuses the corpus floor, it does not
+  shift it);
+* score = Σ_clauses qtf · idf_clause · (tfc·(k1+1)) / (tfc + k1·(1−b
+  + b·doclen/avgdl)) — the engine's exact contribution expression.
+
+Physical shape, and why it scales: the clause dim (a handful of rows)
+is broadcast against the bucket-pruned postings partitions (the same
+driver-side xxhash64 IN-list as ``engine.scored_from_terms`` — zero
+pre-query jobs, partition pruning intact); per-clause tf summing is a
+map-side-combined groupBy over *matched postings only*; the clause-df
+aggregate is a clause-count dim (≤ clauses rows) joined back
+broadcast. Like PRF's two scoring passes, the matched-postings frame
+is traversed twice (once for dfc, once for scoring) — two scans of
+bucket-pruned postings, never of the corpus.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Dict, List, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.tokenizer import tokenize_query
+from la_fungus_search_spark.xxhash import term_bucket
+
+
+def synonym_rewrite(
+    queries: Sequence[str], synonyms: Sequence[Sequence[str]]
+) -> Tuple[List[Tuple[int, str]], List[Tuple[int, int, int]]]:
+    """Driver-side clause rewrite: returns ``(clause_terms, query_clauses)``
+    — ``(clause_id, term)`` member rows for every clause any query
+    touches, and ``(query_id, clause_id, qtf)`` rows. Group clauses
+    keep the group's index as clause_id; singleton clauses are
+    numbered after the groups in sorted-term order (deterministic)."""
+    term2group: Dict[str, int] = {}
+    for gi, grp in enumerate(synonyms):
+        for t in grp:
+            term2group.setdefault(t, gi)
+    qtoks = [tokenize_query(q) for q in queries]
+    singles = sorted({t for toks in qtoks for t in toks if t not in term2group})
+    sid = {t: len(synonyms) + i for i, t in enumerate(singles)}
+    used_groups = sorted(
+        {term2group[t] for toks in qtoks for t in toks if t in term2group}
+    )
+    clause_terms: List[Tuple[int, str]] = []
+    for gi in used_groups:
+        for t in sorted(set(synonyms[gi])):
+            clause_terms.append((gi, t))
+    for t in singles:
+        clause_terms.append((sid[t], t))
+    query_clauses: List[Tuple[int, int, int]] = []
+    for qid, toks in enumerate(qtoks):
+        cnt = Counter(
+            term2group[t] if t in term2group else sid[t] for t in toks
+        )
+        query_clauses.extend((qid, cid, n) for cid, n in sorted(cnt.items()))
+    return clause_terms, query_clauses
+
+
+def scored_synonyms(
+    engine: BM25QueryEngine,
+    queries: Sequence[str],
+    synonyms: Sequence[Sequence[str]],
+) -> DataFrame:
+    """Scored set ``(query_id, doc_id, score)`` under SynonymQuery
+    semantics (see module contract)."""
+    clause_terms, query_clauses = synonym_rewrite(queries, synonyms)
+    idx = engine.index
+    spark = engine.spark
+    g = idx.globals
+    cl = spark.createDataFrame(
+        clause_terms or [(0, "\x00__no_terms__")], schema="clause_id INT, term STRING"
+    )
+    qc = spark.createDataFrame(
+        query_clauses or [(0, 0, 0)], schema="query_id INT, clause_id INT, qtf INT"
+    )
+    nb = int(g["n_buckets"])
+    buckets = sorted({term_bucket(t, nb) for _, t in clause_terms}) or [0]
+    postings = idx.postings.filter(F.col("term_bucket").isin(buckets))
+    joined = postings.join(F.broadcast(cl), "term")
+    if "doclen" not in postings.columns:
+        joined = joined.join(idx.doc_stats.select("doc_id", "doclen"), "doc_id")
+    ctf = joined.groupBy("clause_id", "doc_id").agg(
+        F.sum("tf").cast("bigint").alias("tfc"),
+        F.min("doclen").alias("doclen"),
+    )
+    # clause df → clause idf, the index's exact idf construction on the
+    # summed-postings doc set; the floor is the STORED corpus floor
+    n_docs, eps_floor = float(g["N"]), float(g["eps"])
+    idf_raw = F.log(F.lit(n_docs) - F.col("dfc") + F.lit(0.5)) - F.log(
+        F.col("dfc") + F.lit(0.5)
+    )
+    cidf = (
+        ctf.groupBy("clause_id")
+        .agg(F.count("*").cast("bigint").alias("dfc"))
+        .withColumn(
+            "idfc",
+            F.when(idf_raw < 0, F.lit(eps_floor)).otherwise(idf_raw),
+        )
+    )
+    scored = (
+        ctf.join(F.broadcast(cidf.select("clause_id", "idfc")), "clause_id")
+        .join(F.broadcast(qc), "clause_id")
+        .withColumn(
+            "contrib",
+            F.col("qtf") * F.col("idfc")
+            * engine._contribution(F.col("tfc"), F.col("doclen")),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return scored
+
+
+def search_synonyms(
+    engine: BM25QueryEngine,
+    queries: Sequence[str],
+    synonyms: Sequence[Sequence[str]],
+    k: int = 10,
+) -> DataFrame:
+    """SynonymQuery top-k: ``(query_id, rank, doc_id, score)`` ordered
+    ``(score DESC, doc_id ASC)`` per query."""
+    return engine._topk(
+        scored_synonyms(engine, queries, synonyms).select("query_id", "doc_id", "score"),
+        k,
+    )

@@ -98,6 +98,7 @@ AUDIT = [
     "term_suggest",
     "collocations",
     "highlight_topk",
+    "synonym_query_topk",
 ]
 
 

@@ -1,0 +1,144 @@
+"""SynonymQuery scoring (query/synonyms.py): Spark == pure-Python
+recompute of the clause model (summed tf, any-member df, corpus
+epsilon floor, engine contribution), the defining symmetry property
+(member terms are interchangeable at equal tf/doclen — false for a
+plain disjunction when dfs differ), rewrite determinism, and
+out-of-vocabulary group members being score-neutral."""
+
+import math
+from collections import Counter
+
+import pytest
+
+from la_fungus_search_spark.index.builder import build_index
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.query.synonyms import (
+    scored_synonyms,
+    search_synonyms,
+    synonym_rewrite,
+)
+from la_fungus_search_spark.tokenizer import tokenize, tokenize_query
+
+# 'quick' is rarer than 'fast'; docs 0 and 1 are the symmetry pair
+# (same doclen, same tf of one member each).
+TEXTS = [
+    "quick quick brown pad pad pad",
+    "fast fast brown pad pad pad",
+    "fast fast fast other words here pad",
+    "fast quick mixed usage doc pad pad",
+    "unrelated filler content nothing else",
+    "brown brown quick fast pad pad",
+]
+GROUPS = [["quick", "fast"], ["brown", "unseen_synonym"]]
+QUERIES = ["quick brown", "fast doc", "nothing"]
+K1, B, EPSILON = 1.5, 0.75, 0.25
+
+
+def _py_scores(texts, queries, groups):
+    docs = [tokenize(t) for t in texts]
+    n = len(docs)
+    doclen = [len(d) for d in docs]
+    avgdl = sum(doclen) / n
+    df = Counter()
+    for d in docs:
+        df.update(set(d))
+    idf_raw = {t: math.log(n - f + 0.5) - math.log(f + 0.5) for t, f in df.items()}
+    eps = EPSILON * (sum(idf_raw.values()) / len(idf_raw))
+
+    t2g = {}
+    for gi, grp in enumerate(groups):
+        for t in grp:
+            t2g.setdefault(t, gi)
+    out = {}
+    for qid, q in enumerate(queries):
+        toks = tokenize_query(q)
+        singles = sorted({t for t in toks if t not in t2g})
+        sid = {t: len(groups) + i for i, t in enumerate(singles)}
+        members = {}
+        for t in toks:
+            cid = t2g[t] if t in t2g else sid[t]
+            members[cid] = sorted(set(groups[cid])) if cid < len(groups) else [t]
+        qtf = Counter(t2g[t] if t in t2g else sid[t] for t in toks)
+        for d in range(n):
+            tfd = Counter(docs[d])
+            score = 0.0
+            matched = False
+            for cid, nq in sorted(qtf.items()):
+                tfc = sum(tfd[m] for m in members[cid])
+                if tfc == 0:
+                    continue
+                matched = True
+                dfc = sum(
+                    1 for dd in docs if any(m in dd for m in members[cid])
+                )
+                raw = math.log(n - dfc + 0.5) - math.log(dfc + 0.5)
+                idfc = eps if raw < 0 else raw
+                score += (
+                    nq * idfc * (tfc * (K1 + 1.0))
+                    / (tfc + K1 * (1.0 - B + B * doclen[d] / avgdl))
+                )
+            if matched:
+                out.setdefault(qid, {})[d] = score
+    return out
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    rows = [
+        ("r", f"{chr(97 + i)}.py", "c", "python", t) for i, t in enumerate(TEXTS)
+    ]
+    docs = spark.createDataFrame(
+        rows, schema="repo STRING, path STRING, commit STRING, lang STRING, content STRING"
+    )
+    return BM25QueryEngine(build_index(spark, docs, n_buckets=4, n_salts=2))
+
+
+def test_scores_match_python(setup):
+    got = {}
+    for r in scored_synonyms(setup, QUERIES, GROUPS).collect():
+        got.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+    want = _py_scores(TEXTS, QUERIES, GROUPS)
+    assert set(got) == set(want)
+    for qid in want:
+        assert set(got[qid]) == set(want[qid]), qid
+        for d, s in want[qid].items():
+            assert got[qid][d] == pytest.approx(s, rel=1e-12), (qid, d)
+
+
+def test_member_symmetry(setup):
+    """Docs 0 and 1 (quick×2 vs fast×2, equal doclen) score
+    IDENTICALLY under the synonym clause — the defining SynonymQuery
+    property — while the plain disjunction scores them apart (df
+    differs between members)."""
+    rows = search_synonyms(setup, ["quick"], GROUPS, k=10).collect()
+    by_doc = {r["doc_id"]: r["score"] for r in rows}
+    assert by_doc[0] == pytest.approx(by_doc[1], rel=0, abs=0)
+    plain = {
+        r["doc_id"]: r["score"]
+        for r in setup.search(["quick"], k=10, mode="sql").collect()
+        if r["doc_id"] in (0, 1)
+    }
+    assert plain.get(0) != plain.get(1)
+
+
+def test_oov_member_neutral(setup):
+    """'unseen_synonym' never occurs: the brown-clause df equals
+    df('brown'), so adding the OOV member changes nothing vs a group
+    without it."""
+    with_oov = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in scored_synonyms(setup, ["brown"], GROUPS).collect()
+    }
+    without = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in scored_synonyms(setup, ["brown"], [["quick", "fast"], ["brown"]]).collect()
+    }
+    assert with_oov == without
+
+
+def test_rewrite_deterministic():
+    cl, qc = synonym_rewrite(QUERIES, GROUPS)
+    cl2, qc2 = synonym_rewrite(QUERIES, GROUPS)
+    assert cl == cl2 and qc == qc2
+    # group clause ids are the group indexes; singleton ids follow
+    assert all(cid < len(GROUPS) + 10 for cid, _ in cl)
