@@ -2237,7 +2237,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness run checks a
-    # bounded PREFIX of this dict (~50 of 68). Round-4 rotation
+    # bounded PREFIX of this dict (~50 of 80). Round-4 rotation
     # (VERDICT r3 item 3): (a) the 15 entries whose only driver-green
     # row is from r2 go FIRST — especially multimodal_decode, whose
     # real-container-decode semantics postdate its r2 row; (b) then
@@ -2251,11 +2251,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r3-green entries with unchanged code rotate to the back — every
     # entry then has a green driver row in r3 ∪ r4. The nine NEW
     # gates (positional search ×2, boolean retrieval, fuzzy/prefix/
-    # wildcard expansion, more-like-this, PRF, facets) displace
+    # wildcard expansion, more-like-this, PRF, facets — then span-near,
+    # range facets, the did-you-mean suggester, collocations,
+    # highlighting and SynonymQuery scoring) displace
     # concrete_query_filter, term_intersection, text_token_counts,
     # grep_scan, grep_context, corpus_clean, corpus_clean_rep,
-    # ann_cosine_topk and keyword_score_topk from the ~50 prefix; all
-    # nine displaced entries are r3 hash-green on unchanged code.
+    # ann_cosine_topk, keyword_score_topk, dedup_ngram_jaccard,
+    # dedup_cross_doc_grams, dedup_embedding_cosine, decontaminate,
+    # sample_stratified and pack_token_shards from the ~50 prefix; ALL
+    # displaced entries are r3 hash-green on unchanged code (verified
+    # against CORRECTNESS_r03.json before each displacement).
     return {
         # (a) r2-green only, driver-unchecked in r3
         "multimodal_decode": q_multimodal_decode,

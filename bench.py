@@ -280,6 +280,10 @@ def bench_main(results: dict):
         "prefix_query_topk",
         "span_near_topk",
         "facet_ranges",
+        "term_suggest",
+        "collocations",
+        "highlight_topk",
+        "synonym_query_topk",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25
