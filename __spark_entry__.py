@@ -106,6 +106,10 @@ SYN_QUERIES = ["big table scan", "merge the data", "fast window query"]
 # "*ge" exercises the leading-wildcard vocab scan, the last matches
 # nothing.
 WILDCARD_QUERIES = ["sc?n", "wind*", "*ge", "b?tch*", "zz*qq"]
+# Regexp term queries (Lucene RegexpQuery; cross-engine fragment —
+# literals/classes/quantifiers/alternation only). The last matches
+# nothing.
+REGEXP_QUERIES = ["sc.n", "wind(ow|y)", "m[ae]rge", "(row|key)s?", "d.ta|v.lue", "zzz+"]
 # More-like-this seeds (doc_ids in the documents table; results
 # exclude the seed doc itself) and PRF fixtures (query/feedback.py).
 MLT_SEED_IDS = [3, 57, 123]
@@ -414,6 +418,36 @@ expn AS (
     SELECT query_id, term,
            row_number() OVER (PARTITION BY query_id
                               ORDER BY dist ASC, df DESC, term ASC) AS xr
+    FROM exp0
+),
+{_expanded_scored_tail_sql(k).lstrip()}"""
+
+
+def _regexp_oracle_sql(k: int = 10) -> str:
+    """DuckDB twin of q_regexp_query_topk: candidates = vocabulary
+    terms fully matching the anchored pattern (DuckDB RE2 and Spark
+    rlike agree on the literal/class/quantifier/alternation fragment
+    REGEXP_QUERIES is restricted to), cap by (df DESC, term ASC),
+    shared scoring tail."""
+    import re as _re
+
+    rows = []
+    for qid, p in enumerate(REGEXP_QUERIES):
+        try:
+            _re.compile(p)
+        except _re.error:
+            continue
+        rows.append(f"({qid}, '^(?:{p})$')")
+    return f"""
+WITH {_bm25_base_cte()},
+qpat(query_id, rx) AS (VALUES {", ".join(rows)}),
+exp0 AS (
+    SELECT q.query_id, i.term, i.df
+    FROM qpat q JOIN idf i ON regexp_matches(i.term, q.rx)
+),
+expn AS (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id ORDER BY df DESC, term ASC) AS xr
     FROM exp0
 ),
 {_expanded_scored_tail_sql(k).lstrip()}"""
@@ -1193,6 +1227,17 @@ def q_wildcard_query_topk(spark, sf_dir):
     top-50 cap by (df DESC, term), BM25-ranked disjunction."""
     eng = BM25QueryEngine(_index(spark, sf_dir))
     hits = expand_ops.search_wildcard(eng, WILDCARD_QUERIES, k=30, max_expansions=50)
+    return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+def q_regexp_query_topk(spark, sf_dir):
+    """Regexp retrieval (query/expand.py, Lucene RegexpQuery
+    semantics): each pattern expands to the dictionary terms fully
+    matching its anchored form (pushable rlike filter over term_stats
+    — vocabulary metadata, never the corpus), deterministic top-50 cap
+    by (df DESC, term ASC), BM25-ranked disjunction."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    hits = expand_ops.search_regexp(eng, REGEXP_QUERIES, k=30, max_expansions=50)
     return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
 
 
@@ -2291,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "highlight_topk": q_highlight_topk,
         "synonym_query_topk": q_synonym_query_topk,
+        "regexp_query_topk": q_regexp_query_topk,
         "prefix_query_topk": q_prefix_query_topk,
         "wildcard_query_topk": q_wildcard_query_topk,
         "more_like_this_topk": q_more_like_this_topk,
@@ -2737,6 +2783,7 @@ def oracle_sql() -> dict[str, str]:
         "collocations": _collocations_oracle_sql(5, 50),
         "highlight_topk": _highlight_oracle_sql(5, 8),
         "synonym_query_topk": _synonym_oracle_sql(10),
+        "regexp_query_topk": _regexp_oracle_sql(10),
         "prefix_query_topk": _prefix_oracle_sql(10),
         "wildcard_query_topk": _wildcard_oracle_sql(10),
         "more_like_this_topk": _mlt_oracle_sql(10),

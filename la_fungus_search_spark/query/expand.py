@@ -229,6 +229,49 @@ def wildcard_expansions(
     return _rank_expansions(cand, max_expansions, fuzzy=False)
 
 
+def regexp_expansions(
+    index: BM25Index, patterns: Sequence[str], max_expansions: int = 50
+) -> DataFrame:
+    """(query_id, term, dist, df, xr) — the capped regexp rewrite
+    (Lucene ``RegexpQuery``): candidates are vocabulary terms *fully*
+    matching the pattern (anchored ``^(?:...)$``), capped by
+    (df DESC, term ASC) like prefix/wildcard.
+
+    Cross-engine regex fragment contract: patterns must use only
+    literals, character classes, ``. ? * + {m,n}`` quantifiers,
+    grouping and alternation — the fragment on which Java regex (Spark
+    ``rlike``) and RE2 (DuckDB ``regexp_matches``) agree exactly.
+    Backreferences and lookaround are rejected driver-side (RE2 has
+    neither; Lucene's own RegexpQuery syntax excludes them too). A
+    pattern that does not compile in Python ``re`` (the driver-side
+    sanity check) contributes no branch. Physically identical to
+    wildcard: one pushable rlike filter branch per pattern over
+    ``term_stats`` — vocabulary metadata, never the corpus."""
+    ts = index.term_stats.select("term", "df")
+    branches: List[DataFrame] = []
+    for qid, p in enumerate(patterns):
+        if not p or re.search(r"\\[0-9]|\(\?<?[=!]", p):
+            continue  # backreference / lookaround: outside the fragment
+        try:
+            re.compile(p)
+        except re.error:
+            continue
+        branches.append(
+            ts.filter(ts["term"].rlike("^(?:" + p + ")$")).select(
+                F.lit(qid).alias("query_id"),
+                "term",
+                "df",
+                F.when(ts["term"] == p, F.lit(0)).otherwise(F.lit(1)).alias("dist"),
+            )
+        )
+    if not branches:
+        schema = "query_id INT, term STRING, df BIGINT, dist INT"
+        empty = index.spark.createDataFrame([], schema=schema)
+        return _rank_expansions(empty, max_expansions, fuzzy=False)
+    cand = reduce(lambda a, b: a.unionByName(b), branches)
+    return _rank_expansions(cand, max_expansions, fuzzy=False)
+
+
 def suggest_terms(
     index: BM25Index,
     words: Sequence[str],
@@ -330,4 +373,17 @@ def search_wildcard(
     dictionary terms, cap deterministically, BM25-rank the
     disjunction."""
     exp = wildcard_expansions(engine.index, patterns, max_expansions)
+    return _search_expanded(engine, exp, k)
+
+
+def search_regexp(
+    engine: BM25QueryEngine,
+    patterns: Sequence[str],
+    k: int = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Regexp top-k: expand each pattern to the fully-matching
+    dictionary terms, cap deterministically, BM25-rank the
+    disjunction."""
+    exp = regexp_expansions(engine.index, patterns, max_expansions)
     return _search_expanded(engine, exp, k)

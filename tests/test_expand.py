@@ -243,3 +243,35 @@ def test_suggest_terms_vs_python(setup):
         assert sorted(got.get(qid, [])) == want, w
     # exact vocabulary hit surfaces as the dist=0 top suggestion
     assert got[5][0][1:3] == ("scan", 0)
+
+
+def test_regexp_expansions_and_search(setup):
+    """Regexp expansion == pure-Python re.fullmatch over the
+    vocabulary; outside-fragment patterns (backrefs / lookaround) and
+    non-compiling patterns contribute nothing; end-to-end top-k equals
+    BM25Okapi-oracle scoring of the rewritten disjunction."""
+    from la_fungus_search_spark.query.expand import regexp_expansions, search_regexp
+    import re as _re
+
+    eng, vocab = setup
+    pats = ["m[ae]rge", "s.an", "str.*", "(scan)\\1", "win(?=d)", "[", "zzz+"]
+    got = {}
+    for r in regexp_expansions(eng.index, pats, max_expansions=50).collect():
+        got.setdefault(r["query_id"], []).append(r["term"])
+    for qid, p in enumerate(pats):
+        if qid in (3, 4, 5, 6):
+            assert got.get(qid, []) == [], p  # rejected or no match
+            continue
+        want = sorted(
+            (t for t in vocab if _re.fullmatch(p, t)),
+            key=lambda t: (-vocab[t], t),
+        )
+        assert got.get(qid, []) == want, p
+
+    oracle = BM25Oracle([tokenize(t) for t in TEXTS])
+    hits = {}
+    for r in search_regexp(eng, pats, k=10).collect():
+        hits.setdefault(r["query_id"], []).append(r["doc_id"])
+    for qid in (0, 1, 2):
+        want = [d for d, _ in oracle.top_k(got[qid], 10)]
+        assert hits.get(qid, []) == want, pats[qid]

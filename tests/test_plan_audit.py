@@ -99,6 +99,7 @@ AUDIT = [
     "collocations",
     "highlight_topk",
     "synonym_query_topk",
+    "regexp_query_topk",
 ]
 
 
