@@ -113,6 +113,8 @@ REGEXP_QUERIES = ["sc.n", "wind(ow|y)", "m[ae]rge", "(row|key)s?", "d.ta|v.lue",
 # More-like-this seeds (doc_ids in the documents table; results
 # exclude the seed doc itself) and PRF fixtures (query/feedback.py).
 MLT_SEED_IDS = [3, 57, 123]
+# Term-vector lookups (feedback.term_vectors, ES _termvectors shape).
+TV_DOC_IDS = [5, 42, 123, 250]
 PRF_QUERIES = BM25_QUERIES[:4]
 FACET_QUERIES = ["hash join table scan", "merge", "spark stream batch data"]
 FACET_FIELDS = ["lang", "source"]
@@ -421,6 +423,29 @@ expn AS (
     FROM exp0
 ),
 {_expanded_scored_tail_sql(k).lstrip()}"""
+
+
+def _term_vectors_oracle_sql(top_terms: int = 15) -> str:
+    """DuckDB twin of q_term_vectors: the base CTE's per-(doc, term)
+    tf joined to the idf chain, filtered to the requested ids, ranked
+    by micro-quantized tf·idf (weight_q DESC, term ASC)."""
+    ids = ", ".join(str(i) for i in TV_DOC_IDS)
+    return f"""
+WITH {_bm25_base_cte()},
+sel AS (
+    SELECT t.doc_id, t.term, t.tf, i.df,
+           round((t.tf * i.idf) * 1000000.0)::BIGINT AS weight_q
+    FROM tf t JOIN idf i USING (term)
+    WHERE t.doc_id IN ({ids})
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY weight_q DESC, term ASC) AS rank
+    FROM sel
+)
+SELECT doc_id, rank::INT AS rank, term, tf, df, weight_q
+FROM ranked WHERE rank <= {top_terms} ORDER BY doc_id, rank
+"""
 
 
 def _regexp_oracle_sql(k: int = 10) -> str:
@@ -1228,6 +1253,16 @@ def q_wildcard_query_topk(spark, sf_dir):
     eng = BM25QueryEngine(_index(spark, sf_dir))
     hits = expand_ops.search_wildcard(eng, WILDCARD_QUERIES, k=30, max_expansions=50)
     return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+def q_term_vectors(spark, sf_dir):
+    """Per-doc term vectors (query/feedback.py, ES _termvectors
+    semantics): requested docs' terms with corpus df/idf, ranked by
+    quantized tf·idf, top-15 per doc. Corpus touch ∝ |doc_ids| via a
+    broadcast id dim; one vocabulary-metadata join for stats."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return feedback_ops.term_vectors(eng, docs, TV_DOC_IDS, top_terms=15)
 
 
 def q_regexp_query_topk(spark, sf_dir):
@@ -2337,6 +2372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight_topk": q_highlight_topk,
         "synonym_query_topk": q_synonym_query_topk,
         "regexp_query_topk": q_regexp_query_topk,
+        "term_vectors": q_term_vectors,
         "prefix_query_topk": q_prefix_query_topk,
         "wildcard_query_topk": q_wildcard_query_topk,
         "more_like_this_topk": q_more_like_this_topk,
@@ -2784,6 +2820,7 @@ def oracle_sql() -> dict[str, str]:
         "highlight_topk": _highlight_oracle_sql(5, 8),
         "synonym_query_topk": _synonym_oracle_sql(10),
         "regexp_query_topk": _regexp_oracle_sql(10),
+        "term_vectors": _term_vectors_oracle_sql(15),
         "prefix_query_topk": _prefix_oracle_sql(10),
         "wildcard_query_topk": _wildcard_oracle_sql(10),
         "more_like_this_topk": _mlt_oracle_sql(10),

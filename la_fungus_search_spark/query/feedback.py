@@ -201,3 +201,53 @@ def search_prf(
     ]
     scored = engine.scored_from_terms(rows)
     return engine._topk(scored.select("query_id", "doc_id", "score"), k)
+
+
+# ------------------------------------------------------------- term vectors
+
+
+def term_vectors(
+    engine: BM25QueryEngine,
+    docs_df: DataFrame,
+    doc_ids: Sequence[int],
+    top_terms: int = 20,
+) -> DataFrame:
+    """Per-document term vectors: ``(doc_id, rank, term, tf, df,
+    weight_q)`` — the requested docs' terms with corpus stats, ranked
+    by quantized tf·idf (``weight_q DESC, term ASC``), top
+    ``top_terms`` per doc.
+
+    Public semantics: the Elasticsearch ``_termvectors`` endpoint /
+    Lucene stored term vectors — the per-doc view of the inverted
+    index that powers MLT term selection (``mlt_select_terms`` above
+    is exactly this computation over un-indexed seed *text*; this one
+    reads indexed docs by id).
+
+    Physical shape: the doc_id dim is broadcast into the docs table
+    (pruned scan of |doc_ids| rows — NOT an inverted-postings scan,
+    which would touch every term partition for a by-doc lookup), terms
+    re-derived by the search tokenizer, then one broadcast join of the
+    tiny (doc, term, tf) frame against ``term_stats`` for df/idf.
+    Corpus touch ∝ |doc_ids|; vocabulary touch is one metadata join.
+    """
+    spark = engine.spark
+    ids = [(int(d),) for d in doc_ids] or [(-1,)]
+    id_df = spark.createDataFrame(ids, schema="doc_id BIGINT")
+    tf = (
+        docs_df.select("doc_id", tokens_expr("text").alias("toks"))
+        .join(F.broadcast(id_df), "doc_id")
+        .select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    ts = engine.index.term_stats.select("term", "df", "idf")
+    sel = tf.join(ts, "term").withColumn(
+        "weight_q", _quantize(F.col("tf") * F.col("idf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("weight_q"), F.asc("term"))
+    return (
+        sel.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_terms)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"), "term", "tf", "df", "weight_q")
+        .orderBy("doc_id", "rank")
+    )

@@ -233,3 +233,45 @@ def test_facet_ranges_validation(setup):
         facet_ranges(eng, docs_df, ["merge"], "nope", lo=0, width=10, n_buckets=2)
     with pytest.raises(ValueError):
         facet_ranges(eng, docs_df, ["merge"], "doc_id", lo=0, width=0, n_buckets=2)
+
+
+def test_term_vectors_vs_python(setup):
+    """term_vectors == pure-Python recompute (tf from the doc's own
+    tokens, df/idf from the corpus, quantized tf·idf ranking), and it
+    coincides with mlt_select_terms run on the same doc's raw text at
+    min_df=1 (the two are the same computation — indexed-id vs raw-text
+    entry points)."""
+    import math
+
+    from la_fungus_search_spark.query.feedback import term_vectors
+
+    eng, oracle, docs_df = setup
+    ids = [1, 3, 7]
+    got = {}
+    for r in term_vectors(eng, docs_df, ids, top_terms=4).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["term"], r["tf"], r["df"], r["weight_q"])
+        )
+    idf, df = _idf_df(oracle)
+    for d in ids:
+        cnt = Counter(tokenize(TEXTS[d]))
+        cand = []
+        for t, tf in cnt.items():
+            x = tf * idf[t] * 1e6
+            q = int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+            cand.append((-q, t, tf, df[t], q))
+        cand.sort()
+        want = [(i + 1, t, tf, dfv, q) for i, (_, t, tf, dfv, q) in enumerate(cand[:4])]
+        assert got[d] == want, d
+        # entry-point equivalence with MLT selection over the raw text
+        mlt = mlt_select_terms(eng, [TEXTS[d]], max_query_terms=4, min_tf=1, min_df=1)
+        assert [(t, q) for _, t, _, _, q in want] == [
+            (r["term"], r["weight_q"]) for r in mlt.orderBy("xr").collect()
+        ], d
+
+
+def test_term_vectors_unknown_id_empty(setup):
+    from la_fungus_search_spark.query.feedback import term_vectors
+
+    eng, _, docs_df = setup
+    assert term_vectors(eng, docs_df, [9999], top_terms=5).count() == 0

@@ -100,6 +100,7 @@ AUDIT = [
     "highlight_topk",
     "synonym_query_topk",
     "regexp_query_topk",
+    "term_vectors",
 ]
 
 
