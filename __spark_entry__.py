@@ -115,6 +115,9 @@ REGEXP_QUERIES = ["sc.n", "wind(ow|y)", "m[ae]rge", "(row|key)s?", "d.ta|v.lue",
 MLT_SEED_IDS = [3, 57, 123]
 # Term-vector lookups (feedback.term_vectors, ES _termvectors shape).
 TV_DOC_IDS = [5, 42, 123, 250]
+# TF-IDF VSM ranking (query/tfidf.py, SMART lnc.ltc) — reuses the BM25
+# fixtures incl. the duplicate-term qtf=2 query.
+TFIDF_QUERIES = BM25_QUERIES[:4]
 PRF_QUERIES = BM25_QUERIES[:4]
 FACET_QUERIES = ["hash join table scan", "merge", "spark stream batch data"]
 FACET_FIELDS = ["lang", "source"]
@@ -423,6 +426,50 @@ expn AS (
     FROM exp0
 ),
 {_expanded_scored_tail_sql(k).lstrip()}"""
+
+
+def _tfidf_oracle_sql(k: int = 10) -> str:
+    """DuckDB twin of q_tfidf_topk: SMART lnc.ltc cosine — doc/query
+    norms from integer-quantized squared weights (order-independent
+    sums, the query/tfidf.py contract), ltc query weights over the df
+    chain, quantized ranking."""
+    qt_vals = _query_terms_values(TFIDF_QUERIES)
+    wd = "(1.0 + ln(t.tf::DOUBLE))"
+    return f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {qt_vals}),
+wq_t AS (
+    SELECT qt.query_id, qt.term,
+           (1.0 + ln(qt.qtf::DOUBLE)) * ln((SELECT n FROM g) / df.df::DOUBLE) AS wq
+    FROM qt JOIN df USING (term)
+),
+qn AS (
+    SELECT query_id,
+           sqrt(sum(round(wq * wq * 1000000000.0)::BIGINT)::DOUBLE / 1000000000.0) AS qnorm
+    FROM wq_t GROUP BY 1
+),
+dn AS (
+    SELECT doc_id,
+           sqrt(sum(round({wd} * {wd} * 1000000000.0)::BIGINT)::DOUBLE / 1000000000.0) AS dnorm
+    FROM tf t GROUP BY 1
+),
+dots AS (
+    SELECT w.query_id, t.doc_id, sum(w.wq * {wd}) AS dot
+    FROM wq_t w JOIN tf t USING (term) GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.query_id, d.doc_id, d.dot / (q.qnorm * n.dnorm) AS score
+    FROM dots d JOIN qn q USING (query_id) JOIN dn n ON d.doc_id = n.doc_id
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM scored),
+ranked AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
 
 
 def _term_vectors_oracle_sql(top_terms: int = 15) -> str:
@@ -1252,6 +1299,19 @@ def q_wildcard_query_topk(spark, sf_dir):
     top-50 cap by (df DESC, term), BM25-ranked disjunction."""
     eng = BM25QueryEngine(_index(spark, sf_dir))
     hits = expand_ops.search_wildcard(eng, WILDCARD_QUERIES, k=30, max_expansions=50)
+    return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """TF-IDF VSM ranking (query/tfidf.py, SMART lnc.ltc — Lucene
+    ClassicSimilarity's family): cosine of lnc doc vectors against ltc
+    query vectors; norms from integer-quantized squared weights so the
+    distributed and sequential sums agree exactly. Over-fetch k=30 on
+    the float path, re-rank micro-quantized."""
+    from la_fungus_search_spark.query import tfidf as tfidf_ops
+
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    hits = tfidf_ops.search_tfidf(eng, TFIDF_QUERIES, k=30)
     return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
 
 
@@ -2373,6 +2433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_query_topk": q_synonym_query_topk,
         "regexp_query_topk": q_regexp_query_topk,
         "term_vectors": q_term_vectors,
+        "tfidf_topk": q_tfidf_topk,
         "prefix_query_topk": q_prefix_query_topk,
         "wildcard_query_topk": q_wildcard_query_topk,
         "more_like_this_topk": q_more_like_this_topk,
@@ -2821,6 +2882,7 @@ def oracle_sql() -> dict[str, str]:
         "synonym_query_topk": _synonym_oracle_sql(10),
         "regexp_query_topk": _regexp_oracle_sql(10),
         "term_vectors": _term_vectors_oracle_sql(15),
+        "tfidf_topk": _tfidf_oracle_sql(10),
         "prefix_query_topk": _prefix_oracle_sql(10),
         "wildcard_query_topk": _wildcard_oracle_sql(10),
         "more_like_this_topk": _mlt_oracle_sql(10),

@@ -1,0 +1,135 @@
+"""TF-IDF vector-space ranking (SMART ``lnc.ltc``) over the BM25
+index's postings — the classic cosine scorer offered alongside BM25,
+as Lucene's ``ClassicSimilarity`` is alongside ``BM25Similarity``.
+
+Public semantics (Manning/Raghavan/Schütze IIR §6.4, SMART notation):
+
+* document vector: ``l n c`` — ``w_d(t) = 1 + ln(tf_dt)``, no idf,
+  cosine-normalized over ALL the doc's terms;
+* query vector: ``l t c`` — ``w_q(t) = (1 + ln(qtf)) · ln(N/df_t)``,
+  cosine-normalized (the query norm does not change ranking but keeps
+  scores true cosines in [0, 1]);
+* score(q, d) = Σ_t w_q(t)·w_d(t) / (‖q‖·‖d‖), docs matching ≥ 1
+  query term.
+
+Determinism contract (mirrored by the DuckDB value-oracle in
+``__spark_entry__.py``): both norms are computed from **integer-
+quantized squared weights** — ``Σ round(w² · 1e9)`` as BIGINT, then
+``sqrt(Σ/1e9)`` — so the distributed sum and DuckDB's sequential sum
+see order-independent integer addends (the same trick as the PRF
+weights in ``query/feedback.py``); the final per-(query, doc) dot
+product sums ≤ |query terms| float addends, the same count the BM25
+gates already pin cross-engine at 1e-6 quantization.
+
+Physical shape, and why it scales: the dot-product side is the
+engine's normal bucket-pruned broadcast shape (query dim ⋈ postings on
+term). The DOC NORM is the one piece BM25 never needs: it aggregates
+every posting of every doc (map-side combine to one row per doc). A
+production deployment computes it ONCE at index build and persists it
+beside ``doc_stats`` — ``tfidf_doc_norms(index)`` is that artifact,
+and ``scored_tfidf(..., doc_norms=...)`` accepts the precomputed frame
+so repeated queries never rescan postings. Called without it, the
+norm pass is one full-postings aggregation per call (corpus-pass cost,
+like rebuilding doc_stats) — fine for a gate, wasteful in a loop; the
+parameter is the scale path.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.tokenizer import tokenize_query
+from la_fungus_search_spark.xxhash import term_bucket
+
+NORM_SCALE = 1_000_000_000  # 1e9 — squared-weight quantization grid
+
+
+def tfidf_doc_norms(index) -> DataFrame:
+    """(doc_id, dnorm) — the lnc document norms, from one full-postings
+    aggregation with map-side combine (1 row/doc out). Persist the
+    result next to the index to amortize across queries."""
+    wd = F.lit(1.0) + F.log(F.col("tf").cast("double"))
+    addend = F.round(wd * wd * F.lit(float(NORM_SCALE))).cast("bigint")
+    return (
+        index.postings.select("doc_id", addend.alias("a"))
+        .groupBy("doc_id")
+        .agg(F.sum("a").alias("n2q"))
+        .select(
+            "doc_id",
+            F.sqrt(F.col("n2q").cast("double") / F.lit(float(NORM_SCALE))).alias("dnorm"),
+        )
+    )
+
+
+def scored_tfidf(
+    engine: BM25QueryEngine,
+    queries: Sequence[str],
+    doc_norms: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Scored set ``(query_id, doc_id, score)`` under lnc.ltc cosine
+    (see module contract)."""
+    idx = engine.index
+    spark = engine.spark
+    n_docs = float(idx.globals["N"])
+    qt_rows = []
+    for qid, q in enumerate(queries):
+        for term, qtf in Counter(tokenize_query(q)).items():
+            qt_rows.append((qid, term, qtf))
+    qt = spark.createDataFrame(
+        qt_rows or [(0, "\x00__no_terms__", 0)], schema="query_id INT, term STRING, qtf INT"
+    )
+    # ltc query weights: (1+ln qtf)·ln(N/df) over the vocabulary dim
+    ts = idx.term_stats.select("term", "df")
+    wq = (F.lit(1.0) + F.log(F.col("qtf").cast("double"))) * F.log(
+        F.lit(n_docs) / F.col("df").cast("double")
+    )
+    qdim = qt.join(ts, "term").withColumn("wq", wq)
+    qaddend = F.round(F.col("wq") * F.col("wq") * F.lit(float(NORM_SCALE))).cast("bigint")
+    qnorm = (
+        qdim.select("query_id", qaddend.alias("a"))
+        .groupBy("query_id")
+        .agg(F.sum("a").alias("n2q"))
+        .select(
+            "query_id",
+            F.sqrt(F.col("n2q").cast("double") / F.lit(float(NORM_SCALE))).alias("qnorm"),
+        )
+    )
+    nb = int(idx.globals["n_buckets"])
+    buckets = sorted({term_bucket(t, nb) for _, t, _ in qt_rows}) or [0]
+    postings = idx.postings.filter(F.col("term_bucket").isin(buckets))
+    wd = F.lit(1.0) + F.log(F.col("tf").cast("double"))
+    dots = (
+        postings.join(F.broadcast(qdim.select("query_id", "term", "wq")), "term")
+        .withColumn("dot", F.col("wq") * wd)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("dot").alias("dot"))
+    )
+    norms = doc_norms if doc_norms is not None else tfidf_doc_norms(idx)
+    return (
+        dots.join(norms, "doc_id")
+        .join(F.broadcast(qnorm), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("dot") / (F.col("qnorm") * F.col("dnorm"))).alias("score"),
+        )
+    )
+
+
+def search_tfidf(
+    engine: BM25QueryEngine,
+    queries: Sequence[str],
+    k: int = 10,
+    doc_norms: Optional[DataFrame] = None,
+) -> DataFrame:
+    """lnc.ltc cosine top-k: ``(query_id, rank, doc_id, score)``."""
+    return engine._topk(
+        scored_tfidf(engine, queries, doc_norms).select("query_id", "doc_id", "score"),
+        k,
+    )

@@ -101,6 +101,7 @@ AUDIT = [
     "synonym_query_topk",
     "regexp_query_topk",
     "term_vectors",
+    "tfidf_topk",
 ]
 
 

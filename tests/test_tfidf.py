@@ -1,0 +1,119 @@
+"""TF-IDF lnc.ltc ranking (query/tfidf.py): Spark == pure-Python
+recompute of the full contract (quantized norms, ltc query weights,
+cosine), scores are true cosines in (0, 1], the precomputed-norms path
+is bit-identical to the inline path, and ranking genuinely differs
+from BM25 where it should (tf saturation)."""
+
+import math
+from collections import Counter
+
+import pytest
+
+from la_fungus_search_spark.index.builder import build_index
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.query.tfidf import (
+    NORM_SCALE,
+    scored_tfidf,
+    search_tfidf,
+    tfidf_doc_norms,
+)
+from la_fungus_search_spark.tokenizer import tokenize, tokenize_query
+
+TEXTS = [
+    "merge merge merge merge merge merge merge merge pad",
+    "merge sort batch",
+    "window stream data merge",
+    "window sort order stream stream",
+    "scan scan scan batch",
+    "table scan window order pad pad",
+]
+QUERIES = ["merge sort", "window stream stream", "scan"]
+
+
+def _round_half_up(x):
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
+def _py_tfidf(texts, queries):
+    docs = [tokenize(t) for t in texts]
+    n = len(docs)
+    df = Counter()
+    for d in docs:
+        df.update(set(d))
+    dnorm = []
+    for d in docs:
+        s = sum(
+            _round_half_up((1.0 + math.log(tf)) ** 2 * NORM_SCALE)
+            for tf in Counter(d).values()
+        )
+        dnorm.append(math.sqrt(s / NORM_SCALE))
+    out = {}
+    for qid, q in enumerate(queries):
+        qtf = Counter(tokenize_query(q))
+        wq = {
+            t: (1.0 + math.log(c)) * math.log(n / df[t])
+            for t, c in qtf.items()
+            if t in df
+        }
+        qn = math.sqrt(
+            sum(_round_half_up(w * w * NORM_SCALE) for w in wq.values()) / NORM_SCALE
+        )
+        for i, d in enumerate(docs):
+            tfd = Counter(d)
+            dot = sum(w * (1.0 + math.log(tfd[t])) for t, w in wq.items() if t in tfd)
+            if any(t in tfd for t in wq):
+                out.setdefault(qid, {})[i] = dot / (qn * dnorm[i])
+    return out
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    rows = [
+        ("r", f"{chr(97 + i)}.py", "c", "python", t) for i, t in enumerate(TEXTS)
+    ]
+    docs = spark.createDataFrame(
+        rows, schema="repo STRING, path STRING, commit STRING, lang STRING, content STRING"
+    )
+    return BM25QueryEngine(build_index(spark, docs, n_buckets=4, n_salts=2))
+
+
+def test_scores_match_python(setup):
+    got = {}
+    for r in scored_tfidf(setup, QUERIES).collect():
+        got.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+    want = _py_tfidf(TEXTS, QUERIES)
+    assert set(got) == set(want)
+    for qid in want:
+        assert set(got[qid]) == set(want[qid]), qid
+        for d, s in want[qid].items():
+            assert got[qid][d] == pytest.approx(s, rel=1e-12), (qid, d)
+            assert 0.0 < got[qid][d] <= 1.0 + 1e-12
+
+
+def test_precomputed_norms_identical(setup):
+    norms = tfidf_doc_norms(setup.index)
+    a = sorted(
+        (r["query_id"], r["doc_id"], r["score"])
+        for r in scored_tfidf(setup, QUERIES).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["doc_id"], r["score"])
+        for r in scored_tfidf(setup, QUERIES, doc_norms=norms).collect()
+    )
+    assert a == b
+
+
+def test_tf_saturation_differs_from_bm25(setup):
+    """Doc 0 repeats 'merge' 8× in a 9-token doc; lnc's log-tf +
+    cosine norm dampen repetition harder than BM25's k1 saturation
+    ever amplifies it — the two scorers must NOT be rank-identical on
+    this corpus (that would mean the VSM path is secretly BM25)."""
+    vsm = [
+        (r["query_id"], r["rank"], r["doc_id"])
+        for r in search_tfidf(setup, QUERIES, k=6).collect()
+    ]
+    bm = [
+        (r["query_id"], r["rank"], r["doc_id"])
+        for r in setup.search(QUERIES, k=6, mode="sql").collect()
+    ]
+    assert vsm != bm
