@@ -2448,10 +2448,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "text_bpe_counts": q_text_bpe_counts,
         "corpus_sketch": q_corpus_sketch,
-        "ann_srp_topk": q_ann_srp_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_pq_topk": q_ann_pq_topk,
-        # (d) greens over modules changed this round + cheap staples
+        # (d) greens over modules changed this round + cheap staples.
+        # dedup_minhash_* moved AHEAD of the unchanged rows-only ANN
+        # gates: the MinHash kernel was reworked mid-r4 (one md5 per
+        # shingle, universal hash family), so these two need an
+        # r4-driver row; ann_srp/ivf/pq are no_oracle (rows-only) and
+        # unchanged since their r3 rows + pytest recall floors.
         "bm25_topk": q_bm25_topk,
         "bm25_topk_blockmax": q_bm25_topk_blockmax,
         "bm25_topk_and": q_bm25_topk_and,
@@ -2461,6 +2463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "ann_srp_topk": q_ann_srp_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_cross_doc_grams": q_dedup_cross_doc_grams,

@@ -284,6 +284,9 @@ def bench_main(results: dict):
         "collocations",
         "highlight_topk",
         "synonym_query_topk",
+        "regexp_query_topk",
+        "term_vectors",
+        "tfidf_topk",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25
