@@ -948,6 +948,94 @@ FROM counts ORDER BY query_id, bucket
 """
 
 
+def _significant_oracle_sql(m: int = 50, top_terms: int = 10, min_doc_count: int = 3) -> str:
+    """DuckDB twin of q_significant_terms (ES sampler →
+    significant_terms, JLH heuristic): stage-1 BM25 top-m sample per
+    query on the quantized score, foreground doc-frequencies off the
+    sample's distinct (doc, term) pairs (the tf CTE is unique per
+    pair by construction), background df/n off the corpus CTEs, then
+    the IDENTICAL JLH expression shape (a − b)·(a / b) the Spark
+    operator computes — same cast points, same op order, so the
+    doubles agree bitwise before micro-quantization."""
+    return f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(FACET_QUERIES)}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt
+    JOIN idf USING (term)
+    JOIN tf USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM scored),
+fb AS (
+    SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS fr
+        FROM qz
+    ) WHERE fr <= {m}
+),
+fgn AS (SELECT query_id, count(*)::BIGINT AS fg_n FROM fb GROUP BY 1),
+fg AS (
+    SELECT f.query_id, t.term, count(*)::BIGINT AS fg_df
+    FROM fb f JOIN tf t USING (doc_id) GROUP BY 1, 2
+),
+cand AS (
+    SELECT fg.query_id, fg.term, fg.fg_df, df.df AS bg_df,
+           (CAST(fg.fg_df AS DOUBLE) / CAST(fgn.fg_n AS DOUBLE)
+            - CAST(df.df AS DOUBLE) / (SELECT n FROM g))
+           * ((CAST(fg.fg_df AS DOUBLE) / CAST(fgn.fg_n AS DOUBLE))
+              / (CAST(df.df AS DOUBLE) / (SELECT n FROM g))) AS sig
+    FROM fg JOIN df USING (term) JOIN fgn USING (query_id)
+    WHERE fg.fg_df >= {min_doc_count}
+),
+pos AS (
+    SELECT query_id, term, fg_df, bg_df, round(sig * 1e6)::BIGINT AS score_q
+    FROM cand WHERE sig > 0
+),
+ranked AS (
+    SELECT query_id, term, fg_df, bg_df, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, term ASC) AS rank
+    FROM pos
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, term, fg_df, bg_df, score_q
+FROM ranked WHERE rank <= {top_terms} ORDER BY query_id, rank
+"""
+
+
+def _search_after_oracle_sql(k: int = 10) -> str:
+    """DuckDB twin of q_search_after_topk: because (score_q DESC,
+    doc_id ASC) is a strict total order, "the k hits after page 1's
+    last sort key" is EXACTLY ranks k+1..2k of the full ranking —
+    the oracle states the spec the cursor predicate must satisfy,
+    rather than mirroring the predicate."""
+    return f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt
+    JOIN idf USING (term)
+    JOIN tf USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM scored),
+ranked AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS r
+    FROM qz
+)
+SELECT query_id::INT AS query_id, (r - {k})::INT AS rank, doc_id, score_q
+FROM ranked WHERE r > {k} AND r <= {2 * k} ORDER BY query_id, rank
+"""
+
+
 def _bpe_oracle_sql() -> str:
     """BPE token-count value-oracle: the greedy merge loop as a DuckDB
     recursive CTE over DISTINCT pretokens (mirroring the Spark plan's
@@ -1453,6 +1541,40 @@ def q_facet_ranges(spark, sf_dir):
     return facet_ops.facet_ranges(
         eng, docs, FACET_QUERIES, "n_chars", lo=0, width=100, n_buckets=8
     )
+
+
+def q_significant_terms(spark, sf_dir):
+    """Significant-terms aggregation (query/facets.py, ES sampler →
+    significant_terms with the JLH heuristic): per query, terms
+    over-represented in the top-50 BM25 sample vs the corpus
+    background (fg_df ≥ 3, positive signal only), top-10 by
+    quantized JLH with term-ASC tie-break. Corpus touch: stage-1
+    scoring + 50·|queries| sampled docs; background stats are index
+    metadata."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return facet_ops.significant_terms(
+        eng, docs, FACET_QUERIES, m=50, top_terms=10, min_doc_count=3
+    )
+
+
+def q_search_after_topk(spark, sf_dir):
+    """Cursor pagination (engine.search_after, ES search_after /
+    Lucene searchAfter(FieldDoc)): page 2 of the BM25 ranking. The
+    cursor is page 1's last (score_q, doc_id) sort key — collected
+    here exactly as a client would hold it (|queries| rows) — and the
+    tuple predicate filters the scored set BEFORE the top-k window,
+    so page depth never inflates ranked state (no OFFSET scan).
+    Queries with no page-1 tail (< 10 hits) paginate to nothing, the
+    same rows the rank-11..20 spec yields."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    page1 = _bm25_rank(eng.scored_sql(BM25_QUERIES), 10)
+    last = {
+        int(r["query_id"]): (int(r["score_q"]), int(r["doc_id"]))
+        for r in page1.filter(F.col("rank") == 10).collect()
+    }
+    cursors = [last.get(qid) for qid in range(len(BM25_QUERIES))]
+    return eng.search_after(BM25_QUERIES, cursors, k=10)
 
 
 def q_keyword_score_topk(spark, sf_dir):
@@ -2393,14 +2515,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gates (positional search ×2, boolean retrieval, fuzzy/prefix/
     # wildcard expansion, more-like-this, PRF, facets — then span-near,
     # range facets, the did-you-mean suggester, collocations,
-    # highlighting and SynonymQuery scoring) displace
+    # highlighting, SynonymQuery scoring, significant-terms and
+    # search_after cursor pagination) displace
     # concrete_query_filter, term_intersection, text_token_counts,
     # grep_scan, grep_context, corpus_clean, corpus_clean_rep,
     # ann_cosine_topk, keyword_score_topk, dedup_ngram_jaccard,
     # dedup_cross_doc_grams, dedup_embedding_cosine, decontaminate,
-    # sample_stratified and pack_token_shards from the ~50 prefix; ALL
-    # displaced entries are r3 hash-green on unchanged code (verified
-    # against CORRECTNESS_r03.json before each displacement).
+    # sample_stratified, pack_token_shards — and finally ann_srp_topk
+    # / ann_ivf_topk (rows-only by nature, unchanged since their r3
+    # driver rows, each pinned by a pytest recall floor AND re-measured
+    # in every bench run's ann_recall block) — from the ~50 prefix; ALL
+    # displaced value-oracle entries are r3 hash-green on unchanged
+    # code (verified against CORRECTNESS_r03.json before each
+    # displacement).
     return {
         # (a) r2-green only, driver-unchecked in r3
         "multimodal_decode": q_multimodal_decode,
@@ -2441,6 +2568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": q_facet_counts,
         "span_near_topk": q_span_near_topk,
         "facet_ranges": q_facet_ranges,
+        "significant_terms": q_significant_terms,
+        "search_after_topk": q_search_after_topk,
         # (c) no_oracle entering r4 (query_dedup / mmr_diverse_topk /
         # text_bpe_counts gained value-oracles mid-round)
         "query_dedup": q_query_dedup,
@@ -2898,6 +3027,8 @@ def oracle_sql() -> dict[str, str]:
         "mmr_diverse_topk": _mmr_oracle_sql(),
         "query_dedup": _query_dedup_oracle_sql(),
         "text_bpe_counts": _bpe_oracle_sql(),
+        "significant_terms": _significant_oracle_sql(),
+        "search_after_topk": _search_after_oracle_sql(),
         "bm25_topk_and": f"""
 WITH {_bm25_base_cte()},
 qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),

@@ -673,6 +673,66 @@ class BM25QueryEngine:
             df = self.search_sql(queries, k)
         return df.select("query_id", "doc_id", "score", "rank")
 
+    def search_after(
+        self,
+        queries: Sequence[str],
+        cursors: Sequence[tuple | None],
+        k: int = 10,
+    ) -> DataFrame:
+        """Cursor ("deep") pagination — the next ``k`` hits strictly
+        after each query's cursor in the total order ``(score_q DESC,
+        doc_id ASC)``. Columns: (query_id, rank, doc_id, score_q)
+        with rank 1..k *within the page*.
+
+        Public semantics: Elasticsearch ``search_after`` / Lucene
+        ``searchAfter(FieldDoc)`` — the client passes back the sort
+        key of the last hit it saw (``cursors[query_id] =
+        (score_q, doc_id)``; ``None`` skips the query — it has no
+        further pages). The sort key is the *quantized* score
+        ``round(score·1e6)`` — quantization is what makes the cursor
+        a stable, engine-invariant token a client can round-trip.
+
+        Why this and not OFFSET: an offset page must rank
+        ``offset + k`` rows per query — at page depth p the window
+        state grows as ``p·k`` and every page re-pays it (the classic
+        deep-pagination cliff; ES caps ``from`` at 10k for exactly
+        this reason). The cursor predicate instead filters the scored
+        set *before* the top-k window, so every page ranks only what
+        survives the tuple comparison — constant per-page work at any
+        depth. The scoring pass itself is unchanged (and bucket-
+        pruned); scoring is the irreducible cost, the cursor removes
+        the depth-proportional part."""
+        rows = [
+            (qid, int(sq), int(did))
+            for qid, cur in enumerate(cursors)
+            if cur is not None
+            for sq, did in (cur,)
+        ]
+        if not rows:
+            rows = [(-1, 0, -1)]
+        cur = self.spark.createDataFrame(
+            rows, schema="query_id INT, cur_score BIGINT, cur_doc BIGINT"
+        )
+        scored = self.scored_sql(queries).withColumn(
+            "score_q", F.round(F.col("score") * F.lit(1e6)).cast("bigint")
+        )
+        after = scored.join(F.broadcast(cur), "query_id").filter(
+            (F.col("score_q") < F.col("cur_score"))
+            | ((F.col("score_q") == F.col("cur_score")) & (F.col("doc_id") > F.col("cur_doc")))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+        return (
+            after.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.col("query_id").cast("int").alias("query_id"),
+                F.col("rank").cast("int").alias("rank"),
+                F.col("doc_id").cast("bigint").alias("doc_id"),
+                "score_q",
+            )
+            .orderBy("query_id", "rank")
+        )
+
     def search_with_docs(self, queries: Sequence[str], k: int = 10, mode: str = "sql") -> DataFrame:
         """Result enrichment (reference P8/J1: join hits back to content
         by identity — here by doc_id, carrying the sha256 invariant)."""

@@ -27,6 +27,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.tokenizer import tokens_expr
+
+SCALE = 1_000_000
+
+
+def _quantize(col):
+    """round(x·1e6)::bigint — the gate-wide micro-quantization
+    (HALF_UP in both Spark and DuckDB; FIXTURES.md §3)."""
+    return F.round(col * F.lit(float(SCALE))).cast("bigint")
 
 
 def facet_counts(
@@ -111,4 +120,86 @@ def facet_ranges(
         )
         .select("query_id", "bucket", "bucket_lo", "n_docs")
         .orderBy("query_id", "bucket")
+    )
+
+
+def significant_terms(
+    engine: BM25QueryEngine,
+    docs_df: DataFrame,
+    queries: Sequence[str],
+    m: int = 50,
+    top_terms: int = 10,
+    min_doc_count: int = 3,
+) -> DataFrame:
+    """(query_id, rank, term, fg_df, bg_df, score_q) — terms
+    statistically over-represented in each query's result sample
+    relative to the whole corpus.
+
+    Public semantics: the Elasticsearch ``significant_terms``
+    aggregation under its recommended ``sampler`` parent — the
+    foreground is the top-``m`` BM25 hits per query (quantized score
+    DESC, doc_id ASC — the engine's deterministic sort key), the
+    background is the index itself. Scoring is ES's JLH heuristic::
+
+        a = fg_df / fg_n          (foreground doc frequency rate)
+        b = bg_df / n_docs        (background doc frequency rate)
+        jlh = (a - b) * (a / b)   (absolute + relative change)
+
+    Only positive-signal terms (``a > b``) qualify, and foreground
+    rarities below ``min_doc_count`` docs are dropped (the ES default
+    of 3). Ranking is on ``round(jlh·1e6)`` with ``term ASC``
+    tie-break so the selection is engine-invariant; the DuckDB twin
+    computes the identical expression shape term by term. The query's
+    own terms legitimately surface near the top (they are in every
+    foreground doc) — exactly what ES returns.
+
+    Physical shape, and why it scales: stage 1 is the engine's
+    bucket-pruned scoring pass (the irreducible cost of any
+    query-conditioned aggregation). The foreground is then a tiny
+    ``m·|queries|`` dim broadcast into the docs table, so term
+    extraction touches ``m·|queries|`` documents — never the corpus.
+    Background stats come straight off ``term_stats`` (index
+    metadata, zero corpus touch), with the small foreground side of
+    that join broadcast. Nothing here grows with corpus size except
+    the already-indexed stage-1 scan."""
+    scored = engine.scored_sql(queries).withColumn("score_q", _quantize(F.col("score")))
+    wm = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    fb = (
+        scored.withColumn("fr", F.row_number().over(wm))
+        .filter(F.col("fr") <= m)
+        .select("query_id", "doc_id")
+    )
+    fg_n = fb.groupBy("query_id").agg(F.count("*").cast("bigint").alias("fg_n"))
+    # foreground docs only: broadcast the (query, doc) dim into docs
+    fg = (
+        docs_df.select("doc_id", tokens_expr("text").alias("toks"))
+        .join(F.broadcast(fb), "doc_id")
+        .select("query_id", F.explode(F.array_distinct("toks")).alias("term"))
+        .groupBy("query_id", "term")
+        .agg(F.count("*").cast("bigint").alias("fg_df"))
+        .filter(F.col("fg_df") >= min_doc_count)
+    )
+    ts = engine.index.term_stats.select("term", F.col("df").cast("bigint").alias("bg_df"))
+    a = F.col("fg_df").cast("double") / F.col("fg_n").cast("double")
+    b = F.col("bg_df").cast("double") / F.lit(float(engine.index.n_docs))
+    cand = (
+        F.broadcast(fg).join(ts, "term")
+        .join(F.broadcast(fg_n), "query_id")
+        .withColumn("sig", (a - b) * (a / b))
+        .filter(F.col("sig") > 0)
+        .withColumn("score_q", _quantize(F.col("sig")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("term"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_terms)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            "fg_df",
+            "bg_df",
+            "score_q",
+        )
+        .orderBy("query_id", "rank")
     )

@@ -102,6 +102,8 @@ AUDIT = [
     "regexp_query_topk",
     "term_vectors",
     "tfidf_topk",
+    "significant_terms",
+    "search_after_topk",
 ]
 
 

@@ -1,0 +1,154 @@
+"""Significant-terms aggregation (ES sampler → significant_terms,
+JLH heuristic) and search_after cursor pagination.
+
+The driver's value-oracles pin both gates against DuckDB; these tests
+pin the *semantics* independently: significant_terms against a pure-
+Python JLH recompute over the same foreground sample, search_after
+against the rank-k+1..2k spec it must satisfy (the cursor predicate
+and the offset spec coincide because (score_q DESC, doc_id ASC) is a
+strict total order).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import __spark_entry__ as entry
+from la_fungus_search_spark.query import facets as facet_ops
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.tokenizer import tokenize
+
+SF = "/root/testdata/sf0.001"
+
+
+def _round_half_up(x: float) -> int:
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
+# ----------------------------------------------------------- search_after
+
+
+def test_search_after_page2_equals_ranks_11_20(spark):
+    eng = BM25QueryEngine(entry._index(spark, SF))
+    full = entry._bm25_rank(eng.scored_sql(entry.BM25_QUERIES), 20).collect()
+    expected = [
+        (r["query_id"], r["rank"] - 10, r["doc_id"], r["score_q"])
+        for r in full
+        if r["rank"] > 10
+    ]
+    page2 = entry.q_search_after_topk(spark, SF).collect()
+    got = [(r["query_id"], r["rank"], r["doc_id"], r["score_q"]) for r in page2]
+    assert got == expected
+
+
+def test_search_after_disjoint_from_page1(spark):
+    eng = BM25QueryEngine(entry._index(spark, SF))
+    page1 = entry._bm25_rank(eng.scored_sql(entry.BM25_QUERIES), 10).collect()
+    seen = {(r["query_id"], r["doc_id"]) for r in page1}
+    page2 = entry.q_search_after_topk(spark, SF).collect()
+    assert page2, "page 2 should not be empty at sf0.001"
+    assert all((r["query_id"], r["doc_id"]) not in seen for r in page2)
+
+
+def test_search_after_none_cursor_skips_query(spark):
+    eng = BM25QueryEngine(entry._index(spark, SF))
+    queries = entry.BM25_QUERIES[:2]
+    # None = client has no further pages for q0; q1's cursor sits above
+    # every real score so its whole ranking qualifies as "after"
+    out = eng.search_after(queries, [None, (1 << 60, -1)], k=5).collect()
+    qids = {r["query_id"] for r in out}
+    assert 0 not in qids
+    assert 1 in qids
+    top5 = [
+        (r["doc_id"], r["score_q"])
+        for r in entry._bm25_rank(eng.scored_sql(queries), 5).collect()
+        if r["query_id"] == 1
+    ]
+    got = [(r["doc_id"], r["score_q"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == top5
+
+
+def test_search_after_mid_tie_cursor(spark):
+    """A cursor placed ON a tied score_q must resume strictly after
+    its doc_id, not re-serve or skip the tie group."""
+    eng = BM25QueryEngine(entry._index(spark, SF))
+    q = [entry.BM25_QUERIES[0]]
+    allr = entry._bm25_rank(eng.scored_sql(q), 10_000).collect()
+    # find any row that shares score_q with its successor; fall back to
+    # rank 3 if the corpus happens to have no ties
+    idx = next(
+        (i for i in range(len(allr) - 1) if allr[i]["score_q"] == allr[i + 1]["score_q"]),
+        2,
+    )
+    cur = (int(allr[idx]["score_q"]), int(allr[idx]["doc_id"]))
+    out = eng.search_after(q, [cur], k=4).collect()
+    expected = [(r["doc_id"], r["score_q"]) for r in allr[idx + 1 : idx + 5]]
+    assert [(r["doc_id"], r["score_q"]) for r in out] == expected
+
+
+# ------------------------------------------------------ significant_terms
+
+
+def test_significant_terms_matches_python_jlh(spark):
+    """Full-output identity vs an independent pure-Python recompute:
+    same foreground sample contract (quantized-score top-m), python
+    df counts over the corpus, the JLH formula evaluated in plain
+    floats (same IEEE ops), HALF_UP micro-quantization."""
+    m, top_terms, min_dc = 20, 8, 2
+    eng = BM25QueryEngine(entry._index(spark, SF))
+    docs = entry._documents(spark, SF).select("doc_id", "text")
+    out = facet_ops.significant_terms(
+        eng, docs, entry.FACET_QUERIES, m=m, top_terms=top_terms, min_doc_count=min_dc
+    ).collect()
+
+    ranked = entry._bm25_rank(eng.scored_sql(entry.FACET_QUERIES), m).collect()
+    fb: dict[int, list[int]] = {}
+    for r in ranked:
+        fb.setdefault(r["query_id"], []).append(r["doc_id"])
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    n_docs = len(texts)
+    bg = Counter()
+    for t in texts.values():
+        bg.update(set(tokenize(t or "")))
+
+    expect: dict[int, list[tuple]] = {}
+    for qid, ids in fb.items():
+        fg_n = len(ids)
+        fg = Counter()
+        for did in ids:
+            fg.update(set(tokenize(texts[did] or "")))
+        cands = []
+        for term, fg_df in fg.items():
+            if fg_df < min_dc:
+                continue
+            a = fg_df / fg_n
+            b = bg[term] / n_docs
+            sig = (a - b) * (a / b)
+            if sig > 0:
+                cands.append((_round_half_up(sig * 1e6), term, fg_df, bg[term]))
+        cands.sort(key=lambda x: (-x[0], x[1]))
+        expect[qid] = cands[:top_terms]
+
+    assert out, "expected significant terms at sf0.001"
+    for r in out:
+        sq, term, fg_df, bg_df = expect[r["query_id"]][r["rank"] - 1]
+        assert (r["term"], r["fg_df"], r["bg_df"], r["score_q"]) == (term, fg_df, bg_df, sq)
+    # and nothing beyond what python found
+    per_q = Counter(r["query_id"] for r in out)
+    for qid, n in per_q.items():
+        assert n == min(top_terms, len(expect[qid]))
+
+
+def test_significant_terms_positive_signal_only(spark):
+    eng = BM25QueryEngine(entry._index(spark, SF))
+    docs = entry._documents(spark, SF).select("doc_id", "text")
+    out = facet_ops.significant_terms(eng, docs, entry.FACET_QUERIES, m=20).collect()
+    n = eng.index.n_docs
+    for r in out:
+        # foreground rate strictly above background rate, floors hold
+        assert r["fg_df"] >= 3
+        assert r["bg_df"] >= r["fg_df"] >= 1
+        # fg sample ≤ 20 docs, so fg rate = fg_df/fg_n ≥ fg_df/20
+        assert r["fg_df"] / 20 > 0 and r["score_q"] >= 0
+        assert r["fg_df"] * n > 0  # sanity: rates comparable
