@@ -287,6 +287,8 @@ def bench_main(results: dict):
         "regexp_query_topk",
         "term_vectors",
         "tfidf_topk",
+        "significant_terms",
+        "search_after_topk",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25
