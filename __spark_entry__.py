@@ -2571,12 +2571,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": q_significant_terms,
         "search_after_topk": q_search_after_topk,
         # (c) no_oracle entering r4 (query_dedup / mmr_diverse_topk /
-        # text_bpe_counts gained value-oracles mid-round)
+        # text_bpe_counts gained value-oracles mid-round and MUST be
+        # driver-hash-checked this round; ann_ivfpq_topk and
+        # corpus_sketch are rows-only BY NATURE, unchanged in r4, and
+        # carry r3 driver rows + pytest recall/bounds oracles — they
+        # yield their prefix slots to the sixth-wave value-oracle
+        # gates and sit just behind the cut with the other rows-only
+        # ANN entries)
         "query_dedup": q_query_dedup,
         "mmr_diverse_topk": q_mmr_diverse_topk,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "text_bpe_counts": q_text_bpe_counts,
-        "corpus_sketch": q_corpus_sketch,
         # (d) greens over modules changed this round + cheap staples.
         # dedup_minhash_* moved AHEAD of the unchanged rows-only ANN
         # gates: the MinHash kernel was reworked mid-r4 (one md5 per
@@ -2595,6 +2599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp_topk": q_ann_srp_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "corpus_sketch": q_corpus_sketch,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_cross_doc_grams": q_dedup_cross_doc_grams,
