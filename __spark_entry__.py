@@ -1006,6 +1006,45 @@ FROM ranked WHERE rank <= {top_terms} ORDER BY query_id, rank
 """
 
 
+def _explain_oracle_sql(k: int = 5) -> str:
+    """DuckDB twin of q_explain_topk: the scored CTE's summand,
+    un-aggregated — one row per (top-k hit, matched term) carrying
+    the exact per-term addend (micro-quantized) plus the hit's
+    quantized total; the hit set is the same quantized-rank top-k
+    every BM25 gate pins."""
+    return f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),
+per_term AS (
+    SELECT qt.query_id, tf.doc_id, qt.term, qt.qtf, tf.tf, dl.doclen, idf.df, idf.idf,
+           qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g))) AS contrib
+    FROM qt
+    JOIN idf USING (term)
+    JOIN tf USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+),
+hits AS (
+    SELECT query_id, doc_id, round(sum(contrib) * 1e6)::BIGINT AS score_q
+    FROM per_term GROUP BY 1, 2
+),
+top AS (
+    SELECT query_id, doc_id, score_q, rank FROM (
+        SELECT query_id, doc_id, score_q,
+               row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+        FROM hits
+    ) WHERE rank <= {k}
+)
+SELECT p.query_id::INT AS query_id, t.rank::INT AS rank, p.doc_id, p.term,
+       p.qtf::INT AS qtf, p.tf, p.doclen, p.df,
+       round(p.idf * 1e6)::BIGINT AS idf_micro,
+       round(p.contrib * 1e6)::BIGINT AS contrib_micro,
+       t.score_q
+FROM per_term p JOIN top t ON p.query_id = t.query_id AND p.doc_id = t.doc_id
+ORDER BY p.query_id, t.rank, p.term
+"""
+
+
 def _search_after_oracle_sql(k: int = 10) -> str:
     """DuckDB twin of q_search_after_topk: because (score_q DESC,
     doc_id ASC) is a strict total order, "the k hits after page 1's
@@ -1575,6 +1614,16 @@ def q_search_after_topk(spark, sf_dir):
     }
     cursors = [last.get(qid) for qid in range(len(BM25_QUERIES))]
     return eng.search_after(BM25_QUERIES, cursors, k=10)
+
+
+def q_explain_topk(spark, sf_dir):
+    """Scoring explanation (engine.explain, ES _explain / Lucene
+    Explanation flattened to rows): per top-5 hit, one row per
+    matched term with the exact BM25 addend (micro-quantized) and
+    the hit's quantized total. Two bucket-pruned postings scans;
+    breakdown output ≤ k·|query terms| rows per query."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    return eng.explain(BM25_QUERIES, k=5)
 
 
 def q_keyword_score_topk(spark, sf_dir):
@@ -2633,6 +2682,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": q_text_fingerprints,
         "text_repetition": q_text_repetition,
         "text_winnow": q_text_winnow,
+        # NEW in late r4, deliberately BEHIND the checked prefix (the
+        # prefix's 50 slots are all claimed by gates that changed this
+        # round): explain_topk's r4 verification is LOCAL ONLY —
+        # check_entry.py hash-match vs its DuckDB oracle + pytest
+        # recompute — it rotates into the prefix next round.
+        "explain_topk": q_explain_topk,
     }
 
 
@@ -3035,6 +3090,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_counts": _bpe_oracle_sql(),
         "significant_terms": _significant_oracle_sql(),
         "search_after_topk": _search_after_oracle_sql(),
+        "explain_topk": _explain_oracle_sql(),
         "bm25_topk_and": f"""
 WITH {_bm25_base_cte()},
 qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),

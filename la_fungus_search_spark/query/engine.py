@@ -96,18 +96,16 @@ class BM25QueryEngine:
                 rows.append((qid, term, qtf))
         return self.scored_from_terms(rows)
 
-    def scored_from_terms(self, qt_rows: Sequence[tuple]) -> DataFrame:
-        """Scored set from explicit ``(query_id, term, qtf)`` rows —
-        the shared body of :meth:`scored_sql`, also fed by the fuzzy /
-        prefix expansion layer (``query/expand.py``) whose scored term
-        set is the *rewritten* disjunction, not the tokenized query."""
+    def _joined_postings(self, qt_rows: Sequence[tuple], with_df: bool = False) -> DataFrame:
+        """Bucket-pruned postings × broadcast query dim — the shared
+        scan of :meth:`scored_from_terms` and :meth:`explain`. Rows
+        carry (query_id, term, qtf, doc_id, tf, doclen, idf[, df])."""
         idx = self.index
         rows = list(qt_rows) or [(0, "\x00__no_terms__", 0)]
         qt = self.spark.createDataFrame(rows, schema="query_id INT, term STRING, qtf INT")
         # broadcast the tiny query-side dim through both joins
-        q_with_idf = F.broadcast(
-            qt.join(idx.term_stats.select("term", "idf", "term_bucket"), "term")
-        )
+        stat_cols = ["term", "idf", "term_bucket"] + (["df"] if with_df else [])
+        q_with_idf = F.broadcast(qt.join(idx.term_stats.select(*stat_cols), "term"))
         # bucket-pruning IN-list computed driver-side (xxhash64 twin of
         # the build's pmod(xxhash64(term), n_buckets)) — ZERO Spark
         # jobs before the query itself; parity asserted in tests
@@ -120,8 +118,15 @@ class BM25QueryEngine:
             # per-row doclen the tokenize kernel now emits — fall back
             # to the doc_id shuffle join against doc_stats
             joined = joined.join(idx.doc_stats.select("doc_id", "doclen"), "doc_id")
+        return joined
+
+    def scored_from_terms(self, qt_rows: Sequence[tuple]) -> DataFrame:
+        """Scored set from explicit ``(query_id, term, qtf)`` rows —
+        the shared body of :meth:`scored_sql`, also fed by the fuzzy /
+        prefix expansion layer (``query/expand.py``) whose scored term
+        set is the *rewritten* disjunction, not the tokenized query."""
         scored = (
-            joined
+            self._joined_postings(qt_rows)
             .withColumn(
                 "contrib",
                 F.col("qtf") * F.col("idf") * self._contribution(F.col("tf"), F.col("doclen")),
@@ -731,6 +736,63 @@ class BM25QueryEngine:
                 "score_q",
             )
             .orderBy("query_id", "rank")
+        )
+
+    def explain(self, queries: Sequence[str], k: int = 10) -> DataFrame:
+        """Per-term scoring breakdown for each query's top-k hits —
+        the Elasticsearch ``_explain`` endpoint / Lucene
+        ``Explanation`` tree, flattened to one row per (hit, matched
+        term). Columns: (query_id, rank, doc_id, term, qtf, tf,
+        doclen, df, idf_micro, contrib_micro, score_q), ordered
+        (query_id, rank, term).
+
+        ``contrib`` is the exact addend the scorer summed —
+        ``qtf · idf · (tf·(k1+1)) / (tf + k1·(1−b+b·doclen/avgdl))``
+        — so a reader can audit why a hit ranked where it did;
+        ``score_q`` repeats the hit's quantized total on every row.
+        Floats are exposed micro-quantized (idf_micro,
+        contrib_micro), the same engine-invariant convention the
+        gates rank on.
+
+        Physical shape: two bucket-pruned postings scans (one to rank
+        — the irreducible query cost — one re-joined against the
+        broadcast k·|queries| hit dim to emit the breakdown rows);
+        neither touches the corpus, and the second scan's output is
+        ≤ k·|query terms| rows per query."""
+        rows = []
+        for qid, q in enumerate(queries):
+            for term, qtf in Counter(tokenize_query(q)).items():
+                rows.append((qid, term, qtf))
+        per_term = self._joined_postings(rows, with_df=True).withColumn(
+            "contrib",
+            F.col("qtf") * F.col("idf") * self._contribution(F.col("tf"), F.col("doclen")),
+        )
+        hits = (
+            self.scored_from_terms(rows)
+            .withColumn("score_q", F.round(F.col("score") * F.lit(1e6)).cast("bigint"))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+        top = (
+            hits.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", F.col("rank").cast("int").alias("rank"), "score_q")
+        )
+        return (
+            per_term.join(F.broadcast(top), ["query_id", "doc_id"])
+            .select(
+                F.col("query_id").cast("int").alias("query_id"),
+                "rank",
+                F.col("doc_id").cast("bigint").alias("doc_id"),
+                "term",
+                F.col("qtf").cast("int").alias("qtf"),
+                F.col("tf").cast("bigint").alias("tf"),
+                F.col("doclen").cast("bigint").alias("doclen"),
+                F.col("df").cast("bigint").alias("df"),
+                F.round(F.col("idf") * F.lit(1e6)).cast("bigint").alias("idf_micro"),
+                F.round(F.col("contrib") * F.lit(1e6)).cast("bigint").alias("contrib_micro"),
+                "score_q",
+            )
+            .orderBy("query_id", "rank", "term")
         )
 
     def search_with_docs(self, queries: Sequence[str], k: int = 10, mode: str = "sql") -> DataFrame:

@@ -1,0 +1,72 @@
+"""engine.explain — per-term BM25 scoring breakdown (ES _explain /
+Lucene Explanation flattened to rows). The DuckDB value-oracle pins
+the full output; these tests pin the semantics independently:
+addends recomputed in pure Python from the index's own stats, hit
+set identity vs the gated top-k ranking, and term-set identity vs
+a direct tokenization of each hit document."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import __spark_entry__ as entry
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.tokenizer import tokenize, tokenize_query
+
+SF = "/root/testdata/sf0.001"
+
+
+def _round_half_up(x: float) -> int:
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
+def test_explain_rows_recompute_in_python(spark):
+    eng = BM25QueryEngine(entry._index(spark, SF))
+    out = eng.explain(entry.BM25_QUERIES, k=5).collect()
+    assert out
+    terms = {r["term"] for r in out}
+    stats = {
+        r["term"]: (r["df"], r["idf"])
+        for r in eng.index.term_stats.filter(
+            eng.index.term_stats.term.isin(list(terms))
+        ).collect()
+    }
+    k1, b, avgdl = eng.k1, eng.b, eng.avgdl
+    for r in out:
+        df, idf = stats[r["term"]]
+        assert r["df"] == df
+        assert r["idf_micro"] == _round_half_up(idf * 1e6)
+        contrib = (
+            r["qtf"]
+            * idf
+            * (r["tf"] * (k1 + 1.0))
+            / (r["tf"] + k1 * (1.0 - b + b * r["doclen"] / avgdl))
+        )
+        assert r["contrib_micro"] == _round_half_up(contrib * 1e6), r
+
+
+def test_explain_hit_set_matches_gated_ranking(spark):
+    eng = BM25QueryEngine(entry._index(spark, SF))
+    out = eng.explain(entry.BM25_QUERIES, k=5).collect()
+    hits = {(r["query_id"], r["rank"], r["doc_id"], r["score_q"]) for r in out}
+    ranked = entry._bm25_rank(eng.scored_sql(entry.BM25_QUERIES), 5).collect()
+    expected = {(r["query_id"], r["rank"], r["doc_id"], r["score_q"]) for r in ranked}
+    assert hits == expected
+
+
+def test_explain_terms_are_exactly_the_matched_query_terms(spark):
+    eng = BM25QueryEngine(entry._index(spark, SF))
+    out = eng.explain(entry.BM25_QUERIES, k=5).collect()
+    docs = {
+        r["doc_id"]: set(tokenize(r["text"] or ""))
+        for r in entry._documents(spark, SF).select("doc_id", "text").collect()
+    }
+    qterms = [set(tokenize_query(q)) for q in entry.BM25_QUERIES]
+    per_hit: dict[tuple, set] = {}
+    for r in out:
+        per_hit.setdefault((r["query_id"], r["doc_id"]), set()).add(r["term"])
+        # qtf matches the query's own term multiset
+        assert r["qtf"] == Counter(tokenize_query(entry.BM25_QUERIES[r["query_id"]]))[r["term"]]
+    for (qid, did), got in per_hit.items():
+        assert got == (qterms[qid] & docs[did]), (qid, did)

@@ -104,6 +104,7 @@ AUDIT = [
     "tfidf_topk",
     "significant_terms",
     "search_after_topk",
+    "explain_topk",
 ]
 
 
