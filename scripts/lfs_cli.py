@@ -73,6 +73,19 @@ def cmd_search(args) -> None:
         }))
 
 
+def cmd_explain(args) -> None:
+    """Per-term scoring breakdown for the top-k hits (ES _explain
+    shape): one JSON line per (hit, matched term) with the exact
+    micro-quantized BM25 addend and its inputs."""
+    from la_fungus_search_spark.index.builder import load_index
+    from la_fungus_search_spark.query.engine import BM25QueryEngine
+
+    spark = get_spark(app_name="lfs-explain")
+    eng = BM25QueryEngine(load_index(spark, args.index))
+    for r in eng.explain(args.query, k=args.k).collect():
+        print(json.dumps(r.asDict()))
+
+
 def cmd_update(args) -> None:
     from la_fungus_search_spark.index.builder import IncrementalIndexBuilder, load_index
     from la_fungus_search_spark.sources import load_corpus
@@ -286,6 +299,12 @@ def main() -> None:
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--mode", default="auto", choices=["auto", "sql", "blockmax", "and"])
     s.set_defaults(fn=cmd_search)
+
+    ex = sub.add_parser("explain")
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--query", action="append", required=True)
+    ex.add_argument("-k", type=int, default=10)
+    ex.set_defaults(fn=cmd_explain)
 
     u = sub.add_parser("update")
     u.add_argument("--index", required=True)

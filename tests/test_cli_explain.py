@@ -1,0 +1,39 @@
+"""CLI explain subcommand: JSON-lines per-term scoring breakdown over
+a persisted index — the ES _explain shape end-to-end through the CLI."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import types
+
+from la_fungus_search_spark.corpus import corpus_df
+from la_fungus_search_spark.index.builder import IndexBuilder
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+
+
+def _load_cli():
+    p = os.path.join(os.path.dirname(__file__), "..", "scripts", "lfs_cli.py")
+    spec = importlib.util.spec_from_file_location("lfs_cli_under_test", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_cli_explain_matches_engine(spark, tmp_path, capsys):
+    docs = corpus_df(spark, 30).filter("lang = 'python'")
+    out_dir = str(tmp_path / "idx")
+    idx = IndexBuilder(spark, n_buckets=8, n_salts=4).build(docs, out_dir=out_dir)
+
+    q = "pheromone_decay_kernel def"
+    cmd_explain = _load_cli().cmd_explain
+    cmd_explain(types.SimpleNamespace(index=out_dir, query=[q], k=3))
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines, "explain printed nothing"
+
+    expected = [r.asDict() for r in BM25QueryEngine(idx).explain([q], k=3).collect()]
+    assert lines == expected
+    # every line carries the audit fields
+    for d in lines:
+        assert {"rank", "term", "contrib_micro", "idf_micro", "score_q"} <= set(d)
