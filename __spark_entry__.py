@@ -218,12 +218,19 @@ def _micro(c):
 # ---------------------------------------------------------------- BM25 oracle SQL
 
 
-def _bm25_base_cte(src: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+def _bm25_base_cte(
+    src: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_sql: str | None = None,
+) -> str:
     """Shared CTEs: tokenization → tf → doclen (incl. empty docs) →
     globals → df → epsilon-floored idf (BM25Okapi semantics,
     FIXTURES.md §3). Parameterized over the doc-unit source so the
-    chunk-granularity index reuses the identical scoring pipeline."""
-    toks = duckdb_tokens_sql(text_col)
+    chunk-granularity index reuses the identical scoring pipeline;
+    ``tokens_sql`` overrides the token expression (the analyzed-index
+    gate passes the stopword+S-stem chain)."""
+    toks = tokens_sql or duckdb_tokens_sql(text_col)
     return f"""
 tok AS (
     SELECT {id_col} AS doc_id, unnest({toks}) AS term FROM {src}
@@ -1006,6 +1013,52 @@ FROM ranked WHERE rank <= {top_terms} ORDER BY query_id, rank
 """
 
 
+def _analyzed_qt_values() -> str:
+    """(query_id, term, qtf) VALUES for BM25_QUERIES run through the
+    English analysis chain — the literal term rows BOTH engines score
+    (the Spark gate feeds the same rows to scored_from_terms, so no
+    re-tokenization ambiguity can exist on the query side)."""
+    from la_fungus_search_spark.analysis import analyze_query_terms
+
+    rows = []
+    for qid, q in enumerate(BM25_QUERIES):
+        for term, qtf in Counter(analyze_query_terms(q)).items():
+            rows.append(f"({qid}, '{term}', {qtf})")
+    return ", ".join(rows)
+
+
+def _bm25_english_oracle_sql(k: int = 10) -> str:
+    """DuckDB twin of q_bm25_topk_english: the standard BM25 pipeline
+    over the ANALYZED corpus — the base CTE's token expression is the
+    stopword+S-stem chain (`analysis.duckdb_analyzed_tokens_sql`,
+    parity-pinned against the Python and Spark chains), queries are
+    the same pre-analyzed term rows the engine scores."""
+    from la_fungus_search_spark.analysis import duckdb_analyzed_tokens_sql
+
+    return f"""
+WITH {_bm25_base_cte(tokens_sql=duckdb_analyzed_tokens_sql("text"))},
+qt(query_id, term, qtf) AS (VALUES {_analyzed_qt_values()}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt
+    JOIN idf USING (term)
+    JOIN tf USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM scored),
+ranked AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
 def _explain_oracle_sql(k: int = 5) -> str:
     """DuckDB twin of q_explain_topk: the scored CTE's summand,
     un-aggregated — one row per (top-k hit, matched term) carrying
@@ -1614,6 +1667,41 @@ def q_search_after_topk(spark, sf_dir):
     }
     cursors = [last.get(qid) for qid in range(len(BM25_QUERIES))]
     return eng.search_after(BM25_QUERIES, cursors, k=10)
+
+
+_ANALYZED_INDEX_CACHE: dict = {}
+
+
+def _index_english(spark: SparkSession, sf_dir: str):
+    """BM25 index over the ANALYZED documents table (stopword filter +
+    S-stemmer applied pre-inversion; cached per session+sf). Analysis
+    is a text→text projection, so this is the standard builder over a
+    rewritten corpus — no engine mode exists."""
+    from la_fungus_search_spark.analysis import analyze_df
+
+    key = (id(spark), sf_dir)
+    if key not in _ANALYZED_INDEX_CACHE:
+        docs = analyze_df(_documents(spark, sf_dir)).withColumnRenamed("text", "content")
+        _ANALYZED_INDEX_CACHE[key] = build_index(spark, docs, id_col="doc_id")
+    return _ANALYZED_INDEX_CACHE[key]
+
+
+def q_bm25_topk_english(spark, sf_dir):
+    """BM25 top-10 over an English-analyzed index (analysis.py, the
+    Lucene EnglishAnalyzer position: stopword filter + Harman
+    S-stemmer run BEFORE inversion, identical chain on the query
+    side). Queries enter as pre-analyzed (term, qtf) rows via
+    scored_from_terms — the exact rows the oracle's VALUES list
+    carries — so both engines score the same disjunction over the
+    same analyzed corpus."""
+    from la_fungus_search_spark.analysis import analyze_query_terms
+
+    eng = BM25QueryEngine(_index_english(spark, sf_dir))
+    rows = []
+    for qid, q in enumerate(BM25_QUERIES):
+        for term, qtf in Counter(analyze_query_terms(q)).items():
+            rows.append((qid, term, qtf))
+    return _bm25_rank(eng.scored_from_terms(rows).select("query_id", "doc_id", "score"), 10)
 
 
 def q_explain_topk(spark, sf_dir):
@@ -2684,10 +2772,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow": q_text_winnow,
         # NEW in late r4, deliberately BEHIND the checked prefix (the
         # prefix's 50 slots are all claimed by gates that changed this
-        # round): explain_topk's r4 verification is LOCAL ONLY —
-        # check_entry.py hash-match vs its DuckDB oracle + pytest
-        # recompute — it rotates into the prefix next round.
+        # round): these entries' r4 verification is LOCAL ONLY —
+        # check_entry.py hash-match vs their DuckDB oracles + pytest —
+        # they rotate into the prefix next round.
         "explain_topk": q_explain_topk,
+        "bm25_topk_english": q_bm25_topk_english,
     }
 
 
@@ -3091,6 +3180,7 @@ def oracle_sql() -> dict[str, str]:
         "significant_terms": _significant_oracle_sql(),
         "search_after_topk": _search_after_oracle_sql(),
         "explain_topk": _explain_oracle_sql(),
+        "bm25_topk_english": _bm25_english_oracle_sql(),
         "bm25_topk_and": f"""
 WITH {_bm25_base_cte()},
 qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),

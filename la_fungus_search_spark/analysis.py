@@ -1,0 +1,144 @@
+"""Opt-in index-time analysis chain: English stopword filtering +
+the Harman S-stemmer (the Lucene ``EnglishAnalyzer`` family, minus
+the heavyweight Porter pass).
+
+Public semantics: Lucene runs an analyzer over text BEFORE inversion
+— the index stores analyzed terms, and the query side must run the
+same chain. This module takes the same architectural position: it is
+a *text → text* rewrite applied ahead of :func:`~la_fungus_search_
+spark.index.build_index`, so every downstream path (build kernels,
+BM25 scoring, blockmax pruning, incremental merge, the DuckDB
+oracles) is byte-identical to the unanalyzed pipeline — analysis is
+a corpus projection, not an engine mode. The stemmer is Harman's
+S-stemmer (Donna Harman, *How effective is suffixing?*, JASIS 1991):
+three ordered suffix rules, first match wins —
+
+    1. ``ies → y``   unless the word ends ``eies`` / ``aies``
+    2. ``es  → e``   unless the word ends ``aes`` / ``ees`` / ``oes``
+    3. ``s   → ''``  unless the word ends ``us`` / ``ss``
+
+applied to tokens of length ≥ 3. Unlike Porter, every rule is a
+plain suffix test — expressible identically in Python, Spark SQL
+(whole-stage codegen, no UDF) and DuckDB, so analyzed indexes keep
+the repo-wide engine-invariance contract. The stopword set is the
+Lucene English default (33 words, ``EnglishAnalyzer.ENGLISH_STOP_
+WORDS_SET`` — public constants).
+
+Scale shape: one extra JVM-side projection over the corpus at build
+time (filter + transform over the already-extracted token array,
+re-joined with single spaces); token arrays never leave the JVM and
+nothing shuffles. Query analysis is driver-side over a handful of
+query strings.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.tokenizer import tokenize, tokenize_query, tokens_expr
+
+# Lucene EnglishAnalyzer default stop set (public constant list).
+STOPWORDS_EN = frozenset(
+    {
+        "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+        "if", "in", "into", "is", "it", "no", "not", "of", "on", "or",
+        "such", "that", "the", "their", "then", "there", "these",
+        "they", "this", "to", "was", "will", "with",
+    }
+)
+
+
+def s_stem(token: str) -> str:
+    """Harman S-stemmer, pure-Python reference (drives oracles/tests)."""
+    if len(token) < 3:
+        return token
+    if token.endswith("ies") and not token.endswith(("eies", "aies")):
+        return token[:-3] + "y"
+    if token.endswith("es") and not token.endswith(("aes", "ees", "oes")):
+        return token[:-1]
+    if token.endswith("s") and not token.endswith(("us", "ss")):
+        return token[:-1]
+    return token
+
+
+def analyze_tokens(tokens: List[str]) -> List[str]:
+    """Stopword-filter then stem — the full chain over a token list."""
+    return [s_stem(t) for t in tokens if t not in STOPWORDS_EN]
+
+
+def analyze_text(text: str) -> str:
+    """Python twin of :func:`analyzed_text_expr` (single-space join)."""
+    return " ".join(analyze_tokens(tokenize(text or "")))
+
+
+def analyze_query_terms(query: str) -> List[str]:
+    """Query-side chain: the engine's query contract (tokenize +
+    reference query-stopword strip) THEN the English chain — the same
+    terms an analyzed index stores for this text. Feed the result to
+    ``BM25QueryEngine.scored_from_terms`` (duplicates preserved — qtf
+    semantics are the caller's, as with any rewritten disjunction)."""
+    return analyze_tokens(tokenize_query(query or ""))
+
+
+def _stem_col(t: Column) -> Column:
+    """S-stemmer as a codegen-friendly CASE chain over one token."""
+    n = F.length(t)
+    return (
+        F.when(n < 3, t)
+        .when(
+            t.endswith("ies") & ~t.endswith("eies") & ~t.endswith("aies"),
+            F.concat(F.substring(t, F.lit(1), n - 3), F.lit("y")),
+        )
+        .when(
+            t.endswith("es") & ~t.endswith("aes") & ~t.endswith("ees") & ~t.endswith("oes"),
+            F.substring(t, F.lit(1), n - 1),
+        )
+        .when(
+            t.endswith("s") & ~t.endswith("us") & ~t.endswith("ss"),
+            F.substring(t, F.lit(1), n - 1),
+        )
+        .otherwise(t)
+    )
+
+
+def _not_stop(t: Column) -> Column:
+    return ~t.isin(*sorted(STOPWORDS_EN))
+
+
+def analyzed_text_expr(col: str | Column) -> Column:
+    """Spark Column: the analyzed text (tokens filtered + stemmed,
+    re-joined with single spaces). Pure JVM — tokenizing the result
+    with the standard contract recovers exactly the analyzed terms
+    (every emitted token is a nonempty ``[a-z0-9_]+`` run)."""
+    toks = tokens_expr(col)
+    return F.array_join(F.transform(F.filter(toks, _not_stop), _stem_col), " ")
+
+
+def analyze_df(docs_df, text_col: str = "text"):
+    """``docs_df`` with ``text_col`` replaced by its analyzed form —
+    the pre-inversion projection an analyzed index builds over."""
+    return docs_df.withColumn(text_col, analyzed_text_expr(text_col))
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORDS_EN))
+
+
+def duckdb_analyzed_tokens_sql(col_sql: str) -> str:
+    """DuckDB fragment producing the identical analyzed token list
+    (for oracle CTEs: drop-in replacement for ``duckdb_tokens_sql``)."""
+    from la_fungus_search_spark.tokenizer import duckdb_tokens_sql
+
+    return f"""list_transform(
+  list_filter({duckdb_tokens_sql(col_sql)}, t -> t NOT IN ({_STOP_SQL})),
+  t -> CASE
+    WHEN length(t) < 3 THEN t
+    WHEN ends_with(t, 'ies') AND NOT ends_with(t, 'eies') AND NOT ends_with(t, 'aies')
+         THEN substr(t, 1, length(t) - 3) || 'y'
+    WHEN ends_with(t, 'es') AND NOT ends_with(t, 'aes') AND NOT ends_with(t, 'ees')
+         AND NOT ends_with(t, 'oes') THEN substr(t, 1, length(t) - 1)
+    WHEN ends_with(t, 's') AND NOT ends_with(t, 'us') AND NOT ends_with(t, 'ss')
+         THEN substr(t, 1, length(t) - 1)
+    ELSE t END)"""

@@ -38,6 +38,12 @@ def cmd_build(args) -> None:
     corpus = load_corpus(spark, args.input)
     if args.langs:
         corpus = filter_code_files(corpus, langs=tuple(args.langs.split(",")))
+    if getattr(args, "analyzer", "standard") == "english":
+        # pre-inversion projection (Lucene analyzer position): the
+        # query side must run the same chain — analysis.analyze_query_terms
+        from la_fungus_search_spark.analysis import analyze_df
+
+        corpus = analyze_df(corpus, text_col="content")
     builder = IndexBuilder(
         spark, n_buckets=args.buckets, n_salts=args.salts, id_mode=args.id_mode
     )
@@ -284,6 +290,7 @@ def main() -> None:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build")
+    b.add_argument("--analyzer", default="standard", choices=["standard", "english"])
     b.add_argument("--input", required=True, help="parquet path | iceberg:<tbl> | table:<tbl>")
     b.add_argument("--out", required=True)
     b.add_argument("--id-mode", default="hash", choices=["hash", "dense"])

@@ -1,0 +1,94 @@
+"""English analysis chain (stopwords + Harman S-stemmer): three-way
+engine invariance (Python / Spark SQL / DuckDB) and the analyzed-index
+retrieval gate's construction."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from la_fungus_search_spark.analysis import (
+    STOPWORDS_EN,
+    analyze_query_terms,
+    analyze_text,
+    analyze_tokens,
+    analyzed_text_expr,
+    duckdb_analyzed_tokens_sql,
+    s_stem,
+)
+from la_fungus_search_spark.tokenizer import tokenize
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_s_stem_published_rules():
+    # rule 1: ies -> y (guards eies/aies fall through to rule 2)
+    assert s_stem("bodies") == "body"
+    assert s_stem("queries") == "query"
+    assert s_stem("eies") == "eie" and s_stem("aies") == "aie"
+    # rule 2: es -> e (guards aes/ees/oes fall through to rule 3's guards)
+    assert s_stem("merges") == "merge"
+    assert s_stem("batches") == "batche"  # S-stemmer, not Porter — by design
+    # "goes" ends 'oes' -> rule 2 skipped; rule 3: ends 's', not us/ss -> "goe"
+    assert s_stem("goes") == "goe"
+    # rule 3: s -> '' (us/ss kept)
+    assert s_stem("rows") == "row"
+    assert s_stem("glass") == "glass" and s_stem("bus") == "bus"
+    # length guard
+    assert s_stem("es") == "es" and s_stem("is") == "is"
+
+
+def test_stopwords_are_lucene_english_defaults():
+    assert len(STOPWORDS_EN) == 33
+    assert {"the", "with", "will", "such", "into"} <= STOPWORDS_EN
+    assert "how" not in STOPWORDS_EN  # query-stopword set is separate
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=120))
+def test_python_duckdb_chain_identical(s):
+    con = duckdb.connect()
+    got = con.execute(f"SELECT {duckdb_analyzed_tokens_sql('?')}", [s]).fetchone()[0]
+    assert got == analyze_tokens(tokenize(s))
+    con.close()
+
+
+def test_spark_expr_matches_python_on_corpus(spark):
+    rows = (
+        entry._documents(spark, SF)
+        .select("doc_id", "text", analyzed_text_expr("text").alias("an"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["an"] == analyze_text(r["text"]), r["doc_id"]
+
+
+def test_analyzed_index_gate_construction(spark):
+    """The gate's contract: retokenizing analyzed text recovers the
+    analyzed terms exactly, the analyzed index's vocabulary is the
+    analyzed corpus vocabulary, and retrieval returns ranked hits for
+    stemmed query forms."""
+    docs = entry._documents(spark, SF).select("doc_id", "text").collect()
+    vocab_py = set()
+    for r in docs:
+        toks = analyze_tokens(tokenize(r["text"] or ""))
+        assert tokenize(" ".join(toks)) == toks  # round-trip stability
+        vocab_py.update(toks)
+    idx = entry._index_english(spark, SF)
+    vocab_idx = {r["term"] for r in idx.term_stats.select("term").collect()}
+    assert vocab_idx == vocab_py
+    out = entry.q_bm25_topk_english(spark, SF).collect()
+    assert out and {r["rank"] for r in out if r["query_id"] == out[0]["query_id"]} == set(
+        range(1, 11)
+    )
+    # stemmed+stopped query side: no analyzed term is a stopword and
+    # every multi-'s' form got collapsed per the chain
+    for q in entry.BM25_QUERIES:
+        for t in analyze_query_terms(q):
+            assert t not in STOPWORDS_EN
+            assert t == s_stem(t) or t.endswith(("us", "ss"))

@@ -105,6 +105,7 @@ AUDIT = [
     "significant_terms",
     "search_after_topk",
     "explain_topk",
+    "bm25_topk_english",
 ]
 
 
