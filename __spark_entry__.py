@@ -43,7 +43,7 @@ from la_fungus_search_spark.query import expand as expand_ops
 from la_fungus_search_spark.query import facets as facet_ops
 from la_fungus_search_spark.query import feedback as feedback_ops
 from la_fungus_search_spark.query import phrase as phrase_ops
-from la_fungus_search_spark.query.ranking import dedup_by_source, max_merge
+from la_fungus_search_spark.query.ranking import dedup_by_source, max_merge, rrf_fuse
 from la_fungus_search_spark.streaming.metrics import streamed_step_metrics
 from la_fungus_search_spark.textops import dedup, multimodal, pipeline, similarity, stats
 from la_fungus_search_spark.textops.rollup import cost_estimate, trail_degree, usage_rollup
@@ -1059,6 +1059,70 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+def _rrf_oracle_sql(window: int = 50, k_const: int = 60, topk: int = 10) -> str:
+    """DuckDB twin of q_rrf_fusion_topk: both channels re-derived from
+    first principles (BM25 quantized rank ≤ window; T4 substring-
+    keyword rank ≤ window), fused with the identical integer-quantized
+    reciprocal-rank addend round(1e6/(k_const + rank)) — the sum is
+    over integers, so engine sum order cannot matter. DuckDB's
+    SUM(BIGINT) returns HUGEINT — cast back (the pack_token_shards
+    lesson)."""
+    return f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt
+    JOIN idf USING (term)
+    JOIN tf USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM scored),
+bmr AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+),
+kqt(query_id, term) AS (VALUES {_query_terms_values(BM25_QUERIES, with_qtf=False)}),
+nq AS (SELECT query_id, count(*)::INT AS nq FROM kqt GROUP BY 1),
+kw AS (
+    SELECT k.query_id, d.doc_id, count(*)::BIGINT AS hits
+    FROM kqt k JOIN documents d ON instr(lower(d.text), k.term) > 0
+    GROUP BY 1, 2
+),
+kws AS (
+    SELECT kw.query_id, kw.doc_id, round(1e6 * kw.hits / nq.nq)::BIGINT AS kw_micro
+    FROM kw JOIN nq USING (query_id)
+),
+kwr AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY kw_micro DESC, doc_id ASC) AS rank
+    FROM kws
+),
+ch AS (
+    SELECT query_id, doc_id, rank FROM bmr WHERE rank <= {window}
+    UNION ALL
+    SELECT query_id, doc_id, rank FROM kwr WHERE rank <= {window}
+),
+fused AS (
+    SELECT query_id, doc_id,
+           sum(round(1e6 / ({float(k_const)} + rank))::BIGINT)::BIGINT AS rrf_micro,
+           count(*)::INT AS n_channels
+    FROM ch GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, doc_id, rrf_micro, n_channels,
+           row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id ASC) AS rank
+    FROM fused
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, rrf_micro, n_channels
+FROM ranked WHERE rank <= {topk} ORDER BY query_id, rank
+"""
+
+
 def _explain_oracle_sql(k: int = 5) -> str:
     """DuckDB twin of q_explain_topk: the scored CTE's summand,
     un-aggregated — one row per (top-k hit, matched term) carrying
@@ -1712,6 +1776,46 @@ def q_explain_topk(spark, sf_dir):
     breakdown output ≤ k·|query terms| rows per query."""
     eng = BM25QueryEngine(_index(spark, sf_dir))
     return eng.explain(BM25_QUERIES, k=5)
+
+
+def _kw_channel(spark, sf_dir, queries, window: int):
+    """Substring-keyword channel (reference T4 scoring) ranked to the
+    top-``window`` per query — the non-BM25 leg of the RRF gate."""
+    rows, nq = [], {}
+    for qid, q in enumerate(queries):
+        terms = sorted(set(tokenize_query(q)))
+        nq[qid] = len(terms)
+        rows.extend((qid, t) for t in terms)
+    qt = spark.createDataFrame(rows, schema="query_id INT, term STRING")
+    nq_df = spark.createDataFrame(list(nq.items()), schema="query_id INT, nq INT")
+    d = _documents(spark, sf_dir).select("doc_id", F.lower(F.col("text")).alias("lt"))
+    scored = (
+        d.join(F.broadcast(qt), F.instr(F.col("lt"), F.col("term")) > 0)
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("hits"))
+        .join(F.broadcast(nq_df), "query_id")
+        .withColumn("kw_micro", F.round(F.lit(1e6) * F.col("hits") / F.col("nq")).cast("bigint"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("kw_micro"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= window)
+        .select("query_id", "doc_id", "rank")
+    )
+
+
+def q_rrf_fusion_topk(spark, sf_dir):
+    """Reciprocal-rank fusion (query/ranking.py rrf_fuse — the ES RRF
+    retriever / Cormack et al. 2009): the BM25 channel (top-50 on the
+    quantized sort key) fused with the substring-keyword channel
+    (reference T4 scoring, top-50) at k_const=60, integer-quantized
+    addends, top-10 fused hits per query."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    ch_bm25 = _bm25_rank(eng.scored_sql(BM25_QUERIES), 50).select(
+        "query_id", "doc_id", "rank"
+    )
+    ch_kw = _kw_channel(spark, sf_dir, BM25_QUERIES, window=50)
+    return rrf_fuse([ch_bm25, ch_kw], k_const=60, topk=10)
 
 
 def q_keyword_score_topk(spark, sf_dir):
@@ -2777,6 +2881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # they rotate into the prefix next round.
         "explain_topk": q_explain_topk,
         "bm25_topk_english": q_bm25_topk_english,
+        "rrf_fusion_topk": q_rrf_fusion_topk,
     }
 
 
@@ -3181,6 +3286,7 @@ def oracle_sql() -> dict[str, str]:
         "search_after_topk": _search_after_oracle_sql(),
         "explain_topk": _explain_oracle_sql(),
         "bm25_topk_english": _bm25_english_oracle_sql(),
+        "rrf_fusion_topk": _rrf_oracle_sql(),
         "bm25_topk_and": f"""
 WITH {_bm25_base_cte()},
 qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),

@@ -125,6 +125,58 @@ def blended_topk(
     )
 
 
+def rrf_fuse(
+    channels: list[DataFrame],
+    k_const: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher SIGIR 2009; the
+    Elasticsearch RRF retriever): fuse N ranked channels by
+    ``Σ_channels 1/(k_const + rank)``, k_const = 60 (the paper's and
+    ES's default). Each input carries ``(query_id, doc_id, rank)``
+    with rank 1-based within its own channel window.
+
+    Determinism delta vs ES (documented, same contract as every gate):
+    addends are micro-quantized to integers ``round(1e6/(k_const +
+    rank))`` BEFORE the sum — integer sums are order-independent, so
+    a distributed sum and the oracle's sequential sum agree exactly;
+    ties break doc_id ASC. Output: (query_id, rank, doc_id,
+    rrf_micro, n_channels), rank 1..topk per query.
+
+    Physical shape: one union of the (tiny) per-channel top-window
+    frames — each ≤ window·|queries| rows by construction — a
+    map-side-combinable groupBy sum, and a per-query window. The
+    channels themselves carry the retrieval cost; fusion adds no
+    corpus touch."""
+    if not channels:
+        raise ValueError("rrf_fuse needs at least one ranked channel")
+    addend = F.round(F.lit(1e6) / (F.lit(float(k_const)) + F.col("rank"))).cast("bigint")
+    uni = channels[0].select("query_id", "doc_id", "rank")
+    for c in channels[1:]:
+        uni = uni.unionByName(c.select("query_id", "doc_id", "rank"))
+    fused = (
+        uni.withColumn("addend", addend)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("addend").alias("rrf_micro"),
+            F.count("*").cast("int").alias("n_channels"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "rrf_micro",
+            "n_channels",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def max_merge(hits: DataFrame, key: str = "doc_id", score_col: str = "score") -> DataFrame:
     """A4 (``realtime/server.py:763-778``): across multiple query runs,
     keep each doc's best-scoring occurrence (ties → lowest query_id,

@@ -36,6 +36,9 @@ BNLJ_ALLOWED = {
     # (crossJoin of an agg over one row) — Spark plans any crossJoin
     # as BNLJ; here the build side is exactly 1 row, cost-free
     "collocations",
+    # consumes the T4 substring-keyword channel (same containment BNLJ
+    # as keyword_score_topk) as one RRF fusion leg
+    "rrf_fusion_topk",
 }
 
 # lazy plans only — entries that materialize driver-side state or run
@@ -106,6 +109,7 @@ AUDIT = [
     "search_after_topk",
     "explain_topk",
     "bm25_topk_english",
+    "rrf_fusion_topk",
 ]
 
 

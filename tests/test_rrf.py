@@ -1,0 +1,67 @@
+"""Reciprocal-rank fusion (ranking.rrf_fuse, ES RRF retriever /
+Cormack et al. 2009): full-output identity vs a pure-Python fusion of
+the same channels, and the structural invariants (membership,
+n_channels, both-channels dominance at equal best ranks)."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import __spark_entry__ as entry
+from la_fungus_search_spark.query import ranking
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+
+SF = "/root/testdata/sf0.001"
+K_CONST = 60
+
+
+def _round_half_up(x: float) -> int:
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
+def _channels(spark):
+    eng = BM25QueryEngine(entry._index(spark, SF))
+    ch_bm25 = entry._bm25_rank(eng.scored_sql(entry.BM25_QUERIES), 50).select(
+        "query_id", "doc_id", "rank"
+    )
+    ch_kw = entry._kw_channel(spark, SF, entry.BM25_QUERIES, window=50)
+    return ch_bm25, ch_kw
+
+
+def test_rrf_matches_python_fusion(spark):
+    ch_bm25, ch_kw = _channels(spark)
+    out = ranking.rrf_fuse([ch_bm25, ch_kw], k_const=K_CONST, topk=10).collect()
+    assert out
+
+    fused: dict[tuple, int] = defaultdict(int)
+    nch: dict[tuple, int] = defaultdict(int)
+    for ch in (ch_bm25.collect(), ch_kw.collect()):
+        for r in ch:
+            key = (r["query_id"], r["doc_id"])
+            fused[key] += _round_half_up(1e6 / (K_CONST + r["rank"]))
+            nch[key] += 1
+    expect: dict[int, list] = defaultdict(list)
+    for (qid, did), s in fused.items():
+        expect[qid].append((-s, did))
+    for qid in expect:
+        expect[qid].sort()
+
+    for r in out:
+        neg_s, did = expect[r["query_id"]][r["rank"] - 1]
+        assert (r["doc_id"], r["rrf_micro"]) == (did, -neg_s)
+        assert r["n_channels"] == nch[(r["query_id"], did)]
+
+
+def test_rrf_membership_and_channel_counts(spark):
+    ch_bm25, ch_kw = _channels(spark)
+    a = {(r["query_id"], r["doc_id"]) for r in ch_bm25.collect()}
+    b = {(r["query_id"], r["doc_id"]) for r in ch_kw.collect()}
+    out = ranking.rrf_fuse([ch_bm25, ch_kw], topk=10).collect()
+    both = 0
+    for r in out:
+        key = (r["query_id"], r["doc_id"])
+        assert key in a or key in b
+        assert r["n_channels"] == (key in a) + (key in b)
+        both += r["n_channels"] == 2
+    assert both > 0, "expected some docs fused from both channels"
