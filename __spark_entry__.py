@@ -110,6 +110,16 @@ WILDCARD_QUERIES = ["sc?n", "wind*", "*ge", "b?tch*", "zz*qq"]
 # literals/classes/quantifiers/alternation only). The last matches
 # nothing.
 REGEXP_QUERIES = ["sc.n", "wind(ow|y)", "m[ae]rge", "(row|key)s?", "d.ta|v.lue", "zzz+"]
+# Percolator registry (query/percolate.py, ES percolate semantics):
+# stored boolean queries matched against incoming docs. The last is a
+# deliberate never-matches entry (absent must term).
+PERCOLATE_QUERIES = [
+    {"must": "hash join", "must_not": "error"},
+    {"must": "table scan"},
+    {"should": "merge stream batch"},
+    {"must": "window", "should": "sort order"},
+    {"must": "zz_absent_term_zz"},
+]
 # More-like-this seeds (doc_ids in the documents table; results
 # exclude the seed doc itself) and PRF fixtures (query/feedback.py).
 MLT_SEED_IDS = [3, 57, 123]
@@ -1123,6 +1133,38 @@ FROM ranked WHERE rank <= {topk} ORDER BY query_id, rank
 """
 
 
+def _percolate_oracle_sql() -> str:
+    """DuckDB twin of q_percolate: the stored-query clause rows and
+    per-query requirements come from the SAME ``_clause_rows``
+    flattening the Spark operator broadcasts (no re-tokenization
+    ambiguity), matched against per-doc DISTINCT token sets with the
+    identical clause-count HAVING logic."""
+    from la_fungus_search_spark.query.percolate import _clause_rows
+
+    rows, reqs = _clause_rows(PERCOLATE_QUERIES)
+    qt_vals = ", ".join(f"({q}, '{t}', '{c}')" for q, t, c in rows)
+    req_vals = ", ".join(f"({q}, {m}, {s})" for q, (m, s) in sorted(reqs.items()))
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(list_distinct({duckdb_tokens_sql("text")})) AS term
+    FROM documents
+),
+qt(query_id, term, clause) AS (VALUES {qt_vals}),
+req(query_id, need_must, need_should) AS (VALUES {req_vals}),
+counts AS (
+    SELECT t.doc_id, q.query_id,
+           sum(CASE WHEN q.clause = 'm' THEN 1 ELSE 0 END)::INT AS n_must,
+           sum(CASE WHEN q.clause = 's' THEN 1 ELSE 0 END)::INT AS n_should,
+           sum(CASE WHEN q.clause = 'n' THEN 1 ELSE 0 END)::INT AS n_not
+    FROM tok t JOIN qt q USING (term) GROUP BY 1, 2
+)
+SELECT c.doc_id, c.query_id::INT AS query_id, c.n_must, c.n_should
+FROM counts c JOIN req r USING (query_id)
+WHERE c.n_not = 0 AND c.n_must >= r.need_must AND c.n_should >= r.need_should
+ORDER BY doc_id, query_id
+"""
+
+
 def _explain_oracle_sql(k: int = 5) -> str:
     """DuckDB twin of q_explain_topk: the scored CTE's summand,
     un-aggregated — one row per (top-k hit, matched term) carrying
@@ -1802,6 +1844,19 @@ def _kw_channel(spark, sf_dir, queries, window: int):
         .filter(F.col("rank") <= window)
         .select("query_id", "doc_id", "rank")
     )
+
+
+def q_percolate(spark, sf_dir):
+    """Percolation / reverse search (query/percolate.py, ES percolate
+    semantics): the documents batch matched against the stored
+    boolean-query registry — every (doc, stored query) pair where all
+    must terms are present, no must_not term is, and ≥1 should term
+    when the query has no must clause. One tokenize pass over the
+    batch, broadcast clause dim, per-pair clause counts."""
+    from la_fungus_search_spark.query.percolate import percolate
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return percolate(docs, PERCOLATE_QUERIES)
 
 
 def q_rrf_fusion_topk(spark, sf_dir):
@@ -2882,6 +2937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explain_topk": q_explain_topk,
         "bm25_topk_english": q_bm25_topk_english,
         "rrf_fusion_topk": q_rrf_fusion_topk,
+        "percolate_matches": q_percolate,
     }
 
 
@@ -3287,6 +3343,7 @@ def oracle_sql() -> dict[str, str]:
         "explain_topk": _explain_oracle_sql(),
         "bm25_topk_english": _bm25_english_oracle_sql(),
         "rrf_fusion_topk": _rrf_oracle_sql(),
+        "percolate_matches": _percolate_oracle_sql(),
         "bm25_topk_and": f"""
 WITH {_bm25_base_cte()},
 qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),

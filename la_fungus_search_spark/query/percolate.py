@@ -1,0 +1,112 @@
+"""Percolation — reverse search: match incoming documents against a
+registry of STORED queries.
+
+Public semantics: the Elasticsearch percolator (``percolate`` query /
+the old ``_percolator`` endpoint) — the index holds queries instead of
+documents, and each new document returns the ids of every stored query
+that matches it. This is the alerting/subscription primitive of a
+fulltext index ("tell me when a doc matching <query> arrives"). The
+reference has no percolation layer; like ``query/phrase.py`` et al.
+this is a fulltext-index delta capability.
+
+Stored queries here are the engine's boolean shape
+(``engine.search_boolean``): ``must`` (every term required), ``should``
+(≥1 required iff the query has no must clause — the Lucene
+``minimum_should_match`` default), ``must_not`` (none may appear).
+Term-level matching uses the repo-wide tokenizer contract.
+
+Physical shape, and why it scales: percolation is ONE pass over the
+incoming batch — tokenize (JVM), explode the per-doc DISTINCT term
+set, hash-join against the broadcast (query, term, clause) dim
+(stored queries are driver-registered, thousands of rows — KB-scale),
+then a map-side-combinable per-(doc, query) clause count compared to
+each query's requirements. Shuffle volume is bounded by (doc, query)
+pairs sharing ≥1 term — the term-indexed percolation design Lucene
+itself uses (it prefilters candidate queries by term overlap before
+running them). Cost is per-BATCH, never per-corpus: composed under
+``foreachBatch`` this percolates a Structured Streaming source with
+per-micro-batch work ∝ batch size × matching density.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.tokenizer import tokenize_query, tokens_expr
+
+
+def _clause_rows(
+    stored: Sequence[dict],
+) -> Tuple[List[Tuple[int, str, str]], Dict[int, Tuple[int, int]]]:
+    """Flatten stored queries to (query_id, term, clause) rows plus
+    per-query requirements (n_must, need_should). Duplicate terms
+    within a clause collapse — matching is set-containment."""
+    rows: List[Tuple[int, str, str]] = []
+    reqs: Dict[int, Tuple[int, int]] = {}
+    for qid, q in enumerate(stored):
+        must = sorted(set(tokenize_query(q.get("must") or "")))
+        should = sorted(set(tokenize_query(q.get("should") or "")))
+        must_not = sorted(set(tokenize_query(q.get("must_not") or "")))
+        if not (must or should):
+            raise ValueError(f"stored query {qid} has no positive clause")
+        rows += [(qid, t, "m") for t in must]
+        rows += [(qid, t, "s") for t in should]
+        rows += [(qid, t, "n") for t in must_not]
+        # Lucene minimum_should_match: 0 when a must clause exists,
+        # else 1 — a pure-should query needs one hit
+        reqs[qid] = (len(must), 0 if must else 1)
+    return rows, reqs
+
+
+def percolate(
+    docs_df: DataFrame,
+    stored: Sequence[dict],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, query_id, n_must, n_should) — every (document, stored
+    query) match pair, ordered (doc_id, query_id). ``stored`` entries
+    are ``{"must": str, "should": str, "must_not": str}`` with
+    query_id = position."""
+    spark = docs_df.sparkSession
+    rows, reqs = _clause_rows(stored)
+    qt = F.broadcast(
+        spark.createDataFrame(rows, schema="query_id INT, term STRING, clause STRING")
+    )
+    req_df = F.broadcast(
+        spark.createDataFrame(
+            [(qid, n_m, n_s) for qid, (n_m, n_s) in sorted(reqs.items())],
+            schema="query_id INT, need_must INT, need_should INT",
+        )
+    )
+    toks = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens_expr(text_col))).alias("term"),
+    )
+    counts = (
+        toks.join(qt, "term")
+        .groupBy("doc_id", "query_id")
+        .agg(
+            F.sum(F.when(F.col("clause") == "m", 1).otherwise(0)).cast("int").alias("n_must"),
+            F.sum(F.when(F.col("clause") == "s", 1).otherwise(0)).cast("int").alias("n_should"),
+            F.sum(F.when(F.col("clause") == "n", 1).otherwise(0)).cast("int").alias("n_not"),
+        )
+    )
+    return (
+        counts.join(req_df, "query_id")
+        .filter(
+            (F.col("n_not") == 0)
+            & (F.col("n_must") >= F.col("need_must"))
+            & (F.col("n_should") >= F.col("need_should"))
+        )
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("query_id").cast("int").alias("query_id"),
+            "n_must",
+            "n_should",
+        )
+        .orderBy("doc_id", "query_id")
+    )

@@ -1,0 +1,66 @@
+"""Percolator (query/percolate.py, ES percolate semantics): full pair
+identity vs a pure-Python evaluation of every stored query over every
+doc, plus the per-batch independence that makes foreachBatch streaming
+composition valid."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+from la_fungus_search_spark.query.percolate import percolate
+from la_fungus_search_spark.tokenizer import tokenize, tokenize_query
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_percolate(docs, stored):
+    out = []
+    for did, text in docs:
+        toks = set(tokenize(text or ""))
+        for qid, q in enumerate(stored):
+            must = set(tokenize_query(q.get("must") or ""))
+            should = set(tokenize_query(q.get("should") or ""))
+            must_not = set(tokenize_query(q.get("must_not") or ""))
+            if toks & must_not:
+                continue
+            if not must <= toks:
+                continue
+            n_should = len(should & toks)
+            if not must and n_should < 1:
+                continue
+            out.append((did, qid, len(must & toks), n_should))
+    return sorted(out)
+
+
+def test_percolate_matches_python(spark):
+    docs_df = entry._documents(spark, SF).select("doc_id", "text")
+    docs = [(r["doc_id"], r["text"]) for r in docs_df.collect()]
+    expected = _py_percolate(docs, entry.PERCOLATE_QUERIES)
+    got = [
+        (r["doc_id"], r["query_id"], r["n_must"], r["n_should"])
+        for r in percolate(docs_df, entry.PERCOLATE_QUERIES).collect()
+    ]
+    assert got == expected
+    assert got, "expected some matches at sf0.001"
+    # the deliberate never-matches registry entry stays silent
+    assert all(q != len(entry.PERCOLATE_QUERIES) - 1 for _, q, _, _ in got)
+
+
+def test_percolate_is_per_doc_independent(spark):
+    """Percolation carries no cross-doc state, so batch splits union to
+    the whole — the invariant that makes foreachBatch composition over
+    a stream exact."""
+    docs_df = entry._documents(spark, SF).select("doc_id", "text")
+    whole = {tuple(r) for r in percolate(docs_df, entry.PERCOLATE_QUERIES).collect()}
+    a = percolate(docs_df.filter("doc_id % 2 = 0"), entry.PERCOLATE_QUERIES).collect()
+    b = percolate(docs_df.filter("doc_id % 2 = 1"), entry.PERCOLATE_QUERIES).collect()
+    assert {tuple(r) for r in a} | {tuple(r) for r in b} == whole
+
+
+def test_percolate_rejects_empty_positive_clause():
+    with pytest.raises(ValueError):
+        _py = None
+        from la_fungus_search_spark.query.percolate import _clause_rows
+
+        _clause_rows([{"must_not": "error"}])

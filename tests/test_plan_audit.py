@@ -110,6 +110,7 @@ AUDIT = [
     "explain_topk",
     "bm25_topk_english",
     "rrf_fusion_topk",
+    "percolate_matches",
 ]
 
 
