@@ -58,6 +58,46 @@ def test_percolate_is_per_doc_independent(spark):
     assert {tuple(r) for r in a} | {tuple(r) for r in b} == whole
 
 
+def test_percolate_stream_foreachbatch_equals_batch(spark, tmp_path):
+    """An actual Structured Streaming drain: a file-source stream of
+    two parquet batches percolated inside foreachBatch accumulates
+    exactly the batch result — the composition claimed in the module
+    docstring, executed for real (availableNow, exactly-once sink
+    semantics are the harness's responsibility here)."""
+    import pandas as pd
+
+    rows = [(r["doc_id"], r["text"]) for r in
+            entry._documents(spark, SF).select("doc_id", "text").collect()]
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    half = len(rows) // 2
+    pd.DataFrame(rows[:half], columns=["doc_id", "text"]).to_parquet(str(d / "b0.parquet"))
+    pd.DataFrame(rows[half:], columns=["doc_id", "text"]).to_parquet(str(d / "b1.parquet"))
+
+    got: list[tuple] = []
+
+    def _sink(batch_df, batch_id):
+        got.extend(
+            (r["doc_id"], r["query_id"], r["n_must"], r["n_should"])
+            for r in percolate(batch_df, entry.PERCOLATE_QUERIES).collect()
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = stream.writeStream.foreachBatch(_sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    batch_df = entry._documents(spark, SF).select("doc_id", "text")
+    want = sorted(
+        (r["doc_id"], r["query_id"], r["n_must"], r["n_should"])
+        for r in percolate(batch_df, entry.PERCOLATE_QUERIES).collect()
+    )
+    assert sorted(got) == want and want
+
+
 def test_percolate_rejects_empty_positive_clause():
     with pytest.raises(ValueError):
         _py = None
