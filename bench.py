@@ -289,6 +289,10 @@ def bench_main(results: dict):
         "tfidf_topk",
         "significant_terms",
         "search_after_topk",
+        "explain_topk",
+        "bm25_topk_english",
+        "rrf_fusion_topk",
+        "percolate_matches",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25
