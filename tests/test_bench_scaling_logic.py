@@ -1,0 +1,74 @@
+"""bench.py scaling-round control flow, unit-tested with stubbed legs
+(no Spark): stop-at-criterion, weather retries, and the degraded-hi
+early abort (a below-best hi leg skips its ~4-minute lo leg, the round
+contributes no pair, best-per-level keeps the earlier hi)."""
+
+from __future__ import annotations
+
+import contextlib
+import importlib.util
+import io
+import os
+
+
+def _load_bench():
+    p = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    spec = importlib.util.spec_from_file_location("bench_under_test", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _run(script):
+    bench = _load_bench()
+    calls = {"n": 0}
+
+    def fake_job(master, **kw):
+        r = dict(script[calls["n"]])
+        calls["n"] += 1
+        assert r["master"] == master, (r, master, calls["n"])
+        r["n_docs"] = 400000
+        return r
+
+    bench._scaling_job = fake_job
+    bench._wait_for_quiet = lambda max_wait_sec=0: (4.0, 0)
+    bench._spin_calibration = lambda n: float(n)
+    bench._membw_probe = lambda n: 20.0 * n
+    results: dict = {}
+    with contextlib.redirect_stdout(io.StringIO()):
+        bench.bench_scaling(results)
+    return results, calls["n"]
+
+
+def test_degraded_hi_aborts_lo_leg_then_retry_recovers():
+    script = [
+        {"master": "local[4]", "docs_per_sec": 4000.0},  # round 0
+        {"master": "local[1]", "docs_per_sec": 1500.0},  # eff 0.667
+        {"master": "local[4]", "docs_per_sec": 3000.0},  # round 1: < 0.85x best -> abort
+        {"master": "local[4]", "docs_per_sec": 5000.0},  # retry: recovered
+        {"master": "local[1]", "docs_per_sec": 1500.0},  # eff 0.833 -> stop
+        {"master": "local[8]", "docs_per_sec": 8000.0},  # 2v8 continuity
+        {"master": "local[2]", "docs_per_sec": 2600.0},
+    ]
+    results, n_calls = _run(script)
+    s = results["scaling"]
+    assert n_calls == len(script)  # exactly one lo leg was skipped
+    assert s["efficiency"] == 0.833
+    assert s["efficiency_paired"] == 0.833
+    rounds = s["rounds"]
+    assert rounds[1]["aborted_degraded_hi"] is True
+    assert rounds[1]["lo_docs_per_sec"] is None and rounds[1]["paired_eff"] is None
+    assert results["scaling_2v8"]["efficiency"] == 0.769
+
+
+def test_stop_at_criterion_runs_one_round():
+    script = [
+        {"master": "local[4]", "docs_per_sec": 5200.0},
+        {"master": "local[1]", "docs_per_sec": 1500.0},  # eff 0.867 -> stop
+        {"master": "local[8]", "docs_per_sec": 8000.0},
+        {"master": "local[2]", "docs_per_sec": 2600.0},
+    ]
+    results, n_calls = _run(script)
+    assert n_calls == len(script)
+    assert results["scaling"]["efficiency"] == 0.867
+    assert len(results["scaling"]["rounds"]) == 1
