@@ -110,6 +110,14 @@ WILDCARD_QUERIES = ["sc?n", "wind*", "*ge", "b?tch*", "zz*qq"]
 # literals/classes/quantifiers/alternation only). The last matches
 # nothing.
 REGEXP_QUERIES = ["sc.n", "wind(ow|y)", "m[ae]rge", "(row|key)s?", "d.ta|v.lue", "zzz+"]
+# Rescore fixtures (ranking.rescore_phrase, ES rescore block with a
+# match_phrase rescorer): (base BM25 query, exact phrase bonus).
+RESCORE_SPECS = [
+    ("hash join table scan", "table part"),
+    ("window agg sort order", "scan slow"),
+    ("spark stream batch data", "merge batch"),
+    ("vector merge part group row", "row fast"),
+]
 # Percolator registry (query/percolate.py, ES percolate semantics):
 # stored boolean queries matched against incoming docs. The last is a
 # deliberate never-matches entry (absent must term).
@@ -1133,6 +1141,69 @@ FROM ranked WHERE rank <= {topk} ORDER BY query_id, rank
 """
 
 
+def _rescore_oracle_sql(window: int = 50, weight: float = 2.0, k: int = 10) -> str:
+    """DuckDB twin of q_rescore_phrase: BM25 quantized top-window per
+    query, exact-phrase presence via the positional list_filter shape
+    (the phrase_match_topk oracle's construction), integer bonus
+    added, re-ranked — same final_q arithmetic term by term."""
+    from la_fungus_search_spark.tokenizer import tokenize as _tok
+
+    bonus = int(round(weight * 1e6))
+    cases = []
+    for qid, (_, ph) in enumerate(RESCORE_SPECS):
+        terms = _tok(ph)
+        m = len(terms)
+        cond = " AND ".join(f"t.toks[s + {j}] = '{w}'" for j, w in enumerate(terms))
+        cases.append(
+            f"WHEN {qid} THEN CASE WHEN len(list_filter("
+            f"range(1, len(t.toks) - {m - 1} + 1), s -> {cond})) > 0 THEN 1 ELSE 0 END"
+        )
+    case_sql = "CASE w.query_id " + " ".join(cases) + " ELSE 0 END"
+    return f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values([q for q, _ in RESCORE_SPECS])}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt
+    JOIN idf USING (term)
+    JOIN tf USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM scored),
+win AS (
+    SELECT query_id, doc_id, score_q FROM (
+        SELECT query_id, doc_id, score_q,
+               row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS wr
+        FROM qz
+    ) WHERE wr <= {window}
+),
+tokd AS (
+    SELECT d.doc_id, {duckdb_tokens_sql("d.text")} AS toks
+    FROM documents d SEMI JOIN win ON d.doc_id = win.doc_id
+),
+flagged AS (
+    SELECT w.query_id, w.doc_id, w.score_q,
+           ({case_sql})::INT AS phrase_hit
+    FROM win w JOIN tokd t ON w.doc_id = t.doc_id
+),
+fin AS (
+    SELECT query_id, doc_id, score_q, phrase_hit,
+           score_q + phrase_hit::BIGINT * {bonus} AS final_q
+    FROM flagged
+),
+ranked AS (
+    SELECT query_id, doc_id, score_q, final_q, phrase_hit,
+           row_number() OVER (PARTITION BY query_id ORDER BY final_q DESC, doc_id ASC) AS rank
+    FROM fin
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q, final_q, phrase_hit
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
 def _percolate_oracle_sql() -> str:
     """DuckDB twin of q_percolate: the stored-query clause rows and
     per-query requirements come from the SAME ``_clause_rows``
@@ -1844,6 +1915,19 @@ def _kw_channel(spark, sf_dir, queries, window: int):
         .filter(F.col("rank") <= window)
         .select("query_id", "doc_id", "rank")
     )
+
+
+def q_rescore_phrase(spark, sf_dir):
+    """Window rescoring (ranking.rescore_phrase, ES rescore block with
+    a match_phrase rescorer): BM25 top-50 per query re-scored by an
+    exact-phrase bonus (integer 2.0·1e6), re-ranked to top-10. The
+    positional check touches only the window docs — never the
+    corpus."""
+    from la_fungus_search_spark.query.ranking import rescore_phrase
+
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return rescore_phrase(eng, docs, RESCORE_SPECS, window_size=50, rescore_weight=2.0, k=10)
 
 
 def q_percolate(spark, sf_dir):
@@ -2938,6 +3022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_english": q_bm25_topk_english,
         "rrf_fusion_topk": q_rrf_fusion_topk,
         "percolate_matches": q_percolate,
+        "rescore_phrase_topk": q_rescore_phrase,
     }
 
 
@@ -3344,6 +3429,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_english": _bm25_english_oracle_sql(),
         "rrf_fusion_topk": _rrf_oracle_sql(),
         "percolate_matches": _percolate_oracle_sql(),
+        "rescore_phrase_topk": _rescore_oracle_sql(),
         "bm25_topk_and": f"""
 WITH {_bm25_base_cte()},
 qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),

@@ -293,6 +293,7 @@ def bench_main(results: dict):
         "bm25_topk_english",
         "rrf_fusion_topk",
         "percolate_matches",
+        "rescore_phrase_topk",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

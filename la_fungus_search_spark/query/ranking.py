@@ -177,6 +177,91 @@ def rrf_fuse(
     )
 
 
+def rescore_phrase(
+    engine,
+    docs_df: DataFrame,
+    query_specs,
+    window_size: int = 50,
+    rescore_weight: float = 2.0,
+    k: int = 10,
+) -> DataFrame:
+    """Window rescoring with an exact-phrase second pass — the
+    Elasticsearch ``rescore`` block with a ``match_phrase`` rescorer:
+    stage 1 ranks the full corpus cheaply (BM25), stage 2 re-scores
+    ONLY the top ``window_size`` hits per query with the costlier
+    positional check, and the page the user sees is the re-ranked
+    window. ``query_specs`` is a sequence of ``(base_query, phrase)``
+    pairs.
+
+    Scoring (integer-deterministic, same contract as every gate):
+    ``final_q = score_q + round(rescore_weight·1e6)·phrase_present`` —
+    the additive query_weight=1 form of ES's rescorer, with the bonus
+    an exact integer so re-ranking is engine-invariant. Output:
+    (query_id, rank, doc_id, score_q, final_q, phrase_hit 0/1).
+
+    Physical shape: the stage-2 positional check runs over
+    ``window_size·|queries|`` docs ONLY — the window's doc_id dim is
+    broadcast into the docs table and a per-doc position map is built
+    for just the phrase vocabulary (the cost profile that makes
+    rescoring worthwhile at corpus scale: the expensive predicate
+    never touches the corpus). Phrase-present is the exact
+    shifted-position intersection from ``query/phrase.py``."""
+    from la_fungus_search_spark.query.phrase import _starts_expr, _term_pos_map
+
+    base = [q for q, _ in query_specs]
+    phrase_terms = [tokenize(p) for _, p in query_specs]
+    if any(not t for t in phrase_terms):
+        raise ValueError("empty phrase after tokenization")
+    scored = engine.scored_sql(base).withColumn(
+        "score_q", F.round(F.col("score") * F.lit(1e6)).cast("bigint")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    win = (
+        scored.withColumn("wr", F.row_number().over(w))
+        .filter(F.col("wr") <= window_size)
+        .select("query_id", "doc_id", "score_q")
+    )
+    all_terms = sorted({t for ts in phrase_terms for t in ts})
+    win_docs = docs_df.join(F.broadcast(win.select("doc_id").distinct()), "doc_id")
+    pm = _term_pos_map(win_docs.select("doc_id", "text"), all_terms)
+    per_q = [
+        F.struct(
+            F.lit(qid).alias("query_id"),
+            (F.coalesce(F.size(_starts_expr(terms)), F.lit(0)) > 0)
+            .cast("int")
+            .alias("phrase_hit"),
+        )
+        for qid, terms in enumerate(phrase_terms)
+    ]
+    flags = (
+        pm.select("doc_id", F.explode(F.array(*per_q)).alias("h"))
+        .select("doc_id", "h.query_id", "h.phrase_hit")
+    )
+    bonus = int(round(rescore_weight * 1e6))
+    joined = (
+        win.join(flags, ["query_id", "doc_id"], "left")
+        .withColumn("phrase_hit", F.coalesce(F.col("phrase_hit"), F.lit(0)))
+        .withColumn(
+            "final_q",
+            F.col("score_q") + F.col("phrase_hit").cast("bigint") * F.lit(bonus),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("final_q"), F.asc("doc_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "score_q",
+            "final_q",
+            "phrase_hit",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def max_merge(hits: DataFrame, key: str = "doc_id", score_col: str = "score") -> DataFrame:
     """A4 (``realtime/server.py:763-778``): across multiple query runs,
     keep each doc's best-scoring occurrence (ties → lowest query_id,

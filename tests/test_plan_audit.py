@@ -111,6 +111,7 @@ AUDIT = [
     "bm25_topk_english",
     "rrf_fusion_topk",
     "percolate_matches",
+    "rescore_phrase_topk",
 ]
 
 

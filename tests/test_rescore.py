@@ -1,0 +1,73 @@
+"""Window rescoring (ranking.rescore_phrase, ES rescore +
+match_phrase rescorer): full-output identity vs a pure-Python
+recompute (window from the gated BM25 ranking, phrase presence by
+direct token-list scan, integer bonus arithmetic)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.query.ranking import rescore_phrase
+from la_fungus_search_spark.tokenizer import tokenize
+
+SF = "/root/testdata/sf0.001"
+BONUS = 2_000_000
+
+
+def _has_phrase(toks: list[str], terms: list[str]) -> bool:
+    m = len(terms)
+    return any(toks[i : i + m] == terms for i in range(len(toks) - m + 1))
+
+
+def test_rescore_matches_python(spark):
+    window, k = 20, 8
+    eng = BM25QueryEngine(entry._index(spark, SF))
+    docs = entry._documents(spark, SF).select("doc_id", "text")
+    out = rescore_phrase(
+        eng, docs, entry.RESCORE_SPECS, window_size=window, rescore_weight=2.0, k=k
+    ).collect()
+    assert out
+
+    base = [q for q, _ in entry.RESCORE_SPECS]
+    win = entry._bm25_rank(eng.scored_sql(base), window).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    phrase_terms = [tokenize(p) for _, p in entry.RESCORE_SPECS]
+
+    expect: dict[int, list[tuple]] = {}
+    for r in win:
+        hit = int(_has_phrase(tokenize(texts[r["doc_id"]] or ""), phrase_terms[r["query_id"]]))
+        final = r["score_q"] + BONUS * hit
+        expect.setdefault(r["query_id"], []).append((-final, r["doc_id"], r["score_q"], hit))
+    for qid in expect:
+        expect[qid].sort()
+
+    for r in out:
+        neg_final, did, sq, hit = expect[r["query_id"]][r["rank"] - 1]
+        assert (r["doc_id"], r["score_q"], r["final_q"], r["phrase_hit"]) == (
+            did, sq, -neg_final, hit,
+        ), r
+    # the rescorer must actually change something at sf0.001: at least
+    # one query has a mix of hit and non-hit rows in its final page
+    mixed = {r["query_id"] for r in out if r["phrase_hit"] == 1} & {
+        r["query_id"] for r in out if r["phrase_hit"] == 0
+    }
+    assert mixed, "expected at least one query with mixed phrase hits"
+
+
+def test_rescore_promotes_phrase_hits(spark):
+    """Within a query's page, every phrase-hit row must outrank every
+    non-hit row whose base score is within the bonus — spot-check the
+    ordering semantics rather than just the arithmetic."""
+    eng = BM25QueryEngine(entry._index(spark, SF))
+    docs = entry._documents(spark, SF).select("doc_id", "text")
+    out = rescore_phrase(eng, docs, entry.RESCORE_SPECS, window_size=20, k=20).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        finals = [r["final_q"] for r in rows]
+        assert finals == sorted(finals, reverse=True) or all(
+            a > b or (a == b) for a, b in zip(finals, finals[1:])
+        )
+        for a, b in zip(rows, rows[1:]):
+            assert (a["final_q"], -a["doc_id"]) >= (b["final_q"], -b["doc_id"])
