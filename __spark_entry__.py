@@ -1141,6 +1141,48 @@ FROM ranked WHERE rank <= {topk} ORDER BY query_id, rank
 """
 
 
+def _facet_stats_oracle_sql(percentiles=(50, 90)) -> str:
+    """DuckDB twin of q_facet_stats (ES stats + percentiles metric
+    aggregations): the match set (≥1 query term — the engine's match
+    contract) joined to the numeric field, partial-agg stats, and
+    exact type-1 percentiles as the k-th order statistic with
+    k = floor((n·pct + 99)/100) — the identical integer-arithmetic
+    rank both engines compute."""
+    p_ctes = ",\n".join(
+        f"""p{p} AS (
+    SELECT r.query_id, r.v AS p{p}
+    FROM ranked r JOIN stats s USING (query_id)
+    WHERE r.r = floor((s.n_docs * {p} + 99) / 100)
+)"""
+        for p in percentiles
+    )
+    p_cols = ", ".join(f"p{p}.p{p}" for p in percentiles)
+    p_joins = " ".join(f"JOIN p{p} USING (query_id)" for p in percentiles)
+    return f"""
+WITH {_bm25_base_cte()},
+qraw(query_id, term) AS (VALUES {_query_terms_values(FACET_QUERIES, with_qtf=False)}),
+hits AS (SELECT DISTINCT q.query_id, tf.doc_id FROM qraw q JOIN tf USING (term)),
+vals AS (
+    SELECT h.query_id, h.doc_id, d.n_chars::BIGINT AS v
+    FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+),
+stats AS (
+    SELECT query_id, count(*)::BIGINT AS n_docs, min(v) AS min_v, max(v) AS max_v,
+           sum(v)::BIGINT AS sum_v, round(avg(v) * 1e6)::BIGINT AS avg_micro
+    FROM vals GROUP BY 1
+),
+ranked AS (
+    SELECT query_id, v,
+           row_number() OVER (PARTITION BY query_id ORDER BY v ASC, doc_id ASC) AS r
+    FROM vals
+),
+{p_ctes}
+SELECT s.query_id::INT AS query_id, s.n_docs, s.min_v, s.max_v, s.sum_v, s.avg_micro, {p_cols}
+FROM stats s {p_joins}
+ORDER BY s.query_id
+"""
+
+
 def _rescore_oracle_sql(window: int = 50, weight: float = 2.0, k: int = 10) -> str:
     """DuckDB twin of q_rescore_phrase: BM25 quantized top-window per
     query, exact-phrase presence via the positional list_filter shape
@@ -1915,6 +1957,17 @@ def _kw_channel(spark, sf_dir, queries, window: int):
         .filter(F.col("rank") <= window)
         .select("query_id", "doc_id", "rank")
     )
+
+
+def q_facet_stats(spark, sf_dir):
+    """Metric aggregations over the match set (query/facets.py
+    facet_stats, ES stats + percentiles aggs): per query, count/min/
+    max/sum/avg(micro) of n_chars plus EXACT type-1 p50/p90 (k-th
+    order statistic, integer-arithmetic rank) — sketch-free by
+    determinism design."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    docs = _documents(spark, sf_dir)
+    return facet_ops.facet_stats(eng, docs, FACET_QUERIES, "n_chars", percentiles=(50, 90))
 
 
 def q_rescore_phrase(spark, sf_dir):
@@ -3023,6 +3076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion_topk": q_rrf_fusion_topk,
         "percolate_matches": q_percolate,
         "rescore_phrase_topk": q_rescore_phrase,
+        "facet_stats": q_facet_stats,
     }
 
 
@@ -3430,6 +3484,7 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fusion_topk": _rrf_oracle_sql(),
         "percolate_matches": _percolate_oracle_sql(),
         "rescore_phrase_topk": _rescore_oracle_sql(),
+        "facet_stats": _facet_stats_oracle_sql(),
         "bm25_topk_and": f"""
 WITH {_bm25_base_cte()},
 qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),

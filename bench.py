@@ -294,6 +294,7 @@ def bench_main(results: dict):
         "rrf_fusion_topk",
         "percolate_matches",
         "rescore_phrase_topk",
+        "facet_stats",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

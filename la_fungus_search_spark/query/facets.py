@@ -123,6 +123,58 @@ def facet_ranges(
     )
 
 
+def facet_stats(
+    engine: BM25QueryEngine,
+    docs_df: DataFrame,
+    queries: Sequence[str],
+    field: str,
+    percentiles: Sequence[int] = (50, 90),
+) -> DataFrame:
+    """(query_id, n_docs, min_v, max_v, sum_v, avg_micro, p<P>...) —
+    the ES ``stats`` + ``percentiles`` metric aggregations computed
+    over each query's FULL match set on a numeric field.
+
+    Percentiles are EXACT rank-based (type-1: the k-th smallest with
+    ``k = ceil(pct·n/100)``, computed in integer arithmetic ``(pct·n
+    + 99) // 100``) rather than ES's t-digest sketch or interpolated
+    quantiles — a deliberate determinism choice: interpolation and
+    sketches are float/implementation-dependent, the k-th order
+    statistic is engine-invariant. avg is micro-quantized.
+
+    Physical shape: the match set joins a two-column projection of
+    the docs metadata (column-pruned scan), one partial-agg pass for
+    the stats, and ONE per-query sort (window row_number) feeding all
+    requested percentiles via a rank IN-list semi join — cost is the
+    match set, which is the aggregation's definition."""
+    if field not in docs_df.columns:
+        raise ValueError(f"stats field not in docs: {field}")
+    if not percentiles or any(not (0 < p <= 100) for p in percentiles):
+        raise ValueError("percentiles must be integers in (0, 100]")
+    hits = engine.scored_sql(queries).select("query_id", "doc_id")
+    vals = hits.join(
+        docs_df.select("doc_id", F.col(field).cast("bigint").alias("v")), "doc_id"
+    )
+    stats = vals.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.sum("v").alias("sum_v"),
+        _quantize(F.avg("v")).alias("avg_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("v"), F.asc("doc_id"))
+    ranked = vals.withColumn("r", F.row_number().over(w)).join(
+        F.broadcast(stats.select("query_id", "n_docs")), "query_id"
+    )
+    out = stats
+    for pct in percentiles:
+        pv = (
+            ranked.filter(F.col("r") == F.floor((F.col("n_docs") * pct + 99) / 100))
+            .select("query_id", F.col("v").alias(f"p{pct}"))
+        )
+        out = out.join(pv, "query_id")
+    return out.orderBy("query_id")
+
+
 def significant_terms(
     engine: BM25QueryEngine,
     docs_df: DataFrame,

@@ -112,6 +112,7 @@ AUDIT = [
     "rrf_fusion_topk",
     "percolate_matches",
     "rescore_phrase_topk",
+    "facet_stats",
 ]
 
 

@@ -152,3 +152,32 @@ def test_significant_terms_positive_signal_only(spark):
         # fg sample ≤ 20 docs, so fg rate = fg_df/fg_n ≥ fg_df/20
         assert r["fg_df"] / 20 > 0 and r["score_q"] >= 0
         assert r["fg_df"] * n > 0  # sanity: rates comparable
+
+
+# --------------------------------------------------------------- facet_stats
+
+
+def test_facet_stats_matches_python(spark):
+    """ES stats+percentiles metric aggs: full identity vs a Python
+    recompute over the same match set (type-1 k-th order statistic,
+    integer-arithmetic rank)."""
+    from collections import defaultdict
+
+    eng = BM25QueryEngine(entry._index(spark, SF))
+    docs = entry._documents(spark, SF)
+    out = facet_ops.facet_stats(eng, docs, entry.FACET_QUERIES, "n_chars").collect()
+    assert out
+
+    hits = eng.scored_sql(entry.FACET_QUERIES).select("query_id", "doc_id").collect()
+    nc = {r["doc_id"]: r["n_chars"] for r in docs.select("doc_id", "n_chars").collect()}
+    vals = defaultdict(list)
+    for r in hits:
+        vals[r["query_id"]].append(nc[r["doc_id"]])
+    for r in out:
+        v = sorted(vals[r["query_id"]])
+        n = len(v)
+        assert (r["n_docs"], r["min_v"], r["max_v"], r["sum_v"]) == (n, v[0], v[-1], sum(v))
+        assert r["avg_micro"] == _round_half_up(sum(v) / n * 1e6)
+        assert r["p50"] == v[(n * 50 + 99) // 100 - 1]
+        assert r["p90"] == v[(n * 90 + 99) // 100 - 1]
+    assert {r["query_id"] for r in out} == set(vals)
