@@ -110,6 +110,19 @@ WILDCARD_QUERIES = ["sc?n", "wind*", "*ge", "b?tch*", "zz*qq"]
 # literals/classes/quantifiers/alternation only). The last matches
 # nothing.
 REGEXP_QUERIES = ["sc.n", "wind(ow|y)", "m[ae]rge", "(row|key)s?", "d.ta|v.lue", "zzz+"]
+# Query-time boosts (engine.scored_from_terms qtf_type=DOUBLE, Lucene
+# BoostQuery): per-clause (term, weight) lists; weights are exactly
+# binary-representable so literal parsing is engine-symmetric; the
+# all-1.0 query pins boost≡1 to the plain disjunction.
+BOOST_SPECS = [
+    [("scan", 2.0), ("slow", 1.0)],
+    [("merge", 0.5), ("batch", 3.0), ("stream", 1.0)],
+    [("table", 1.0), ("part", 1.0)],
+    [("window", 2.5), ("sort", 1.0)],
+]
+# Completion-suggester prefixes (expand.suggest_complete, ES
+# completion suggester). "zzz" matches nothing by design.
+COMPLETE_PREFIXES = ["sc", "me", "val", "zzz", "wind"]
 # Rescore fixtures (ranking.rescore_phrase, ES rescore block with a
 # match_phrase rescorer): (base BM25 query, exact phrase bonus).
 RESCORE_SPECS = [
@@ -1141,6 +1154,64 @@ FROM ranked WHERE rank <= {topk} ORDER BY query_id, rank
 """
 
 
+def _boosted_oracle_sql(k: int = 10) -> str:
+    """DuckDB twin of q_bm25_topk_boosted: the standard scored CTE
+    with the clause weight (cast to DOUBLE on both engines — DuckDB
+    parses 2.5 as DECIMAL, so the cast keeps the arithmetic domain
+    identical) in place of the integer qtf."""
+    vals = ", ".join(
+        f"({qid}, '{t}', {w!r})"
+        for qid, clauses in enumerate(BOOST_SPECS)
+        for t, w in clauses
+    )
+    return f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, boost) AS (VALUES {vals}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.boost::DOUBLE * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt
+    JOIN idf USING (term)
+    JOIN tf USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM scored),
+ranked AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def _suggest_complete_oracle_sql(n: int = 8) -> str:
+    """DuckDB twin of q_suggest_complete: vocabulary terms by prefix
+    via starts_with (LIKE would treat the token character ``_`` as a
+    wildcard), ranked (df DESC, term ASC)."""
+    from la_fungus_search_spark.tokenizer import tokenize as _tok
+
+    rows = []
+    for qid, p in enumerate(COMPLETE_PREFIXES):
+        toks = _tok(p or "")
+        if toks:
+            rows.append(f"({qid}, '{toks[0]}')")
+    return f"""
+WITH {_bm25_base_cte()},
+pre(query_id, prefix) AS (VALUES {", ".join(rows)}),
+cand AS (
+    SELECT pre.query_id, d.term, d.df,
+           row_number() OVER (PARTITION BY pre.query_id ORDER BY d.df DESC, d.term ASC) AS rank
+    FROM pre JOIN df d ON starts_with(d.term, pre.prefix)
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, term, df
+FROM cand WHERE rank <= {n} ORDER BY query_id, rank
+"""
+
+
 def _facet_stats_oracle_sql(percentiles=(50, 90)) -> str:
     """DuckDB twin of q_facet_stats (ES stats + percentiles metric
     aggregations): the match set (≥1 query term — the engine's match
@@ -1956,6 +2027,33 @@ def _kw_channel(spark, sf_dir, queries, window: int):
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= window)
         .select("query_id", "doc_id", "rank")
+    )
+
+
+def q_bm25_topk_boosted(spark, sf_dir):
+    """Query-time boosting (engine.scored_from_terms with DOUBLE
+    clause weights — Lucene BoostQuery / the `term^2.5` form): each
+    clause's BM25 contribution multiplies by its boost; integer qtf
+    is the degenerate boost=count case. Same bucket-pruned plan as
+    every disjunction; the all-1.0 query in the fixture pins boost≡1
+    to plain scoring."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    rows = [
+        (qid, t, float(w))
+        for qid, clauses in enumerate(BOOST_SPECS)
+        for t, w in clauses
+    ]
+    scored = eng.scored_from_terms(rows, qtf_type="DOUBLE")
+    return _bm25_rank(scored.select("query_id", "doc_id", "score"), 10)
+
+
+def q_suggest_complete(spark, sf_dir):
+    """Completion suggester (query/expand.py suggest_complete, ES
+    completion suggester): dictionary terms by prefix, ranked
+    (df DESC, term ASC), top-8 per prefix. A vocabulary-metadata
+    scan — the corpus and postings are never touched."""
+    return expand_ops.suggest_complete(
+        _index(spark, sf_dir), COMPLETE_PREFIXES, n_suggestions=8
     )
 
 
@@ -3077,6 +3175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_matches": q_percolate,
         "rescore_phrase_topk": q_rescore_phrase,
         "facet_stats": q_facet_stats,
+        "bm25_topk_boosted": q_bm25_topk_boosted,
+        "suggest_complete": q_suggest_complete,
     }
 
 
@@ -3485,6 +3585,8 @@ def oracle_sql() -> dict[str, str]:
         "percolate_matches": _percolate_oracle_sql(),
         "rescore_phrase_topk": _rescore_oracle_sql(),
         "facet_stats": _facet_stats_oracle_sql(),
+        "bm25_topk_boosted": _boosted_oracle_sql(),
+        "suggest_complete": _suggest_complete_oracle_sql(),
         "bm25_topk_and": f"""
 WITH {_bm25_base_cte()},
 qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),

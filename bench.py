@@ -295,6 +295,8 @@ def bench_main(results: dict):
         "percolate_matches",
         "rescore_phrase_topk",
         "facet_stats",
+        "bm25_topk_boosted",
+        "suggest_complete",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

@@ -96,13 +96,23 @@ class BM25QueryEngine:
                 rows.append((qid, term, qtf))
         return self.scored_from_terms(rows)
 
-    def _joined_postings(self, qt_rows: Sequence[tuple], with_df: bool = False) -> DataFrame:
+    def _joined_postings(
+        self,
+        qt_rows: Sequence[tuple],
+        with_df: bool = False,
+        qtf_type: str = "INT",
+    ) -> DataFrame:
         """Bucket-pruned postings × broadcast query dim — the shared
         scan of :meth:`scored_from_terms` and :meth:`explain`. Rows
-        carry (query_id, term, qtf, doc_id, tf, doclen, idf[, df])."""
+        carry (query_id, term, qtf, doc_id, tf, doclen, idf[, df]).
+        ``qtf_type="DOUBLE"`` switches the qtf column to a float
+        clause weight (the query-time-boost path) without perturbing
+        the default integer plan."""
         idx = self.index
         rows = list(qt_rows) or [(0, "\x00__no_terms__", 0)]
-        qt = self.spark.createDataFrame(rows, schema="query_id INT, term STRING, qtf INT")
+        qt = self.spark.createDataFrame(
+            rows, schema=f"query_id INT, term STRING, qtf {qtf_type}"
+        )
         # broadcast the tiny query-side dim through both joins
         stat_cols = ["term", "idf", "term_bucket"] + (["df"] if with_df else [])
         q_with_idf = F.broadcast(qt.join(idx.term_stats.select(*stat_cols), "term"))
@@ -120,13 +130,20 @@ class BM25QueryEngine:
             joined = joined.join(idx.doc_stats.select("doc_id", "doclen"), "doc_id")
         return joined
 
-    def scored_from_terms(self, qt_rows: Sequence[tuple]) -> DataFrame:
+    def scored_from_terms(self, qt_rows: Sequence[tuple], qtf_type: str = "INT") -> DataFrame:
         """Scored set from explicit ``(query_id, term, qtf)`` rows —
         the shared body of :meth:`scored_sql`, also fed by the fuzzy /
         prefix expansion layer (``query/expand.py``) whose scored term
-        set is the *rewritten* disjunction, not the tokenized query."""
+        set is the *rewritten* disjunction, not the tokenized query.
+
+        ``qtf_type="DOUBLE"`` accepts float clause weights instead of
+        integer occurrence counts — Lucene query-time boosting (the
+        ``field^2.5`` / ``BoostQuery`` form): each clause's BM25
+        contribution multiplies by its boost. The integer default
+        plan is untouched; duplicate-term qtf semantics ARE the
+        degenerate boost=count case."""
         scored = (
-            self._joined_postings(qt_rows)
+            self._joined_postings(qt_rows, qtf_type=qtf_type)
             .withColumn(
                 "contrib",
                 F.col("qtf") * F.col("idf") * self._contribution(F.col("tf"), F.col("doclen")),

@@ -327,6 +327,57 @@ def suggest_terms(
     )
 
 
+def suggest_complete(
+    index: BM25Index,
+    prefixes: Sequence[str],
+    n_suggestions: int = 8,
+    min_df: int = 1,
+) -> DataFrame:
+    """Prefix completion: ``(query_id, rank, term, df)`` — for each
+    input prefix, the dictionary terms starting with it ranked by
+    ``(df DESC, term ASC)``, top ``n_suggestions``.
+
+    Public semantics: the Elasticsearch ``completion`` suggester /
+    Lucene suggest-as-you-type, popularity-ranked over the term
+    dictionary. Lucene serves this from a dedicated FST; here the
+    vocabulary-metadata scan IS the index (``term_stats`` is already
+    corpus-independent and tiny relative to postings), so a dedicated
+    completion structure would buy nothing at any corpus size — the
+    scan cost is vocabulary-bound, never corpus-bound. ``startswith``
+    (not LIKE) on both engines: ``_`` is a token character here and a
+    LIKE wildcard, so pattern matching would corrupt code-identifier
+    prefixes.
+
+    An empty-after-tokenization prefix contributes no rows (matching
+    "no input typed yet" — suggesting the whole dictionary is never
+    useful)."""
+    qrows = []
+    for qid, p in enumerate(prefixes):
+        toks = tokenize(p or "")
+        if toks:
+            qrows.append((qid, toks[0]))
+    spark = index.spark
+    pre = F.broadcast(
+        spark.createDataFrame(qrows or [(-1, "\x00")], schema="query_id INT, prefix STRING")
+    )
+    ts = index.term_stats.select("term", "df").filter(F.col("df") >= int(min_df))
+    cand = ts.join(pre, ts["term"].startswith(pre["prefix"])).select(
+        "query_id", "term", "df"
+    )
+    w_ = Window.partitionBy("query_id").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w_))
+        .filter(F.col("rank") <= n_suggestions)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.col("df").cast("bigint").alias("df"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def _search_expanded(engine: BM25QueryEngine, expansions: DataFrame, k: int) -> DataFrame:
     """Collect the (bounded) rewrite, then the engine's normal scored
     path with qtf=1 per expanded term → top-k (score DESC, doc_id ASC)."""

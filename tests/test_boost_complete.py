@@ -1,0 +1,90 @@
+"""Query-time boosting (DOUBLE clause weights through the scored path)
+and the prefix completion suggester: Python recompute identity plus
+the boost≡1 ≡ plain-disjunction pin."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import __spark_entry__ as entry
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.query.expand import suggest_complete
+
+SF = "/root/testdata/sf0.001"
+
+
+def _round_half_up(x: float) -> int:
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
+def test_boost_one_equals_plain_disjunction(spark):
+    """BOOST_SPECS[2] is all-1.0 — its boosted ranking must equal the
+    integer-qtf disjunction over the same terms exactly."""
+    eng = BM25QueryEngine(entry._index(spark, SF))
+    terms = [t for t, _ in entry.BOOST_SPECS[2]]
+    plain = entry._bm25_rank(
+        eng.scored_from_terms([(0, t, 1) for t in terms]).select(
+            "query_id", "doc_id", "score"
+        ),
+        10,
+    ).collect()
+    boosted = [
+        r
+        for r in entry.q_bm25_topk_boosted(spark, SF).collect()
+        if r["query_id"] == 2
+    ]
+    assert [(r["rank"], r["doc_id"], r["score_q"]) for r in boosted] == [
+        (r["rank"], r["doc_id"], r["score_q"]) for r in plain
+    ]
+
+
+def test_boost_scales_contributions_linearly(spark):
+    """score(boosted) recomputes from per-term explain addends: the
+    boosted score must equal Σ boost_t · (addend of qtf=1 clause t) —
+    checked in micro space via the engine's own per-term breakdown."""
+    eng = BM25QueryEngine(entry._index(spark, SF))
+    qid = 0
+    clauses = dict(entry.BOOST_SPECS[qid])
+    terms = sorted(clauses)
+    plain = eng.scored_from_terms([(0, t, 1) for t in terms])
+    ex = eng.explain([" ".join(terms)], k=10_000).collect()
+    per_doc = defaultdict(float)
+    for r in ex:
+        # contrib was computed with qtf=1 (each term once in the query)
+        assert r["qtf"] == 1
+        per_doc[r["doc_id"]] += clauses[r["term"]] * (r["contrib_micro"] / 1e6)
+    boosted = {
+        r["doc_id"]: r["score_q"]
+        for r in entry.q_bm25_topk_boosted(spark, SF).collect()
+        if r["query_id"] == qid
+    }
+    for did, sq in boosted.items():
+        # micro-rounding of a weighted sum of already-rounded addends:
+        # allow 1-micro slack per term
+        assert abs(sq - _round_half_up(per_doc[did] * 1e6)) <= len(terms), did
+
+
+def test_suggest_complete_matches_python(spark):
+    idx = entry._index(spark, SF)
+    out = suggest_complete(idx, entry.COMPLETE_PREFIXES, n_suggestions=8).collect()
+    vocab = [(r["term"], r["df"]) for r in idx.term_stats.select("term", "df").collect()]
+    from la_fungus_search_spark.tokenizer import tokenize
+
+    expect: dict[int, list] = {}
+    for qid, p in enumerate(entry.COMPLETE_PREFIXES):
+        toks = tokenize(p or "")
+        if not toks:
+            continue
+        cand = sorted(
+            ((t, d) for t, d in vocab if t.startswith(toks[0])),
+            key=lambda x: (-x[1], x[0]),
+        )[:8]
+        if cand:
+            expect[qid] = cand
+    got: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append((r["term"], r["df"]))
+    assert got == expect
+    assert 3 not in got  # "zzz" matches nothing
+    assert got, "expected completions at sf0.001"

@@ -32,6 +32,11 @@ BNLJ_ALLOWED = {
     # words — the ed-2 automaton-walk cost class; no equi-join exists
     # for an edit-distance predicate
     "term_suggest",
+    # completion suggester: startswith over the same vocabulary
+    # metadata × broadcast prefixes — a prefix predicate is non-equi
+    # for the same reason (Lucene walks an FST; the vocab scan is the
+    # equivalent corpus-independent cost class)
+    "suggest_complete",
     # the corpus-total scalar joins in as a SINGLE-ROW broadcast
     # (crossJoin of an agg over one row) — Spark plans any crossJoin
     # as BNLJ; here the build side is exactly 1 row, cost-free
@@ -113,6 +118,8 @@ AUDIT = [
     "percolate_matches",
     "rescore_phrase_topk",
     "facet_stats",
+    "bm25_topk_boosted",
+    "suggest_complete",
 ]
 
 
