@@ -43,6 +43,7 @@ from la_fungus_search_spark.query import expand as expand_ops
 from la_fungus_search_spark.query import facets as facet_ops
 from la_fungus_search_spark.query import feedback as feedback_ops
 from la_fungus_search_spark.query import phrase as phrase_ops
+from la_fungus_search_spark.query import querystring as qs_ops
 from la_fungus_search_spark.query.ranking import dedup_by_source, max_merge, rrf_fuse
 from la_fungus_search_spark.streaming.metrics import streamed_step_metrics
 from la_fungus_search_spark.textops import dedup, multimodal, pipeline, similarity, stats
@@ -123,6 +124,19 @@ BOOST_SPECS = [
 # Completion-suggester prefixes (expand.suggest_complete, ES
 # completion suggester). "zzz" matches nothing by design.
 COMPLETE_PREFIXES = ["sc", "me", "val", "zzz", "wind"]
+# Query-string mini-language fixtures (query/querystring.py — the
+# Lucene classic-QueryParser subset behind ES `query_string`).
+# Exercises: AND promotion, +/- modifiers, OR/NOT keywords, boosts
+# (binary-representable so literal parsing is engine-symmetric),
+# quoted phrases, trailing-star prefixes, stopword-vanishing clauses.
+QS_QUERIES = [
+    "hash AND join table^2",
+    '+table scan -merge "table part"',
+    "window OR sort NOT customer agg^0.5",
+    "sca* +value big",
+    '"scan slow" spark batch^3',
+    "the scan AND slow",
+]
 # Rescore fixtures (ranking.rescore_phrase, ES rescore block with a
 # match_phrase rescorer): (base BM25 query, exact phrase bonus).
 RESCORE_SPECS = [
@@ -396,6 +410,104 @@ elig AS (
     WHERE coalesce(mm.must_matched, 0) >= nm.n_must
       AND ex.doc_id IS NULL
       AND (hp.has_ph = 0 OR ph.doc_id IS NOT NULL)
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM elig),
+ranked AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def _query_string_oracle_sql(k: int = 10) -> str:
+    """DuckDB twin of q_query_string_topk, built from the SAME parse
+    (querystring.parse_query_string) so operator and oracle can never
+    disagree about clause de-sugaring: merged explicit terms as
+    DOUBLE-weighted VALUES, prefix clauses as starts_with expansions
+    capped (df DESC, term ASC) ≤ 50, must as a distinct-count floor,
+    must_not as an anti-join, each phrase as a positional containment
+    branch counted per query."""
+    from la_fungus_search_spark.query.querystring import parse_query_string
+    from la_fungus_search_spark.tokenizer import tokenize as corpus_tokenize
+
+    qt_rows, mt_rows, nm_rows, xt_rows = [], [], [], []
+    np_rows, ph_branches, expn_branches = [], [], []
+    for qid, q in enumerate(QS_QUERIES):
+        p = parse_query_string(q)
+        for term, b in p["scored"]:
+            qt_rows.append(f"({qid}, '{term}', {float(b)!r})")
+        mt_rows.extend(f"({qid}, '{t}')" for t in p["must_terms"])
+        nm_rows.append(f"({qid}, {len(p['must_terms'])})")
+        xt_rows.extend(f"({qid}, '{t}')" for t in p["must_not_terms"])
+        np_rows.append(f"({qid}, {len(p['phrases'])})")
+        for ph in p["phrases"]:
+            terms = corpus_tokenize(ph)
+            conds = " AND ".join(
+                f"toks[s + {j}] = '{t}'" for j, t in enumerate(terms)
+            )
+            ph_branches.append(
+                f"SELECT {qid} AS query_id, doc_id FROM tokd WHERE "
+                f"len(list_filter(range(1, len(toks) - {len(terms) - 1} + 1), s -> {conds})) > 0"
+            )
+        for pre, b in p["prefixes"]:
+            expn_branches.append(
+                f"SELECT {qid} AS query_id, term, {float(b)!r} AS qtf,\n"
+                f"       row_number() OVER (ORDER BY df DESC, term ASC) AS xr\n"
+                f"FROM df WHERE starts_with(term, '{pre}')"
+            )
+    mt_sql = ", ".join(mt_rows) or "(-1, '')"
+    xt_sql = ", ".join(xt_rows) or "(-1, '')"
+    ph_sql = "\nUNION ALL\n".join(ph_branches) or (
+        "SELECT -1 AS query_id, -1 AS doc_id WHERE 1=0"
+    )
+    expn_sql = "\nUNION ALL\n".join(expn_branches) or (
+        "SELECT -1 AS query_id, '' AS term, 0.0 AS qtf, 1 AS xr WHERE 1=0"
+    )
+    return f"""
+WITH {_bm25_base_cte()},
+tokd AS (SELECT doc_id, {duckdb_tokens_sql('text')} AS toks FROM documents),
+qt0(query_id, term, qtf) AS (VALUES {", ".join(qt_rows)}),
+expn AS ({expn_sql}),
+qt AS (
+    SELECT query_id, term, qtf FROM qt0
+    UNION ALL
+    SELECT query_id, term, qtf FROM expn WHERE xr <= 50
+),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt
+    JOIN idf USING (term)
+    JOIN tf USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+mt(query_id, term) AS (VALUES {mt_sql}),
+nm(query_id, n_must) AS (VALUES {", ".join(nm_rows)}),
+mm AS (
+    SELECT mt.query_id, tf.doc_id, count(DISTINCT tf.term)::BIGINT AS must_matched
+    FROM mt JOIN tf USING (term) GROUP BY 1, 2
+),
+xt(query_id, term) AS (VALUES {xt_sql}),
+ex AS (SELECT DISTINCT xt.query_id, tf.doc_id FROM xt JOIN tf USING (term)),
+ph AS ({ph_sql}),
+phc AS (SELECT query_id, doc_id, count(*)::BIGINT AS ph_matched FROM ph GROUP BY 1, 2),
+np(query_id, n_phrases) AS (VALUES {", ".join(np_rows)}),
+elig AS (
+    SELECT s.query_id, s.doc_id, s.score
+    FROM scored s
+    JOIN nm ON nm.query_id = s.query_id
+    JOIN np ON np.query_id = s.query_id
+    LEFT JOIN mm ON mm.query_id = s.query_id AND mm.doc_id = s.doc_id
+    LEFT JOIN ex ON ex.query_id = s.query_id AND ex.doc_id = s.doc_id
+    LEFT JOIN phc ON phc.query_id = s.query_id AND phc.doc_id = s.doc_id
+    WHERE coalesce(mm.must_matched, 0) >= nm.n_must
+      AND ex.doc_id IS NULL
+      AND coalesce(phc.ph_matched, 0) >= np.n_phrases
 ),
 qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM elig),
 ranked AS (
@@ -1717,6 +1829,20 @@ def q_boolean_query_topk(spark, sf_dir):
         docs = _documents(spark, sf_dir).select("doc_id", "text")
         cand = phrase_ops.phrase_candidates_scan(docs, qp)
     hits = eng.search_boolean(BOOL_QUERIES, k=30, phrase_candidates=cand)
+    return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+def q_query_string_topk(spark, sf_dir):
+    """Query-string retrieval (query/querystring.py — the Lucene
+    classic-QueryParser subset behind ES `query_string`): parse →
+    de-sugar to a weighted BM25 disjunction + must floor + exclusion
+    + positional phrase filters + capped prefix rewrite. The parser
+    is shared with the oracle builder, so both sides compile the
+    identical clause sets. Over-fetch k=30 on the float path, re-rank
+    micro-quantized (same tie pattern as q_bm25_topk_blockmax)."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    hits = qs_ops.search_query_string(eng, QS_QUERIES, k=30, docs=docs)
     return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
 
 
@@ -3127,6 +3253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "query_string_topk": q_query_string_topk,
         "ann_srp_topk": q_ann_srp_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
@@ -3559,6 +3686,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_match_topk": phrase_ops.phrase_oracle_sql(PHRASE_QUERIES, 10),
         "proximity_window_topk": phrase_ops.proximity_oracle_sql(PROX_QUERIES, 10),
         "boolean_query_topk": _boolean_oracle_sql(10),
+        "query_string_topk": _query_string_oracle_sql(10),
         "fuzzy_query_topk": _fuzzy_oracle_sql(10),
         "term_suggest": _suggest_oracle_sql(8),
         "collocations": _collocations_oracle_sql(5, 50),

@@ -1,0 +1,246 @@
+"""Query-string search: a Lucene-classic-QueryParser-subset mini
+language compiled onto the existing boolean / phrase / prefix
+machinery.
+
+Public semantics: Lucene's classic ``QueryParser`` syntax
+(``queryparser/classic``), the grammar behind Elasticsearch's
+``query_string`` query. Supported subset (documented; anything
+outside it raises ``ValueError`` rather than silently degrading):
+
+* whitespace-separated clauses; double quotes group a phrase;
+* ``+clause`` → MUST, ``-clause`` → MUST_NOT, bare → SHOULD;
+* uppercase ``AND`` / ``OR`` / ``NOT`` keywords with Lucene's
+  one-token-lookahead de-sugaring: ``a AND b`` promotes *both*
+  neighbours to MUST, ``NOT b`` ≡ ``-b``, ``OR`` is the default
+  operator (resets a pending AND/NOT, promotes nothing);
+* ``term^2.5`` — query-time boost (multiplies the clause's BM25
+  contribution, the ``BoostQuery`` form);
+* ``pre*`` — trailing-star prefix clause, rewritten against the term
+  dictionary exactly like ``PrefixQuery`` (df-ranked, capped); only
+  SHOULD-occur prefixes are in the subset;
+* term clauses pass through QUERY analysis (``tokenize_query``: the
+  reference's stopword strip — ui/queries.py:6-18); a clause whose
+  every token is a stopword drops, exactly like a Lucene analyzer
+  returning no tokens. A clause may analyze to several tokens
+  (``hash-join`` → ``hash``, ``join``), each inheriting the clause's
+  occur + boost;
+* phrases are literal corpus-token sequences (positional containment
+  filter, like :meth:`BM25QueryEngine.search_boolean`'s phrase
+  clause); their non-stopword terms additionally join the scored
+  disjunction — a documented approximation of Lucene's PhraseQuery
+  scoring (the reference's BM25 layer is order-blind, so phrase
+  *ranking* has no reference twin to match).
+
+Scoring = BM25 over the de-sugared disjunction with DOUBLE clause
+weights (``scored_from_terms(qtf_type="DOUBLE")``): explicit terms
+appearing in several clauses pre-merge by summing boosts driver-side;
+prefix-expansion terms ride as separate weighted rows so the Spark
+plan and the DuckDB oracle accumulate the identical row multiset.
+
+Physical shape at 100 TB: one bucket-pruned postings pass for the
+scored disjunction, one each (only when the query set needs them) for
+the must-floor / exclusion passes, one positional pass for phrase
+candidates. The prefix rewrite is a vocabulary-*metadata* scan whose
+capped result (≤ ``max_expansions`` rows/prefix) is collected — the
+same bounded-rewrite contract as ``query/expand.py``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..tokenizer import tokenize, tokenize_query
+from .engine import BM25QueryEngine
+from .expand import normalize_prefix, prefix_expansions
+from .phrase import phrase_candidates_scan
+
+_TOK_RE = re.compile(r'[+-]?"[^"]*"\S*|\S+')
+_BOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)$")
+
+
+def parse_query_string(q: str) -> Dict:
+    """Parse one query string into its de-sugared clause sets.
+
+    Returns ``{"scored": [(term, boost)] (merged, term-sorted),
+    "must_terms": [...], "must_not_terms": [...], "phrases": [...],
+    "prefixes": [(prefix, boost)]}`` — the exact inputs of both
+    :func:`search_query_string` and the DuckDB oracle builder, so the
+    two can never disagree about what a query means."""
+    scored: Dict[str, float] = {}
+    must_terms: set = set()
+    must_not_terms: set = set()
+    phrases: List[str] = []
+    prefixes: List[Tuple[str, float]] = []
+
+    # pass 1: raw clauses with occur + boost
+    clauses: List[Dict] = []
+    pending = None  # occur forced onto the next clause by AND/NOT
+    for tok in _TOK_RE.findall(q or ""):
+        if tok == "AND":
+            if clauses and clauses[-1]["occur"] == "should":
+                clauses[-1]["occur"] = "must"
+            pending = "must"
+            continue
+        if tok == "OR":
+            pending = None
+            continue
+        if tok == "NOT":
+            pending = "must_not"
+            continue
+        occur, body = "should", tok
+        if body.startswith("+"):
+            occur, body = "must", body[1:]
+        elif body.startswith("-"):
+            occur, body = "must_not", body[1:]
+        if pending is not None and occur == "should":
+            occur = pending
+        pending = None
+        boost = 1.0
+        m = _BOOST_RE.search(body)
+        if m:
+            boost, body = float(m.group(1)), body[: m.start()]
+        if body.startswith('"') and body.endswith('"') and len(body) >= 2:
+            kind, body = "phrase", body[1:-1]
+        elif body.endswith("*") and "*" not in body[:-1] and "?" not in body:
+            kind, body = "prefix", body[:-1]
+        else:
+            kind = "term"
+        if not body:
+            continue
+        clauses.append({"occur": occur, "kind": kind, "body": body, "boost": boost})
+
+    # pass 2: de-sugar through analysis
+    for c in clauses:
+        if c["kind"] == "phrase":
+            if c["occur"] == "must_not":
+                raise ValueError("negated phrases are outside the supported subset")
+            if not tokenize(c["body"]):
+                continue
+            phrases.append(c["body"])
+            for t in tokenize_query(c["body"]):
+                scored[t] = scored.get(t, 0.0) + c["boost"]
+        elif c["kind"] == "prefix":
+            if c["occur"] != "should":
+                raise ValueError("+/- prefix clauses are outside the supported subset")
+            if normalize_prefix(c["body"]):
+                prefixes.append((normalize_prefix(c["body"]), c["boost"]))
+        else:
+            toks = tokenize_query(c["body"])
+            if c["occur"] == "must_not":
+                must_not_terms.update(toks)
+                continue
+            for t in toks:
+                scored[t] = scored.get(t, 0.0) + c["boost"]
+                if c["occur"] == "must":
+                    must_terms.add(t)
+    return {
+        "scored": sorted(scored.items()),
+        "must_terms": sorted(must_terms),
+        "must_not_terms": sorted(must_not_terms),
+        "phrases": phrases,
+        "prefixes": prefixes,
+    }
+
+
+def search_query_string(
+    engine: BM25QueryEngine,
+    queries: Sequence[str],
+    k: int = 10,
+    docs: DataFrame | None = None,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Top-k for each query string → ``(query_id, doc_id, score)``
+    (pre-rank; callers quantize/rank like every engine path).
+
+    ``docs`` (doc_id, text) is required iff any query carries a
+    phrase clause — phrase candidates use the scan path here; the
+    positional-index path is interchangeable (pinned equal in
+    tests/test_phrase.py)."""
+    parsed = [parse_query_string(q) for q in queries]
+
+    qt_rows: List[Tuple[int, str, float]] = [
+        (qid, t, float(b)) for qid, p in enumerate(parsed) for t, b in p["scored"]
+    ]
+    # prefix rewrite: one expansion pass over all prefix clauses; the
+    # capped result is bounded (<= max_expansions per clause) and
+    # rides as SEPARATE weighted rows (see module docstring)
+    pref = [(qid, pr, b) for qid, p in enumerate(parsed) for pr, b in p["prefixes"]]
+    if pref:
+        exp = prefix_expansions(engine.index, [pr for _, pr, _ in pref], max_expansions)
+        for r in exp.select("query_id", "term").collect():
+            qid, _, b = pref[int(r["query_id"])]
+            qt_rows.append((qid, r["term"], float(b)))
+    have = {qid for qid, _, _ in qt_rows}
+    if have != set(range(len(queries))):
+        missing = sorted(set(range(len(queries))) - have)
+        raise ValueError(f"query strings {missing} have no positive clause")
+
+    scored = engine.scored_from_terms(sorted(qt_rows), qtf_type="DOUBLE").select(
+        "query_id", "doc_id", "score"
+    )
+
+    n_must = [len(p["must_terms"]) for p in parsed]
+    if any(n_must):
+        mm_rows = [
+            (qid, t, 1) for qid, p in enumerate(parsed) for t in p["must_terms"]
+        ]
+        mm = engine.scored_from_terms(mm_rows).select(
+            "query_id", "doc_id", F.col("n_matched").alias("must_matched")
+        )
+        nt = F.broadcast(
+            engine.spark.createDataFrame(
+                list(enumerate(n_must)), schema="query_id INT, n_must INT"
+            )
+        )
+        scored = (
+            scored.join(nt, "query_id")
+            .join(mm, ["query_id", "doc_id"], "left")
+            .filter(F.coalesce("must_matched", F.lit(0)) >= F.col("n_must"))
+            .select("query_id", "doc_id", "score")
+        )
+
+    xn_rows = [
+        (qid, t, 1) for qid, p in enumerate(parsed) for t in p["must_not_terms"]
+    ]
+    if xn_rows:
+        ex = engine.scored_from_terms(xn_rows).select("query_id", "doc_id")
+        scored = scored.join(ex, ["query_id", "doc_id"], "left_anti")
+
+    pairs = [
+        (qid, ph) for qid, p in enumerate(parsed) for ph in p["phrases"]
+    ]
+    if pairs:
+        if docs is None:
+            raise ValueError("queries contain phrase clauses; pass docs")
+        # unique pair ids so a query with several phrases requires ALL
+        # of them (phrase_candidates_scan's query_id is per-pair here)
+        cand = phrase_candidates_scan(docs, list(enumerate(p for _, p in pairs)))
+        pid_map = F.broadcast(
+            engine.spark.createDataFrame(
+                [(pid, qid) for pid, (qid, _) in enumerate(pairs)],
+                schema="pid INT, query_id INT",
+            )
+        )
+        n_ph = [sum(1 for q2, _ in pairs if q2 == qid) for qid in range(len(queries))]
+        phc = (
+            cand.withColumnRenamed("query_id", "pid")
+            .join(pid_map, "pid")
+            .groupBy("query_id", "doc_id")
+            .agg(F.count("*").cast("int").alias("ph_matched"))
+        )
+        np_df = F.broadcast(
+            engine.spark.createDataFrame(
+                list(enumerate(n_ph)), schema="query_id INT, n_phrases INT"
+            )
+        )
+        scored = (
+            scored.join(np_df, "query_id")
+            .join(phc, ["query_id", "doc_id"], "left")
+            .filter(F.coalesce("ph_matched", F.lit(0)) >= F.col("n_phrases"))
+            .select("query_id", "doc_id", "score")
+        )
+    return engine._topk(scored, k)

@@ -1,0 +1,110 @@
+"""Query-string mini-language (query/querystring.py): parser
+de-sugaring table, Lucene-keyword semantics, subset guards, and
+engine-vs-boolean-path equivalence on de-sugarable inputs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.index.builder import build_index
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.query.querystring import (
+    parse_query_string,
+    search_query_string,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_parser_modifiers_and_boosts():
+    p = parse_query_string('+table scan -merge "table part"^2 wind* cust*^0.5')
+    assert p["must_terms"] == ["table"]
+    assert p["must_not_terms"] == ["merge"]
+    assert p["phrases"] == ["table part"]
+    # phrase terms join the scored set with the phrase boost;
+    # +table(1) and phrase table(2) merge by summing
+    assert dict(p["scored"]) == {"table": 3.0, "scan": 1.0, "part": 2.0}
+    assert p["prefixes"] == [("wind", 1.0), ("cust", 0.5)]
+
+
+def test_parser_keywords():
+    # AND promotes both neighbours; OR resets; NOT negates the next
+    p = parse_query_string("hash AND join table")
+    assert p["must_terms"] == ["hash", "join"]
+    assert dict(p["scored"]) == {"hash": 1.0, "join": 1.0, "table": 1.0}
+    p = parse_query_string("window OR sort NOT customer")
+    assert p["must_terms"] == []
+    assert p["must_not_terms"] == ["customer"]
+    assert dict(p["scored"]) == {"window": 1.0, "sort": 1.0}
+    # a stopword clause vanishes at analysis but AND still promotes
+    # its real neighbours (Lucene analyzer-drop semantics)
+    p = parse_query_string("the scan AND slow")
+    assert p["must_terms"] == ["scan", "slow"]
+
+
+def test_parser_multi_token_clause_and_edge_cases():
+    # a clause may analyze to several tokens, each inheriting occur+boost
+    p = parse_query_string("+hash-join^2 scan")
+    assert p["must_terms"] == ["hash", "join"]
+    assert dict(p["scored"]) == {"hash": 2.0, "join": 2.0, "scan": 1.0}
+    # pure-stopword must clause drops entirely
+    assert parse_query_string("+the scan")["must_terms"] == []
+    # empty / whitespace strings parse to nothing
+    assert parse_query_string("")["scored"] == []
+    with pytest.raises(ValueError):
+        parse_query_string('-"table part" scan')
+    with pytest.raises(ValueError):
+        parse_query_string("+wind* scan")
+
+
+def test_no_positive_clause_raises(spark):
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F.col("text").alias("content"))
+    )
+    eng = BM25QueryEngine(build_index(spark, docs, id_col="doc_id"))
+    with pytest.raises(ValueError):
+        search_query_string(eng, ["-merge"], k=5)
+
+
+def test_equivalence_with_boolean_path(spark):
+    """A query string with only +/-/bare term clauses de-sugars to
+    exactly one search_boolean spec — the two paths must return the
+    same ranked set."""
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F.col("text").alias("content"))
+    )
+    eng = BM25QueryEngine(build_index(spark, docs, id_col="doc_id"))
+    qs = search_query_string(eng, ["+table +scan hash join -merge"], k=10)
+    bo = eng.search_boolean(
+        [{"must": "table scan", "should": "hash join", "must_not": "merge"}], k=10
+    )
+    a = [(r["doc_id"], round(r["score"], 9)) for r in qs.collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in bo.collect()]
+    assert a == b
+
+
+def test_prefix_and_phrase_execution(spark):
+    docs_raw = spark.read.parquet(f"{SF}/documents.parquet")
+    docs = docs_raw.select("doc_id", F.col("text").alias("content"))
+    eng = BM25QueryEngine(build_index(spark, docs, id_col="doc_id"))
+    phrase_docs = docs_raw.select("doc_id", "text")
+    hits = search_query_string(
+        eng, ['sca* "table part"', "wind* sort"], k=5, docs=phrase_docs
+    )
+    rows = hits.collect()
+    assert {r["query_id"] for r in rows} == {0, 1}
+    # every query-0 hit must actually contain the phrase
+    got = {r["doc_id"] for r in rows if r["query_id"] == 0}
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in phrase_docs.filter(F.col("doc_id").isin(list(got))).collect()
+    }
+    import re as _re
+
+    for d in got:
+        toks = _re.findall(r"[a-z0-9_]+", texts[d].lower())
+        assert any(
+            toks[i] == "table" and toks[i + 1] == "part"
+            for i in range(len(toks) - 1)
+        )
