@@ -78,6 +78,15 @@ BOOL_QUERIES = [
     {"must": "spark", "phrase": "table part"},
     {"must": "value", "should": "big small", "phrase": "scan slow", "must_not": "vector"},
 ]
+# minimum_should_match fixtures (the same boolean layer with the
+# Lucene setMinimumNumberShouldMatch floor): msm counts DISTINCT
+# matched should terms. The last requires all four.
+BOOL_MSM_SPECS = [
+    {"should": "hash join window sort", "msm": 2},
+    {"must": "table", "should": "scan slow fast big", "msm": 3},
+    {"should": "merge batch stream", "msm": 1, "must_not": "customer"},
+    {"should": "spark data line value", "msm": 4},
+]
 # Fuzzy / prefix expansion fixtures (query/expand.py — Lucene
 # FuzzyQuery/PrefixQuery semantics). Typos are 1 edit from corpus
 # vocabulary terms; the last entries expand to nothing (empty path).
@@ -410,6 +419,82 @@ elig AS (
     WHERE coalesce(mm.must_matched, 0) >= nm.n_must
       AND ex.doc_id IS NULL
       AND (hp.has_ph = 0 OR ph.doc_id IS NOT NULL)
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM elig),
+ranked AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def _boolean_msm_oracle_sql(k: int = 10) -> str:
+    """DuckDB twin of q_boolean_msm_topk: the boolean-oracle shape
+    plus a distinct-count floor over the should terms (Lucene
+    minimum_should_match semantics)."""
+    qt_rows, mt_rows, nm_rows, st_rows, sm_rows, xt_rows = [], [], [], [], [], []
+    for qid, s in enumerate(BOOL_MSM_SPECS):
+        scored_terms = tokenize_query(s.get("must") or "") + tokenize_query(
+            s.get("should") or ""
+        )
+        for term, qtf in Counter(scored_terms).items():
+            qt_rows.append(f"({qid}, '{term}', {qtf})")
+        must = sorted(set(tokenize_query(s.get("must") or "")))
+        mt_rows.extend(f"({qid}, '{t}')" for t in must)
+        nm_rows.append(f"({qid}, {len(must)})")
+        st_rows.extend(
+            f"({qid}, '{t}')"
+            for t in sorted(set(tokenize_query(s.get("should") or "")))
+        )
+        sm_rows.append(f"({qid}, {int(s.get('msm') or 0)})")
+        xt_rows.extend(
+            f"({qid}, '{t}')"
+            for t in sorted(set(tokenize_query(s.get("must_not") or "")))
+        )
+    mt_sql = ", ".join(mt_rows) or "(-1, '')"
+    st_sql = ", ".join(st_rows) or "(-1, '')"
+    xt_sql = ", ".join(xt_rows) or "(-1, '')"
+    return f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {", ".join(qt_rows)}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt
+    JOIN idf USING (term)
+    JOIN tf USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+mt(query_id, term) AS (VALUES {mt_sql}),
+nm(query_id, n_must) AS (VALUES {", ".join(nm_rows)}),
+mm AS (
+    SELECT mt.query_id, tf.doc_id, count(DISTINCT tf.term)::BIGINT AS must_matched
+    FROM mt JOIN tf USING (term) GROUP BY 1, 2
+),
+st(query_id, term) AS (VALUES {st_sql}),
+sm(query_id, msm) AS (VALUES {", ".join(sm_rows)}),
+sc AS (
+    SELECT st.query_id, tf.doc_id, count(DISTINCT tf.term)::BIGINT AS should_matched
+    FROM st JOIN tf USING (term) GROUP BY 1, 2
+),
+xt(query_id, term) AS (VALUES {xt_sql}),
+ex AS (SELECT DISTINCT xt.query_id, tf.doc_id FROM xt JOIN tf USING (term)),
+elig AS (
+    SELECT s.query_id, s.doc_id, s.score
+    FROM scored s
+    JOIN nm ON nm.query_id = s.query_id
+    JOIN sm ON sm.query_id = s.query_id
+    LEFT JOIN mm ON mm.query_id = s.query_id AND mm.doc_id = s.doc_id
+    LEFT JOIN sc ON sc.query_id = s.query_id AND sc.doc_id = s.doc_id
+    LEFT JOIN ex ON ex.query_id = s.query_id AND ex.doc_id = s.doc_id
+    WHERE coalesce(mm.must_matched, 0) >= nm.n_must
+      AND coalesce(sc.should_matched, 0) >= sm.msm
+      AND ex.doc_id IS NULL
 ),
 qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM elig),
 ranked AS (
@@ -1829,6 +1914,18 @@ def q_boolean_query_topk(spark, sf_dir):
         docs = _documents(spark, sf_dir).select("doc_id", "text")
         cand = phrase_ops.phrase_candidates_scan(docs, qp)
     hits = eng.search_boolean(BOOL_QUERIES, k=30, phrase_candidates=cand)
+    return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+def q_boolean_msm_topk(spark, sf_dir):
+    """minimum_should_match retrieval (engine.search_boolean msm key —
+    Lucene BooleanQuery.setMinimumNumberShouldMatch / the ES
+    minimum_should_match parameter): at least msm DISTINCT should
+    terms must match, resolved as one extra bucket-pruned matched-
+    count pass like the must floor. Over-fetch k=30 on the float
+    path, re-rank micro-quantized."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    hits = eng.search_boolean(BOOL_MSM_SPECS, k=30)
     return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
 
 
@@ -3304,6 +3401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_stats": q_facet_stats,
         "bm25_topk_boosted": q_bm25_topk_boosted,
         "suggest_complete": q_suggest_complete,
+        "boolean_msm_topk": q_boolean_msm_topk,
     }
 
 
@@ -3715,6 +3813,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_stats": _facet_stats_oracle_sql(),
         "bm25_topk_boosted": _boosted_oracle_sql(),
         "suggest_complete": _suggest_complete_oracle_sql(),
+        "boolean_msm_topk": _boolean_msm_oracle_sql(10),
         "bm25_topk_and": f"""
 WITH {_bm25_base_cte()},
 qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),

@@ -198,7 +198,11 @@ class BM25QueryEngine:
         * ``should`` — optional terms (scored when present),
         * ``must_not`` — terms that must NOT match (filter only),
         * ``phrase`` — an exact phrase the doc must contain (filter
-          only; resolved via ``phrase_candidates``).
+          only; resolved via ``phrase_candidates``),
+        * ``msm`` — minimum_should_match (Lucene
+          ``BooleanQuery.setMinimumNumberShouldMatch`` / the ES
+          parameter): at least this many DISTINCT should terms must
+          match; 0/absent keeps pure-optional semantics.
 
         Scoring = BM25 over (must ∪ should) occurrences. At least one
         scored term per spec. Term clauses use QUERY tokenization
@@ -235,6 +239,22 @@ class BM25QueryEngine:
                 scored.join(nt, "query_id")
                 .join(mm, ["query_id", "doc_id"], "left")
                 .filter(F.coalesce("must_matched", F.lit(0)) >= F.col("n_must"))
+                .select("query_id", "doc_id", "score")
+            )
+        msms = [int(s.get("msm") or 0) for s in specs]
+        if any(msms):
+            sh = self.scored_sql([s.get("should") or "" for s in specs]).select(
+                "query_id", "doc_id", F.col("n_matched").alias("should_matched")
+            )
+            sm = F.broadcast(
+                self.spark.createDataFrame(
+                    list(enumerate(msms)), schema="query_id INT, msm INT"
+                )
+            )
+            scored = (
+                scored.join(sm, "query_id")
+                .join(sh, ["query_id", "doc_id"], "left")
+                .filter(F.coalesce("should_matched", F.lit(0)) >= F.col("msm"))
                 .select("query_id", "doc_id", "score")
             )
         xq = [s.get("must_not") or "" for s in specs]

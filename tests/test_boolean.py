@@ -110,3 +110,37 @@ def test_boolean_validation(spark, engine):
         engine.search_boolean([{"must_not": "table"}], k=5)
     with pytest.raises(ValueError):  # phrase without candidates
         engine.search_boolean([{"must": "table", "phrase": "table part"}], k=5)
+
+
+def test_minimum_should_match_vs_python(spark, engine, docs_local):
+    """msm floor vs the pure-Python recompute: at least msm DISTINCT
+    should terms present; msm=0 degenerates to the plain spec."""
+    specs = [
+        {"should": "hash join window sort", "msm": 2},
+        {"must": "table", "should": "scan slow fast big", "msm": 3},
+        {"should": "merge batch stream", "msm": 1, "must_not": "customer"},
+        {"should": "spark data line value", "msm": 4},
+        {"should": "hash join", "msm": 0},
+    ]
+    hits = engine.search_boolean(specs, k=30)
+    got = {}
+    for r in hits.collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], round(r["score"] * 1e6)))
+    for qid, spec in enumerate(specs):
+        should = set(tokenize_query(spec.get("should") or ""))
+        msm = spec.get("msm") or 0
+        base = py_boolean(docs_local, {k: v for k, v in spec.items() if k != "msm"}, k=10**9)
+        toks = {d: set(tokenize(t)) for d, t in docs_local}
+        expect = [
+            (d, sq) for _, d, sq in base if len(should & toks[d]) >= msm
+        ][:30]
+        rows = sorted(got.get(qid, []), key=lambda x: (-x[1], x[0]))
+        assert rows == expect, spec
+
+
+def test_msm_tighter_than_plain(spark, engine):
+    plain = engine.search_boolean([{"should": "hash join window sort"}], k=1000)
+    tight = engine.search_boolean([{"should": "hash join window sort", "msm": 3}], k=1000)
+    p = {r["doc_id"] for r in plain.collect()}
+    t = {r["doc_id"] for r in tight.collect()}
+    assert t < p and t  # strictly fewer docs, still non-empty
