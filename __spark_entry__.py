@@ -43,6 +43,7 @@ from la_fungus_search_spark.query import expand as expand_ops
 from la_fungus_search_spark.query import facets as facet_ops
 from la_fungus_search_spark.query import feedback as feedback_ops
 from la_fungus_search_spark.query import phrase as phrase_ops
+from la_fungus_search_spark.query import parentchild as parentchild_ops
 from la_fungus_search_spark.query import querystring as qs_ops
 from la_fungus_search_spark.query.ranking import dedup_by_source, max_merge, rrf_fuse
 from la_fungus_search_spark.streaming.metrics import streamed_step_metrics
@@ -1917,6 +1918,44 @@ def q_boolean_query_topk(spark, sf_dir):
     return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
 
 
+def q_has_child_topk(spark, sf_dir):
+    """Parent-child retrieval (query/parentchild.py — ES has_child /
+    Lucene ToParentBlockJoinQuery): line-window chunks are the child
+    unit; a parent doc qualifies with >= 2 matching chunks and scores
+    as the MAX child BM25 score (order-insensitive, so distributed
+    and sequential evaluation agree bitwise). Over-fetch k=30 float,
+    re-rank micro-quantized keeping n_children."""
+    ch = chunk_line_windows(_doc_lines(spark, sf_dir), [CHUNK_W], carry_cols=("doc_id",))
+    chunks = ch.select(
+        (F.col("doc_id") * 100000 + F.col("start_line")).alias("chunk_id"),
+        F.col("doc_id").alias("orig_doc"),
+        F.col("body").alias("content"),
+    )
+    eng = BM25QueryEngine(build_index(spark, chunks, id_col="chunk_id"))
+    parent_of = chunks.select(
+        F.col("chunk_id").alias("doc_id"), F.col("orig_doc").alias("parent_id")
+    )
+    hits = parentchild_ops.has_child_topk(
+        eng, parent_of, BM25_QUERIES, k=30, score_mode="max", min_children=2
+    )
+    q = hits.select(
+        "query_id", "parent_id", "n_children", _micro(F.col("score")).alias("score_q")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("parent_id"))
+    return (
+        q.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("parent_id").cast("bigint").alias("doc_id"),
+            F.col("n_children").cast("int").alias("n_children"),
+            "score_q",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_boolean_msm_topk(spark, sf_dir):
     """minimum_should_match retrieval (engine.search_boolean msm key —
     Lucene BooleanQuery.setMinimumNumberShouldMatch / the ES
@@ -3402,6 +3441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_boosted": q_bm25_topk_boosted,
         "suggest_complete": q_suggest_complete,
         "boolean_msm_topk": q_boolean_msm_topk,
+        "has_child_topk": q_has_child_topk,
     }
 
 
@@ -3814,6 +3854,32 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_boosted": _boosted_oracle_sql(),
         "suggest_complete": _suggest_complete_oracle_sql(),
         "boolean_msm_topk": _boolean_msm_oracle_sql(10),
+        "has_child_topk": f"""
+WITH {_CHUNKS_SQL.strip()},
+{_bm25_base_cte(src="chunks", id_col="chunk_id", text_col="body")},
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt JOIN idf USING (term) JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+par AS (
+    SELECT s.query_id, c.orig_doc AS doc_id, max(s.score) AS score,
+           count(*)::INT AS n_children
+    FROM scored s JOIN chunks c ON s.doc_id = c.chunk_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+),
+qz AS (SELECT query_id, doc_id, n_children, round(score * 1e6)::BIGINT AS score_q FROM par),
+ranked AS (
+    SELECT query_id, doc_id, n_children, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, n_children, score_q
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+""",
         "bm25_topk_and": f"""
 WITH {_bm25_base_cte()},
 qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),

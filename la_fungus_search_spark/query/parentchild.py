@@ -1,0 +1,75 @@
+"""Parent-child retrieval: rank parent documents by their matching
+children (chunks), the join-field / ``has_child`` query family.
+
+Public semantics: Elasticsearch ``has_child`` (Lucene
+``ToParentBlockJoinQuery`` score modes): a parent qualifies when at
+least ``min_children`` of its children match the child query; the
+parent's score aggregates the matching children's BM25 scores by
+``score_mode`` ∈ {max, sum, avg, min, count}.
+
+The reference scores chunks and carries their parent file forward
+(mcmp_rag.py result shape) but has no parent-level aggregation — this
+is a fulltext-index delta capability like phrase/boolean search.
+
+Physical shape at 100 TB: the child query rides the engine's normal
+bucket-pruned scored pass (match-set-sized output); ``parent_of`` is
+a (child → parent) key map that joins on the child id — an equi-join
+on the match set, never a corpus scan; the parent aggregation is one
+map-side-combinable groupBy on (query_id, parent_id). ``max``/``min``
+modes are order-insensitive so distributed and sequential evaluation
+agree bitwise; ``sum``/``avg`` carry the usual float-accumulation
+caveat (quantize after aggregation, as every gate does).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .engine import BM25QueryEngine
+
+_MODES = {"max", "sum", "avg", "min", "count"}
+
+
+def has_child_topk(
+    engine: BM25QueryEngine,
+    parent_of: DataFrame,
+    queries: Sequence[str],
+    k: int = 10,
+    score_mode: str = "max",
+    min_children: int = 1,
+) -> DataFrame:
+    """Top-k parents per query → ``(query_id, parent_id, score,
+    n_children)`` (pre-rank floats; callers quantize/rank).
+
+    ``parent_of``: (doc_id, parent_id) — doc_id is the CHILD unit id
+    the engine indexes; every matching child must resolve to exactly
+    one parent."""
+    if score_mode not in _MODES:
+        raise ValueError(f"score_mode must be one of {sorted(_MODES)}")
+    if min_children < 1:
+        raise ValueError("min_children must be >= 1")
+    scored = engine.scored_sql(queries).select("query_id", "doc_id", "score")
+    joined = scored.join(parent_of.select("doc_id", "parent_id"), "doc_id")
+    agg_score = {
+        "max": F.max("score"),
+        "min": F.min("score"),
+        "sum": F.sum("score"),
+        "avg": F.avg("score"),
+        "count": F.count("*").cast("double"),
+    }[score_mode]
+    agg = (
+        joined.groupBy("query_id", "parent_id")
+        .agg(agg_score.alias("score"), F.count("*").cast("int").alias("n_children"))
+        .filter(F.col("n_children") >= int(min_children))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("parent_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

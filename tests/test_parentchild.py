@@ -1,0 +1,84 @@
+"""Parent-child retrieval (query/parentchild.py): every score_mode
+pinned against a recompute from the engine's own child-level scored
+set, the min_children floor, and validation edges. End-to-end scoring
+is pinned by the has_child_topk DuckDB value-oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.index import build_index
+from la_fungus_search_spark.query import BM25QueryEngine
+from la_fungus_search_spark.query.parentchild import has_child_topk
+
+SF = "/root/testdata/sf0.001"
+QUERIES = ["hash join table scan", "window agg sort order", "merge"]
+
+
+@pytest.fixture(scope="module")
+def child_setup(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    # split each doc into per-25-token children
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), r"\s+").alias("ts")
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), ((F.size("ts") - 1) / 25).cast("int")),
+                lambda i: F.array_join(F.slice("ts", i * 25 + 1, 25), " "),
+            )
+        ).alias("pos", "content"),
+    )
+    children = toks.select(
+        (F.col("doc_id") * 1000 + F.col("pos")).alias("doc_id"),
+        F.col("doc_id").alias("parent_id"),
+        "content",
+    )
+    eng = BM25QueryEngine(
+        build_index(spark, children.select("doc_id", "content"), id_col="doc_id")
+    )
+    parent_of = children.select("doc_id", "parent_id")
+    return eng, parent_of
+
+
+@pytest.mark.parametrize("mode", ["max", "sum", "avg", "min", "count"])
+def test_score_modes_vs_recompute(spark, child_setup, mode):
+    eng, parent_of = child_setup
+    got = {
+        (r["query_id"], r["parent_id"]): (round(r["score"], 6), r["n_children"])
+        for r in has_child_topk(
+            eng, parent_of, QUERIES, k=10**6, score_mode=mode, min_children=1
+        ).collect()
+    }
+    # recompute from the child-level scored set
+    child = eng.scored_sql(QUERIES).select("query_id", "doc_id", "score").collect()
+    groups = {}
+    for r in child:
+        groups.setdefault((r["query_id"], r["doc_id"] // 1000), []).append(r["score"])
+    agg = {
+        "max": max,
+        "min": min,
+        "sum": sum,
+        "avg": lambda xs: sum(xs) / len(xs),
+        "count": len,
+    }[mode]
+    expect = {k: (round(float(agg(v)), 6), len(v)) for k, v in groups.items()}
+    assert got == expect and got
+
+
+def test_min_children_floor(spark, child_setup):
+    eng, parent_of = child_setup
+    all_p = has_child_topk(eng, parent_of, QUERIES, k=10**6).collect()
+    two_p = has_child_topk(eng, parent_of, QUERIES, k=10**6, min_children=2).collect()
+    assert {(r["query_id"], r["parent_id"]) for r in two_p} == {
+        (r["query_id"], r["parent_id"]) for r in all_p if r["n_children"] >= 2
+    }
+    assert two_p and len(two_p) < len(all_p)
+
+
+def test_validation(spark, child_setup):
+    eng, parent_of = child_setup
+    with pytest.raises(ValueError):
+        has_child_topk(eng, parent_of, QUERIES, score_mode="geometric")
+    with pytest.raises(ValueError):
+        has_child_topk(eng, parent_of, QUERIES, min_children=0)
