@@ -45,7 +45,14 @@ from la_fungus_search_spark.query import feedback as feedback_ops
 from la_fungus_search_spark.query import phrase as phrase_ops
 from la_fungus_search_spark.query import parentchild as parentchild_ops
 from la_fungus_search_spark.query import querystring as qs_ops
-from la_fungus_search_spark.query.ranking import dedup_by_source, max_merge, rrf_fuse
+from la_fungus_search_spark.query.ranking import (
+    collapse_topk,
+    dedup_by_source,
+    decay_lambda,
+    function_score_decay,
+    max_merge,
+    rrf_fuse,
+)
 from la_fungus_search_spark.streaming.metrics import streamed_step_metrics
 from la_fungus_search_spark.textops import dedup, multimodal, pipeline, similarity, stats
 from la_fungus_search_spark.textops.rollup import cost_estimate, trail_degree, usage_rollup
@@ -1918,6 +1925,83 @@ def q_boolean_query_topk(spark, sf_dir):
     return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
 
 
+def q_collapse_topk(spark, sf_dir):
+    """Field collapsing (query/ranking.py collapse_topk — ES collapse
+    / Lucene grouping): per query, the best hit per source plus the
+    group's inner-hit count, groups ranked by their best hit. The
+    collapse runs on the micro-QUANTIZED score so per-group argmax
+    ties resolve identically in both engines."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    scored = eng.scored_sql(BM25_QUERIES).select(
+        "query_id", "doc_id", _micro(F.col("score")).alias("score_q")
+    )
+    meta = _documents(spark, sf_dir).select(
+        "doc_id", F.coalesce(F.col("source"), F.lit("(none)")).alias("value")
+    )
+    out = collapse_topk(scored, meta, k=5, score_col="score_q")
+    return out.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        "value",
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "score_q",
+        F.col("inner_hits").cast("int").alias("inner_hits"),
+    )
+
+
+def q_function_score_topk(spark, sf_dir):
+    """Decay function scoring (query/ranking.py function_score_decay —
+    ES function_score with a gauss decay on n_chars, origin 300 /
+    scale 150 / offset 25, boost_mode multiply): λ = ln(½)/scale² is
+    computed in Python and embedded as the same literal in the oracle
+    SQL, so only one exp() per hit separates the engines (ULP-class,
+    absorbed by micro-quantization). Over-fetch 30 float, re-rank
+    quantized."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    scored = eng.scored_sql(BM25_QUERIES).select("query_id", "doc_id", "score")
+    meta = _documents(spark, sf_dir).select("doc_id", F.col("n_chars").alias("v"))
+    out = function_score_decay(
+        scored, meta, origin=300.0, scale=150.0, offset=25.0, decay=0.5, mode="gauss"
+    )
+    hits = eng._topk(
+        out.select("query_id", "doc_id", F.col("final_score").alias("score")), 30
+    )
+    return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+def q_top_hits_agg(spark, sf_dir):
+    """Bucketed top hits (query/facets.py top_hits_agg — ES terms agg
+    + top_hits sub-agg): 3 largest lang buckets per query, best 3
+    hits inside each; runs on the micro-quantized score (same
+    engine-invariance contract as collapse)."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    scored = eng.scored_sql(BM25_QUERIES).select(
+        "query_id", "doc_id", _micro(F.col("score")).alias("score_q")
+    )
+    meta = _documents(spark, sf_dir).select(
+        "doc_id", F.coalesce(F.col("lang"), F.lit("(none)")).alias("value")
+    )
+    out = facet_ops.top_hits_agg(
+        scored, meta, n_buckets=3, hits_per_bucket=3, score_col="score_q"
+    )
+    return out.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("bucket_rank").cast("int").alias("bucket_rank"),
+        "value",
+        F.col("doc_count").cast("bigint").alias("doc_count"),
+        F.col("hit_rank").cast("int").alias("hit_rank"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "score_q",
+    )
+
+
+def q_date_histogram(spark, sf_dir):
+    """Calendar-interval rollup (query/facets.py date_histogram — ES
+    date_histogram with stats + exact cardinality sub-aggs) over the
+    events table by (event_type, day)."""
+    return facet_ops.date_histogram(_events(spark, sf_dir), interval="day")
+
+
 def q_has_child_topk(spark, sf_dir):
     """Parent-child retrieval (query/parentchild.py — ES has_child /
     Lucene ToParentBlockJoinQuery): line-window chunks are the child
@@ -3442,6 +3526,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_complete": q_suggest_complete,
         "boolean_msm_topk": q_boolean_msm_topk,
         "has_child_topk": q_has_child_topk,
+        "collapse_topk": q_collapse_topk,
+        "function_score_topk": q_function_score_topk,
+        "top_hits_agg": q_top_hits_agg,
+        "date_histogram": q_date_histogram,
     }
 
 
@@ -3854,6 +3942,101 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_boosted": _boosted_oracle_sql(),
         "suggest_complete": _suggest_complete_oracle_sql(),
         "boolean_msm_topk": _boolean_msm_oracle_sql(10),
+        "collapse_topk": f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt JOIN idf USING (term) JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM scored),
+m AS (SELECT doc_id, coalesce(source, '(none)') AS value FROM documents),
+j AS (SELECT qz.query_id, qz.doc_id, qz.score_q, m.value FROM qz JOIN m USING (doc_id)),
+grp AS (SELECT query_id, value, count(*)::INT AS inner_hits FROM j GROUP BY 1, 2),
+best AS (
+    SELECT query_id, value, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id, value ORDER BY score_q DESC, doc_id ASC) AS rn
+    FROM j
+),
+b1 AS (
+    SELECT b.query_id, b.value, b.doc_id, b.score_q, g.inner_hits
+    FROM best b JOIN grp g ON g.query_id = b.query_id AND g.value = b.value
+    WHERE b.rn = 1
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM b1
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, value, doc_id, score_q, inner_hits
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+""",
+        "function_score_topk": f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt JOIN idf USING (term) JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+dd AS (
+    SELECT doc_id, greatest(abs(n_chars::DOUBLE - 300.0) - 25.0, 0.0) AS d
+    FROM documents
+),
+fs AS (
+    SELECT s.query_id, s.doc_id, s.score * exp({decay_lambda("gauss", 150.0, 0.5)!r} * dd.d * dd.d) AS score
+    FROM scored s JOIN dd USING (doc_id)
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM fs),
+ranked AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+""",
+        "top_hits_agg": f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt JOIN idf USING (term) JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM scored),
+m AS (SELECT doc_id, coalesce(lang, '(none)') AS value FROM documents),
+j AS (SELECT qz.query_id, qz.doc_id, qz.score_q, m.value FROM qz JOIN m USING (doc_id)),
+wb AS (SELECT query_id, value, count(*)::BIGINT AS doc_count FROM j GROUP BY 1, 2),
+bk AS (
+    SELECT query_id, value, doc_count,
+           row_number() OVER (PARTITION BY query_id ORDER BY doc_count DESC, value ASC) AS bucket_rank
+    FROM wb
+),
+hits AS (
+    SELECT query_id, value, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id, value ORDER BY score_q DESC, doc_id ASC) AS hit_rank
+    FROM j
+)
+SELECT b.query_id::INT AS query_id, b.bucket_rank::INT AS bucket_rank, b.value,
+       b.doc_count, h.hit_rank::INT AS hit_rank, h.doc_id, h.score_q
+FROM bk b JOIN hits h ON h.query_id = b.query_id AND h.value = b.value
+WHERE b.bucket_rank <= 3 AND h.hit_rank <= 3
+ORDER BY 1, 2, 5
+""",
+        "date_histogram": """
+SELECT event_type AS grp, strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+       count(*)::BIGINT AS n_events, count(DISTINCT user_id)::BIGINT AS n_users,
+       round(sum(value) * 1e6)::BIGINT AS sum_micro,
+       round(avg(value) * 1e6)::BIGINT AS avg_micro
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "has_child_topk": f"""
 WITH {_CHUNKS_SQL.strip()},
 {_bm25_base_cte(src="chunks", id_col="chunk_id", text_col="body")},

@@ -175,6 +175,93 @@ def facet_stats(
     return out.orderBy("query_id")
 
 
+def top_hits_agg(
+    scored: DataFrame,
+    meta: DataFrame,
+    n_buckets: int = 5,
+    hits_per_bucket: int = 3,
+    score_col: str = "score",
+) -> DataFrame:
+    """Bucketed top hits (the ES ``terms`` aggregation with a
+    ``top_hits`` sub-aggregation): per query, bucket the match set by
+    a field value, keep the ``n_buckets`` largest buckets (doc_count
+    DESC, value ASC), and inside each return the ``hits_per_bucket``
+    best hits (``score_col`` DESC, doc_id ASC).
+
+    ``scored``: (query_id, doc_id, ``score_col``); ``meta``:
+    (doc_id, value). Pass an engine-invariant score for cross-engine
+    comparison (same contract as ``ranking.collapse_topk``).
+
+    Output: (query_id, bucket_rank, value, doc_count, hit_rank,
+    doc_id, score_col). Physical shape: one key join on the match
+    set, one count window per (query, value), two row_number windows
+    — all match-set-sized."""
+    if n_buckets <= 0 or hits_per_bucket <= 0:
+        raise ValueError("n_buckets and hits_per_bucket must be positive")
+    j = scored.join(meta.select("doc_id", "value"), "doc_id")
+    j = j.withColumn(
+        "doc_count",
+        F.count("*").over(Window.partitionBy("query_id", "value")).cast("bigint"),
+    )
+    w_b = Window.partitionBy("query_id").orderBy(F.desc("doc_count"), F.asc("value"))
+    buckets = (
+        j.select("query_id", "value", "doc_count")
+        .distinct()
+        .withColumn("bucket_rank", F.row_number().over(w_b))
+        .filter(F.col("bucket_rank") <= n_buckets)
+    )
+    w_h = Window.partitionBy("query_id", "value").orderBy(
+        F.desc(score_col), F.asc("doc_id")
+    )
+    hits = j.withColumn("hit_rank", F.row_number().over(w_h)).filter(
+        F.col("hit_rank") <= hits_per_bucket
+    )
+    return (
+        hits.join(buckets.select("query_id", "value", "bucket_rank"), ["query_id", "value"])
+        .select(
+            "query_id", "bucket_rank", "value", "doc_count", "hit_rank",
+            "doc_id", score_col,
+        )
+        .orderBy("query_id", "bucket_rank", "hit_rank")
+    )
+
+
+def date_histogram(
+    events: DataFrame,
+    interval: str = "day",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Calendar-interval histogram (the ES ``date_histogram``
+    aggregation with ``stats`` + ``cardinality`` sub-aggregations):
+    per (``group_col``, truncated bucket) — event count, distinct
+    users (EXACT, not HLL — determinism over sketch parity), and
+    micro-quantized sum/avg of ``value_col``.
+
+    The bucket is emitted as a formatted STRING (``yyyy-MM-dd[ HH]``)
+    rather than a timestamp so hash comparison is independent of
+    engine timestamp internals; the session pins UTC.
+
+    Physical shape: one partial-aggregated groupBy — a single shuffle
+    keyed (group, bucket); count-distinct adds the usual two-phase
+    expand. Scales with the number of buckets, not rows."""
+    fmts = {"day": "yyyy-MM-dd", "hour": "yyyy-MM-dd HH", "month": "yyyy-MM"}
+    if interval not in fmts:
+        raise ValueError(f"interval must be one of {sorted(fmts)}")
+    bucket = F.date_format(F.date_trunc(interval, F.col(ts_col)), fmts[interval])
+    return (
+        events.groupBy(F.col(group_col).alias("grp"), bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            _quantize(F.sum(value_col)).alias("sum_micro"),
+            _quantize(F.avg(value_col)).alias("avg_micro"),
+        )
+        .orderBy("grp", "bucket")
+    )
+
+
 def significant_terms(
     engine: BM25QueryEngine,
     docs_df: DataFrame,

@@ -289,6 +289,116 @@ def dedup_by_source(
     return hits.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def collapse_topk(
+    scored: DataFrame,
+    meta: DataFrame,
+    k: int = 10,
+    score_col: str = "score",
+) -> DataFrame:
+    """Field collapsing (ES ``collapse`` / Lucene grouping): one row
+    per distinct field value over each query's match set — the
+    group's best hit — plus ``inner_hits`` (the group's total match
+    count); groups ranked by their best hit.
+
+    ``scored``: (query_id, doc_id, ``score_col``); ``meta``:
+    (doc_id, value) — the collapse key per doc. Pass an
+    engine-invariant score (e.g. micro-quantized) when the result
+    feeds a cross-engine comparison: the per-group argmax is taken on
+    ``score_col`` as given, ties → lowest doc_id.
+
+    Physical shape: one key join on the match set, one window per
+    (query, value), one per-group count — two shuffles on
+    match-set-sized data; the corpus is never touched."""
+    j = scored.join(meta.select("doc_id", "value"), "doc_id")
+    w_in = Window.partitionBy("query_id", "value").orderBy(
+        F.desc(score_col), F.asc("doc_id")
+    )
+    best = (
+        j.withColumn("_rn", F.row_number().over(w_in))
+        .withColumn(
+            "inner_hits",
+            F.count("*").over(Window.partitionBy("query_id", "value")).cast("int"),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    w_out = Window.partitionBy("query_id").orderBy(F.desc(score_col), F.asc("doc_id"))
+    return (
+        best.withColumn("rank", F.row_number().over(w_out))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "value", "doc_id", score_col, "inner_hits")
+        .orderBy("query_id", "rank")
+    )
+
+
+def function_score_decay(
+    scored: DataFrame,
+    meta: DataFrame,
+    origin: float,
+    scale: float,
+    offset: float = 0.0,
+    decay: float = 0.5,
+    mode: str = "gauss",
+    boost_mode: str = "multiply",
+    score_col: str = "score",
+) -> DataFrame:
+    """Decay function scoring (ES ``function_score`` with
+    ``gauss``/``linear``/``exp`` decay): re-weight each hit by how far
+    a numeric doc field sits from ``origin``, then combine with the
+    relevance score per ``boost_mode``.
+
+    ``meta``: (doc_id, v) — the numeric field. With
+    d = max(0, |v − origin| − offset):
+
+    * gauss:  decay(v) = exp(λ·d²),  λ = ln(decay)/scale²  (< 0)
+    * exp:    decay(v) = exp(λ·d),   λ = ln(decay)/scale
+    * linear: decay(v) = max(0, 1 + λ·d), λ = −(1 − decay)/scale
+
+    λ is computed in PYTHON and injected as a literal so an oracle in
+    another engine can embed the identical constant (``ln`` parity
+    never enters the distributed expression); the remaining
+    expression is one multiply+exp per hit, engine-invariant to the
+    usual ULP-then-quantize tolerance. One key join on the match set;
+    never a corpus scan."""
+    if boost_mode not in {"multiply", "sum", "replace"}:
+        raise ValueError("boost_mode must be multiply, sum or replace")
+    if not (0.0 < decay < 1.0) or scale <= 0:
+        raise ValueError("need 0 < decay < 1 and scale > 0")
+    lam = decay_lambda(mode, scale, decay)
+    d = F.greatest(
+        F.abs(F.col("v").cast("double") - F.lit(float(origin))) - F.lit(float(offset)),
+        F.lit(0.0),
+    )
+    if mode == "gauss":
+        dec = F.exp(F.lit(lam) * d * d)
+    elif mode == "exp":
+        dec = F.exp(F.lit(lam) * d)
+    else:
+        dec = F.greatest(F.lit(1.0) + F.lit(lam) * d, F.lit(0.0))
+    combined = {
+        "multiply": F.col(score_col) * dec,
+        "sum": F.col(score_col) + dec,
+        "replace": dec,
+    }[boost_mode]
+    return scored.join(meta.select("doc_id", "v"), "doc_id").withColumn(
+        "final_score", combined
+    )
+
+
+def decay_lambda(mode: str, scale: float, decay: float = 0.5) -> float:
+    """The λ literal :func:`function_score_decay` injects — exposed so
+    oracle builders embed the bit-identical constant."""
+    import math
+
+    if mode == "gauss":
+        return math.log(decay) / (scale * scale)
+    if mode == "exp":
+        return math.log(decay) / scale
+    if mode == "linear":
+        return -(1.0 - decay) / scale
+    raise ValueError("mode must be gauss, exp or linear")
+
+
 def mmr_diversify(
     topk_pdf: pd.DataFrame,
     k: int = 10,

@@ -1,0 +1,124 @@
+"""Field collapsing, decay function scoring, bucketed top-hits and the
+date histogram (query/ranking.py, query/facets.py): recompute parity
+on small frames plus validation edges. End-to-end scoring paths are
+pinned by the four DuckDB value-oracle gates."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.query.facets import date_histogram, top_hits_agg
+from la_fungus_search_spark.query.ranking import (
+    collapse_topk,
+    decay_lambda,
+    function_score_decay,
+)
+
+SCORED = [
+    # (query_id, doc_id, score)
+    (0, 1, 9.0), (0, 2, 7.0), (0, 3, 7.0), (0, 4, 5.0), (0, 5, 1.0),
+    (1, 2, 4.0), (1, 5, 4.0),
+]
+META = [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c")]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    scored = spark.createDataFrame(SCORED, "query_id INT, doc_id BIGINT, score DOUBLE")
+    meta = spark.createDataFrame(META, "doc_id BIGINT, value STRING")
+    return scored, meta
+
+
+def test_collapse_semantics(frames):
+    scored, meta = frames
+    rows = collapse_topk(scored, meta, k=10).collect()
+    got = [
+        (r["query_id"], r["rank"], r["value"], r["doc_id"], r["inner_hits"])
+        for r in rows
+    ]
+    # q0: a -> best doc 1 (2 hits), b -> doc 3 (ties 7.0 break by id; 2 hits), c -> doc 5
+    # q1: score tie 4.0 breaks by doc_id -> a(doc 2) then c(doc 5)
+    assert got == [
+        (0, 1, "a", 1, 2), (0, 2, "b", 3, 2), (0, 3, "c", 5, 1),
+        (1, 1, "a", 2, 1), (1, 2, "c", 5, 1),
+    ]
+
+
+def test_top_hits_semantics(frames):
+    scored, meta = frames
+    rows = top_hits_agg(scored, meta, n_buckets=2, hits_per_bucket=1).collect()
+    got = [
+        (r["query_id"], r["bucket_rank"], r["value"], r["doc_count"], r["hit_rank"], r["doc_id"])
+        for r in rows
+    ]
+    # q0 buckets by size: a(2) b(2) c(1) -> value tie-break a, b; best hit each
+    # q1: a(1) c(1) -> a, c
+    assert got == [
+        (0, 1, "a", 2, 1, 1), (0, 2, "b", 2, 1, 3),
+        (1, 1, "a", 1, 1, 2), (1, 2, "c", 1, 1, 5),
+    ]
+    with pytest.raises(ValueError):
+        top_hits_agg(scored, meta, n_buckets=0)
+
+
+@pytest.mark.parametrize("mode", ["gauss", "exp", "linear"])
+def test_decay_formula(spark, frames, mode):
+    scored, _ = frames
+    vals = spark.createDataFrame(
+        [(1, 300), (2, 100), (3, 550), (4, 325), (5, 48)], "doc_id BIGINT, v BIGINT"
+    )
+    out = function_score_decay(
+        scored, vals, origin=300.0, scale=150.0, offset=25.0, decay=0.5, mode=mode
+    ).collect()
+    lam = decay_lambda(mode, 150.0, 0.5)
+    for r in out:
+        d = max(abs(r["v"] - 300.0) - 25.0, 0.0)
+        dec = {
+            "gauss": math.exp(lam * d * d),
+            "exp": math.exp(lam * d),
+            "linear": max(1.0 + lam * d, 0.0),
+        }[mode]
+        assert r["final_score"] == pytest.approx(r["score"] * dec, rel=1e-12)
+    # origin-centred doc decays by exactly 1.0
+    at_origin = [r for r in out if r["doc_id"] == 1]
+    assert all(r["final_score"] == pytest.approx(r["score"]) for r in at_origin)
+
+
+def test_decay_validation(frames):
+    scored, _ = frames
+    with pytest.raises(ValueError):
+        function_score_decay(scored, scored, 0, 10, mode="cosine")
+    with pytest.raises(ValueError):
+        function_score_decay(scored, scored, 0, -1.0)
+    with pytest.raises(ValueError):
+        function_score_decay(scored, scored, 0, 10, decay=1.5)
+    with pytest.raises(ValueError):
+        function_score_decay(scored, scored, 0, 10, boost_mode="pow")
+
+
+def test_date_histogram_shapes(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:15:00", 10, "click", 1.0),
+            (2, "2024-01-01 23:59:59", 10, "click", 3.0),
+            (3, "2024-01-02 00:00:00", 11, "click", 5.0),
+            (4, "2024-01-01 10:30:00", 12, "view", 7.0),
+        ],
+        "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, value DOUBLE",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    day = {(r["grp"], r["bucket"]): (r["n_events"], r["n_users"], r["avg_micro"])
+           for r in date_histogram(ev, "day").collect()}
+    assert day[("click", "2024-01-01")] == (2, 1, 2_000_000)
+    assert day[("click", "2024-01-02")] == (1, 1, 5_000_000)
+    assert day[("view", "2024-01-01")] == (1, 1, 7_000_000)
+    hour = date_histogram(ev, "hour").collect()
+    assert sum(r["n_events"] for r in hour) == 4
+    assert any(r["bucket"] == "2024-01-01 10" and r["n_events"] == 1 and r["grp"] == "click"
+               for r in hour)
+    month = date_histogram(ev, "month").collect()
+    assert {(r["grp"], r["bucket"], r["n_events"]) for r in month} == {
+        ("click", "2024-01", 3), ("view", "2024-01", 1)
+    }
+    with pytest.raises(ValueError):
+        date_histogram(ev, "fortnight")
