@@ -141,6 +141,11 @@ BOOST_SPECS = [
 # Completion-suggester prefixes (expand.suggest_complete, ES
 # completion suggester). "zzz" matches nothing by design.
 COMPLETE_PREFIXES = ["sc", "me", "val", "zzz", "wind"]
+# Phrase-suggester fixtures (expand.suggest_phrase, ES phrase
+# suggester): two-token inputs with one-edit typos adjacent to real
+# corpus bigrams ("table part", "scan slow", "window stream",
+# "merge batch").
+PHRASE_SUGGEST_QUERIES = ["tabl part", "scann slow", "windoww stream", "merge batc"]
 # Query-string mini-language fixtures (query/querystring.py — the
 # Lucene classic-QueryParser subset behind ES `query_string`).
 # Exercises: AND promotion, +/- modifiers, OR/NOT keywords, boosts
@@ -436,6 +441,54 @@ ranked AS (
 )
 SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def _phrase_suggest_oracle_sql(max_cand: int = 5, n: int = 3) -> str:
+    """DuckDB twin of q_phrase_suggest: per-position ed-1 candidates
+    via a levenshtein join against the vocabulary (the fuzzy-oracle
+    idiom), capped (dist ASC, df DESC, term ASC); pairs re-ranked by
+    corpus bigram adjacency counts from two aligned unnest views."""
+    from la_fungus_search_spark.tokenizer import tokenize as corpus_tokenize
+
+    rows = []
+    for qid, p in enumerate(PHRASE_SUGGEST_QUERIES):
+        for pos, t in enumerate(corpus_tokenize(p)):
+            rows.append(f"({qid}, {pos}, '{t}')")
+    return f"""
+WITH {_bm25_base_cte()},
+tokd AS (SELECT doc_id, {duckdb_tokens_sql('text')} AS toks FROM documents),
+bg AS (
+    SELECT w1, w2, count(*)::BIGINT AS n_bigram FROM (
+        SELECT unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+        FROM tokd WHERE len(toks) >= 2
+    ) GROUP BY 1, 2
+),
+qraw(query_id, pos, qterm) AS (VALUES {", ".join(rows)}),
+cand0 AS (
+    SELECT q.query_id, q.pos, i.term, i.df, levenshtein(q.qterm, i.term) AS dist
+    FROM qraw q JOIN idf i ON levenshtein(q.qterm, i.term) <= 1
+),
+cand AS (
+    SELECT query_id, pos, term,
+           row_number() OVER (PARTITION BY query_id, pos
+                              ORDER BY dist ASC, df DESC, term ASC) AS cr
+    FROM cand0
+),
+pairs AS (
+    SELECT c1.query_id, c1.term AS w1, c2.term AS w2
+    FROM cand c1 JOIN cand c2 ON c1.query_id = c2.query_id
+    WHERE c1.pos = 0 AND c2.pos = 1 AND c1.cr <= {max_cand} AND c2.cr <= {max_cand}
+),
+sg AS (
+    SELECT p.query_id, p.w1, p.w2, b.n_bigram,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY b.n_bigram DESC, p.w1 ASC, p.w2 ASC) AS rank
+    FROM pairs p JOIN bg b ON b.w1 = p.w1 AND b.w2 = p.w2
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank,
+       w1 || ' ' || w2 AS suggestion, w1, w2, n_bigram
+FROM sg WHERE rank <= {n} ORDER BY query_id, rank
 """
 
 
@@ -1923,6 +1976,17 @@ def q_boolean_query_topk(spark, sf_dir):
         cand = phrase_ops.phrase_candidates_scan(docs, qp)
     hits = eng.search_boolean(BOOL_QUERIES, k=30, phrase_candidates=cand)
     return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+def q_phrase_suggest(spark, sf_dir):
+    """Phrase did-you-mean (expand.suggest_phrase — ES phrase
+    suggester): per-position ed-1 vocabulary candidates (suggest_terms
+    cap order) re-ranked by corpus bigram adjacency counts; raw counts
+    instead of smoothed log-likelihoods for engine-invariance."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return expand_ops.suggest_phrase(
+        _index(spark, sf_dir), docs, PHRASE_SUGGEST_QUERIES, max_cand=5, n_suggestions=3
+    )
 
 
 def q_collapse_topk(spark, sf_dir):
@@ -3530,6 +3594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_score_topk": q_function_score_topk,
         "top_hits_agg": q_top_hits_agg,
         "date_histogram": q_date_histogram,
+        "phrase_suggest": q_phrase_suggest,
     }
 
 
@@ -3942,6 +4007,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_boosted": _boosted_oracle_sql(),
         "suggest_complete": _suggest_complete_oracle_sql(),
         "boolean_msm_topk": _boolean_msm_oracle_sql(10),
+        "phrase_suggest": _phrase_suggest_oracle_sql(5, 3),
         "collapse_topk": f"""
 WITH {_bm25_base_cte()},
 qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),

@@ -61,7 +61,7 @@ from pyspark.sql import functions as F
 
 from la_fungus_search_spark.index.builder import BM25Index
 from la_fungus_search_spark.query.engine import BM25QueryEngine
-from la_fungus_search_spark.tokenizer import tokenize, tokenize_query
+from la_fungus_search_spark.tokenizer import tokenize, tokenize_query, tokens_expr
 
 # The tokenizer's closed token alphabet (tokenizer.py contract:
 # maximal [A-Za-z0-9_] runs, lowercased) — every vocabulary term is a
@@ -438,3 +438,94 @@ def search_regexp(
     disjunction."""
     exp = regexp_expansions(engine.index, patterns, max_expansions)
     return _search_expanded(engine, exp, k)
+
+
+def suggest_phrase(
+    index: BM25Index,
+    docs: DataFrame,
+    phrases: Sequence[str],
+    max_cand: int = 5,
+    n_suggestions: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Phrase (did-you-mean) suggestions over a corpus bigram model:
+    ``(query_id, rank, suggestion, w1, w2, n_bigram)`` — for each
+    two-token input phrase, candidate corrections are the vocabulary
+    terms within 1 edit of each position (capped ``max_cand`` by
+    (dist ASC, df DESC, term ASC), the :func:`suggest_terms` order),
+    and candidate PAIRS are ranked by how often they actually occur
+    adjacently in the corpus: (n_bigram DESC, w1 ASC, w2 ASC), top
+    ``n_suggestions``. Pairs never observed adjacently are not
+    suggested.
+
+    Public semantics: the Elasticsearch ``phrase`` suggester —
+    candidate generation per position + a bigram language model
+    re-rank. Deterministic contract: raw adjacency counts instead of
+    ES's smoothed log-likelihoods (float smoothing is
+    implementation-defined; counts are engine-invariant integers).
+
+    Physical shape at 100 TB: the bigram model is one corpus pass
+    (two shifted slice views of one token split — the collocations
+    kernel) feeding a partial-aggregated groupBy; candidates are a
+    vocabulary-metadata join against the broadcast ed-1 variant set
+    (the fuzzy-expansion contract); the per-query candidate cross is
+    ≤ ``max_cand``² rows/query joined against the bigram table by
+    key. The corpus never shuffles; in a served system the bigram
+    table persists like the index."""
+    qrows = []
+    for qid, p in enumerate(phrases):
+        ts = tokenize(p or "")
+        if len(ts) != 2:
+            raise ValueError("phrase suggester expects exactly 2 tokens per query")
+        for pos, qt in enumerate(ts):
+            qrows.extend((qid, pos, qt, v) for v in sorted(ed1_variants(qt)))
+    spark = index.spark
+    var = F.broadcast(
+        spark.createDataFrame(
+            qrows or [(-1, 0, "\x00", "\x00")],
+            schema="query_id INT, pos INT, qterm STRING, variant STRING",
+        )
+    )
+    ts_df = index.term_stats.select("term", "df")
+    cand = ts_df.join(var, ts_df["term"] == var["variant"]).select(
+        "query_id", "pos", "term", "df", F.levenshtein("term", "qterm").alias("dist")
+    )
+    w_c = Window.partitionBy("query_id", "pos").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    cand = cand.withColumn("cr", F.row_number().over(w_c)).filter(
+        F.col("cr") <= int(max_cand)
+    )
+    # corpus bigram model: two shifted slice views of one token array
+    tokd = docs.select(tokens_expr(text_col).alias("toks"))
+    n = F.size("toks")
+    pairs = F.zip_with(
+        F.slice("toks", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("toks", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        tokd.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("n_bigram"))
+    )
+    c1 = cand.filter(F.col("pos") == 0).select("query_id", F.col("term").alias("w1"))
+    c2 = cand.filter(F.col("pos") == 1).select("query_id", F.col("term").alias("w2"))
+    scored = c1.join(c2, "query_id").join(bg, ["w1", "w2"])
+    w_s = Window.partitionBy("query_id").orderBy(
+        F.desc("n_bigram"), F.asc("w1"), F.asc("w2")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_s))
+        .filter(F.col("rank") <= int(n_suggestions))
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.concat_ws(" ", "w1", "w2").alias("suggestion"),
+            "w1",
+            "w2",
+            "n_bigram",
+        )
+        .orderBy("query_id", "rank")
+    )

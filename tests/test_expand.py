@@ -275,3 +275,32 @@ def test_regexp_expansions_and_search(setup):
     for qid in (0, 1, 2):
         want = [d for d, _ in oracle.top_k(got[qid], 10)]
         assert hits.get(qid, []) == want, pats[qid]
+
+
+def test_suggest_phrase_corrects_to_corpus_bigrams(spark):
+    from la_fungus_search_spark.query.expand import suggest_phrase
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    idx = build_index(
+        spark, docs.withColumnRenamed("text", "content"), id_col="doc_id"
+    )
+    out = suggest_phrase(
+        idx, docs, ["tabl part", "scann slow"], max_cand=5, n_suggestions=3
+    ).collect()
+    top = {r["query_id"]: r["suggestion"] for r in out if r["rank"] == 1}
+    assert top == {0: "table part", 1: "scan slow"}
+    # every suggested pair must actually occur adjacently
+    import re as _re
+
+    texts = [r["text"] for r in docs.collect()]
+    for r in out:
+        found = any(
+            _re.search(rf"\b{r['w1']}\s+{r['w2']}\b", t.lower()) for t in texts
+        )
+        assert found, (r["w1"], r["w2"])
+    with pytest.raises(ValueError):
+        suggest_phrase(idx, docs, ["three token phrase"])
+    with pytest.raises(ValueError):
+        suggest_phrase(idx, docs, ["single"])
