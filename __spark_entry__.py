@@ -43,6 +43,7 @@ from la_fungus_search_spark.query import expand as expand_ops
 from la_fungus_search_spark.query import facets as facet_ops
 from la_fungus_search_spark.query import feedback as feedback_ops
 from la_fungus_search_spark.query import phrase as phrase_ops
+from la_fungus_search_spark.query import multifield as multifield_ops
 from la_fungus_search_spark.query import parentchild as parentchild_ops
 from la_fungus_search_spark.query import querystring as qs_ops
 from la_fungus_search_spark.query.ranking import (
@@ -440,6 +441,50 @@ ranked AS (
     FROM qz
 )
 SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def _multi_match_oracle_sql(mode: str, k: int = 10) -> str:
+    """DuckDB twin of the multi_match gates: the two derived fields
+    (title = first 8 corpus tokens, body = rest) as index units with
+    their own stats via the shared base CTE, folded back to docs by
+    max/sum(boost · score) — the identical CASE boost literals and
+    fold as the Spark path."""
+    fold = "max" if mode == "best_fields" else "sum"
+    boost_case = "CASE " + " ".join(
+        f"WHEN s.doc_id % {len(MULTI_FIELD_BOOSTS)} = {i} THEN {float(b)!r}"
+        for i, b in enumerate(MULTI_FIELD_BOOSTS)
+    ) + " END"
+    return f"""
+WITH tokd0 AS (SELECT doc_id, {duckdb_tokens_sql('text')} AS tk FROM documents),
+fields AS (
+    SELECT doc_id * 2 AS unit_id, array_to_string(tk[1:8], ' ') AS content FROM tokd0
+    UNION ALL
+    SELECT doc_id * 2 + 1 AS unit_id, array_to_string(tk[9:len(tk)], ' ') AS content FROM tokd0
+),
+{_bm25_base_cte(src="fields", id_col="unit_id", text_col="content")},
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt JOIN idf USING (term) JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+mmf AS (
+    SELECT s.query_id, (s.doc_id // {len(MULTI_FIELD_BOOSTS)})::BIGINT AS doc_id,
+           {fold}(({boost_case}) * s.score) AS score,
+           count(*)::INT AS n_fields_matched
+    FROM scored s GROUP BY 1, 2
+),
+qz AS (SELECT query_id, doc_id, n_fields_matched, round(score * 1e6)::BIGINT AS score_q FROM mmf),
+ranked AS (
+    SELECT query_id, doc_id, n_fields_matched, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, n_fields_matched, score_q
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
 
@@ -1976,6 +2021,66 @@ def q_boolean_query_topk(spark, sf_dir):
         cand = phrase_ops.phrase_candidates_scan(docs, qp)
     hits = eng.search_boolean(BOOL_QUERIES, k=30, phrase_candidates=cand)
     return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+MULTI_FIELD_BOOSTS = [2.0, 1.0]  # title^2, body
+
+
+def _field_units(spark, sf_dir):
+    """(unit_id, doc_id, field_idx, content): title = first 8 corpus
+    tokens, body = the rest — the derived two-field view both
+    multi_match gates and their oracles index (unit = doc_id·2 +
+    field_idx)."""
+    from la_fungus_search_spark.tokenizer import tokens_expr
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id", tokens_expr(F.col("text")).alias("toks")
+    )
+    fields = {
+        "title": F.array_join(F.slice("toks", 1, 8), " "),
+        "body": F.array_join(
+            F.slice("toks", 9, F.greatest(F.size("toks") - 8, F.lit(0))), " "
+        ),
+    }
+    return multifield_ops.explode_fields(d, fields)
+
+
+def _q_multi_match(spark, sf_dir, mode):
+    units = _field_units(spark, sf_dir)
+    eng = BM25QueryEngine(
+        build_index(spark, units.select("unit_id", "content"), id_col="unit_id")
+    )
+    folded = multifield_ops.multi_match(eng, BM25_QUERIES, MULTI_FIELD_BOOSTS, mode=mode)
+    q = folded.select(
+        "query_id", "doc_id", "n_fields_matched", _micro(F.col("score")).alias("score_q")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        q.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("n_fields_matched").cast("int").alias("n_fields_matched"),
+            "score_q",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_multi_match_best(spark, sf_dir):
+    """multi_match best_fields (query/multifield.py — ES multi_match /
+    Lucene DisMax): title^2 + body fields as index units with their
+    own stats; doc scores as MAX(boost · field score) — max folding is
+    order-insensitive, so both engines agree bitwise pre-quantize."""
+    return _q_multi_match(spark, sf_dir, "best_fields")
+
+
+def q_multi_match_most(spark, sf_dir):
+    """multi_match most_fields: SUM(boost · field score) over the same
+    two-field unit index."""
+    return _q_multi_match(spark, sf_dir, "most_fields")
 
 
 def q_phrase_suggest(spark, sf_dir):
@@ -3595,6 +3700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_hits_agg": q_top_hits_agg,
         "date_histogram": q_date_histogram,
         "phrase_suggest": q_phrase_suggest,
+        "multi_match_best": q_multi_match_best,
+        "multi_match_most": q_multi_match_most,
     }
 
 
@@ -4008,6 +4115,8 @@ def oracle_sql() -> dict[str, str]:
         "suggest_complete": _suggest_complete_oracle_sql(),
         "boolean_msm_topk": _boolean_msm_oracle_sql(10),
         "phrase_suggest": _phrase_suggest_oracle_sql(5, 3),
+        "multi_match_best": _multi_match_oracle_sql("best_fields", 10),
+        "multi_match_most": _multi_match_oracle_sql("most_fields", 10),
         "collapse_topk": f"""
 WITH {_bm25_base_cte()},
 qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),

@@ -1,0 +1,105 @@
+"""Multi-field retrieval: ``multi_match`` over weighted fields.
+
+Public semantics: the Elasticsearch ``multi_match`` query —
+
+* ``best_fields`` (Lucene ``DisjunctionMaxQuery``): a doc scores as
+  the MAX of its per-field scores × field boost;
+* ``most_fields``: the SUM of per-field scores × boost.
+
+Like ES, each field is scored against its own statistics (per-field
+df / avgdl): the field corpus is indexed as its own document unit, so
+a term rare in titles but common in bodies gets a high title idf —
+the behavior that makes ``best_fields`` useful.
+
+Physical shape at 100 TB: fields become index units via a composite
+id (``doc_id · n_fields + field_idx``) — ONE index build over the
+field-exploded corpus, one bucket-pruned scored pass per query set,
+one map-side-combinable groupBy to fold units back to docs. No extra
+corpus scans per field; ``max`` folding is order-insensitive
+(bitwise engine-invariant), ``sum`` carries the usual
+quantize-after-aggregation caveat.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .engine import BM25QueryEngine
+
+
+def explode_fields(docs: DataFrame, fields: Dict[str, F.Column], id_col: str = "doc_id") -> DataFrame:
+    """(unit_id, doc_id, field_idx, content) — one row per (doc,
+    field), ``unit_id = doc_id·n_fields + field_idx`` with fields in
+    the given dict order. Feed the result to ``build_index(...,
+    id_col="unit_id")``; keep the mapping implicit in the id so no
+    side table ever shuffles."""
+    n = len(fields)
+    if n == 0:
+        raise ValueError("need at least one field")
+    branches = [
+        docs.select(
+            (F.col(id_col) * n + i).alias("unit_id"),
+            F.col(id_col).alias("doc_id"),
+            F.lit(i).alias("field_idx"),
+            expr.alias("content"),
+        )
+        for i, (_, expr) in enumerate(fields.items())
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def multi_match(
+    engine: BM25QueryEngine,
+    queries: Sequence[str],
+    boosts: Sequence[float],
+    mode: str = "best_fields",
+) -> DataFrame:
+    """Folded per-doc scores → ``(query_id, doc_id, score,
+    n_fields_matched)`` (pre-rank floats; chain :func:`rank_topk`).
+
+    ``engine`` must index the field-exploded unit (see
+    :func:`explode_fields`); ``boosts[i]`` weights field i. The unit
+    id decodes as ``doc_id = unit // n_fields``,
+    ``field_idx = unit % n_fields``."""
+    if mode not in {"best_fields", "most_fields"}:
+        raise ValueError("mode must be best_fields or most_fields")
+    if not boosts:
+        raise ValueError("need at least one field boost")
+    n = len(boosts)
+    scored = engine.scored_sql(queries).select("query_id", "doc_id", "score")
+    bmap = F.broadcast(
+        engine.spark.createDataFrame(
+            [(i, float(b)) for i, b in enumerate(boosts)],
+            schema="field_idx INT, boost DOUBLE",
+        )
+    )
+    per_field = scored.select(
+        "query_id",
+        (F.col("doc_id") / n).cast("bigint").alias("parent"),
+        (F.col("doc_id") % n).cast("int").alias("field_idx"),
+        "score",
+    ).join(bmap, "field_idx")
+    fold = (F.max if mode == "best_fields" else F.sum)(
+        F.col("boost") * F.col("score")
+    )
+    return (
+        per_field.groupBy("query_id", F.col("parent").alias("doc_id"))
+        .agg(fold.alias("score"), F.count("*").cast("int").alias("n_fields_matched"))
+    )
+
+
+def rank_topk(folded: DataFrame, k: int = 10) -> DataFrame:
+    """(query_id, rank, doc_id, ...) — the engine-wide deterministic
+    rank: score DESC, doc_id ASC."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        folded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

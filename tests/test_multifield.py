@@ -1,0 +1,94 @@
+"""multi_match over derived fields (query/multifield.py): field
+explosion shape, best_fields == DisMax / most_fields == weighted-sum
+semantics vs a recompute from the unit-level scored set, and
+validation. End-to-end scoring is pinned by the two DuckDB
+value-oracle gates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.index import build_index
+from la_fungus_search_spark.query import BM25QueryEngine
+from la_fungus_search_spark.query.multifield import (
+    explode_fields,
+    multi_match,
+    rank_topk,
+)
+from la_fungus_search_spark.tokenizer import tokens_expr
+
+SF = "/root/testdata/sf0.001"
+QUERIES = ["hash join table scan", "window agg sort order", "merge"]
+BOOSTS = [2.0, 1.0]
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    d = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", tokens_expr(F.col("text")).alias("toks"))
+    )
+    fields = {
+        "title": F.array_join(F.slice("toks", 1, 8), " "),
+        "body": F.array_join(
+            F.slice("toks", 9, F.greatest(F.size("toks") - 8, F.lit(0))), " "
+        ),
+    }
+    units = explode_fields(d, fields)
+    eng = BM25QueryEngine(
+        build_index(spark, units.select("unit_id", "content"), id_col="unit_id")
+    )
+    return eng, units
+
+
+def test_explode_fields_shape(setup):
+    _, units = setup
+    rows = units.collect()
+    by_doc = {}
+    for r in rows:
+        assert r["unit_id"] == r["doc_id"] * 2 + r["field_idx"]
+        by_doc.setdefault(r["doc_id"], set()).add(r["field_idx"])
+    assert all(v == {0, 1} for v in by_doc.values())
+
+
+@pytest.mark.parametrize("mode", ["best_fields", "most_fields"])
+def test_fold_vs_recompute(setup, mode):
+    eng, _ = setup
+    got = {
+        (r["query_id"], r["doc_id"]): (round(r["score"], 9), r["n_fields_matched"])
+        for r in multi_match(eng, QUERIES, BOOSTS, mode=mode).collect()
+    }
+    unit = eng.scored_sql(QUERIES).select("query_id", "doc_id", "score").collect()
+    groups = {}
+    for r in unit:
+        key = (r["query_id"], r["doc_id"] // 2)
+        groups.setdefault(key, []).append(BOOSTS[r["doc_id"] % 2] * r["score"])
+    fold = max if mode == "best_fields" else sum
+    expect = {k: (round(fold(v), 9), len(v)) for k, v in groups.items()}
+    assert got == expect and got
+
+
+def test_title_boost_changes_ranking(setup):
+    """A term sitting in a doc's title (first 8 tokens) must outrank
+    the same term deep in another doc's body once title is boosted —
+    the reason multi_match exists."""
+    eng, units = setup
+    folded = rank_topk(multi_match(eng, ["merge"], BOOSTS, mode="best_fields"), k=1000)
+    rows = folded.collect()
+    title_hits = {
+        r["doc_id"]
+        for r in units.filter(
+            (F.col("field_idx") == 0) & F.col("content").contains("merge")
+        ).collect()
+    }
+    top = [r["doc_id"] for r in rows[:5]]
+    assert any(d in title_hits for d in top)
+
+
+def test_validation(setup):
+    eng, _ = setup
+    with pytest.raises(ValueError):
+        multi_match(eng, QUERIES, BOOSTS, mode="cross_fields")
+    with pytest.raises(ValueError):
+        multi_match(eng, QUERIES, [])
+    with pytest.raises(ValueError):
+        explode_fields(None, {})
