@@ -297,6 +297,16 @@ def bench_main(results: dict):
         "facet_stats",
         "bm25_topk_boosted",
         "suggest_complete",
+        "query_string_topk",
+        "boolean_msm_topk",
+        "has_child_topk",
+        "collapse_topk",
+        "function_score_topk",
+        "top_hits_agg",
+        "date_histogram",
+        "phrase_suggest",
+        "multi_match_best",
+        "multi_match_most",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25
