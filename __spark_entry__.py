@@ -445,17 +445,25 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
-def _multi_match_oracle_sql(mode: str, k: int = 10) -> str:
-    """DuckDB twin of the multi_match gates: the two derived fields
-    (title = first 8 corpus tokens, body = rest) as index units with
-    their own stats via the shared base CTE, folded back to docs by
-    max/sum(boost · score) — the identical CASE boost literals and
-    fold as the Spark path."""
-    fold = "max" if mode == "best_fields" else "sum"
+def _multi_match_oracle_sql(mode: str, k: int = 10, tie_breaker: float = 0.0) -> str:
+    """DuckDB twin of the multi_match / dis_max gates: the two derived
+    fields (title = first 8 corpus tokens, body = rest) as index units
+    with their own stats via the shared base CTE, folded back to docs
+    by max/sum(boost · score) — the identical CASE boost literals and
+    fold as the Spark path. ``tie_breaker`` ≠ 0 folds the full Lucene
+    DisMax ``max + tie·(sum − max)`` with the same float literal the
+    Spark expression embeds."""
+    if tie_breaker:
+        fold_tpl = (
+            "max({w}) + " + repr(float(tie_breaker)) + " * (sum({w}) - max({w}))"
+        )
+    else:
+        fold_tpl = ("max({w})" if mode == "best_fields" else "sum({w})")
     boost_case = "CASE " + " ".join(
         f"WHEN s.doc_id % {len(MULTI_FIELD_BOOSTS)} = {i} THEN {float(b)!r}"
         for i, b in enumerate(MULTI_FIELD_BOOSTS)
     ) + " END"
+    fold = fold_tpl.format(w=f"({boost_case}) * s.score")
     return f"""
 WITH tokd0 AS (SELECT doc_id, {duckdb_tokens_sql('text')} AS tk FROM documents),
 fields AS (
@@ -474,7 +482,7 @@ scored AS (
 ),
 mmf AS (
     SELECT s.query_id, (s.doc_id // {len(MULTI_FIELD_BOOSTS)})::BIGINT AS doc_id,
-           {fold}(({boost_case}) * s.score) AS score,
+           {fold} AS score,
            count(*)::INT AS n_fields_matched
     FROM scored s GROUP BY 1, 2
 ),
@@ -485,6 +493,90 @@ ranked AS (
     FROM qz
 )
 SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, n_fields_matched, score_q
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def _combined_fields_oracle_sql(k: int = 10) -> str:
+    """DuckDB twin of the combined_fields (BM25F) gate: weighted
+    pseudo-tf and blended doclen folded as per-addend micro-BIGINT
+    sums (exact in any order, the Spark operator's construction),
+    any-field df, Lucene idf ``ln(1 + (N − df + 0.5)/(df + 0.5))``,
+    avgdl̃ computed with the identical ``total::DOUBLE / (1e6 · N)``
+    op order the Spark driver uses."""
+    n = len(MULTI_FIELD_BOOSTS)
+    boost_case = "CASE " + " ".join(
+        f"WHEN field_idx = {i} THEN {float(b)!r}"
+        for i, b in enumerate(MULTI_FIELD_BOOSTS)
+    ) + " END"
+    return f"""
+WITH tokd0 AS (SELECT doc_id, {duckdb_tokens_sql('text')} AS tk FROM documents),
+fields AS (
+    SELECT doc_id * {n} AS unit_id, 0 AS field_idx,
+           array_to_string(tk[1:8], ' ') AS content FROM tokd0
+    UNION ALL
+    SELECT doc_id * {n} + 1 AS unit_id, 1 AS field_idx,
+           array_to_string(tk[9:len(tk)], ' ') AS content FROM tokd0
+),
+tok AS (
+    SELECT unit_id, field_idx, unnest({duckdb_tokens_sql('content')}) AS term
+    FROM fields
+),
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),
+tfu AS (
+    SELECT term, unit_id, field_idx, count(*)::BIGINT AS tf
+    FROM tok GROUP BY 1, 2, 3
+),
+tfw AS (
+    SELECT t.term, (t.unit_id // {n})::BIGINT AS parent,
+           sum(round(({boost_case}) * t.tf * 1e6)::BIGINT)::BIGINT AS tfw_micro
+    FROM tfu t JOIN (SELECT DISTINCT term FROM qt) q USING (term)
+    GROUP BY 1, 2
+),
+dfc AS (SELECT term, count(*)::BIGINT AS dfc FROM tfw GROUP BY 1),
+dlu AS (
+    SELECT f.unit_id, f.field_idx, coalesce(c.cnt, 0)::BIGINT AS doclen
+    FROM fields f
+    LEFT JOIN (SELECT unit_id, count(*) AS cnt FROM tok GROUP BY 1) c USING (unit_id)
+),
+dlw AS (
+    SELECT (unit_id // {n})::BIGINT AS parent,
+           sum(round(({boost_case}) * doclen * 1e6)::BIGINT)::BIGINT AS dlw_micro
+    FROM dlu GROUP BY 1
+),
+g AS (
+    SELECT count(*)::BIGINT AS n_parents, sum(dlw_micro)::BIGINT AS total
+    FROM dlw
+),
+avg_w AS (
+    SELECT total::DOUBLE / (1e6 * n_parents) AS avgdl FROM g
+),
+scored AS (
+    SELECT qt.query_id, w.parent AS doc_id,
+           sum(
+               qt.qtf
+               * ln(1.0 + (((SELECT n_parents FROM g)::DOUBLE - d.dfc + 0.5) / (d.dfc + 0.5)))
+               * ((w.tfw_micro / 1e6) * {K1 + 1.0})
+               / ((w.tfw_micro / 1e6)
+                  + {K1} * ({1.0 - B} + {B} * (l.dlw_micro / 1e6) / (SELECT avgdl FROM avg_w)))
+           ) AS score,
+           count(*)::INT AS n_terms_matched
+    FROM qt
+    JOIN tfw w USING (term)
+    JOIN dfc d USING (term)
+    JOIN dlw l ON w.parent = l.parent
+    GROUP BY 1, 2
+),
+qz AS (
+    SELECT query_id, doc_id, n_terms_matched, round(score * 1e6)::BIGINT AS score_q
+    FROM scored
+),
+ranked AS (
+    SELECT query_id, doc_id, n_terms_matched, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, n_terms_matched, score_q
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
 
@@ -2045,12 +2137,14 @@ def _field_units(spark, sf_dir):
     return multifield_ops.explode_fields(d, fields)
 
 
-def _q_multi_match(spark, sf_dir, mode):
+def _q_multi_match(spark, sf_dir, mode, tie_breaker: float = 0.0):
     units = _field_units(spark, sf_dir)
     eng = BM25QueryEngine(
         build_index(spark, units.select("unit_id", "content"), id_col="unit_id")
     )
-    folded = multifield_ops.multi_match(eng, BM25_QUERIES, MULTI_FIELD_BOOSTS, mode=mode)
+    folded = multifield_ops.multi_match(
+        eng, BM25_QUERIES, MULTI_FIELD_BOOSTS, mode=mode, tie_breaker=tie_breaker
+    )
     q = folded.select(
         "query_id", "doc_id", "n_fields_matched", _micro(F.col("score")).alias("score_q")
     )
@@ -2081,6 +2175,72 @@ def q_multi_match_most(spark, sf_dir):
     """multi_match most_fields: SUM(boost · field score) over the same
     two-field unit index."""
     return _q_multi_match(spark, sf_dir, "most_fields")
+
+
+def q_dis_max_topk(spark, sf_dir):
+    """Full DisMax (query/multifield.py multi_match with
+    tie_breaker=0.3 — Lucene DisjunctionMaxQuery(tieBreaker) / ES
+    multi_match tie_breaker): doc scores as max + 0.3·(sum − max)
+    over its per-field boosted scores; tie 0 is the multi_match_best
+    gate, tie 1 degenerates to most_fields — this gate pins the
+    genuinely-between point."""
+    return _q_multi_match(spark, sf_dir, "best_fields", tie_breaker=0.3)
+
+
+def q_combined_fields_topk(spark, sf_dir):
+    """BM25F (query/multifield.py combined_fields — ES combined_fields
+    / Robertson-Zaragoza CIKM 2004): term-centric blend of the same
+    title^2+body derived fields — weighted pseudo-tf and blended
+    doclen folded as exact micro-BIGINT sums, Lucene idf over
+    any-field df. The field-centric multi_match gates and this one
+    bracket the two public multi-field scoring families."""
+    units = _field_units(spark, sf_dir)
+    eng = BM25QueryEngine(
+        build_index(spark, units.select("unit_id", "content"), id_col="unit_id")
+    )
+    folded = multifield_ops.combined_fields(eng, BM25_QUERIES, MULTI_FIELD_BOOSTS)
+    q = folded.select(
+        "query_id", "doc_id", "n_terms_matched", _micro(F.col("score")).alias("score_q")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        q.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("n_terms_matched").cast("int").alias("n_terms_matched"),
+            "score_q",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_pipeline_aggs(spark, sf_dir):
+    """Pipeline aggregations (query/facets.py date_histogram_pipeline
+    — ES cumulative_sum / derivative / moving_fn over a parent
+    date_histogram): per (event_type, day) — running total, first
+    difference (NULL on each group's first bucket, the ES contract),
+    and a trailing-3-bucket moving average; integer arithmetic to the
+    single terminal division."""
+    return facet_ops.date_histogram_pipeline(
+        _events(spark, sf_dir), interval="day", moving_window=3
+    )
+
+
+def q_composite_agg_page(spark, sf_dir):
+    """Composite aggregation page 2 (query/facets.py
+    composite_agg_page — the ES composite agg with after-key
+    pagination, the bucket-space twin of search_after): page 1's last
+    key tuple (computed from the same deterministic key order) feeds
+    ``after``; the gate returns the second 8-bucket page over
+    (event_type, day) sources. The oracle states the spec — page 2 ≡
+    key ranks 9..16 of the ordered bucket stream."""
+    ev = _events(spark, sf_dir)
+    p1 = facet_ops.composite_agg_page(ev, size=8).collect()
+    last = max((r["grp"], r["bucket"]) for r in p1)
+    return facet_ops.composite_agg_page(ev, size=8, after=last)
 
 
 def q_phrase_suggest(spark, sf_dir):
@@ -3702,6 +3862,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_suggest": q_phrase_suggest,
         "multi_match_best": q_multi_match_best,
         "multi_match_most": q_multi_match_most,
+        # eighth wave (late r4): same driver-prefix rationale as the
+        # seventh — full DuckDB value-oracles + pytest, local
+        # check_entry.py verification this round, prefix rotation in r5
+        "dis_max_topk": q_dis_max_topk,
+        "combined_fields_topk": q_combined_fields_topk,
+        "pipeline_aggs": q_pipeline_aggs,
+        "composite_agg_page": q_composite_agg_page,
     }
 
 
@@ -4117,6 +4284,43 @@ def oracle_sql() -> dict[str, str]:
         "phrase_suggest": _phrase_suggest_oracle_sql(5, 3),
         "multi_match_best": _multi_match_oracle_sql("best_fields", 10),
         "multi_match_most": _multi_match_oracle_sql("most_fields", 10),
+        "dis_max_topk": _multi_match_oracle_sql("best_fields", 10, tie_breaker=0.3),
+        "combined_fields_topk": _combined_fields_oracle_sql(10),
+        "pipeline_aggs": """
+WITH h AS (
+    SELECT event_type AS grp, strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+           count(*)::BIGINT AS n_events
+    FROM events GROUP BY 1, 2
+)
+SELECT grp, bucket, n_events,
+       sum(n_events) OVER (
+           PARTITION BY grp ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       )::BIGINT AS cum_events,
+       (n_events - lag(n_events) OVER (PARTITION BY grp ORDER BY bucket))::BIGINT
+           AS deriv_events,
+       round(
+           sum(n_events) OVER (
+               PARTITION BY grp ORDER BY bucket
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           )::BIGINT * 1e6
+           / count(n_events) OVER (
+               PARTITION BY grp ORDER BY bucket
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           )
+       )::BIGINT AS mov_avg_micro
+FROM h ORDER BY grp, bucket
+""",
+        "composite_agg_page": """
+WITH a AS (
+    SELECT event_type AS grp, strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+           count(*)::BIGINT AS doc_count, round(sum(value) * 1e6)::BIGINT AS sum_micro
+    FROM events GROUP BY 1, 2
+),
+r AS (SELECT *, row_number() OVER (ORDER BY grp, bucket) AS rn FROM a)
+SELECT grp, bucket, doc_count, sum_micro
+FROM r WHERE rn BETWEEN 9 AND 16 ORDER BY grp, bucket
+""",
         "collapse_topk": f"""
 WITH {_bm25_base_cte()},
 qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),

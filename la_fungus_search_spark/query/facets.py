@@ -262,6 +262,104 @@ def date_histogram(
     )
 
 
+def date_histogram_pipeline(
+    events: DataFrame,
+    interval: str = "day",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    moving_window: int = 3,
+) -> DataFrame:
+    """Pipeline aggregations over a date_histogram (the ES
+    ``cumulative_sum`` / ``derivative`` / ``moving_fn`` pipeline
+    aggs): per (group, calendar bucket) —
+
+    * ``n_events`` — the parent histogram's bucket count,
+    * ``cum_events`` — running total over the group's bucket series,
+    * ``deriv_events`` — first difference vs the previous bucket
+      (NULL on each group's first bucket, exactly ES's ``derivative``
+      which emits nothing where no previous bucket exists),
+    * ``mov_avg_micro`` — trailing-``moving_window``-bucket average
+      (window clipped at the series start like ``moving_fn`` with
+      ``shift=1``), micro-quantized.
+
+    Everything is integer arithmetic until the single terminal
+    division (exact BIGINT sums / counts), so both engines compute
+    the identical double before quantization.
+
+    Physical shape: the parent histogram is one partial-aggregated
+    groupBy (bucket-count-sized output); the pipeline stage is three
+    window functions over that ALREADY-AGGREGATED frame, partitioned
+    by group — cost ∝ number of buckets, never event rows. At 100 TB
+    the bucket series per group is calendar-bounded (365/day-bucket
+    per year), so the window state is trivially driver-of-magnitude
+    small no matter the corpus."""
+    if moving_window <= 0:
+        raise ValueError("moving_window must be positive")
+    hist = date_histogram(
+        events, interval=interval, group_col=group_col, ts_col=ts_col,
+        value_col=value_col,
+    ).select("grp", "bucket", "n_events")
+    w_ord = Window.partitionBy("grp").orderBy("bucket")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_mov = w_ord.rowsBetween(-(moving_window - 1), 0)
+    mov_sum = F.sum("n_events").over(w_mov)
+    mov_cnt = F.count("n_events").over(w_mov)
+    return hist.select(
+        "grp",
+        "bucket",
+        "n_events",
+        F.sum("n_events").over(w_cum).cast("bigint").alias("cum_events"),
+        (F.col("n_events") - F.lag("n_events", 1).over(w_ord)).cast("bigint").alias("deriv_events"),
+        F.round(mov_sum * F.lit(float(SCALE)) / mov_cnt).cast("bigint").alias("mov_avg_micro"),
+    ).orderBy("grp", "bucket")
+
+
+def composite_agg_page(
+    events: DataFrame,
+    size: int,
+    after: tuple | None = None,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """One page of an ES ``composite`` aggregation over the sources
+    ``(group_col, day-truncated ts)``: buckets stream in key order
+    (group ASC, bucket ASC) and the client pages with the last
+    returned key tuple as ``after`` — the aggregation counterpart of
+    ``search_after`` (same reason it exists: deep bucket pagination
+    without re-ranking ever-growing state).
+
+    Returns ``(grp, bucket, doc_count, sum_micro)`` for the first
+    ``size`` buckets whose key tuple sorts strictly after ``after``
+    (lexicographic over the two sources), or the first page when
+    ``after`` is None.
+
+    Physical shape: the bucket frame is one partial-aggregated
+    groupBy; the after-key predicate filters buckets BEFORE the
+    single size-bounded sort, so page depth never inflates sorted
+    state (the composite contract). Cost ∝ total buckets, not rows —
+    and the tuple predicate pushes to the aggregated frame, not the
+    fact table."""
+    if size <= 0:
+        raise ValueError("size must be positive")
+    bucket = F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd")
+    agg = (
+        events.groupBy(F.col(group_col).alias("grp"), bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("doc_count"),
+            _quantize(F.sum(value_col)).alias("sum_micro"),
+        )
+    )
+    if after is not None:
+        a_grp, a_bucket = after
+        agg = agg.filter(
+            (F.col("grp") > F.lit(a_grp))
+            | ((F.col("grp") == F.lit(a_grp)) & (F.col("bucket") > F.lit(a_bucket)))
+        )
+    return agg.orderBy("grp", "bucket").limit(size)
+
+
 def significant_terms(
     engine: BM25QueryEngine,
     docs_df: DataFrame,

@@ -22,12 +22,17 @@ quantize-after-aggregation caveat.
 
 from __future__ import annotations
 
+from collections import Counter
 from typing import Dict, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from la_fungus_search_spark.tokenizer import tokenize_query
+
 from .engine import BM25QueryEngine
+
+MICRO = 1_000_000
 
 
 def explode_fields(docs: DataFrame, fields: Dict[str, F.Column], id_col: str = "doc_id") -> DataFrame:
@@ -59,6 +64,7 @@ def multi_match(
     queries: Sequence[str],
     boosts: Sequence[float],
     mode: str = "best_fields",
+    tie_breaker: float = 0.0,
 ) -> DataFrame:
     """Folded per-doc scores → ``(query_id, doc_id, score,
     n_fields_matched)`` (pre-rank floats; chain :func:`rank_topk`).
@@ -66,11 +72,25 @@ def multi_match(
     ``engine`` must index the field-exploded unit (see
     :func:`explode_fields`); ``boosts[i]`` weights field i. The unit
     id decodes as ``doc_id = unit // n_fields``,
-    ``field_idx = unit % n_fields``."""
+    ``field_idx = unit % n_fields``.
+
+    ``tie_breaker`` (best_fields only) is the full Lucene
+    ``DisjunctionMaxQuery(tieBreakerMultiplier)`` / ES ``multi_match``
+    ``tie_breaker`` parameter: the doc scores as
+    ``max + tie_breaker · (sum − max)`` over its per-field boosted
+    scores — 0 is pure dis-max (the default, byte-identical plan to
+    before), 1 degenerates to ``most_fields``' sum. The fold stays
+    one map-side-combinable aggregate (max and sum computed in the
+    same groupBy); determinism note: ``sum − max`` sums ≤ n_fields
+    addends, the same exactness class as ``most_fields``."""
     if mode not in {"best_fields", "most_fields"}:
         raise ValueError("mode must be best_fields or most_fields")
     if not boosts:
         raise ValueError("need at least one field boost")
+    if not (0.0 <= tie_breaker <= 1.0):
+        raise ValueError("tie_breaker must be in [0, 1]")
+    if tie_breaker and mode != "best_fields":
+        raise ValueError("tie_breaker applies to best_fields only")
     n = len(boosts)
     scored = engine.scored_sql(queries).select("query_id", "doc_id", "score")
     bmap = F.broadcast(
@@ -85,12 +105,131 @@ def multi_match(
         (F.col("doc_id") % n).cast("int").alias("field_idx"),
         "score",
     ).join(bmap, "field_idx")
-    fold = (F.max if mode == "best_fields" else F.sum)(
-        F.col("boost") * F.col("score")
-    )
+    weighted = F.col("boost") * F.col("score")
+    if mode == "most_fields":
+        fold = F.sum(weighted)
+    elif tie_breaker == 0.0:
+        fold = F.max(weighted)
+    else:
+        fold = F.max(weighted) + F.lit(float(tie_breaker)) * (
+            F.sum(weighted) - F.max(weighted)
+        )
     return (
         per_field.groupBy("query_id", F.col("parent").alias("doc_id"))
         .agg(fold.alias("score"), F.count("*").cast("int").alias("n_fields_matched"))
+    )
+
+
+def combined_fields(
+    engine: BM25QueryEngine,
+    queries: Sequence[str],
+    boosts: Sequence[float],
+) -> DataFrame:
+    """Term-centric multi-field scoring → ``(query_id, doc_id, score,
+    n_terms_matched)`` pre-rank floats (chain :func:`rank_topk`).
+
+    Public semantics: the Elasticsearch ``combined_fields`` query —
+    Robertson/Zaragoza **BM25F** ("Simple BM25 Extension to Multiple
+    Weighted Fields", CIKM 2004), the *term-centric* dual of
+    ``multi_match``'s field-centric fold. The fields are blended into
+    one pseudo-document BEFORE scoring::
+
+        tf̃(t, d)  = Σ_f boost_f · tf_f(t, d)     (weighted pseudo-tf)
+        dl̃(d)     = Σ_f boost_f · len_f(d)       (blended doc length)
+        score     = Σ_t qtf · idf(t) · tf̃·(k1+1) / (tf̃ + k1·(1−b+b·dl̃/avgdl̃))
+
+    where df counts docs whose ANY field contains t and idf is the
+    LUCENE BM25 form ``ln(1 + (N − df + 0.5)/(df + 0.5))`` — ES
+    ``combined_fields`` runs on Lucene's similarity, which is always
+    non-negative, so the Okapi epsilon-floor machinery of the core
+    engine (reference parity) deliberately does not apply here; the
+    DuckDB oracle mirrors this exact formula.
+
+    Determinism: tf̃ and dl̃ are folded as *per-addend micro-quantized
+    BIGINT sums* (``round(boost·tf·1e6)``), so the fold is exact in
+    any aggregation order for arbitrary float boosts; the only
+    float-order-sensitive reduction left is the final per-(query,doc)
+    term sum — the same class every BM25 gate already quantizes
+    across.
+
+    Physical shape at 100 TB: ``engine`` indexes the field-exploded
+    unit (:func:`explode_fields`), so per-(unit, term) tf comes off
+    the engine's bucket-pruned postings join (cost ∝ query-term df,
+    never the corpus). df̃ and the candidate fold are aggregations of
+    that pruned slice. dl̃ folds the index's ``doc_stats`` metadata
+    (unit-count-sized, no text) — one aggregate for the avgdl̃ scalar
+    and one doc_id-keyed join to attach candidate parents' lengths,
+    the same metadata-join class as the engine's pre-inline-doclen
+    fallback."""
+    if not boosts:
+        raise ValueError("need at least one field boost")
+    n = len(boosts)
+    k1, b = engine.k1, engine.b
+    qt_rows = [
+        (qid, term, qtf)
+        for qid, q in enumerate(queries)
+        for term, qtf in Counter(tokenize_query(q)).items()
+    ]
+    bmap = F.broadcast(
+        engine.spark.createDataFrame(
+            [(i, float(w)) for i, w in enumerate(boosts)],
+            schema="field_idx INT, boost DOUBLE",
+        )
+    )
+    # pruned per-(query, term, unit) tf rows → fold units to parents
+    j = engine._joined_postings(qt_rows).select(
+        "query_id", "term", "qtf",
+        (F.col("doc_id") / n).cast("bigint").alias("parent"),
+        (F.col("doc_id") % n).cast("int").alias("field_idx"),
+        "tf",
+    ).join(bmap, "field_idx")
+    folded = j.groupBy("query_id", "term", "qtf", "parent").agg(
+        F.sum(
+            F.round(F.col("boost") * F.col("tf") * F.lit(float(MICRO))).cast("bigint")
+        ).alias("tfw_micro")
+    )
+    # combined df: parents containing the term in ANY field (from the
+    # same pruned slice — df is only needed for query terms)
+    dfc = F.broadcast(
+        folded.select("term", "parent").distinct()
+        .groupBy("term").agg(F.count("*").cast("bigint").alias("dfc"))
+    )
+    # blended doc length + corpus scalars from doc_stats metadata
+    ds = engine.index.doc_stats.select(
+        (F.col("doc_id") / n).cast("bigint").alias("parent"),
+        (F.col("doc_id") % n).cast("int").alias("field_idx"),
+        "doclen",
+    ).join(bmap, "field_idx")
+    dlw = ds.groupBy("parent").agg(
+        F.sum(
+            F.round(F.col("boost") * F.col("doclen") * F.lit(float(MICRO))).cast("bigint")
+        ).alias("dlw_micro")
+    )
+    g = dlw.agg(
+        F.count("*").cast("bigint").alias("n_parents"),
+        F.sum("dlw_micro").cast("bigint").alias("total_micro"),
+    ).collect()[0]
+    n_parents = int(g["n_parents"])
+    avgdl_w = float(g["total_micro"]) / (float(MICRO) * max(n_parents, 1))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_parents)) - F.col("dfc") + F.lit(0.5)) / (F.col("dfc") + F.lit(0.5))
+    )
+    tfw = F.col("tfw_micro") / F.lit(float(MICRO))
+    dl_eff = F.col("dlw_micro") / F.lit(float(MICRO))
+    contrib = (
+        F.col("qtf") * idf * (tfw * F.lit(k1 + 1.0))
+        / (tfw + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_eff / F.lit(avgdl_w)))
+    )
+    return (
+        folded.join(dfc, "term")
+        .join(dlw, "parent")
+        .withColumn("contrib", contrib)
+        .groupBy("query_id", F.col("parent").alias("doc_id"))
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.count("*").cast("int").alias("n_terms_matched"),
+        )
     )
 
 

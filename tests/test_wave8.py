@@ -1,0 +1,297 @@
+"""Eighth-wave operators: DisMax tie_breaker (multi_match), BM25F
+combined_fields, date_histogram pipeline aggregations, and composite
+aggregation paging — each pinned against a pure-Python recompute plus
+its degenerate/validation shapes."""
+
+import math
+from collections import Counter
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.index.builder import build_index
+from la_fungus_search_spark.oracle import BM25Oracle
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.query.facets import (
+    composite_agg_page,
+    date_histogram_pipeline,
+)
+from la_fungus_search_spark.query.multifield import (
+    combined_fields,
+    explode_fields,
+    multi_match,
+)
+from la_fungus_search_spark.tokenizer import tokenize, tokenize_query
+
+TEXTS = [
+    "merge sort merge batch order",
+    "merge table scan slow table",
+    "window stream data merge",
+    "window sort order stream stream",
+    "scan scan scan batch",
+    "stream batch data window merge",
+    "table scan window order",
+    "data data batch sort",
+]
+BOOSTS = [2.0, 1.0]  # title^2, body
+QUERIES = ["merge sort", "window stream", "scan"]
+
+
+def _fields(text):
+    toks = tokenize(text)
+    return " ".join(toks[:2]), " ".join(toks[2:])
+
+
+@pytest.fixture(scope="module")
+def mf(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], schema="doc_id BIGINT, text STRING"
+    )
+    units = explode_fields(
+        docs,
+        {
+            "title": F.array_join(F.slice(F.split("text", " "), 1, 2), " "),
+            "body": F.array_join(
+                F.slice(
+                    F.split("text", " "),
+                    3,
+                    F.greatest(F.size(F.split("text", " ")) - 2, F.lit(0)),
+                ),
+                " ",
+            ),
+        },
+    )
+    eng = BM25QueryEngine(
+        build_index(spark, units.select("unit_id", "content"), id_col="unit_id")
+    )
+    # per-field python oracle over the SAME unit corpus (unit order =
+    # doc_id·2 + field_idx)
+    unit_tokens = []
+    for i, t in enumerate(TEXTS):
+        title, body = _fields(t)
+        unit_tokens.append((i * 2, tokenize(title)))
+        unit_tokens.append((i * 2 + 1, tokenize(body)))
+    unit_tokens.sort()
+    oracle = BM25Oracle([toks for _, toks in unit_tokens])
+    return eng, oracle
+
+
+def _py_field_scores(oracle, query):
+    """{unit_id: score} over the unit corpus, nonzero matches only."""
+    scores = oracle.get_scores(tokenize_query(query))
+    return {u: s for u, s in enumerate(scores) if s != 0.0}
+
+
+def _py_dismax(oracle, query, tie):
+    per_doc = {}
+    for u, s in _py_field_scores(oracle, query).items():
+        parent, fidx = divmod(u, 2)
+        per_doc.setdefault(parent, []).append(BOOSTS[fidx] * s)
+    out = {}
+    for d, ws in per_doc.items():
+        mx, sm = max(ws), sum(ws)
+        out[d] = mx + tie * (sm - mx)
+    return out
+
+
+def test_tie_breaker_zero_equals_best_fields(mf):
+    eng, _ = mf
+    a = multi_match(eng, QUERIES, BOOSTS, mode="best_fields").collect()
+    b = multi_match(eng, QUERIES, BOOSTS, mode="best_fields", tie_breaker=0.0).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_tie_breaker_one_equals_most_fields(mf):
+    eng, _ = mf
+    a = {
+        (r.query_id, r.doc_id): r.score
+        for r in multi_match(eng, QUERIES, BOOSTS, mode="most_fields").collect()
+    }
+    b = {
+        (r.query_id, r.doc_id): r.score
+        for r in multi_match(
+            eng, QUERIES, BOOSTS, mode="best_fields", tie_breaker=1.0
+        ).collect()
+    }
+    assert set(a) == set(b)
+    for key in a:
+        assert b[key] == pytest.approx(a[key], rel=1e-12)
+
+
+def test_tie_breaker_vs_python(mf):
+    eng, oracle = mf
+    got = {
+        (r.query_id, r.doc_id): r.score
+        for r in multi_match(
+            eng, QUERIES, BOOSTS, mode="best_fields", tie_breaker=0.3
+        ).collect()
+    }
+    want = {}
+    for qid, q in enumerate(QUERIES):
+        for d, s in _py_dismax(oracle, q, 0.3).items():
+            want[(qid, d)] = s
+    assert set(got) == set(want)
+    for key in got:
+        assert got[key] == pytest.approx(want[key], rel=1e-9)
+
+
+def test_tie_breaker_validation(mf):
+    eng, _ = mf
+    with pytest.raises(ValueError):
+        multi_match(eng, QUERIES, BOOSTS, mode="best_fields", tie_breaker=1.5)
+    with pytest.raises(ValueError):
+        multi_match(eng, QUERIES, BOOSTS, mode="most_fields", tie_breaker=0.3)
+
+
+def _py_bm25f(query):
+    """Pure-Python BM25F over TEXTS with the title/body split and
+    BOOSTS — the combined_fields contract (micro-exact folds, Lucene
+    idf, any-field df)."""
+    n_docs = len(TEXTS)
+    field_tokens = [ _fields(t) for t in TEXTS ]
+    tfw = []  # per doc: {term: tfw_micro}
+    dlw = []
+    for title, body in field_tokens:
+        per = {}
+        parts = [tokenize(title), tokenize(body)]
+        dl_micro = 0
+        for fidx, toks in enumerate(parts):
+            dl_micro += round(BOOSTS[fidx] * len(toks) * 1e6)
+            for term, tf in Counter(toks).items():
+                per[term] = per.get(term, 0) + round(BOOSTS[fidx] * tf * 1e6)
+        tfw.append(per)
+        dlw.append(dl_micro)
+    avgdl = float(sum(dlw)) / (1e6 * n_docs)
+    df = Counter()
+    for per in tfw:
+        df.update(per.keys())
+    k1, b = 1.5, 0.75
+    out = {}
+    for d in range(n_docs):
+        s, matched = 0.0, 0
+        for term, qtf in Counter(tokenize_query(query)).items():
+            tm = tfw[d].get(term)
+            if tm is None:
+                continue
+            matched += 1
+            idf = math.log(1.0 + (n_docs - df[term] + 0.5) / (df[term] + 0.5))
+            tf = tm / 1e6
+            dl = dlw[d] / 1e6
+            s += qtf * idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+        if matched:
+            out[d] = (s, matched)
+    return out
+
+
+def test_combined_fields_vs_python(mf):
+    eng, _ = mf
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.n_terms_matched)
+        for r in combined_fields(eng, QUERIES, BOOSTS).collect()
+    }
+    want = {}
+    for qid, q in enumerate(QUERIES):
+        for d, (s, m) in _py_bm25f(q).items():
+            want[(qid, d)] = (s, m)
+    assert set(got) == set(want)
+    for key in got:
+        assert got[key][0] == pytest.approx(want[key][0], rel=1e-9)
+        assert got[key][1] == want[key][1]
+
+
+def test_combined_fields_title_weight_matters(mf):
+    """A term appearing in a title (boost 2) must yield a larger
+    pseudo-tf than the same term in a body — BM25F's defining
+    behavior vs plain per-field max."""
+    eng, _ = mf
+    flat = combined_fields(eng, ["merge"], [1.0, 1.0]).collect()
+    boosted = combined_fields(eng, ["merge"], [3.0, 1.0]).collect()
+    flat_m = {r.doc_id: r.score for r in flat}
+    boost_m = {r.doc_id: r.score for r in boosted}
+    # doc 0 has 'merge' in its title; doc 2 only in body. Boosting the
+    # title must improve doc 0's score relative to doc 2's.
+    assert boost_m[0] / boost_m[2] > flat_m[0] / flat_m[2]
+
+
+def test_combined_fields_validation(mf):
+    eng, _ = mf
+    with pytest.raises(ValueError):
+        combined_fields(eng, QUERIES, [])
+
+
+# ------------------------------------------------------ pipeline aggs
+
+
+EVENTS = [
+    # (event_type, day, user, value)
+    ("a", 1, 1, 1.0), ("a", 1, 2, 2.0), ("a", 2, 1, 3.0),
+    ("a", 4, 3, 1.5), ("b", 1, 1, 5.0), ("b", 3, 2, 0.5),
+    ("b", 3, 3, 2.5), ("b", 3, 1, 1.0),
+]
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    rows = [
+        (t, datetime(2024, 3, d, 10, 30), u, v) for t, d, u, v in EVENTS
+    ]
+    return spark.createDataFrame(
+        rows, schema="event_type STRING, ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+    )
+
+
+def test_pipeline_aggs_vs_python(events_df):
+    out = {
+        (r.grp, r.bucket): (r.n_events, r.cum_events, r.deriv_events, r.mov_avg_micro)
+        for r in date_histogram_pipeline(events_df, moving_window=3).collect()
+    }
+    # python recompute
+    counts = Counter((t, f"2024-03-{d:02d}") for t, d, _, _ in EVENTS)
+    series = {}
+    for (g, bkt), n in sorted(counts.items()):
+        series.setdefault(g, []).append((bkt, n))
+    want = {}
+    for g, row in series.items():
+        cum = 0
+        for i, (bkt, n) in enumerate(row):
+            cum += n
+            deriv = None if i == 0 else n - row[i - 1][1]
+            window = [x for _, x in row[max(0, i - 2): i + 1]]
+            mov = round(sum(window) * 1e6 / len(window))
+            want[(g, bkt)] = (n, cum, deriv, mov)
+    assert out == want
+
+
+def test_pipeline_aggs_validation(events_df):
+    with pytest.raises(ValueError):
+        date_histogram_pipeline(events_df, moving_window=0)
+
+
+def test_composite_paging_covers_and_is_disjoint(events_df):
+    keys = sorted({(t, f"2024-03-{d:02d}") for t, d, _, _ in EVENTS})
+    p1 = composite_agg_page(events_df, size=3).collect()
+    k1 = [(r.grp, r.bucket) for r in p1]
+    assert k1 == keys[:3]
+    p2 = composite_agg_page(events_df, size=3, after=k1[-1]).collect()
+    k2 = [(r.grp, r.bucket) for r in p2]
+    assert k2 == keys[3:6]
+    assert not (set(k1) & set(k2))
+    # exhaustion: paging past the last key yields an empty page
+    p_end = composite_agg_page(events_df, size=3, after=keys[-1]).collect()
+    assert p_end == []
+
+
+def test_composite_counts_match_brute_force(events_df):
+    counts = Counter((t, f"2024-03-{d:02d}") for t, d, _, _ in EVENTS)
+    sums = {}
+    for t, d, _, v in EVENTS:
+        key = (t, f"2024-03-{d:02d}")
+        sums[key] = sums.get(key, 0.0) + v
+    page = composite_agg_page(events_df, size=100).collect()
+    assert len(page) == len(counts)
+    for r in page:
+        assert r.doc_count == counts[(r.grp, r.bucket)]
+        assert r.sum_micro == round(sums[(r.grp, r.bucket)] * 1e6)
+    with pytest.raises(ValueError):
+        composite_agg_page(events_df, size=0)
