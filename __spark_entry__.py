@@ -77,6 +77,11 @@ KW_QUERIES = BM25_QUERIES[:4]
 # Positional-search fixtures (query/phrase.py). Phrases use the CORPUS
 # tokenizer (no stopword strip — a phrase is a literal sequence).
 PHRASE_QUERIES = ["table part", "scan slow", "window stream sort", "the table"]
+# match_phrase_prefix fixtures: last token is a PREFIX. "table s"
+# expands to 6 dictionary terms on this corpus while the gate caps
+# expansions at 4 — the Lucene max_expansions contract (term-ASC cap)
+# is exercised, not just decorative.
+PHRASE_PREFIX_QUERIES = ["table s", "hash jo", "window st", "fast d"]
 PROX_QUERIES = [("customer join", 8), ("spark filter", 5), ("scan slow fast", 10)]
 # Boolean retrieval fixtures (engine.search_boolean): Lucene
 # BooleanQuery semantics — must filters+scores, should boosts,
@@ -2405,6 +2410,19 @@ def q_phrase_match_topk(spark, sf_dir):
     return phrase_ops.phrase_match_topk(docs, PHRASE_QUERIES, k=10)
 
 
+def q_match_phrase_prefix(spark, sf_dir):
+    """Phrase-prefix top-k (query/phrase.py match_phrase_prefix_topk —
+    ES match_phrase_prefix / Lucene MultiPhraseQuery, the
+    search-as-you-type primitive): last token expands against the
+    corpus term dictionary (term-ASC, capped at 4 — the cap BINDS on
+    query 0, whose 's' prefix has 6 dictionary matches), fixed tokens
+    must precede an expansion positionally."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return phrase_ops.match_phrase_prefix_topk(
+        docs, PHRASE_PREFIX_QUERIES, k=10, max_expansions=4
+    )
+
+
 def q_proximity_window_topk(spark, sf_dir):
     """Windowed proximity top-k: all query terms within a W-token
     window, ranked by matching-anchor count (query/phrase.py)."""
@@ -3866,6 +3884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # seventh — full DuckDB value-oracles + pytest, local
         # check_entry.py verification this round, prefix rotation in r5
         "dis_max_topk": q_dis_max_topk,
+        "match_phrase_prefix": q_match_phrase_prefix,
         "combined_fields_topk": q_combined_fields_topk,
         "pipeline_aggs": q_pipeline_aggs,
         "composite_agg_page": q_composite_agg_page,
@@ -4249,6 +4268,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_topk_sql(10),
         "bm25_topk_blockmax": _bm25_topk_sql(10),
         "phrase_match_topk": phrase_ops.phrase_oracle_sql(PHRASE_QUERIES, 10),
+        "match_phrase_prefix": phrase_ops.phrase_prefix_oracle_sql(
+            PHRASE_PREFIX_QUERIES, 10, max_expansions=4
+        ),
         "proximity_window_topk": phrase_ops.proximity_oracle_sql(PROX_QUERIES, 10),
         "boolean_query_topk": _boolean_oracle_sql(10),
         "query_string_topk": _query_string_oracle_sql(10),

@@ -294,6 +294,151 @@ def span_near_topk(
     return _rank_topk(hits, k, "n_spans")
 
 
+def match_phrase_prefix_topk(
+    docs: DataFrame,
+    queries: Sequence[str],
+    k: int = 10,
+    max_expansions: int = 8,
+) -> DataFrame:
+    """Top-k docs per *phrase-prefix* query (the ES
+    ``match_phrase_prefix`` query / Lucene ``MultiPhraseQuery`` with a
+    prefix-expanded last position — the classic search-as-you-type
+    primitive): the query's last token is a PREFIX, expanded against
+    the corpus term dictionary to its first ``max_expansions`` terms
+    in lexicographic order (Lucene's index-order expansion contract),
+    and the doc matches at start ``s`` iff the fixed tokens appear at
+    ``s..s+m−2`` and ANY expansion term appears at ``s+m−1``.
+    ``phrase_tf`` counts distinct matching starts (a start matches
+    once no matter how many expansions complete it — positions hold
+    one token); ``first_pos`` = min start.
+
+    Physical shape: candidate resolution is a term-DICTIONARY scan
+    (distinct corpus tokens filtered by prefix, ordered, capped —
+    the corpus-independent cost class of Lucene's FST walk, same as
+    ``expand.suggest_complete``); the match pass is the standard
+    one-corpus-pass position-map scan over fixed ∪ candidate terms,
+    working set ∝ term hits. Output schema matches
+    :func:`phrase_match_topk`."""
+    if max_expansions <= 0:
+        raise ValueError("max_expansions must be positive")
+    parsed = []
+    for q in queries:
+        terms = tokenize(q)
+        if not terms:
+            raise ValueError("empty phrase-prefix query after tokenization")
+        parsed.append((terms[:-1], terms[-1]))
+    vocab = (
+        docs.select(F.explode(F.array_distinct(tokens_expr("text"))).alias("term"))
+        .distinct()
+    )
+    cand_lists: List[List[str]] = []
+    for _, prefix in parsed:
+        rows = (
+            vocab.filter(F.col("term").startswith(prefix))
+            .orderBy("term")
+            .limit(max_expansions)
+            .collect()
+        )
+        cand_lists.append([r.term for r in rows])
+    all_terms = sorted(
+        {t for fixed, _ in parsed for t in fixed}
+        | {c for cands in cand_lists for c in cands}
+    )
+    if not all_terms:
+        # no prefix matched the dictionary and no fixed terms: empty
+        return docs.sparkSession.createDataFrame(
+            [],
+            "query_id INT, rank INT, doc_id BIGINT, phrase_tf BIGINT, first_pos INT",
+        )
+    pm = _term_pos_map(docs, all_terms)
+    empty = F.array().cast("array<int>")
+    per_q = []
+    for qid, ((fixed, _), cands) in enumerate(zip(parsed, cand_lists)):
+        m = len(fixed) + 1
+        fixed_starts = _starts_expr(fixed) if fixed else None
+        branches = []
+        for c in cands:
+            cs = _shifted(F.element_at("pm", F.lit(c)), m - 1)
+            branches.append(
+                F.coalesce(
+                    F.array_intersect(fixed_starts, cs) if fixed is not None and fixed else cs,
+                    empty,
+                )
+            )
+        starts = (
+            F.array_distinct(F.concat(*branches)) if branches else empty
+        )
+        per_q.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.coalesce(F.size(starts), F.lit(0)).cast("bigint").alias("phrase_tf"),
+                F.coalesce(F.array_min(starts), F.lit(-1)).alias("first_pos"),
+            )
+        )
+    hits = (
+        pm.select("doc_id", F.explode(F.array(*per_q)).alias("h"))
+        .select("doc_id", "h.query_id", "h.phrase_tf", "h.first_pos")
+        .filter(F.col("phrase_tf") > 0)
+    )
+    return _rank_topk(hits, k, "phrase_tf")
+
+
+def phrase_prefix_oracle_sql(
+    queries: Sequence[str], k: int = 10, max_expansions: int = 8
+) -> str:
+    """DuckDB twin of :func:`match_phrase_prefix_topk`: candidates
+    come from the same corpus term dictionary (``starts_with``, never
+    LIKE — ``_`` is a token character), ordered/capped identically;
+    the start filter states the spec directly (fixed tokens by
+    position, last position ∈ candidate list)."""
+    toks = duckdb_tokens_sql("text")
+    cand_ctes = []
+    branches = []
+    for qid, q in enumerate(queries):
+        terms = tokenize(q)
+        fixed, prefix = terms[:-1], terms[-1]
+        m = len(terms)
+        cand_ctes.append(
+            f"""cand_{qid} AS (
+    SELECT list(term ORDER BY term) AS cands FROM (
+        SELECT DISTINCT term FROM vocab
+        WHERE starts_with(term, {_sql_quote(prefix)})
+        ORDER BY term LIMIT {int(max_expansions)}
+    )
+)"""
+        )
+        conds = " AND ".join(
+            [f"toks[s + {j}] = {_sql_quote(t)}" for j, t in enumerate(fixed)]
+            # cands rides in as a plain column (cross join of the
+            # one-row candidate CTE) — DuckDB forbids subqueries
+            # inside lambda bodies
+            + [f"list_contains(cands, toks[s + {m - 1}])"]
+        )
+        starts = f"list_filter(range(1, len(toks) - {m - 1} + 1), s -> {conds})"
+        branches.append(
+            f"""SELECT {qid} AS query_id, doc_id,
+       len({starts})::BIGINT AS phrase_tf,
+       (list_min({starts}) - 1)::INT AS first_pos
+FROM (SELECT t.doc_id, t.toks, c.cands FROM tokd t CROSS JOIN cand_{qid} c)"""
+        )
+    body = "\nUNION ALL\n".join(branches)
+    cands = ",\n".join(cand_ctes)
+    return f"""
+WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+vocab AS (SELECT DISTINCT unnest(toks) AS term FROM tokd),
+{cands},
+hits AS ({body}),
+matched AS (SELECT * FROM hits WHERE phrase_tf > 0),
+ranked AS (
+    SELECT query_id, doc_id, phrase_tf, first_pos,
+           row_number() OVER (PARTITION BY query_id ORDER BY phrase_tf DESC, doc_id ASC) AS rank
+    FROM matched
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, phrase_tf, first_pos
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
 def phrase_candidates_scan(
     docs: DataFrame, qid_phrases: Sequence[Tuple[int, str]]
 ) -> DataFrame:

@@ -220,6 +220,93 @@ def test_combined_fields_validation(mf):
         combined_fields(eng, QUERIES, [])
 
 
+# ----------------------------------------------- match_phrase_prefix
+
+
+PP_TEXTS = [
+    "merge sort merge sorted batch",      # 'sort' and 'sorted' share prefix
+    "merge sopher table",                 # 'sopher' shares 'so' too
+    "table merge sort",
+    "sort sorted sophist merge",
+    "window stream",
+]
+
+
+@pytest.fixture(scope="module")
+def pp_docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(PP_TEXTS)], schema="doc_id BIGINT, text STRING"
+    )
+
+
+def _py_phrase_prefix(queries, max_expansions):
+    from la_fungus_search_spark.tokenizer import tokenize as tok
+
+    vocab = sorted({t for txt in PP_TEXTS for t in tok(txt)})
+    out = {}
+    for qid, q in enumerate(queries):
+        terms = tok(q)
+        fixed, prefix = terms[:-1], terms[-1]
+        cands = [t for t in vocab if t.startswith(prefix)][:max_expansions]
+        m = len(terms)
+        for d, txt in enumerate(PP_TEXTS):
+            toks = tok(txt)
+            starts = [
+                s
+                for s in range(len(toks) - m + 1)
+                if all(toks[s + j] == t for j, t in enumerate(fixed))
+                and toks[s + m - 1] in cands
+            ]
+            if starts:
+                out[(qid, d)] = (len(starts), min(starts))
+    return out
+
+
+def test_phrase_prefix_vs_python(pp_docs):
+    from la_fungus_search_spark.query.phrase import match_phrase_prefix_topk
+
+    queries = ["merge so", "sort so", "window st"]
+    got = {
+        (r.query_id, r.doc_id): (r.phrase_tf, r.first_pos)
+        for r in match_phrase_prefix_topk(pp_docs, queries, k=10, max_expansions=8).collect()
+    }
+    assert got == _py_phrase_prefix(queries, 8)
+
+
+def test_phrase_prefix_cap_binds(pp_docs):
+    """'so' has 4 dictionary matches (sopher, sophist, sort, sorted);
+    cap 2 keeps only sopher+sophist (term ASC) — 'merge sort...' docs
+    must then NOT match 'merge so'."""
+    from la_fungus_search_spark.query.phrase import match_phrase_prefix_topk
+
+    got = {
+        (r.query_id, r.doc_id): r.phrase_tf
+        for r in match_phrase_prefix_topk(
+            pp_docs, ["merge so"], k=10, max_expansions=2
+        ).collect()
+    }
+    assert got == {(0, 1): 1}  # only 'merge sopher'
+    # and the python recompute agrees on the capped set
+    assert {(q, d): tf for (q, d), (tf, _) in _py_phrase_prefix(["merge so"], 2).items()} == got
+
+
+def test_phrase_prefix_single_token_and_no_match(pp_docs):
+    from la_fungus_search_spark.query.phrase import match_phrase_prefix_topk
+
+    # single-token prefix: every occurrence of any candidate is a start
+    got = {
+        (r.query_id, r.doc_id): (r.phrase_tf, r.first_pos)
+        for r in match_phrase_prefix_topk(pp_docs, ["so"], k=10, max_expansions=8).collect()
+    }
+    assert got == _py_phrase_prefix(["so"], 8)
+    # prefix matching nothing in the dictionary: zero rows, not an error
+    assert (
+        match_phrase_prefix_topk(pp_docs, ["merge zz"], k=10).collect() == []
+    )
+    with pytest.raises(ValueError):
+        match_phrase_prefix_topk(pp_docs, ["merge so"], max_expansions=0)
+
+
 # ------------------------------------------------------ pipeline aggs
 
 
