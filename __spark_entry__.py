@@ -1884,6 +1884,46 @@ ORDER BY d.doc_id
 """
 
 
+def _pii_oracle_sql() -> str:
+    """DuckDB twin of the pii_scrub gate: identical synthetic PII
+    planting (same string algebra / md5 derivations as ``_pii_aug``),
+    per-class counts via regexp_extract_all on the original text, and
+    the redaction chain applied in the SAME ``PII_PATTERNS`` order
+    (nested regexp_replace, 'g' flag) — the sha256 comparison then
+    proves byte-identical redaction across engines."""
+    from la_fungus_search_spark.textops.pipeline import PII_PATTERNS
+
+    red = "t"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(t, '{pat}'))::INT AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    return f"""
+WITH aug AS (
+    SELECT doc_id, text
+        || CASE WHEN doc_id % 7 = 0
+                THEN ' contact bob.smith+' || doc_id::VARCHAR || '@mail-hub.example.com'
+                ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+                THEN ' src 10.' || (doc_id % 200)::VARCHAR || '.3.' || (doc_id % 250)::VARCHAR
+                ELSE '' END
+        || CASE WHEN doc_id % 13 = 0
+                THEN ' token ' || md5(doc_id::VARCHAR)
+                ELSE '' END
+        || CASE WHEN doc_id % 17 = 0
+                THEN ' aws AKIA' || upper(substr(md5(doc_id::VARCHAR || 'k'), 1, 16))
+                ELSE '' END AS t
+    FROM documents
+)
+SELECT doc_id,
+       {counts},
+       sha256({red}) AS redacted_sha
+FROM aug ORDER BY doc_id
+"""
+
+
 def _query_dedup_oracle_sql() -> str:
     """D1 value-oracle: greedy keep-first query dedup as a DuckDB
     recursive CTE — same equivalence argument as ``_mmr_oracle_sql``
@@ -3103,6 +3143,74 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_sample_temperature(spark, sf_dir):
+    """Temperature mixture sampling (textops/pipeline.py
+    temperature_mix — the mT5/Gopher α-mixing recipe): per-lang rates
+    q ∝ p^0.5 toward a 200-doc budget, realized as the deterministic
+    md5 threshold sample; the pow step is 1e12-quantized so the
+    DuckDB twin recomputes the identical sampled SET from the
+    parquet."""
+    d = _documents(spark, sf_dir)
+    return (
+        pipeline.temperature_mix(d, by="lang", alpha=0.5, target_docs=200)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _pii_aug(spark, sf_dir) -> DataFrame:
+    """Deterministic PII planting (emails / AWS-style keys / IPv4 /
+    long hex secrets appended to residue-class doc subsets) — the
+    documents table is a clean token corpus, so the scrub gate
+    synthesizes its targets identically in Spark and the DuckDB
+    oracle (same string algebra, md5-derived secrets)."""
+    d = _documents(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    parts = [
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact bob.smith+"), did, F.lit("@mail-hub.example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" src 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".3."),
+                (F.col("doc_id") % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.lit(" token "), F.md5(did))
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(
+                F.lit(" aws AKIA"),
+                F.upper(F.substring(F.md5(F.concat(did, F.lit("k"))), 1, 16)),
+            ),
+        ).otherwise(F.lit("")),
+    ]
+    return d.select("doc_id", F.concat(*parts).alias("text"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII/secret redaction (textops/pipeline.py pii_scrub): per-class
+    counts on the original text + class-token replacement in
+    PII_PATTERNS order; the oracle hashes the redacted text, so the
+    gate verifies byte-identical redaction, not just counts."""
+    out = pipeline.pii_scrub(_pii_aug(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_key",
+        "n_ip",
+        "n_hex",
+        F.sha2("redacted", 256).alias("redacted_sha"),
+    ).orderBy("doc_id")
+
+
 def q_pack_token_shards(spark, sf_dir):
     """Token-budget shard packing per lang partition: running token sum
     in doc-id order, shard = floor(prefix/budget) — training-shard
@@ -3885,6 +3993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # check_entry.py verification this round, prefix rotation in r5
         "dis_max_topk": q_dis_max_topk,
         "match_phrase_prefix": q_match_phrase_prefix,
+        "sample_temperature": q_sample_temperature,
+        "pii_scrub": q_pii_scrub,
         "combined_fields_topk": q_combined_fields_topk,
         "pipeline_aggs": q_pipeline_aggs,
         "composite_agg_page": q_composite_agg_page,
@@ -4769,6 +4879,10 @@ WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':sample'), 1, 8))::BIGINT
       < CAST(floor((CASE lang {' '.join(f"WHEN '{l}' THEN {f}" for l, f in sorted(SAMPLE_FRACTIONS.items()))} ELSE 0.0 END) * 4294967296.0) AS BIGINT)
 ORDER BY doc_id
 """,
+        "sample_temperature": pipeline.temperature_mix_oracle_sql(
+            by="lang", alpha=0.5, target_docs=200
+        ),
+        "pii_scrub": _pii_oracle_sql(),
         "pack_token_shards": f"""
 WITH t AS (
     SELECT doc_id, lang,

@@ -78,6 +78,138 @@ def hash_sample(
     return docs.filter(u < F.floor(rate * F.lit(float(2**32))).cast("bigint"))
 
 
+def temperature_mix(
+    docs: DataFrame,
+    by: str = "lang",
+    alpha: float = 0.5,
+    target_docs: int = 1000,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-based domain mixture sampling — the mT5/Gopher
+    data-mixing recipe (Xue et al. 2021 §3.1; Rae et al. 2021 Table
+    A2): domain g with corpus share ``p_g`` is sampled toward mixture
+    proportion ``q_g ∝ p_g^α`` (α < 1 up-weights low-resource
+    domains), realized as a per-domain deterministic hash sample with
+    rate ``min(1, target_docs·q_g / n_g)``.
+
+    Determinism contract (how the DuckDB twin reproduces the exact
+    sample): the only non-rational step, ``p^α``, is immediately
+    quantized — ``w = floor(1e12·(n/N)^α + 0.5)`` — so every
+    downstream value (Σw, q = w/Σw, the rate, the 2³²-scaled
+    threshold) is integer arithmetic or a division of identical
+    integers, and membership is the same md5 threshold as
+    :func:`hash_sample`. Different engines' ``pow`` may disagree by
+    an ulp; at the 1e12 quantization grid that flips a weight only on
+    a measure-zero boundary.
+
+    Physical shape at 100 TB: one count aggregate per domain (domains
+    are O(100) — the per-domain rates are driver-scale metadata, like
+    every published mixing recipe computes them), then a single
+    filter pass with literal thresholds — no shuffle beyond the
+    count's partial agg."""
+    import math
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    if target_docs <= 0:
+        raise ValueError("target_docs must be positive")
+    counts = docs.groupBy(by).agg(F.count("*").cast("bigint").alias("n")).collect()
+    if not counts:
+        return docs.filter(F.lit(False))
+    n_total = sum(r["n"] for r in counts)
+    w_micro = {
+        r[by]: int(math.floor(1e12 * (r["n"] / n_total) ** alpha + 0.5))
+        for r in counts
+    }
+    s = sum(w_micro.values())
+    thresholds = {}
+    for r in counts:
+        g = r[by]
+        rate = min(1.0, target_docs * (w_micro[g] / s) / r["n"])
+        rate_micro = int(math.floor(1e6 * rate + 0.5))
+        thresholds[g] = (rate_micro * 2**32) // 10**6
+    u = _hash_unit(F.col(id_col), salt)
+    thr = F.lit(-1).cast("bigint")
+    for g, t in sorted(thresholds.items()):
+        thr = F.when(F.col(by) == g, F.lit(t).cast("bigint")).otherwise(thr)
+    return docs.filter(u < thr)
+
+
+def temperature_mix_oracle_sql(
+    by: str = "lang",
+    alpha: float = 0.5,
+    target_docs: int = 1000,
+    salt: str = "mix",
+    src: str = "documents",
+    select_cols: str = "doc_id, lang",
+) -> str:
+    """DuckDB twin of :func:`temperature_mix` — recomputes the rates
+    from the same parquet with the identical quantize-then-integer
+    pipeline, so the sampled doc SET matches exactly."""
+    return f"""
+WITH c AS (SELECT {by} AS g, count(*)::BIGINT AS n FROM {src} GROUP BY 1),
+tot AS (SELECT sum(n)::BIGINT AS n_total FROM c),
+w AS (
+    SELECT g, n,
+           floor(1e12 * pow(n::DOUBLE / (SELECT n_total FROM tot), {float(alpha)!r}) + 0.5)::BIGINT
+               AS w_micro
+    FROM c
+),
+sw AS (SELECT sum(w_micro)::BIGINT AS s FROM w),
+r AS (
+    SELECT g,
+           (floor(1e6 * least(1.0, {int(target_docs)} * (w_micro::DOUBLE / (SELECT s FROM sw)) / n) + 0.5)::BIGINT
+            * 4294967296) // 1000000 AS threshold
+    FROM w
+)
+SELECT {select_cols} FROM {src} d JOIN r ON d.{by} = r.g
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':{salt}'), 1, 8))::BIGINT < r.threshold
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------- PII scrub
+
+# ASCII-only pattern fragments on which Java regex (Spark) and RE2
+# (DuckDB) agree exactly — no \b, \d, \w (engine/unicode-dependent).
+PII_PATTERNS = [
+    # (class, pattern, replacement) — applied IN ORDER; counts are
+    # measured on the ORIGINAL text per class (diagnostic contract:
+    # an IP inside an email counts as both, but the email redaction
+    # consumes it first)
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("key", "AKIA[0-9A-Z]{16}", "<KEY>"),
+    ("ip", "([0-9]{1,3}[.]){3}[0-9]{1,3}", "<IP>"),
+    ("hex", "[0-9a-f]{32,}", "<HEX>"),
+]
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII / secret redaction for training corpora: per doc, count
+    matches of each class on the original text and emit ``redacted``
+    with every match replaced by its class token, applying the
+    classes in :data:`PII_PATTERNS` order (email before IP so
+    ``user@1.2.3.4`` redacts as one email; AWS-style key before the
+    generic hex rule — the two alphabets are disjoint anyway).
+
+    All regexes are ASCII-only fragments evaluated identically by
+    Java regex and RE2, so the DuckDB oracle reproduces the redacted
+    text byte-for-byte (the gate hashes it). One projection pass,
+    pure JVM — the cheapest possible shape; at 100 TB this fuses into
+    any other per-doc scan."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    out = docs
+    red = t
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("int"),
+        )
+        red = F.regexp_replace(red, pat, repl)
+    return out.withColumn("redacted", red)
+
+
 def pack_token_shards(
     docs: DataFrame,
     budget: int,
