@@ -1884,6 +1884,71 @@ ORDER BY d.doc_id
 """
 
 
+def _hybrid_knn_oracle_sql(
+    cos_expr: str, window: int = 50, k_const: int = 60, topk: int = 10
+) -> str:
+    """DuckDB twin of q_hybrid_bm25_knn: the BM25 channel is the
+    shared scored CTE ranked on the quantized key; the kNN channel is
+    the ann_cosine_topk construction (same cosine fragment) keyed by
+    the fixed seed embeddings; fusion is the integer-quantized RRF
+    sum (HUGEINT cast back, the pack_token_shards lesson)."""
+    seeds = ", ".join(str(v) for v in HYBRID_SEED_VECS)
+    seed_rows = ", ".join(f"({v}, {qid})" for qid, v in enumerate(HYBRID_SEED_VECS))
+    return f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt
+    JOIN idf USING (term)
+    JOIN tf USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM scored),
+bmr AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+),
+q AS (
+    SELECT vec_id AS seed, embedding AS qvec FROM embeddings
+    WHERE vec_id IN ({seeds})
+),
+pairs AS (
+    SELECT q.seed, e.vec_id, {cos_expr} AS cos_micro
+    FROM q, embeddings e WHERE e.vec_id <> q.seed
+),
+knnr AS (
+    SELECT seed, vec_id,
+           row_number() OVER (PARTITION BY seed ORDER BY cos_micro DESC, vec_id ASC) AS rank
+    FROM pairs
+),
+seed_map(seed, query_id) AS (VALUES {seed_rows}),
+ch AS (
+    SELECT query_id, doc_id, rank FROM bmr WHERE rank <= {window}
+    UNION ALL
+    SELECT m.query_id, k.vec_id AS doc_id, k.rank
+    FROM knnr k JOIN seed_map m USING (seed) WHERE k.rank <= {window}
+),
+fused AS (
+    SELECT query_id, doc_id,
+           sum(round(1e6 / ({float(k_const)} + rank))::BIGINT)::BIGINT AS rrf_micro,
+           count(*)::INT AS n_channels
+    FROM ch GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, doc_id, rrf_micro, n_channels,
+           row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id ASC) AS rank
+    FROM fused
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, rrf_micro, n_channels
+FROM ranked WHERE rank <= {topk} ORDER BY query_id, rank
+"""
+
+
 def _pii_oracle_sql() -> str:
     """DuckDB twin of the pii_scrub gate: identical synthetic PII
     planting (same string algebra / md5 derivations as ``_pii_aug``),
@@ -2839,6 +2904,64 @@ def q_rrf_fusion_topk(spark, sf_dir):
     )
     ch_kw = _kw_channel(spark, sf_dir, BM25_QUERIES, window=50)
     return rrf_fuse([ch_bm25, ch_kw], k_const=60, topk=10)
+
+
+def q_terms_set_topk(spark, sf_dir):
+    """Per-doc minimum-should-match (engine.search_terms_set — the ES
+    terms_set query with minimum_should_match_field): each doc's
+    match floor is data (1 + doc_id % 3 here), generalizing
+    search_and (floor = all) and boolean msm (floor = per-query
+    constant); docs demanding more matches than the query has terms
+    never qualify."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    req = _documents(spark, sf_dir).select(
+        "doc_id", (F.lit(1) + F.col("doc_id") % 3).cast("int").alias("required_matches")
+    )
+    out = eng.search_terms_set(BM25_QUERIES, req, k=10)
+    return out.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_matched").cast("int").alias("n_matched"),
+        F.col("required_matches").cast("int").alias("required_matches"),
+        _micro(F.col("score")).alias("score_q"),
+    ).orderBy("query_id", "rank")
+
+
+HYBRID_SEED_VECS = [7, 123, 256, 399]  # query embedding per BM25 query
+
+
+def q_hybrid_bm25_knn(spark, sf_dir):
+    """Hybrid lexical+vector retrieval (the ES 8 hybrid-search shape:
+    a BM25 retriever and a kNN retriever fused with RRF): channel 1 =
+    BM25 top-50 on the quantized sort key; channel 2 = exact cosine
+    kNN top-50 over the embeddings table (the hash-green
+    ann_cosine_topk kernel), each BM25 query paired with a fixed seed
+    embedding (docs and vectors share the 0..N−1 id space in this
+    corpus). Fused by ranking.rrf_fuse (integer-quantized addends,
+    k_const=60). The kNN channel here is the exact scan so the gate
+    is fully value-oracled; the ANN gates cover the approximate scale
+    path for the same channel."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    ch_bm25 = _bm25_rank(eng.scored_sql(BM25_QUERIES), 50).select(
+        "query_id", "doc_id", "rank"
+    )
+    knn = similarity.cosine_topk(_embeddings(spark, sf_dir), HYBRID_SEED_VECS, k=50)
+    seed_map = F.broadcast(
+        spark.createDataFrame(
+            [(int(v), qid) for qid, v in enumerate(HYBRID_SEED_VECS)],
+            schema="seed BIGINT, qid INT",
+        )
+    )
+    ch_knn = (
+        knn.join(seed_map, knn.query_id == seed_map.seed)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            "rank",
+        )
+    )
+    return rrf_fuse([ch_bm25, ch_knn], k_const=60, topk=10)
 
 
 def q_keyword_score_topk(spark, sf_dir):
@@ -3995,6 +4118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_phrase_prefix": q_match_phrase_prefix,
         "sample_temperature": q_sample_temperature,
         "pii_scrub": q_pii_scrub,
+        "hybrid_bm25_knn_topk": q_hybrid_bm25_knn,
+        "terms_set_topk": q_terms_set_topk,
         "combined_fields_topk": q_combined_fields_topk,
         "pipeline_aggs": q_pipeline_aggs,
         "composite_agg_page": q_composite_agg_page,
@@ -4883,6 +5008,36 @@ ORDER BY doc_id
             by="lang", alpha=0.5, target_docs=200
         ),
         "pii_scrub": _pii_oracle_sql(),
+        "hybrid_bm25_knn_topk": _hybrid_knn_oracle_sql(cos_expr),
+        "terms_set_topk": f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score,
+           count(*)::INT AS n_matched
+    FROM qt
+    JOIN idf USING (term)
+    JOIN tf USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+req AS (SELECT doc_id, (1 + doc_id % 3)::INT AS required_matches FROM documents),
+f AS (
+    SELECT s.query_id, s.doc_id, s.n_matched, r.required_matches,
+           round(s.score * 1e6)::BIGINT AS score_q
+    FROM scored s JOIN req r USING (doc_id)
+    WHERE s.n_matched >= r.required_matches
+),
+ranked AS (
+    SELECT query_id, doc_id, n_matched, required_matches, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM f
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, n_matched, required_matches, score_q
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+""",
         "pack_token_shards": f"""
 WITH t AS (
     SELECT doc_id, lang,

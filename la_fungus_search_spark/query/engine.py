@@ -182,6 +182,39 @@ class BM25QueryEngine:
         """Pure-JVM scoring over uncompressed postings → top-k."""
         return self._topk(self.scored_sql(queries), k)
 
+    def search_terms_set(
+        self, queries: Sequence[str], required: DataFrame, k: int = 10
+    ) -> DataFrame:
+        """Per-document minimum-should-match top-k (the ES ``terms_set``
+        query with ``minimum_should_match_field``): each doc carries
+        its OWN match floor — ``required``: (doc_id,
+        required_matches) — and qualifies when it contains at least
+        that many DISTINCT query terms; scoring is the usual BM25 sum
+        over matched occurrences. The generalization axis vs
+        :meth:`search_and` (floor = all terms) and boolean ``msm``
+        (floor = per-query constant): the floor is data, not query,
+        so it rides a doc_id join instead of a broadcast literal.
+        Docs demanding more matches than the query has terms
+        correctly never qualify (the ES contract). Output carries
+        (n_matched, required_matches) for auditability.
+
+        Physical shape: the scored set is the engine's bucket-pruned
+        pass; ``required`` is a two-column metadata projection joined
+        on doc_id — match-set-sized, the same class as every facet
+        metadata join."""
+        scored = self.scored_sql(queries).join(
+            required.select("doc_id", "required_matches"), "doc_id"
+        ).filter(F.col("n_matched") >= F.col("required_matches"))
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "rank", "doc_id", "score", "n_matched", "required_matches"
+            )
+            .orderBy("query_id", "rank")
+        )
+
     def search_boolean(
         self,
         specs: Sequence[dict],

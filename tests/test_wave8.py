@@ -369,6 +369,48 @@ def test_composite_paging_covers_and_is_disjoint(events_df):
     assert p_end == []
 
 
+# -------------------------------------------------- terms_set query
+
+
+def test_terms_set_vs_python(spark):
+    from la_fungus_search_spark.query.engine import BM25QueryEngine
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], schema="doc_id BIGINT, content STRING"
+    )
+    idx = build_index(spark, docs, id_col="doc_id", n_buckets=4, n_salts=2)
+    eng = BM25QueryEngine(idx)
+    required = {i: 1 + i % 3 for i in range(len(TEXTS))}
+    req = spark.createDataFrame(
+        [(i, r) for i, r in required.items()], schema="doc_id BIGINT, required_matches INT"
+    )
+    queries = ["merge sort batch", "window stream", "scan"]
+    got = {
+        (r.query_id, r.doc_id): (r.n_matched, r.rank)
+        for r in eng.search_terms_set(queries, req, k=10).collect()
+    }
+    oracle = BM25Oracle([tokenize(t) for t in TEXTS])
+    want = {}
+    for qid, q in enumerate(queries):
+        qterms = set(tokenize_query(q))
+        scores = oracle.get_scores(tokenize_query(q))
+        cands = []
+        for d, t in enumerate(TEXTS):
+            n_matched = len(qterms & set(tokenize(t)))
+            if n_matched and n_matched >= required[d]:
+                cands.append((-scores[d], d, n_matched))
+        for rank, (_, d, m) in enumerate(sorted(cands), start=1):
+            want[(qid, d)] = (m, rank)
+    assert got == want
+    # a doc demanding more matches than the query has terms never
+    # qualifies: single-term query, doc with required >= 2
+    single = {
+        r.doc_id
+        for r in eng.search_terms_set(["scan"], req, k=10).collect()
+    }
+    assert all(required[d] == 1 for d in single)
+
+
 # ------------------------------------- temperature mix + PII scrub
 
 
