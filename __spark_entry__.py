@@ -2906,6 +2906,56 @@ def q_rrf_fusion_topk(spark, sf_dir):
     return rrf_fuse([ch_bm25, ch_kw], k_const=60, topk=10)
 
 
+def _line_aug(spark, sf_dir) -> DataFrame:
+    """documents with planted cross-doc boilerplate lines (a shared
+    'boilerplate' line on every 5th doc, a shared 'footer' line on
+    every 3rd) so line dedup has real cross-document positives — the
+    base corpus is single-line."""
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    return d.select(
+        "doc_id",
+        F.concat(
+            t,
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("\nthe shared boilerplate header line")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("\nnav footer links copyright")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_dedup_lines(spark, sf_dir):
+    """Cross-document line dedup (textops/dedup.py line_dedup — the
+    CCNet / Lee et al. paragraph-granularity pass): lines in ≥ 2 docs
+    drop everywhere except their canonical (min-doc_id) occurrence;
+    the oracle hashes the reassembled cleaned text, so line order and
+    exact excision are both verified."""
+    out = dedup.line_dedup(_line_aug(spark, sf_dir), min_docs=2)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_dropped").cast("bigint").alias("n_dropped"),
+        F.sha2("cleaned", 256).alias("cleaned_sha"),
+    ).orderBy("doc_id")
+
+
+def q_knn_filtered(spark, sf_dir):
+    """Filtered vector search (textops/similarity.py
+    cosine_topk_filtered — the ES kNN filter parameter): exact cosine
+    top-k restricted to an allow-list pushed down from the docs table
+    (lang = 'en'), pre-filter semantics so selective filters still
+    fill k."""
+    cands = _documents(spark, sf_dir).filter(F.col("lang") == "en").select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return similarity.cosine_topk_filtered(
+        _embeddings(spark, sf_dir), ANN_QUERY_IDS, cands, k=10
+    )
+
+
 def q_terms_set_topk(spark, sf_dir):
     """Per-doc minimum-should-match (engine.search_terms_set — the ES
     terms_set query with minimum_should_match_field): each doc's
@@ -4120,6 +4170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "hybrid_bm25_knn_topk": q_hybrid_bm25_knn,
         "terms_set_topk": q_terms_set_topk,
+        "dedup_lines": q_dedup_lines,
+        "knn_filtered_topk": q_knn_filtered,
         "combined_fields_topk": q_combined_fields_topk,
         "pipeline_aggs": q_pipeline_aggs,
         "composite_agg_page": q_composite_agg_page,
@@ -5009,6 +5061,56 @@ ORDER BY doc_id
         ),
         "pii_scrub": _pii_oracle_sql(),
         "hybrid_bm25_knn_topk": _hybrid_knn_oracle_sql(cos_expr),
+        "dedup_lines": """
+WITH aug AS (
+    SELECT doc_id, coalesce(text, '')
+        || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'the shared boilerplate header line' ELSE '' END
+        || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'nav footer links copyright' ELSE '' END AS t
+    FROM documents
+),
+l0 AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM aug),
+lines AS (
+    SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, unnest(ls) AS line FROM l0
+),
+stats AS (
+    SELECT md5(line) AS h, count(DISTINCT doc_id)::BIGINT AS n_docs, min(doc_id) AS canon
+    FROM lines GROUP BY 1
+),
+j AS (
+    SELECT l.doc_id, l.pos, l.line,
+           (s.n_docs < 2 OR l.doc_id = s.canon) AS keep
+    FROM lines l JOIN stats s ON md5(l.line) = s.h
+),
+agg AS (
+    SELECT doc_id, count(*)::BIGINT AS n_lines,
+           sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
+           string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos) AS cleaned
+    FROM j GROUP BY 1
+)
+SELECT doc_id, n_lines, n_dropped, sha256(coalesce(cleaned, '')) AS cleaned_sha
+FROM agg ORDER BY doc_id
+""",
+        "knn_filtered_topk": f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+    WHERE vec_id IN ({ann_ids})
+),
+cand AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
+pairs AS (
+    SELECT q.query_id, e.vec_id, {cos_expr} AS cos_micro
+    FROM q
+    CROSS JOIN embeddings e
+    JOIN cand c ON e.vec_id = c.vec_id
+    WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, vec_id, cos_micro,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos_micro DESC, vec_id ASC) AS rank
+    FROM pairs
+)
+SELECT query_id, rank::INT AS rank, vec_id, cos_micro
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+""",
         "terms_set_topk": f"""
 WITH {_bm25_base_cte()},
 qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),

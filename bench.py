@@ -307,6 +307,17 @@ def bench_main(results: dict):
         "phrase_suggest",
         "multi_match_best",
         "multi_match_most",
+        "dis_max_topk",
+        "combined_fields_topk",
+        "pipeline_aggs",
+        "composite_agg_page",
+        "match_phrase_prefix",
+        "sample_temperature",
+        "pii_scrub",
+        "hybrid_bm25_knn_topk",
+        "terms_set_topk",
+        "dedup_lines",
+        "knn_filtered_topk",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

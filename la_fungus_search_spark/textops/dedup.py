@@ -585,6 +585,70 @@ def simhash_dup_pairs(
     ).select("id_a", "id_b", "hamming")
 
 
+def line_dedup(
+    docs: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document LINE deduplication (the CCNet / Lee et al. 2021
+    paragraph-granularity pass; C4 drops any line seen ≥ 3 times):
+    a line occurring in ≥ ``min_docs`` distinct documents is
+    boilerplate (nav text, license headers, templated footers) and is
+    dropped from every document EXCEPT its canonical occurrence (the
+    min doc_id containing it) — corpus information is preserved
+    exactly once, the dedup contract of the document-level pass
+    carried down to line granularity.
+
+    Output: (doc_id, n_lines, n_dropped, cleaned) where ``cleaned``
+    re-joins the surviving lines in original order. Deterministic:
+    canonicalship is a pure min; line order is re-established by
+    position, never collection order.
+
+    Physical shape at 100 TB: posexplode lines → lines travel as md5
+    (16 bytes) through ONE groupBy (distinct-doc count + min doc id,
+    map-side combinable) → hash join back on the line hash → per-doc
+    reassembly (one groupBy keyed by doc). Two shuffles, both sized
+    by line count, no text wider than one line ever shuffles twice.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "pos", "line"
+        ),
+    ).withColumn("line_md5", F.md5("line"))
+    stats = (
+        lines.select("doc_id", "line_md5").distinct()
+        .groupBy("line_md5")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("canon_doc"),
+        )
+    )
+    j = lines.join(stats, "line_md5").withColumn(
+        "keep",
+        (F.col("n_docs") < F.lit(int(min_docs))) | (F.col("doc_id") == F.col("canon_doc")),
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "line")).otherwise(F.lit(None))
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("cleaned"),
+        )
+    )
+
+
 def cross_doc_grams(
     docs: DataFrame,
     k: int = 8,

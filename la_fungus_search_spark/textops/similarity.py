@@ -83,6 +83,55 @@ def cosine_topk(
     )
 
 
+def cosine_topk_filtered(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    candidates: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Filtered vector search (the ES kNN ``filter`` parameter /
+    Lucene pre-filtered HNSW): exact cosine top-k where the candidate
+    set is restricted by a metadata predicate BEFORE scoring —
+    ``candidates`` is a one-column (``vec_id``) allow-list, typically
+    a pushed-down filter over the docs table. Pre-filtering (vs
+    post-filtering the top-k) is the correct semantics: every query
+    still gets k hits when the filter is selective. Output/ranking
+    contract identical to :func:`cosine_topk`; self-matches excluded.
+
+    Physical shape: the allow-list joins the vector table on its key
+    (both id-partitioned; at scale this is a semi join that prunes
+    before any distance math), then the usual broadcast-query scan.
+    """
+    from pyspark.sql import Window
+
+    allowed = embeddings.join(
+        candidates.select(F.col(candidates.columns[0]).alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    t = allowed.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("tvec"))
+    cos = _dot(F.col("qvec"), F.col("tvec")) / (
+        F.greatest(_norm(F.col("qvec")) * _norm(F.col("tvec")), F.lit(1e-300))
+    )
+    scored = (
+        t.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("cos_micro", F.round(cos * F.lit(1e6)).cast("bigint"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_micro"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos_micro")
+        .orderBy("query_id", "rank")
+    )
+
+
 # ------------------------------------------------------------------ LSH ANN
 
 

@@ -369,6 +369,89 @@ def test_composite_paging_covers_and_is_disjoint(events_df):
     assert p_end == []
 
 
+# ------------------------------------- line dedup + filtered kNN
+
+
+def test_line_dedup_vs_python(spark):
+    from la_fungus_search_spark.textops.dedup import line_dedup
+
+    docs_txt = [
+        "alpha beta\nSHARED HEADER\ngamma",
+        "delta\nSHARED HEADER\nepsilon\nFOOTER",
+        "zeta\nFOOTER",
+        "unique only here",
+        "SHARED HEADER",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs_txt)], schema="doc_id BIGINT, text STRING"
+    )
+    got = {
+        r.doc_id: (r.n_lines, r.n_dropped, r.cleaned)
+        for r in line_dedup(docs, min_docs=2).collect()
+    }
+    # python recompute of the contract
+    from collections import defaultdict
+
+    docs_lines = [t.split("\n") for t in docs_txt]
+    where = defaultdict(set)
+    for d, ls in enumerate(docs_lines):
+        for l in ls:
+            where[l].add(d)
+    want = {}
+    for d, ls in enumerate(docs_lines):
+        keep = [
+            l for l in ls if len(where[l]) < 2 or d == min(where[l])
+        ]
+        want[d] = (len(ls), len(ls) - len(keep), "\n".join(keep))
+    assert got == want
+    # the canonical doc keeps the boilerplate exactly once; later docs lose it
+    assert "SHARED HEADER" in got[0][2] and "SHARED HEADER" not in got[1][2]
+    assert got[4] == (1, 1, "")  # all-boilerplate doc drains to empty
+
+
+def test_knn_filtered_vs_brute(spark):
+    import numpy as np
+
+    from la_fungus_search_spark.textops.similarity import (
+        cosine_topk,
+        cosine_topk_filtered,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(40, 8)
+    emb = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(40)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    allowed = [i for i in range(40) if i % 3 == 0]
+    cands = spark.createDataFrame([(i,) for i in allowed], "vec_id BIGINT")
+    got = {
+        (r.query_id, r.rank): r.vec_id
+        for r in cosine_topk_filtered(emb, [1, 2], cands, k=5).collect()
+    }
+    # brute force: exact cosine over the ALLOWED set only
+    want = {}
+    for q in (1, 2):
+        sims = []
+        for i in allowed:
+            if i == q:
+                continue
+            c = vecs[q] @ vecs[i] / max(
+                np.linalg.norm(vecs[q]) * np.linalg.norm(vecs[i]), 1e-300
+            )
+            sims.append((-round(c * 1e6), i))
+        for rank, (_, i) in enumerate(sorted(sims)[:5], start=1):
+            want[(q, rank)] = i
+    assert got == want
+    # pre-filter semantics: every hit is in the allow-list, and the
+    # unfiltered scan may rank differently
+    assert all(v % 3 == 0 for v in got.values())
+    unfiltered = {
+        (r.query_id, r.rank): r.vec_id for r in cosine_topk(emb, [1, 2], k=5).collect()
+    }
+    assert unfiltered != got
+
+
 # -------------------------------------------------- terms_set query
 
 
