@@ -44,6 +44,10 @@ BNLJ_ALLOWED = {
     # consumes the T4 substring-keyword channel (same containment BNLJ
     # as keyword_score_topk) as one RRF fusion leg
     "rrf_fusion_topk",
+    # the exact-cosine kNN channel / filtered scan: same deliberate
+    # broadcast-query-side scan as ann_cosine_topk
+    "hybrid_bm25_knn_topk",
+    "knn_filtered_topk",
 }
 
 # lazy plans only — entries that materialize driver-side state or run
@@ -120,6 +124,28 @@ AUDIT = [
     "facet_stats",
     "bm25_topk_boosted",
     "suggest_complete",
+    "query_string_topk",
+    "boolean_msm_topk",
+    "has_child_topk",
+    "collapse_topk",
+    "function_score_topk",
+    "top_hits_agg",
+    "date_histogram",
+    "phrase_suggest",
+    "multi_match_best",
+    "multi_match_most",
+    # eighth wave
+    "dis_max_topk",
+    "combined_fields_topk",
+    "pipeline_aggs",
+    "composite_agg_page",
+    "match_phrase_prefix",
+    "sample_temperature",
+    "pii_scrub",
+    "hybrid_bm25_knn_topk",
+    "terms_set_topk",
+    "dedup_lines",
+    "knn_filtered_topk",
 ]
 
 
