@@ -263,7 +263,24 @@ def cmd_curate(args) -> None:
         F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
     )
     ops = set(args.ops.split(","))
+    # text-rewriting pre-passes run BEFORE quality/dedup judgments so
+    # downstream rules judge the text that would actually train
+    pii_counts = lines_dropped = None
+    if "scrub" in ops:
+        scr = pipeline.pii_scrub(docs)
+        pii_counts = scr.select("doc_id", "n_email", "n_key", "n_ip", "n_hex")
+        docs = scr.select("doc_id", F.col("redacted").alias("text"))
+    if "linededup" in ops:
+        ld = dedup.line_dedup(docs)
+        lines_dropped = ld.select(
+            "doc_id", F.col("n_dropped").alias("lines_dropped")
+        )
+        docs = ld.select("doc_id", F.col("cleaned").alias("text"))
     out = pipeline.clean_corpus(docs, repetition="rep" in ops)
+    if pii_counts is not None:
+        out = out.join(pii_counts, "doc_id", "left")
+    if lines_dropped is not None:
+        out = out.join(lines_dropped, "doc_id", "left")
     if "langid" in ops:
         out = out.join(
             stats.lang_id_model(docs).select("doc_id", "pred_lang"), "doc_id", "left"
@@ -283,6 +300,30 @@ def cmd_curate(args) -> None:
     total = docs.count()
     print(json.dumps({"status": "curated", "out": args.out,
                       "n_docs": total, "n_kept": kept, "ops": sorted(ops)}))
+
+
+def cmd_mix(args) -> None:
+    """Temperature mixture sampling over a domain-labeled corpus (the
+    mT5/Gopher alpha-mixing recipe): per-domain rates q ∝ p^alpha
+    toward --target docs, deterministic md5-threshold membership (the
+    same sample on any cluster size or re-run)."""
+    from pyspark.sql import functions as F
+
+    from la_fungus_search_spark.textops import pipeline
+
+    spark = get_spark(app_name="lfs-mix")
+    docs = spark.read.parquet(args.input)
+    out = pipeline.temperature_mix(
+        docs, by=args.by, alpha=args.alpha, target_docs=args.target
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    counts = {
+        r[args.by]: r["n"]
+        for r in out.groupBy(args.by).agg(F.count("*").alias("n")).collect()
+    }
+    print(json.dumps({"status": "mixed", "out": args.out,
+                      "alpha": args.alpha, "target": args.target,
+                      "kept_by_domain": counts}))
 
 
 def main() -> None:
@@ -381,11 +422,19 @@ def main() -> None:
     c.add_argument("--input", required=True, help="parquet with (doc_id, text)")
     c.add_argument("--out", required=True)
     c.add_argument("--ops", default="clean,langid,bpe,dedup",
-                   help="comma set from clean,rep,langid,bpe,dedup")
+                   help="comma set from clean,rep,langid,bpe,dedup,scrub,linededup")
     c.add_argument("--jaccard", type=float, default=0.5)
     c.add_argument("--id-col", dest="id_col", default="doc_id")
     c.add_argument("--text-col", dest="text_col", default="text")
     c.set_defaults(fn=cmd_curate)
+
+    m = sub.add_parser("mix")
+    m.add_argument("--input", required=True, help="parquet with a domain column")
+    m.add_argument("--out", required=True)
+    m.add_argument("--by", default="lang")
+    m.add_argument("--alpha", type=float, default=0.5)
+    m.add_argument("--target", type=int, default=1000)
+    m.set_defaults(fn=cmd_mix)
 
     args = p.parse_args()
     args.fn(args)

@@ -59,3 +59,54 @@ def test_curate_end_to_end(spark, tmp_path, capsys):
     assert subdirs == {"keep=0", "keep=1"}
     plan = out.filter(F.col("keep") == 1)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "keep" in plan
+
+
+def test_curate_scrub_and_linededup(spark, tmp_path, capsys):
+    cmd_curate = _load_cli().cmd_curate
+
+    boiler = "shared nav footer line with copyright text and links"
+    base = "the quick brown fox jumps over the lazy dog and runs through the green fields"
+    rows = [
+        (0, base + " mail me at a.b@corp.example.org\n" + boiler),
+        (1, base + " again today with more words\n" + boiler),
+        (2, base + " third doc server 10.0.0.7 online\n" + boiler),
+    ]
+    src = tmp_path / "corpus.parquet"
+    spark.createDataFrame(rows, "doc_id BIGINT, text STRING").write.parquet(str(src))
+
+    args = types.SimpleNamespace(
+        input=str(src), out=str(tmp_path / "curated2"),
+        ops="clean,scrub,linededup", jaccard=0.5,
+        id_col="doc_id", text_col="text",
+    )
+    cmd_curate(args)
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["status"] == "curated"
+
+    got = {r.doc_id: r for r in spark.read.parquet(str(tmp_path / "curated2")).collect()}
+    assert got[0].n_email == 1 and got[2].n_ip == 1
+    # boilerplate line kept only in the canonical doc (min doc_id)
+    assert got[0].lines_dropped == 0
+    assert got[1].lines_dropped == 1 and got[2].lines_dropped == 1
+
+
+def test_cli_mix(spark, tmp_path, capsys):
+    cmd_mix = _load_cli().cmd_mix
+
+    rows = [(i, "text " + str(i), "en" if i % 4 else "fr") for i in range(120)]
+    src = tmp_path / "mixsrc.parquet"
+    spark.createDataFrame(rows, "doc_id BIGINT, text STRING, lang STRING").write.parquet(str(src))
+
+    args = types.SimpleNamespace(
+        input=str(src), out=str(tmp_path / "mixed"),
+        by="lang", alpha=0.5, target=40,
+    )
+    cmd_mix(args)
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["status"] == "mixed"
+    kept = summary["kept_by_domain"]
+    # alpha=0.5 up-weights the low-resource domain: fr's keep RATE
+    # exceeds en's (fr has 30 docs, en 90)
+    assert kept["fr"] / 30 > kept["en"] / 90
+    out = spark.read.parquet(str(tmp_path / "mixed"))
+    assert out.count() == sum(kept.values())
