@@ -82,6 +82,13 @@ PHRASE_QUERIES = ["table part", "scan slow", "window stream sort", "the table"]
 # expansions at 4 — the Lucene max_expansions contract (term-ASC cap)
 # is exercised, not just decorative.
 PHRASE_PREFIX_QUERIES = ["table s", "hash jo", "window st", "fast d"]
+# span_not fixtures: (phrase, exclusion terms, pre, post)
+SPAN_NOT_QUERIES = [
+    ("table scan", "slow", 2, 2),
+    ("window stream", "sort the", 1, 3),
+    ("merge", "batch", 0, 0),
+    ("the table", "part", 1, 4),
+]
 PROX_QUERIES = [("customer join", 8), ("spark filter", 5), ("scan slow fast", 10)]
 # Boolean retrieval fixtures (engine.search_boolean): Lucene
 # BooleanQuery semantics — must filters+scores, should boosts,
@@ -2528,6 +2535,16 @@ def q_match_phrase_prefix(spark, sf_dir):
     )
 
 
+def q_span_not_topk(spark, sf_dir):
+    """Span exclusion top-k (query/phrase.py span_not_topk — Lucene
+    SpanNotQuery(include, exclude, pre, post)): exact-phrase
+    occurrences survive only when no exclusion token falls inside the
+    [start−pre, end+post] window — positional exclusion, the operator
+    that must_not (document-level) cannot express."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return phrase_ops.span_not_topk(docs, SPAN_NOT_QUERIES, k=10)
+
+
 def q_proximity_window_topk(spark, sf_dir):
     """Windowed proximity top-k: all query terms within a W-token
     window, ranked by matching-anchor count (query/phrase.py)."""
@@ -4172,6 +4189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_set_topk": q_terms_set_topk,
         "dedup_lines": q_dedup_lines,
         "knn_filtered_topk": q_knn_filtered,
+        "span_not_topk": q_span_not_topk,
         "combined_fields_topk": q_combined_fields_topk,
         "pipeline_aggs": q_pipeline_aggs,
         "composite_agg_page": q_composite_agg_page,
@@ -4558,6 +4576,7 @@ def oracle_sql() -> dict[str, str]:
         "match_phrase_prefix": phrase_ops.phrase_prefix_oracle_sql(
             PHRASE_PREFIX_QUERIES, 10, max_expansions=4
         ),
+        "span_not_topk": phrase_ops.span_not_oracle_sql(SPAN_NOT_QUERIES, 10),
         "proximity_window_topk": phrase_ops.proximity_oracle_sql(PROX_QUERIES, 10),
         "boolean_query_topk": _boolean_oracle_sql(10),
         "query_string_topk": _query_string_oracle_sql(10),

@@ -318,6 +318,7 @@ def bench_main(results: dict):
         "terms_set_topk",
         "dedup_lines",
         "knn_filtered_topk",
+        "span_not_topk",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

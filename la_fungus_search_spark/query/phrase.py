@@ -294,6 +294,122 @@ def span_near_topk(
     return _rank_topk(hits, k, "n_spans")
 
 
+def _span_not_pred(ex_pos: Column, pre: int, post: int, m: int):
+    """Factory returning the single-parameter survive predicate for
+    :func:`span_not_topk` — captures live in the enclosing scope, NOT
+    as default args, because PySpark chooses the (value, index) HOF
+    form from the callable's total parameter count (see
+    :func:`_shifted`'s arity note: default args count)."""
+
+    def pred(s):
+        return ~F.exists(
+            ex_pos,
+            lambda x: (x >= s - F.lit(pre)) & (x <= s + F.lit(m - 1 + post)),
+        )
+
+    return pred
+
+
+def span_not_topk(
+    docs: DataFrame,
+    queries: Sequence[Tuple[str, str, int, int]],
+    k: int = 10,
+) -> DataFrame:
+    """Span exclusion top-k (Lucene ``SpanNotQuery`` with pre/post):
+    ``queries`` are (phrase, exclude, pre, post) — occurrences of the
+    exact phrase survive only when NO token of ``exclude`` occurs in
+    ``[start − pre, start + m − 1 + post]`` (the Lucene
+    ``SpanNotQuery(include, exclude, pre, post)`` window; pre=post=0
+    is pure overlap exclusion). ``n_spans`` counts surviving starts;
+    ``first_pos`` = min. A doc without the exclusion term keeps all
+    its phrase occurrences — exclusion is positional, not document-
+    level (that's ``must_not``; this operator is the reason both
+    exist). Same one-corpus-pass position-map scan shape as
+    :func:`phrase_match_topk`."""
+    parsed = []
+    for phrase, exclude, pre, post in queries:
+        terms = tokenize(phrase)
+        ex = sorted(set(tokenize(exclude)))
+        if not terms or not ex:
+            raise ValueError("empty phrase or exclusion after tokenization")
+        if int(pre) < 0 or int(post) < 0:
+            raise ValueError("pre/post must be >= 0")
+        parsed.append((terms, ex, int(pre), int(post)))
+    all_terms = sorted(
+        {t for ts, _, _, _ in parsed for t in ts}
+        | {e for _, exs, _, _ in parsed for e in exs}
+    )
+    pm = _term_pos_map(docs, all_terms)
+    empty = F.array().cast("array<int>")
+    per_q = []
+    for qid, (terms, ex, pre, post) in enumerate(parsed):
+        m = len(terms)
+        starts = F.coalesce(_starts_expr(terms), empty)
+        ex_pos = F.coalesce(
+            F.concat(*[F.coalesce(F.element_at("pm", F.lit(e)), empty) for e in ex]),
+            empty,
+        )
+
+        spans = F.filter(starts, _span_not_pred(ex_pos, pre, post, m))
+        per_q.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.coalesce(F.size(spans), F.lit(0)).cast("bigint").alias("n_spans"),
+                F.coalesce(F.array_min(spans), F.lit(-1)).alias("first_pos"),
+            )
+        )
+    hits = (
+        pm.select("doc_id", F.explode(F.array(*per_q)).alias("h"))
+        .select("doc_id", "h.query_id", "h.n_spans", "h.first_pos")
+        .filter(F.col("n_spans") > 0)
+    )
+    return _rank_topk(hits, k, "n_spans")
+
+
+def span_not_oracle_sql(
+    queries: Sequence[Tuple[str, str, int, int]], k: int = 10
+) -> str:
+    """DuckDB twin of :func:`span_not_topk` (1-based internally,
+    0-based out; the exclusion window test transcribes literally)."""
+    toks = duckdb_tokens_sql("text")
+    branches = []
+    for qid, (phrase, exclude, pre, post) in enumerate(queries):
+        terms = tokenize(phrase)
+        ex = sorted(set(tokenize(exclude)))
+        m = len(terms)
+        conds = " AND ".join(
+            f"toks[s + {j}] = {_sql_quote(t)}" for j, t in enumerate(terms)
+        )
+        exset = ", ".join(_sql_quote(e) for e in ex)
+        expos = f"list_filter(range(1, len(toks) + 1), i -> toks[i] IN ({exset}))"
+        surv = (
+            f"len(list_filter(expos, x -> x >= s - {int(pre)}"
+            f" AND x <= s + {m - 1 + int(post)})) = 0"
+        )
+        spans = (
+            f"list_filter(range(1, len(toks) - {m - 1} + 1), s -> ({conds}) AND {surv})"
+        )
+        branches.append(
+            f"""SELECT {qid} AS query_id, doc_id,
+       len({spans})::BIGINT AS n_spans,
+       (list_min({spans}) - 1)::INT AS first_pos
+FROM (SELECT doc_id, toks, {expos} AS expos FROM tokd)"""
+        )
+    body = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+hits AS ({body}),
+matched AS (SELECT * FROM hits WHERE n_spans > 0),
+ranked AS (
+    SELECT query_id, doc_id, n_spans, first_pos,
+           row_number() OVER (PARTITION BY query_id ORDER BY n_spans DESC, doc_id ASC) AS rank
+    FROM matched
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, n_spans, first_pos
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
 def match_phrase_prefix_topk(
     docs: DataFrame,
     queries: Sequence[str],

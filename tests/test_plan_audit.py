@@ -146,6 +146,7 @@ AUDIT = [
     "terms_set_topk",
     "dedup_lines",
     "knn_filtered_topk",
+    "span_not_topk",
 ]
 
 

@@ -369,6 +369,57 @@ def test_composite_paging_covers_and_is_disjoint(events_df):
     assert p_end == []
 
 
+# ------------------------------------------------------- span_not
+
+
+def test_span_not_vs_python(spark):
+    from la_fungus_search_spark.query.phrase import span_not_topk
+    from la_fungus_search_spark.tokenizer import tokenize as tok
+
+    texts = [
+        "merge sort slow merge sort",      # 2nd occurrence follows 'slow'
+        "merge sort fast data",            # clean occurrence
+        "slow merge sort",                 # 'slow' just before
+        "merge sort",                      # clean
+        "merge slow sort",                 # broken phrase: no match at all
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema="doc_id BIGINT, text STRING"
+    )
+    queries = [("merge sort", "slow", 1, 1), ("merge sort", "slow", 0, 0)]
+    got = {
+        (r.query_id, r.doc_id): (r.n_spans, r.first_pos)
+        for r in span_not_topk(docs, queries, k=10).collect()
+    }
+    want = {}
+    for qid, (phrase, excl, pre, post) in enumerate(queries):
+        terms, ex = tok(phrase), set(tok(excl))
+        m = len(terms)
+        for d, t in enumerate(texts):
+            toks = tok(t)
+            expos = [i for i, x in enumerate(toks) if x in ex]
+            spans = [
+                s
+                for s in range(len(toks) - m + 1)
+                if toks[s : s + m] == terms
+                and not any(s - pre <= x <= s + m - 1 + post for x in expos)
+            ]
+            if spans:
+                want[(qid, d)] = (len(spans), min(spans))
+    assert got == want
+    # the operator's defining delta vs must_not: doc 0 contains 'slow'
+    # yet under pre=post=0 both its phrase occurrences survive (the
+    # exclusion token never overlaps the span) — document-level
+    # exclusion would have killed the whole doc. Under pre=post=1 the
+    # widened window reaches 'slow' from both sides and kills both.
+    assert got[(1, 0)] == (2, 0)
+    assert (0, 0) not in got
+    with pytest.raises(ValueError):
+        span_not_topk(docs, [("merge sort", "slow", -1, 0)])
+    with pytest.raises(ValueError):
+        span_not_topk(docs, [("", "slow", 0, 0)])
+
+
 # ------------------------------------- line dedup + filtered kNN
 
 
