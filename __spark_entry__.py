@@ -2254,11 +2254,21 @@ def _field_units(spark, sf_dir):
     return multifield_ops.explode_fields(d, fields)
 
 
+def _units_index(spark, sf_dir):
+    """Field-unit index shared by the four multi-field gates (same
+    per-session cache discipline as ``_index`` — the bench sweep calls
+    each gate twice and the unit corpus is identical across them)."""
+    key = (id(spark), sf_dir, "field_units")
+    if key not in _INDEX_CACHE:
+        units = _field_units(spark, sf_dir)
+        _INDEX_CACHE[key] = build_index(
+            spark, units.select("unit_id", "content"), id_col="unit_id"
+        )
+    return _INDEX_CACHE[key]
+
+
 def _q_multi_match(spark, sf_dir, mode, tie_breaker: float = 0.0):
-    units = _field_units(spark, sf_dir)
-    eng = BM25QueryEngine(
-        build_index(spark, units.select("unit_id", "content"), id_col="unit_id")
-    )
+    eng = BM25QueryEngine(_units_index(spark, sf_dir))
     folded = multifield_ops.multi_match(
         eng, BM25_QUERIES, MULTI_FIELD_BOOSTS, mode=mode, tie_breaker=tie_breaker
     )
@@ -2311,10 +2321,7 @@ def q_combined_fields_topk(spark, sf_dir):
     doclen folded as exact micro-BIGINT sums, Lucene idf over
     any-field df. The field-centric multi_match gates and this one
     bracket the two public multi-field scoring families."""
-    units = _field_units(spark, sf_dir)
-    eng = BM25QueryEngine(
-        build_index(spark, units.select("unit_id", "content"), id_col="unit_id")
-    )
+    eng = BM25QueryEngine(_units_index(spark, sf_dir))
     folded = multifield_ops.combined_fields(eng, BM25_QUERIES, MULTI_FIELD_BOOSTS)
     q = folded.select(
         "query_id", "doc_id", "n_terms_matched", _micro(F.col("score")).alias("score_q")
