@@ -189,6 +189,10 @@ PERCOLATE_QUERIES = [
     {"should": "merge stream batch"},
     {"must": "window", "should": "sort order"},
     {"must": "zz_absent_term_zz"},
+    # phrase clauses (two-phase percolation): docs holding the words
+    # out of order pass phase 1 and are rejected positionally
+    {"phrase": "table part"},
+    {"must": "spark", "phrase": "scan slow"},
 ]
 # More-like-this seeds (doc_ids in the documents table; results
 # exclude the seed doc itself) and PRF fixtures (query/feedback.py).
@@ -1732,27 +1736,58 @@ def _percolate_oracle_sql() -> str:
     identical clause-count HAVING logic."""
     from la_fungus_search_spark.query.percolate import _clause_rows
 
-    rows, reqs = _clause_rows(PERCOLATE_QUERIES)
+    rows, reqs, phrases = _clause_rows(PERCOLATE_QUERIES)
     qt_vals = ", ".join(f"({q}, '{t}', '{c}')" for q, t, c in rows)
-    req_vals = ", ".join(f"({q}, {m}, {s})" for q, (m, s) in sorted(reqs.items()))
+    req_vals = ", ".join(
+        f"({q}, {m}, {s}, {p})" for q, (m, s, p) in sorted(reqs.items())
+    )
+    # phase-2 positional verify (two-phase percolation): one boolean
+    # column per phrase-bearing stored query over the full token list
+    pcols, pcases = [], "TRUE"
+    if phrases:
+        for qid, terms in sorted(phrases.items()):
+            conds = " AND ".join(
+                f"toks[s + {j}] = '{t}'" for j, t in enumerate(terms)
+            )
+            pcols.append(
+                f"len(list_filter(range(1, len(toks) - {len(terms) - 1} + 1),"
+                f" s -> {conds})) > 0 AS p{qid}"
+            )
+        pcases = (
+            "CASE c.query_id "
+            + " ".join(f"WHEN {qid} THEN pv.p{qid}" for qid in sorted(phrases))
+            + " ELSE TRUE END"
+        )
+    pv_cte = (
+        f""",
+pv AS (
+    SELECT doc_id, {', '.join(pcols)}
+    FROM (SELECT doc_id, {duckdb_tokens_sql('text')} AS toks FROM documents)
+)"""
+        if phrases
+        else ""
+    )
+    pv_join = "JOIN pv ON pv.doc_id = c.doc_id" if phrases else ""
     return f"""
 WITH tok AS (
     SELECT doc_id, unnest(list_distinct({duckdb_tokens_sql("text")})) AS term
     FROM documents
 ),
 qt(query_id, term, clause) AS (VALUES {qt_vals}),
-req(query_id, need_must, need_should) AS (VALUES {req_vals}),
+req(query_id, need_must, need_should, need_pterms) AS (VALUES {req_vals}),
 counts AS (
     SELECT t.doc_id, q.query_id,
            sum(CASE WHEN q.clause = 'm' THEN 1 ELSE 0 END)::INT AS n_must,
            sum(CASE WHEN q.clause = 's' THEN 1 ELSE 0 END)::INT AS n_should,
-           sum(CASE WHEN q.clause = 'n' THEN 1 ELSE 0 END)::INT AS n_not
+           sum(CASE WHEN q.clause = 'n' THEN 1 ELSE 0 END)::INT AS n_not,
+           sum(CASE WHEN q.clause = 'p' THEN 1 ELSE 0 END)::INT AS n_pterm
     FROM tok t JOIN qt q USING (term) GROUP BY 1, 2
-)
+){pv_cte}
 SELECT c.doc_id, c.query_id::INT AS query_id, c.n_must, c.n_should
-FROM counts c JOIN req r USING (query_id)
+FROM counts c JOIN req r USING (query_id) {pv_join}
 WHERE c.n_not = 0 AND c.n_must >= r.need_must AND c.n_should >= r.need_should
-ORDER BY doc_id, query_id
+  AND c.n_pterm >= r.need_pterms AND ({pcases})
+ORDER BY c.doc_id, c.query_id
 """
 
 

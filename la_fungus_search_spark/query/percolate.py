@@ -12,8 +12,19 @@ this is a fulltext-index delta capability.
 Stored queries here are the engine's boolean shape
 (``engine.search_boolean``): ``must`` (every term required), ``should``
 (≥1 required iff the query has no must clause — the Lucene
-``minimum_should_match`` default), ``must_not`` (none may appear).
-Term-level matching uses the repo-wide tokenizer contract.
+``minimum_should_match`` default), ``must_not`` (none may appear), and
+``phrase`` (an exact positional phrase the doc must contain). Term
+clauses use the repo-wide QUERY tokenizer; phrases use the CORPUS
+tokenizer (a phrase is a literal sequence — no stopword strip).
+
+Phrase matching is TWO-PHASE, exactly Lucene's percolator design
+(candidate queries prefiltered by term overlap, then the real query
+runs against a per-doc MemoryIndex): phase 1 requires every phrase
+term present (the phrase terms ride the same broadcast clause dim as
+a distinct clause kind), phase 2 verifies adjacency positionally —
+but only on the (doc, query) pairs phase 1 admitted, over a position
+map restricted to phrase terms. A doc containing all the words in the
+wrong order passes phase 1 and is rejected by phase 2.
 
 Physical shape, and why it scales: percolation is ONE pass over the
 incoming batch — tokenize (JVM), explode the per-doc DISTINCT term
@@ -40,25 +51,42 @@ from la_fungus_search_spark.tokenizer import tokenize_query, tokens_expr
 
 def _clause_rows(
     stored: Sequence[dict],
-) -> Tuple[List[Tuple[int, str, str]], Dict[int, Tuple[int, int]]]:
+) -> Tuple[
+    List[Tuple[int, str, str]],
+    Dict[int, Tuple[int, int, int]],
+    Dict[int, List[str]],
+]:
     """Flatten stored queries to (query_id, term, clause) rows plus
-    per-query requirements (n_must, need_should). Duplicate terms
-    within a clause collapse — matching is set-containment."""
+    per-query requirements (n_must, need_should, n_phrase_terms) and
+    the ordered phrase term lists for phase-2 verification. Duplicate
+    terms within a clause collapse — phase-1 matching is
+    set-containment; the phrase keeps order (and repeats) for phase 2."""
+    from la_fungus_search_spark.tokenizer import tokenize as corpus_tokenize
+
     rows: List[Tuple[int, str, str]] = []
-    reqs: Dict[int, Tuple[int, int]] = {}
+    reqs: Dict[int, Tuple[int, int, int]] = {}
+    phrases: Dict[int, List[str]] = {}
     for qid, q in enumerate(stored):
         must = sorted(set(tokenize_query(q.get("must") or "")))
         should = sorted(set(tokenize_query(q.get("should") or "")))
         must_not = sorted(set(tokenize_query(q.get("must_not") or "")))
-        if not (must or should):
+        pterms = corpus_tokenize(q.get("phrase") or "")
+        if not (must or should or pterms):
             raise ValueError(f"stored query {qid} has no positive clause")
         rows += [(qid, t, "m") for t in must]
         rows += [(qid, t, "s") for t in should]
         rows += [(qid, t, "n") for t in must_not]
-        # Lucene minimum_should_match: 0 when a must clause exists,
-        # else 1 — a pure-should query needs one hit
-        reqs[qid] = (len(must), 0 if must else 1)
-    return rows, reqs
+        rows += [(qid, t, "p") for t in sorted(set(pterms))]
+        if pterms:
+            phrases[qid] = pterms
+        # Lucene minimum_should_match: 0 when a must or phrase clause
+        # exists, else 1 — a pure-should query needs one hit
+        reqs[qid] = (
+            len(must),
+            0 if (must or pterms) else 1,
+            len(set(pterms)),
+        )
+    return rows, reqs, phrases
 
 
 def percolate(
@@ -72,14 +100,14 @@ def percolate(
     are ``{"must": str, "should": str, "must_not": str}`` with
     query_id = position."""
     spark = docs_df.sparkSession
-    rows, reqs = _clause_rows(stored)
+    rows, reqs, phrases = _clause_rows(stored)
     qt = F.broadcast(
         spark.createDataFrame(rows, schema="query_id INT, term STRING, clause STRING")
     )
     req_df = F.broadcast(
         spark.createDataFrame(
-            [(qid, n_m, n_s) for qid, (n_m, n_s) in sorted(reqs.items())],
-            schema="query_id INT, need_must INT, need_should INT",
+            [(qid, n_m, n_s, n_p) for qid, (n_m, n_s, n_p) in sorted(reqs.items())],
+            schema="query_id INT, need_must INT, need_should INT, need_pterms INT",
         )
     )
     toks = docs_df.select(
@@ -93,20 +121,47 @@ def percolate(
             F.sum(F.when(F.col("clause") == "m", 1).otherwise(0)).cast("int").alias("n_must"),
             F.sum(F.when(F.col("clause") == "s", 1).otherwise(0)).cast("int").alias("n_should"),
             F.sum(F.when(F.col("clause") == "n", 1).otherwise(0)).cast("int").alias("n_not"),
+            F.sum(F.when(F.col("clause") == "p", 1).otherwise(0)).cast("int").alias("n_pterm"),
         )
     )
-    return (
+    candidates = (
         counts.join(req_df, "query_id")
         .filter(
             (F.col("n_not") == 0)
             & (F.col("n_must") >= F.col("need_must"))
             & (F.col("n_should") >= F.col("need_should"))
+            & (F.col("n_pterm") >= F.col("need_pterms"))
         )
-        .select(
-            F.col("doc_id").cast("bigint").alias("doc_id"),
-            F.col("query_id").cast("int").alias("query_id"),
-            "n_must",
-            "n_should",
-        )
-        .orderBy("doc_id", "query_id")
+        .select("doc_id", "query_id", "n_must", "n_should")
     )
+    if phrases:
+        # phase 2: positional verify, CANDIDATES ONLY. The position
+        # map covers phrase terms over the batch (one pass, working
+        # set ∝ phrase-term hits); every phase-1 candidate contains
+        # all its query's phrase terms, so it is present in the map.
+        from la_fungus_search_spark.query.phrase import _starts_expr, _term_pos_map
+
+        all_pterms = sorted({t for ts in phrases.values() for t in ts})
+        pm = _term_pos_map(
+            docs_df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+            all_pterms,
+        )
+        ok_parts = [
+            pm.filter(F.coalesce(F.size(_starts_expr(terms)), F.lit(0)) > 0).select(
+                "doc_id", F.lit(qid).alias("query_id"), F.lit(True).alias("phrase_ok")
+            )
+            for qid, terms in sorted(phrases.items())
+        ]
+        okf = ok_parts[0]
+        for p in ok_parts[1:]:
+            okf = okf.unionByName(p)
+        phrase_qids = sorted(phrases)
+        candidates = candidates.join(okf, ["doc_id", "query_id"], "left").filter(
+            (~F.col("query_id").isin(phrase_qids)) | F.col("phrase_ok").isNotNull()
+        ).select("doc_id", "query_id", "n_must", "n_should")
+    return candidates.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("query_id").cast("int").alias("query_id"),
+        "n_must",
+        "n_should",
+    ).orderBy("doc_id", "query_id")

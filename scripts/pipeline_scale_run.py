@@ -1,0 +1,73 @@
+"""Scale evidence for the training-pipeline text operators: time
+pii_scrub / line_dedup / temperature_mix (plus the composed
+scrub→linededup chain) over the deterministic synthetic code corpus at
+a given parallelism level — the same corpus/master discipline as
+scaling_run.py (generated executor-side, persisted and counted before
+the clock starts; every op forced by an aggregate that consumes its
+full output, so lazy plans can't flatter the numbers).
+
+Usage: python scripts/pipeline_scale_run.py '<master>' <n_files>
+Prints one JSON line: per-op wall seconds and docs/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.corpus import corpus_df
+from la_fungus_search_spark.session import get_spark
+from la_fungus_search_spark.textops.dedup import line_dedup
+from la_fungus_search_spark.textops.pipeline import pii_scrub, temperature_mix
+
+
+def main():
+    master, n_files = sys.argv[1], int(sys.argv[2])
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    spark = get_spark(master=master, shuffle_partitions=64,
+                      app_name=f"pipeline-scale-{master}")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = (
+        corpus_df(spark, n_files)
+        .select(
+            F.xxhash64("path").alias("doc_id"),
+            F.col("content").alias("text"),
+            "lang",
+        )
+        .repartition(128)
+        .persist()
+    )
+    n = docs.count()
+    out = {"master": master, "n_docs": n}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        out[name] = {"sec": round(dt, 3), "docs_per_sec": round(n / dt, 1)}
+
+    timed("pii_scrub", lambda: pii_scrub(docs).agg(
+        F.sum("n_email"), F.sum("n_ip"), F.sum(F.length("redacted"))).collect())
+    timed("line_dedup", lambda: line_dedup(docs, min_docs=2).agg(
+        F.sum("n_dropped"), F.sum("n_lines"), F.sum(F.length("cleaned"))).collect())
+    timed("temperature_mix", lambda: temperature_mix(
+        docs, by="lang", alpha=0.5, target_docs=n // 4).count())
+
+    def chain():
+        scrubbed = pii_scrub(docs).select("doc_id", F.col("redacted").alias("text"))
+        line_dedup(scrubbed, min_docs=2).agg(
+            F.sum("n_dropped"), F.sum(F.length("cleaned"))).collect()
+
+    timed("scrub_then_linededup", chain)
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

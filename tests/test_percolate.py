@@ -14,20 +14,29 @@ from la_fungus_search_spark.tokenizer import tokenize, tokenize_query
 SF = "/root/testdata/sf0.001"
 
 
+def _py_contains_phrase(tok_list, pterms):
+    m = len(pterms)
+    return any(tok_list[s : s + m] == pterms for s in range(len(tok_list) - m + 1))
+
+
 def _py_percolate(docs, stored):
     out = []
     for did, text in docs:
-        toks = set(tokenize(text or ""))
+        tok_list = tokenize(text or "")
+        toks = set(tok_list)
         for qid, q in enumerate(stored):
             must = set(tokenize_query(q.get("must") or ""))
             should = set(tokenize_query(q.get("should") or ""))
             must_not = set(tokenize_query(q.get("must_not") or ""))
+            pterms = tokenize(q.get("phrase") or "")
             if toks & must_not:
                 continue
             if not must <= toks:
                 continue
             n_should = len(should & toks)
-            if not must and n_should < 1:
+            if not must and not pterms and n_should < 1:
+                continue
+            if pterms and not _py_contains_phrase(tok_list, pterms):
                 continue
             out.append((did, qid, len(must & toks), n_should))
     return sorted(out)
@@ -44,7 +53,14 @@ def test_percolate_matches_python(spark):
     assert got == expected
     assert got, "expected some matches at sf0.001"
     # the deliberate never-matches registry entry stays silent
-    assert all(q != len(entry.PERCOLATE_QUERIES) - 1 for _, q, _, _ in got)
+    absent_qid = next(
+        i for i, q in enumerate(entry.PERCOLATE_QUERIES)
+        if q.get("must") == "zz_absent_term_zz"
+    )
+    assert all(q != absent_qid for _, q, _, _ in got)
+    # and both phrase-bearing stored queries DO fire somewhere
+    phrase_qids = {i for i, q in enumerate(entry.PERCOLATE_QUERIES) if q.get("phrase")}
+    assert phrase_qids & {q for _, q, _, _ in got}
 
 
 def test_percolate_is_per_doc_independent(spark):
@@ -104,3 +120,26 @@ def test_percolate_rejects_empty_positive_clause():
         from la_fungus_search_spark.query.percolate import _clause_rows
 
         _clause_rows([{"must_not": "error"}])
+
+
+def test_percolate_phrase_two_phase(spark):
+    """The defining two-phase case: a doc holding all the phrase WORDS
+    in the wrong order passes the term prefilter and must be rejected
+    by the positional verify; adjacency matches; a phrase-only stored
+    query needs no should hit."""
+    docs = [
+        (0, "big table part small"),        # adjacent: matches
+        (1, "part big table small"),        # words present, wrong order
+        (2, "table only here"),             # missing a phrase term
+        (3, "spark scan slow path"),        # must + phrase both hold
+        (4, "spark slow scan path"),        # must holds, phrase order broken
+    ]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    stored = [{"phrase": "table part"}, {"must": "spark", "phrase": "scan slow"}]
+    got = sorted(
+        (r.doc_id, r.query_id) for r in percolate(df, stored).collect()
+    )
+    assert got == [(0, 0), (3, 1)]
+    assert got == [
+        (d, q) for d, q, _, _ in _py_percolate(docs, stored)
+    ]
