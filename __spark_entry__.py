@@ -52,6 +52,7 @@ from la_fungus_search_spark.query.ranking import (
     decay_lambda,
     function_score_decay,
     max_merge,
+    rank_eval,
     rrf_fuse,
 )
 from la_fungus_search_spark.streaming.metrics import streamed_step_metrics
@@ -3073,6 +3074,23 @@ def q_hybrid_bm25_knn(spark, sf_dir):
     return rrf_fuse([ch_bm25, ch_knn], k_const=60, topk=10)
 
 
+def q_rank_eval(spark, sf_dir):
+    """Ranking-quality evaluation (ranking.rank_eval — the ES
+    _rank_eval API): the BM25 top-10 run scored against graded qrels
+    derived from term containment (grade = min(n_matched, 3)) —
+    precision@10, MRR, and nDCG@10 with per-addend micro-quantized
+    DCG sums (FIXTURES §3b: exact in any aggregation order; log2's
+    libm wiggle dies at the grid)."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    scored = eng.scored_sql(BM25_QUERIES)
+    run = _bm25_rank(scored, 10).select("query_id", "rank", "doc_id")
+    qrels = scored.select(
+        "query_id", "doc_id",
+        F.least(F.col("n_matched"), F.lit(3)).cast("int").alias("grade"),
+    )
+    return rank_eval(run, qrels, k=10)
+
+
 def q_keyword_score_topk(spark, sf_dir):
     """Reference T4 (rag/search.py:50-65): fraction of query tokens
     contained (substring, lowercased) per doc; top-20 per query."""
@@ -4232,6 +4250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "knn_filtered_topk": q_knn_filtered,
         "span_not_topk": q_span_not_topk,
+        "rank_eval": q_rank_eval,
         "combined_fields_topk": q_combined_fields_topk,
         "pipeline_aggs": q_pipeline_aggs,
         "composite_agg_page": q_composite_agg_page,
@@ -4619,6 +4638,55 @@ def oracle_sql() -> dict[str, str]:
             PHRASE_PREFIX_QUERIES, 10, max_expansions=4
         ),
         "span_not_topk": phrase_ops.span_not_oracle_sql(SPAN_NOT_QUERIES, 10),
+        "rank_eval": f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score,
+           count(*)::INT AS n_matched
+    FROM qt JOIN idf USING (term) JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+qz AS (SELECT query_id, doc_id, n_matched, round(score * 1e6)::BIGINT AS score_q FROM scored),
+run AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+),
+qrels AS (SELECT query_id, doc_id, least(n_matched, 3)::INT AS grade FROM qz),
+j AS (
+    SELECT r.query_id, r.rank, coalesce(q.grade, 0) AS grade
+    FROM run r LEFT JOIN qrels q ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+    WHERE r.rank <= 10
+),
+per_run AS (
+    SELECT query_id,
+           sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END)::INT AS n_rel,
+           round(1e6 * sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) / 10.0)::BIGINT AS precision_micro,
+           coalesce(round(1e6 / min(CASE WHEN grade > 0 THEN rank END)), 0)::BIGINT AS mrr_micro,
+           sum(round(1e6 * (pow(2.0, grade) - 1.0) / log2(rank + 1))::BIGINT)::BIGINT AS dcg_micro
+    FROM j GROUP BY 1
+),
+ideal0 AS (
+    SELECT query_id, grade,
+           row_number() OVER (PARTITION BY query_id ORDER BY grade DESC, doc_id ASC) AS rank
+    FROM qrels WHERE grade > 0
+),
+ideal AS (
+    SELECT query_id,
+           sum(round(1e6 * (pow(2.0, grade) - 1.0) / log2(rank + 1))::BIGINT)::BIGINT AS idcg_micro
+    FROM ideal0 WHERE rank <= 10 GROUP BY 1
+)
+SELECT p.query_id::INT AS query_id, p.n_rel, p.precision_micro, p.mrr_micro,
+       p.dcg_micro, coalesce(i.idcg_micro, 0)::BIGINT AS idcg_micro,
+       CASE WHEN coalesce(i.idcg_micro, 0) > 0
+            THEN round(1e6 * p.dcg_micro::DOUBLE / i.idcg_micro::DOUBLE)::BIGINT
+            ELSE 0 END AS ndcg_micro
+FROM per_run p LEFT JOIN ideal i USING (query_id)
+ORDER BY query_id
+""",
         "proximity_window_topk": phrase_ops.proximity_oracle_sql(PROX_QUERIES, 10),
         "boolean_query_topk": _boolean_oracle_sql(10),
         "query_string_topk": _query_string_oracle_sql(10),

@@ -319,6 +319,7 @@ def bench_main(results: dict):
         "dedup_lines",
         "knn_filtered_topk",
         "span_not_topk",
+        "rank_eval",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

@@ -177,6 +177,84 @@ def rrf_fuse(
     )
 
 
+def rank_eval(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Ranking-quality evaluation (the Elasticsearch ``_rank_eval``
+    API; standard IR metrics, Järvelin & Kekäläinen TOIS 2002 for
+    nDCG): given a ranked ``run`` (query_id, rank, doc_id) and graded
+    ``qrels`` (query_id, doc_id, grade ≥ 0), emit per query —
+
+    * ``n_rel`` — relevant docs (grade > 0) in the top-``k``,
+    * ``precision_micro`` — n_rel/k,
+    * ``mrr_micro`` — 1/rank of the first relevant hit (0 if none),
+    * ``dcg_micro`` / ``idcg_micro`` — Σ (2^grade − 1)/log2(rank+1)
+      over the top-k vs over the ideal (grade-sorted) ordering,
+    * ``ndcg_micro`` — their ratio.
+
+    Determinism (FIXTURES §3b): each DCG addend is micro-quantized to
+    a BIGINT *before* the sum (log2 is the only libm step and its
+    1-ulp wiggle dies at the 1e6 grid), so distributed and sequential
+    sums agree exactly; the ideal ordering ties on doc_id ASC. nDCG
+    divides two exact integers in double and re-quantizes.
+
+    Physical shape: run(≤ k·|queries| rows) left-joins qrels on
+    (query, doc) — hit-bounded; IDCG is one per-query window over the
+    qrels (row_number ≤ k on grade DESC) — qrels-bounded. Nothing
+    touches a corpus."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    j = (
+        run.filter(F.col("rank") <= k)
+        .join(qrels.select("query_id", "doc_id", "grade"), ["query_id", "doc_id"], "left")
+        .withColumn("grade", F.coalesce(F.col("grade"), F.lit(0)))
+    )
+    gain = F.pow(F.lit(2.0), F.col("grade")) - F.lit(1.0)
+    addend = F.round(F.lit(1e6) * gain / F.log2(F.col("rank") + F.lit(1))).cast("bigint")
+    per_run = j.groupBy("query_id").agg(
+        F.sum(F.when(F.col("grade") > 0, 1).otherwise(0)).cast("int").alias("n_rel"),
+        F.round(
+            F.lit(1e6) * F.sum(F.when(F.col("grade") > 0, 1).otherwise(0)) / F.lit(float(k))
+        ).cast("bigint").alias("precision_micro"),
+        F.coalesce(
+            F.round(F.lit(1e6) / F.min(F.when(F.col("grade") > 0, F.col("rank")))),
+            F.lit(0),
+        ).cast("bigint").alias("mrr_micro"),
+        F.sum(addend).cast("bigint").alias("dcg_micro"),
+    )
+    w_ideal = Window.partitionBy("query_id").orderBy(F.desc("grade"), F.asc("doc_id"))
+    ideal = (
+        qrels.filter(F.col("grade") > 0)
+        .withColumn("rank", F.row_number().over(w_ideal))
+        .filter(F.col("rank") <= k)
+        .withColumn("iaddend", addend)
+        .groupBy("query_id")
+        .agg(F.sum("iaddend").cast("bigint").alias("idcg_micro"))
+    )
+    return (
+        per_run.join(ideal, "query_id", "left")
+        .withColumn("idcg_micro", F.coalesce(F.col("idcg_micro"), F.lit(0)).cast("bigint"))
+        .withColumn(
+            "ndcg_micro",
+            F.when(
+                F.col("idcg_micro") > 0,
+                F.round(
+                    F.lit(1e6) * F.col("dcg_micro").cast("double")
+                    / F.col("idcg_micro").cast("double")
+                ).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            "n_rel", "precision_micro", "mrr_micro",
+            "dcg_micro", "idcg_micro", "ndcg_micro",
+        )
+        .orderBy("query_id")
+    )
+
+
 def rescore_phrase(
     engine,
     docs_df: DataFrame,

@@ -147,6 +147,7 @@ AUDIT = [
     "dedup_lines",
     "knn_filtered_topk",
     "span_not_topk",
+    "rank_eval",
 ]
 
 

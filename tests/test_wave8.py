@@ -369,6 +369,57 @@ def test_composite_paging_covers_and_is_disjoint(events_df):
     assert p_end == []
 
 
+# ------------------------------------------------------- rank_eval
+
+
+def test_rank_eval_vs_python(spark):
+    import math
+
+    from la_fungus_search_spark.query.ranking import rank_eval
+
+    run_rows = [  # (query_id, rank, doc_id)
+        (0, 1, 10), (0, 2, 11), (0, 3, 12),
+        (1, 1, 20), (1, 2, 21),
+        (2, 1, 30),                        # query with NO relevant docs
+    ]
+    qrel_rows = [  # (query_id, doc_id, grade)
+        (0, 11, 3), (0, 12, 1), (0, 99, 2),   # 99 not retrieved → IDCG only
+        (1, 20, 1), (1, 21, 1),               # tie grades → ideal ties on doc_id
+    ]
+    run = spark.createDataFrame(run_rows, "query_id INT, rank INT, doc_id BIGINT")
+    qrels = spark.createDataFrame(qrel_rows, "query_id INT, doc_id BIGINT, grade INT")
+    got = {r.query_id: r.asDict() for r in rank_eval(run, qrels, k=3).collect()}
+
+    def dcg(pairs):  # [(rank, grade)]
+        return sum(
+            round(1e6 * (2.0 ** g - 1.0) / math.log2(r + 1)) for r, g in pairs
+        )
+
+    grades = {}
+    for q, d, g in qrel_rows:
+        grades[(q, d)] = g
+    for q in (0, 1, 2):
+        top = [(r, grades.get((q, d), 0)) for qq, r, d in run_rows if qq == q and r <= 3]
+        rel = [(r, g) for r, g in top if g > 0]
+        assert got[q]["n_rel"] == len(rel)
+        assert got[q]["precision_micro"] == round(1e6 * len(rel) / 3.0)
+        assert got[q]["mrr_micro"] == (round(1e6 / min(r for r, _ in rel)) if rel else 0)
+        assert got[q]["dcg_micro"] == dcg(top)
+        ideal = sorted(
+            ((g, d) for (qq, d), g in grades.items() if qq == q and g > 0),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        idcg = dcg([(i + 1, g) for i, (g, _) in enumerate(ideal)])
+        assert got[q]["idcg_micro"] == idcg
+        want_ndcg = round(1e6 * got[q]["dcg_micro"] / idcg) if idcg else 0
+        assert got[q]["ndcg_micro"] == want_ndcg
+    # perfect ordering ⇒ nDCG = 1.0 exactly
+    assert got[1]["ndcg_micro"] == 1_000_000
+    assert got[2]["ndcg_micro"] == 0 and got[2]["mrr_micro"] == 0
+    with pytest.raises(ValueError):
+        rank_eval(run, qrels, k=0)
+
+
 # ------------------------------------------------------- span_not
 
 
