@@ -3964,6 +3964,46 @@ def q_incremental_changed_docs(spark, sf_dir):
     )
 
 
+def q_streaming_percolate(spark, sf_dir):
+    """Streaming percolation (query/percolate.py composed under
+    foreachBatch — the ES percolator's alerting use: match every
+    arriving doc against the stored-query registry): the documents
+    table drained as a 2-file availableNow stream, each micro-batch
+    percolated independently (percolation carries no cross-doc state,
+    so the union EQUALS the batch result — same DuckDB oracle as
+    percolate_matches, incl. the two-phase phrase clauses)."""
+    import tempfile
+
+    from la_fungus_search_spark.query.percolate import percolate
+
+    base = tempfile.mkdtemp(prefix="gate_stream_perc_")
+    src, out = os.path.join(base, "in"), os.path.join(base, "out")
+    _documents(spark, sf_dir).select("doc_id", "text").repartition(2).write.parquet(src)
+
+    def _sink(batch_df, batch_id):
+        percolate(batch_df, PERCOLATE_QUERIES).write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(out)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("n_must").cast("int").alias("n_must"),
+            F.col("n_should").cast("int").alias("n_should"),
+        )
+        .orderBy("doc_id", "query_id")
+    )
+
+
 def q_streaming_step_metrics(spark, sf_dir):
     """ST1/ST2 (realtime/server.py:709-1008): the step-metrics loop as
     Structured Streaming (watermark + tumbling window, availableNow),
@@ -4251,6 +4291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_filtered_topk": q_knn_filtered,
         "span_not_topk": q_span_not_topk,
         "rank_eval": q_rank_eval,
+        "streaming_percolate": q_streaming_percolate,
         "combined_fields_topk": q_combined_fields_topk,
         "pipeline_aggs": q_pipeline_aggs,
         "composite_agg_page": q_composite_agg_page,
@@ -4714,6 +4755,7 @@ ORDER BY query_id
         "bm25_topk_english": _bm25_english_oracle_sql(),
         "rrf_fusion_topk": _rrf_oracle_sql(),
         "percolate_matches": _percolate_oracle_sql(),
+        "streaming_percolate": _percolate_oracle_sql(),
         "rescore_phrase_topk": _rescore_oracle_sql(),
         "facet_stats": _facet_stats_oracle_sql(),
         "bm25_topk_boosted": _boosted_oracle_sql(),

@@ -320,6 +320,7 @@ def bench_main(results: dict):
         "knn_filtered_topk",
         "span_not_topk",
         "rank_eval",
+        "streaming_percolate",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25
