@@ -3393,6 +3393,23 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_text_lm_logloss(spark, sf_dir):
+    """Corpus-LM cross-entropy per doc (textops/stats.py lm_logloss —
+    the CCNet perplexity-filter signal with the corpus's own unigram
+    MLE standing in for KenLM): per-term bits micro-quantized once,
+    per-doc integer folds, one terminal division."""
+    return stats.lm_logloss(_documents(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_ccnet_bucket(spark, sf_dir):
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020): per-lang
+    exact tercile split of the LM logloss — head is the
+    low-perplexity slice CCNet keeps; thresholds are type-1 order
+    statistics on the already-integer logloss, so the split is
+    engine-invariant."""
+    return stats.ccnet_buckets(_documents(spark, sf_dir), by="lang").orderBy("doc_id")
+
+
 def q_sample_temperature(spark, sf_dir):
     """Temperature mixture sampling (textops/pipeline.py
     temperature_mix — the mT5/Gopher α-mixing recipe): per-lang rates
@@ -4292,6 +4309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_not_topk": q_span_not_topk,
         "rank_eval": q_rank_eval,
         "streaming_percolate": q_streaming_percolate,
+        "text_lm_logloss": q_text_lm_logloss,
+        "ccnet_bucket": q_ccnet_bucket,
         "combined_fields_topk": q_combined_fields_topk,
         "pipeline_aggs": q_pipeline_aggs,
         "composite_agg_page": q_composite_agg_page,
@@ -4756,6 +4775,66 @@ ORDER BY query_id
         "rrf_fusion_topk": _rrf_oracle_sql(),
         "percolate_matches": _percolate_oracle_sql(),
         "streaming_percolate": _percolate_oracle_sql(),
+        "text_lm_logloss": f"""
+WITH tok AS (SELECT doc_id, unnest({duckdb_tokens_sql('text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+cnt AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT sum(cnt)::BIGINT AS t FROM cnt),
+bits AS (
+    SELECT term, round(1e6 * -log2(cnt::DOUBLE / (SELECT t FROM tot)))::BIGINT AS bits_micro
+    FROM cnt
+),
+pd AS (
+    SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
+           sum(tf.tf * b.bits_micro)::BIGINT AS sum_bits
+    FROM tf JOIN bits b USING (term) GROUP BY 1
+),
+ll AS (
+    SELECT d.doc_id, coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(round(pd.sum_bits::DOUBLE / pd.n_tokens), 0)::BIGINT AS logloss_micro
+    FROM documents d LEFT JOIN pd USING (doc_id)
+)
+SELECT doc_id, n_tokens, logloss_micro FROM ll ORDER BY doc_id
+""",
+        "ccnet_bucket": f"""
+WITH tok AS (SELECT doc_id, unnest({duckdb_tokens_sql('text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+cnt AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT sum(cnt)::BIGINT AS t FROM cnt),
+bits AS (
+    SELECT term, round(1e6 * -log2(cnt::DOUBLE / (SELECT t FROM tot)))::BIGINT AS bits_micro
+    FROM cnt
+),
+pd AS (
+    SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
+           sum(tf.tf * b.bits_micro)::BIGINT AS sum_bits
+    FROM tf JOIN bits b USING (term) GROUP BY 1
+),
+ll AS (
+    SELECT d.doc_id, coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(round(pd.sum_bits::DOUBLE / pd.n_tokens), 0)::BIGINT AS logloss_micro
+    FROM documents d LEFT JOIN pd USING (doc_id)
+),
+grpd AS (
+    SELECT ll.doc_id, coalesce(d.lang, '(none)') AS grp, ll.n_tokens, ll.logloss_micro
+    FROM ll JOIN documents d USING (doc_id)
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY grp ORDER BY logloss_micro ASC, doc_id ASC) AS r,
+           count(*) OVER (PARTITION BY grp) AS n
+    FROM grpd
+),
+thr AS (
+    SELECT grp, min(logloss_micro) AS t33, max(logloss_micro) AS t66
+    FROM ranked WHERE r = (n * 33 + 99) // 100 OR r = (n * 66 + 99) // 100
+    GROUP BY 1
+)
+SELECT g.doc_id, g.grp, g.n_tokens, g.logloss_micro,
+       CASE WHEN g.logloss_micro <= t.t33 THEN 'head'
+            WHEN g.logloss_micro <= t.t66 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM grpd g JOIN thr t USING (grp) ORDER BY g.doc_id
+""",
         "rescore_phrase_topk": _rescore_oracle_sql(),
         "facet_stats": _facet_stats_oracle_sql(),
         "bm25_topk_boosted": _boosted_oracle_sql(),

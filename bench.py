@@ -321,6 +321,8 @@ def bench_main(results: dict):
         "span_not_topk",
         "rank_eval",
         "streaming_percolate",
+        "text_lm_logloss",
+        "ccnet_bucket",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

@@ -14,8 +14,10 @@ engine-portable for the DuckDB oracle gate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from la_fungus_search_spark.tokenizer import tokens_expr
 
 # Engine-invariant whitespace character class. The same pattern string
 # is evaluated by THREE regex engines — Java (Spark regexp_extract_all),
@@ -348,6 +350,110 @@ def lang_id_model(
         F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
         F.coalesce("score_micro", F.lit(0)).cast("bigint").alias("score_micro"),
         F.coalesce("margin_micro", F.lit(0)).cast("bigint").alias("margin_micro"),
+    )
+
+
+def lm_logloss(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc cross-entropy under the corpus unigram LM — the CCNet
+    perplexity-filter signal (Wenzek et al. 2020 §3.3; CCNet buckets a
+    corpus by LM perplexity and keeps the low-perplexity head).
+    CCNet's KenLM 5-gram is replaced by the corpus's own unigram MLE —
+    the same *shape* of signal (unusually-distributed token text
+    scores high) with zero external model dependency::
+
+        p(t)          = cnt(t) / total_tokens          (corpus MLE)
+        logloss(doc)  = Σ_t tf(t)·(−log2 p(t)) / doclen   (bits/token)
+
+    Determinism (FIXTURES §3b): each term's −log2 p is micro-quantized
+    to a BIGINT once (log2's libm wiggle dies at the grid), per-doc
+    sums are exact integer folds weighted by tf, and the single
+    terminal division is identical in both engines. Empty docs emit
+    logloss 0.
+
+    Output: (doc_id, n_tokens, logloss_micro). Physical shape: one
+    tokenize pass → (doc, term, tf) partial-agg; term probabilities
+    are vocabulary metadata (a broadcast-joinable (term, cnt) dim at
+    any corpus size — the BM25 term_stats cost class); the per-doc
+    fold is one map-side-combinable groupBy."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_expr(text_col)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("bigint").alias("tf"))
+    cnt = toks.groupBy("term").agg(F.count("*").cast("bigint").alias("cnt"))
+    total = cnt.agg(F.sum("cnt").cast("bigint").alias("t")).collect()[0]["t"] or 1
+    bits = F.round(
+        F.lit(1e6) * -F.log2(F.col("cnt").cast("double") / F.lit(float(total)))
+    ).cast("bigint")
+    per_doc = (
+        tf.join(F.broadcast(cnt.withColumn("bits_micro", bits)), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("bits_micro")).cast("bigint").alias("sum_bits"),
+        )
+        .withColumn(
+            "logloss_micro",
+            F.round(F.col("sum_bits").cast("double") / F.col("n_tokens")).cast("bigint"),
+        )
+    )
+    return docs.select(F.col(id_col).alias("doc_id")).join(
+        per_doc.select("doc_id", "n_tokens", "logloss_micro"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("logloss_micro"), F.lit(0)).cast("bigint").alias("logloss_micro"),
+    )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    by: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing: per ``by`` group (CCNet does
+    it per language), docs split at the exact tercile order statistics
+    of :func:`lm_logloss` — ``head`` = lowest-perplexity third (the
+    slice CCNet keeps for LM training), ``tail`` = highest. Exact
+    type-1 percentiles on the already-integer logloss (rank ``(n·p +
+    99) // 100``, ties on doc_id) keep the split engine-invariant —
+    the facet_stats determinism contract.
+
+    Output: (doc_id, grp, n_tokens, logloss_micro, bucket). Physical
+    shape: the logloss frame (doc-level metadata) + one per-group sort
+    window — docs-sized, corpus never re-touched."""
+    ll = lm_logloss(docs, text_col=text_col, id_col=id_col)
+    grp = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(by).cast("string"), F.lit("(none)")).alias("grp"),
+    )
+    j = ll.join(grp, "doc_id")
+    w = Window.partitionBy("grp").orderBy(F.asc("logloss_micro"), F.asc("doc_id"))
+    n = Window.partitionBy("grp")
+    ranked = j.withColumn("r", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(n)
+    )
+    r33 = F.floor((F.col("n") * 33 + 99) / 100).cast("bigint")
+    r66 = F.floor((F.col("n") * 66 + 99) / 100).cast("bigint")
+    # ascending rank ⇒ value(r33) ≤ value(r66), so min/max recover the
+    # two thresholds from one filtered pass (they coincide when the
+    # group is small enough that r33 == r66)
+    thr = ranked.filter(
+        (F.col("r") == r33) | (F.col("r") == r66)
+    ).groupBy("grp").agg(
+        F.min("logloss_micro").alias("t33"), F.max("logloss_micro").alias("t66")
+    )
+    return (
+        j.join(F.broadcast(thr), "grp")
+        .withColumn(
+            "bucket",
+            F.when(F.col("logloss_micro") <= F.col("t33"), F.lit("head"))
+            .when(F.col("logloss_micro") <= F.col("t66"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .select("doc_id", "grp", "n_tokens", "logloss_micro", "bucket")
     )
 
 

@@ -148,6 +148,8 @@ AUDIT = [
     "knn_filtered_topk",
     "span_not_topk",
     "rank_eval",
+    "text_lm_logloss",
+    "ccnet_bucket",
 ]
 
 

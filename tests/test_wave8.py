@@ -369,6 +369,64 @@ def test_composite_paging_covers_and_is_disjoint(events_df):
     assert p_end == []
 
 
+# ------------------------------------------- CCNet perplexity filter
+
+
+def test_lm_logloss_vs_python(spark):
+    import math
+
+    from la_fungus_search_spark.textops.stats import lm_logloss
+
+    texts = [
+        "the the the the",                # all hot tokens → low bits
+        "the rare zyzzyx token",          # rare tokens → high bits
+        "the the rare rare",
+        "",                               # empty doc → 0
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema="doc_id BIGINT, text STRING"
+    )
+    got = {r.doc_id: (r.n_tokens, r.logloss_micro) for r in lm_logloss(docs).collect()}
+    toks = [tokenize(t) for t in texts]
+    cnt = Counter(t for ts in toks for t in ts)
+    total = sum(cnt.values())
+    bits = {t: round(1e6 * -math.log2(c / total)) for t, c in cnt.items()}
+    for d, ts in enumerate(toks):
+        if not ts:
+            assert got[d] == (0, 0)
+            continue
+        sb = sum(bits[t] for t in ts)
+        assert got[d] == (len(ts), round(sb / len(ts)))
+    # the perplexity ordering CCNet relies on: common-token docs score
+    # lower than rare-token docs
+    assert got[0][1] < got[1][1]
+
+
+def test_ccnet_buckets_tercile_split(spark):
+    from la_fungus_search_spark.textops.stats import ccnet_buckets, lm_logloss
+
+    # 9 docs in one group with strictly increasing rarity
+    texts = ["common " * (10 - i) + f"rare{i} " * i for i in range(9)]
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)],
+        schema="doc_id BIGINT, text STRING, lang STRING",
+    )
+    out = {r.doc_id: r.bucket for r in ccnet_buckets(docs, by="lang").collect()}
+    ll = {r.doc_id: r.logloss_micro for r in lm_logloss(docs).collect()}
+    order = sorted(range(9), key=lambda d: (ll[d], d))
+    # exact terciles of 9: ranks 1-3 head, 4-6 middle, 7-9 tail
+    assert [out[d] for d in order] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    # per-group independence: a second lang gets its own thresholds
+    docs2 = spark.createDataFrame(
+        [(i, t, "en" if i < 9 else "de") for i, t in enumerate(texts + texts[:3])],
+        schema="doc_id BIGINT, text STRING, lang STRING",
+    )
+    out2 = ccnet_buckets(docs2, by="lang").collect()
+    assert {r.grp for r in out2} == {"en", "de"}
+    de = [r for r in out2 if r.grp == "de"]
+    assert {r.bucket for r in de} == {"head", "middle", "tail"}
+
+
 # ------------------------------------------------------- rank_eval
 
 
