@@ -281,6 +281,15 @@ def cmd_curate(args) -> None:
         out = out.join(pii_counts, "doc_id", "left")
     if lines_dropped is not None:
         out = out.join(lines_dropped, "doc_id", "left")
+    if "ppl" in ops:
+        # CCNet-style perplexity signal (corpus-unigram logloss); the
+        # head/middle/tail bucket needs a domain column — fall back to
+        # a single global group when the input has no lang
+        ll = stats.lm_logloss(docs)
+        out = out.join(
+            ll.select("doc_id", F.col("logloss_micro").alias("ppl_micro")),
+            "doc_id", "left",
+        )
     if "langid" in ops:
         out = out.join(
             stats.lang_id_model(docs).select("doc_id", "pred_lang"), "doc_id", "left"
@@ -422,7 +431,7 @@ def main() -> None:
     c.add_argument("--input", required=True, help="parquet with (doc_id, text)")
     c.add_argument("--out", required=True)
     c.add_argument("--ops", default="clean,langid,bpe,dedup",
-                   help="comma set from clean,rep,langid,bpe,dedup,scrub,linededup")
+                   help="comma set from clean,rep,langid,bpe,dedup,scrub,linededup,ppl")
     c.add_argument("--jaccard", type=float, default=0.5)
     c.add_argument("--id-col", dest="id_col", default="doc_id")
     c.add_argument("--text-col", dest="text_col", default="text")
