@@ -3091,6 +3091,33 @@ def q_rank_eval(spark, sf_dir):
     return rank_eval(run, qrels, k=10)
 
 
+def _shard_indexes(spark, sf_dir):
+    """Two disjoint shard indexes over the documents table (split on
+    doc_id parity — deliberately UNEVEN term distributions per shard,
+    the regime where per-shard idf skews), cached per session+sf."""
+    key = (id(spark), sf_dir, "shards")
+    if key not in _INDEX_CACHE:
+        docs = _documents(spark, sf_dir).withColumnRenamed("text", "content")
+        _INDEX_CACHE[key] = [
+            build_index(spark, docs.filter(F.col("doc_id") % 2 == i), id_col="doc_id")
+            for i in (0, 1)
+        ]
+    return _INDEX_CACHE[key]
+
+
+def q_dfs_sharded_search(spark, sf_dir):
+    """Cross-index global-statistics search (query/multiindex.py
+    dfs_search — ES dfs_query_then_fetch): the corpus split across two
+    shard indexes, DFS-phase global df/N/avgdl/eps, per-shard scoring
+    with the global stats, shard-union merge. The oracle is the
+    UNCHANGED monolithic BM25 SQL — sharding with global stats must
+    reproduce the single-index ranking exactly."""
+    from la_fungus_search_spark.query.multiindex import dfs_search
+
+    scored = dfs_search(spark, _shard_indexes(spark, sf_dir), BM25_QUERIES)
+    return _bm25_rank(scored, 10)
+
+
 def q_keyword_score_topk(spark, sf_dir):
     """Reference T4 (rag/search.py:50-65): fraction of query tokens
     contained (substring, lowercased) per doc; top-20 per query."""
@@ -4311,6 +4338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_percolate": q_streaming_percolate,
         "text_lm_logloss": q_text_lm_logloss,
         "ccnet_bucket": q_ccnet_bucket,
+        "dfs_sharded_search": q_dfs_sharded_search,
         "combined_fields_topk": q_combined_fields_topk,
         "pipeline_aggs": q_pipeline_aggs,
         "composite_agg_page": q_composite_agg_page,
@@ -4774,6 +4802,7 @@ ORDER BY query_id
         "bm25_topk_english": _bm25_english_oracle_sql(),
         "rrf_fusion_topk": _rrf_oracle_sql(),
         "percolate_matches": _percolate_oracle_sql(),
+        "dfs_sharded_search": _bm25_topk_sql(10),
         "streaming_percolate": _percolate_oracle_sql(),
         "text_lm_logloss": f"""
 WITH tok AS (SELECT doc_id, unnest({duckdb_tokens_sql('text')}) AS term FROM documents),

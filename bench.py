@@ -323,6 +323,7 @@ def bench_main(results: dict):
         "streaming_percolate",
         "text_lm_logloss",
         "ccnet_bucket",
+        "dfs_sharded_search",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

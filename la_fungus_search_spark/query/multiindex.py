@@ -1,0 +1,129 @@
+"""Cross-index (sharded) search with GLOBAL statistics.
+
+Public semantics: Elasticsearch ``dfs_query_then_fetch`` — when a
+logical corpus is split across shards/indexes, per-shard idf makes the
+same document score differently depending on which shard it landed in
+(the classic relevancy skew ES documents for small/uneven shards). The
+DFS phase first collects global term statistics (Σ df, Σ N, Σ tokens)
+across every shard, then each shard scores its own postings with the
+GLOBAL idf/avgdl, and the fetch phase merges per-shard top hits.
+
+Equality contract (what the gate proves): because the engine's BM25 is
+a pure function of (tf, doclen, global df, global N, global avgdl,
+global ε-floor), DFS scoring over ANY disjoint split of the corpus
+reproduces the monolithic index's ranking — the gate's oracle is the
+standard single-corpus BM25 SQL, unchanged. The naive alternative
+(per-shard idf) is exposed as ``mode="local"`` for the contrast test.
+
+Physical shape at 100 TB: the DFS phase is a union of vocabulary-sized
+``term_stats`` projections (index METADATA — never postings) and one
+scalar collect for the ε floor; per-shard scoring keeps each index's
+own bucket pruning (driver-side IN-list per shard); the merge is the
+usual (query, doc) partial-sum union — each doc lives in exactly one
+shard, so no cross-shard combination happens and shuffle volume is the
+same as |shards| independent queries. Reference analog: J7
+shard-results union (SURVEY §2.4) — upgraded from score-merge to
+statistics-merge.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import List, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.tokenizer import tokenize_query
+from la_fungus_search_spark.xxhash import term_bucket
+
+K1, B, EPSILON = 1.5, 0.75, 0.25
+
+
+def dfs_search(
+    spark: SparkSession,
+    indexes: List,
+    queries: Sequence[str],
+    mode: str = "dfs",
+    k1: float = K1,
+    b: float = B,
+    epsilon: float = EPSILON,
+) -> DataFrame:
+    """Scored set ``(query_id, doc_id, score, n_matched)`` over sharded
+    indexes. ``mode="dfs"`` (default) scores with global statistics
+    (the correctness mode, equal to a monolithic index); ``"local"``
+    scores each shard with its own stats (the query_then_fetch skew,
+    kept for demonstration/tests only).
+
+    Shard indexes MUST be built with GLOBALLY consistent doc ids
+    (``id_mode="hash"``, or a pre-assigned id column carried into the
+    split) — dense per-shard row numbering restarts at 0 inside each
+    shard and silently collides across shards (found driving this on
+    the real corpus; the hash mode exists precisely because a global
+    dense numbering needs a corpus-wide sort no shard can run alone)."""
+    if not indexes:
+        raise ValueError("need at least one index")
+    if mode not in {"dfs", "local"}:
+        raise ValueError("mode must be dfs or local")
+    qt_rows = [
+        (qid, term, qtf)
+        for qid, q in enumerate(queries)
+        for term, qtf in Counter(tokenize_query(q)).items()
+    ] or [(0, "\x00__no_terms__", 0)]
+    qt = spark.createDataFrame(qt_rows, "query_id INT, term STRING, qtf INT")
+    qterms = sorted({t for _, t, _ in qt_rows})
+
+    if mode == "dfs":
+        n_g = sum(int(idx.n_docs) for idx in indexes)
+        total_tokens = sum(int(idx.globals["total_tokens"]) for idx in indexes)
+        avgdl_g = max(total_tokens / max(n_g, 1), 1e-12)
+        ts = None
+        for idx in indexes:
+            t = idx.term_stats.select("term", F.col("df").cast("bigint").alias("df"))
+            ts = t if ts is None else ts.unionByName(t)
+        g = ts.groupBy("term").agg(F.sum("df").cast("bigint").alias("df")).withColumn(
+            "idf_raw",
+            F.log(F.lit(float(n_g)) - F.col("df") + F.lit(0.5))
+            - F.log(F.col("df") + F.lit(0.5)),
+        )
+        avg_idf = g.agg(F.avg("idf_raw")).collect()[0][0] or 0.0
+        eps = float(epsilon) * float(avg_idf)
+        gidf = g.select(
+            "term",
+            F.when(F.col("idf_raw") < 0, F.lit(eps))
+            .otherwise(F.col("idf_raw"))
+            .alias("idf"),
+        )
+        qdims = [F.broadcast(qt.join(gidf, "term"))] * len(indexes)
+        avgdls = [avgdl_g] * len(indexes)
+    else:
+        qdims = [
+            F.broadcast(qt.join(idx.term_stats.select("term", "idf"), "term"))
+            for idx in indexes
+        ]
+        avgdls = [max(float(idx.globals["avgdl"]), 1e-12) for idx in indexes]
+
+    parts = []
+    for idx, qdim, avgdl in zip(indexes, qdims, avgdls):
+        nb = int(idx.globals["n_buckets"])
+        buckets = sorted({term_bucket(t, nb) for t in qterms}) or [0]
+        p = idx.postings.filter(F.col("term_bucket").isin(buckets)).join(qdim, "term")
+        if "doclen" not in idx.postings.columns:
+            p = p.join(idx.doc_stats.select("doc_id", "doclen"), "doc_id")
+        contrib = (
+            F.col("qtf") * F.col("idf") * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen") / F.lit(avgdl))
+            )
+        )
+        parts.append(
+            p.withColumn("contrib", contrib).select("query_id", "doc_id", "contrib")
+        )
+    uni = parts[0]
+    for p in parts[1:]:
+        uni = uni.unionByName(p)
+    return uni.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("score"),
+        F.count("*").cast("int").alias("n_matched"),
+    )

@@ -150,6 +150,7 @@ AUDIT = [
     "rank_eval",
     "text_lm_logloss",
     "ccnet_bucket",
+    "dfs_sharded_search",
 ]
 
 

@@ -369,6 +369,55 @@ def test_composite_paging_covers_and_is_disjoint(events_df):
     assert p_end == []
 
 
+# -------------------------------------- dfs_query_then_fetch sharding
+
+
+def test_dfs_sharded_equals_monolithic(spark):
+    from la_fungus_search_spark.query.engine import BM25QueryEngine
+    from la_fungus_search_spark.query.multiindex import dfs_search
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], schema="doc_id BIGINT, content STRING"
+    )
+    mono = BM25QueryEngine(
+        build_index(spark, docs, id_col="doc_id", n_buckets=4, n_salts=2)
+    )
+    queries = ["merge sort", "window stream", "scan batch"]
+    want = {
+        (r.query_id, r.doc_id): r.score for r in mono.scored_sql(queries).collect()
+    }
+    # 2-way and 3-way UNEVEN splits must reproduce the monolithic
+    # scores under DFS global statistics
+    for n_shards in (2, 3):
+        shards = [
+            build_index(
+                spark, docs.filter(F.col("doc_id") % n_shards == i),
+                id_col="doc_id", n_buckets=4, n_salts=2,
+            )
+            for i in range(n_shards)
+        ]
+        got = {
+            (r.query_id, r.doc_id): r.score
+            for r in dfs_search(spark, shards, queries).collect()
+        }
+        assert set(got) == set(want), n_shards
+        for key in got:
+            assert got[key] == pytest.approx(want[key], rel=1e-12), (n_shards, key)
+        # the contrast that motivates DFS: per-shard (local) idf skews
+        # at least one score away from the monolithic value
+        local = {
+            (r.query_id, r.doc_id): r.score
+            for r in dfs_search(spark, shards, queries, mode="local").collect()
+        }
+        assert any(
+            abs(local[k] - want[k]) > 1e-9 * max(abs(want[k]), 1) for k in local
+        ), "local-idf mode unexpectedly matched global scoring"
+    with pytest.raises(ValueError):
+        dfs_search(spark, [], queries)
+    with pytest.raises(ValueError):
+        dfs_search(spark, shards, queries, mode="bogus")
+
+
 # ------------------------------------------- CCNet perplexity filter
 
 
