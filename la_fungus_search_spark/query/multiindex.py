@@ -40,6 +40,43 @@ from la_fungus_search_spark.xxhash import term_bucket
 K1, B, EPSILON = 1.5, 0.75, 0.25
 
 
+def dfs_global_stats(
+    spark: SparkSession,
+    indexes: List,
+    epsilon: float = EPSILON,
+) -> dict:
+    """The DFS phase, computed ONCE per index epoch: global N, avgdl,
+    and the ε-floored global idf frame (persisted, vocabulary-sized).
+    At scale this is the piece to cache — the ε floor needs a
+    whole-vocabulary average, which is an index property, not a query
+    property (ES's per-query DFS only ships per-TERM stats because
+    Lucene's idf needs no global average). Pass the result to
+    :func:`dfs_search` ``stats=`` to amortize it across query
+    batches; the returned ``idf`` frame is persisted — callers
+    release it via ``stats["idf"].unpersist()`` on index rollover."""
+    n_g = sum(int(idx.n_docs) for idx in indexes)
+    total_tokens = sum(int(idx.globals["total_tokens"]) for idx in indexes)
+    avgdl_g = max(total_tokens / max(n_g, 1), 1e-12)
+    ts = None
+    for idx in indexes:
+        t = idx.term_stats.select("term", F.col("df").cast("bigint").alias("df"))
+        ts = t if ts is None else ts.unionByName(t)
+    g = ts.groupBy("term").agg(F.sum("df").cast("bigint").alias("df")).withColumn(
+        "idf_raw",
+        F.log(F.lit(float(n_g)) - F.col("df") + F.lit(0.5))
+        - F.log(F.col("df") + F.lit(0.5)),
+    ).persist()
+    avg_idf = g.agg(F.avg("idf_raw")).collect()[0][0] or 0.0
+    eps = float(epsilon) * float(avg_idf)
+    gidf = g.select(
+        "term",
+        F.when(F.col("idf_raw") < 0, F.lit(eps))
+        .otherwise(F.col("idf_raw"))
+        .alias("idf"),
+    )
+    return {"n_docs": n_g, "avgdl": avgdl_g, "idf": gidf, "_raw": g}
+
+
 def dfs_search(
     spark: SparkSession,
     indexes: List,
@@ -48,6 +85,7 @@ def dfs_search(
     k1: float = K1,
     b: float = B,
     epsilon: float = EPSILON,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Scored set ``(query_id, doc_id, score, n_matched)`` over sharded
     indexes. ``mode="dfs"`` (default) scores with global statistics
@@ -74,28 +112,9 @@ def dfs_search(
     qterms = sorted({t for _, t, _ in qt_rows})
 
     if mode == "dfs":
-        n_g = sum(int(idx.n_docs) for idx in indexes)
-        total_tokens = sum(int(idx.globals["total_tokens"]) for idx in indexes)
-        avgdl_g = max(total_tokens / max(n_g, 1), 1e-12)
-        ts = None
-        for idx in indexes:
-            t = idx.term_stats.select("term", F.col("df").cast("bigint").alias("df"))
-            ts = t if ts is None else ts.unionByName(t)
-        g = ts.groupBy("term").agg(F.sum("df").cast("bigint").alias("df")).withColumn(
-            "idf_raw",
-            F.log(F.lit(float(n_g)) - F.col("df") + F.lit(0.5))
-            - F.log(F.col("df") + F.lit(0.5)),
-        )
-        avg_idf = g.agg(F.avg("idf_raw")).collect()[0][0] or 0.0
-        eps = float(epsilon) * float(avg_idf)
-        gidf = g.select(
-            "term",
-            F.when(F.col("idf_raw") < 0, F.lit(eps))
-            .otherwise(F.col("idf_raw"))
-            .alias("idf"),
-        )
-        qdims = [F.broadcast(qt.join(gidf, "term"))] * len(indexes)
-        avgdls = [avgdl_g] * len(indexes)
+        st = stats or dfs_global_stats(spark, indexes, epsilon=epsilon)
+        qdims = [F.broadcast(qt.join(st["idf"], "term"))] * len(indexes)
+        avgdls = [st["avgdl"]] * len(indexes)
     else:
         qdims = [
             F.broadcast(qt.join(idx.term_stats.select("term", "idf"), "term"))
