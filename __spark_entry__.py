@@ -3437,6 +3437,23 @@ def q_ccnet_bucket(spark, sf_dir):
     return stats.ccnet_buckets(_documents(spark, sf_dir), by="lang").orderBy("doc_id")
 
 
+SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_assign_splits(spark, sf_dir):
+    """Deterministic train/val/test assignment (textops/pipeline.py
+    assign_splits): md5-interval membership on the 2^32 grid with
+    Python-computed integer boundaries shared verbatim with the
+    oracle — disjoint by construction, stable across engines and
+    cluster sizes."""
+    d = _documents(spark, sf_dir)
+    return (
+        pipeline.assign_splits(d, SPLIT_WEIGHTS)
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id")
+    )
+
+
 def q_sample_temperature(spark, sf_dir):
     """Temperature mixture sampling (textops/pipeline.py
     temperature_mix — the mT5/Gopher α-mixing recipe): per-lang rates
@@ -4339,6 +4356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_logloss": q_text_lm_logloss,
         "ccnet_bucket": q_ccnet_bucket,
         "dfs_sharded_search": q_dfs_sharded_search,
+        "assign_splits": q_assign_splits,
         "combined_fields_topk": q_combined_fields_topk,
         "pipeline_aggs": q_pipeline_aggs,
         "composite_agg_page": q_composite_agg_page,
@@ -4803,6 +4821,13 @@ ORDER BY query_id
         "rrf_fusion_topk": _rrf_oracle_sql(),
         "percolate_matches": _percolate_oracle_sql(),
         "dfs_sharded_search": _bm25_topk_sql(10),
+        "assign_splits": (
+            "SELECT doc_id, lang, "
+            + pipeline.assign_splits_case_sql(
+                {"train": 0.9, "val": 0.05, "test": 0.05}
+            )
+            + " AS split FROM documents ORDER BY doc_id"
+        ),
         "streaming_percolate": _percolate_oracle_sql(),
         "text_lm_logloss": f"""
 WITH tok AS (SELECT doc_id, unnest({duckdb_tokens_sql('text')}) AS term FROM documents),

@@ -324,6 +324,7 @@ def bench_main(results: dict):
         "text_lm_logloss",
         "ccnet_bucket",
         "dfs_sharded_search",
+        "assign_splits",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

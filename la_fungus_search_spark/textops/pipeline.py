@@ -169,6 +169,66 @@ ORDER BY doc_id
 """
 
 
+def assign_splits(
+    docs: DataFrame,
+    weights: dict,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: each doc gets the
+    split whose cumulative weight interval contains its md5 unit (the
+    same engine-portable hash as :func:`hash_sample`), so the
+    assignment is a pure function of (id, salt) — stable across
+    re-runs, repartitioning, cluster sizes, and engines, and DISJOINT
+    by construction (one interval per doc). ``weights`` maps split
+    name → non-negative weight (normalized internally); interval
+    order is sorted by split name so the mapping is reproducible from
+    the dict alone.
+
+    Cumulative boundaries quantize to exact integers on the 2³² grid
+    (``floor(cum_fraction · 2³²)`` computed in PYTHON once — FIXTURES
+    §3b shared-constants rule), so both engines compare the same
+    BIGINTs. One projection pass, no shuffle."""
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-empty and non-negative")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    import math
+
+    bounds = []
+    cum = 0.0
+    for name, w in sorted(weights.items()):
+        cum += w / total
+        bounds.append((name, int(math.floor(cum * 2**32))))
+    # the last boundary covers the full range regardless of float dust
+    bounds[-1] = (bounds[-1][0], 2**32)
+    u = _hash_unit(F.col(id_col), salt)
+    expr = F.lit(bounds[-1][0])
+    for name, b in reversed(bounds[:-1]):
+        expr = F.when(u < F.lit(b), F.lit(name)).otherwise(expr)
+    return docs.withColumn("split", expr)
+
+
+def assign_splits_case_sql(weights: dict, salt: str = "split", id_col: str = "doc_id") -> str:
+    """DuckDB CASE fragment mirroring :func:`assign_splits` — the same
+    Python-computed integer boundaries, the same md5 unit."""
+    import math
+
+    total = float(sum(weights.values()))
+    bounds = []
+    cum = 0.0
+    for name, w in sorted(weights.items()):
+        cum += w / total
+        bounds.append((name, int(math.floor(cum * 2**32))))
+    bounds[-1] = (bounds[-1][0], 2**32)
+    unit = f"('0x' || substr(md5({id_col}::VARCHAR || ':{salt}'), 1, 8))::BIGINT"
+    whens = " ".join(
+        f"WHEN {unit} < {b} THEN '{name}'" for name, b in bounds[:-1]
+    )
+    return f"CASE {whens} ELSE '{bounds[-1][0]}' END"
+
+
 # --------------------------------------------------------- PII scrub
 
 # ASCII-only pattern fragments on which Java regex (Spark) and RE2

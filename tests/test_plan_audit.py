@@ -151,6 +151,7 @@ AUDIT = [
     "text_lm_logloss",
     "ccnet_bucket",
     "dfs_sharded_search",
+    "assign_splits",
 ]
 
 

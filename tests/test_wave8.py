@@ -369,6 +369,47 @@ def test_composite_paging_covers_and_is_disjoint(events_df):
     assert p_end == []
 
 
+# ----------------------------------------------------- assign_splits
+
+
+def test_assign_splits_vs_python(spark):
+    import hashlib
+    import math
+
+    from la_fungus_search_spark.textops.pipeline import assign_splits
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(500)], schema="doc_id BIGINT"
+    )
+    weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    got = {r.doc_id: r.split for r in assign_splits(docs, weights).collect()}
+    # python recompute with the identical boundary construction
+    total = sum(weights.values())
+    bounds, cum = [], 0.0
+    for name, w in sorted(weights.items()):
+        cum += w / total
+        bounds.append((name, math.floor(cum * 2**32)))
+    bounds[-1] = (bounds[-1][0], 2**32)
+    want = {}
+    for i in range(500):
+        u = int(hashlib.md5(f"{i}:split".encode()).hexdigest()[:8], 16)
+        want[i] = next(name for name, b in bounds if u < b)
+    assert got == want
+    # disjoint-and-total by construction; rough proportions hold
+    from collections import Counter as C
+
+    frac = C(got.values())
+    assert set(frac) == {"train", "val", "test"}
+    assert frac["train"] > 400
+    # repartitioning never moves a doc between splits
+    got2 = {r.doc_id: r.split for r in assign_splits(docs.repartition(7), weights).collect()}
+    assert got2 == got
+    with pytest.raises(ValueError):
+        assign_splits(docs, {})
+    with pytest.raises(ValueError):
+        assign_splits(docs, {"a": -1.0, "b": 2.0})
+
+
 # -------------------------------------- dfs_query_then_fetch sharding
 
 
