@@ -4175,6 +4175,81 @@ def q_pagination(spark, sf_dir):
     )
 
 
+# ---- tenth wave: ES score-shaping queries (boosting / pinned /
+# rank_feature / distance_feature) — each reuses the BM25 match set
+# and adds one equi-join + arithmetic (query/ranking.py wave-10 block)
+
+NEGATIVE_QUERY = "slow small"  # the boosting query's demotion clause
+PINNED_IDS = [5, 17, 42]  # curated promotion list (ES pinned.ids)
+
+
+def q_boosting_query_topk(spark, sf_dir):
+    """ES ``boosting`` query (query/ranking.py boosting_demote):
+    organic BM25 hits that ALSO match the negative clause keep their
+    score × negative_boost = 0.3 — demoted, not excluded (the contract
+    that distinguishes ``boosting`` from bool ``must_not``). The
+    negative match set comes from the index (posting-pruned), never a
+    corpus scan. Over-fetch 30 float, re-rank quantized."""
+    from la_fungus_search_spark.query.ranking import boosting_demote
+
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    scored = eng.scored_sql(BM25_QUERIES).select("query_id", "doc_id", "score")
+    neg = eng.scored_sql([NEGATIVE_QUERY]).select("doc_id")
+    out = boosting_demote(scored, neg, negative_boost=0.3)
+    hits = eng._topk(out.select("query_id", "doc_id", "score"), 30)
+    return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+def q_pinned_query_topk(spark, sf_dir):
+    """ES ``pinned`` query (query/ranking.py pinned_topk): PINNED_IDS
+    occupy ranks 1..3 in list order — matching or not, the ES
+    contract — then organic BM25 hits follow in quantized score order
+    with pinned ids anti-joined out. Pinned rows carry score_q = 0 and
+    pinned = true; the pin list broadcasts."""
+    from la_fungus_search_spark.query.ranking import pinned_topk
+
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    scored = eng.scored_sql(BM25_QUERIES).select("query_id", "doc_id", "score")
+    return pinned_topk(scored, PINNED_IDS, k=10)
+
+
+def q_rank_feature_topk(spark, sf_dir):
+    """ES ``rank_feature`` query as a bool should clause
+    (query/ranking.py rank_feature_score, saturation form): final =
+    bm25 + 1.5 · v/(v + 500) with v = n_chars — a static per-doc
+    feature joined onto the match set, three correctly-rounded double
+    ops per hit (literal pivot shared with the oracle). Over-fetch 30
+    float, re-rank quantized."""
+    from la_fungus_search_spark.query.ranking import rank_feature_score
+
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    scored = eng.scored_sql(BM25_QUERIES).select("query_id", "doc_id", "score")
+    meta = _documents(spark, sf_dir).select("doc_id", F.col("n_chars").alias("v"))
+    out = rank_feature_score(scored, meta, pivot=500.0, boost=1.5, kind="saturation")
+    hits = eng._topk(
+        out.select("query_id", "doc_id", F.col("final_score").alias("score")), 30
+    )
+    return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+def q_distance_feature_topk(spark, sf_dir):
+    """ES ``distance_feature`` query (query/ranking.py
+    distance_feature_score): final = bm25 + 2 · 300/(300 + |n_chars −
+    1000|) — the ES proximity-boost formula verbatim, same match-set
+    join shape as rank_feature. Over-fetch 30 float, re-rank
+    quantized."""
+    from la_fungus_search_spark.query.ranking import distance_feature_score
+
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    scored = eng.scored_sql(BM25_QUERIES).select("query_id", "doc_id", "score")
+    meta = _documents(spark, sf_dir).select("doc_id", F.col("n_chars").alias("v"))
+    out = distance_feature_score(scored, meta, origin=1000.0, pivot=300.0, boost=2.0)
+    hits = eng._topk(
+        out.select("query_id", "doc_id", F.col("final_score").alias("score")), 30
+    )
+    return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, SF_SMOKE)
@@ -4360,6 +4435,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combined_fields_topk": q_combined_fields_topk,
         "pipeline_aggs": q_pipeline_aggs,
         "composite_agg_page": q_composite_agg_page,
+        # tenth wave (r4 continuation): same driver-prefix rationale —
+        # full DuckDB value-oracles + pytest, local check_entry.py
+        # verification this round, prefix rotation next round
+        "boosting_query_topk": q_boosting_query_topk,
+        "pinned_query_topk": q_pinned_query_topk,
+        "rank_feature_topk": q_rank_feature_topk,
+        "distance_feature_topk": q_distance_feature_topk,
     }
 
 
@@ -5948,6 +6030,114 @@ WITH r AS (
 )
 SELECT rn::INT AS rn, doc_id, n_chars FROM r
 WHERE rn > 20 AND rn <= 40 ORDER BY rn
+""",
+        "boosting_query_topk": f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt JOIN idf USING (term) JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+neg AS (SELECT DISTINCT doc_id FROM tf
+        WHERE term IN ({", ".join(f"'{t}'" for t in sorted(set(tokenize_query(NEGATIVE_QUERY))))})),
+bs AS (
+    SELECT s.query_id, s.doc_id,
+           CASE WHEN n.doc_id IS NOT NULL THEN s.score * 0.3 ELSE s.score END AS score
+    FROM scored s LEFT JOIN neg n USING (doc_id)
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM bs),
+ranked AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+""",
+        "pinned_query_topk": f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt JOIN idf USING (term) JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+pins(doc_id, pin_pos) AS (VALUES {", ".join(f"({d}, {i + 1})" for i, d in enumerate(PINNED_IDS))}),
+qids AS (SELECT DISTINCT query_id FROM scored),
+pinrows AS (
+    SELECT q.query_id, p.pin_pos AS rank, p.doc_id, TRUE AS pinned, 0::BIGINT AS score_q
+    FROM qids q CROSS JOIN pins p
+),
+org AS (
+    SELECT s.query_id, s.doc_id, round(s.score * 1e6)::BIGINT AS score_q
+    FROM scored s WHERE s.doc_id NOT IN (SELECT doc_id FROM pins)
+),
+orr AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC)
+               + {len(PINNED_IDS)} AS rank
+    FROM org
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, pinned, score_q
+FROM (
+    SELECT * FROM pinrows
+    UNION ALL
+    SELECT query_id, rank, doc_id, FALSE AS pinned, score_q FROM orr WHERE rank <= 10
+)
+ORDER BY query_id, rank
+""",
+        "rank_feature_topk": f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt JOIN idf USING (term) JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+rf AS (
+    SELECT s.query_id, s.doc_id,
+           s.score + 1.5 * (d.n_chars::DOUBLE / (d.n_chars::DOUBLE + 500.0)) AS score
+    FROM scored s JOIN documents d USING (doc_id)
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM rf),
+ranked AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+""",
+        "distance_feature_topk": f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt JOIN idf USING (term) JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+dfq AS (
+    SELECT s.query_id, s.doc_id,
+           s.score + 2.0 * 300.0 / (300.0 + abs(d.n_chars::DOUBLE - 1000.0)) AS score
+    FROM scored s JOIN documents d USING (doc_id)
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM dfq),
+ranked AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 """,
         # ann_srp_topk / ann_ivf_topk / ann_pq_topk / ann_ivfpq_topk:
         # non-SQL-expressible kernels (Box-Muller SRP hyperplanes;

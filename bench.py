@@ -325,6 +325,10 @@ def bench_main(results: dict):
         "ccnet_bucket",
         "dfs_sharded_search",
         "assign_splits",
+        "boosting_query_topk",
+        "pinned_query_topk",
+        "rank_feature_topk",
+        "distance_feature_topk",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

@@ -601,3 +601,176 @@ def seed_neighbor_boost(
             (F.col("n_seed_adjacencies") * F.lit(rel_bump)).alias("relevance_bump"),
         )
     )
+
+
+# ------------------------------------------------------------------ wave 10
+# Score-shaping queries over an already-scored match set — the ES
+# boosting / pinned / rank_feature / distance_feature family. Each is
+# one equi-join between the match set and a (small or corpus-keyed)
+# side input plus arithmetic; nothing rescans the corpus and nothing
+# leaves the JVM, so the cost class is |match set| at any scale.
+
+
+def boosting_demote(
+    scored: DataFrame,
+    negative_docs: DataFrame,
+    negative_boost: float = 0.3,
+    score_col: str = "score",
+) -> DataFrame:
+    """ES ``boosting`` query: hits that also match the *negative*
+    query keep their relevance score multiplied by ``negative_boost``
+    (0 < nb < 1 demotes without excluding — the distinction from a
+    bool ``must_not``).
+
+    ``negative_docs``: one ``doc_id`` column — the negative query's
+    match set (come from the index, e.g. ``scored_sql(neg).select
+    ('doc_id').distinct()``, so membership is posting-pruned, never a
+    corpus scan). One left join on doc_id; the demotion factor is a
+    single multiply, so an oracle in another engine applies the
+    bit-identical literal."""
+    if not (0.0 < negative_boost <= 1.0):
+        raise ValueError("negative_boost must be in (0, 1]")
+    neg = negative_docs.select("doc_id").distinct().withColumn(
+        "_neg", F.lit(True)
+    )
+    return (
+        scored.join(neg, "doc_id", "left")
+        .withColumn(
+            score_col,
+            F.when(F.col("_neg"), F.col(score_col) * F.lit(float(negative_boost)))
+            .otherwise(F.col(score_col)),
+        )
+        .drop("_neg")
+    )
+
+
+def pinned_topk(
+    scored: DataFrame,
+    pinned_ids: list,
+    k: int = 10,
+    corpus: DataFrame | None = None,
+    score_col: str = "score",
+) -> DataFrame:
+    """ES ``pinned`` query: the given ids occupy ranks 1..n in the
+    order supplied (whether or not they match the organic query — the
+    ES contract), then organic hits follow in score order with pinned
+    ids removed. Output carries a ``pinned`` flag; pinned rows score 0
+    (ES substitutes a sentinel float; a constant is the deterministic
+    equivalent).
+
+    ``corpus`` (optional, a doc_id frame): ids absent from it are
+    dropped — ES returns nothing for an id the index doesn't hold.
+    Pin ranks stay dense after the drop (list order preserved).
+
+    The pinned list is a per-query literal (human-curated, always
+    tiny) — it broadcasts; the organic side is the match set."""
+    if not pinned_ids:
+        raise ValueError("pinned_ids must be non-empty")
+    spark = scored.sparkSession
+    qids = scored.select("query_id").distinct()
+    pins = spark.createDataFrame(
+        [(int(d), i + 1) for i, d in enumerate(pinned_ids)],
+        schema="doc_id BIGINT, pin_pos INT",
+    )
+    n_pins = len(pinned_ids)
+    if corpus is not None:
+        kept = corpus.select("doc_id").join(F.broadcast(pins), "doc_id")
+        w0 = Window.orderBy("pin_pos")
+        pins = kept.withColumn("pin_pos", F.row_number().over(w0))
+        n_pins = pins.count()  # tiny by contract (curated list)
+    pinned_rows = qids.crossJoin(F.broadcast(pins)).select(
+        "query_id",
+        F.col("pin_pos").alias("rank"),
+        "doc_id",
+        F.lit(True).alias("pinned"),
+        F.lit(0).cast("long").alias("score_q"),
+    )
+    organic = (
+        scored.join(F.broadcast(pins), "doc_id", "left_anti")
+        .withColumn("score_q", F.round(F.col(score_col) * F.lit(1e6)).cast("bigint"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    organic_rows = (
+        organic.withColumn("rank", F.row_number().over(w) + F.lit(n_pins))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "doc_id", F.lit(False).alias("pinned"), "score_q"
+        )
+    )
+    return (
+        pinned_rows.unionByName(organic_rows)
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "pinned",
+            "score_q",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def rank_feature_score(
+    scored: DataFrame,
+    meta: DataFrame,
+    pivot: float,
+    boost: float = 1.0,
+    kind: str = "saturation",
+    exponent: float = 1.0,
+    score_col: str = "score",
+) -> DataFrame:
+    """ES ``rank_feature`` query as a bool ``should`` clause: add
+    ``boost · f(v)`` to the relevance score, where ``v`` is a static
+    per-doc feature (``meta``: doc_id, v ≥ 0) and ``f`` is
+
+    * saturation: v / (v + pivot)
+    * log:        ln(1 + v)           (ES ``log`` with scaling 1)
+    * sigmoid:    v^e / (v^e + pivot^e)
+
+    All three are a handful of correctly-rounded double ops per hit —
+    an oracle embeds the same literals and lands within the usual
+    ULP-then-quantize tolerance. One equi-join on the match set."""
+    if pivot <= 0:
+        raise ValueError("pivot must be positive")
+    v = F.col("v").cast("double")
+    if kind == "saturation":
+        f = v / (v + F.lit(float(pivot)))
+    elif kind == "log":
+        f = F.log(F.lit(1.0) + v)
+    elif kind == "sigmoid":
+        ve = F.pow(v, F.lit(float(exponent)))
+        f = ve / (ve + F.lit(float(pivot) ** float(exponent)))
+    else:
+        raise ValueError("kind must be saturation, log or sigmoid")
+    return (
+        scored.join(meta.select("doc_id", "v"), "doc_id")
+        .withColumn("final_score", F.col(score_col) + F.lit(float(boost)) * f)
+    )
+
+
+def distance_feature_score(
+    scored: DataFrame,
+    meta: DataFrame,
+    origin: float,
+    pivot: float,
+    boost: float = 1.0,
+    score_col: str = "score",
+) -> DataFrame:
+    """ES ``distance_feature`` query: boost hits whose numeric/date
+    field sits near ``origin`` — add
+    ``boost · pivot / (pivot + |v − origin|)`` to the relevance score
+    (the ES formula verbatim). Same cost shape as
+    :func:`rank_feature_score`: one match-set equi-join, three double
+    ops per hit."""
+    if pivot <= 0:
+        raise ValueError("pivot must be positive")
+    dist = F.abs(F.col("v").cast("double") - F.lit(float(origin)))
+    return (
+        scored.join(meta.select("doc_id", "v"), "doc_id")
+        .withColumn(
+            "final_score",
+            F.col(score_col)
+            + F.lit(float(boost)) * F.lit(float(pivot)) / (F.lit(float(pivot)) + dist),
+        )
+    )

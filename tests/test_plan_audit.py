@@ -48,6 +48,10 @@ BNLJ_ALLOWED = {
     # broadcast-query-side scan as ann_cosine_topk
     "hybrid_bm25_knn_topk",
     "knn_filtered_topk",
+    # pinned query: the curated pin list replicates to every query id
+    # via an explicit crossJoin (Spark plans any crossJoin as BNLJ);
+    # both sides are tiny — |queries| × |pins| rows
+    "pinned_query_topk",
 }
 
 # lazy plans only — entries that materialize driver-side state or run
@@ -152,6 +156,11 @@ AUDIT = [
     "ccnet_bucket",
     "dfs_sharded_search",
     "assign_splits",
+    # tenth wave
+    "boosting_query_topk",
+    "pinned_query_topk",
+    "rank_feature_topk",
+    "distance_feature_topk",
 ]
 
 

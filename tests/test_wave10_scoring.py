@@ -1,0 +1,199 @@
+"""Tenth-wave score-shaping queries — ES boosting / pinned /
+rank_feature / distance_feature — each pinned against a pure-Python
+recompute over the BM25Oracle scorer, plus contract/validation shapes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.index.builder import build_index
+from la_fungus_search_spark.oracle import BM25Oracle
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.query.ranking import (
+    boosting_demote,
+    distance_feature_score,
+    pinned_topk,
+    rank_feature_score,
+)
+from la_fungus_search_spark.tokenizer import tokenize, tokenize_query
+
+TEXTS = [
+    "merge sort merge batch order",
+    "merge table scan slow table",
+    "window stream data merge",
+    "window sort order stream stream",
+    "scan scan scan batch slow",
+    "stream batch data window merge",
+    "table scan window order",
+    "data data batch sort",
+]
+QUERIES = ["merge sort", "window stream", "scan batch"]
+NEG = "slow"
+FEATS = [120, 40, 900, 310, 75, 1500, 260, 10]  # per-doc n_chars stand-in
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], schema="doc_id BIGINT, content STRING"
+    )
+    return BM25QueryEngine(build_index(spark, docs, id_col="doc_id"))
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return BM25Oracle([tokenize(t) for t in TEXTS])
+
+
+def _expected_rank(per_query_scores, k=10):
+    """(query_id, rank, doc_id, score_q) from {qid: {doc: float}}."""
+    rows = []
+    for qid, sc in per_query_scores.items():
+        hits = sorted(sc.items(), key=lambda t: (-round(t[1] * 1e6), t[0]))[:k]
+        rows += [(qid, r + 1, d, round(s * 1e6)) for r, (d, s) in enumerate(hits)]
+    return sorted(rows)
+
+
+def _collect_rank(df):
+    return sorted(
+        (r.query_id, r.rank, r.doc_id, r.score_q)
+        for r in df.collect()
+    )
+
+
+def _base_scores(oracle, queries):
+    out = {}
+    for qid, q in enumerate(queries):
+        toks = tokenize_query(q)
+        qset = {t for t in toks if t in oracle.idf}
+        scores = oracle.get_scores(toks)
+        out[qid] = {
+            i: s
+            for i, s in enumerate(scores)
+            if any(t in oracle.doc_freqs[i] for t in qset)
+        }
+    return out
+
+
+def _rank10(eng, shaped):
+    hits = eng._topk(shaped.select("query_id", "doc_id", "score"), 30)
+    from __spark_entry__ import _bm25_rank
+
+    return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+def test_boosting_matches_recompute(eng, oracle):
+    scored = eng.scored_sql(QUERIES).select("query_id", "doc_id", "score")
+    neg = eng.scored_sql([NEG]).select("doc_id")
+    got = _collect_rank(_rank10(eng, boosting_demote(scored, neg, 0.3)))
+
+    neg_docs = {i for i, d in enumerate(oracle.doc_freqs) if NEG in d}
+    exp = _base_scores(oracle, QUERIES)
+    for sc in exp.values():
+        for d in list(sc):
+            if d in neg_docs:
+                sc[d] *= 0.3
+    assert got == _expected_rank(exp)
+    # demoted docs still present (boosting ≠ must_not)
+    got_docs = {d for (_, _, d, _) in got}
+    assert neg_docs & got_docs
+
+
+def test_boosting_validates():
+    with pytest.raises(ValueError):
+        boosting_demote(None, None, negative_boost=0.0)
+
+
+def test_pinned_contract(eng, oracle):
+    scored = eng.scored_sql(QUERIES).select("query_id", "doc_id", "score")
+    pins = [6, 0]  # 6 does not match "merge sort" organically → still rank 1
+    out = pinned_topk(scored, pins, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    exp = _base_scores(oracle, QUERIES)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.doc_id for r in rows[:2]] == pins
+        assert all(r.pinned and r.score_q == 0 for r in rows[:2])
+        organic = [r for r in rows[2:]]
+        assert all(not r.pinned for r in organic)
+        assert all(r.doc_id not in pins for r in organic)
+        want = [
+            d
+            for d, _ in sorted(
+                ((d, s) for d, s in exp[qid].items() if d not in pins),
+                key=lambda t: (-round(t[1] * 1e6), t[0]),
+            )
+        ][: 5 - 2]
+        assert [r.doc_id for r in organic] == want
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_pinned_missing_id_dropped(eng, spark):
+    scored = eng.scored_sql(QUERIES).select("query_id", "doc_id", "score")
+    corpus = spark.range(len(TEXTS)).withColumnRenamed("id", "doc_id")
+    out = pinned_topk(scored, [999, 3], k=4, corpus=corpus).collect()
+    for qid in range(len(QUERIES)):
+        rows = sorted((r for r in out if r.query_id == qid), key=lambda r: r.rank)
+        assert rows[0].doc_id == 3 and rows[0].pinned  # dense after drop
+        assert all(r.doc_id != 999 for r in rows)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_pinned_validates(eng):
+    with pytest.raises(ValueError):
+        pinned_topk(None, [], k=5)
+
+
+@pytest.mark.parametrize(
+    "kind,pivot,boost,fn",
+    [
+        ("saturation", 200.0, 1.5, lambda v: v / (v + 200.0)),
+        ("log", 1.0, 0.7, lambda v: __import__("math").log(1.0 + v)),
+        (
+            "sigmoid",
+            200.0,
+            1.5,
+            lambda v: v**2.0 / (v**2.0 + 200.0**2.0),
+        ),
+    ],
+)
+def test_rank_feature_matches_recompute(eng, oracle, spark, kind, pivot, boost, fn):
+    scored = eng.scored_sql(QUERIES).select("query_id", "doc_id", "score")
+    meta = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(FEATS)], schema="doc_id BIGINT, v DOUBLE"
+    )
+    shaped = rank_feature_score(
+        scored, meta, pivot=pivot, boost=boost, kind=kind, exponent=2.0
+    ).select("query_id", "doc_id", F.col("final_score").alias("score"))
+    got = _collect_rank(_rank10(eng, shaped))
+    exp = _base_scores(oracle, QUERIES)
+    for sc in exp.values():
+        for d in list(sc):
+            sc[d] += boost * fn(float(FEATS[d]))
+    assert got == _expected_rank(exp)
+
+
+def test_rank_feature_validates(eng):
+    with pytest.raises(ValueError):
+        rank_feature_score(None, None, pivot=0.0)
+    with pytest.raises(ValueError):
+        rank_feature_score(None, None, pivot=1.0, kind="nope")
+
+
+def test_distance_feature_matches_recompute(eng, oracle, spark):
+    scored = eng.scored_sql(QUERIES).select("query_id", "doc_id", "score")
+    meta = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(FEATS)], schema="doc_id BIGINT, v DOUBLE"
+    )
+    shaped = distance_feature_score(
+        scored, meta, origin=300.0, pivot=100.0, boost=2.0
+    ).select("query_id", "doc_id", F.col("final_score").alias("score"))
+    got = _collect_rank(_rank10(eng, shaped))
+    exp = _base_scores(oracle, QUERIES)
+    for sc in exp.values():
+        for d in list(sc):
+            sc[d] += 2.0 * 100.0 / (100.0 + abs(float(FEATS[d]) - 300.0))
+    assert got == _expected_rank(exp)
+    with pytest.raises(ValueError):
+        distance_feature_score(None, None, origin=0.0, pivot=0.0)
