@@ -4250,6 +4250,76 @@ def q_distance_feature_topk(spark, sf_dir):
     return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
 
 
+# ---- tenth wave, aggregation families (query/facets.py wave-10 block)
+
+ADJ_FILTERS = {
+    "en": "lang = 'en'",
+    "long": "n_chars >= 250",
+    "srcA": "source IN ('src1', 'src3')",
+}
+MATRIX_FIELDS = ["n_chars", "n_types", "n_tokens"]
+
+
+def q_adjacency_matrix(spark, sf_dir):
+    """ES ``adjacency_matrix`` aggregation (facets.adjacency_matrix):
+    three named ANSI filters over documents → singleton and pairwise
+    intersection buckets in ONE map-side-combined pass (six sums, one
+    row out, empty buckets omitted). The filter expressions evaluate
+    verbatim in both engines."""
+    return facet_ops.adjacency_matrix(_documents(spark, sf_dir), ADJ_FILTERS)
+
+
+def q_multi_terms_agg(spark, sf_dir):
+    """ES ``multi_terms`` aggregation (facets.multi_terms): compound
+    (lang, source) buckets ordered doc_count DESC then key, top 15,
+    with an exact BIGINT sum(n_chars) sub-aggregation — one
+    partial-aggregated groupBy."""
+    return facet_ops.multi_terms(
+        _documents(spark, sf_dir), ["lang", "source"], size=15, metric_col="n_chars"
+    )
+
+
+def q_histogram_numeric(spark, sf_dir):
+    """ES ``histogram`` with extended_bounds + min_doc_count: 0
+    (facets.histogram_fixed): interval-50 buckets over n_chars, DENSE
+    over union(data range, [0, 600]) — empty buckets emit 0. Counts
+    are one groupBy; the grid is sequence() off the 1-row (min, max)
+    aggregate."""
+    return facet_ops.histogram_fixed(
+        _documents(spark, sf_dir), "n_chars", interval=50, extended_lo=0, extended_hi=600
+    )
+
+
+def q_auto_date_histogram(spark, sf_dir):
+    """ES ``auto_date_histogram`` (facets.auto_date_histogram): the
+    interval ladder minute→hour→day→month, choosing the smallest rung
+    whose distinct-bucket count ≤ 40 (the deterministic twin of ES's
+    span rounding — the 30-day events table picks 'day' at every sf);
+    the chosen rung rides the output so the oracle must make the
+    identical choice."""
+    return facet_ops.auto_date_histogram(_events(spark, sf_dir), target_buckets=40)
+
+
+def q_matrix_stats(spark, sf_dir):
+    """ES ``matrix_stats`` aggregation (facets.matrix_stats) over
+    three integer fields (n_chars; n_types = distinct-token count;
+    n_tokens = engine-invariant token count): per field pair — n,
+    means, sample covariance, Pearson correlation (NULL for a
+    zero-variance field, mirrored CASE in the oracle). DECIMAL(38,0)
+    moment sums are exact in any aggregation order; the oracle
+    recomputes the identical integers and terminal double ops."""
+    from la_fungus_search_spark.tokenizer import tokens_expr
+
+    d = _documents(spark, sf_dir)
+    toks = tokens_expr(F.col("text"))
+    v = d.select(
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_types"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    return facet_ops.matrix_stats(v, MATRIX_FIELDS)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, SF_SMOKE)
@@ -4442,6 +4512,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pinned_query_topk": q_pinned_query_topk,
         "rank_feature_topk": q_rank_feature_topk,
         "distance_feature_topk": q_distance_feature_topk,
+        "adjacency_matrix": q_adjacency_matrix,
+        "multi_terms_agg": q_multi_terms_agg,
+        "histogram_numeric": q_histogram_numeric,
+        "auto_date_histogram": q_auto_date_histogram,
+        "matrix_stats": q_matrix_stats,
     }
 
 
@@ -4787,6 +4862,50 @@ def oracle_sql() -> dict[str, str]:
             kw_values.append(f"({qid}, '{t}')")
     and_list = ", ".join(f"'{t}'" for t in AND_TERMS)
     ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+
+    # adjacency_matrix: flag columns / sums / unpivot generated from
+    # the SAME dict the Spark gate evaluates — names cannot drift
+    adj_keys = sorted(ADJ_FILTERS)
+    adj_flags = ", ".join(
+        f"({ADJ_FILTERS[k]})::INT AS f{i}" for i, k in enumerate(adj_keys)
+    )
+    adj_names, adj_sums = [], []
+    for i, a in enumerate(adj_keys):
+        adj_names.append(a)
+        adj_sums.append(f"sum(f{i})::BIGINT AS c{len(adj_names) - 1}")
+        for j, b in enumerate(adj_keys[i + 1 :], start=i + 1):
+            adj_names.append(f"{a}&{b}")
+            adj_sums.append(f"sum(f{i} * f{j})::BIGINT AS c{len(adj_names) - 1}")
+    adj_unpivot = " UNION ALL ".join(
+        f"SELECT '{name}' AS key, c{i} AS doc_count FROM s"
+        for i, name in enumerate(adj_names)
+    )
+
+    # matrix_stats: moment sums and per-pair terminal expressions from
+    # the SAME field list as the gate (x0=n_chars, x1=n_lines,
+    # x2=n_tokens — see q_matrix_stats)
+    mx_sums = ["count(*)::BIGINT AS n"]
+    for i in range(len(MATRIX_FIELDS)):
+        mx_sums.append(f"sum(x{i})::DECIMAL(38,0) AS s{i}")
+        for j in range(i, len(MATRIX_FIELDS)):
+            mx_sums.append(f"sum(x{i}::DECIMAL(38,0) * x{j})::DECIMAL(38,0) AS p{i}_{j}")
+    mx_rows = []
+    for i, a in enumerate(MATRIX_FIELDS):
+        for j, b in enumerate(MATRIX_FIELDS[i:], start=i):
+            cov_num = f"(n::DECIMAL(38,0) * p{i}_{j} - s{i} * s{j})::DOUBLE"
+            var_i = f"(n::DECIMAL(38,0) * p{i}_{i} - s{i} * s{i})::DOUBLE"
+            var_j = f"(n::DECIMAL(38,0) * p{j}_{j} - s{j} * s{j})::DOUBLE"
+            mx_rows.append(
+                f"SELECT '{a}' AS field_a, '{b}' AS field_b, n, "
+                f"round((s{i}::DOUBLE / n::DOUBLE) * 1e6)::BIGINT AS mean_a_micro, "
+                f"round((s{j}::DOUBLE / n::DOUBLE) * 1e6)::BIGINT AS mean_b_micro, "
+                f"round(({cov_num} / (n::DOUBLE * (n::DOUBLE - 1.0))) * 1e6)::BIGINT AS cov_micro, "
+                f"CASE WHEN sqrt({var_i}) * sqrt({var_j}) = 0 THEN NULL "
+                f"ELSE round(({cov_num} / (sqrt({var_i}) * sqrt({var_j}))) * 1e6)::BIGINT "
+                f"END AS corr_micro "
+                f"FROM s"
+            )
+    mx_union = " UNION ALL ".join(mx_rows)
 
     minhash_band_keys = ", ".join(
         "md5("
@@ -6138,6 +6257,80 @@ ranked AS (
 )
 SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+""",
+        "adjacency_matrix": f"""
+WITH f AS (SELECT {adj_flags} FROM documents),
+s AS (SELECT {", ".join(adj_sums)} FROM f)
+SELECT key, doc_count FROM ({adj_unpivot})
+WHERE doc_count > 0 ORDER BY key
+""",
+        "multi_terms_agg": """
+WITH k AS (
+    SELECT coalesce(lang, '(none)') AS lang, coalesce(source, '(none)') AS source,
+           n_chars
+    FROM documents
+),
+c AS (
+    SELECT lang, source, count(*)::BIGINT AS doc_count, sum(n_chars)::BIGINT AS sum_metric
+    FROM k GROUP BY 1, 2
+),
+r AS (
+    SELECT lang, source, doc_count, sum_metric,
+           row_number() OVER (ORDER BY doc_count DESC, lang ASC, source ASC) AS bucket_rank
+    FROM c
+)
+SELECT lang, source, doc_count, sum_metric, bucket_rank::INT AS bucket_rank
+FROM r WHERE bucket_rank <= 15 ORDER BY bucket_rank
+""",
+        "histogram_numeric": """
+WITH c AS (
+    SELECT CAST(floor(n_chars / 50.0) AS BIGINT) AS bidx, count(*)::BIGINT AS doc_count
+    FROM documents GROUP BY 1
+),
+g AS (
+    SELECT CAST(floor(least(min(n_chars), 0) / 50.0) AS BIGINT) AS lo,
+           CAST(floor(greatest(max(n_chars), 600) / 50.0) AS BIGINT) AS hi
+    FROM documents
+),
+grid AS (SELECT unnest(range(lo, hi + 1)) AS bidx FROM g)
+SELECT (grid.bidx * 50)::BIGINT AS bucket_lo,
+       coalesce(c.doc_count, 0)::BIGINT AS doc_count
+FROM grid LEFT JOIN c USING (bidx) ORDER BY 1
+""",
+        "auto_date_histogram": """
+WITH spans AS (
+    SELECT count(DISTINCT date_trunc('minute', ts)) AS cm,
+           count(DISTINCT date_trunc('hour', ts)) AS ch,
+           count(DISTINCT date_trunc('day', ts)) AS cd
+    FROM events
+),
+rung AS (
+    SELECT CASE WHEN cm <= 40 THEN 'minute'
+                WHEN ch <= 40 THEN 'hour'
+                WHEN cd <= 40 THEN 'day'
+                ELSE 'month' END AS r
+    FROM spans
+)
+SELECT event_type AS grp,
+       CASE (SELECT r FROM rung)
+            WHEN 'minute' THEN strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M')
+            WHEN 'hour' THEN strftime(date_trunc('hour', ts), '%Y-%m-%d %H')
+            WHEN 'day' THEN strftime(date_trunc('day', ts), '%Y-%m-%d')
+            ELSE strftime(date_trunc('month', ts), '%Y-%m') END AS bucket,
+       count(*)::BIGINT AS n_events,
+       (SELECT r FROM rung) AS interval
+FROM events GROUP BY 1, 2, 4 ORDER BY 1, 2
+""",
+        "matrix_stats": f"""
+WITH v AS (
+    SELECT n_chars::BIGINT AS x0,
+           len(list_distinct({_tok_sql("text")}))::BIGINT AS x1,
+           len({_tok_sql("text")})::BIGINT AS x2
+    FROM documents
+),
+s AS (SELECT {", ".join(mx_sums)} FROM v)
+{mx_union}
+ORDER BY field_a, field_b
 """,
         # ann_srp_topk / ann_ivf_topk / ann_pq_topk / ann_ivfpq_topk:
         # non-SQL-expressible kernels (Box-Muller SRP hyperplanes;

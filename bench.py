@@ -329,6 +329,11 @@ def bench_main(results: dict):
         "pinned_query_topk",
         "rank_feature_topk",
         "distance_feature_topk",
+        "adjacency_matrix",
+        "multi_terms_agg",
+        "histogram_numeric",
+        "auto_date_histogram",
+        "matrix_stats",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

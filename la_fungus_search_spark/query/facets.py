@@ -440,3 +440,252 @@ def significant_terms(
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ------------------------------------------------------------------ wave 10
+# The remaining ES aggregation families: adjacency_matrix, multi_terms,
+# fixed-interval histogram (dense, extended_bounds), auto_date_histogram
+# and matrix_stats. All are one partial-aggregated pass over the input;
+# none produces more than bucket-count rows.
+
+
+def adjacency_matrix(docs_df: DataFrame, filters: dict) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation: named boolean filters →
+    one bucket per filter plus one per pairwise intersection (key
+    ``"a&b"``), counting docs that satisfy both; empty buckets are
+    omitted (the ES contract). Buckets order by key.
+
+    ``filters``: {name: SQL boolean expression} — ANSI expressions so
+    an oracle can evaluate the identical strings.
+
+    Physical shape: ONE corpus pass — each filter becomes a 0/1
+    column, every singleton and pairwise count is a ``sum`` in a
+    single map-side-combined aggregate (n + n(n−1)/2 sums, one row
+    out). No join, no shuffle beyond the 1-row partial merge; at any
+    scale the cost is the scan."""
+    if len(filters) < 2:
+        raise ValueError("adjacency_matrix needs at least two filters")
+    keys = sorted(filters)
+    flags = docs_df.select(
+        *[F.expr(filters[k]).cast("int").alias(f"f{i}") for i, k in enumerate(keys)]
+    )
+    names, aggs = [], []
+    for i, a in enumerate(keys):
+        names.append(a)
+        aggs.append(F.sum(F.col(f"f{i}")).alias(f"c{len(names) - 1}"))
+        for j, b in enumerate(keys[i + 1 :], start=i + 1):
+            names.append(f"{a}&{b}")
+            aggs.append(
+                F.sum(F.col(f"f{i}") * F.col(f"f{j}")).alias(f"c{len(names) - 1}")
+            )
+    row = flags.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(name).alias("key"),
+            F.coalesce(F.col(f"c{i}").cast("bigint"), F.lit(0)).alias("doc_count"),
+        )
+        for i, name in enumerate(names)
+    ]
+    return (
+        row.select(F.explode(F.array(*structs)).alias("kv"))
+        .select("kv.key", "kv.doc_count")
+        .filter(F.col("doc_count") > 0)
+        .orderBy("key")
+    )
+
+
+def multi_terms(
+    docs_df: DataFrame,
+    fields: Sequence[str],
+    size: int = 10,
+    metric_col: str | None = None,
+) -> DataFrame:
+    """ES ``multi_terms`` aggregation: buckets keyed by the VALUE
+    TUPLE of several fields (the compound-key terms agg), ordered
+    doc_count DESC then key ASC, top ``size``; NULL key parts bucket
+    as ``"(none)"``. ``metric_col`` adds an exact BIGINT ``sum_metric``
+    sub-aggregation. One partial-aggregated groupBy — one shuffle of
+    (tuple, partial) rows, cost ∝ distinct tuples."""
+    if len(fields) < 2:
+        raise ValueError("multi_terms needs at least two fields")
+    keyed = docs_df.select(
+        *[
+            F.coalesce(F.col(f).cast("string"), F.lit("(none)")).alias(f)
+            for f in fields
+        ],
+        *( [F.col(metric_col).cast("bigint").alias("_m")] if metric_col else [] ),
+    )
+    aggs = [F.count("*").cast("bigint").alias("doc_count")]
+    if metric_col:
+        aggs.append(F.sum("_m").cast("bigint").alias("sum_metric"))
+    counts = keyed.groupBy(*fields).agg(*aggs)
+    w = Window.orderBy(F.desc("doc_count"), *[F.asc(f) for f in fields])
+    return (
+        counts.withColumn("bucket_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("bucket_rank") <= size)
+        .orderBy("bucket_rank")
+    )
+
+
+def histogram_fixed(
+    docs_df: DataFrame,
+    col: str,
+    interval: int,
+    extended_lo: int,
+    extended_hi: int,
+) -> DataFrame:
+    """ES ``histogram`` aggregation with ``extended_bounds`` and
+    ``min_doc_count: 0``: fixed-interval buckets over a numeric
+    field, DENSE — empty buckets emit doc_count 0, and the grid spans
+    union(data range, extended bounds) exactly as ES defines it.
+    Output (bucket_lo, doc_count).
+
+    Physical shape: the counts are one partial-aggregated groupBy on
+    ``floor(v/interval)``; the dense grid is ``sequence()`` exploded
+    from the 1-row (min, max) aggregate and LEFT-joined to the counts
+    — bucket-count-sized frames on both sides, never row-sized."""
+    if interval <= 0:
+        raise ValueError("interval must be positive")
+    v = F.col(col).cast("bigint")
+    b = F.floor(v / F.lit(float(interval))).cast("bigint")
+    counts = docs_df.select(b.alias("bidx")).groupBy("bidx").agg(
+        F.count("*").cast("bigint").alias("doc_count")
+    )
+    lo_idx = F.floor(
+        F.least(F.min(v), F.lit(int(extended_lo))) / F.lit(float(interval))
+    ).cast("bigint")
+    hi_idx = F.floor(
+        F.greatest(F.max(v), F.lit(int(extended_hi))) / F.lit(float(interval))
+    ).cast("bigint")
+    grid = (
+        docs_df.agg(lo_idx.alias("lo"), hi_idx.alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("bidx"))
+    )
+    return (
+        grid.join(counts, "bidx", "left")
+        .select(
+            (F.col("bidx") * F.lit(int(interval))).cast("bigint").alias("bucket_lo"),
+            F.coalesce(F.col("doc_count"), F.lit(0)).cast("bigint").alias("doc_count"),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
+AUTO_HIST_RUNGS = ("minute", "hour", "day", "month")
+AUTO_HIST_FMTS = {
+    "minute": "yyyy-MM-dd HH:mm",
+    "hour": "yyyy-MM-dd HH",
+    "day": "yyyy-MM-dd",
+    "month": "yyyy-MM",
+}
+
+
+def auto_date_histogram(
+    events: DataFrame,
+    target_buckets: int = 40,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """ES ``auto_date_histogram``: pick the calendar interval from the
+    ladder minute → hour → day → month, then histogram on it. The
+    selection contract here is the SMALLEST rung whose distinct
+    truncated-bucket count ≤ ``target_buckets`` (ES rounds a target
+    span; distinct-count is its deterministic, data-equal twin — the
+    delta is documented, the chosen rung is emitted so any oracle
+    must make the identical choice).
+
+    Physical shape: rung choice is ONE aggregate of four
+    count-distincts → a 1-row collect (a scalar decision, the same
+    device as the engine's θ bounds); the histogram is then one
+    partial-aggregated groupBy at the chosen rung."""
+    if target_buckets <= 0:
+        raise ValueError("target_buckets must be positive")
+    spans = events.agg(
+        *[
+            F.countDistinct(F.date_trunc(r, F.col(ts_col))).alias(r)
+            for r in AUTO_HIST_RUNGS
+        ]
+    ).collect()[0]
+    chosen = AUTO_HIST_RUNGS[-1]
+    for r in AUTO_HIST_RUNGS:
+        if spans[r] <= target_buckets:
+            chosen = r
+            break
+    bucket = F.date_format(
+        F.date_trunc(chosen, F.col(ts_col)), AUTO_HIST_FMTS[chosen]
+    )
+    return (
+        events.groupBy(F.col(group_col).alias("grp"), bucket.alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .withColumn("interval", F.lit(chosen))
+        .orderBy("grp", "bucket")
+    )
+
+
+def matrix_stats(docs_df: DataFrame, fields: Sequence[str]) -> DataFrame:
+    """ES ``matrix_stats`` aggregation over integer-valued numeric
+    fields: one row per ordered field pair (a ≤ b) with n, the two
+    means, sample covariance and Pearson correlation (self-pairs
+    carry variance and corr 1). Micro-quantized outputs.
+
+    Exactness device (FIXTURES §3b quantize-then-integer): Σx, Σx²,
+    Σxy and the n·Σxy − Σx·Σy numerators accumulate as DECIMAL(38,0)
+    — exact in ANY aggregation order while n·Σ(x·y) stays under 38
+    digits (n·x²·n ≲ 10³⁸, i.e. well past 10¹⁵ rows of 10⁴-valued
+    fields) — so both engines reach identical integers; each
+    statistic is then terminal double ops (correctly-rounded casts,
+    one division, two sqrts). One corpus pass, one 1-row aggregate;
+    the pair explosion happens on that single row."""
+    if not fields:
+        raise ValueError("matrix_stats needs at least one field")
+    dec = "decimal(38,0)"
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    for i, a in enumerate(fields):
+        va = F.col(a).cast(dec)
+        aggs.append(F.sum(va).cast(dec).alias(f"s{i}"))
+        for j, b in enumerate(fields[i:], start=i):
+            vb = F.col(b).cast(dec)
+            aggs.append(F.sum(va * vb).cast(dec).alias(f"p{i}_{j}"))
+    row = docs_df.agg(*aggs)
+    n = F.col("n").cast("double")
+    nd = F.col("n").cast(dec)
+    out = []
+    for i, a in enumerate(fields):
+        for j, b in enumerate(fields[i:], start=i):
+            si = F.col(f"s{i}").cast("double")
+            sj = F.col(f"s{j}").cast("double")
+            # numerators n·Σxy − Σx·Σy stay DECIMAL (exact) until the
+            # single terminal cast — a double-side subtraction would
+            # cancel catastrophically once the products pass 2^53
+            cov_num = (
+                nd * F.col(f"p{i}_{j}") - F.col(f"s{i}") * F.col(f"s{j}")
+            ).cast("double")
+            var_i = (nd * F.col(f"p{i}_{i}") - F.col(f"s{i}") * F.col(f"s{i}")).cast(
+                "double"
+            )
+            var_j = (nd * F.col(f"p{j}_{j}") - F.col(f"s{j}") * F.col(f"s{j}")).cast(
+                "double"
+            )
+            cov = cov_num / (n * (n - F.lit(1.0)))
+            # zero-variance field → correlation undefined (ES emits
+            # NaN there); NULL, mirrored as a CASE in any oracle
+            corr_den = F.sqrt(var_i) * F.sqrt(var_j)
+            corr = F.when(corr_den == 0.0, F.lit(None).cast("double")).otherwise(
+                cov_num / corr_den
+            )
+            out.append(
+                F.struct(
+                    F.lit(a).alias("field_a"),
+                    F.lit(b).alias("field_b"),
+                    F.col("n").alias("n"),
+                    _quantize(si / n).alias("mean_a_micro"),
+                    _quantize(sj / n).alias("mean_b_micro"),
+                    _quantize(cov).alias("cov_micro"),
+                    _quantize(corr).alias("corr_micro"),
+                )
+            )
+    return (
+        row.select(F.explode(F.array(*out)).alias("kv"))
+        .select("kv.*")
+        .orderBy("field_a", "field_b")
+    )

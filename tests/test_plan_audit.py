@@ -161,6 +161,10 @@ AUDIT = [
     "pinned_query_topk",
     "rank_feature_topk",
     "distance_feature_topk",
+    "adjacency_matrix",
+    "multi_terms_agg",
+    "histogram_numeric",
+    "matrix_stats",
 ]
 
 

@@ -1,0 +1,126 @@
+"""Tenth-wave aggregation families — adjacency_matrix, multi_terms,
+dense fixed-interval histogram, auto_date_histogram, matrix_stats —
+pinned against hand-computed / numpy recomputes."""
+
+from datetime import datetime
+
+import numpy as np
+import pytest
+
+from la_fungus_search_spark.query.facets import (
+    adjacency_matrix,
+    auto_date_histogram,
+    histogram_fixed,
+    matrix_stats,
+    multi_terms,
+)
+
+
+def test_adjacency_matrix_counts(spark):
+    rows = [
+        ("en", 100, "a"),
+        ("en", 300, "a"),
+        ("fr", 300, "b"),
+        ("en", 400, "b"),
+        ("de", 50, "c"),
+    ]
+    df = spark.createDataFrame(rows, schema="lang STRING, n_chars INT, src STRING")
+    out = {
+        r.key: r.doc_count
+        for r in adjacency_matrix(
+            df,
+            {"en": "lang = 'en'", "long": "n_chars >= 300", "sa": "src = 'a'"},
+        ).collect()
+    }
+    assert out == {
+        "en": 3,
+        "long": 3,
+        "sa": 2,
+        "en&long": 2,
+        "en&sa": 2,
+        "long&sa": 1,
+    }
+
+
+def test_adjacency_matrix_omits_empty_and_validates(spark):
+    df = spark.createDataFrame([("en", 1)], schema="lang STRING, n INT")
+    out = adjacency_matrix(df, {"a": "lang = 'en'", "b": "n > 5"}).collect()
+    assert {r.key for r in out} == {"a"}  # b and a&b are empty → omitted
+    with pytest.raises(ValueError):
+        adjacency_matrix(df, {"only": "n > 0"})
+
+
+def test_multi_terms_buckets(spark):
+    rows = [("en", "a", 10), ("en", "a", 20), ("fr", "b", 5), (None, "b", 7)]
+    df = spark.createDataFrame(rows, schema="lang STRING, src STRING, m INT")
+    out = multi_terms(df, ["lang", "src"], size=10, metric_col="m").collect()
+    got = [(r.lang, r.src, r.doc_count, r.sum_metric, r.bucket_rank) for r in out]
+    assert got == [
+        ("en", "a", 2, 30, 1),
+        ("(none)", "b", 1, 7, 2),  # count tie → key ASC
+        ("fr", "b", 1, 5, 3),
+    ]
+    with pytest.raises(ValueError):
+        multi_terms(df, ["lang"], size=5)
+
+
+def test_histogram_dense_with_bounds(spark):
+    df = spark.createDataFrame([(5,), (7,), (55,), (210,)], schema="v INT")
+    out = histogram_fixed(df, "v", interval=50, extended_lo=0, extended_hi=150)
+    got = [(r.bucket_lo, r.doc_count) for r in out.collect()]
+    # data max 210 > extended_hi → grid extends to the data
+    assert got == [(0, 2), (50, 1), (100, 0), (150, 0), (200, 1)]
+    with pytest.raises(ValueError):
+        histogram_fixed(df, "v", interval=0, extended_lo=0, extended_hi=1)
+
+
+def _ev(spark, stamps):
+    return spark.createDataFrame(
+        [("t", datetime(2024, 1, d, h, m)) for d, h, m in stamps],
+        schema="event_type STRING, ts TIMESTAMP",
+    )
+
+
+def test_auto_date_histogram_picks_rung(spark):
+    # 3 distinct minutes ≤ target 40 → minute rung
+    ev = _ev(spark, [(1, 0, 1), (1, 0, 2), (1, 0, 5)])
+    out = auto_date_histogram(ev, target_buckets=40)
+    rows = out.collect()
+    assert all(r.interval == "minute" for r in rows)
+    assert len(rows) == 3 and all(r.n_events == 1 for r in rows)
+
+    # 50 distinct minutes over one hour → hour rung (1 bucket)
+    ev = _ev(spark, [(1, 0, m) for m in range(50)])
+    rows = auto_date_histogram(ev, target_buckets=40).collect()
+    assert [(r.interval, r.bucket, r.n_events) for r in rows] == [
+        ("hour", "2024-01-01 00", 50)
+    ]
+    with pytest.raises(ValueError):
+        auto_date_histogram(ev, target_buckets=0)
+
+
+def test_matrix_stats_vs_numpy(spark):
+    data = np.array([[3, 10], [5, 14], [9, 2], [4, 8], [7, 6]], dtype=np.int64)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in data], schema="x BIGINT, y BIGINT"
+    )
+    out = {(r.field_a, r.field_b): r for r in matrix_stats(df, ["x", "y"]).collect()}
+    cov = np.cov(data.T, ddof=1)
+    corr = np.corrcoef(data.T)
+    for (a, i), (b, j) in [(("x", 0), ("x", 0)), (("x", 0), ("y", 1)), (("y", 1), ("y", 1))]:
+        r = out[(a, b)]
+        assert r.n == 5
+        assert r.mean_a_micro == round(float(data[:, i].mean()) * 1e6)
+        assert r.cov_micro == pytest.approx(round(cov[i, j] * 1e6), abs=1)
+        assert r.corr_micro == pytest.approx(round(corr[i, j] * 1e6), abs=1)
+    assert out[("x", "x")].corr_micro == 1_000_000  # exact by construction
+
+
+def test_matrix_stats_zero_variance_corr_null(spark):
+    df = spark.createDataFrame([(1, 5), (2, 5), (3, 5)], schema="x BIGINT, c BIGINT")
+    out = {(r.field_a, r.field_b): r for r in matrix_stats(df, ["x", "c"]).collect()}
+    assert out[("x", "c")].corr_micro is None
+    assert out[("c", "c")].corr_micro is None
+    assert out[("c", "c")].cov_micro == 0
+    with pytest.raises(ValueError):
+        matrix_stats(df, [])
