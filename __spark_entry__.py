@@ -1180,6 +1180,88 @@ expn AS (
 {_expanded_scored_tail_sql(k).lstrip()}"""
 
 
+def _mbp_oracle_sql(k: int = 10) -> str:
+    """DuckDB twin of q_match_bool_prefix: full-term BM25 should
+    channel + capped-prefix constant-score membership channel,
+    UNION ALL + per-(query, doc) sum (two commutative addends)."""
+    from collections import Counter
+
+    from la_fungus_search_spark.query.expand import normalize_prefix
+
+    qt_rows, pre_rows = [], []
+    for qid, q in enumerate(MBP_QUERIES):
+        toks = tokenize_query(q)
+        *full, last = toks
+        for t, c in sorted(Counter(full).items()):
+            qt_rows.append(f"({qid}, '{t}', {c})")
+        pn = normalize_prefix(last)
+        if pn:
+            pre_rows.append(f"({qid}, '{pn}')")
+    return f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {", ".join(qt_rows)}),
+qpre(query_id, prefix) AS (VALUES {", ".join(pre_rows)}),
+exp0 AS (
+    SELECT q.query_id, i.term, i.df
+    FROM qpre q JOIN idf i ON starts_with(i.term, q.prefix)
+),
+expn AS (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id ORDER BY df DESC, term ASC) AS xr
+    FROM exp0
+),
+pmatch AS (
+    SELECT DISTINCT e.query_id, tf.doc_id
+    FROM expn e JOIN tf USING (term) WHERE e.xr <= 50
+),
+bm AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt JOIN idf USING (term) JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+uni AS (
+    SELECT query_id, doc_id, score FROM bm
+    UNION ALL
+    SELECT query_id, doc_id, 1.0 AS score FROM pmatch
+),
+sc AS (SELECT query_id, doc_id, sum(score) AS score FROM uni GROUP BY 1, 2),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM sc),
+ranked AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def _analyze_oracle_sql() -> str:
+    """DuckDB twin of q_analyze_text: both token streams from the
+    shared engine-invariant fragments, 0-based positions via a
+    struct-list unnest."""
+    from la_fungus_search_spark.analysis import duckdb_analyzed_tokens_sql
+
+    toks = duckdb_tokens_sql("text")
+    atoks = duckdb_analyzed_tokens_sql("text")
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+std AS (SELECT doc_id, 'standard' AS analyzer, {toks} AS toks FROM d),
+en AS (SELECT doc_id, 'english' AS analyzer, {atoks} AS toks FROM d),
+uni AS (SELECT * FROM std UNION ALL SELECT * FROM en),
+ex AS (
+    SELECT doc_id, analyzer,
+           unnest(list_transform(range(1, len(toks) + 1),
+                                 i -> {{'pos': i - 1, 'token': toks[i]}})) AS u
+    FROM uni
+)
+SELECT doc_id, analyzer, (u.pos)::INT AS pos, u.token AS token
+FROM ex ORDER BY analyzer, doc_id, pos
+"""
+
+
 def _wildcard_oracle_sql(k: int = 10) -> str:
     """DuckDB twin of q_wildcard_query_topk: candidates = vocabulary
     terms fully matching the translated pattern regex (DuckDB RE2 and
@@ -4250,6 +4332,70 @@ def q_distance_feature_topk(spark, sf_dir):
     return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
 
 
+# ---- tenth wave, positional / prefix / analyzer surface
+
+# SpanFirstQuery fixtures: (phrase, end boundary — 0-based exclusive)
+SPAN_FIRST_QUERIES = [
+    ("table scan", 8),
+    ("merge", 3),
+    ("window stream", 12),
+    ("data", 1),
+]
+# match_bool_prefix fixtures (last token is the live prefix; "merg"
+# exercises the single-token pure-prefix degenerate)
+MBP_QUERIES = ["table sc", "hash jo", "window stre", "merg"]
+
+
+def q_span_first_topk(spark, sf_dir):
+    """Span-boundary retrieval (query/phrase.py span_first_topk —
+    Lucene SpanFirstQuery(match, end)): exact-phrase occurrences count
+    only when the span ends within the first `end` token positions —
+    the match-in-title/header-region primitive; (\"data\", 1) pins the
+    only-at-position-0 edge."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return phrase_ops.span_first_topk(docs, SPAN_FIRST_QUERIES, k=10)
+
+
+def q_match_bool_prefix(spark, sf_dir):
+    """Search-as-you-type bool retrieval (query/expand.py
+    search_match_bool_prefix — ES match_bool_prefix): all tokens but
+    the last are BM25 should clauses, the last is a capped prefix
+    expansion under Lucene's constant-score rewrite (flat +1 per
+    matching doc, once); channels union + sum per (query, doc). The
+    two-addend sum is commutative, so engine addition order cannot
+    split the hash. Over-fetch 30 float, re-rank quantized."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    hits = expand_ops.search_match_bool_prefix(
+        eng, MBP_QUERIES, k=30, max_expansions=50, prefix_boost=1.0
+    )
+    return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+def q_analyze_text(spark, sf_dir):
+    """The ES ``_analyze`` API (tokenizer.tokens_expr +
+    analysis stop/stem chain): per doc (stable subset doc_id < 20) and
+    analyzer — the emitted token stream with 0-based positions, for
+    'standard' (code tokenizer) and 'english' (stopword filter +
+    S-stemmer). Pure JVM posexplode; the oracle re-derives both
+    streams from the shared engine-invariant fragments."""
+    from la_fungus_search_spark.analysis import _not_stop, _stem_col
+    from la_fungus_search_spark.tokenizer import tokens_expr
+
+    d = _documents(spark, sf_dir).filter(F.col("doc_id") < 20).select("doc_id", "text")
+    std = d.select(
+        "doc_id",
+        F.lit("standard").alias("analyzer"),
+        F.posexplode(tokens_expr(F.col("text"))).alias("pos", "token"),
+    )
+    en_toks = F.transform(F.filter(tokens_expr(F.col("text")), _not_stop), _stem_col)
+    en = d.select(
+        "doc_id",
+        F.lit("english").alias("analyzer"),
+        F.posexplode(en_toks).alias("pos", "token"),
+    )
+    return std.unionByName(en).orderBy("analyzer", "doc_id", "pos")
+
+
 # ---- tenth wave, aggregation families (query/facets.py wave-10 block)
 
 ADJ_FILTERS = {
@@ -4517,6 +4663,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_numeric": q_histogram_numeric,
         "auto_date_histogram": q_auto_date_histogram,
         "matrix_stats": q_matrix_stats,
+        "span_first_topk": q_span_first_topk,
+        "match_bool_prefix_topk": q_match_bool_prefix,
+        "analyze_text": q_analyze_text,
     }
 
 
@@ -6258,6 +6407,9 @@ ranked AS (
 SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 """,
+        "span_first_topk": phrase_ops.span_first_oracle_sql(SPAN_FIRST_QUERIES, 10),
+        "match_bool_prefix_topk": _mbp_oracle_sql(10),
+        "analyze_text": _analyze_oracle_sql(),
         "adjacency_matrix": f"""
 WITH f AS (SELECT {adj_flags} FROM documents),
 s AS (SELECT {", ".join(adj_sums)} FROM f)

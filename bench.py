@@ -334,6 +334,9 @@ def bench_main(results: dict):
         "histogram_numeric",
         "auto_date_histogram",
         "matrix_stats",
+        "span_first_topk",
+        "match_bool_prefix_topk",
+        "analyze_text",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

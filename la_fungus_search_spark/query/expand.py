@@ -529,3 +529,59 @@ def suggest_phrase(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def search_match_bool_prefix(
+    engine: BM25QueryEngine,
+    queries: Sequence[str],
+    k: int = 10,
+    max_expansions: int = 50,
+    prefix_boost: float = 1.0,
+) -> DataFrame:
+    """ES ``match_bool_prefix``: the search-as-you-type bool query —
+    every token but the last is a BM25 ``should`` term clause; the
+    LAST token is a prefix clause under Lucene's constant-score
+    rewrite (every doc matching any capped expansion gains a flat
+    ``prefix_boost``, once). A doc matches if ANY clause matches, so
+    the channels combine as a union + per-(query, doc) sum — the
+    distributed spelling of bool-should addition.
+
+    Scale shape: the full-term channel is the engine's normal pruned
+    scored path; the prefix channel reuses the bounded dictionary
+    rewrite (≤ ``max_expansions`` vocabulary terms collected per
+    query) and only ever carries (query_id, doc_id) membership."""
+    from collections import Counter
+
+    full_rows: List[Tuple[int, str, int]] = []
+    prefixes: List[str] = []
+    for qid, q in enumerate(queries):
+        toks = tokenize_query(q)
+        if not toks:
+            raise ValueError("empty query after tokenization")
+        *full, last = toks
+        for t, c in sorted(Counter(full).items()):
+            full_rows.append((qid, t, c))
+        prefixes.append(last)
+    exp = prefix_expansions(engine.index, prefixes, max_expansions)
+    exp_rows = [
+        (int(r["query_id"]), r["term"], 1)
+        for r in exp.select("query_id", "term").collect()
+    ]
+    channels: List[DataFrame] = []
+    if full_rows:
+        channels.append(
+            engine.scored_from_terms(full_rows).select("query_id", "doc_id", "score")
+        )
+    if exp_rows:
+        channels.append(
+            engine.scored_from_terms(exp_rows)
+            .select("query_id", "doc_id")
+            .distinct()
+            .withColumn("score", F.lit(float(prefix_boost)))
+            .select("query_id", "doc_id", "score")
+        )
+    if not channels:
+        return engine._empty_result()
+    uni = reduce(lambda a, b: a.unionByName(b), channels)
+    summed = uni.groupBy("query_id", "doc_id").agg(F.sum("score").alias("score"))
+    return engine._topk(summed, k)

@@ -822,3 +822,97 @@ ranked AS (
 SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, n_spans, first_pos
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
+
+
+# ------------------------------------------------------------------ wave 10
+
+
+def _span_first_pred(lim: int):
+    """Single-parameter boundary predicate for :func:`span_first_topk`
+    (factory scope, not default args — see :func:`_shifted`'s arity
+    note)."""
+
+    def pred(s):
+        return s <= F.lit(lim)
+
+    return pred
+
+
+def span_first_topk(
+    docs: DataFrame, queries: Sequence[Tuple[str, int]], k: int = 10
+) -> DataFrame:
+    """Span-boundary top-k (Lucene ``SpanFirstQuery(match, end)``):
+    ``queries`` are (phrase, end) pairs — an exact-phrase occurrence
+    counts only when the span ENDS within the first ``end`` positions
+    (0-based exclusive end: a start ``s`` of an m-term phrase
+    qualifies iff ``s + m <= end``; end < m can never match).
+    ``n_spans`` counts qualifying starts, ``first_pos`` = min — the
+    "match must appear in the title/header region" positional
+    primitive. Same one-corpus-pass position-map scan shape as
+    :func:`phrase_match_topk`."""
+    parsed = []
+    for q, end in queries:
+        terms = tokenize(q)
+        if not terms:
+            raise ValueError("empty span query after tokenization")
+        if int(end) < 1:
+            raise ValueError("end boundary must be >= 1")
+        parsed.append((terms, int(end)))
+    all_terms = sorted({t for ts, _ in parsed for t in ts})
+    pm = _term_pos_map(docs, all_terms)
+    empty = F.array().cast("array<int>")
+    per_q = []
+    for qid, (terms, end) in enumerate(parsed):
+        m = len(terms)
+        starts = F.coalesce(_starts_expr(terms), empty)
+        spans = F.filter(starts, _span_first_pred(end - m))
+        per_q.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.coalesce(F.size(spans), F.lit(0)).cast("bigint").alias("n_spans"),
+                F.coalesce(F.array_min(spans), F.lit(-1)).alias("first_pos"),
+            )
+        )
+    hits = (
+        pm.select("doc_id", F.explode(F.array(*per_q)).alias("h"))
+        .select("doc_id", "h.query_id", "h.n_spans", "h.first_pos")
+        .filter(F.col("n_spans") > 0)
+    )
+    return _rank_topk(hits, k, "n_spans")
+
+
+def span_first_oracle_sql(queries: Sequence[Tuple[str, int]], k: int = 10) -> str:
+    """DuckDB twin of :func:`span_first_topk` (1-based internally,
+    0-based out: the boundary test ``s0 <= end − m`` transcribes to
+    ``s <= end − m + 1``)."""
+    toks = duckdb_tokens_sql("text")
+    branches = []
+    for qid, (q, end) in enumerate(queries):
+        terms = tokenize(q)
+        m = len(terms)
+        conds = " AND ".join(
+            f"toks[s + {j}] = {_sql_quote(t)}" for j, t in enumerate(terms)
+        )
+        spans = (
+            f"list_filter(range(1, len(toks) - {m - 1} + 1), "
+            f"s -> ({conds}) AND s <= {int(end) - m + 1})"
+        )
+        branches.append(
+            f"""SELECT {qid} AS query_id, doc_id,
+       len({spans})::BIGINT AS n_spans,
+       (list_min({spans}) - 1)::INT AS first_pos
+FROM tokd"""
+        )
+    body = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+hits AS ({body}),
+matched AS (SELECT * FROM hits WHERE n_spans > 0),
+ranked AS (
+    SELECT query_id, doc_id, n_spans, first_pos,
+           row_number() OVER (PARTITION BY query_id ORDER BY n_spans DESC, doc_id ASC) AS rank
+    FROM matched
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, n_spans, first_pos
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""

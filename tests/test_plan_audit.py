@@ -165,6 +165,9 @@ AUDIT = [
     "multi_terms_agg",
     "histogram_numeric",
     "matrix_stats",
+    "span_first_topk",
+    "match_bool_prefix_topk",
+    "analyze_text",
 ]
 
 

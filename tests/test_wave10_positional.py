@@ -1,0 +1,125 @@
+"""Tenth-wave positional / prefix / analyzer surface — SpanFirstQuery,
+match_bool_prefix, and the _analyze token streams — pinned against
+pure-Python recomputes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.analysis import analyze_tokens
+from la_fungus_search_spark.index.builder import build_index
+from la_fungus_search_spark.oracle import BM25Oracle
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.query.expand import (
+    normalize_prefix,
+    search_match_bool_prefix,
+)
+from la_fungus_search_spark.query.phrase import span_first_topk
+from la_fungus_search_spark.tokenizer import tokenize, tokenize_query
+
+TEXTS = [
+    "table scan merge sort table scan order",
+    "merge table scan window stream data",
+    "window stream table scan batch table scan",
+    "data table scan scan scan merge window",
+    "sort order window table scan",
+]
+
+
+def _spans_first(text, phrase, end):
+    toks = tokenize(text)
+    terms = tokenize(phrase)
+    m = len(terms)
+    return [
+        s
+        for s in range(len(toks) - m + 1)
+        if toks[s : s + m] == terms and s + m <= end
+    ]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], schema="doc_id BIGINT, text STRING"
+    )
+
+
+def test_span_first_matches_recompute(docs):
+    queries = [("table scan", 4), ("table scan", 2), ("merge", 1), ("scan", 6)]
+    out = span_first_topk(docs, queries, k=10).collect()
+    got = {(r.query_id, r.doc_id): (r.n_spans, r.first_pos, r.rank) for r in out}
+    for qid, (phrase, end) in enumerate(queries):
+        exp = {
+            i: _spans_first(t, phrase, end)
+            for i, t in enumerate(TEXTS)
+            if _spans_first(t, phrase, end)
+        }
+        ranked = sorted(exp.items(), key=lambda kv: (-len(kv[1]), kv[0]))
+        assert {(qid, d) for d in exp} == {k for k in got if k[0] == qid}
+        for rank, (d, spans) in enumerate(ranked, start=1):
+            assert got[(qid, d)] == (len(spans), spans[0], rank)
+
+
+def test_span_first_boundary_edges(docs):
+    # end < m can never match; end == m only position 0
+    assert span_first_topk(docs, [("table scan", 1)], k=10).count() == 0
+    # end == m → only a phrase starting at position 0 qualifies
+    rows = span_first_topk(docs, [("table scan", 2)], k=10).collect()
+    assert {(r.doc_id, r.n_spans, r.first_pos) for r in rows} == {(0, 1, 0)}
+    with pytest.raises(ValueError):
+        span_first_topk(docs, [("table scan", 0)], k=10)
+    with pytest.raises(ValueError):
+        span_first_topk(docs, [("", 5)], k=10)
+
+
+def test_match_bool_prefix_matches_recompute(spark, docs):
+    eng = BM25QueryEngine(build_index(spark, docs.withColumnRenamed("text", "content"), id_col="doc_id"))
+    oracle = BM25Oracle([tokenize(t) for t in TEXTS])
+    queries = ["table sc", "window str", "mer"]
+    hits = search_match_bool_prefix(eng, queries, k=10, prefix_boost=1.0)
+    got = {}
+    for r in hits.collect():
+        got.setdefault(r.query_id, {})[r.doc_id] = r.score
+
+    vocab_df = sorted(
+        ((t, d) for t, d in oracle.df.items()), key=lambda td: (-td[1], td[0])
+    )
+    for qid, q in enumerate(queries):
+        toks = tokenize_query(q)
+        *full, last = toks
+        pn = normalize_prefix(last)
+        exp_terms = [t for t, _ in vocab_df if t.startswith(pn)][:50]
+        scores = {}
+        if full:
+            full_scores = oracle.get_scores(full)
+            qset = {t for t in full if t in oracle.idf}
+            for i, s in enumerate(full_scores):
+                if any(t in oracle.doc_freqs[i] for t in qset):
+                    scores[i] = s
+        for i, freqs in enumerate(oracle.doc_freqs):
+            if any(t in freqs for t in exp_terms):
+                scores[i] = scores.get(i, 0.0) + 1.0
+        assert set(scores) == set(got.get(qid, {}))
+        for d, s in scores.items():
+            assert got[qid][d] == pytest.approx(s, abs=1e-9)
+
+
+def test_match_bool_prefix_validates(spark, docs):
+    eng = BM25QueryEngine(build_index(spark, docs.withColumnRenamed("text", "content"), id_col="doc_id"))
+    with pytest.raises(ValueError):
+        search_match_bool_prefix(eng, ["..."], k=5)
+
+
+def test_analyzer_streams_match_python(spark, docs):
+    from la_fungus_search_spark.analysis import _not_stop, _stem_col
+    from la_fungus_search_spark.tokenizer import tokens_expr
+
+    en_toks = F.transform(F.filter(tokens_expr(F.col("text")), _not_stop), _stem_col)
+    rows = docs.select(
+        "doc_id", F.posexplode(en_toks).alias("pos", "token")
+    ).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append((r.pos, r.token))
+    for i, t in enumerate(TEXTS):
+        exp = list(enumerate(analyze_tokens(tokenize(t))))
+        assert sorted(got.get(i, [])) == exp
