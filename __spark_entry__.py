@@ -4332,6 +4332,36 @@ def q_distance_feature_topk(spark, sf_dir):
     return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
 
 
+# ---- tenth wave, training-pipeline selection/ordering
+
+TOKEN_BUDGET = 15_000  # shared literal with the oracle
+
+
+def q_sample_token_budget(spark, sf_dir):
+    """Token-budget subset selection (textops/pipeline.py
+    token_budget_sample): docs in md5(id:salt) order kept while the
+    running token total stays ≤ 15k — 'give me exactly N training
+    tokens'. The kept set is a strict prefix of the hash order; the
+    two-phase bucket-offset device keeps the global prefix sum off a
+    single reducer. cum_tokens rides the output so the oracle checks
+    the arithmetic, not just membership."""
+    from la_fungus_search_spark.tokenizer import tokens_expr
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id", F.size(tokens_expr(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    return pipeline.token_budget_sample(d, TOKEN_BUDGET)
+
+
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch training shuffle (textops/pipeline.py
+    epoch_shuffle): global 0-based positions in md5(id:salt:epoch)
+    order for 2 epochs — reproducible on any cluster size, resumable
+    mid-epoch by a pos predicate, distinct permutation per epoch.
+    Same bucket-offset device; all epochs in one pass."""
+    return pipeline.epoch_shuffle(_documents(spark, sf_dir), n_epochs=2)
+
+
 # ---- tenth wave, positional / prefix / analyzer surface
 
 # SpanFirstQuery fixtures: (phrase, end boundary — 0-based exclusive)
@@ -4666,6 +4696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first_topk": q_span_first_topk,
         "match_bool_prefix_topk": q_match_bool_prefix,
         "analyze_text": q_analyze_text,
+        "sample_token_budget": q_sample_token_budget,
+        "epoch_shuffle": q_epoch_shuffle,
     }
 
 
@@ -6406,6 +6438,33 @@ ranked AS (
 )
 SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+""",
+        "sample_token_budget": f"""
+WITH t AS (
+    SELECT doc_id, len({_tok_sql("text")})::BIGINT AS n_tokens,
+           ('0x' || substr(md5(doc_id::VARCHAR || ':budget'), 1, 8))::BIGINT AS u
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           sum(n_tokens) OVER (ORDER BY u, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+    FROM t
+)
+SELECT doc_id, n_tokens, cum_tokens FROM c
+WHERE cum_tokens <= {TOKEN_BUDGET} ORDER BY doc_id
+""",
+        "epoch_shuffle": """
+WITH e AS (SELECT doc_id, unnest([0, 1]) AS epoch FROM documents),
+h AS (
+    SELECT doc_id, epoch,
+           ('0x' || substr(md5(doc_id::VARCHAR || ':epoch:' || epoch::VARCHAR), 1, 8))::BIGINT AS u
+    FROM e
+)
+SELECT epoch::INT AS epoch,
+       (row_number() OVER (PARTITION BY epoch ORDER BY u, doc_id) - 1)::BIGINT AS pos,
+       doc_id
+FROM h ORDER BY epoch, pos
 """,
         "span_first_topk": phrase_ops.span_first_oracle_sql(SPAN_FIRST_QUERIES, 10),
         "match_bool_prefix_topk": _mbp_oracle_sql(10),

@@ -337,6 +337,8 @@ def bench_main(results: dict):
         "span_first_topk",
         "match_bool_prefix_topk",
         "analyze_text",
+        "sample_token_budget",
+        "epoch_shuffle",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

@@ -26,7 +26,7 @@ the DuckDB gate reproduces decisions exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from la_fungus_search_spark.textops.stats import QUALITY_STOPWORDS, WS_PATTERN
@@ -458,4 +458,140 @@ def decontaminate(
             "contaminated",
             (F.col("overlap_micro") >= F.lit(thr)).cast("int"),
         )
+    )
+
+
+# ------------------------------------------------------------------ wave 10
+# Global-hash-order selection and ordering for training pipelines.
+# Both ops need a GLOBAL position/prefix over a deterministic md5
+# order — the naive spelling is a single-reducer window. The scale
+# device here is two-phase: the top 8 hash bits split the order into
+# 256 consecutive buckets; per-bucket totals (≤ 256 rows) collect to
+# the driver, which prefix-sums them into per-bucket OFFSETS; each
+# bucket then windows only its own rows (parallel across buckets)
+# and adds its offset. Order by (bucket, u) equals order by u, so
+# the result is exactly the global-window answer at 1/256 the state.
+
+
+def _order_hash(id_col: Column, salt: str) -> Column:
+    """The global-order key — same md5 grid as :func:`_hash_unit`."""
+    return _hash_unit(id_col, salt)
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget: int,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "budget",
+) -> DataFrame:
+    """Deterministic token-budget subset: docs in md5(id:salt) order
+    are kept while the running token total stays ≤ ``budget`` — the
+    "give me exactly N training tokens" selection. The kept set is a
+    strict prefix of the hash order (token counts are ≥ 0, so the
+    running sum never re-enters the budget after crossing), which is
+    what makes the filter form exact. Output (doc_id, n_tokens,
+    cum_tokens) — cum_tokens is the inclusive global prefix sum, so
+    the selection is auditable.
+
+    Partition-, cluster-size- and engine-invariant: the order key and
+    the arithmetic are exact integers."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    u = _order_hash(F.col(id_col), salt)
+    base = docs.select(
+        F.col(id_col),
+        F.col(tokens_col).cast("bigint").alias("n_tokens"),
+        u.alias("u"),
+    ).withColumn("bkt", F.shiftright("u", 24).cast("int"))
+    totals = {
+        r["bkt"]: r["t"]
+        for r in base.groupBy("bkt").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    cum, boundary = 0, None
+    offsets = {}
+    for b in sorted(totals):
+        offsets[b] = cum
+        cum += totals[b]
+        if cum > budget and boundary is None:
+            boundary = b
+    if boundary is not None:
+        base = base.filter(F.col("bkt") <= boundary)
+    spark = docs.sparkSession
+    off = spark.createDataFrame(
+        [(b, offsets[b]) for b in sorted(offsets)], schema="bkt INT, off BIGINT"
+    )
+    w = Window.partitionBy("bkt").orderBy("u", id_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        base.withColumn("cum_in", F.sum("n_tokens").over(w))
+        .join(F.broadcast(off), "bkt")
+        .withColumn("cum_tokens", (F.col("cum_in") + F.col("off")).cast("bigint"))
+        .filter(F.col("cum_tokens") <= F.lit(int(budget)))
+        .select(id_col, "n_tokens", "cum_tokens")
+        .orderBy(id_col)
+    )
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    n_epochs: int,
+    id_col: str = "doc_id",
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle order for training:
+    epoch ``e`` reads docs in md5(id:salt:e) order, and ``pos`` is the
+    0-based global position in that order — reproducible on any
+    cluster size, resumable mid-epoch by a pos range predicate, and a
+    different (but fixed) permutation every epoch. Output (epoch,
+    pos, doc_id).
+
+    Same two-phase bucket-offset device as
+    :func:`token_budget_sample`; all epochs resolve in ONE pass
+    (counts groupBy (epoch, bucket) — ≤ 256·E rows to the driver)."""
+    if n_epochs < 1:
+        raise ValueError("n_epochs must be >= 1")
+    epochs = F.explode(F.array(*[F.lit(e) for e in range(int(n_epochs))]))
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit(f":{salt}:"),
+                    F.col("epoch").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    base = (
+        docs.select(F.col(id_col))
+        .withColumn("epoch", epochs)
+        .withColumn("u", u)
+        .withColumn("bkt", F.shiftright("u", 24).cast("int"))
+    )
+    counts = {
+        (r["epoch"], r["bkt"]): r["c"]
+        for r in base.groupBy("epoch", "bkt").agg(F.count("*").alias("c")).collect()
+    }
+    rows, cums = [], {}
+    for e, b in sorted(counts):
+        rows.append((e, b, cums.get(e, 0)))
+        cums[e] = cums.get(e, 0) + counts[(e, b)]
+    spark = docs.sparkSession
+    off = spark.createDataFrame(rows, schema="epoch INT, bkt INT, off BIGINT")
+    w = Window.partitionBy("epoch", "bkt").orderBy("u", id_col)
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(off), ["epoch", "bkt"])
+        .select(
+            F.col("epoch").cast("int").alias("epoch"),
+            (F.col("off") + F.col("rn") - 1).cast("bigint").alias("pos"),
+            F.col(id_col),
+        )
+        .orderBy("epoch", "pos")
     )

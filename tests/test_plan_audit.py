@@ -168,6 +168,8 @@ AUDIT = [
     "span_first_topk",
     "match_bool_prefix_topk",
     "analyze_text",
+    "sample_token_budget",
+    "epoch_shuffle",
 ]
 
 

@@ -1,0 +1,76 @@
+"""Tenth-wave training-pipeline selection/ordering —
+token_budget_sample and epoch_shuffle — pinned against a pure-Python
+md5 recompute of the global order (proving the two-phase bucket-offset
+device equals the single-window answer)."""
+
+import hashlib
+
+import pytest
+
+from la_fungus_search_spark.textops.pipeline import epoch_shuffle, token_budget_sample
+
+
+def _u(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+N_DOCS = 40
+TOKENS = [(i * 37) % 90 + 5 for i in range(N_DOCS)]  # 5..94, deterministic
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TOKENS)], schema="doc_id BIGINT, n_tokens BIGINT"
+    )
+
+
+def _expected_prefix(budget):
+    order = sorted(range(N_DOCS), key=lambda i: (_u(f"{i}:budget"), i))
+    out, cum = [], 0
+    for i in order:
+        cum += TOKENS[i]
+        if cum > budget:
+            break
+        out.append((i, TOKENS[i], cum))
+    return out
+
+
+def test_token_budget_matches_recompute(docs):
+    budget = sum(TOKENS) // 2
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.cum_tokens)
+        for r in token_budget_sample(docs, budget).collect()
+    )
+    assert got == sorted(_expected_prefix(budget))
+    assert 0 < len(got) < N_DOCS  # the cut is live
+    assert max(c for _, _, c in got) <= budget
+
+
+def test_token_budget_edges(docs):
+    assert token_budget_sample(docs, 0).count() == 0
+    assert token_budget_sample(docs, sum(TOKENS)).count() == N_DOCS
+    # budget of exactly the first doc's tokens keeps exactly it
+    first = _expected_prefix(10**9)[0]
+    got = token_budget_sample(docs, first[1]).collect()
+    assert [(r.doc_id, r.cum_tokens) for r in got] == [(first[0], first[1])]
+    with pytest.raises(ValueError):
+        token_budget_sample(docs, -1)
+
+
+def test_epoch_shuffle_matches_recompute(docs):
+    out = epoch_shuffle(docs, n_epochs=2).collect()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r.epoch, {})[r.pos] = r.doc_id
+    assert set(by_epoch) == {0, 1}
+    for e, posmap in by_epoch.items():
+        assert sorted(posmap) == list(range(N_DOCS))  # bijection
+        order = sorted(range(N_DOCS), key=lambda i: (_u(f"{i}:epoch:{e}"), i))
+        assert [posmap[p] for p in range(N_DOCS)] == order
+    # distinct permutations per epoch
+    assert [by_epoch[0][p] for p in range(N_DOCS)] != [
+        by_epoch[1][p] for p in range(N_DOCS)
+    ]
+    with pytest.raises(ValueError):
+        epoch_shuffle(docs, n_epochs=0)
