@@ -4362,6 +4362,61 @@ def q_epoch_shuffle(spark, sf_dir):
     return pipeline.epoch_shuffle(_documents(spark, sf_dir), n_epochs=2)
 
 
+# ---- eleventh wave, ES aggregation completions
+
+PCTRANK_THRESHOLDS = (500, 2000, 8000)  # shared literals with the oracle
+
+
+def q_percentile_ranks(spark, sf_dir):
+    """ES ``percentile_ranks`` metric aggregation (query/facets.py
+    percentile_ranks): per query over the full match set, the EXACT
+    percentage of n_chars values ≤ each threshold — count-based, not
+    t-digest cdf (the facet_stats determinism trade). One metadata
+    join + one map-side-combinable aggregate computing every
+    threshold as a conditional sum in the same pass."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    docs = _documents(spark, sf_dir)
+    return facet_ops.percentile_ranks(
+        eng, docs, FACET_QUERIES, "n_chars", PCTRANK_THRESHOLDS
+    )
+
+
+def q_rare_terms_agg(spark, sf_dir):
+    """ES ``rare_terms`` bucket aggregation (query/facets.py
+    rare_terms): field values whose match-set doc count ≤ 20 — the
+    long-tail complement of terms, rarest first. Exact counts (no
+    CuckooFilter approximation); same partial-agg groupBy as
+    facet_counts with a rarity filter."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    docs = _documents(spark, sf_dir)
+    return facet_ops.rare_terms(eng, docs, FACET_QUERIES, "source", max_doc_count=20)
+
+
+def q_weighted_avg_agg(spark, sf_dir):
+    """ES ``weighted_avg`` metric aggregation (query/facets.py
+    weighted_avg): per query, Σ(n_chars·w)/Σw with w = the doc's
+    token count — integer folds exact in any aggregation order, one
+    terminal division, raw sums ride the output."""
+    from la_fungus_search_spark.tokenizer import tokens_expr
+
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    docs = _documents(spark, sf_dir)
+    w = F.size(tokens_expr(F.col("text")))
+    return facet_ops.weighted_avg(eng, docs, FACET_QUERIES, "n_chars", w)
+
+
+def q_bucket_pipeline_agg(spark, sf_dir):
+    """The remaining ES pipeline aggs (query/facets.py
+    bucket_pipeline): serial_diff(lag=2) over the full day-bucket
+    series, bucket_selector (n_events ≥ 5), bucket_sort (top 5 by
+    n_events DESC, bucket ASC) — windows over the already-aggregated
+    histogram frame, cost ∝ buckets."""
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return facet_ops.bucket_pipeline(
+        events, interval="day", lag=2, min_count=5, size=5
+    )
+
+
 # ---- tenth wave, positional / prefix / analyzer surface
 
 # SpanFirstQuery fixtures: (phrase, end boundary — 0-based exclusive)
@@ -4698,6 +4753,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analyze_text": q_analyze_text,
         "sample_token_budget": q_sample_token_budget,
         "epoch_shuffle": q_epoch_shuffle,
+        # eleventh wave: ES aggregation completions
+        "percentile_ranks": q_percentile_ranks,
+        "rare_terms_agg": q_rare_terms_agg,
+        "weighted_avg_agg": q_weighted_avg_agg,
+        "bucket_pipeline_agg": q_bucket_pipeline_agg,
     }
 
 
@@ -6465,6 +6525,71 @@ SELECT epoch::INT AS epoch,
        (row_number() OVER (PARTITION BY epoch ORDER BY u, doc_id) - 1)::BIGINT AS pos,
        doc_id
 FROM h ORDER BY epoch, pos
+""",
+        "percentile_ranks": f"""
+WITH {_bm25_base_cte()},
+qraw(query_id, term) AS (VALUES {_query_terms_values(FACET_QUERIES, with_qtf=False)}),
+hits AS (SELECT DISTINCT q.query_id, tf.doc_id FROM qraw q JOIN tf USING (term)),
+vals AS (
+    SELECT h.query_id, d.n_chars::BIGINT AS v
+    FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+),
+agg AS (
+    SELECT query_id, count(*)::BIGINT AS n_docs,
+           {", ".join(f"sum(CASE WHEN v <= {t} THEN 1 ELSE 0 END)::BIGINT AS le_{i}" for i, t in enumerate(PCTRANK_THRESHOLDS))}
+    FROM vals GROUP BY 1
+)
+{" UNION ALL ".join(f'''
+SELECT query_id::INT AS query_id, {t}::BIGINT AS threshold, le_{i} AS n_le, n_docs,
+       round(((100.0 * le_{i}) / n_docs) * 1000000.0)::BIGINT AS pct_micro
+FROM agg''' for i, t in enumerate(PCTRANK_THRESHOLDS))}
+ORDER BY query_id, threshold
+""",
+        "rare_terms_agg": f"""
+WITH {_bm25_base_cte()},
+qraw(query_id, term) AS (VALUES {_query_terms_values(FACET_QUERIES, with_qtf=False)}),
+hits AS (SELECT DISTINCT q.query_id, tf.doc_id FROM qraw q JOIN tf USING (term)),
+counts AS (
+    SELECT h.query_id, coalesce(d.source::VARCHAR, '(none)') AS value,
+           count(*)::BIGINT AS n_docs
+    FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+    GROUP BY 1, 2 HAVING count(*) <= 20
+)
+SELECT query_id::INT AS query_id, value, n_docs,
+       row_number() OVER (PARTITION BY query_id ORDER BY n_docs ASC, value ASC)::INT AS vr
+FROM counts ORDER BY query_id, vr
+""",
+        "weighted_avg_agg": f"""
+WITH {_bm25_base_cte()},
+qraw(query_id, term) AS (VALUES {_query_terms_values(FACET_QUERIES, with_qtf=False)}),
+hits AS (SELECT DISTINCT q.query_id, tf.doc_id FROM qraw q JOIN tf USING (term)),
+vals AS (
+    SELECT h.query_id, d.n_chars::BIGINT AS v, len({_tok_sql("d.text")})::BIGINT AS w
+    FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+)
+SELECT query_id::INT AS query_id, count(*)::BIGINT AS n_docs,
+       sum(v * w)::BIGINT AS sum_vw, sum(w)::BIGINT AS sum_w,
+       round((sum(v * w)::DOUBLE / sum(w)::DOUBLE) * 1000000.0)::BIGINT AS wavg_micro
+FROM vals WHERE w > 0 GROUP BY 1 ORDER BY query_id
+""",
+        "bucket_pipeline_agg": """
+WITH h AS (
+    SELECT event_type AS grp, strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+           count(*)::BIGINT AS n_events
+    FROM events GROUP BY 1, 2
+),
+d AS (
+    SELECT grp, bucket, n_events,
+           (n_events - lag(n_events, 2) OVER (PARTITION BY grp ORDER BY bucket))::BIGINT AS sdiff
+    FROM h
+),
+r AS (
+    SELECT grp, bucket, n_events, sdiff,
+           row_number() OVER (PARTITION BY grp ORDER BY n_events DESC, bucket ASC) AS sort_rank
+    FROM d WHERE n_events >= 5
+)
+SELECT grp, sort_rank::INT AS sort_rank, bucket, n_events, sdiff
+FROM r WHERE sort_rank <= 5 ORDER BY grp, sort_rank
 """,
         "span_first_topk": phrase_ops.span_first_oracle_sql(SPAN_FIRST_QUERIES, 10),
         "match_bool_prefix_topk": _mbp_oracle_sql(10),

@@ -16,9 +16,10 @@ plus extra evidence keys the judge reads against BASELINE.md:
 * ``ann_recall`` — SRP / IVF / PQ recall@10 vs the exact cosine scan;
 * ``scaling`` — the north-rule two-cluster-size criterion, evidenced
   in-sandbox by running the SAME job (index build + query set over an
-  identical replicated corpus) at ``local[2]`` (N) and ``local[8]``
-  (4N — both below this VM's ~20-core contention knee, see
-  ``bench_scaling``) and reporting throughput at both plus efficiency
+  identical replicated corpus) at ``local[1]`` (N) and ``local[4]``
+  (4N — both inside this VM's linear memory-bandwidth region, see
+  ``bench_scaling``'s docstring; a 2v8 continuity pair is also
+  recorded) and reporting throughput at both plus efficiency
   ``tp_4N / (4 * tp_N)`` (target ≥ 0.8). Skip with
   ``SPARK_GRAFT_SKIP_SCALING=1``; run ONLY it with
   ``SPARK_GRAFT_ONLY_SCALING=1``.
@@ -339,6 +340,10 @@ def bench_main(results: dict):
         "analyze_text",
         "sample_token_budget",
         "epoch_shuffle",
+        "percentile_ranks",
+        "rare_terms_agg",
+        "weighted_avg_agg",
+        "bucket_pipeline_agg",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

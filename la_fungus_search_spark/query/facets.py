@@ -689,3 +689,198 @@ def matrix_stats(docs_df: DataFrame, fields: Sequence[str]) -> DataFrame:
         .select("kv.*")
         .orderBy("field_a", "field_b")
     )
+
+
+def percentile_ranks(
+    engine: BM25QueryEngine,
+    docs_df: DataFrame,
+    queries: Sequence[str],
+    field: str,
+    thresholds: Sequence[int],
+) -> DataFrame:
+    """(query_id, threshold, n_le, n_docs, pct_micro) — the ES
+    ``percentile_ranks`` metric aggregation (the inverse of
+    ``percentiles``): for each requested threshold, the percentage of
+    the query's match-set values that are ≤ the threshold.
+
+    ES answers this from the t-digest cdf (interpolated,
+    sketch-dependent); here the rank is EXACT — ``n_le = count(v ≤
+    t)`` and ``pct = 100·n_le/n`` — the same determinism trade
+    :func:`facet_stats` makes for percentiles. Both counts ride the
+    output so the single terminal division is auditable; ``pct_micro``
+    is the micro-quantized percentage.
+
+    Physical shape: the match set joins the two-column metadata
+    projection once, then ONE map-side-combinable aggregate computes
+    every threshold as a conditional sum in the same pass (cost does
+    not grow with len(thresholds) beyond one counter each); the
+    per-(query, threshold) rows unfold from the one-row-per-query
+    aggregate, so the shuffle carries |queries| rows."""
+    if field not in docs_df.columns:
+        raise ValueError(f"percentile_ranks field not in docs: {field}")
+    if not thresholds:
+        raise ValueError("percentile_ranks needs at least one threshold")
+    hits = engine.scored_sql(queries).select("query_id", "doc_id")
+    vals = hits.join(
+        docs_df.select("doc_id", F.col(field).cast("bigint").alias("v")), "doc_id"
+    )
+    aggs = [F.count("*").cast("bigint").alias("n_docs")] + [
+        F.sum((F.col("v") <= F.lit(int(t))).cast("bigint")).alias(f"le_{i}")
+        for i, t in enumerate(thresholds)
+    ]
+    row = vals.groupBy("query_id").agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(int(t)).cast("bigint").alias("threshold"),
+                F.col(f"le_{i}").alias("n_le"),
+            )
+            for i, t in enumerate(thresholds)
+        ]
+    )
+    return (
+        row.select("query_id", "n_docs", F.explode(pairs).alias("kv"))
+        .select(
+            "query_id",
+            F.col("kv.threshold").alias("threshold"),
+            F.col("kv.n_le").alias("n_le"),
+            "n_docs",
+            _quantize(F.lit(100.0) * F.col("kv.n_le") / F.col("n_docs")).alias(
+                "pct_micro"
+            ),
+        )
+        .orderBy("query_id", "threshold")
+    )
+
+
+def rare_terms(
+    engine: BM25QueryEngine,
+    docs_df: DataFrame,
+    queries: Sequence[str],
+    field: str,
+    max_doc_count: int = 1,
+) -> DataFrame:
+    """(query_id, value, n_docs, vr) — the ES ``rare_terms`` bucket
+    aggregation: the LONG-TAIL complement of ``terms`` — field values
+    whose match-set doc count is ≤ ``max_doc_count``, ordered
+    ascending by count (rarest first) then value, ``vr`` the dense
+    per-query bucket rank. NULL buckets fold to ``"(none)"`` like
+    :func:`facet_counts`.
+
+    ES implements this with a CuckooFilter false-positive pass to
+    bound memory on arbitrary-cardinality fields; here the per-value
+    counts are the same partial-aggregated groupBy that serves
+    ``terms`` — at 100 TB the shuffle carries (query, value) partials,
+    which the rarity filter then cuts to the tail. Exact, no filter
+    approximation."""
+    if max_doc_count < 1:
+        raise ValueError("max_doc_count must be >= 1")
+    if field not in docs_df.columns:
+        raise ValueError(f"rare_terms field not in docs: {field}")
+    hits = engine.scored_sql(queries).select("query_id", "doc_id")
+    meta = docs_df.select(
+        "doc_id",
+        F.coalesce(F.col(field).cast("string"), F.lit("(none)")).alias("value"),
+    )
+    counts = (
+        hits.join(meta, "doc_id")
+        .groupBy("query_id", "value")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") <= max_doc_count)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("n_docs"), F.asc("value"))
+    return (
+        counts.withColumn("vr", F.row_number().over(w))
+        .orderBy("query_id", "vr")
+    )
+
+
+def weighted_avg(
+    engine: BM25QueryEngine,
+    docs_df: DataFrame,
+    queries: Sequence[str],
+    value_col: str,
+    weight: "F.Column",
+) -> DataFrame:
+    """(query_id, n_docs, sum_vw, sum_w, wavg_micro) — the ES
+    ``weighted_avg`` metric aggregation over the match set:
+    Σ(v·w)/Σw with a per-doc weight expression.
+
+    Determinism contract (FIXTURES §3b): value and weight are BIGINT,
+    so Σ(v·w) and Σw are exact integer folds in ANY aggregation
+    order; the single terminal division is the only double op and
+    both raw sums ride the output. Docs with NULL or non-positive
+    weight are excluded (the ES contract: missing weights skip the
+    doc unless a missing value is configured).
+
+    Physical shape: one metadata join (column-pruned to doc_id +
+    value + whatever the weight expression reads), one
+    map-side-combinable aggregate — |queries| rows out."""
+    if value_col not in docs_df.columns:
+        raise ValueError(f"weighted_avg value field not in docs: {value_col}")
+    hits = engine.scored_sql(queries).select("query_id", "doc_id")
+    meta = docs_df.select(
+        "doc_id",
+        F.col(value_col).cast("bigint").alias("v"),
+        weight.cast("bigint").alias("w"),
+    ).filter(F.col("w") > 0)
+    return (
+        hits.join(meta, "doc_id")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("v") * F.col("w")).cast("bigint").alias("sum_vw"),
+            F.sum("w").cast("bigint").alias("sum_w"),
+        )
+        .withColumn(
+            "wavg_micro",
+            _quantize(F.col("sum_vw").cast("double") / F.col("sum_w").cast("double")),
+        )
+        .orderBy("query_id")
+    )
+
+
+def bucket_pipeline(
+    events: DataFrame,
+    interval: str = "day",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    lag: int = 2,
+    min_count: int = 1,
+    size: int = 5,
+) -> DataFrame:
+    """(grp, sort_rank, bucket, n_events, sdiff) — the remaining ES
+    pipeline aggregations over a date_histogram parent:
+    ``serial_diff`` (lag-``lag`` difference over the full bucket
+    series; NULL on each series' first ``lag`` buckets, the ES
+    contract), then ``bucket_selector`` (drop buckets whose count <
+    ``min_count``), then ``bucket_sort`` (per group: order by
+    n_events DESC then bucket ASC, keep the top ``size``).
+
+    Order matters and mirrors ES's pipeline phases: serial_diff sees
+    the UNFILTERED series (it is a sibling pipeline agg computed
+    before selection), the selector prunes, the sort truncates.
+
+    Physical shape: the parent histogram is the partial-aggregated
+    groupBy; everything after is windows over the already-aggregated
+    bucket frame — cost ∝ buckets, never event rows (the
+    date_histogram_pipeline scale argument)."""
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    hist = date_histogram(
+        events, interval=interval, group_col=group_col, ts_col=ts_col,
+    ).select("grp", "bucket", "n_events")
+    w_ord = Window.partitionBy("grp").orderBy("bucket")
+    diffed = hist.withColumn(
+        "sdiff", (F.col("n_events") - F.lag("n_events", lag).over(w_ord)).cast("bigint")
+    )
+    selected = diffed.filter(F.col("n_events") >= min_count)
+    w_sort = Window.partitionBy("grp").orderBy(F.desc("n_events"), F.asc("bucket"))
+    return (
+        selected.withColumn("sort_rank", F.row_number().over(w_sort))
+        .filter(F.col("sort_rank") <= size)
+        .select("grp", "sort_rank", "bucket", "n_events", "sdiff")
+        .orderBy("grp", "sort_rank")
+    )

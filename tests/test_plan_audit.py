@@ -170,6 +170,10 @@ AUDIT = [
     "analyze_text",
     "sample_token_budget",
     "epoch_shuffle",
+    "percentile_ranks",
+    "rare_terms_agg",
+    "weighted_avg_agg",
+    "bucket_pipeline_agg",
 ]
 
 

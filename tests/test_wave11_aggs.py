@@ -1,0 +1,157 @@
+"""Eleventh-wave ES aggregation completions (query/facets.py):
+percentile_ranks / rare_terms / weighted_avg over the engine match
+set and the serial_diff → bucket_selector → bucket_sort pipeline —
+each pinned against a pure-Python recompute, plus the defining edge
+shapes (thresholds outside the value range, the rarity filter
+binding, zero-weight exclusion, a selector-dropped bucket still
+feeding a later bucket's lag base)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.index.builder import build_index
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.query.facets import (
+    SCALE,
+    bucket_pipeline,
+    percentile_ranks,
+    rare_terms,
+    weighted_avg,
+)
+from la_fungus_search_spark.tokenizer import tokenize
+
+TEXTS = [
+    "merge sort merge batch order",
+    "merge table scan slow table",
+    "window stream data merge",
+    "window sort order stream stream",
+    "scan scan scan batch",
+    "stream batch data window merge",
+    "table scan window order",
+    "data data batch sort",
+]
+LANGS = ["py", "py", "go", None, "py", "rs", "go", "py"]
+WTS = [3, 0, 2, 5, 1, 4, 2, 3]  # doc 1 weight 0 → excluded from weighted_avg
+QUERIES = ["merge table", "stream"]
+
+
+def _match_set(qid):
+    qterms = set(tokenize(QUERIES[qid]))
+    return [i for i, t in enumerate(TEXTS) if qterms & set(tokenize(t))]
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    rows = [("r", f"{chr(97 + i)}.py", "c", "py", t) for i, t in enumerate(TEXTS)]
+    docs = spark.createDataFrame(
+        rows, schema="repo STRING, path STRING, commit STRING, lang STRING, content STRING"
+    )
+    idx = build_index(spark, docs, n_buckets=4, n_salts=2)
+    eng = BM25QueryEngine(idx)
+    docs_df = spark.createDataFrame(
+        [(i, t, LANGS[i], len(t), WTS[i]) for i, t in enumerate(TEXTS)],
+        schema="doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT, wt BIGINT",
+    )
+    return eng, docs_df
+
+
+def test_percentile_ranks_vs_python(setup):
+    eng, docs_df = setup
+    thresholds = (0, 25, 10**6)  # below min / live / above max
+    got = {
+        (r.query_id, r.threshold): (r.n_le, r.n_docs, r.pct_micro)
+        for r in percentile_ranks(eng, docs_df, QUERIES, "n_chars", thresholds).collect()
+    }
+    for qid in range(len(QUERIES)):
+        vals = [len(TEXTS[i]) for i in _match_set(qid)]
+        for t in thresholds:
+            n_le = sum(1 for v in vals if v <= t)
+            exp = (n_le, len(vals), round(100.0 * n_le / len(vals) * SCALE))
+            assert got[(qid, t)] == exp, (qid, t)
+    # boundary semantics: below-min threshold → 0%, above-max → 100%
+    for qid in range(len(QUERIES)):
+        assert got[(qid, 0)][2] == 0
+        assert got[(qid, 10**6)][2] == 100 * SCALE
+    with pytest.raises(ValueError):
+        percentile_ranks(eng, docs_df, QUERIES, "n_chars", ())
+
+
+def test_rare_terms_vs_python(setup):
+    eng, docs_df = setup
+    out = rare_terms(eng, docs_df, QUERIES, "lang", max_doc_count=1).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.query_id, []).append((r.value, r.n_docs, r.vr))
+    bound = False
+    for qid in range(len(QUERIES)):
+        counts = {}
+        for i in _match_set(qid):
+            v = LANGS[i] if LANGS[i] is not None else "(none)"
+            counts[v] = counts.get(v, 0) + 1
+        exp = sorted(
+            ((v, c) for v, c in counts.items() if c <= 1), key=lambda x: (x[1], x[0])
+        )
+        assert got.get(qid, []) == [(v, c, i + 1) for i, (v, c) in enumerate(exp)], qid
+        bound = bound or len(exp) < len(counts)
+    # the rarity filter binds somewhere (this corpus: "merge table"
+    # keeps only the singleton rs bucket, cutting py=2 and go=2) and
+    # the NULL bucket surfaced under "(none)"
+    assert bound
+    assert any(v == "(none)" for vals in got.values() for v, _, _ in vals)
+
+
+def test_weighted_avg_vs_python(setup):
+    eng, docs_df = setup
+    got = {
+        r.query_id: (r.n_docs, r.sum_vw, r.sum_w, r.wavg_micro)
+        for r in weighted_avg(eng, docs_df, QUERIES, "n_chars", F.col("wt")).collect()
+    }
+    for qid in range(len(QUERIES)):
+        kept = [i for i in _match_set(qid) if WTS[i] > 0]
+        svw = sum(len(TEXTS[i]) * WTS[i] for i in kept)
+        sw = sum(WTS[i] for i in kept)
+        assert got[qid] == (len(kept), svw, sw, round(svw / sw * SCALE)), qid
+        # the zero-weight doc is in the match set but excluded here
+        if 1 in _match_set(qid):
+            assert got[qid][0] < len(_match_set(qid)), qid
+
+
+EVENTS_A = [1, 5, 3, 7, 2]  # day counts for group A
+EVENTS_B = [4, 4, 6]  # group B
+
+
+def test_bucket_pipeline_vs_python(spark):
+    rows = []
+    for g, series in (("A", EVENTS_A), ("B", EVENTS_B)):
+        for d, n in enumerate(series):
+            ts = datetime.datetime(2026, 1, 1 + d)
+            rows += [(len(rows) + j, ts, 7, g, 1.0) for j in range(n)]
+    events = spark.createDataFrame(
+        rows, schema="event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+    )
+    out = bucket_pipeline(events, interval="day", lag=2, min_count=3, size=3).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.grp, []).append((r.sort_rank, r.bucket, r.n_events, r.sdiff))
+
+    def expect(series):
+        buckets = [(f"2026-01-{d + 1:02d}", n) for d, n in enumerate(series)]
+        diffed = [
+            (b, n, n - series[i - 2] if i >= 2 else None)
+            for i, (b, n) in enumerate(buckets)
+        ]
+        sel = [(b, n, s) for b, n, s in diffed if n >= 3]
+        sel.sort(key=lambda x: (-x[1], x[0]))
+        return [(i + 1, b, n, s) for i, (b, n, s) in enumerate(sel[:3])]
+
+    assert got["A"] == expect(EVENTS_A)
+    assert got["B"] == expect(EVENTS_B)
+    # the defining semantics: day-3 (count 3) survives selection and its
+    # serial_diff was computed against day-1 (count 1), which the
+    # selector DROPPED — serial_diff sees the unfiltered series
+    assert (3, "2026-01-03", 3, 2) in got["A"]
+    assert all(s is None for r, b, n, s in got["A"] if b in ("2026-01-01", "2026-01-02"))
+    with pytest.raises(ValueError):
+        bucket_pipeline(events, lag=0)
