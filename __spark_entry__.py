@@ -4362,6 +4362,48 @@ def q_epoch_shuffle(spark, sf_dir):
     return pipeline.epoch_shuffle(_documents(spark, sf_dir), n_epochs=2)
 
 
+# ---- eleventh wave, function_score completions
+
+
+def q_random_score_topk(spark, sf_dir):
+    """ES ``function_score`` random_score (query/ranking.py
+    random_score): reproducible per-doc jitter — md5('wave11:'doc_id)
+    top 32 bits / 2^32, an exactly-representable dyadic — multiplied
+    into the BM25 score (the ES default boost_mode). Zero extra
+    joins; the one cross-engine rounding is the combine multiply,
+    quantize-absorbed. Over-fetch 30 float, re-rank quantized."""
+    from la_fungus_search_spark.query.ranking import random_score
+
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    scored = eng.scored_sql(BM25_QUERIES).select("query_id", "doc_id", "score")
+    out = random_score(scored, seed="wave11", weight=1.0, boost_mode="multiply")
+    hits = eng._topk(
+        out.select("query_id", "doc_id", F.col("final_score").alias("score")), 30
+    )
+    return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+def q_field_value_factor_topk(spark, sf_dir):
+    """ES ``function_score`` field_value_factor (query/ranking.py
+    field_value_factor): final = bm25 · ln(1 + 0.5·n_chars) — the
+    ln1p modifier with factor 0.5, NULL→missing=1 before
+    factor/modifier (the ES contract). One match-set equi-join;
+    literals shared verbatim with the oracle. Over-fetch 30 float,
+    re-rank quantized."""
+    from la_fungus_search_spark.query.ranking import field_value_factor
+
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    scored = eng.scored_sql(BM25_QUERIES).select("query_id", "doc_id", "score")
+    meta = _documents(spark, sf_dir).select("doc_id", F.col("n_chars").alias("v"))
+    out = field_value_factor(
+        scored, meta, factor=0.5, modifier="ln1p", missing=1.0, boost_mode="multiply"
+    )
+    hits = eng._topk(
+        out.select("query_id", "doc_id", F.col("final_score").alias("score")), 30
+    )
+    return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
 # ---- eleventh wave, ES aggregation completions
 
 PCTRANK_THRESHOLDS = (500, 2000, 8000)  # shared literals with the oracle
@@ -4753,11 +4795,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analyze_text": q_analyze_text,
         "sample_token_budget": q_sample_token_budget,
         "epoch_shuffle": q_epoch_shuffle,
-        # eleventh wave: ES aggregation completions
+        # eleventh wave: ES aggregation + function_score completions
         "percentile_ranks": q_percentile_ranks,
         "rare_terms_agg": q_rare_terms_agg,
         "weighted_avg_agg": q_weighted_avg_agg,
         "bucket_pipeline_agg": q_bucket_pipeline_agg,
+        "random_score_topk": q_random_score_topk,
+        "field_value_factor_topk": q_field_value_factor_topk,
     }
 
 
@@ -6525,6 +6569,55 @@ SELECT epoch::INT AS epoch,
        (row_number() OVER (PARTITION BY epoch ORDER BY u, doc_id) - 1)::BIGINT AS pos,
        doc_id
 FROM h ORDER BY epoch, pos
+""",
+        "random_score_topk": f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt JOIN idf USING (term) JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+rs AS (
+    SELECT query_id, doc_id,
+           score * (1.0 * (('0x' || substr(md5('wave11:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                           / 4294967296.0)) AS score
+    FROM scored
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM rs),
+ranked AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+""",
+        "field_value_factor_topk": f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt JOIN idf USING (term) JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+fvf AS (
+    SELECT s.query_id, s.doc_id,
+           s.score * ln(1.0 + (0.5 * coalesce(d.n_chars::DOUBLE, 1.0))) AS score
+    FROM scored s JOIN documents d USING (doc_id)
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM fvf),
+ranked AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 """,
         "percentile_ranks": f"""
 WITH {_bm25_base_cte()},

@@ -344,7 +344,9 @@ def bench_main(results: dict):
         "rare_terms_agg",
         "weighted_avg_agg",
         "bucket_pipeline_agg",
-    ]
+            "random_score_topk",
+        "field_value_factor_topk",
+]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25
     # helpers don't rebuild

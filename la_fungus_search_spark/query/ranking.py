@@ -774,3 +774,93 @@ def distance_feature_score(
             + F.lit(float(boost)) * F.lit(float(pivot)) / (F.lit(float(pivot)) + dist),
         )
     )
+
+
+def random_score(
+    scored: DataFrame,
+    seed: str,
+    weight: float = 1.0,
+    boost_mode: str = "multiply",
+    score_col: str = "score",
+) -> DataFrame:
+    """ES ``function_score`` ``random_score(seed, field)`` — the
+    reproducible-jitter function (A/B result shuffling, sampling
+    variety): each hit gets a deterministic pseudo-random value
+    derived from (seed, doc_id), combined with the relevance score
+    per ``boost_mode``.
+
+    Determinism contract: ES hashes seed+field via murmur; here the
+    value is ``md5(seed ':' doc_id)``'s top 32 bits / 2^32 — a dyadic
+    rational both engines represent EXACTLY, so the only cross-engine
+    rounding is the single combine op (quantize-absorbed). Zero joins:
+    the function is computed from the hit row itself."""
+    if boost_mode not in {"multiply", "sum", "replace"}:
+        raise ValueError("boost_mode must be multiply, sum or replace")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    func = F.lit(float(weight)) * (u.cast("double") / F.lit(float(2**32)))
+    combined = {
+        "multiply": F.col(score_col) * func,
+        "sum": F.col(score_col) + func,
+        "replace": func,
+    }[boost_mode]
+    return scored.withColumn("final_score", combined)
+
+
+def field_value_factor(
+    scored: DataFrame,
+    meta: DataFrame,
+    factor: float = 1.0,
+    modifier: str = "none",
+    missing: float = 1.0,
+    boost_mode: str = "multiply",
+    score_col: str = "score",
+) -> DataFrame:
+    """ES ``function_score`` ``field_value_factor``: score shaped by
+    a per-doc numeric field — ``f = modifier(factor · v)`` with the
+    ES modifier set (``none``, ``log1p`` = log10(1+x), ``ln1p`` =
+    ln(1+x), ``sqrt``, ``square``, ``reciprocal``), NULL field values
+    replaced by ``missing`` BEFORE factor/modifier (the ES contract:
+    "as though it were read from the document").
+
+    sqrt/square/reciprocal are correctly-rounded IEEE ops; the log
+    variants are ULP-class across engines — both absorbed by the
+    gate-wide micro-quantization. One match-set equi-join like
+    :func:`rank_feature_score`."""
+    if boost_mode not in {"multiply", "sum", "replace"}:
+        raise ValueError("boost_mode must be multiply, sum or replace")
+    x = F.lit(float(factor)) * F.coalesce(
+        F.col("v").cast("double"), F.lit(float(missing))
+    )
+    if modifier == "none":
+        f = x
+    elif modifier == "log1p":
+        f = F.log10(F.lit(1.0) + x)
+    elif modifier == "ln1p":
+        f = F.log(F.lit(1.0) + x)
+    elif modifier == "sqrt":
+        f = F.sqrt(x)
+    elif modifier == "square":
+        f = x * x
+    elif modifier == "reciprocal":
+        # x = 0 → NULL rather than the +Inf a raw Java double divide
+        # would give (and an ANSI-mode Spark error): Inf is neither
+        # hashable nor rankable downstream, NULL drops the hit cleanly
+        f = F.when(x == 0.0, F.lit(None).cast("double")).otherwise(F.lit(1.0) / x)
+    else:
+        raise ValueError(
+            "modifier must be none, log1p, ln1p, sqrt, square or reciprocal"
+        )
+    combined = {
+        "multiply": F.col(score_col) * f,
+        "sum": F.col(score_col) + f,
+        "replace": f,
+    }[boost_mode]
+    return scored.join(meta.select("doc_id", "v"), "doc_id").withColumn(
+        "final_score", combined
+    )

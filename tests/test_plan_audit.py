@@ -174,6 +174,8 @@ AUDIT = [
     "rare_terms_agg",
     "weighted_avg_agg",
     "bucket_pipeline_agg",
+    "random_score_topk",
+    "field_value_factor_topk",
 ]
 
 

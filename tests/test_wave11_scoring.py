@@ -1,0 +1,96 @@
+"""Eleventh-wave function_score completions (query/ranking.py):
+random_score (deterministic md5 jitter) and field_value_factor (the
+ES modifier set with the missing-value contract) — recomputed exactly
+in pure Python against the same md5 / math.log formulas."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.query.ranking import field_value_factor, random_score
+
+SCORED = [(0, 10, 2.5), (0, 11, 1.5), (1, 10, 4.0), (1, 12, 0.5)]
+META = [(10, 100), (11, 0), (12, None)]  # doc 12: NULL v → missing
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    return spark.createDataFrame(
+        SCORED, schema="query_id INT, doc_id BIGINT, score DOUBLE"
+    )
+
+
+@pytest.fixture(scope="module")
+def meta(spark):
+    return spark.createDataFrame(META, schema="doc_id BIGINT, v BIGINT")
+
+
+def _r(seed, doc_id):
+    return int(hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:8], 16) / 2**32
+
+
+def test_random_score_vs_python(scored):
+    got = {
+        (r.query_id, r.doc_id): r.final_score
+        for r in random_score(scored, seed="s1", boost_mode="multiply").collect()
+    }
+    for qid, doc, s in SCORED:
+        assert got[(qid, doc)] == s * (1.0 * _r("s1", doc)), (qid, doc)
+    # same (seed, doc) → same value across queries; different seed →
+    # a different jitter
+    assert got[(0, 10)] / 2.5 == got[(1, 10)] / 4.0
+    got2 = {
+        (r.query_id, r.doc_id): r.final_score
+        for r in random_score(scored, seed="s2", boost_mode="multiply").collect()
+    }
+    assert got2[(0, 10)] != got[(0, 10)]
+    # replace mode emits the bare jitter in [0, 1)
+    rep = random_score(scored, seed="s1", boost_mode="replace").collect()
+    assert all(0.0 <= r.final_score < 1.0 for r in rep)
+    with pytest.raises(ValueError):
+        random_score(scored, seed="s1", boost_mode="max")
+
+
+@pytest.mark.parametrize(
+    "modifier,fn",
+    [
+        ("none", lambda x: x),
+        ("log1p", lambda x: math.log10(1.0 + x)),
+        ("ln1p", lambda x: math.log(1.0 + x)),
+        ("sqrt", math.sqrt),
+        ("square", lambda x: x * x),
+        ("reciprocal", lambda x: 1.0 / x),
+    ],
+)
+def test_field_value_factor_modifiers(scored, meta, modifier, fn):
+    got = {
+        (r.query_id, r.doc_id): r.final_score
+        for r in field_value_factor(
+            scored, meta, factor=0.5, modifier=modifier, missing=2.0,
+            boost_mode="multiply",
+        ).collect()
+    }
+    vmap = {10: 100.0, 11: 0.0, 12: 2.0}  # NULL replaced by missing=2
+    for qid, doc, s in SCORED:
+        x = 0.5 * vmap[doc]
+        if modifier == "reciprocal" and x == 0.0:
+            assert got[(qid, doc)] is None, (qid, doc)  # documented NULL, not Inf
+            continue
+        assert got[(qid, doc)] == pytest.approx(s * fn(x), rel=1e-15), (qid, doc, modifier)
+
+
+def test_field_value_factor_validation(scored, meta):
+    with pytest.raises(ValueError):
+        field_value_factor(scored, meta, modifier="cube")
+    with pytest.raises(ValueError):
+        field_value_factor(scored, meta, boost_mode="max")
+    # sum mode: additive shaping
+    got = {
+        (r.query_id, r.doc_id): r.final_score
+        for r in field_value_factor(
+            scored, meta, factor=1.0, modifier="none", missing=7.0, boost_mode="sum"
+        ).collect()
+    }
+    assert got[(1, 12)] == 0.5 + 7.0
