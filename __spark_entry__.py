@@ -4362,6 +4362,61 @@ def q_epoch_shuffle(spark, sf_dir):
     return pipeline.epoch_shuffle(_documents(spark, sf_dir), n_epochs=2)
 
 
+# ---- eleventh wave, span OR + has_parent
+
+# SpanOrQuery fixtures: distinct phrase clauses per query (disjoint
+# span sets → summed counts equal Lucene's merged enumeration)
+SPAN_OR_QUERIES = [
+    ["table scan", "hash join"],
+    ["merge", "sort order", "stream batch"],
+    ["the table", "scan slow"],
+]
+
+
+def q_span_or_topk(spark, sf_dir):
+    """Lucene SpanOrQuery (query/phrase.py span_or_topk): union of
+    phrase clauses — n_spans sums per-clause occurrence counts
+    (distinct clauses → disjoint span sets), first_pos the earliest
+    clause start. One corpus pass serves every query's clauses."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return phrase_ops.span_or_topk(docs, SPAN_OR_QUERIES, k=10)
+
+
+def q_has_parent_topk(spark, sf_dir):
+    """ES has_parent (query/parentchild.py has_parent_topk — the dual
+    of has_child): children (line-window chunks) returned when their
+    PARENT doc matches the parent BM25 query, each child inheriting
+    the parent's score (score: true). Parent query rides the standard
+    doc index's bucket-pruned pass; fan-out is one equi-join on the
+    (child, parent) key map. Over-fetch 50 float, re-rank micro-
+    quantized (score_q DESC, child_id ASC) to 10."""
+    ch = chunk_line_windows(_doc_lines(spark, sf_dir), [CHUNK_W], carry_cols=("doc_id",))
+    parent_of = ch.select(
+        (F.col("doc_id") * 100000 + F.col("start_line")).alias("doc_id"),
+        F.col("doc_id").alias("parent_id"),
+    )
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    hits = parentchild_ops.has_parent_topk(
+        eng, parent_of, BM25_QUERIES, k=50, score=True
+    )
+    q = hits.select(
+        "query_id", "child_id", "parent_id", _micro(F.col("score")).alias("score_q")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("child_id"))
+    return (
+        q.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("child_id").cast("bigint").alias("child_id"),
+            F.col("parent_id").cast("bigint").alias("parent_id"),
+            "score_q",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 # ---- eleventh wave, function_score completions
 
 
@@ -4802,6 +4857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_pipeline_agg": q_bucket_pipeline_agg,
         "random_score_topk": q_random_score_topk,
         "field_value_factor_topk": q_field_value_factor_topk,
+        "span_or_topk": q_span_or_topk,
+        "has_parent_topk": q_has_parent_topk,
     }
 
 
@@ -6569,6 +6626,31 @@ SELECT epoch::INT AS epoch,
        (row_number() OVER (PARTITION BY epoch ORDER BY u, doc_id) - 1)::BIGINT AS pos,
        doc_id
 FROM h ORDER BY epoch, pos
+""",
+        "span_or_topk": phrase_ops.span_or_oracle_sql(SPAN_OR_QUERIES, 10),
+        "has_parent_topk": f"""
+WITH {_CHUNKS_SQL.strip()},
+{_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt JOIN idf USING (term) JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+fan AS (
+    SELECT s.query_id, c.chunk_id AS child_id, c.orig_doc AS parent_id,
+           round(s.score * 1e6)::BIGINT AS score_q
+    FROM scored s JOIN chunks c ON c.orig_doc = s.doc_id
+),
+ranked AS (
+    SELECT query_id, child_id, parent_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, child_id ASC) AS rank
+    FROM fan
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, child_id, parent_id, score_q
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 """,
         "random_score_topk": f"""
 WITH {_bm25_base_cte()},

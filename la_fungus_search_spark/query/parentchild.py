@@ -73,3 +73,43 @@ def has_child_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def has_parent_topk(
+    engine: BM25QueryEngine,
+    parent_of: DataFrame,
+    queries: Sequence[str],
+    k: int = 10,
+    score: bool = True,
+) -> DataFrame:
+    """ES ``has_parent`` — the dual of :func:`has_child_topk`: return
+    CHILD units whose PARENT matches the parent query → ``(query_id,
+    child_id, parent_id, score, rank)``.
+
+    ``score=True`` propagates the parent's BM25 score to every child
+    (ES ``score: true``); ``score=False`` is the ES default
+    constant-score form (1.0 — ranking then degenerates to child id,
+    which is exactly ES's behavior of "filter, not rank"). Ties break
+    (score DESC, child_id ASC); callers quantize before re-ranking.
+
+    Physical shape: the parent query rides the engine's bucket-pruned
+    scored pass over the PARENT index (match-set-sized); fan-out to
+    children is one equi-join on parent_id against the (child,
+    parent) key map — at 100 TB co-partition ``parent_of`` by
+    parent_id and the join is shuffle-free on the map side. Cost ∝
+    matching parents × their children, the output's own size."""
+    scored = engine.scored_sql(queries).select(
+        "query_id", F.col("doc_id").alias("parent_id"), "score"
+    )
+    if not score:
+        scored = scored.withColumn("score", F.lit(1.0))
+    children = parent_of.select(F.col("doc_id").alias("child_id"), "parent_id")
+    joined = scored.join(children, "parent_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("child_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -916,3 +916,92 @@ ranked AS (
 SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, n_spans, first_pos
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
+
+
+# --------------------------------------------------------- span OR
+
+
+def span_or_topk(
+    docs: DataFrame, queries: Sequence[Sequence[str]], k: int = 10
+) -> DataFrame:
+    """Lucene ``SpanOrQuery``: each query is a list of DISTINCT
+    phrase clauses; a doc matches wherever ANY clause matches.
+    ``n_spans`` = total clause occurrences — for distinct phrases the
+    per-clause (start, end) span sets are pairwise disjoint, so the
+    sum equals the count Lucene's merged span enumeration scores;
+    ``first_pos`` = the earliest start over all clauses (``least``
+    skips the NULL an absent clause produces). Same one-corpus-pass
+    position-map scan as :func:`phrase_match_topk` — ALL queries'
+    clauses share the single pass."""
+    parsed = []
+    for clauses in queries:
+        tls = [tokenize(c) for c in clauses]
+        if not tls or any(not t for t in tls):
+            raise ValueError("span_or needs >= 1 non-empty clause per query")
+        if len({tuple(t) for t in tls}) != len(tls):
+            raise ValueError("span_or clauses must be distinct phrases")
+        parsed.append(tls)
+    all_terms = sorted({t for tls in parsed for ts in tls for t in ts})
+    pm = _term_pos_map(docs, all_terms)
+    per_q = []
+    for qid, tls in enumerate(parsed):
+        counts = [F.coalesce(F.size(_starts_expr(ts)), F.lit(0)) for ts in tls]
+        firsts = [F.array_min(_starts_expr(ts)) for ts in tls]
+        n = counts[0]
+        for c in counts[1:]:
+            n = n + c
+        first = firsts[0] if len(firsts) == 1 else F.least(*firsts)
+        per_q.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                n.alias("n_spans"),
+                F.coalesce(first, F.lit(-1)).alias("first_pos"),
+            )
+        )
+    hits = (
+        pm.select("doc_id", F.explode(F.array(*per_q)).alias("h"))
+        .select("doc_id", "h.query_id", "h.n_spans", "h.first_pos")
+        .filter(F.col("n_spans") > 0)
+    )
+    return _rank_topk(hits, k, "n_spans")
+
+
+def span_or_oracle_sql(queries: Sequence[Sequence[str]], k: int = 10) -> str:
+    """DuckDB twin of :func:`span_or_topk` — per clause the phrase
+    oracle's ``list_filter`` start enumeration, summed per query
+    (1-based internally, 0-based out)."""
+    toks = duckdb_tokens_sql("text")
+    branches = []
+    for qid, clauses in enumerate(queries):
+        counts, firsts = [], []
+        for c in clauses:
+            terms = tokenize(c)
+            conds = " AND ".join(
+                f"toks[s + {j}] = {_sql_quote(t)}" for j, t in enumerate(terms)
+            )
+            starts = (
+                f"list_filter(range(1, len(toks) - {len(terms) - 1} + 1), s -> {conds})"
+            )
+            counts.append(f"len({starts})::BIGINT")
+            firsts.append(f"list_min({starts})")
+        n = " + ".join(counts)
+        first = f"least({', '.join(firsts)})" if len(firsts) > 1 else firsts[0]
+        branches.append(
+            f"""SELECT {qid} AS query_id, doc_id,
+       ({n})::BIGINT AS n_spans,
+       (coalesce({first}, 0) - 1)::INT AS first_pos
+FROM tokd"""
+        )
+    body = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+hits AS ({body}),
+matched AS (SELECT * FROM hits WHERE n_spans > 0),
+ranked AS (
+    SELECT query_id, doc_id, n_spans, first_pos,
+           row_number() OVER (PARTITION BY query_id ORDER BY n_spans DESC, doc_id ASC) AS rank
+    FROM matched
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, n_spans, first_pos
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""

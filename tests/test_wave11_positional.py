@@ -1,0 +1,122 @@
+"""Eleventh-wave span OR + has_parent (query/phrase.py span_or_topk,
+query/parentchild.py has_parent_topk) — pinned against pure-Python
+span enumeration and a BM25Oracle-scored parent fan-out."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.index.builder import build_index
+from la_fungus_search_spark.oracle import BM25Oracle
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.query.parentchild import has_parent_topk
+from la_fungus_search_spark.query.phrase import phrase_match_topk, span_or_topk
+from la_fungus_search_spark.tokenizer import tokenize
+
+TEXTS = [
+    "table scan table scan hash join end",
+    "hash join hash join hash join",
+    "merge sort order merge",
+    "the table scan slow window",
+    "stream batch data stream batch",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], schema="doc_id BIGINT, text STRING"
+    )
+
+
+def _phrase_starts(tokens, phrase):
+    p = tokenize(phrase)
+    return [
+        s
+        for s in range(len(tokens) - len(p) + 1)
+        if tokens[s : s + len(p)] == p
+    ]
+
+
+def test_span_or_vs_python(docs):
+    queries = [["table scan", "hash join"], ["merge", "stream batch"]]
+    out = span_or_topk(docs, queries, k=10).collect()
+    got = {(r.query_id, r.doc_id): (r.n_spans, r.first_pos) for r in out}
+    exp = {}
+    for qid, clauses in enumerate(queries):
+        for did, t in enumerate(TEXTS):
+            toks = tokenize(t)
+            starts = [s for c in clauses for s in _phrase_starts(toks, c)]
+            if starts:
+                exp[(qid, did)] = (len(starts), min(starts))
+    assert got == exp
+    # doc 0 counts BOTH clauses: 2x "table scan" + 1x "hash join"
+    assert got[(0, 0)] == (3, 0)
+    # first_pos can come from the SECOND clause (doc 1: only hash join)
+    assert got[(0, 1)] == (3, 0)
+
+
+def test_span_or_single_clause_equals_phrase(docs):
+    a = span_or_topk(docs, [["table scan"]], k=10).collect()
+    b = phrase_match_topk(docs, ["table scan"], k=10).collect()
+    assert [(r.query_id, r.rank, r.doc_id, r.n_spans, r.first_pos) for r in a] == [
+        (r.query_id, r.rank, r.doc_id, r.phrase_tf, r.first_pos) for r in b
+    ]
+
+
+def test_span_or_validation(docs):
+    with pytest.raises(ValueError):
+        span_or_topk(docs, [["table scan", "table scan"]])  # duplicate clause
+    with pytest.raises(ValueError):
+        span_or_topk(docs, [[]])
+    with pytest.raises(ValueError):
+        span_or_topk(docs, [["...", "merge"]])  # clause empty after tokenize
+
+
+PARENT_OF = [(100 + i * 10 + j, i) for i in range(len(TEXTS)) for j in range(2)]
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    rows = [("r", f"{chr(97 + i)}.py", "c", "py", t) for i, t in enumerate(TEXTS)]
+    corpus = spark.createDataFrame(
+        rows, schema="repo STRING, path STRING, commit STRING, lang STRING, content STRING"
+    )
+    return BM25QueryEngine(build_index(spark, corpus, n_buckets=4, n_salts=2))
+
+
+def test_has_parent_vs_oracle(spark, engine):
+    parent_of = spark.createDataFrame(PARENT_OF, schema="doc_id BIGINT, parent_id BIGINT")
+    queries = ["table scan", "stream"]
+    out = has_parent_topk(engine, parent_of, queries, k=100, score=True).collect()
+    oracle = BM25Oracle([tokenize(t) for t in TEXTS])
+    for qid, q in enumerate(queries):
+        scores = oracle.get_scores(tokenize(q))
+        exp = []
+        for pid, s in enumerate(scores):
+            if s > 0:
+                exp += [(cid, pid, s) for cid, p in PARENT_OF if p == pid]
+        exp.sort(key=lambda x: (-x[2], x[0]))
+        got = [
+            (r.child_id, r.parent_id, r.score)
+            for r in sorted(
+                (r for r in out if r.query_id == qid), key=lambda r: r.rank
+            )
+        ]
+        assert [(c, p) for c, p, _ in exp] == [(c, p) for c, p, _ in got], qid
+        for (_, _, e), (_, _, g) in zip(exp, got):
+            assert g == pytest.approx(e, rel=1e-9)
+        # every child of a matching parent is present, both of them
+        for pid in {p for _, p, _ in exp}:
+            assert sum(1 for _, p, _ in got if p == pid) == 2
+
+
+def test_has_parent_constant_score(spark, engine):
+    parent_of = spark.createDataFrame(PARENT_OF, schema="doc_id BIGINT, parent_id BIGINT")
+    out = has_parent_topk(engine, parent_of, ["table scan"], k=100, score=False).collect()
+    assert out and all(r.score == 1.0 for r in out)
+    # constant score → rank order degenerates to child id
+    ranks = [r.child_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranks == sorted(ranks)
+    # children of non-matching parents (doc 2 "merge sort") are absent
+    oracle_match = {i for i, t in enumerate(TEXTS) if set(tokenize("table scan")) & set(tokenize(t))}
+    assert {r.parent_id for r in out} == oracle_match
