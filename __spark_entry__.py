@@ -4382,6 +4382,31 @@ def q_span_or_topk(spark, sf_dir):
     return phrase_ops.span_or_topk(docs, SPAN_OR_QUERIES, k=10)
 
 
+# Containment fixtures: (big, little) phrase pairs — littles chosen
+# inside frequent corpus trigrams so containment actually fires
+SPAN_PAIR_QUERIES = [
+    ("slow hash batch", "hash"),
+    ("stream table hash", "table hash"),
+    ("part filter scan", "filter"),
+]
+
+
+def q_span_containing_topk(spark, sf_dir):
+    """Lucene SpanContainingQuery (query/phrase.py
+    span_containing_topk): big-phrase spans that contain >= 1
+    little-phrase span; n_spans counts them. Same single
+    position-map corpus pass as the rest of the span family."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return phrase_ops.span_containing_topk(docs, SPAN_PAIR_QUERIES, k=10)
+
+
+def q_span_within_topk(spark, sf_dir):
+    """Lucene SpanWithinQuery (query/phrase.py span_within_topk):
+    the dual — little-phrase spans inside some big span."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return phrase_ops.span_within_topk(docs, SPAN_PAIR_QUERIES, k=10)
+
+
 def q_has_parent_topk(spark, sf_dir):
     """ES has_parent (query/parentchild.py has_parent_topk — the dual
     of has_child): children (line-window chunks) returned when their
@@ -4859,6 +4884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_value_factor_topk": q_field_value_factor_topk,
         "span_or_topk": q_span_or_topk,
         "has_parent_topk": q_has_parent_topk,
+        "span_containing_topk": q_span_containing_topk,
+        "span_within_topk": q_span_within_topk,
     }
 
 
@@ -6628,6 +6655,12 @@ SELECT epoch::INT AS epoch,
 FROM h ORDER BY epoch, pos
 """,
         "span_or_topk": phrase_ops.span_or_oracle_sql(SPAN_OR_QUERIES, 10),
+        "span_containing_topk": phrase_ops.span_pair_oracle_sql(
+            SPAN_PAIR_QUERIES, 10, "containing"
+        ),
+        "span_within_topk": phrase_ops.span_pair_oracle_sql(
+            SPAN_PAIR_QUERIES, 10, "within"
+        ),
         "has_parent_topk": f"""
 WITH {_CHUNKS_SQL.strip()},
 {_bm25_base_cte()},

@@ -1005,3 +1005,133 @@ ranked AS (
 SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, n_spans, first_pos
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
+
+
+# ------------------------------------- span CONTAINING / WITHIN
+
+
+def _kept_spans(
+    big_terms: Sequence[str], little_terms: Sequence[str], mode: str
+) -> Column:
+    """Span-containment filter over the ``pm`` map: big spans are
+    ``[t, t+|big|)`` from the big phrase's starts, little spans
+    ``[s, s+|little|)``; Lucene containment is ``t <= s`` AND
+    ``s+|little| <= t+|big|``. ``containing`` keeps big spans that
+    contain >= 1 little span, ``within`` keeps little spans contained
+    in >= 1 big span. NULL-propagates when the kept side's phrase is
+    absent; an absent OTHER side makes ``exists`` NULL, which
+    ``filter`` treats as false (zero kept spans) — exactly the
+    Lucene result of an empty sub-spans enumeration."""
+    sb = _starts_expr(big_terms)
+    sl = _starts_expr(little_terms)
+    lb, ll = F.lit(len(big_terms)), F.lit(len(little_terms))
+    if mode == "containing":
+        return F.filter(
+            sb, lambda t: F.exists(sl, lambda s: (s >= t) & (s + ll <= t + lb))
+        )
+    return F.filter(
+        sl, lambda s: F.exists(sb, lambda t: (t <= s) & (s + ll <= t + lb))
+    )
+
+
+def _span_pair_topk(
+    docs: DataFrame,
+    queries: Sequence[Tuple[str, str]],
+    k: int,
+    mode: str,
+) -> DataFrame:
+    parsed = []
+    for big, little in queries:
+        tb, tl = tokenize(big), tokenize(little)
+        if not tb or not tl:
+            raise ValueError("big and little phrases must be non-empty")
+        parsed.append((tb, tl))
+    all_terms = sorted({t for tb, tl in parsed for t in tb + tl})
+    pm = _term_pos_map(docs, all_terms)
+    per_q = []
+    for qid, (tb, tl) in enumerate(parsed):
+        kept = _kept_spans(tb, tl, mode)
+        per_q.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.coalesce(F.size(kept), F.lit(0)).alias("n_spans"),
+                F.coalesce(F.array_min(kept), F.lit(-1)).alias("first_pos"),
+            )
+        )
+    hits = (
+        pm.select("doc_id", F.explode(F.array(*per_q)).alias("h"))
+        .select("doc_id", "h.query_id", "h.n_spans", "h.first_pos")
+        .filter(F.col("n_spans") > 0)
+    )
+    return _rank_topk(hits, k, "n_spans")
+
+
+def span_containing_topk(
+    docs: DataFrame, queries: Sequence[Tuple[str, str]], k: int = 10
+) -> DataFrame:
+    """Lucene ``SpanContainingQuery(big, little)`` with phrase
+    clauses: matches are the BIG phrase's spans that contain at least
+    one LITTLE span; ``n_spans`` counts them, ``first_pos`` is the
+    earliest. One corpus pass serves every query (reference parity:
+    la_fungus_search positional engine; same scan as
+    :func:`phrase_match_topk`)."""
+    return _span_pair_topk(docs, queries, k, "containing")
+
+
+def span_within_topk(
+    docs: DataFrame, queries: Sequence[Tuple[str, str]], k: int = 10
+) -> DataFrame:
+    """Lucene ``SpanWithinQuery(big, little)``: the dual — matches
+    are the LITTLE phrase's spans that fall inside some BIG span."""
+    return _span_pair_topk(docs, queries, k, "within")
+
+
+def span_pair_oracle_sql(
+    queries: Sequence[Tuple[str, str]], k: int, mode: str
+) -> str:
+    """DuckDB twin of the containment pair — the phrase oracle's
+    ``list_filter`` start enumeration for both phrases, nested
+    containment lambda, same (n_spans DESC, doc_id) ranking.
+    Positions are 1-based internally, 0-based out."""
+    toks = duckdb_tokens_sql("text")
+    branches = []
+    for qid, (big, little) in enumerate(queries):
+        tb, tl = tokenize(big), tokenize(little)
+        lb, ll = len(tb), len(tl)
+        cb = " AND ".join(
+            f"toks[t + {j}] = {_sql_quote(x)}" for j, x in enumerate(tb)
+        )
+        cl = " AND ".join(
+            f"toks[s + {j}] = {_sql_quote(x)}" for j, x in enumerate(tl)
+        )
+        sb = f"list_filter(range(1, len(toks) - {lb - 1} + 1), t -> {cb})"
+        sl = f"list_filter(range(1, len(toks) - {ll - 1} + 1), s -> {cl})"
+        if mode == "containing":
+            kept = (
+                f"list_filter({sb}, t -> len(list_filter({sl}, "
+                f"s -> s >= t AND s + {ll} <= t + {lb})) > 0)"
+            )
+        else:
+            kept = (
+                f"list_filter({sl}, s -> len(list_filter({sb}, "
+                f"t -> t <= s AND s + {ll} <= t + {lb})) > 0)"
+            )
+        branches.append(
+            f"""SELECT {qid} AS query_id, doc_id,
+       len({kept})::BIGINT AS n_spans,
+       (coalesce(list_min({kept}), 0) - 1)::INT AS first_pos
+FROM tokd"""
+        )
+    body = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+hits AS ({body}),
+matched AS (SELECT * FROM hits WHERE n_spans > 0),
+ranked AS (
+    SELECT query_id, doc_id, n_spans, first_pos,
+           row_number() OVER (PARTITION BY query_id ORDER BY n_spans DESC, doc_id ASC) AS rank
+    FROM matched
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, n_spans, first_pos
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""

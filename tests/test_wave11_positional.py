@@ -120,3 +120,57 @@ def test_has_parent_constant_score(spark, engine):
     # children of non-matching parents (doc 2 "merge sort") are absent
     oracle_match = {i for i, t in enumerate(TEXTS) if set(tokenize("table scan")) & set(tokenize(t))}
     assert {r.parent_id for r in out} == oracle_match
+
+
+def _contain_pairs(toks, big, little):
+    sb = _phrase_starts(toks, big)
+    sl = _phrase_starts(toks, little)
+    lb, ll = len(tokenize(big)), len(tokenize(little))
+    kept_b = [t for t in sb if any(s >= t and s + ll <= t + lb for s in sl)]
+    kept_l = [s for s in sl if any(t <= s and s + ll <= t + lb for t in sb)]
+    return kept_b, kept_l
+
+
+def test_span_containing_within_vs_python(docs):
+    from la_fungus_search_spark.query.phrase import (
+        span_containing_topk,
+        span_within_topk,
+    )
+
+    queries = [("table scan hash", "scan"), ("hash join hash", "hash join")]
+    got_c = {
+        (r.query_id, r.doc_id): (r.n_spans, r.first_pos)
+        for r in span_containing_topk(docs, queries, k=10).collect()
+    }
+    got_w = {
+        (r.query_id, r.doc_id): (r.n_spans, r.first_pos)
+        for r in span_within_topk(docs, queries, k=10).collect()
+    }
+    exp_c, exp_w = {}, {}
+    for qid, (big, little) in enumerate(queries):
+        for did, t in enumerate(TEXTS):
+            kb, kl = _contain_pairs(tokenize(t), big, little)
+            if kb:
+                exp_c[(qid, did)] = (len(kb), min(kb))
+            if kl:
+                exp_w[(qid, did)] = (len(kl), min(kl))
+    assert got_c == exp_c
+    assert got_w == exp_w
+    # doc 0 "table scan table scan hash join end": big at 2, little
+    # "scan" at 1 and 3 — the big span [2,5) contains position 3
+    assert got_c[(0, 0)] == (1, 2)
+    assert got_w[(0, 0)] == (1, 3)
+    # WITHIN can keep fewer little spans than exist: doc 1 has three
+    # "hash join hash" bigs? overlapping spans both counted per side
+    assert (1, 1) in got_c and (1, 1) in got_w
+
+
+def test_span_containing_absent_side(docs):
+    from la_fungus_search_spark.query.phrase import (
+        span_containing_topk,
+        span_within_topk,
+    )
+
+    # little phrase absent from every doc → zero matches, no rows
+    assert span_containing_topk(docs, [("table scan", "zebra")], k=10).count() == 0
+    assert span_within_topk(docs, [("zebra stripe", "zebra")], k=10).count() == 0
