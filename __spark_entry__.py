@@ -56,7 +56,7 @@ from la_fungus_search_spark.query.ranking import (
     rrf_fuse,
 )
 from la_fungus_search_spark.streaming.metrics import streamed_step_metrics
-from la_fungus_search_spark.textops import dedup, multimodal, pipeline, similarity, stats
+from la_fungus_search_spark.textops import dedup, dsir, multimodal, pipeline, similarity, stats
 from la_fungus_search_spark.textops.rollup import cost_estimate, trail_degree, usage_rollup
 from la_fungus_search_spark.tokenizer import duckdb_tokens_sql, tokenize_query
 
@@ -4382,6 +4382,20 @@ def q_span_or_topk(spark, sf_dir):
     return phrase_ops.span_or_topk(docs, SPAN_OR_QUERIES, k=10)
 
 
+DSIR_TARGET = "lang = 'en'"
+DSIR_BUCKETS = 512
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance selection (textops/dsir.py, Xie et al. 2023):
+    hashed uni+bigram bag-of-words likelihood ratio against the
+    English subset as target; per-addend micro-quantized fold makes
+    the weight an exact integer in any engine/order. Top-50."""
+    return dsir.dsir_select(
+        _documents(spark, sf_dir), DSIR_TARGET, k=50, n_buckets=DSIR_BUCKETS
+    )
+
+
 # Containment fixtures: (big, little) phrase pairs — littles chosen
 # inside frequent corpus trigrams so containment actually fires
 SPAN_PAIR_QUERIES = [
@@ -4886,6 +4900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_parent_topk": q_has_parent_topk,
         "span_containing_topk": q_span_containing_topk,
         "span_within_topk": q_span_within_topk,
+        "dsir_select": q_dsir_select,
     }
 
 
@@ -6661,6 +6676,7 @@ FROM h ORDER BY epoch, pos
         "span_within_topk": phrase_ops.span_pair_oracle_sql(
             SPAN_PAIR_QUERIES, 10, "within"
         ),
+        "dsir_select": dsir.dsir_oracle_sql(DSIR_TARGET, 50, DSIR_BUCKETS),
         "has_parent_topk": f"""
 WITH {_CHUNKS_SQL.strip()},
 {_bm25_base_cte()},

@@ -1,0 +1,219 @@
+"""DSIR — Data Selection with Importance Resampling (Xie et al.,
+NeurIPS 2023, arXiv:2302.03169): rank a raw corpus by how much each
+document looks like a TARGET distribution, using hashed-n-gram
+bag-of-words language models.
+
+The published recipe, re-expressed Spark-first:
+
+1. features — unigrams + word 2-grams hashed into ``n_buckets``
+   (the paper uses hashed n-grams for exactly this
+   dimensionality-bound reason);
+2. fit ``p_target`` and ``p_raw`` as add-one-smoothed bucket
+   multinomials (target = the rows matching an ANSI predicate, raw =
+   every row);
+3. per-document importance weight
+   ``log w_i = Σ_b c_ib · (log p_target[b] − log p_raw[b])`` —
+   the bag-of-words log likelihood ratio;
+4. select the top-k by weight (the paper resamples with Gumbel noise;
+   the deterministic top-k variant is its zero-temperature limit and
+   keeps the gate engine-reproducible — pair with
+   :func:`~la_fungus_search_spark.textops.pipeline.hash_sample` when
+   a stochastic mix is wanted).
+
+Determinism contract (FIXTURES §3b): the per-bucket log-ratio is
+micro-quantized ONCE (``λ_b = round(1e6·(ln(ct_b+1) − ln(CT+B) −
+ln(cr_b+1) + ln(CR+B)))``) and the document weight is the exact
+integer fold ``Σ c_ib·λ_b`` — per-addend quantization, so the sum is
+identical in any aggregation order and any engine. The bucket hash is
+the md5 unit device (``('0x' || substr(md5(gram),1,8))::BIGINT % B``)
+both engines compute bit-identically.
+
+Physical shape at 100 TB: one explode→groupBy(doc, bucket) pass
+(partial aggregation collapses within-partition repeats — shuffled
+rows ≤ docs × min(doclen, B)); the target flag and the empty-doc
+sentinel ride the explode, so there is NO corpus×corpus join
+anywhere — both profiles aggregate the SAME counts frame down to
+≤ B rows (KB-scale, broadcast back as λ), totals are 1-row
+aggregates. No collect, no driver loop; the only corpus-sized
+shuffle is the per-doc feature count, the same class as an index
+build. Selection is a single top-k window.
+
+The reference engine has no DSIR (its corpus ops stop at dedup /
+quality — SURVEY §2.8); this is part of the training-data pipeline
+surface the task brief adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.tokenizer import duckdb_tokens_sql, tokens_expr
+
+__all__ = ["dsir_weights", "dsir_select", "dsir_oracle_sql"]
+
+
+def _bucket(gram: Column, n_buckets: int) -> Column:
+    """md5-unit bucket of a gram — engine-portable (DuckDB twin:
+    ``('0x' || substr(md5(g),1,8))::BIGINT % B``)."""
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("bigint")
+        % F.lit(n_buckets)
+    ).cast("bigint")
+
+
+def _gram_counts(base: DataFrame, n_buckets: int) -> DataFrame:
+    """(doc_id, _t, bucket, c) hashed uni+bigram counts per doc.
+    ``explode_outer`` keeps gram-less docs as one NULL-bucket row (the
+    empty-product sentinel), so EVERY doc survives to the weight
+    aggregation without a corpus-sized join back to the id list; the
+    target flag rides the explode (constant per doc) so the profile
+    needs no flag join either."""
+    toks = tokens_expr("_text")
+    m = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    grams2 = F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    grams = F.concat(toks, grams2)
+    return (
+        base.select("doc_id", "_t", F.explode_outer(grams).alias("g"))
+        .select("doc_id", "_t", _bucket(F.col("g"), n_buckets).alias("bucket"))
+        .groupBy("doc_id", "_t", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred: str,
+    n_buckets: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document quantized DSIR importance weight →
+    ``(doc_id, weight_q)``; docs whose text produces zero grams carry
+    the empty-product weight 0 and are still emitted.
+
+    ``target_pred`` is an ANSI boolean over ``docs``' columns (the
+    same string an oracle evaluates) defining the target subset."""
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(target_pred).alias("_t"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_text"),
+    )
+    counts = _gram_counts(base, n_buckets)
+    prof = counts.filter(F.col("bucket").isNotNull()).groupBy("bucket").agg(
+        F.sum("c").cast("bigint").alias("cr"),
+        F.sum(F.when(F.col("_t"), F.col("c")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("ct"),
+    )
+    tot = prof.agg(
+        F.sum("cr").cast("bigint").alias("tcr"),
+        F.sum("ct").cast("bigint").alias("tct"),
+    )
+    lam = prof.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            (
+                F.log(F.col("ct") + F.lit(1.0))
+                - F.log(F.col("tct") + F.lit(float(n_buckets)))
+                - F.log(F.col("cr") + F.lit(1.0))
+                + F.log(F.col("tcr") + F.lit(float(n_buckets)))
+            )
+            * F.lit(1e6)
+        )
+        .cast("bigint")
+        .alias("lam_q"),
+    )
+    # left join: the only unmatched bucket is the NULL sentinel of
+    # gram-less docs, whose addend coalesces to the empty-product 0
+    return (
+        counts.join(F.broadcast(lam), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("c") * F.col("lam_q"), F.lit(0)))
+            .cast("bigint")
+            .alias("weight_q")
+        )
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_pred: str,
+    k: int = 100,
+    n_buckets: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents by DSIR weight →
+    ``(rank, doc_id, weight_q)`` ordered (weight_q DESC, doc_id)."""
+    w = dsir_weights(docs, target_pred, n_buckets, id_col, text_col)
+    win = Window.orderBy(F.desc("weight_q"), F.asc("doc_id"))
+    return (
+        w.withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("rank", F.col("doc_id").cast("bigint").alias("doc_id"), "weight_q")
+        .orderBy("rank")
+    )
+
+
+def dsir_oracle_sql(
+    target_pred: str,
+    k: int = 100,
+    n_buckets: int = 512,
+    src: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`dsir_select` — identical gram stream
+    (unigrams + 2-grams via the shared tokenizer fragment), identical
+    md5 bucket, the same quantized log-ratio fold."""
+    toks = duckdb_tokens_sql("text")
+    b = int(n_buckets)
+    return f"""
+WITH tokd AS (SELECT doc_id, ({target_pred}) AS t, {toks} AS toks FROM {src}),
+grams AS (
+    SELECT doc_id, t, unnest(toks) AS g FROM tokd
+    UNION ALL
+    SELECT doc_id, t, unnest(
+        CASE WHEN len(toks) >= 2
+             THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+             ELSE []::VARCHAR[] END) AS g
+    FROM tokd
+),
+counts AS (
+    SELECT doc_id, any_value(t) AS t,
+           ('0x' || substr(md5(g), 1, 8))::BIGINT % {b} AS bucket,
+           count(*)::BIGINT AS c
+    FROM grams GROUP BY doc_id, bucket
+),
+prof AS (
+    SELECT bucket, sum(c)::BIGINT AS cr,
+           sum(CASE WHEN t THEN c ELSE 0 END)::BIGINT AS ct
+    FROM counts GROUP BY bucket
+),
+tot AS (SELECT sum(cr)::BIGINT AS tcr, sum(ct)::BIGINT AS tct FROM prof),
+lam AS (
+    SELECT bucket,
+           round((ln(ct + 1.0) - ln(tct + {float(b)})
+                  - ln(cr + 1.0) + ln(tcr + {float(b)})) * 1e6)::BIGINT AS lam_q
+    FROM prof, tot
+),
+w AS (
+    SELECT counts.doc_id, sum(c * lam_q)::BIGINT AS weight_q
+    FROM counts JOIN lam USING (bucket) GROUP BY counts.doc_id
+),
+allw AS (
+    SELECT d.doc_id, coalesce(w.weight_q, 0)::BIGINT AS weight_q
+    FROM {src} d LEFT JOIN w ON d.doc_id = w.doc_id
+),
+ranked AS (
+    SELECT doc_id, weight_q,
+           row_number() OVER (ORDER BY weight_q DESC, doc_id ASC) AS rank
+    FROM allw
+)
+SELECT rank::INT AS rank, doc_id::BIGINT AS doc_id, weight_q
+FROM ranked WHERE rank <= {k} ORDER BY rank
+"""

@@ -1,0 +1,93 @@
+"""DSIR importance selection (textops/dsir.py, Xie et al. 2023,
+arXiv:2302.03169) — exact integer-fold equality vs a pure-Python
+recompute, and the semantic property that target-like documents
+outrank off-target ones."""
+
+import hashlib
+import math
+from collections import Counter
+
+import pytest
+
+from la_fungus_search_spark.textops.dsir import dsir_select, dsir_weights
+from la_fungus_search_spark.tokenizer import tokenize
+
+N_BUCKETS = 64
+
+# target style: database words; raw mixes in cooking words
+DB = "table scan hash join merge sort query index"
+COOK = "flour butter sugar oven whisk dough salt pepper"
+ROWS = [
+    (0, DB, True),
+    (1, "hash join hash join table scan", True),
+    (2, COOK, False),
+    (3, "flour butter table oven", False),
+    (4, "query index merge sort scan", False),  # off-target flag, DB words
+    (5, "", False),
+]
+
+
+def _bucket(gram: str) -> int:
+    return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % N_BUCKETS
+
+
+def _grams(text: str):
+    toks = tokenize(text)
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _python_weights():
+    counts = {i: Counter(_bucket(g) for g in _grams(t)) for i, t, _ in ROWS}
+    cr, ct = Counter(), Counter()
+    for i, _, is_t in ROWS:
+        cr.update(counts[i])
+        if is_t:
+            ct.update(counts[i])
+    tcr, tct = sum(cr.values()), sum(ct.values())
+    lam = {
+        b: round(
+            (
+                math.log(ct[b] + 1.0)
+                - math.log(tct + float(N_BUCKETS))
+                - math.log(cr[b] + 1.0)
+                + math.log(tcr + float(N_BUCKETS))
+            )
+            * 1e6
+        )
+        for b in cr
+    }
+    return {i: sum(c * lam[b] for b, c in counts[i].items()) for i, _, _ in ROWS}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t, f) for i, t, f in ROWS],
+        schema="doc_id BIGINT, text STRING, is_target BOOLEAN",
+    )
+
+
+def test_weights_match_python_fold(docs):
+    got = {
+        r.doc_id: r.weight_q
+        for r in dsir_weights(docs, "is_target", n_buckets=N_BUCKETS).collect()
+    }
+    assert got == _python_weights()
+
+
+def test_target_like_docs_rank_first(docs):
+    sel = dsir_select(docs, "is_target", k=6, n_buckets=N_BUCKETS).collect()
+    order = [r.doc_id for r in sel]
+    # the held-out DB-vocabulary doc (4) outranks both cooking docs
+    assert order.index(4) < order.index(2)
+    assert order.index(4) < order.index(3)
+    # empty doc carries the empty-product weight 0 and is still emitted
+    w = {r.doc_id: r.weight_q for r in sel}
+    assert w[5] == 0
+    # ranks are 1..6 dense
+    assert [r.rank for r in sel] == [1, 2, 3, 4, 5, 6]
+
+
+def test_validation(docs):
+    with pytest.raises(ValueError):
+        dsir_weights(docs, "is_target", n_buckets=0)
