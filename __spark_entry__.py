@@ -4382,6 +4382,23 @@ def q_span_or_topk(spark, sf_dir):
     return phrase_ops.span_or_topk(docs, SPAN_OR_QUERIES, k=10)
 
 
+FILTERS_AGG = {
+    "english": "lang = 'en'",
+    "long": "n_chars >= 300",
+    "web": "source IN ('src0', 'src1', 'src2')",
+}
+
+
+def q_filters_agg(spark, sf_dir):
+    """ES ``filters`` aggregation (facets.filters_agg): three named
+    independent boolean buckets + the ``_other_`` bucket, each with
+    an exact BIGINT sum(n_chars) sub-metric — one map-side-combined
+    pass, empty buckets kept (the ES contract)."""
+    return facet_ops.filters_agg(
+        _documents(spark, sf_dir), FILTERS_AGG, metric_col="n_chars"
+    )
+
+
 DSIR_TARGET = "lang = 'en'"
 DSIR_BUCKETS = 512
 
@@ -4901,6 +4918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_containing_topk": q_span_containing_topk,
         "span_within_topk": q_span_within_topk,
         "dsir_select": q_dsir_select,
+        "filters_agg": q_filters_agg,
     }
 
 
@@ -6677,6 +6695,9 @@ FROM h ORDER BY epoch, pos
             SPAN_PAIR_QUERIES, 10, "within"
         ),
         "dsir_select": dsir.dsir_oracle_sql(DSIR_TARGET, 50, DSIR_BUCKETS),
+        "filters_agg": facet_ops.filters_agg_oracle_sql(
+            FILTERS_AGG, metric_col="n_chars"
+        ),
         "has_parent_topk": f"""
 WITH {_CHUNKS_SQL.strip()},
 {_bm25_base_cte()},

@@ -884,3 +884,120 @@ def bucket_pipeline(
         .select("grp", "sort_rank", "bucket", "n_events", "sdiff")
         .orderBy("grp", "sort_rank")
     )
+
+
+def filters_agg(
+    docs_df: DataFrame,
+    filters: dict,
+    metric_col: str | None = None,
+    other_bucket: bool = True,
+    other_key: str = "_other_",
+) -> DataFrame:
+    """ES ``filters`` aggregation: one named bucket per boolean
+    filter — buckets are INDEPENDENT (a doc can fall in several; this
+    is not a partition) — plus, with ``other_bucket: true``, the
+    ``_other_`` bucket counting docs that match NO filter. Unlike
+    ``adjacency_matrix`` empty buckets are kept (the ES contract
+    always emits every named bucket). ``metric_col`` adds an exact
+    BIGINT ``sum_metric`` sub-aggregation per bucket. Buckets order
+    by key.
+
+    ``filters``: {name: ANSI boolean expression} evaluated verbatim
+    by any engine; NULL predicates count as non-match (ES filter
+    semantics).
+
+    Physical shape: ONE corpus pass — every bucket is a conditional
+    sum in a single map-side-combined aggregate (n+1 counts [+ n+1
+    metric sums], one row out, then an explode to bucket rows). No
+    join, no shuffle beyond the 1-row partial merge."""
+    if not filters:
+        raise ValueError("filters_agg needs at least one filter")
+    keys = sorted(filters)
+    flag_cols = [
+        F.coalesce(F.expr(filters[k]), F.lit(False)).alias(f"f{i}")
+        for i, k in enumerate(keys)
+    ]
+    m = (
+        [F.coalesce(F.col(metric_col).cast("bigint"), F.lit(0)).alias("_m")]
+        if metric_col
+        else []
+    )
+    flags = docs_df.select(*flag_cols, *m)
+    names = list(keys)
+    aggs = []
+    for i in range(len(keys)):
+        aggs.append(F.sum(F.col(f"f{i}").cast("int")).alias(f"c{i}"))
+        if metric_col:
+            aggs.append(
+                F.sum(F.when(F.col(f"f{i}"), F.col("_m")).otherwise(F.lit(0))).alias(
+                    f"m{i}"
+                )
+            )
+    if other_bucket:
+        none = F.lit(True)
+        for i in range(len(keys)):
+            none = none & ~F.col(f"f{i}")
+        j = len(keys)
+        names.append(other_key)
+        aggs.append(F.sum(none.cast("int")).alias(f"c{j}"))
+        if metric_col:
+            aggs.append(
+                F.sum(F.when(none, F.col("_m")).otherwise(F.lit(0))).alias(f"m{j}")
+            )
+    row = flags.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(name).alias("key"),
+            F.coalesce(F.col(f"c{i}").cast("bigint"), F.lit(0)).alias("doc_count"),
+            *(
+                [F.coalesce(F.col(f"m{i}"), F.lit(0)).cast("bigint").alias("sum_metric")]
+                if metric_col
+                else []
+            ),
+        )
+        for i, name in enumerate(names)
+    ]
+    out_cols = ["kv.key", "kv.doc_count"] + (["kv.sum_metric"] if metric_col else [])
+    return (
+        row.select(F.explode(F.array(*structs)).alias("kv"))
+        .select(*out_cols)
+        .orderBy("key")
+    )
+
+
+def filters_agg_oracle_sql(
+    filters: dict,
+    metric_col: str | None = None,
+    other_bucket: bool = True,
+    other_key: str = "_other_",
+    src: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`filters_agg` — the same verbatim filter
+    expressions as conditional sums, one branch per bucket."""
+    keys = sorted(filters)
+    branches = []
+    for k in keys:
+        pred = f"coalesce(({filters[k]}), false)"
+        cols = [f"'{k}' AS key", f"sum(CASE WHEN {pred} THEN 1 ELSE 0 END)::BIGINT AS doc_count"]
+        if metric_col:
+            cols.append(
+                f"sum(CASE WHEN {pred} THEN coalesce({metric_col}, 0) ELSE 0 END)::BIGINT AS sum_metric"
+            )
+        branches.append(f"SELECT {', '.join(cols)} FROM {src}")
+    if other_bucket:
+        none = " AND ".join(f"NOT coalesce(({filters[k]}), false)" for k in keys)
+        cols = [
+            f"'{other_key}' AS key",
+            f"sum(CASE WHEN {none} THEN 1 ELSE 0 END)::BIGINT AS doc_count",
+        ]
+        if metric_col:
+            cols.append(
+                f"sum(CASE WHEN {none} THEN coalesce({metric_col}, 0) ELSE 0 END)::BIGINT AS sum_metric"
+            )
+        branches.append(f"SELECT {', '.join(cols)} FROM {src}")
+    body = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH buckets AS ({body})
+SELECT key, coalesce(doc_count, 0)::BIGINT AS doc_count{", coalesce(sum_metric, 0)::BIGINT AS sum_metric" if metric_col else ""}
+FROM buckets ORDER BY key
+"""

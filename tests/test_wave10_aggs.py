@@ -124,3 +124,41 @@ def test_matrix_stats_zero_variance_corr_null(spark):
     assert out[("c", "c")].cov_micro == 0
     with pytest.raises(ValueError):
         matrix_stats(df, [])
+
+
+def test_filters_agg_buckets(spark):
+    from la_fungus_search_spark.query.facets import filters_agg
+
+    rows = [
+        ("en", 100),
+        ("en", 300),
+        ("fr", 300),
+        (None, 400),  # NULL predicate counts as non-match
+        ("de", 50),
+    ]
+    df = spark.createDataFrame(rows, schema="lang STRING, n_chars INT")
+    out = {
+        r.key: (r.doc_count, r.sum_metric)
+        for r in filters_agg(
+            df,
+            {"en": "lang = 'en'", "long": "n_chars >= 300", "zz": "lang = 'zz'"},
+            metric_col="n_chars",
+        ).collect()
+    }
+    assert out == {
+        "en": (2, 400),      # buckets overlap: doc 2 is en AND long
+        "long": (3, 1000),  # en/fr/NULL-lang docs with n_chars >= 300
+        "zz": (0, 0),        # empty bucket kept (ES contract)
+        "_other_": (1, 50),  # de doc matches nothing; NULL-lang doc is long
+    }
+
+
+def test_filters_agg_no_other_no_metric(spark):
+    from la_fungus_search_spark.query.facets import filters_agg
+
+    df = spark.createDataFrame([("en",), ("fr",)], schema="lang STRING")
+    out = filters_agg(df, {"en": "lang = 'en'"}, other_bucket=False).collect()
+    assert [(r.key, r.doc_count) for r in out] == [("en", 1)]
+    assert "sum_metric" not in out[0].asDict()
+    with pytest.raises(ValueError):
+        filters_agg(df, {})
