@@ -4399,6 +4399,41 @@ def q_filters_agg(spark, sf_dir):
     )
 
 
+def q_cardinality_agg(spark, sf_dir):
+    """ES ``cardinality`` under a terms bucketing (facets.
+    cardinality_agg): per-lang EXACT distinct source count (exact
+    where ES HLL++s — the rare_terms determinism choice; the sketch
+    path lives in corpus_sketch). Two-level expand-aggregate, cost ∝
+    distinct (lang, source) pairs."""
+    return facet_ops.cardinality_agg(_documents(spark, sf_dir), "lang", "source")
+
+
+def q_extended_stats_agg(spark, sf_dir):
+    """ES ``extended_stats`` (facets.extended_stats_agg): per-lang
+    count/min/max/sum/sum_of_squares exact BIGINTs; population
+    variance via the DECIMAL(38,0)-exact numerator n·Σx²−(Σx)²
+    divided once in double; std = IEEE sqrt (correctly rounded →
+    engine-identical), both micro-quantized. One map-side-combined
+    pass."""
+    return facet_ops.extended_stats_agg(_documents(spark, sf_dir), "lang", "n_chars")
+
+
+def q_mad_agg(spark, sf_dir):
+    """ES ``median_absolute_deviation`` (facets.mad_agg): per-lang
+    median(|x − median|) with both medians EXACT type-1 order
+    statistics (facet_stats' integer rank device) where ES t-digests;
+    all-integer output."""
+    return facet_ops.mad_agg(_documents(spark, sf_dir), "lang", "n_chars")
+
+
+def q_cumulative_cardinality(spark, sf_dir):
+    """ES ``cumulative_cardinality`` pipeline agg (facets.
+    cumulative_cardinality): per day, distinct users seen so far —
+    exact via first-seen-day counts + one running-sum window, no
+    per-day distinct union."""
+    return facet_ops.cumulative_cardinality(_events(spark, sf_dir))
+
+
 DSIR_TARGET = "lang = 'en'"
 DSIR_BUCKETS = 512
 
@@ -4919,6 +4954,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_within_topk": q_span_within_topk,
         "dsir_select": q_dsir_select,
         "filters_agg": q_filters_agg,
+        "cardinality_agg": q_cardinality_agg,
+        "extended_stats_agg": q_extended_stats_agg,
+        "mad_agg": q_mad_agg,
+        "cumulative_cardinality": q_cumulative_cardinality,
     }
 
 
@@ -6698,6 +6737,64 @@ FROM h ORDER BY epoch, pos
         "filters_agg": facet_ops.filters_agg_oracle_sql(
             FILTERS_AGG, metric_col="n_chars"
         ),
+        "cardinality_agg": """
+SELECT coalesce(lang, '(none)') AS grp,
+       count(*)::BIGINT AS doc_count,
+       count(DISTINCT source)::BIGINT AS cardinality
+FROM documents GROUP BY 1 ORDER BY 1
+""",
+        "extended_stats_agg": """
+WITH k AS (
+    SELECT coalesce(lang, '(none)') AS grp, n_chars::BIGINT AS v
+    FROM documents WHERE n_chars IS NOT NULL
+),
+a AS (
+    SELECT grp, count(*)::BIGINT AS n_docs, min(v) AS min_v, max(v) AS max_v,
+           sum(v)::BIGINT AS sum_v, sum(v * v)::BIGINT AS sum_sq
+    FROM k GROUP BY 1
+)
+SELECT grp, n_docs, min_v, max_v, sum_v, sum_sq,
+       round(sum_v / n_docs * 1e6)::BIGINT AS avg_micro,
+       round(((n_docs::DECIMAL(38,0) * sum_sq::DECIMAL(38,0)
+               - sum_v::DECIMAL(38,0) * sum_v::DECIMAL(38,0))::DOUBLE
+              / (n_docs * n_docs)::DOUBLE) * 1e6)::BIGINT AS var_micro,
+       round(sqrt((n_docs::DECIMAL(38,0) * sum_sq::DECIMAL(38,0)
+                   - sum_v::DECIMAL(38,0) * sum_v::DECIMAL(38,0))::DOUBLE
+                  / (n_docs * n_docs)::DOUBLE) * 1e6)::BIGINT AS std_micro
+FROM a ORDER BY grp
+""",
+        "mad_agg": """
+WITH k AS (
+    SELECT coalesce(lang, '(none)') AS grp, n_chars::BIGINT AS v
+    FROM documents WHERE n_chars IS NOT NULL
+),
+n AS (SELECT grp, count(*)::BIGINT AS n_docs FROM k GROUP BY 1),
+rv AS (SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v) AS r FROM k),
+med AS (
+    SELECT rv.grp, v AS median_v FROM rv JOIN n USING (grp)
+    WHERE r = (n_docs * 50 + 99) // 100
+),
+dev AS (SELECT k.grp, abs(v - median_v) AS d FROM k JOIN med USING (grp)),
+rd AS (SELECT grp, d, row_number() OVER (PARTITION BY grp ORDER BY d) AS r FROM dev),
+mad AS (
+    SELECT rd.grp, d AS mad_v FROM rd JOIN n USING (grp)
+    WHERE r = (n_docs * 50 + 99) // 100
+)
+SELECT grp, n_docs, median_v, mad_v
+FROM n JOIN med USING (grp) JOIN mad USING (grp) ORDER BY grp
+""",
+        "cumulative_cardinality": """
+WITH d AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id AS k FROM events),
+pd AS (SELECT day, count(*)::BIGINT AS doc_count FROM d GROUP BY 1),
+fk AS (SELECT k, min(day) AS day FROM d GROUP BY 1),
+nk AS (SELECT day, count(*)::BIGINT AS new_keys FROM fk GROUP BY 1)
+SELECT pd.day AS day, doc_count,
+       coalesce(new_keys, 0)::BIGINT AS new_keys,
+       (sum(coalesce(new_keys, 0)) OVER (
+            ORDER BY pd.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ))::BIGINT AS cumulative_cardinality
+FROM pd LEFT JOIN nk USING (day) ORDER BY day
+""",
         "has_parent_topk": f"""
 WITH {_CHUNKS_SQL.strip()},
 {_bm25_base_cte()},

@@ -344,9 +344,15 @@ def bench_main(results: dict):
         "rare_terms_agg",
         "weighted_avg_agg",
         "bucket_pipeline_agg",
-            "random_score_topk",
+        "random_score_topk",
         "field_value_factor_topk",
-]
+        "span_or_topk",
+        "has_parent_topk",
+        "span_containing_topk",
+        "span_within_topk",
+        "dsir_select",
+        "filters_agg",
+    ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25
     # helpers don't rebuild

@@ -1001,3 +1001,178 @@ WITH buckets AS ({body})
 SELECT key, coalesce(doc_count, 0)::BIGINT AS doc_count{", coalesce(sum_metric, 0)::BIGINT AS sum_metric" if metric_col else ""}
 FROM buckets ORDER BY key
 """
+
+
+# --------------------------------------------- metric-agg completions
+# cardinality (exact), extended_stats, median_absolute_deviation, and
+# the cumulative_cardinality pipeline agg — closing out the ES metric
+# aggregation family. All are partial-aggregated passes; the MAD's two
+# order statistics reuse facet_stats' exact type-1 rank device.
+
+
+def cardinality_agg(
+    docs_df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """ES ``cardinality`` aggregation under a ``terms`` bucketing:
+    per group, the number of DISTINCT non-NULL values →
+    ``(grp, doc_count, cardinality)``, ordered by grp. EXACT where ES
+    uses HyperLogLog++ (the same determinism choice as
+    :func:`rare_terms`' CuckooFilter: sketch estimates are
+    implementation-dependent, the exact count is engine-invariant;
+    the streaming/sketch path lives in ``stats.corpus_sketch``).
+    NULL group keys bucket as ``"(none)"``.
+
+    Physical shape: count-distinct under a group key is Spark's
+    two-level expand-aggregate — partial dedup of (grp, value) pairs
+    map-side, one shuffle of surviving pairs, cost ∝ distinct pairs
+    (never rows)."""
+    keyed = docs_df.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("(none)")).alias("grp"),
+        F.col(value_col).alias("v"),
+    )
+    return (
+        keyed.groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("doc_count"),
+            F.count_distinct(F.col("v")).cast("bigint").alias("cardinality"),
+        )
+        .orderBy("grp")
+    )
+
+
+def extended_stats_agg(
+    docs_df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """ES ``extended_stats`` aggregation: per group over a numeric
+    field — count/min/max/sum plus ``sum_of_squares``, population
+    ``variance`` and ``std_deviation`` (the ES defaults) →
+    ``(grp, n_docs, min_v, max_v, sum_v, sum_sq, avg_micro,
+    var_micro, std_micro)``.
+
+    Determinism: count/min/max/sum/sum_sq are exact BIGINTs;
+    the variance numerator ``n·Σx² − (Σx)²`` is computed in
+    DECIMAL(38,0) (exact — BIGINT would overflow once n·Σx² passes
+    2⁶³, which real corpus sizes do), divided by ``n²`` as one double
+    op, then micro-quantized; std is IEEE ``sqrt`` (correctly rounded
+    by the standard, hence engine-identical) of the unquantized
+    variance, micro-quantized. NULL values are excluded per the ES
+    missing contract.
+
+    Physical shape: ONE map-side-combined groupBy pass — every output
+    is an algebraic aggregate; no window, no join, no second scan."""
+    keyed = docs_df.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("(none)")).alias("grp"),
+        F.col(value_col).cast("bigint").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    agg = keyed.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.sum("v").cast("bigint").alias("sum_v"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("sum_sq"),
+    )
+    n = F.col("n_docs").cast("decimal(38,0)")
+    num = n * F.col("sum_sq").cast("decimal(38,0)") - (
+        F.col("sum_v").cast("decimal(38,0)") * F.col("sum_v").cast("decimal(38,0)")
+    )
+    var = num.cast("double") / (F.col("n_docs") * F.col("n_docs")).cast("double")
+    return agg.select(
+        "grp",
+        "n_docs",
+        "min_v",
+        "max_v",
+        "sum_v",
+        "sum_sq",
+        F.round(F.col("sum_v") / F.col("n_docs") * F.lit(1e6))
+        .cast("bigint")
+        .alias("avg_micro"),
+        F.round(var * F.lit(1e6)).cast("bigint").alias("var_micro"),
+        F.round(F.sqrt(var) * F.lit(1e6)).cast("bigint").alias("std_micro"),
+    ).orderBy("grp")
+
+
+def mad_agg(docs_df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """ES ``median_absolute_deviation`` aggregation: per group,
+    ``median(|x − median(x)|)`` → ``(grp, n_docs, median_v, mad_v)``.
+    Both medians are EXACT type-1 order statistics (rank
+    ``(50·n + 99) // 100`` — facet_stats' integer-arithmetic device,
+    ties broken by the carried id) where ES approximates with
+    t-digests; every output is an integer, no quantization needed.
+
+    Physical shape: two rank-window passes over the group's rows
+    (sort by value, then by deviation) + one broadcast join of the
+    group-sized median table — cost is two sorts of the input, the
+    aggregation's floor."""
+    keyed = docs_df.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("(none)")).alias("grp"),
+        F.col(value_col).cast("bigint").alias("v"),
+        F.monotonically_increasing_id().alias("_rid"),
+    ).filter(F.col("v").isNotNull())
+    # _rid only breaks rank ties WITHIN equal values — the selected
+    # order statistic (a value) is tie-invariant, so the output does
+    # not depend on _rid's nondeterminism
+    n_per = keyed.groupBy("grp").agg(F.count("*").cast("bigint").alias("n_docs"))
+    w_v = Window.partitionBy("grp").orderBy(F.asc("v"), F.asc("_rid"))
+    med = (
+        keyed.withColumn("r", F.row_number().over(w_v))
+        .join(F.broadcast(n_per), "grp")
+        .filter(F.col("r") == F.floor((F.col("n_docs") * 50 + 99) / 100))
+        .select("grp", F.col("v").alias("median_v"))
+    )
+    dev = keyed.join(F.broadcast(med), "grp").select(
+        "grp", "_rid", F.abs(F.col("v") - F.col("median_v")).alias("d")
+    )
+    w_d = Window.partitionBy("grp").orderBy(F.asc("d"), F.asc("_rid"))
+    mad = (
+        dev.withColumn("r", F.row_number().over(w_d))
+        .join(F.broadcast(n_per), "grp")
+        .filter(F.col("r") == F.floor((F.col("n_docs") * 50 + 99) / 100))
+        .select("grp", F.col("d").alias("mad_v"))
+    )
+    return (
+        n_per.join(med, "grp").join(mad, "grp")
+        .select("grp", "n_docs", "median_v", "mad_v")
+        .orderBy("grp")
+    )
+
+
+def cumulative_cardinality(
+    events: DataFrame, ts_col: str = "ts", key_col: str = "user_id"
+) -> DataFrame:
+    """ES ``cumulative_cardinality`` pipeline aggregation over a
+    daily ``date_histogram``: per day, the number of distinct keys
+    seen up to AND INCLUDING that day → ``(day, doc_count,
+    new_keys, cumulative_cardinality)``. Exact (vs ES's HLL): a
+    key's contribution to the running distinct count is exactly its
+    FIRST day, so ``cumulative = running_sum(count of first-seen
+    keys per day)`` — no per-day distinct-union needed. ``day`` is a
+    formatted string (date_histogram's engine-portability device).
+
+    Physical shape: one groupBy(key) min-day pass (cost ∝ distinct
+    keys), one groupBy(day) count each for events and first-days
+    (cost ∝ days), a day-grid join and ONE unbounded-preceding
+    running-sum window over day-count rows — the corpus is scanned
+    once; everything after the two partial aggs is bucket-sized."""
+    d = events.select(
+        F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd").alias("day"),
+        F.col(key_col).alias("k"),
+    )
+    per_day = d.groupBy("day").agg(F.count("*").cast("bigint").alias("doc_count"))
+    firsts = (
+        d.groupBy("k")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("new_keys"))
+    )
+    joined = per_day.join(firsts, "day", "left").select(
+        "day",
+        "doc_count",
+        F.coalesce("new_keys", F.lit(0)).cast("bigint").alias("new_keys"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        joined.withColumn(
+            "cumulative_cardinality", F.sum("new_keys").over(w).cast("bigint")
+        )
+        .orderBy("day")
+    )

@@ -4,6 +4,8 @@ pinned against hand-computed / numpy recomputes."""
 
 from datetime import datetime
 
+from pyspark.sql import functions as F
+
 import numpy as np
 import pytest
 
@@ -162,3 +164,75 @@ def test_filters_agg_no_other_no_metric(spark):
     assert "sum_metric" not in out[0].asDict()
     with pytest.raises(ValueError):
         filters_agg(df, {})
+
+
+def test_cardinality_agg_exact(spark):
+    from la_fungus_search_spark.query.facets import cardinality_agg
+
+    rows = [
+        ("en", "a"), ("en", "a"), ("en", "b"),
+        ("fr", "a"), ("fr", None),          # NULL value excluded from distinct
+        (None, "c"),                         # NULL group buckets as (none)
+    ]
+    df = spark.createDataFrame(rows, schema="lang STRING, source STRING")
+    out = {r.grp: (r.doc_count, r.cardinality) for r in cardinality_agg(df, "lang", "source").collect()}
+    assert out == {"en": (3, 2), "fr": (2, 1), "(none)": (1, 1)}
+
+
+def test_extended_stats_agg_numpy(spark):
+    import numpy as np
+    from la_fungus_search_spark.query.facets import extended_stats_agg
+
+    vals = {"en": [100, 300, 250], "fr": [40], "de": [7, 7]}
+    rows = [(g, v) for g, vs in vals.items() for v in vs] + [("en", None)]
+    df = spark.createDataFrame(rows, schema="lang STRING, n_chars INT")
+    out = {r.grp: r for r in extended_stats_agg(df, "lang", "n_chars").collect()}
+    for g, vs in vals.items():
+        a = np.array(vs, dtype=np.float64)
+        r = out[g]
+        assert (r.n_docs, r.min_v, r.max_v, r.sum_v) == (len(vs), min(vs), max(vs), sum(vs))
+        assert r.sum_sq == sum(v * v for v in vs)
+        assert r.avg_micro == round(a.mean() * 1e6)
+        assert r.var_micro == round(a.var() * 1e6)          # population (ES default)
+        assert r.std_micro == round(np.sqrt(a.var()) * 1e6)
+    # single-value group: zero variance/std, avg == value
+    assert (out["fr"].var_micro, out["fr"].std_micro) == (0, 0)
+
+
+def test_mad_agg_type1(spark):
+    from la_fungus_search_spark.query.facets import mad_agg
+
+    def type1_median(xs):
+        s = sorted(xs)
+        return s[(len(xs) * 50 + 99) // 100 - 1]
+
+    vals = {"en": [1, 2, 3, 10], "fr": [5], "de": [4, 8, 8, 9, 100]}
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, schema="lang STRING, n_chars INT")
+    out = {r.grp: r for r in mad_agg(df, "lang", "n_chars").collect()}
+    for g, vs in vals.items():
+        med = type1_median(vs)
+        mad = type1_median([abs(v - med) for v in vs])
+        assert (out[g].n_docs, out[g].median_v, out[g].mad_v) == (len(vs), med, mad), g
+
+
+def test_cumulative_cardinality_first_seen(spark):
+    from la_fungus_search_spark.query.facets import cumulative_cardinality
+
+    rows = [
+        ("2024-01-01 01:00:00", 1), ("2024-01-01 02:00:00", 2),
+        ("2024-01-02 01:00:00", 1),                       # no new key
+        ("2024-01-03 01:00:00", 3), ("2024-01-03 02:00:00", 1),
+    ]
+    df = spark.createDataFrame(rows, schema="ts STRING, user_id INT").select(
+        F.to_timestamp("ts").alias("ts"), "user_id"
+    )
+    out = [
+        (r.day, r.doc_count, r.new_keys, r.cumulative_cardinality)
+        for r in cumulative_cardinality(df).collect()
+    ]
+    assert out == [
+        ("2024-01-01", 2, 2, 2),
+        ("2024-01-02", 1, 0, 2),
+        ("2024-01-03", 2, 1, 3),
+    ]
