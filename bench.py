@@ -352,6 +352,10 @@ def bench_main(results: dict):
         "span_within_topk",
         "dsir_select",
         "filters_agg",
+        "cardinality_agg",
+        "extended_stats_agg",
+        "mad_agg",
+        "cumulative_cardinality",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25
