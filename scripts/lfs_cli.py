@@ -335,6 +335,37 @@ def cmd_mix(args) -> None:
                       "kept_by_domain": counts}))
 
 
+def cmd_dsir(args) -> None:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169) over a
+    parquet corpus: score every doc by the hashed uni+bigram
+    likelihood ratio against the --target subset, write the top
+    --keep docs (with their rank and integer weight) as the selected
+    training slice."""
+    from pyspark.sql import functions as F
+
+    from la_fungus_search_spark.textops import dsir
+
+    spark = get_spark(app_name="lfs-dsir")
+    docs = spark.read.parquet(args.input)
+    sel = dsir.dsir_select(
+        docs,
+        args.target,
+        k=args.keep,
+        n_buckets=args.buckets,
+        id_col=args.id_col,
+        text_col=args.text_col,
+    )
+    out = sel.join(
+        docs.withColumnRenamed(args.id_col, "doc_id"), "doc_id"
+    ).orderBy("rank")
+    out.write.mode("overwrite").parquet(args.out)
+    n_target = docs.filter(F.expr(args.target)).count()
+    print(json.dumps({"status": "selected", "out": args.out,
+                      "n_docs": docs.count(), "n_target": n_target,
+                      "n_kept": min(args.keep, docs.count()),
+                      "buckets": args.buckets, "target": args.target}))
+
+
 def main() -> None:
     p = argparse.ArgumentParser(prog="lfs")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -436,6 +467,17 @@ def main() -> None:
     c.add_argument("--id-col", dest="id_col", default="doc_id")
     c.add_argument("--text-col", dest="text_col", default="text")
     c.set_defaults(fn=cmd_curate)
+
+    ds = sub.add_parser("dsir")
+    ds.add_argument("--input", required=True, help="parquet with (doc_id, text, ...)")
+    ds.add_argument("--out", required=True)
+    ds.add_argument("--target", required=True,
+                    help="ANSI boolean over input columns defining the target subset")
+    ds.add_argument("--keep", type=int, default=1000)
+    ds.add_argument("--buckets", type=int, default=4096)
+    ds.add_argument("--id-col", dest="id_col", default="doc_id")
+    ds.add_argument("--text-col", dest="text_col", default="text")
+    ds.set_defaults(fn=cmd_dsir)
 
     m = sub.add_parser("mix")
     m.add_argument("--input", required=True, help="parquet with a domain column")

@@ -110,3 +110,33 @@ def test_cli_mix(spark, tmp_path, capsys):
     assert kept["fr"] / 30 > kept["en"] / 90
     out = spark.read.parquet(str(tmp_path / "mixed"))
     assert out.count() == sum(kept.values())
+
+
+def test_dsir_cli(spark, tmp_path, capsys):
+    cmd_dsir = _load_cli().cmd_dsir
+
+    rows = [
+        (0, "table scan hash join merge sort", "en"),
+        (1, "hash join table scan query index", "en"),
+        (2, "flour butter sugar oven dough", "de"),
+        (3, "query index merge scan", "fr"),   # en-like text, off-target flag
+        (4, "butter oven flour whisk salt", "de"),
+    ]
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(
+        rows, schema="doc_id BIGINT, text STRING, lang STRING"
+    ).write.parquet(inp)
+    args = types.SimpleNamespace(
+        input=inp, out=out, target="lang = 'en'", keep=3, buckets=64,
+        id_col="doc_id", text_col="text",
+    )
+    cmd_dsir(args)
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (rep["status"], rep["n_docs"], rep["n_target"], rep["n_kept"]) == (
+        "selected", 5, 2, 3
+    )
+    sel = spark.read.parquet(out)
+    got = {r.doc_id for r in sel.collect()}
+    # the en-vocabulary docs (incl. the off-target-flag one) beat cooking
+    assert got == {0, 1, 3}
+    assert {c for c in ("rank", "weight_q", "text", "lang")} <= set(sel.columns)
