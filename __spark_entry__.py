@@ -4434,6 +4434,67 @@ def q_cumulative_cardinality(spark, sf_dir):
     return facet_ops.cumulative_cardinality(_events(spark, sf_dir))
 
 
+def q_percentiles_agg(spark, sf_dir):
+    """ES ``percentiles`` (facets.percentiles_agg): per-lang n_chars
+    values at ES's default percent set (1,5,25,50,75,95,99), each an
+    EXACT type-1 order statistic (rank (pct·n+99)//100) where ES
+    interpolates a t-digest — one rank window feeds all seven via a
+    broadcast (grp, pct, target_rank) grid."""
+    return facet_ops.percentiles_agg(_documents(spark, sf_dir), "lang", "n_chars")
+
+
+def q_string_stats_agg(spark, sf_dir):
+    """ES ``string_stats`` with show_distribution's entropy (facets.
+    string_stats_agg): per-lang codepoint length stats + base-2
+    Shannon entropy of the character population; the Σ c·log2(c) fold
+    is per-addend micro-quantized and summed in DECIMAL(38,0) so it
+    is exact and order-invariant in any engine."""
+    return facet_ops.string_stats_agg(_documents(spark, sf_dir), "lang", "text")
+
+
+def q_t_test_agg(spark, sf_dir):
+    """ES ``t_test`` heteroscedastic/Welch (facets.t_test_agg)
+    between lang='en' and lang='de' n_chars populations: exact
+    integer sufficient statistics in one conditional-sum pass;
+    Welch's t and the Welch–Satterthwaite df ship micro-quantized
+    (the p-value is a library-dependent monotone transform — the
+    statistic is the deterministic core)."""
+    return facet_ops.t_test_agg(
+        _documents(spark, sf_dir), "n_chars", T_TEST_A, T_TEST_B
+    )
+
+
+def q_rate_agg(spark, sf_dir):
+    """ES ``rate`` at day unit under a calendar-month date_histogram
+    (facets.rate_agg): per (event_type, month) doc-count and
+    value-sum rates divided by the month's ACTUAL day count (exact
+    date arithmetic); the double value column sums as per-event
+    micro-quantized BIGINTs so bucket totals are order-independent."""
+    return facet_ops.rate_agg(_events(spark, sf_dir))
+
+
+def q_normalize_agg(spark, sf_dir):
+    """ES ``normalize`` pipeline agg (facets.normalize_agg) over the
+    daily per-type histogram: percent_of_sum and rescale_0_1 of each
+    bucket count within its group's series — windows over the
+    already-aggregated bucket frame, one terminal division each."""
+    return facet_ops.normalize_agg(_events(spark, sf_dir))
+
+
+def q_diversified_sampler_agg(spark, sf_dir):
+    """ES ``diversified_sampler`` + stats sub-agg (facets.
+    diversified_sampler_agg): per-lang sample capped at 2 docs per
+    source (pinned to lowest doc_ids — deterministic where ES is
+    shard-order-dependent), then exact n/sum/avg of n_chars over the
+    sample."""
+    return facet_ops.diversified_sampler_agg(
+        _documents(spark, sf_dir), "lang", "source", "n_chars", max_per_value=2
+    )
+
+
+T_TEST_A = "lang = 'en'"
+T_TEST_B = "lang = 'de'"
+
 DSIR_TARGET = "lang = 'en'"
 DSIR_BUCKETS = 512
 
@@ -4958,6 +5019,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extended_stats_agg": q_extended_stats_agg,
         "mad_agg": q_mad_agg,
         "cumulative_cardinality": q_cumulative_cardinality,
+        # thirteenth wave: remaining ES agg family
+        "percentiles_agg": q_percentiles_agg,
+        "string_stats_agg": q_string_stats_agg,
+        "t_test_agg": q_t_test_agg,
+        "rate_agg": q_rate_agg,
+        "normalize_agg": q_normalize_agg,
+        "diversified_sampler_agg": q_diversified_sampler_agg,
     }
 
 
@@ -6794,6 +6862,130 @@ SELECT pd.day AS day, doc_count,
             ORDER BY pd.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
         ))::BIGINT AS cumulative_cardinality
 FROM pd LEFT JOIN nk USING (day) ORDER BY day
+""",
+        "percentiles_agg": """
+WITH k AS (
+    SELECT coalesce(lang, '(none)') AS grp, n_chars::BIGINT AS v
+    FROM documents WHERE n_chars IS NOT NULL
+),
+n AS (SELECT grp, count(*)::BIGINT AS n_docs FROM k GROUP BY 1),
+rv AS (SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v) AS r FROM k),
+g AS (
+    SELECT grp, n_docs, pct FROM n
+    CROSS JOIN (VALUES (1), (5), (25), (50), (75), (95), (99)) p(pct)
+)
+SELECT g.grp AS grp, pct::INT AS pct, n_docs, v AS value
+FROM g JOIN rv ON rv.grp = g.grp AND rv.r = (g.n_docs * pct + 99) // 100
+ORDER BY grp, pct
+""",
+        "string_stats_agg": """
+WITH k AS (
+    SELECT coalesce(lang, '(none)') AS grp, text AS t
+    FROM documents WHERE text IS NOT NULL
+),
+l AS (
+    SELECT grp, count(*)::BIGINT AS n_docs, min(length(t))::BIGINT AS min_len,
+           max(length(t))::BIGINT AS max_len, sum(length(t))::BIGINT AS sum_len
+    FROM k GROUP BY 1
+),
+ch AS (
+    SELECT grp, substr(t, i, 1) AS ch
+    FROM (SELECT grp, t, unnest(generate_series(1, length(t))) AS i
+          FROM k WHERE length(t) > 0)
+),
+cc AS (SELECT grp, ch, count(*)::BIGINT AS c FROM ch GROUP BY 1, 2),
+e AS (
+    SELECT grp, sum(c)::BIGINT AS n_chars, count(*)::BIGINT AS n_chars_distinct,
+           sum(round(c::DOUBLE * log2(c::DOUBLE) * 1e6)::BIGINT) AS clogc_q
+    FROM cc GROUP BY 1
+)
+SELECT l.grp AS grp, n_docs, min_len, max_len, sum_len,
+       round(sum_len::DOUBLE / n_docs * 1e6)::BIGINT AS avg_len_micro,
+       coalesce(n_chars_distinct, 0)::BIGINT AS n_chars_distinct,
+       coalesce(round(log2(n_chars::DOUBLE) * 1e6 - clogc_q::DOUBLE / n_chars::DOUBLE),
+                0)::BIGINT AS entropy_micro
+FROM l LEFT JOIN e USING (grp) ORDER BY grp
+""",
+        "t_test_agg": f"""
+WITH s AS (
+    SELECT
+        sum(CASE WHEN coalesce(({T_TEST_A}), false) AND n_chars IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        sum(CASE WHEN coalesce(({T_TEST_B}), false) AND n_chars IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        sum(CASE WHEN coalesce(({T_TEST_A}), false) AND n_chars IS NOT NULL THEN n_chars::BIGINT ELSE 0 END)::BIGINT AS s_a,
+        sum(CASE WHEN coalesce(({T_TEST_B}), false) AND n_chars IS NOT NULL THEN n_chars::BIGINT ELSE 0 END)::BIGINT AS s_b,
+        sum(CASE WHEN coalesce(({T_TEST_A}), false) AND n_chars IS NOT NULL THEN n_chars::BIGINT * n_chars::BIGINT ELSE 0 END)::BIGINT AS q_a,
+        sum(CASE WHEN coalesce(({T_TEST_B}), false) AND n_chars IS NOT NULL THEN n_chars::BIGINT * n_chars::BIGINT ELSE 0 END)::BIGINT AS q_b
+    FROM documents
+),
+d AS (
+    SELECT n_a, n_b,
+           s_a::DOUBLE / n_a AS m_a, s_b::DOUBLE / n_b AS m_b,
+           (n_a::DECIMAL(38,0) * q_a::DECIMAL(38,0) - s_a::DECIMAL(38,0) * s_a::DECIMAL(38,0))::DOUBLE
+               / (n_a * (n_a - 1))::DOUBLE AS va,
+           (n_b::DECIMAL(38,0) * q_b::DECIMAL(38,0) - s_b::DECIMAL(38,0) * s_b::DECIMAL(38,0))::DOUBLE
+               / (n_b * (n_b - 1))::DOUBLE AS vb
+    FROM s
+),
+u AS (SELECT *, va / n_a AS ua, vb / n_b AS ub FROM d)
+SELECT n_a, n_b,
+       round(m_a * 1e6)::BIGINT AS mean_a_micro,
+       round(m_b * 1e6)::BIGINT AS mean_b_micro,
+       round(va * 1e6)::BIGINT AS var_a_micro,
+       round(vb * 1e6)::BIGINT AS var_b_micro,
+       round((m_a - m_b) / sqrt(ua + ub) * 1e6)::BIGINT AS t_micro,
+       round((ua + ub) * (ua + ub) / (ua * ua / (n_a - 1) + ub * ub / (n_b - 1)) * 1e6)::BIGINT AS df_micro
+FROM u
+""",
+        "rate_agg": """
+WITH k AS (
+    SELECT coalesce(event_type, '(none)') AS grp,
+           strftime(date_trunc('month', ts), '%Y-%m') AS month,
+           date_trunc('month', ts)::DATE AS b,
+           round(value * 1e6)::BIGINT AS vq
+    FROM events
+),
+a AS (
+    SELECT grp, month, count(*)::BIGINT AS n_events, sum(vq)::BIGINT AS sum_value_q,
+           min(b) AS b
+    FROM k GROUP BY 1, 2
+)
+SELECT grp, month, n_events, sum_value_q,
+       date_diff('day', b, b + INTERVAL 1 MONTH)::BIGINT AS days_in_month,
+       round(n_events::DOUBLE / date_diff('day', b, b + INTERVAL 1 MONTH) * 1e6)::BIGINT AS rate_count_micro,
+       round(sum_value_q::DOUBLE / date_diff('day', b, b + INTERVAL 1 MONTH))::BIGINT AS rate_value_micro
+FROM a ORDER BY grp, month
+""",
+        "normalize_agg": """
+WITH h AS (
+    SELECT event_type AS grp, strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+           count(*)::BIGINT AS n_events
+    FROM events GROUP BY 1, 2
+)
+SELECT grp, bucket, n_events,
+       round(100.0 * n_events / sum(n_events) OVER (PARTITION BY grp) * 1e6)::BIGINT AS pct_of_sum_micro,
+       (CASE WHEN max(n_events) OVER (PARTITION BY grp) = min(n_events) OVER (PARTITION BY grp)
+             THEN 0
+             ELSE round((n_events - min(n_events) OVER (PARTITION BY grp))::DOUBLE
+                        / (max(n_events) OVER (PARTITION BY grp)
+                           - min(n_events) OVER (PARTITION BY grp)) * 1e6)
+        END)::BIGINT AS rescale01_micro
+FROM h ORDER BY grp, bucket
+""",
+        "diversified_sampler_agg": """
+WITH k AS (
+    SELECT coalesce(lang, '(none)') AS grp, coalesce(source, '(none)') AS val,
+           doc_id, n_chars::BIGINT AS v
+    FROM documents
+),
+s AS (
+    SELECT grp, val, v,
+           row_number() OVER (PARTITION BY grp, val ORDER BY doc_id) AS rn
+    FROM k
+)
+SELECT grp, count(*)::BIGINT AS n_sampled, count(DISTINCT val)::BIGINT AS n_values,
+       sum(v)::BIGINT AS sum_v,
+       round(sum(v)::DOUBLE / count(*) * 1e6)::BIGINT AS avg_micro
+FROM s WHERE rn <= 2 GROUP BY 1 ORDER BY 1
 """,
         "has_parent_topk": f"""
 WITH {_CHUNKS_SQL.strip()},

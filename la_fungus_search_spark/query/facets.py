@@ -1176,3 +1176,343 @@ def cumulative_cardinality(
         )
         .orderBy("day")
     )
+
+# --------------------------------------------- wave-13 agg completions
+# percentiles (the forward of percentile_ranks), string_stats, t_test,
+# rate, normalize, diversified_sampler — finishing the ES aggregation
+# family. Same contracts as the earlier waves: exact integer sufficient
+# statistics, type-1 order statistics where ES sketches, one terminal
+# double op micro-quantized.
+
+
+def percentiles_agg(
+    docs_df: DataFrame,
+    group_col: str,
+    value_col: str,
+    pcts: Sequence[int] = (1, 5, 25, 50, 75, 95, 99),
+) -> DataFrame:
+    """ES ``percentiles`` metric aggregation under a ``terms``
+    bucketing (the forward of :func:`percentile_ranks`): per group,
+    the value at each requested percentile → ``(grp, pct, n_docs,
+    value)`` in long form, ordered (grp, pct). Percentiles are EXACT
+    type-1 order statistics (rank ``(pct·n + 99) // 100`` — the
+    integer-arithmetic device of :func:`facet_stats`) where ES
+    interpolates over a t-digest: the k-th smallest element is
+    engine-invariant, an interpolated quantile is not. ES's default
+    percent set (1,5,25,50,75,95,99) is the default here. NULL group
+    keys bucket as ``"(none)"``; NULL values are excluded (ES
+    ``missing`` contract).
+
+    Physical shape: ONE rank window over the group's rows feeds every
+    requested percentile — the exploded (grp, pct, target_rank) grid
+    is group-count-sized and broadcast onto the ranked frame; cost is
+    one sort of the input (the exact-order-statistic floor), never
+    one pass per percentile."""
+    if not pcts or any(not (0 < int(p) <= 100) for p in pcts):
+        raise ValueError("pcts must be integers in (0, 100]")
+    keyed = docs_df.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("(none)")).alias("grp"),
+        F.col(value_col).cast("bigint").alias("v"),
+        F.monotonically_increasing_id().alias("_rid"),
+    ).filter(F.col("v").isNotNull())
+    # _rid breaks rank ties within equal values only — the selected
+    # order statistic is a value, hence tie-invariant (mad_agg's note)
+    n_per = keyed.groupBy("grp").agg(F.count("*").cast("bigint").alias("n_docs"))
+    grid = n_per.select(
+        "grp",
+        "n_docs",
+        F.explode(
+            F.array(*[F.lit(int(p)).cast("int") for p in sorted(set(int(p) for p in pcts))])
+        ).alias("pct"),
+    ).withColumn(
+        "r_target",
+        F.floor((F.col("n_docs") * F.col("pct") + 99) / 100).cast("int"),
+    )
+    # grid shares keyed's lineage (via n_per) — rename its key so the
+    # broadcast join is unambiguous
+    grid = grid.select(
+        F.col("grp").alias("_g_grp"), "n_docs", "pct", "r_target"
+    )
+    w = Window.partitionBy("grp").orderBy(F.asc("v"), F.asc("_rid"))
+    ranked = keyed.withColumn("r", F.row_number().over(w))
+    return (
+        ranked.join(
+            F.broadcast(grid),
+            (F.col("grp") == F.col("_g_grp")) & (F.col("r") == F.col("r_target")),
+        )
+        .select("grp", "pct", "n_docs", F.col("v").alias("value"))
+        .orderBy("grp", "pct")
+    )
+
+
+def string_stats_agg(
+    docs_df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """ES ``string_stats`` metric aggregation (with ``show_
+    distribution``'s entropy) per group: ``(grp, n_docs, min_len,
+    max_len, sum_len, avg_len_micro, n_chars_distinct,
+    entropy_micro)``. Lengths are codepoint counts (both engines'
+    ``length`` on UTF-8 strings). Entropy is Shannon base-2 over the
+    group's concatenated character population, computed from EXACT
+    integer character counts as ``log2(N) − Σ cᵢ·log2(cᵢ)/N``. The
+    Σ term is a PER-ADDEND QUANTIZED FOLD (FIXTURES.md §3b — the
+    dsir device): each ``round(cᵢ·log2(cᵢ)·1e6)`` addend is an
+    integer, summed exactly in DECIMAL(38,0) (a raw double Σ would be
+    addition-order-dependent across engines; BIGINT would overflow
+    once cᵢ·log2(cᵢ)·1e6 passes 2⁶³, which 100 TB character counts
+    do), so only two engine-matched ``log2`` calls per group-char /
+    group feed the single terminal rounding. NULL group keys bucket
+    as ``"(none)"``; NULL texts are excluded.
+
+    Physical shape: length stats are one map-side-combined groupBy.
+    The character population explodes via ``sequence(1, len)`` +
+    ``substr`` (pure JVM, no UDF) but is immediately partial-
+    aggregated to (grp, char) counts — the shuffle carries groups ×
+    alphabet rows, never the exploded characters; the entropy fold is
+    then a groups-sized aggregate. At 100 TB the explode is the one
+    corpus-proportional stage and it pipelines inside the scan."""
+    keyed = docs_df.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("(none)")).alias("grp"),
+        F.col(text_col).alias("t"),
+    ).filter(F.col("t").isNotNull())
+    lens = keyed.select("grp", F.length("t").alias("len")).groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("len").cast("bigint").alias("min_len"),
+        F.max("len").cast("bigint").alias("max_len"),
+        F.sum("len").cast("bigint").alias("sum_len"),
+    )
+    chars = (
+        keyed.filter(F.length("t") > 0)
+        .select(
+            "grp",
+            F.explode(F.sequence(F.lit(1), F.length("t"))).alias("i"),
+            "t",
+        )
+        .select("grp", F.expr("substr(t, i, 1)").alias("ch"))
+        .groupBy("grp", "ch")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    clogc_q = F.round(
+        F.col("c").cast("double") * F.log2(F.col("c").cast("double")) * F.lit(1e6)
+    ).cast("decimal(38,0)")
+    ent = chars.groupBy("grp").agg(
+        F.sum("c").cast("bigint").alias("n_chars"),
+        F.count("*").cast("bigint").alias("n_chars_distinct"),
+        F.sum(clogc_q).alias("_clogc_q"),
+    )
+    return (
+        lens.join(ent, "grp", "left")
+        .select(
+            "grp",
+            "n_docs",
+            "min_len",
+            "max_len",
+            "sum_len",
+            _quantize(F.col("sum_len").cast("double") / F.col("n_docs")).alias(
+                "avg_len_micro"
+            ),
+            F.coalesce("n_chars_distinct", F.lit(0)).cast("bigint").alias(
+                "n_chars_distinct"
+            ),
+            F.coalesce(
+                F.round(
+                    F.log2(F.col("n_chars").cast("double")) * F.lit(1e6)
+                    - F.col("_clogc_q").cast("double")
+                    / F.col("n_chars").cast("double")
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ).alias("entropy_micro"),
+        )
+        .orderBy("grp")
+    )
+
+
+def t_test_agg(
+    docs_df: DataFrame, value_col: str, a_expr: str, b_expr: str
+) -> DataFrame:
+    """ES ``t_test`` metric aggregation, ``"type": "heteroscedastic"``
+    (Welch), between two filter-defined populations: one row ``(n_a,
+    n_b, mean_a_micro, mean_b_micro, var_a_micro, var_b_micro,
+    t_micro, df_micro)``. ES reports the two-sided p-value; the
+    p-value is a strictly monotone transform of |t| at fixed df whose
+    evaluation (regularized incomplete beta) is library-dependent, so
+    the DETERMINISTIC CORE — Welch's t statistic and the Welch–
+    Satterthwaite df — is what ships, with the exact integer
+    sufficient statistics alongside for audit. Sample variances use
+    the DECIMAL(38,0) numerator device of :func:`extended_stats_agg`
+    (``(n·Σx² − (Σx)²) / (n·(n−1))``); every double op after the
+    exact-integer stage appears in the same order in the SQL twin.
+
+    Physical shape: ONE corpus pass — both populations are
+    conditional sums in a single map-side-combined aggregate
+    (:func:`filters_agg`'s device), one row out, zero joins."""
+    v = F.col(value_col).cast("bigint")
+    pa = F.coalesce(F.expr(a_expr), F.lit(False)) & v.isNotNull()
+    pb = F.coalesce(F.expr(b_expr), F.lit(False)) & v.isNotNull()
+    zero = F.lit(0).cast("bigint")
+    row = docs_df.agg(
+        F.sum(pa.cast("bigint")).alias("n_a"),
+        F.sum(pb.cast("bigint")).alias("n_b"),
+        F.sum(F.when(pa, v).otherwise(zero)).cast("bigint").alias("s_a"),
+        F.sum(F.when(pb, v).otherwise(zero)).cast("bigint").alias("s_b"),
+        F.sum(F.when(pa, v * v).otherwise(zero)).cast("bigint").alias("q_a"),
+        F.sum(F.when(pb, v * v).otherwise(zero)).cast("bigint").alias("q_b"),
+    )
+
+    def _var(n, s, q):
+        dec = "decimal(38,0)"
+        num = n.cast(dec) * q.cast(dec) - s.cast(dec) * s.cast(dec)
+        return num.cast("double") / (n * (n - 1)).cast("double")
+
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    m_a = F.col("s_a").cast("double") / n_a
+    m_b = F.col("s_b").cast("double") / n_b
+    va = _var(n_a, F.col("s_a"), F.col("q_a"))
+    vb = _var(n_b, F.col("s_b"), F.col("q_b"))
+    ua = va / n_a
+    ub = vb / n_b
+    t = (m_a - m_b) / F.sqrt(ua + ub)
+    df = (ua + ub) * (ua + ub) / (ua * ua / (n_a - 1) + ub * ub / (n_b - 1))
+    return row.select(
+        n_a.cast("bigint").alias("n_a"),
+        n_b.cast("bigint").alias("n_b"),
+        _quantize(m_a).alias("mean_a_micro"),
+        _quantize(m_b).alias("mean_b_micro"),
+        _quantize(va).alias("var_a_micro"),
+        _quantize(vb).alias("var_b_micro"),
+        _quantize(t).alias("t_micro"),
+        _quantize(df).alias("df_micro"),
+    )
+
+
+def rate_agg(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """ES ``rate`` metric aggregation (``"unit": "day"``) under a
+    calendar-MONTH ``date_histogram``: per (group, month bucket) the
+    per-day rate of both doc count and field sum → ``(grp, month,
+    n_events, sum_value_q, days_in_month, rate_count_micro,
+    rate_value_micro)``. ES divides the bucket total by the
+    bucket-interval/unit ratio — for month buckets at day unit that
+    is the ACTUAL calendar day count of each month (28/29/30/31),
+    computed as exact date arithmetic (``datediff(add_months(b,1),
+    b)``). The double field sums as exact micro-quantized BIGINTs
+    (``round(value·1e6)`` per event) so the bucket total is
+    order-independent; each rate is one terminal division, micro-
+    quantized. ``month`` is a formatted string (date_histogram's
+    portability device).
+
+    Physical shape: one map-side-combined groupBy to month buckets;
+    the calendar division is bucket-sized postprocessing."""
+    b = F.date_trunc("month", F.col(ts_col))
+    keyed = events.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("(none)")).alias("grp"),
+        F.date_format(b, "yyyy-MM").alias("month"),
+        F.to_date(b).alias("_b"),
+        F.round(F.col(value_col) * F.lit(1e6)).cast("bigint").alias("vq"),
+    )
+    agg = keyed.groupBy("grp", "month").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("vq").cast("bigint").alias("sum_value_q"),
+        F.first("_b").alias("_b"),
+    )
+    days = F.datediff(F.add_months(F.col("_b"), 1), F.col("_b")).cast("bigint")
+    return agg.select(
+        "grp",
+        "month",
+        "n_events",
+        "sum_value_q",
+        days.alias("days_in_month"),
+        _quantize(F.col("n_events").cast("double") / days).alias("rate_count_micro"),
+        F.round(F.col("sum_value_q").cast("double") / days)
+        .cast("bigint")
+        .alias("rate_value_micro"),
+    ).orderBy("grp", "month")
+
+
+def normalize_agg(
+    events: DataFrame,
+    interval: str = "day",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """ES ``normalize`` pipeline aggregation over a parent
+    ``date_histogram``: per (group, bucket) the bucket count plus its
+    ``percent_of_sum`` (share of the group's series total, as a
+    0–100 percentage) and ``rescale_0_1`` (min-max position within
+    the group's series; a constant series rescales to 0, the
+    single-defined-value convention) → ``(grp, bucket, n_events,
+    pct_of_sum_micro, rescale01_micro)``. Each normalized value is
+    ONE double division of exact BIGINTs, micro-quantized.
+
+    Physical shape: parent histogram = one partial-aggregated
+    groupBy; both normalizations are unbounded windows over the
+    ALREADY-AGGREGATED bucket frame partitioned by group — cost ∝
+    buckets (the date_histogram_pipeline scale argument)."""
+    hist = date_histogram(
+        events, interval=interval, group_col=group_col, ts_col=ts_col
+    ).select("grp", "bucket", "n_events")
+    w = Window.partitionBy("grp")
+    n = F.col("n_events").cast("double")
+    tot = F.sum("n_events").over(w).cast("double")
+    mn = F.min("n_events").over(w).cast("double")
+    mx = F.max("n_events").over(w).cast("double")
+    return (
+        hist.select(
+            "grp",
+            "bucket",
+            "n_events",
+            _quantize(F.lit(100.0) * n / tot).alias("pct_of_sum_micro"),
+            F.when(mx == mn, F.lit(0).cast("bigint"))
+            .otherwise(_quantize((n - mn) / (mx - mn)))
+            .alias("rescale01_micro"),
+        )
+        .orderBy("grp", "bucket")
+    )
+
+
+def diversified_sampler_agg(
+    docs_df: DataFrame,
+    group_col: str,
+    dedup_col: str,
+    value_col: str,
+    max_per_value: int = 2,
+) -> DataFrame:
+    """ES ``diversified_sampler`` aggregation + a ``stats`` sub-agg:
+    per group, cap the sample at ``max_per_value`` docs per distinct
+    ``dedup_col`` value (ES's de-biasing device against one dominant
+    source flooding a sample), then aggregate the sub-metric over the
+    SAMPLE → ``(grp, n_sampled, n_values, sum_v, avg_micro)``. ES's
+    pick within a value is shard-order-dependent; here it is pinned
+    to the ``max_per_value`` LOWEST doc_ids per (group, value) —
+    deterministic under any partitioning (the hash_sample contract).
+    NULL dedup values form their own bucket ``"(none)"``.
+
+    Physical shape: one row_number window partitioned by (group,
+    dedup value) prunes to the sample, then a map-side-combined
+    groupBy — no join; cost is one sort keyed (grp, value, doc_id)."""
+    if max_per_value < 1:
+        raise ValueError("max_per_value must be >= 1")
+    keyed = docs_df.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("(none)")).alias("grp"),
+        F.coalesce(F.col(dedup_col).cast("string"), F.lit("(none)")).alias("val"),
+        F.col("doc_id"),
+        F.col(value_col).cast("bigint").alias("v"),
+    )
+    w = Window.partitionBy("grp", "val").orderBy(F.asc("doc_id"))
+    sample = keyed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= max_per_value
+    )
+    return (
+        sample.groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.count_distinct("val").cast("bigint").alias("n_values"),
+            F.sum("v").cast("bigint").alias("sum_v"),
+            _quantize(F.sum("v").cast("double") / F.count("*")).alias("avg_micro"),
+        )
+        .orderBy("grp")
+    )

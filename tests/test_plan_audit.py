@@ -176,6 +176,13 @@ AUDIT = [
     "bucket_pipeline_agg",
     "random_score_topk",
     "field_value_factor_topk",
+    # thirteenth wave
+    "percentiles_agg",
+    "string_stats_agg",
+    "t_test_agg",
+    "rate_agg",
+    "normalize_agg",
+    "diversified_sampler_agg",
 ]
 
 

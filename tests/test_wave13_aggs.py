@@ -1,0 +1,147 @@
+"""Thirteenth-wave ES agg completions — percentiles, string_stats,
+t_test (Welch), rate, normalize, diversified_sampler — pinned against
+hand-computed / numpy recomputes."""
+
+import math
+from datetime import datetime
+
+import numpy as np
+import pytest
+
+from la_fungus_search_spark.query.facets import (
+    diversified_sampler_agg,
+    normalize_agg,
+    percentiles_agg,
+    rate_agg,
+    string_stats_agg,
+    t_test_agg,
+)
+
+
+def test_percentiles_type1_order_stats(spark):
+    # grp 'a': values 10..100 (n=10); type-1 rank (p*n+99)//100
+    rows = [("a", v) for v in range(10, 101, 10)] + [("b", 7), (None, 3)]
+    df = spark.createDataFrame(rows, schema="lang STRING, v INT")
+    out = percentiles_agg(df, "lang", "v", pcts=(1, 25, 50, 75, 99))
+    got = {(r.grp, r.pct): (r.n_docs, r.value) for r in out.collect()}
+    # ranks for n=10: p1→1, p25→3, p50→5, p75→8, p99→10
+    assert got[("a", 1)] == (10, 10)
+    assert got[("a", 25)] == (10, 30)
+    assert got[("a", 50)] == (10, 50)
+    assert got[("a", 75)] == (10, 80)
+    assert got[("a", 99)] == (10, 100)
+    # singleton groups: every percentile is the single value
+    assert got[("b", 50)] == (1, 7)
+    assert got[("(none)", 99)] == (1, 3)
+    with pytest.raises(ValueError):
+        percentiles_agg(df, "lang", "v", pcts=(0,))
+    with pytest.raises(ValueError):
+        percentiles_agg(df, "lang", "v", pcts=())
+
+
+def test_string_stats_entropy_and_lengths(spark):
+    rows = [("a", "aab"), ("a", "b"), ("b", "xyz"), ("c", None)]
+    df = spark.createDataFrame(rows, schema="lang STRING, text STRING")
+    out = {r.grp: r for r in string_stats_agg(df, "lang", "text").collect()}
+    assert set(out) == {"a", "b"}  # NULL text excluded entirely
+    a = out["a"]
+    assert (a.n_docs, a.min_len, a.max_len, a.sum_len) == (2, 1, 3, 4)
+    assert a.avg_len_micro == 2_000_000
+    # chars across grp a: a,a,b,b → counts {a:2, b:2}, N=4
+    assert a.n_chars_distinct == 2
+    clogc_q = 2 * round(2 * math.log2(2) * 1e6)  # per-addend quantized fold
+    expect = round(math.log2(4) * 1e6 - clogc_q / 4)
+    assert a.entropy_micro == expect == 1_000_000  # H = 1 bit exactly
+    b = out["b"]
+    # x,y,z uniform over 3 → H = log2(3)
+    assert b.entropy_micro == round(
+        math.log2(3) * 1e6 - 3 * round(1 * math.log2(1) * 1e6) / 3
+    )
+    assert b.n_chars_distinct == 3
+
+
+def test_t_test_welch_matches_numpy(spark):
+    a = [120, 135, 150, 160, 180, 200]
+    b = [100, 110, 105, 140]
+    rows = [("en", v) for v in a] + [("de", v) for v in b] + [("fr", 999)]
+    df = spark.createDataFrame(rows, schema="lang STRING, n_chars INT")
+    r = t_test_agg(df, "n_chars", "lang = 'en'", "lang = 'de'").collect()[0]
+    va, vb = np.var(a, ddof=1), np.var(b, ddof=1)
+    na, nb = len(a), len(b)
+    ua, ub = va / na, vb / nb
+    t = (np.mean(a) - np.mean(b)) / math.sqrt(ua + ub)
+    dfree = (ua + ub) ** 2 / (ua**2 / (na - 1) + ub**2 / (nb - 1))
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert r.mean_a_micro == round(np.mean(a) * 1e6)
+    assert r.var_a_micro == round(va * 1e6)
+    assert r.var_b_micro == round(vb * 1e6)
+    assert abs(r.t_micro - round(t * 1e6)) <= 1
+    assert abs(r.df_micro - round(dfree * 1e6)) <= 1
+
+
+def test_rate_agg_calendar_days(spark):
+    rows = [
+        # Jan 2024 (31 days): 2 events, values 1.5 + 2.5
+        ("c", datetime(2024, 1, 5), 1.5),
+        ("c", datetime(2024, 1, 20), 2.5),
+        # Feb 2024 is a leap month (29 days): 1 event
+        ("c", datetime(2024, 2, 10), 29.0),
+    ]
+    df = spark.createDataFrame(rows, schema="event_type STRING, ts TIMESTAMP, value DOUBLE")
+    out = {r.month: r for r in rate_agg(df).collect()}
+    jan, feb = out["2024-01"], out["2024-02"]
+    assert (jan.n_events, jan.days_in_month) == (2, 31)
+    assert jan.sum_value_q == 4_000_000
+    assert jan.rate_count_micro == round(2 / 31 * 1e6)
+    assert jan.rate_value_micro == round(4_000_000 / 31)
+    assert (feb.n_events, feb.days_in_month) == (1, 29)
+    assert feb.rate_value_micro == round(29_000_000 / 29) == 1_000_000
+
+
+def test_normalize_agg_percent_and_rescale(spark):
+    rows = [
+        ("x", datetime(2024, 3, 1)),
+        ("x", datetime(2024, 3, 1)),
+        ("x", datetime(2024, 3, 1)),
+        ("x", datetime(2024, 3, 2)),
+        # constant series → rescale 0 by convention
+        ("y", datetime(2024, 3, 1)),
+        ("y", datetime(2024, 3, 2)),
+    ]
+    df = spark.createDataFrame(
+        [(t, ts, i, 1.0) for i, (t, ts) in enumerate(rows)],
+        schema="event_type STRING, ts TIMESTAMP, user_id BIGINT, value DOUBLE",
+    )
+    out = {(r.grp, r.bucket): r for r in normalize_agg(df).collect()}
+    x1 = out[("x", "2024-03-01")]
+    assert x1.n_events == 3
+    assert x1.pct_of_sum_micro == 75_000_000
+    assert x1.rescale01_micro == 1_000_000  # max of the series
+    x2 = out[("x", "2024-03-02")]
+    assert x2.rescale01_micro == 0  # min of the series
+    assert out[("y", "2024-03-01")].rescale01_micro == 0
+    assert out[("y", "2024-03-01")].pct_of_sum_micro == 50_000_000
+
+
+def test_diversified_sampler_caps_per_value(spark):
+    rows = [
+        # grp 'a', source 's1' has 4 docs — only the 2 lowest ids kept
+        ("a", "s1", 1, 10),
+        ("a", "s1", 2, 20),
+        ("a", "s1", 9, 900),
+        ("a", "s1", 8, 800),
+        ("a", "s2", 3, 30),
+        ("b", None, 4, 40),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="lang STRING, source STRING, doc_id BIGINT, n_chars INT"
+    )
+    out = {r.grp: r for r in
+           diversified_sampler_agg(df, "lang", "source", "n_chars").collect()}
+    a = out["a"]
+    assert (a.n_sampled, a.n_values, a.sum_v) == (3, 2, 60)  # ids 1,2 + 3
+    assert a.avg_micro == 20_000_000
+    b = out["b"]  # NULL source is its own bucket
+    assert (b.n_sampled, b.n_values, b.sum_v) == (1, 1, 40)
+    with pytest.raises(ValueError):
+        diversified_sampler_agg(df, "lang", "source", "n_chars", max_per_value=0)
