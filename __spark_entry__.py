@@ -41,6 +41,7 @@ from la_fungus_search_spark.index.builder import build_index, snapshot_diff
 from la_fungus_search_spark.query.engine import BM25QueryEngine
 from la_fungus_search_spark.query import expand as expand_ops
 from la_fungus_search_spark.query import facets as facet_ops
+from la_fungus_search_spark.query import geo as geo_ops
 from la_fungus_search_spark.query import feedback as feedback_ops
 from la_fungus_search_spark.query import phrase as phrase_ops
 from la_fungus_search_spark.query import multifield as multifield_ops
@@ -4492,6 +4493,36 @@ def q_diversified_sampler_agg(spark, sf_dir):
     )
 
 
+GEO_ORIGIN = (37.7749, -122.4194)  # fixed query origin (San Francisco)
+GEO_RADIUS_M = 6_000_000
+GEO_K = 25
+GEO_ZOOM = 4
+GEO_TOP_N = 20
+
+
+def q_geo_distance_topk(spark, sf_dir):
+    """ES ``geo_distance`` query + _geo_distance sort (query/geo.py):
+    25 nearest docs within 6000 km of the origin over deterministic
+    md5-fraction synthetic points; the haversine distance quantizes
+    to integer millimetres BEFORE the radius filter and the rank, so
+    membership and order are engine-invariant. One codegen pass +
+    TakeOrderedAndProject — no shuffle, no corpus window."""
+    return geo_ops.geo_distance_topk(
+        _documents(spark, sf_dir), GEO_ORIGIN[0], GEO_ORIGIN[1], GEO_RADIUS_M, GEO_K
+    )
+
+
+def q_geotile_grid_agg(spark, sf_dir):
+    """ES ``geotile_grid`` aggregation (query/geo.py): zoom-4
+    Web-Mercator slippy tiles over the synthetic points, top-20
+    fullest cells (count DESC, key ASC) — per-row tile index in one
+    codegen stage, map-side-combined groupBy on ≤4^z keys,
+    take-ordered top-n."""
+    return geo_ops.geotile_grid_agg(
+        _documents(spark, sf_dir), zoom=GEO_ZOOM, top_n=GEO_TOP_N
+    )
+
+
 T_TEST_A = "lang = 'en'"
 T_TEST_B = "lang = 'de'"
 
@@ -5026,6 +5057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_agg": q_rate_agg,
         "normalize_agg": q_normalize_agg,
         "diversified_sampler_agg": q_diversified_sampler_agg,
+        "geo_distance_topk": q_geo_distance_topk,
+        "geotile_grid_agg": q_geotile_grid_agg,
     }
 
 
@@ -6987,6 +7020,12 @@ SELECT grp, count(*)::BIGINT AS n_sampled, count(DISTINCT val)::BIGINT AS n_valu
        round(sum(v)::DOUBLE / count(*) * 1e6)::BIGINT AS avg_micro
 FROM s WHERE rn <= 2 GROUP BY 1 ORDER BY 1
 """,
+        "geo_distance_topk": geo_ops.geo_distance_oracle_sql(
+            GEO_ORIGIN[0], GEO_ORIGIN[1], GEO_RADIUS_M, GEO_K
+        ),
+        "geotile_grid_agg": geo_ops.geotile_grid_oracle_sql(
+            zoom=GEO_ZOOM, top_n=GEO_TOP_N
+        ),
         "has_parent_topk": f"""
 WITH {_CHUNKS_SQL.strip()},
 {_bm25_base_cte()},

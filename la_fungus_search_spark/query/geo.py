@@ -1,0 +1,248 @@
+"""Geo queries and aggregations: ES ``geo_distance`` and
+``geotile_grid`` over a (lat, lon) point per document.
+
+Public semantics: Elasticsearch geo_distance query (filter + sort by
+haversine distance from an origin) and the geotile_grid bucket
+aggregation (Web-Mercator slippy-map tile keys ``z/x/y`` — the OSM
+tile scheme ES documents for the agg). The reference corpus has no
+geo field, so coordinates are SYNTHESIZED deterministically from the
+doc id via the repo-wide md5-fraction device (pipeline.hash_sample /
+ranking.random_score): ``md5(doc_id ':geo:lat')``'s top 32 bits /
+2³² is a dyadic rational — an EXACT double in any engine — scaled to
+lat ∈ [−85, 85) (inside the Web-Mercator validity band) and lon ∈
+[−180, 180). Any engine reproduces the points bit-for-bit.
+
+Determinism contract: the haversine / Mercator formulas use libm
+functions (sin, cos, asin, tan, ln) that are only 1-ulp-faithful, not
+correctly rounded, so raw doubles are NOT hash-comparable. Both
+operators therefore QUANTIZE-THEN-COMPARE (FIXTURES.md §3b): distance
+rounds to integer millimetres before the radius filter, the rank
+order, and the output; tile indices floor a value whose distance to
+the nearest integer boundary is ~uniform in [0, 1) for hashed points,
+so a 1-ulp (≈1e-16 relative) discrepancy flips a tile with
+probability ≈ docs·2⁻⁵²-ish — measure-zero at any test scale, and
+documented here as the residual risk the hashed-coordinate synthesis
+is chosen to make negligible.
+
+Physical shape at 100 TB: both operators are pure JVM per-row
+expression chains over a two-column projection — no UDF, no join, no
+shuffle before the terminal aggregate. geo_distance's top-k is
+``orderBy(dist).limit(k)`` (Spark's distributed TakeOrderedAndProject
+— per-partition heaps, driver merges k·partitions rows, never a
+single-partition global sort); geotile_grid is one map-side-combined
+groupBy on the tile key (shuffle carries one partial row per occupied
+tile per partition, ≤ 4^zoom cells) followed by the same take-ordered
+top-n. Distance is computed, filtered, and pruned in one codegen
+stage fused into the scan.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_M = 6371000.0
+PI = math.pi  # == DuckDB pi(): the correctly-rounded double of π
+
+
+def _u32_frac(id_col, salt: str):
+    """md5(doc_id ':salt')'s top 32 bits / 2^32 — an exact dyadic
+    double, identical in any engine (DuckDB:
+    ('0x' || substr(md5(doc_id::VARCHAR || ':salt'), 1, 8))::BIGINT
+    / 4294967296.0)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(f":{salt}"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+
+
+def geo_points(docs_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, lat, lon) — deterministic synthetic coordinates:
+    lat ∈ [−85, 85) (Web-Mercator band), lon ∈ [−180, 180); every
+    arithmetic step is an IEEE basic op on exact inputs, so the
+    doubles are bit-identical across engines."""
+    return docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        (_u32_frac(F.col(id_col), "geo:lat") * F.lit(170.0) - F.lit(85.0)).alias("lat"),
+        (_u32_frac(F.col(id_col), "geo:lon") * F.lit(360.0) - F.lit(180.0)).alias(
+            "lon"
+        ),
+    )
+
+
+def _haversine_mm(lat, lon, lat0: float, lon0: float):
+    """Haversine distance to a fixed origin, rounded to integer
+    millimetres (the quantize-then-compare contract). Expression
+    order mirrors :func:`geo_distance_oracle_sql` token for token."""
+    p1 = F.radians(lat)
+    p0 = F.lit(math.radians(lat0))
+    dphi = F.radians(lat - F.lit(lat0))
+    dlam = F.radians(lon - F.lit(lon0))
+    a = F.sin(dphi / F.lit(2.0)) * F.sin(dphi / F.lit(2.0)) + F.cos(p1) * F.cos(
+        p0
+    ) * F.sin(dlam / F.lit(2.0)) * F.sin(dlam / F.lit(2.0))
+    d = F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+    return F.round(d * F.lit(1000.0)).cast("bigint")
+
+
+def geo_distance_topk(
+    docs_df: DataFrame,
+    origin_lat: float,
+    origin_lon: float,
+    radius_m: int,
+    k: int = 25,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``geo_distance`` query + ``_geo_distance`` sort: docs whose
+    synthetic point lies within ``radius_m`` of the origin, the k
+    nearest first → ``(rank, doc_id, lat_micro, lon_micro,
+    dist_mm)``. The radius filter and the sort both act on the
+    QUANTIZED integer distance (ties broken by doc_id), so filter
+    membership and rank order are engine-invariant.
+
+    Physical shape: scan → codegen distance → integer filter →
+    TakeOrderedAndProject(k) — one pass, no shuffle, no window over
+    the corpus; the rank stamps onto the ≤k collected rows."""
+    if k < 1 or radius_m <= 0:
+        raise ValueError("k and radius_m must be positive")
+    pts = geo_points(docs_df, id_col=id_col)
+    d = pts.withColumn(
+        "dist_mm", _haversine_mm(F.col("lat"), F.col("lon"), origin_lat, origin_lon)
+    ).filter(F.col("dist_mm") <= int(radius_m) * 1000)
+    top = d.orderBy(F.asc("dist_mm"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.asc("dist_mm"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "doc_id",
+        F.round(F.col("lat") * F.lit(1e6)).cast("bigint").alias("lat_micro"),
+        F.round(F.col("lon") * F.lit(1e6)).cast("bigint").alias("lon_micro"),
+        "dist_mm",
+    ).orderBy("rank")
+
+
+def geotile_grid_agg(
+    docs_df: DataFrame, zoom: int = 6, top_n: int = 20, id_col: str = "doc_id"
+) -> DataFrame:
+    """ES ``geotile_grid`` aggregation: bucket every synthetic point
+    into its Web-Mercator tile at ``zoom`` and return the ``top_n``
+    fullest cells → ``(rank, key, doc_count)``, key = ``"z/x/y"``,
+    ordered (doc_count DESC, key ASC) like ES's count ordering.
+    ``x = floor((lon+180)/360·2^z)``; ``y`` uses the standard slippy
+    formula ``floor((1 − ln(tan φ + 1/cos φ)/π)/2 · 2^z)``, clamped
+    to the valid [0, 2^z−1] band (the lat synthesis already stays
+    inside ±85°, within Mercator's ±85.051 validity).
+
+    Physical shape: per-row tile index in one codegen stage, one
+    map-side-combined groupBy on ≤ 4^zoom keys, take-ordered top-n."""
+    if not (0 <= zoom <= 29):
+        raise ValueError("zoom must be in [0, 29]")
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    n = float(1 << zoom)
+    hi = (1 << zoom) - 1
+    pts = geo_points(docs_df, id_col=id_col)
+    phi = F.radians(F.col("lat"))
+    x = F.floor((F.col("lon") + F.lit(180.0)) / F.lit(360.0) * F.lit(n)).cast("bigint")
+    y = F.floor(
+        (
+            F.lit(1.0)
+            - F.log(F.tan(phi) + F.lit(1.0) / F.cos(phi)) / F.lit(PI)
+        )
+        / F.lit(2.0)
+        * F.lit(n)
+    ).cast("bigint")
+    clamp = lambda c: F.least(F.greatest(c, F.lit(0).cast("bigint")), F.lit(hi).cast("bigint"))  # noqa: E731
+    key = F.concat_ws("/", F.lit(str(zoom)), clamp(x).cast("string"), clamp(y).cast("string"))
+    counts = pts.select(key.alias("key")).groupBy("key").agg(
+        F.count("*").cast("bigint").alias("doc_count")
+    )
+    top = counts.orderBy(F.desc("doc_count"), F.asc("key")).limit(top_n)
+    w = Window.orderBy(F.desc("doc_count"), F.asc("key"))
+    return top.select(
+        F.row_number().over(w).alias("rank"), "key", "doc_count"
+    ).orderBy("rank")
+
+
+# ------------------------------------------------------------- oracles
+
+
+def _u32_frac_sql(salt: str, id_expr: str = "doc_id") -> str:
+    return (
+        f"(('0x' || substr(md5({id_expr}::VARCHAR || ':{salt}'), 1, 8))::BIGINT"
+        " / 4294967296.0)"
+    )
+
+
+def _points_sql(src: str = "documents") -> str:
+    lat = f"{_u32_frac_sql('geo:lat')} * 170.0 - 85.0"
+    lon = f"{_u32_frac_sql('geo:lon')} * 360.0 - 180.0"
+    return f"SELECT doc_id, {lat} AS lat, {lon} AS lon FROM {src}"
+
+
+def geo_distance_oracle_sql(
+    origin_lat: float, origin_lon: float, radius_m: int, k: int = 25,
+    src: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`geo_distance_topk` — identical haversine
+    expression order, identical mm quantization and integer filter."""
+    lat0r, lon0 = repr(math.radians(origin_lat)), repr(float(origin_lon))
+    lat0 = repr(float(origin_lat))
+    two_r = repr(2.0 * EARTH_RADIUS_M)
+    return f"""
+WITH pts AS ({_points_sql(src)}),
+d AS (
+    SELECT doc_id, lat, lon,
+           round({two_r} * asin(sqrt(
+               sin(radians(lat - {lat0}) / 2.0) * sin(radians(lat - {lat0}) / 2.0)
+               + cos(radians(lat)) * cos({lat0r})
+                 * sin(radians(lon - {lon0}) / 2.0) * sin(radians(lon - {lon0}) / 2.0)
+           )) * 1000.0)::BIGINT AS dist_mm
+    FROM pts
+),
+f AS (SELECT * FROM d WHERE dist_mm <= {int(radius_m)}::BIGINT * 1000),
+r AS (
+    SELECT row_number() OVER (ORDER BY dist_mm ASC, doc_id ASC) AS rank,
+           doc_id,
+           round(lat * 1e6)::BIGINT AS lat_micro,
+           round(lon * 1e6)::BIGINT AS lon_micro,
+           dist_mm
+    FROM f
+)
+SELECT rank::INT AS rank, doc_id, lat_micro, lon_micro, dist_mm
+FROM r WHERE rank <= {int(k)} ORDER BY rank
+"""
+
+
+def geotile_grid_oracle_sql(
+    zoom: int = 6, top_n: int = 20, src: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`geotile_grid_agg` — identical tile
+    formula and clamp."""
+    n = repr(float(1 << zoom))
+    hi = (1 << zoom) - 1
+    return f"""
+WITH pts AS ({_points_sql(src)}),
+t AS (
+    SELECT least(greatest(floor((lon + 180.0) / 360.0 * {n})::BIGINT, 0), {hi}) AS x,
+           least(greatest(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat)))
+                                 / {repr(PI)}) / 2.0 * {n})::BIGINT, 0), {hi}) AS y
+    FROM pts
+),
+c AS (
+    SELECT '{zoom}' || '/' || x::VARCHAR || '/' || y::VARCHAR AS key,
+           count(*)::BIGINT AS doc_count
+    FROM t GROUP BY 1
+),
+r AS (
+    SELECT row_number() OVER (ORDER BY doc_count DESC, key ASC) AS rank, key, doc_count
+    FROM c
+)
+SELECT rank::INT AS rank, key, doc_count
+FROM r WHERE rank <= {int(top_n)} ORDER BY rank
+"""

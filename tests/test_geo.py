@@ -1,0 +1,102 @@
+"""Geo family (query/geo.py) — synthetic points, haversine distance,
+geo_distance filter+sort, geotile_grid tiles — pinned against
+pure-Python recomputes of the same md5-fraction coordinates."""
+
+import hashlib
+import math
+
+import pytest
+
+from la_fungus_search_spark.query.geo import (
+    EARTH_RADIUS_M,
+    geo_distance_topk,
+    geo_points,
+    geotile_grid_agg,
+)
+
+
+def _frac(doc_id: int, salt: str) -> float:
+    h = hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()
+    return int(h[:8], 16) / 4294967296.0
+
+
+def _point(doc_id: int):
+    return (
+        _frac(doc_id, "geo:lat") * 170.0 - 85.0,
+        _frac(doc_id, "geo:lon") * 360.0 - 180.0,
+    )
+
+
+def _haversine_mm(lat, lon, lat0, lon0):
+    dphi = math.radians(lat - lat0)
+    dlam = math.radians(lon - lon0)
+    a = math.sin(dphi / 2.0) ** 2 + math.cos(math.radians(lat)) * math.cos(
+        math.radians(lat0)
+    ) * math.sin(dlam / 2.0) ** 2
+    return round(2.0 * EARTH_RADIUS_M * math.asin(math.sqrt(a)) * 1000.0)
+
+
+def _docs(spark, n=60):
+    return spark.createDataFrame([(i,) for i in range(n)], schema="doc_id BIGINT")
+
+
+def test_geo_points_match_python_md5(spark):
+    out = {r.doc_id: (r.lat, r.lon) for r in geo_points(_docs(spark, 20)).collect()}
+    for i in range(20):
+        lat, lon = _point(i)
+        assert out[i] == (lat, lon)  # exact dyadic doubles — bitwise equal
+        assert -85.0 <= lat < 85.0 and -180.0 <= lon < 180.0
+
+
+def test_geo_distance_topk_matches_recompute(spark):
+    lat0, lon0, radius, k = 37.7749, -122.4194, 8_000_000, 10
+    got = geo_distance_topk(_docs(spark), lat0, lon0, radius, k=k).collect()
+    expect = sorted(
+        (
+            (d, _haversine_mm(*_point(i), lat0, lon0))
+            for i, d in ((i, i) for i in range(60))
+            if _haversine_mm(*_point(i), lat0, lon0) <= radius * 1000
+        ),
+        key=lambda t: (t[1], t[0]),
+    )[:k]
+    assert [(r.doc_id, r.dist_mm) for r in got] == expect
+    assert [r.rank for r in got] == list(range(1, len(expect) + 1))
+    # ranked output carries micro-quantized coordinates
+    top = got[0]
+    lat, lon = _point(top.doc_id)
+    assert top.lat_micro == round(lat * 1e6)
+    assert top.lon_micro == round(lon * 1e6)
+    with pytest.raises(ValueError):
+        geo_distance_topk(_docs(spark), lat0, lon0, 0)
+
+
+def _tile(lat, lon, zoom):
+    n = float(1 << zoom)
+    hi = (1 << zoom) - 1
+    x = int(math.floor((lon + 180.0) / 360.0 * n))
+    phi = math.radians(lat)
+    y = int(math.floor((1.0 - math.log(math.tan(phi) + 1.0 / math.cos(phi)) / math.pi) / 2.0 * n))
+    return min(max(x, 0), hi), min(max(y, 0), hi)
+
+
+def test_geotile_grid_matches_recompute(spark):
+    zoom = 3
+    got = {r.key: r.doc_count for r in
+           geotile_grid_agg(_docs(spark), zoom=zoom, top_n=100).collect()}
+    expect = {}
+    for i in range(60):
+        x, y = _tile(*_point(i), zoom)
+        key = f"{zoom}/{x}/{y}"
+        expect[key] = expect.get(key, 0) + 1
+    assert got == expect
+    with pytest.raises(ValueError):
+        geotile_grid_agg(_docs(spark), zoom=30)
+    with pytest.raises(ValueError):
+        geotile_grid_agg(_docs(spark), top_n=0)
+
+
+def test_geotile_rank_orders_count_then_key(spark):
+    out = geotile_grid_agg(_docs(spark, 200), zoom=2, top_n=5).collect()
+    pairs = [(r.doc_count, r.key) for r in out]
+    assert pairs == sorted(pairs, key=lambda t: (-t[0], t[1]))[: len(pairs)]
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))

@@ -183,6 +183,8 @@ AUDIT = [
     "rate_agg",
     "normalize_agg",
     "diversified_sampler_agg",
+    "geo_distance_topk",
+    "geotile_grid_agg",
 ]
 
 
