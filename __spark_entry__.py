@@ -4523,6 +4523,23 @@ def q_geotile_grid_agg(spark, sf_dir):
     )
 
 
+def q_semdedup_select(spark, sf_dir):
+    """SemDeDup (textops/semdedup.py, Abbas et al. 2023 arXiv:
+    2303.09540): deterministic spherical k-means clusters, within-cell
+    quantized cosine pairs, keep-rule = lowest (csim, id) exemplar
+    survives each duplicate neighbourhood. Rows-only by nature
+    (k-means + float matmul); tests/test_semdedup.py pins the full
+    pipeline against a pure-numpy mirror, exact per-row. τ=0.22 is
+    calibrated to the synthetic corpus's cosine range (near-random
+    vectors, max pairwise cos 0.48) so the gate exercises removal —
+    the mechanism is τ-independent."""
+    from la_fungus_search_spark.textops.semdedup import semdedup_select
+
+    return semdedup_select(
+        _embeddings(spark, sf_dir), n_clusters=8, tau=0.22, n_iters=3
+    )
+
+
 T_TEST_A = "lang = 'en'"
 T_TEST_B = "lang = 'de'"
 
@@ -5059,6 +5076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversified_sampler_agg": q_diversified_sampler_agg,
         "geo_distance_topk": q_geo_distance_topk,
         "geotile_grid_agg": q_geotile_grid_agg,
+        "semdedup_select": q_semdedup_select,
     }
 
 

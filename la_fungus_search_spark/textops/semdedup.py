@@ -1,0 +1,173 @@
+"""SemDeDup — semantic deduplication of an embedding corpus
+(Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication", arXiv:2303.09540).
+
+The published algorithm: k-means-cluster the embeddings, compute
+pairwise cosine similarities WITHIN each cluster only, and among every
+group of semantic duplicates (pairwise cos > τ) keep exactly the
+example with the LOWEST cosine similarity to its cluster centroid
+(the most "peripheral" exemplar — the paper's §3 keep-rule, chosen
+there to retain the least prototypical, most informative point).
+
+This implementation reuses the repo's deterministic distributed
+spherical k-means (:func:`similarity.ivf_train_centroids` — md5-seeded
+init, explicit map-side-combined Lloyd updates, bit-identical retrain)
+and makes the keep-rule ORDER-FREE: a vector is removed iff some
+same-cluster neighbour at cos ≥ τ has a strictly lower
+centroid-similarity (ties broken by lower id). That predicate is
+per-pair and monotone, so no iteration or greedy sweep is needed and
+the verdict is independent of partitioning. All comparisons act on
+micro-quantized integers (cos_micro, csim_q — the repo-wide
+quantize-then-compare contract), so float 1-ulp noise cannot flip a
+verdict between runs or engines.
+
+Note the removal semantics vs the paper's sequential sweep: within a
+duplicate CLIQUE both agree (only the min-csim member survives). On
+non-transitive chains (a~b, b~c, a≁c) the paper's outcome depends on
+its unspecified visit order; the order-free predicate here keeps
+exactly the locally-minimal members — a documented, deterministic
+choice.
+
+Physical shape at 100 TB: training is one corpus scan per Lloyd
+iteration with a KB-scale shuffle (see ivf_train_centroids); the
+assignment+centroid-similarity pass embeds the (k × dim) centroid
+matrix as a codegen literal and computes the argmax per row with JVM
+HOF dot products (fixed array-order reduction, no UDF, no join, no
+shuffle); the duplicate scan is ONE equi-self-join on the cluster id. Within-cluster pairwise work is
+Σ|cell|² — the algorithm's definition — bounded by choosing k ∝
+corpus_size/target_cell_size exactly as the paper does (they run
+k = 50k on LAION-440M, cells ≈ 9k); the join never degenerates to a
+cross product because the cluster id is an equi key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.textops.similarity import (
+    _dot,
+    _norm,
+    ivf_train_centroids,
+)
+
+SCALE = 1_000_000
+
+
+def semdedup_verdicts(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    tau: float = 0.95,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """(vec_id, cell, csim_q, keep) for every vector, ordered by
+    vec_id: its cluster, its micro-quantized cosine to the cluster
+    centroid, and the SemDeDup verdict (keep=false ⇔ a same-cluster
+    neighbour at cos ≥ τ is strictly more peripheral, i.e. has lower
+    (csim_q, id)). Pass ``centroids`` to reuse a trained quantizer
+    (the pytest oracle does, to pin everything downstream of
+    training; training itself is bit-identical on retrain — see
+    test_dedup_similarity's ivf determinism gate)."""
+    if not (0.0 < tau <= 1.0):
+        raise ValueError("tau must be in (0, 1]")
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            embeddings, n_centroids=n_clusters, n_iters=n_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    c = np.asarray(centroids, dtype="float64")
+    # assignment + centroid similarity in ONE join-free codegen pass:
+    # the (k × dim) centroid matrix rides as an array-of-arrays
+    # LITERAL and the argmax runs per row over k HOF dot products
+    # (centroids are unit vectors, so cos(v, cᵢ) = dot(v, cᵢ)/||v||).
+    # The argmax acts on micro-quantized scores with array_position's
+    # first-match as the smallest-cell tie-break, so the assignment is
+    # engine/order-invariant even where two centroids score within an
+    # ulp. No shuffle, no join — the per-row cost is k·dim multiplies,
+    # the quantizer's definition.
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in c]
+    )
+    v = F.col(vec_col)
+    sims = F.transform(
+        cents_lit,
+        lambda cv: F.round(
+            _dot(v, cv) / F.greatest(_norm(v), F.lit(1e-300)) * F.lit(float(SCALE))
+        ).cast("bigint"),
+    )
+    assigned = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("_v"),
+        sims.alias("_sims"),
+    ).select(
+        "vec_id",
+        (F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))) - 1)
+        .cast("int")
+        .alias("cell"),
+        F.array_max(F.col("_sims")).alias("csim_q"),
+        "_v",
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("cell"),
+        F.col("csim_q").alias("csim_a"), F.col("_v").alias("va"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("cell"),
+        F.col("csim_q").alias("csim_b"), F.col("_v").alias("vb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / F.greatest(
+        _norm(F.col("va")) * _norm(F.col("vb")), F.lit(1e-300)
+    )
+    tau_q = int(round(tau * SCALE))
+    pairs = (
+        a.join(b, ["cell"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("cos_micro", F.round(cos * F.lit(float(SCALE))).cast("bigint"))
+        .filter(F.col("cos_micro") >= F.lit(tau_q))
+    )
+    # removed ⇔ ∃ neighbour with strictly lower (csim, id) — the
+    # surviving exemplar of a clique is its (csim, id)-minimum
+    removed = (
+        pairs.filter(
+            (F.col("csim_b") < F.col("csim_a"))
+            | ((F.col("csim_b") == F.col("csim_a")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .select(F.col("id_a").alias("vec_id"))
+        .distinct()
+        .withColumn("_rm", F.lit(True))
+    )
+    return (
+        assigned.join(removed, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "csim_q",
+            F.coalesce(~F.col("_rm"), F.lit(True)).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def semdedup_select(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    tau: float = 0.95,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The kept slice: :func:`semdedup_verdicts` filtered to
+    keep=true → (vec_id, cell, csim_q), ordered by vec_id."""
+    return (
+        semdedup_verdicts(
+            embeddings, n_clusters=n_clusters, tau=tau, n_iters=n_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+        .filter(F.col("keep"))
+        .select("vec_id", "cell", "csim_q")
+        .orderBy("vec_id")
+    )
