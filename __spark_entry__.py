@@ -58,7 +58,12 @@ from la_fungus_search_spark.query.ranking import (
 )
 from la_fungus_search_spark.streaming.metrics import streamed_step_metrics
 from la_fungus_search_spark.textops import dedup, dsir, multimodal, pipeline, similarity, stats
-from la_fungus_search_spark.textops.rollup import cost_estimate, trail_degree, usage_rollup
+from la_fungus_search_spark.textops.rollup import (
+    cost_estimate,
+    sessionize as rollup_sessionize,
+    trail_degree,
+    usage_rollup,
+)
 from la_fungus_search_spark.tokenizer import duckdb_tokens_sql, tokenize_query
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -4540,6 +4545,25 @@ def q_semdedup_select(spark, sf_dir):
     )
 
 
+def q_geo_bounds_agg(spark, sf_dir):
+    """ES ``geo_bounds`` + ``geo_centroid`` per lang (query/geo.py):
+    four integer extremes + one terminal division per centroid
+    coordinate over PER-POINT micro-quantized coordinates — one
+    map-side-combined pass, all algebraic aggregates."""
+    return geo_ops.geo_bounds_agg(_documents(spark, sf_dir), "lang")
+
+
+SESSION_GAP_S = 1800
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (textops/rollup.py sessionize): per
+    user, sessions split at >30 min gaps on exact integer epoch
+    seconds; lag + running-sum windows over ONE user-keyed shuffle,
+    groupBy reuses the window's partitioning."""
+    return rollup_sessionize(_events(spark, sf_dir), gap_s=SESSION_GAP_S)
+
+
 T_TEST_A = "lang = 'en'"
 T_TEST_B = "lang = 'de'"
 
@@ -5077,6 +5101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance_topk": q_geo_distance_topk,
         "geotile_grid_agg": q_geotile_grid_agg,
         "semdedup_select": q_semdedup_select,
+        "geo_bounds_agg": q_geo_bounds_agg,
+        "sessionize": q_sessionize,
     }
 
 
@@ -7044,6 +7070,31 @@ FROM s WHERE rn <= 2 GROUP BY 1 ORDER BY 1
         "geotile_grid_agg": geo_ops.geotile_grid_oracle_sql(
             zoom=GEO_ZOOM, top_n=GEO_TOP_N
         ),
+        "geo_bounds_agg": geo_ops.geo_bounds_oracle_sql("lang"),
+        "sessionize": f"""
+WITH e AS (
+    SELECT user_id, floor(epoch(ts))::BIGINT AS t, event_id FROM events
+),
+f AS (
+    SELECT user_id, t, event_id,
+           CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                     > {SESSION_GAP_S}
+                THEN 1 ELSE 0 END AS new_s
+    FROM e
+),
+s AS (
+    SELECT user_id, t,
+           (sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1)::BIGINT
+               AS session_id
+    FROM f
+)
+SELECT user_id, session_id,
+       strftime(make_timestamp(min(t) * 1000000), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*)::BIGINT AS n_events,
+       (max(t) - min(t))::BIGINT AS duration_s
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "has_parent_topk": f"""
 WITH {_CHUNKS_SQL.strip()},
 {_bm25_base_cte()},

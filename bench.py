@@ -356,6 +356,17 @@ def bench_main(results: dict):
         "extended_stats_agg",
         "mad_agg",
         "cumulative_cardinality",
+        "percentiles_agg",
+        "string_stats_agg",
+        "t_test_agg",
+        "rate_agg",
+        "normalize_agg",
+        "diversified_sampler_agg",
+        "geo_distance_topk",
+        "geotile_grid_agg",
+        "semdedup_select",
+        "geo_bounds_agg",
+        "sessionize",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

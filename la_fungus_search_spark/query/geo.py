@@ -246,3 +246,67 @@ r AS (
 SELECT rank::INT AS rank, key, doc_count
 FROM r WHERE rank <= {int(top_n)} ORDER BY rank
 """
+
+
+def geo_bounds_agg(docs_df: DataFrame, group_col: str = "lang") -> DataFrame:
+    """ES ``geo_bounds`` + ``geo_centroid`` aggregations per group
+    over the synthetic points → ``(grp, n_docs, min_lat_micro,
+    max_lat_micro, min_lon_micro, max_lon_micro, centroid_lat_micro,
+    centroid_lon_micro)``. ES's bounds are top_left=(max_lat,
+    min_lon) / bottom_right=(min_lat, max_lon) — the four extremes
+    ship directly. Coordinates are PER-POINT micro-quantized to
+    BIGINTs before aggregation (the per-addend device), so min/max
+    and the centroid's sums are exact integers in any engine; each
+    centroid coordinate is one terminal division. NULL group keys
+    bucket as ``"(none)"``.
+
+    Physical shape: ONE map-side-combined groupBy pass — every output
+    is an algebraic aggregate over per-row codegen'd integers."""
+    pts = docs_df.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("(none)")).alias("grp"),
+        F.round(
+            (_u32_frac(F.col("doc_id"), "geo:lat") * F.lit(170.0) - F.lit(85.0))
+            * F.lit(1e6)
+        ).cast("bigint").alias("lat_q"),
+        F.round(
+            (_u32_frac(F.col("doc_id"), "geo:lon") * F.lit(360.0) - F.lit(180.0))
+            * F.lit(1e6)
+        ).cast("bigint").alias("lon_q"),
+    )
+    return (
+        pts.groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("lat_q").alias("min_lat_micro"),
+            F.max("lat_q").alias("max_lat_micro"),
+            F.min("lon_q").alias("min_lon_micro"),
+            F.max("lon_q").alias("max_lon_micro"),
+            F.round(F.sum("lat_q").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("centroid_lat_micro"),
+            F.round(F.sum("lon_q").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("centroid_lon_micro"),
+        )
+        .orderBy("grp")
+    )
+
+
+def geo_bounds_oracle_sql(group_col: str = "lang", src: str = "documents") -> str:
+    """DuckDB twin of :func:`geo_bounds_agg` — identical per-point
+    quantization and aggregate expressions."""
+    lat = f"round(({_u32_frac_sql('geo:lat')} * 170.0 - 85.0) * 1e6)::BIGINT"
+    lon = f"round(({_u32_frac_sql('geo:lon')} * 360.0 - 180.0) * 1e6)::BIGINT"
+    return f"""
+WITH pts AS (
+    SELECT coalesce({group_col}, '(none)') AS grp,
+           {lat} AS lat_q, {lon} AS lon_q
+    FROM {src}
+)
+SELECT grp, count(*)::BIGINT AS n_docs,
+       min(lat_q) AS min_lat_micro, max(lat_q) AS max_lat_micro,
+       min(lon_q) AS min_lon_micro, max(lon_q) AS max_lon_micro,
+       round(sum(lat_q)::DOUBLE / count(*))::BIGINT AS centroid_lat_micro,
+       round(sum(lon_q)::DOUBLE / count(*))::BIGINT AS centroid_lon_micro
+FROM pts GROUP BY 1 ORDER BY 1
+"""

@@ -19,7 +19,7 @@ A7; §2.9 json family).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -92,4 +92,64 @@ def json_props(df: DataFrame, json_col: str, fields: dict[str, str]) -> DataFram
     return df.select(
         "*",
         *[F.get_json_object(F.col(json_col), path).alias(name) for name, path in fields.items()],
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization (the ES ``transform``-style / classic
+    clickstream operator): per user, split the event stream into
+    sessions wherever the gap to the previous event exceeds
+    ``gap_s`` seconds → one row per session ``(user_id, session_id,
+    session_start, n_events, duration_s)``, session_id the user's
+    1-based session ordinal, session_start a formatted string
+    (date_histogram's portability device), duration exact integer
+    seconds (last − first event).
+
+    Determinism: the boundary predicate compares exact integer epoch
+    seconds (UTC-pinned session; ``unix_timestamp`` FLOORS sub-second
+    timestamps — the SQL twin mirrors with ``floor(epoch(ts))``),
+    ties within a second ordered by event_id — engine-invariant
+    everywhere.
+
+    Physical shape: the canonical two-window chain over ONE shuffle
+    keyed by user — lag to flag boundaries, running sum to number
+    sessions, then a groupBy((user, session)) that reuses the same
+    partitioning (no second shuffle of raw events: Spark keeps the
+    hash partitioning from the window for the aggregation). Per-user
+    state is a sort of that user's events — the operator's floor; at
+    100 TB the key is the user id, so skew follows user activity and
+    AQE's skew-join/agg handling applies."""
+    if gap_s <= 0:
+        raise ValueError("gap_s must be positive")
+    e = events.select(
+        F.col(user_col).alias("user_id"),
+        F.unix_timestamp(F.col(ts_col)).cast("bigint").alias("t"),
+        F.col("event_id"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("t"), F.asc("event_id"))
+    flagged = e.withColumn(
+        "new_s",
+        F.when(
+            F.col("t") - F.lag("t").over(w) > F.lit(int(gap_s)), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_id",
+        (F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)) + 1)
+        .cast("bigint"),
+    )
+    return (
+        flagged.groupBy("user_id", "session_id")
+        .agg(
+            F.date_format(
+                F.timestamp_seconds(F.min("t")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("session_start"),
+            F.count("*").cast("bigint").alias("n_events"),
+            (F.max("t") - F.min("t")).cast("bigint").alias("duration_s"),
+        )
+        .orderBy("user_id", "session_id")
     )

@@ -100,3 +100,24 @@ def test_geotile_rank_orders_count_then_key(spark):
     pairs = [(r.doc_count, r.key) for r in out]
     assert pairs == sorted(pairs, key=lambda t: (-t[0], t[1]))[: len(pairs)]
     assert [r.rank for r in out] == list(range(1, len(out) + 1))
+
+
+def test_geo_bounds_matches_recompute(spark):
+    from la_fungus_search_spark.query.geo import geo_bounds_agg
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else None) for i in range(40)],
+        schema="doc_id BIGINT, lang STRING",
+    )
+    out = {r.grp: r for r in geo_bounds_agg(df, "lang").collect()}
+    assert set(out) == {"en", "(none)"}
+    for grp, ids in (("en", range(1, 40, 2)), ("(none)", range(0, 40, 2))):
+        lat_q = [round((_frac(i, "geo:lat") * 170.0 - 85.0) * 1e6) for i in ids]
+        lon_q = [round((_frac(i, "geo:lon") * 360.0 - 180.0) * 1e6) for i in ids]
+        r = out[grp]
+        assert (r.n_docs, r.min_lat_micro, r.max_lat_micro) == (
+            len(lat_q), min(lat_q), max(lat_q),
+        )
+        assert (r.min_lon_micro, r.max_lon_micro) == (min(lon_q), max(lon_q))
+        assert r.centroid_lat_micro == round(sum(lat_q) / len(lat_q))
+        assert r.centroid_lon_micro == round(sum(lon_q) / len(lon_q))

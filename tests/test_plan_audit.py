@@ -185,6 +185,8 @@ AUDIT = [
     "diversified_sampler_agg",
     "geo_distance_topk",
     "geotile_grid_agg",
+    "geo_bounds_agg",
+    "sessionize",
 ]
 
 

@@ -145,3 +145,33 @@ def test_diversified_sampler_caps_per_value(spark):
     assert (b.n_sampled, b.n_values, b.sum_v) == (1, 1, 40)
     with pytest.raises(ValueError):
         diversified_sampler_agg(df, "lang", "source", "n_chars", max_per_value=0)
+
+
+def test_sessionize_gap_boundaries(spark):
+    from la_fungus_search_spark.textops.rollup import sessionize
+
+    base = datetime(2024, 5, 1, 12, 0, 0)
+    def at(sec):
+        return datetime.fromtimestamp(base.timestamp() + sec)
+    rows = [
+        # user 1: 3 events in one session, then a 2000s gap → new session
+        (1, at(0), 10), (1, at(100), 11), (1, at(1900), 12),
+        (1, at(3901), 13),
+        # exactly gap_s apart is NOT a boundary (strict >)
+        (2, at(0), 20), (2, at(1800), 21),
+        # same-second tie ordered by event_id
+        (3, at(0), 31), (3, at(0), 30),
+    ]
+    df = spark.createDataFrame(
+        [(u, ts, e, "t", 0.0, "{}") for u, ts, e in rows],
+        schema="user_id BIGINT, ts TIMESTAMP, event_id BIGINT, "
+               "event_type STRING, value DOUBLE, props STRING",
+    )
+    out = {(r.user_id, r.session_id): r for r in sessionize(df).collect()}
+    assert (out[(1, 1)].n_events, out[(1, 1)].duration_s) == (3, 1900)
+    assert (out[(1, 2)].n_events, out[(1, 2)].duration_s) == (1, 0)
+    assert (2, 2) not in out and out[(2, 1)].n_events == 2
+    assert out[(3, 1)].n_events == 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sessionize(df, gap_s=0)
