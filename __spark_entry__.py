@@ -4553,6 +4553,24 @@ def q_geo_bounds_agg(spark, sf_dir):
     return geo_ops.geo_bounds_agg(_documents(spark, sf_dir), "lang")
 
 
+INTERVALS_QUERIES = [
+    ([["table"], ["scan", "join"]], 2),
+    ([["hash", "merge"], ["sort"], ["batch", "stream"]], 4),
+    ([["filter"], ["part"]], 0),
+]
+
+
+def q_intervals_query(spark, sf_dir):
+    """ES ``intervals`` query (query/phrase.py intervals_query_topk):
+    all_of(ordered, max_gaps) over any_of term-set sources — the
+    composed form the flat span family can't express. One corpus
+    position-map pass serves all queries; greedy chain over slot
+    unions is exact existence (same argument as span_near)."""
+    return phrase_ops.intervals_query_topk(
+        _documents(spark, sf_dir), INTERVALS_QUERIES, 10
+    )
+
+
 SESSION_GAP_S = 1800
 
 
@@ -5103,6 +5121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_select": q_semdedup_select,
         "geo_bounds_agg": q_geo_bounds_agg,
         "sessionize": q_sessionize,
+        "intervals_query_topk": q_intervals_query,
     }
 
 
@@ -7071,6 +7090,9 @@ FROM s WHERE rn <= 2 GROUP BY 1 ORDER BY 1
             zoom=GEO_ZOOM, top_n=GEO_TOP_N
         ),
         "geo_bounds_agg": geo_ops.geo_bounds_oracle_sql("lang"),
+        "intervals_query_topk": phrase_ops.intervals_oracle_sql(
+            INTERVALS_QUERIES, 10
+        ),
         "sessionize": f"""
 WITH e AS (
     SELECT user_id, floor(epoch(ts))::BIGINT AS t, event_id FROM events

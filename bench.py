@@ -367,6 +367,7 @@ def bench_main(results: dict):
         "semdedup_select",
         "geo_bounds_agg",
         "sessionize",
+        "intervals_query_topk",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

@@ -1135,3 +1135,128 @@ ranked AS (
 SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, n_spans, first_pos
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
+
+
+# ------------------------------------------------------------- wave 13
+
+
+def _slot_positions(slot: Sequence[str]) -> Column:
+    """Union of the ``pm`` position arrays of a slot's alternative
+    terms (the ES intervals ``any_of`` source): absent terms
+    contribute an empty array, so the union is NULL-free and empty
+    only when NO alternative occurs."""
+    empty = F.array().cast("array<int>")
+    arr = empty
+    for t in slot:
+        arr = F.array_union(arr, F.coalesce(F.element_at("pm", F.lit(t)), empty))
+    return arr
+
+
+def _intervals_expr(slots: Sequence[Sequence[str]], max_gaps: int) -> Column:
+    """Matching starts of an ES ``intervals`` ``all_of(ordered=true,
+    max_gaps)`` whose sources are ``any_of`` term sets: starts ``s``
+    in slot 0's union from which the greedy chain (each next slot's
+    smallest union position strictly after the previous link) ends
+    within ``e − s − (m−1) <= max_gaps`` — the Lucene gap count
+    (interior positions not consumed by a source). Greedy minimizes
+    the end for a fixed start over any_of unions exactly as it does
+    over single terms (:func:`_spans_expr`), so greedy-existence is
+    exact existence. An empty slot union yields NULL chain → no
+    match, the all_of contract."""
+    m = len(slots)
+
+    def matches(s):
+        cur = s
+        for slot in slots[1:]:
+            cur = _next_after(_slot_positions(slot), cur)
+        return (cur - s - F.lit(m - 1)) <= F.lit(max_gaps)
+
+    return F.filter(_slot_positions(slots[0]), matches)
+
+
+def intervals_query_topk(
+    docs: DataFrame,
+    queries: Sequence[Tuple[Sequence[Sequence[str]], int]],
+    k: int = 10,
+) -> DataFrame:
+    """ES ``intervals`` query, the composed form the flat span family
+    cannot express: ``all_of(ordered=true, max_gaps=G)`` over
+    ``any_of`` sources — each query is (slots, max_gaps) where a slot
+    is the list of alternative terms filling that ordered position.
+    (With single-term slots this degenerates to ``span_near``
+    inOrder; the any_of nesting is the delta.) ``n_intervals`` =
+    matching starts, ``first_pos`` = min; ties → doc_id asc.
+
+    Physical shape: ONE corpus position-map pass serves every query
+    (the span-family scan shape — a (doc, term)-grouped shuffle of
+    query-term occurrences only); per-doc evaluation is pure JVM HOF
+    array algebra over the broadcast-free ``pm`` map."""
+    parsed = []
+    for slots, gaps in queries:
+        slots = [[t.lower() for t in slot] for slot in slots]
+        if not slots or any(not slot for slot in slots):
+            raise ValueError("every intervals slot needs >= 1 alternative")
+        if int(gaps) < 0:
+            raise ValueError("max_gaps must be >= 0")
+        parsed.append((slots, int(gaps)))
+    all_terms = sorted({t for slots, _ in parsed for slot in slots for t in slot})
+    pm = _term_pos_map(docs, all_terms)
+    per_q = []
+    for qid, (slots, gaps) in enumerate(parsed):
+        iv = _intervals_expr(slots, gaps)
+        per_q.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.coalesce(F.size(iv), F.lit(0)).alias("n_intervals"),
+                F.coalesce(F.array_min(iv), F.lit(-1)).alias("first_pos"),
+            )
+        )
+    hits = (
+        pm.select("doc_id", F.explode(F.array(*per_q)).alias("h"))
+        .select("doc_id", "h.query_id", "h.n_intervals", "h.first_pos")
+        .filter(F.col("n_intervals") > 0)
+    )
+    return _rank_topk(hits, k, "n_intervals")
+
+
+def intervals_oracle_sql(
+    queries: Sequence[Tuple[Sequence[Sequence[str]], int]], k: int = 10
+) -> str:
+    """DuckDB twin of :func:`intervals_query_topk`: slot unions as
+    IN-list position filters, the greedy chain as nested
+    list_min(list_filter(...)) steps (span_near_oracle_sql's
+    transcription)."""
+    toks = duckdb_tokens_sql("text")
+    branches = []
+    for qid, (slots, gaps) in enumerate(queries):
+        slots = [[t.lower() for t in slot] for slot in slots]
+        m = len(slots)
+        poscols = ", ".join(
+            "list_filter(range(1, len(toks) + 1), i -> toks[i] IN ({alts})) AS pos_{j}".format(
+                alts=", ".join(_sql_quote(t) for t in slot), j=j
+            )
+            for j, slot in enumerate(slots)
+        )
+        cur = "s"
+        for j in range(1, m):
+            cur = f"list_min(list_filter(pos_{j}, x{j} -> x{j} > ({cur})))"
+        cond = f"(({cur}) - s - {m - 1}) <= {int(gaps)}"
+        spans = f"list_filter(pos_0, s -> {cond})"
+        branches.append(
+            f"""SELECT query_id, doc_id, len({spans})::BIGINT AS n_intervals,
+       (list_min({spans}) - 1)::INT AS first_pos
+FROM (SELECT {qid} AS query_id, doc_id, {poscols} FROM tokd)"""
+        )
+    body = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+hits AS ({body}),
+matched AS (SELECT * FROM hits WHERE n_intervals > 0),
+ranked AS (
+    SELECT query_id, doc_id, n_intervals, first_pos,
+           row_number() OVER (PARTITION BY query_id ORDER BY n_intervals DESC, doc_id ASC) AS rank
+    FROM matched
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, n_intervals, first_pos
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""

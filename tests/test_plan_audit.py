@@ -187,6 +187,7 @@ AUDIT = [
     "geotile_grid_agg",
     "geo_bounds_agg",
     "sessionize",
+    "intervals_query_topk",
 ]
 
 

@@ -174,3 +174,88 @@ def test_span_containing_absent_side(docs):
     # little phrase absent from every doc → zero matches, no rows
     assert span_containing_topk(docs, [("table scan", "zebra")], k=10).count() == 0
     assert span_within_topk(docs, [("zebra stripe", "zebra")], k=10).count() == 0
+
+
+def test_intervals_any_of_within_ordered(spark):
+    from la_fungus_search_spark.query.phrase import intervals_query_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "table big scan"),          # table → scan, 1 gap
+            (1, "table big big big join"),  # 3 gaps > 2 → no match
+            (2, "join table"),              # wrong order → no match
+            (3, "table join"),              # 0 gaps, via the join alternative
+            (4, "scan table scan"),         # start at pos 1, 0 gaps
+        ],
+        schema="doc_id BIGINT, text STRING",
+    )
+    out = intervals_query_topk(docs, [([["table"], ["scan", "join"]], 2)], k=10)
+    got = [(r.doc_id, r.n_intervals, r.first_pos) for r in out.collect()]
+    assert got == [(0, 1, 0), (3, 1, 0), (4, 1, 1)]
+
+
+def test_intervals_greedy_is_exact_and_gap_boundary(spark):
+    from la_fungus_search_spark.query.phrase import intervals_query_topk
+    import pytest as _pytest
+
+    # a a b c : greedy from s=0 chains a(0)→b(2)→c(3): gaps = 3-0-2 = 1;
+    # from s=1: 3-1-2 = 0 — both starts match at max_gaps=1, only the
+    # second at max_gaps=0
+    docs = spark.createDataFrame(
+        [(0, "a a b c")], schema="doc_id BIGINT, text STRING"
+    )
+    q1 = intervals_query_topk(docs, [([["a"], ["b"], ["c"]], 1)], k=5).collect()
+    assert [(r.n_intervals, r.first_pos) for r in q1] == [(2, 0)]
+    q0 = intervals_query_topk(docs, [([["a"], ["b"], ["c"]], 0)], k=5).collect()
+    assert [(r.n_intervals, r.first_pos) for r in q0] == [(1, 1)]
+    with _pytest.raises(ValueError):
+        intervals_query_topk(docs, [([["a"], []], 1)])
+    with _pytest.raises(ValueError):
+        intervals_query_topk(docs, [([["a"], ["b"]], -1)])
+
+
+def test_intervals_matches_bruteforce(spark):
+    from la_fungus_search_spark.query.phrase import intervals_query_topk
+
+    words = ["t", "u", "v", "w"]
+    texts = []
+    rng_state = 12345
+    for i in range(40):
+        seq = []
+        for j in range(8):
+            rng_state = (rng_state * 1103515245 + 12345) % (1 << 31)
+            seq.append(words[rng_state % len(words)])
+        texts.append((i, " ".join(seq)))
+    docs = spark.createDataFrame(texts, schema="doc_id BIGINT, text STRING")
+    slots, gaps = [["t", "u"], ["v"], ["w", "u"]], 2
+
+    def brute(tokens):
+        m = len(slots)
+        starts = []
+        pos = [
+            [p for p, tk in enumerate(tokens) if tk in slot] for slot in slots
+        ]
+        for s in pos[0]:
+            # existence: ANY choice of later positions in order within gaps
+            def ok(level, cur):
+                if level == m:
+                    return True
+                return any(
+                    ok(level + 1, p)
+                    for p in pos[level]
+                    if p > cur and p - s - (m - 1) <= gaps
+                )
+            if ok(1, s):
+                starts.append(s)
+        return starts
+
+    expect = {}
+    for i, t in texts:
+        st = brute(t.split())
+        if st:
+            expect[i] = (len(st), min(st))
+    got = {
+        r.doc_id: (r.n_intervals, r.first_pos)
+        for r in intervals_query_topk(docs, [(slots, gaps)], k=100).collect()
+    }
+    assert got == expect
