@@ -4553,6 +4553,20 @@ def q_geo_bounds_agg(spark, sf_dir):
     return geo_ops.geo_bounds_agg(_documents(spark, sf_dir), "lang")
 
 
+def q_streaming_sessionize(spark, sf_dir):
+    """Streaming sessionization (streaming/metrics.py session_stream):
+    Spark-native session_window over the event stream, drained
+    availableNow — gap widened to gap_s+1 on second-floored
+    timestamps so the streaming merge predicate is IDENTICAL to the
+    batch sessionize split rule; the oracle is the batch SQL minus
+    the ordinal."""
+    from la_fungus_search_spark.streaming.metrics import streamed_sessions
+
+    return streamed_sessions(spark, sf_dir, gap_s=SESSION_GAP_S).orderBy(
+        "user_id", "session_start"
+    )
+
+
 INTERVALS_QUERIES = [
     ([["table"], ["scan", "join"]], 2),
     ([["hash", "merge"], ["sort"], ["batch", "stream"]], 4),
@@ -5122,6 +5136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_bounds_agg": q_geo_bounds_agg,
         "sessionize": q_sessionize,
         "intervals_query_topk": q_intervals_query,
+        "streaming_sessionize": q_streaming_sessionize,
     }
 
 
@@ -7116,6 +7131,30 @@ SELECT user_id, session_id,
        count(*)::BIGINT AS n_events,
        (max(t) - min(t))::BIGINT AS duration_s
 FROM s GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "streaming_sessionize": f"""
+WITH e AS (
+    SELECT user_id, floor(epoch(ts))::BIGINT AS t, event_id FROM events
+),
+f AS (
+    SELECT user_id, t, event_id,
+           CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                     > {SESSION_GAP_S}
+                THEN 1 ELSE 0 END AS new_s
+    FROM e
+),
+s AS (
+    SELECT user_id, t,
+           (sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1)::BIGINT
+               AS session_id
+    FROM f
+)
+SELECT user_id,
+       strftime(make_timestamp(min(t) * 1000000), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*)::BIGINT AS n_events,
+       (max(t) - min(t))::BIGINT AS duration_s
+FROM s GROUP BY user_id, session_id ORDER BY 1, 2
 """,
         "has_parent_topk": f"""
 WITH {_CHUNKS_SQL.strip()},

@@ -368,6 +368,7 @@ def bench_main(results: dict):
         "geo_bounds_agg",
         "sessionize",
         "intervals_query_topk",
+        "streaming_sessionize",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

@@ -93,3 +93,62 @@ def run_available_now(
 def streamed_step_metrics(spark: SparkSession, events_dir: str, **kwargs) -> DataFrame:
     """ST1/ST2 end-to-end: stream → windowed rollup → drained result."""
     return run_available_now(step_metrics_stream(spark, events_dir, **kwargs))
+
+
+def session_stream(
+    spark: SparkSession,
+    events_dir: str,
+    gap_s: int = 1800,
+    glob: str = "events.parquet",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming gap-based sessionization with Spark's native
+    ``session_window`` — the streaming twin of
+    ``textops.rollup.sessionize`` → (user_id, session_start,
+    n_events, duration_s) per closed session.
+
+    Boundary parity device: the batch operator splits on integer-
+    second gaps STRICTLY GREATER than ``gap_s`` (an event exactly
+    ``gap_s`` later still merges). ``session_window``'s merge is
+    INCLUSIVE of the window end (measured: a Δ=gap pair merges —
+    an event at exactly ``last + gap`` joins the session), i.e.
+    merge ⇔ Δt ≤ gap — already identical to the batch rule once
+    timestamps are truncated to whole seconds
+    (``timestamp_seconds(unix_timestamp(ts))``, the same floor the
+    batch path applies), so the gap passes through UNCHANGED. The
+    sf0.01 corpus contains a Δ=1801 pair (user 69) that pins this
+    boundary in the gate.
+
+    Physical shape: session-window state is per-user and merges
+    incrementally per micro-batch (Spark's native session merge);
+    at scale this runs in update/append mode with a watermark
+    evicting closed sessions — the gate drains availableNow in
+    complete mode for a deterministic batch-equal result."""
+    if gap_s <= 0:
+        raise ValueError("gap_s must be positive")
+    schema = spark.read.option("pathGlobFilter", glob).parquet(events_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+    t = F.timestamp_seconds(F.unix_timestamp(F.col(ts_col).cast("timestamp")))
+    return (
+        src.withColumn("_t", t)
+        .groupBy("user_id", F.session_window("_t", f"{int(gap_s)} seconds").alias("sw"))
+        .agg(
+            F.date_format(F.min("_t"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.count("*").cast("bigint").alias("n_events"),
+            (F.unix_timestamp(F.max("_t")) - F.unix_timestamp(F.min("_t")))
+            .cast("bigint")
+            .alias("duration_s"),
+        )
+        .select("user_id", "session_start", "n_events", "duration_s")
+    )
+
+
+def streamed_sessions(spark: SparkSession, events_dir: str, **kwargs) -> DataFrame:
+    """Streaming sessionization end-to-end: stream → session_window →
+    drained batch-equal result."""
+    return run_available_now(session_stream(spark, events_dir, **kwargs))

@@ -371,3 +371,48 @@ def test_append_build_empty_batch_is_identity(spark):
     b = [(r.doc_id, round(r.score, 9))
          for r in BM25QueryEngine(new).search(["pheromone decay kernel"], k=5).collect()]
     assert a == b
+
+
+def test_streaming_sessionize_equals_batch(spark, tmp_path):
+    from datetime import datetime
+    from la_fungus_search_spark.streaming.metrics import streamed_sessions
+    from la_fungus_search_spark.textops.rollup import sessionize
+
+    base = datetime(2024, 6, 1, 8, 0, 0)
+    def at(sec):
+        return datetime.fromtimestamp(base.timestamp() + sec)
+    rows = [
+        (1, at(0), 1), (1, at(1800), 2),    # Δ = gap exactly → merge
+        (2, at(0), 3), (2, at(1801), 4),    # Δ = gap+1 → split
+        (3, at(0), 5), (3, at(100), 6), (3, at(5000), 7),
+    ]
+    import pandas as pd
+
+    # a single FILE named events.parquet (the source glob contract)
+    d = str(tmp_path / "events.parquet")
+    pd.DataFrame(
+        {
+            "user_id": [u for u, _, _ in rows],
+            "ts": pd.to_datetime([ts for _, ts, _ in rows]).astype(
+                "datetime64[us]"
+            ),
+            "event_id": [e for _, _, e in rows],
+            "event_type": "t",
+            "value": 0.0,
+            "props": "{}",
+        }
+    ).to_parquet(d)
+    got = sorted(
+        (r.user_id, r.session_start, r.n_events, r.duration_s)
+        for r in streamed_sessions(spark, str(tmp_path)).collect()
+    )
+    expect = sorted(
+        (r.user_id, r.session_start, r.n_events, r.duration_s)
+        for r in sessionize(spark.read.parquet(d)).collect()
+    )
+    assert got == expect
+    # the two boundary users landed on opposite sides of the gap
+    per_user = {}
+    for u, *_ in got:
+        per_user[u] = per_user.get(u, 0) + 1
+    assert per_user == {1: 1, 2: 2, 3: 2}
