@@ -4585,6 +4585,21 @@ def q_intervals_query(spark, sf_dir):
     )
 
 
+TERMS_LOOKUP_DOC = 7
+
+
+def q_terms_lookup_topk(spark, sf_dir):
+    """ES terms query with terms LOOKUP (query/parentchild.py
+    terms_lookup_topk): the term set reads from stored doc 7's
+    tokenized text at query time; docs rank by distinct lookup-term
+    overlap (constant-score filter context in ES). Broadcast
+    one-doc term dim → equi join → map-side-combined count →
+    take-ordered k."""
+    return parentchild_ops.terms_lookup_topk(
+        _documents(spark, sf_dir), TERMS_LOOKUP_DOC, 10
+    )
+
+
 SESSION_GAP_S = 1800
 
 
@@ -5137,6 +5152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "intervals_query_topk": q_intervals_query,
         "streaming_sessionize": q_streaming_sessionize,
+        "terms_lookup_topk": q_terms_lookup_topk,
     }
 
 
@@ -7108,6 +7124,21 @@ FROM s WHERE rn <= 2 GROUP BY 1 ORDER BY 1
         "intervals_query_topk": phrase_ops.intervals_oracle_sql(
             INTERVALS_QUERIES, 10
         ),
+        "terms_lookup_topk": f"""
+WITH tokd AS (SELECT doc_id, list_distinct({_tok_sql('text')}) AS toks FROM documents),
+lk AS (SELECT DISTINCT unnest(toks) AS term FROM tokd WHERE doc_id = {TERMS_LOOKUP_DOC}),
+occ AS (SELECT doc_id, unnest(toks) AS term FROM tokd),
+c AS (
+    SELECT doc_id, count(*)::BIGINT AS n_matched
+    FROM occ JOIN lk USING (term) GROUP BY 1
+),
+r AS (
+    SELECT row_number() OVER (ORDER BY n_matched DESC, doc_id ASC) AS rank,
+           doc_id, n_matched
+    FROM c
+)
+SELECT rank::INT AS rank, doc_id, n_matched FROM r WHERE rank <= 10 ORDER BY rank
+""",
         "sessionize": f"""
 WITH e AS (
     SELECT user_id, floor(epoch(ts))::BIGINT AS t, event_id FROM events

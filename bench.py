@@ -369,6 +369,7 @@ def bench_main(results: dict):
         "sessionize",
         "intervals_query_topk",
         "streaming_sessionize",
+        "terms_lookup_topk",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

@@ -113,3 +113,42 @@ def has_parent_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def terms_lookup_topk(docs: DataFrame, lookup_doc_id: int, k: int = 10) -> DataFrame:
+    """ES ``terms`` query with TERMS LOOKUP: the term set is read from
+    another stored document at query time (the ``index``/``id``/
+    ``path`` form) instead of the request body — here the lookup doc
+    is a corpus document and the path its tokenized text. Docs
+    containing ≥ 1 lookup term rank by the number of DISTINCT lookup
+    terms they contain (ES executes this in constant-score filter
+    context; distinct-overlap is the deterministic rank a top-k gate
+    needs), ties doc_id asc → ``(rank, doc_id, n_matched)``. The
+    lookup doc itself matches too, as in ES.
+
+    Physical shape: the lookup term set is one document's distinct
+    tokens — a broadcast-sized dim joined per-term onto the corpus'
+    distinct (doc, term) pairs (equi hash join, no scan of
+    non-matching terms survives the join); one map-side-combined
+    count per doc, then TakeOrderedAndProject(k)."""
+    from la_fungus_search_spark.tokenizer import tokens_expr
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    toks = F.array_distinct(tokens_expr("text"))
+    lookup = (
+        docs.filter(F.col("doc_id") == int(lookup_doc_id))
+        .select(F.explode(toks).alias("term"))
+    )
+    occ = docs.select("doc_id", F.explode(toks).alias("term"))
+    counts = (
+        occ.join(F.broadcast(lookup), "term")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_matched"))
+    )
+    top = counts.orderBy(F.desc("n_matched"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("n_matched"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).alias("rank"), "doc_id", "n_matched"
+    ).orderBy("rank")

@@ -82,3 +82,25 @@ def test_validation(spark, child_setup):
         has_child_topk(eng, parent_of, QUERIES, score_mode="geometric")
     with pytest.raises(ValueError):
         has_child_topk(eng, parent_of, QUERIES, min_children=0)
+
+
+def test_terms_lookup_ranks_by_distinct_overlap(spark):
+    from la_fungus_search_spark.query.parentchild import terms_lookup_topk
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),          # the lookup doc
+            (1, "alpha beta gamma delta"),    # 3 distinct lookup terms
+            (2, "alpha alpha alpha"),         # repeats count once
+            (3, "beta gamma"),                # 2
+            (4, "delta epsilon"),             # 0 → absent
+        ],
+        schema="doc_id BIGINT, text STRING",
+    )
+    out = [(r.rank, r.doc_id, r.n_matched)
+           for r in terms_lookup_topk(docs, 0, k=10).collect()]
+    # the lookup doc itself matches (ES behavior); ties → doc_id asc
+    assert out == [(1, 0, 3), (2, 1, 3), (3, 3, 2), (4, 2, 1)]
+    with _pytest.raises(ValueError):
+        terms_lookup_topk(docs, 0, k=0)

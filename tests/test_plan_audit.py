@@ -188,6 +188,7 @@ AUDIT = [
     "geo_bounds_agg",
     "sessionize",
     "intervals_query_topk",
+    "terms_lookup_topk",
 ]
 
 
