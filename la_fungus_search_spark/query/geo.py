@@ -87,7 +87,10 @@ def _haversine_mm(lat, lon, lat0: float, lon0: float):
     a = F.sin(dphi / F.lit(2.0)) * F.sin(dphi / F.lit(2.0)) + F.cos(p1) * F.cos(
         p0
     ) * F.sin(dlam / F.lit(2.0)) * F.sin(dlam / F.lit(2.0))
-    d = F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+    # near-antipodal float error can push a past 1.0, where asin is
+    # NaN — clamp (mirrored in the oracle) so the row degrades to the
+    # true ~πR distance instead of vanishing engine-dependently
+    d = F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
     return F.round(d * F.lit(1000.0)).cast("bigint")
 
 
@@ -198,11 +201,11 @@ def geo_distance_oracle_sql(
 WITH pts AS ({_points_sql(src)}),
 d AS (
     SELECT doc_id, lat, lon,
-           round({two_r} * asin(sqrt(
+           round({two_r} * asin(sqrt(least(
                sin(radians(lat - {lat0}) / 2.0) * sin(radians(lat - {lat0}) / 2.0)
                + cos(radians(lat)) * cos({lat0r})
                  * sin(radians(lon - {lon0}) / 2.0) * sin(radians(lon - {lon0}) / 2.0)
-           )) * 1000.0)::BIGINT AS dist_mm
+           , 1.0))) * 1000.0)::BIGINT AS dist_mm
     FROM pts
 ),
 f AS (SELECT * FROM d WHERE dist_mm <= {int(radius_m)}::BIGINT * 1000),
