@@ -41,6 +41,10 @@ BNLJ_ALLOWED = {
     # (crossJoin of an agg over one row) — Spark plans any crossJoin
     # as BNLJ; here the build side is exactly 1 row, cost-free
     "collocations",
+    # same device: the ≤B-row hashed-ngram profile table crossJoins
+    # the 1-row corpus totals to fold λ (dsir.py:117) — build side is
+    # exactly 1 row, the corpus never enters a non-equi join
+    "dsir_select",
     # consumes the T4 substring-keyword channel (same containment BNLJ
     # as keyword_score_topk) as one RRF fusion leg
     "rrf_fusion_topk",
@@ -176,6 +180,17 @@ AUDIT = [
     "bucket_pipeline_agg",
     "random_score_topk",
     "field_value_factor_topk",
+    # eleventh/twelfth wave
+    "span_or_topk",
+    "has_parent_topk",
+    "span_containing_topk",
+    "span_within_topk",
+    "dsir_select",
+    "filters_agg",
+    "cardinality_agg",
+    "extended_stats_agg",
+    "mad_agg",
+    "cumulative_cardinality",
     # thirteenth wave
     "percentiles_agg",
     "string_stats_agg",
