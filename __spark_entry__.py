@@ -4545,6 +4545,17 @@ def q_semdedup_select(spark, sf_dir):
     )
 
 
+def q_geohash_grid_agg(spark, sf_dir):
+    """ES ``geohash_grid`` aggregation (query/geo.py
+    geohash_grid_agg): precision-2 base-32 geohash cells over the
+    synthetic points, top-20 fullest — pure integer bit-interleave
+    over floor-quantized dyadic fractions (no quantization step
+    needed), map-side-combined groupBy, take-ordered top-n."""
+    return geo_ops.geohash_grid_agg(
+        _documents(spark, sf_dir), precision=2, top_n=GEO_TOP_N
+    )
+
+
 def q_geo_bounds_agg(spark, sf_dir):
     """ES ``geo_bounds`` + ``geo_centroid`` per lang (query/geo.py):
     four integer extremes + one terminal division per centroid
@@ -5153,6 +5164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intervals_query_topk": q_intervals_query,
         "streaming_sessionize": q_streaming_sessionize,
         "terms_lookup_topk": q_terms_lookup_topk,
+        "geohash_grid_agg": q_geohash_grid_agg,
     }
 
 
@@ -7121,6 +7133,9 @@ FROM s WHERE rn <= 2 GROUP BY 1 ORDER BY 1
             zoom=GEO_ZOOM, top_n=GEO_TOP_N
         ),
         "geo_bounds_agg": geo_ops.geo_bounds_oracle_sql("lang"),
+        "geohash_grid_agg": geo_ops.geohash_grid_oracle_sql(
+            precision=2, top_n=GEO_TOP_N
+        ),
         "intervals_query_topk": phrase_ops.intervals_oracle_sql(
             INTERVALS_QUERIES, 10
         ),

@@ -370,6 +370,7 @@ def bench_main(results: dict):
         "intervals_query_topk",
         "streaming_sessionize",
         "terms_lookup_topk",
+        "geohash_grid_agg",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

@@ -313,3 +313,108 @@ SELECT grp, count(*)::BIGINT AS n_docs,
        round(sum(lon_q)::DOUBLE / count(*))::BIGINT AS centroid_lon_micro
 FROM pts GROUP BY 1 ORDER BY 1
 """
+
+
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_bit_positions(precision: int) -> tuple[int, int, list, list]:
+    """(lonbits, latbits, lon_pos, lat_pos): geohash interleaves bits
+    MSB-first starting with LONGITUDE, so with ``bits = 5·precision``
+    lon bit j (j=0 is LSB) lands at combined position ``2j`` when
+    bits is odd else ``2j+1``, and lat bit j at the complement —
+    derived once here and shared by the Spark expression and the SQL
+    twin (the one-function constant-source contract)."""
+    bits = 5 * precision
+    lonbits = (bits + 1) // 2
+    latbits = bits // 2
+    odd = bits % 2 == 1
+    lon_pos = [2 * j if odd else 2 * j + 1 for j in range(lonbits)]
+    lat_pos = [2 * j + 1 if odd else 2 * j for j in range(latbits)]
+    return lonbits, latbits, lon_pos, lat_pos
+
+
+def geohash_grid_agg(
+    docs_df: DataFrame, precision: int = 2, top_n: int = 20, id_col: str = "doc_id"
+) -> DataFrame:
+    """ES ``geohash_grid`` aggregation: bucket every synthetic point
+    into its base-32 geohash cell at ``precision`` characters and
+    return the ``top_n`` fullest cells → ``(rank, key, doc_count)``
+    ordered (doc_count DESC, key ASC). The cell index is pure integer
+    bit arithmetic over ``floor``-quantized lat/lon fractions (exact
+    dyadic inputs — the md5-fraction device), then 5-bit groups map
+    through the standard alphabet — every step engine-invariant, so
+    the gate hash-matches without a quantization step.
+
+    Physical shape: identical to :func:`geotile_grid_agg` — per-row
+    codegen index, map-side-combined groupBy on ≤ 32^precision keys,
+    take-ordered top-n."""
+    if not (1 <= precision <= 8):
+        raise ValueError("precision must be in [1, 8]")
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    lonbits, latbits, lon_pos, lat_pos = _geohash_bit_positions(precision)
+    pts = geo_points(docs_df, id_col=id_col)
+    x = F.floor((F.col("lon") + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lonbits))).cast("bigint")
+    y = F.floor((F.col("lat") + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << latbits))).cast("bigint")
+    x = F.least(F.greatest(x, F.lit(0)), F.lit((1 << lonbits) - 1))
+    y = F.least(F.greatest(y, F.lit(0)), F.lit((1 << latbits) - 1))
+    combined = F.lit(0).cast("bigint")
+    for j, p in enumerate(lon_pos):
+        combined = combined + F.shiftleft(F.shiftright(x, j).bitwiseAND(F.lit(1)), p)
+    for j, p in enumerate(lat_pos):
+        combined = combined + F.shiftleft(F.shiftright(y, j).bitwiseAND(F.lit(1)), p)
+    chars_arr = F.array(*[F.lit(c) for c in GEOHASH32])
+    key = F.concat(
+        *[
+            F.element_at(
+                chars_arr,
+                (
+                    F.shiftright(combined, 5 * (precision - 1 - i)).bitwiseAND(F.lit(31))
+                    + 1
+                ).cast("int"),
+            )
+            for i in range(precision)
+        ]
+    )
+    counts = pts.select(key.alias("key")).groupBy("key").agg(
+        F.count("*").cast("bigint").alias("doc_count")
+    )
+    top = counts.orderBy(F.desc("doc_count"), F.asc("key")).limit(top_n)
+    w = Window.orderBy(F.desc("doc_count"), F.asc("key"))
+    return top.select(
+        F.row_number().over(w).alias("rank"), "key", "doc_count"
+    ).orderBy("rank")
+
+
+def geohash_grid_oracle_sql(
+    precision: int = 2, top_n: int = 20, src: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`geohash_grid_agg` — the same bit
+    positions from :func:`_geohash_bit_positions`, transcribed with
+    native shift/mask operators."""
+    lonbits, latbits, lon_pos, lat_pos = _geohash_bit_positions(precision)
+    terms = [f"(((x >> {j}) & 1) << {p})" for j, p in enumerate(lon_pos)]
+    terms += [f"(((y >> {j}) & 1) << {p})" for j, p in enumerate(lat_pos)]
+    combined = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('{GEOHASH32}', ((c >> {5 * (precision - 1 - i)}) & 31)::INT + 1, 1)"
+        for i in range(precision)
+    )
+    return f"""
+WITH pts AS ({_points_sql(src)}),
+q AS (
+    SELECT least(greatest(floor((lon + 180.0) / 360.0 * {float(1 << lonbits)})::BIGINT, 0),
+                 {(1 << lonbits) - 1}) AS x,
+           least(greatest(floor((lat + 90.0) / 180.0 * {float(1 << latbits)})::BIGINT, 0),
+                 {(1 << latbits) - 1}) AS y
+    FROM pts
+),
+g AS (SELECT ({combined})::BIGINT AS c FROM q),
+k AS (SELECT {chars} AS key, count(*)::BIGINT AS doc_count FROM g GROUP BY 1),
+r AS (
+    SELECT row_number() OVER (ORDER BY doc_count DESC, key ASC) AS rank, key, doc_count
+    FROM k
+)
+SELECT rank::INT AS rank, key, doc_count FROM r WHERE rank <= {int(top_n)} ORDER BY rank
+"""

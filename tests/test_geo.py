@@ -121,3 +121,54 @@ def test_geo_bounds_matches_recompute(spark):
         assert (r.min_lon_micro, r.max_lon_micro) == (min(lon_q), max(lon_q))
         assert r.centroid_lat_micro == round(sum(lat_q) / len(lat_q))
         assert r.centroid_lon_micro == round(sum(lon_q) / len(lon_q))
+
+
+def _geohash_reference(lat, lon, precision):
+    """Canonical interval-bisection geohash encoder (textbook form,
+    independent of the bit-position arithmetic under test)."""
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_lo, lat_hi, lon_lo, lon_hi = -90.0, 90.0, -180.0, 180.0
+    bits, ch, out, even = 0, 0, [], True
+    while len(out) < precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                ch = ch * 2 + 1
+                lon_lo = mid
+            else:
+                ch = ch * 2
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                ch = ch * 2 + 1
+                lat_lo = mid
+            else:
+                ch = ch * 2
+                lat_hi = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(alphabet[ch])
+            bits, ch = 0, 0
+    return "".join(out)
+
+
+def test_geohash_matches_reference_encoder(spark):
+    from la_fungus_search_spark.query.geo import geohash_grid_agg
+
+    for precision in (1, 2, 3):
+        got = {r.key: r.doc_count for r in
+               geohash_grid_agg(_docs(spark, 80), precision=precision,
+                                top_n=10000).collect()}
+        expect = {}
+        for i in range(80):
+            lat, lon = _point(i)
+            k = _geohash_reference(lat, lon, precision)
+            expect[k] = expect.get(k, 0) + 1
+        assert got == expect, precision
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        geohash_grid_agg(_docs(spark), precision=0)
+    with _pytest.raises(ValueError):
+        geohash_grid_agg(_docs(spark), top_n=0)

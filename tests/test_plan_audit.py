@@ -204,6 +204,7 @@ AUDIT = [
     "sessionize",
     "intervals_query_topk",
     "terms_lookup_topk",
+    "geohash_grid_agg",
 ]
 
 
