@@ -16,10 +16,21 @@ DuckDB oracle in ``__spark_entry__.py`` reproduces them bit-for-bit.
 from la_fungus_search_spark.textops import (
     ann_index,
     dedup,
+    dsir,
     multimodal,
     pipeline,
+    semdedup,
     similarity,
     stats,
 )
 
-__all__ = ["stats", "dedup", "similarity", "multimodal", "pipeline", "ann_index"]
+__all__ = [
+    "stats",
+    "dedup",
+    "dsir",
+    "semdedup",
+    "similarity",
+    "multimodal",
+    "pipeline",
+    "ann_index",
+]
