@@ -58,6 +58,7 @@ from la_fungus_search_spark.query.ranking import (
 )
 from la_fungus_search_spark.streaming.metrics import streamed_step_metrics
 from la_fungus_search_spark.textops import dedup, dsir, multimodal, pipeline, similarity, stats
+from la_fungus_search_spark.textops import filters as filters_ops
 from la_fungus_search_spark.textops.rollup import (
     cost_estimate,
     sessionize as rollup_sessionize,
@@ -4935,6 +4936,175 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_bm25_topk(spark, SF_SMOKE)
 
 
+
+# ---------------------------------------------------------------- wave 14
+# ES agg close-outs (boxplot / top_metrics / sibling pipeline aggs /
+# bucket_script / missing+global), named LLM-curation rule sets
+# (Gopher, C4), and Damerau ed-1 fuzzy (the Lucene FuzzyQuery default
+# metric). All value-oracled.
+
+# Damerau fixtures: adjacent-transposition typos of corpus vocabulary
+# terms — DL distance 1 but CLASSIC Levenshtein 2, so the plain fuzzy
+# ball misses them; the last query expands to nothing (empty path).
+DAMERAU_QUERIES = [
+    "tbale sacn",    # "table"/"scan" via adjacent swaps
+    "windwo sort",   # transposition + exact vocabulary term
+    "mereg",         # "merge" with the last two letters swapped
+    "qzzqx",         # expands to nothing
+]
+
+
+def q_boxplot_agg(spark, sf_dir):
+    """ES ``boxplot`` metric agg (facets.boxplot_agg): per-lang
+    min/max/q1/q2/q3 as EXACT type-1 order statistics + the 1.5-IQR
+    whiskers with integer fence tests (2v >= 2q1-3IQR) — no float
+    product anywhere, engine-invariant where ES t-digests."""
+    return facet_ops.boxplot_agg(_documents(spark, sf_dir), "lang", "n_chars")
+
+
+def q_top_metrics_agg(spark, sf_dir):
+    """ES ``top_metrics`` (facets.top_metrics_agg): per event_type,
+    the 3 latest readings by (ts DESC, event_id ASC) — the tie pin
+    makes the pick engine-invariant; metric micro-quantized, sort key
+    emitted as a formatted string."""
+    return facet_ops.top_metrics_agg(
+        _events(spark, sf_dir), "event_type", "ts", "value", size=3
+    )
+
+
+def q_bucket_siblings(spark, sf_dir):
+    """ES sibling pipeline aggs (facets.bucket_siblings): max_bucket/
+    min_bucket/avg_bucket/sum_bucket/stats_bucket-count over the
+    daily doc_count series; extreme rows carry the comma-joined
+    (sorted) tie key lists, the ES keys-are-a-list contract."""
+    return facet_ops.bucket_siblings(_events(spark, sf_dir))
+
+
+def q_bucket_script_agg(spark, sf_dir):
+    """ES ``bucket_script`` (facets.bucket_script_agg): per-day CTR =
+    clicks/total from two sibling metrics of one histogram pass,
+    micro-quantized single division per bucket."""
+    return facet_ops.bucket_script_agg(_events(spark, sf_dir))
+
+
+def q_missing_agg(spark, sf_dir):
+    """ES ``missing`` + ``global`` aggs (facets.missing_agg): the
+    corpus has no NULLs, so the gate nullifies lang='de'
+    deterministically (CASE WHEN lang <> 'de' THEN lang END — the
+    planted-fixture device, mirrored verbatim in the oracle) and
+    buckets the docs LACKING the field with a sum sub-metric beside
+    the global denominator row."""
+    d = _documents(spark, sf_dir).select(
+        F.when(F.col("lang") != "de", F.col("lang")).alias("lang_m"),
+        "n_chars",
+    )
+    return facet_ops.missing_agg(d, "lang_m", "n_chars")
+
+
+def _webtext_aug(spark, sf_dir) -> DataFrame:
+    """documents restructured into pseudo-web text for the C4/Gopher
+    rule gates (the corpus is flat synthetic words — no lines or
+    punctuation — so the rules would all fire one way): sentence
+    breaks planted at every ' scan ' occurrence, then deterministic
+    doc_id-keyed mutations exercise each rule — tiny docs, bullet
+    blocks, ellipsis endings, 'lorem ipsum', a code brace, and a
+    symbol burst. Pure replace/concat/CASE — mirrored verbatim in
+    the oracle CTE (first-match-wins order preserved)."""
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    base = F.replace(
+        F.coalesce(F.col("text"), F.lit("")), F.lit(" scan "), F.lit(".\n scan ")
+    )
+    t2 = (
+        F.when(F.col("doc_id") % 17 == 0, F.lit("tiny doc."))
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit("- alpha beta gamma delta one.\n- two three four five six.\n"),
+                base,
+            ),
+        )
+        .when(F.col("doc_id") % 11 == 0, F.concat(base, F.lit("\nto be continued...")))
+        .when(
+            F.col("doc_id") % 29 == 0,
+            F.concat(base, F.lit("\nthis page contains lorem ipsum filler text.")),
+        )
+        .when(
+            F.col("doc_id") % 31 == 0,
+            F.concat(base, F.lit("\nfunction f() { return 1; }")),
+        )
+        .when(
+            F.col("doc_id") % 23 == 0,
+            F.concat(base, F.lit(" "), F.repeat(F.lit("# "), 40)),
+        )
+        .otherwise(base)
+    )
+    return d.select("doc_id", t2.alias("text"))
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality-filter rule flags (textops/filters.py, Rae et
+    al. 2021 arXiv:2112.11446 App. A1.1) over the planted web-text
+    corpus: 7 rules as cross-multiplied integer comparisons + the
+    keep conjunction; every rule input rides the output."""
+    return filters_ops.gopher_rules(_webtext_aug(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_c4_rules(spark, sf_dir):
+    """C4 cleaning rules (textops/filters.py, Raffel et al. 2020
+    arXiv:1910.10683 SS2.2) over the planted web-text corpus:
+    line-level terminal-punctuation + min-words keep, page-level
+    sentence floor / lorem-ipsum / brace rejects; the cleaned text
+    travels as sha256 so reconstruction is byte-pinned."""
+    return filters_ops.c4_rules(_webtext_aug(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_fuzzy_damerau_topk(spark, sf_dir):
+    """Damerau fuzzy retrieval (query/expand.py, the Lucene
+    FuzzyQuery DEFAULT — transpositions:true): the ed-1 ball gains
+    adjacent swaps and becomes exactly the DL<=1 ball over the closed
+    token alphabet; 'tbale' reaches 'table' at distance 1 where the
+    classic ball (fuzzy_query_topk) cannot. Same broadcast
+    variant-equi-join shape — vocabulary metadata only, the corpus
+    and postings untouched by candidate resolution."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    hits = expand_ops.search_fuzzy(
+        eng, DAMERAU_QUERIES, k=30, max_edits=1, max_expansions=50, transpositions=True
+    )
+    return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+def _damerau_oracle_sql(k: int = 10) -> str:
+    """DuckDB twin of q_fuzzy_damerau_topk: candidates = vocabulary
+    terms with damerau_levenshtein(qterm, term) <= 1 (DuckDB's DL ==
+    the transposition-extended variant ball — both are exactly the
+    DL<=1 metric ball over the closed alphabet); inside the ball the
+    distance is (term != qterm), matching the engine's ball path,
+    then the shared capped-disjunction scoring tail."""
+    rows = []
+    for qid, q in enumerate(DAMERAU_QUERIES):
+        for t in sorted(set(tokenize_query(q))):
+            rows.append(f"({qid}, '{t}')")
+    return f"""
+WITH {_bm25_base_cte()},
+qraw(query_id, qterm) AS (VALUES {", ".join(rows)}),
+cand AS (
+    SELECT q.query_id, i.term, i.df,
+           CASE WHEN q.qterm = i.term THEN 0 ELSE 1 END AS dist
+    FROM qraw q JOIN idf i ON damerau_levenshtein(q.qterm, i.term) <= 1
+),
+exp0 AS (
+    SELECT query_id, term, min(dist) AS dist, min(df) AS df
+    FROM cand GROUP BY 1, 2
+),
+expn AS (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist ASC, df DESC, term ASC) AS xr
+    FROM exp0
+),
+{_expanded_scored_tail_sql(k).lstrip()}"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness run checks a
     # bounded PREFIX of this dict (~50 of 80). Round-4 rotation
@@ -5165,6 +5335,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": q_streaming_sessionize,
         "terms_lookup_topk": q_terms_lookup_topk,
         "geohash_grid_agg": q_geohash_grid_agg,
+        # wave 14 (behind the prefix this round; rotate in r5): ES agg
+        # close-outs, named curation rule sets, Damerau fuzzy
+        "boxplot_agg": q_boxplot_agg,
+        "top_metrics_agg": q_top_metrics_agg,
+        "bucket_siblings": q_bucket_siblings,
+        "bucket_script_agg": q_bucket_script_agg,
+        "missing_agg": q_missing_agg,
+        "gopher_rules": q_gopher_rules,
+        "c4_rules": q_c4_rules,
+        "fuzzy_damerau_topk": q_fuzzy_damerau_topk,
     }
 
 
@@ -7417,6 +7597,196 @@ s AS (SELECT {", ".join(mx_sums)} FROM v)
 {mx_union}
 ORDER BY field_a, field_b
 """,
+        "boxplot_agg": """
+WITH k AS (
+    SELECT coalesce(lang, '(none)') AS grp, n_chars::BIGINT AS v
+    FROM documents WHERE n_chars IS NOT NULL
+),
+n AS (SELECT grp, count(*)::BIGINT AS n_docs, min(v) AS min_v, max(v) AS max_v FROM k GROUP BY 1),
+rv AS (SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v) AS r FROM k),
+q AS (
+    SELECT rv.grp,
+           max(CASE WHEN r = (n_docs * 25 + 99) // 100 THEN v END) AS q1,
+           max(CASE WHEN r = (n_docs * 50 + 99) // 100 THEN v END) AS q2,
+           max(CASE WHEN r = (n_docs * 75 + 99) // 100 THEN v END) AS q3
+    FROM rv JOIN n USING (grp) GROUP BY 1
+),
+w AS (
+    SELECT k.grp,
+           min(CASE WHEN 2 * v >= 2 * q1 - 3 * (q3 - q1) THEN v END) AS lo_whisker,
+           max(CASE WHEN 2 * v <= 2 * q3 + 3 * (q3 - q1) THEN v END) AS hi_whisker
+    FROM k JOIN q USING (grp) GROUP BY 1
+)
+SELECT n.grp AS grp, n_docs, min_v, max_v, q1, q2, q3, lo_whisker, hi_whisker
+FROM n JOIN q USING (grp) JOIN w USING (grp) ORDER BY grp
+""",
+        "top_metrics_agg": """
+WITH k AS (
+    SELECT coalesce(event_type, '(none)') AS grp, ts, value, event_id::BIGINT AS event_id
+    FROM events
+),
+r AS (
+    SELECT grp, ts, value, event_id,
+           row_number() OVER (PARTITION BY grp ORDER BY ts DESC, event_id ASC) AS rn
+    FROM k
+)
+SELECT grp, rn::INT AS rn, strftime(ts, '%Y-%m-%d %H:%M:%S') AS sort_key,
+       event_id, round(value * 1000000)::BIGINT AS metric_micro
+FROM r WHERE rn <= 3 ORDER BY grp, rn
+""",
+        "bucket_siblings": """
+WITH per AS (
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, count(*)::BIGINT AS doc_count
+    FROM events GROUP BY 1
+),
+st AS (
+    SELECT max(doc_count) AS max_v, min(doc_count) AS min_v,
+           sum(doc_count)::BIGINT AS sum_v, count(*)::BIGINT AS n_buckets
+    FROM per
+),
+keys AS (
+    SELECT array_to_string(list_sort(list(day) FILTER (WHERE doc_count = (SELECT max_v FROM st))), ',') AS keys_max,
+           array_to_string(list_sort(list(day) FILTER (WHERE doc_count = (SELECT min_v FROM st))), ',') AS keys_min
+    FROM per
+)
+SELECT * FROM (
+    SELECT 'avg_bucket' AS stat, round(sum_v * 1000000.0 / n_buckets)::BIGINT AS value_micro, NULL::VARCHAR AS keys FROM st
+    UNION ALL SELECT 'max_bucket', (max_v * 1000000)::BIGINT, keys_max FROM st, keys
+    UNION ALL SELECT 'min_bucket', (min_v * 1000000)::BIGINT, keys_min FROM st, keys
+    UNION ALL SELECT 'stats_bucket_count', (n_buckets * 1000000)::BIGINT, NULL FROM st
+    UNION ALL SELECT 'sum_bucket', (sum_v * 1000000)::BIGINT, NULL FROM st
+) ORDER BY stat
+""",
+        "bucket_script_agg": """
+WITH per AS (
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*)::BIGINT AS n_total,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click
+    FROM events GROUP BY 1
+)
+SELECT day, n_click, n_total,
+       round(n_click * 1000000.0 / n_total)::BIGINT AS ctr_micro
+FROM per ORDER BY day
+""",
+        "missing_agg": """
+WITH d AS (
+    SELECT CASE WHEN lang <> 'de' THEN lang END AS f, n_chars FROM documents
+)
+SELECT * FROM (
+    SELECT 'global' AS bucket, count(*)::BIGINT AS doc_count,
+           coalesce(sum(n_chars), 0)::BIGINT AS sum_metric FROM d
+    UNION ALL
+    SELECT 'missing', sum((f IS NULL)::INT)::BIGINT,
+           coalesce(sum(CASE WHEN f IS NULL THEN n_chars END), 0)::BIGINT FROM d
+) ORDER BY bucket
+""",
+        "gopher_rules": """
+WITH base14 AS (
+    SELECT doc_id,
+           replace(coalesce(text, ''), ' scan ', '.' || chr(10) || ' scan ') AS b
+    FROM documents
+),
+aug14 AS (
+    SELECT doc_id,
+           CASE
+             WHEN doc_id % 17 = 0 THEN 'tiny doc.'
+             WHEN doc_id % 13 = 0 THEN '- alpha beta gamma delta one.' || chr(10) || '- two three four five six.' || chr(10) || b
+             WHEN doc_id % 11 = 0 THEN b || chr(10) || 'to be continued...'
+             WHEN doc_id % 29 = 0 THEN b || chr(10) || 'this page contains lorem ipsum filler text.'
+             WHEN doc_id % 31 = 0 THEN b || chr(10) || 'function f() { return 1; }'
+             WHEN doc_id % 23 = 0 THEN b || ' ' || repeat('# ', 40)
+             ELSE b
+           END AS text
+    FROM base14
+),
+g AS (
+    SELECT doc_id, text,
+           regexp_extract_all(text, '[^ 	
+
+]+') AS words,
+           regexp_extract_all(text, '[^
+]+') AS lines,
+           regexp_extract_all(lower(text), '[a-z]+') AS lw
+    FROM aug14
+),
+c AS (
+    SELECT doc_id,
+           len(words)::BIGINT AS n_words,
+           coalesce(list_sum(list_transform(words, w -> length(w))), 0)::BIGINT AS word_chars,
+           len(lines)::BIGINT AS n_lines,
+           ((length(text) - length(replace(text, '#', '')))
+            + (length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS n_sym,
+           len(list_filter(lines, l -> regexp_matches(l, '^[-*] ')))::BIGINT AS n_bullet,
+           len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$')))::BIGINT AS n_ell,
+           len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS alpha_words,
+           (list_contains(lw, 'the')::INT + list_contains(lw, 'be')::INT
+            + list_contains(lw, 'to')::INT + list_contains(lw, 'of')::INT
+            + list_contains(lw, 'and')::INT + list_contains(lw, 'that')::INT
+            + list_contains(lw, 'have')::INT + list_contains(lw, 'with')::INT)::BIGINT AS n_stop
+    FROM g
+)
+SELECT doc_id, n_words, word_chars, n_lines, n_sym, n_bullet, n_ell, alpha_words, n_stop,
+       (n_words >= 50 AND n_words <= 100000)::INT AS r_word_count,
+       (3 * n_words <= word_chars AND word_chars <= 10 * n_words)::INT AS r_mean_word_len,
+       (10 * n_sym < n_words)::INT AS r_symbol_ratio,
+       (10 * n_bullet <= 9 * n_lines)::INT AS r_bullet_lines,
+       (10 * n_ell <= 3 * n_lines)::INT AS r_ellipsis_lines,
+       (5 * alpha_words >= 4 * n_words)::INT AS r_alpha_words,
+       (n_stop >= 2)::INT AS r_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+        AND (10 * n_sym < n_words)
+        AND (10 * n_bullet <= 9 * n_lines)
+        AND (10 * n_ell <= 3 * n_lines)
+        AND (5 * alpha_words >= 4 * n_words)
+        AND (n_stop >= 2))::INT AS keep
+FROM c ORDER BY doc_id
+""",
+        "c4_rules": """
+WITH base14 AS (
+    SELECT doc_id,
+           replace(coalesce(text, ''), ' scan ', '.' || chr(10) || ' scan ') AS b
+    FROM documents
+),
+aug14 AS (
+    SELECT doc_id,
+           CASE
+             WHEN doc_id % 17 = 0 THEN 'tiny doc.'
+             WHEN doc_id % 13 = 0 THEN '- alpha beta gamma delta one.' || chr(10) || '- two three four five six.' || chr(10) || b
+             WHEN doc_id % 11 = 0 THEN b || chr(10) || 'to be continued...'
+             WHEN doc_id % 29 = 0 THEN b || chr(10) || 'this page contains lorem ipsum filler text.'
+             WHEN doc_id % 31 = 0 THEN b || chr(10) || 'function f() { return 1; }'
+             WHEN doc_id % 23 = 0 THEN b || ' ' || repeat('# ', 40)
+             ELSE b
+           END AS text
+    FROM base14
+),
+c AS (
+    SELECT doc_id, text, regexp_extract_all(text, '[^
+]+') AS lines
+    FROM aug14
+),
+k AS (
+    SELECT doc_id, text, lines,
+           list_filter(lines, l -> regexp_matches(trim(l), '[.!?]$')
+                              AND len(regexp_extract_all(l, '[^ 	
+
+]+')) >= 5) AS kept
+    FROM c
+)
+SELECT doc_id,
+       len(lines)::BIGINT AS n_lines,
+       len(kept)::BIGINT AS n_kept,
+       (length(text) - length(regexp_replace(text, '[.!?]', '', 'g')))::BIGINT AS n_sentences,
+       (strpos(lower(text), 'lorem ipsum') > 0)::INT AS has_lorem,
+       (strpos(text, '{') > 0)::INT AS has_brace,
+       ((length(text) - length(regexp_replace(text, '[.!?]', '', 'g'))) >= 3
+        AND strpos(lower(text), 'lorem ipsum') = 0
+        AND strpos(text, '{') = 0)::INT AS keep,
+       sha256(coalesce(array_to_string(kept, chr(10)), '')) AS cleaned_sha
+FROM k ORDER BY doc_id
+""",
+        "fuzzy_damerau_topk": _damerau_oracle_sql(10),
         # ann_srp_topk / ann_ivf_topk / ann_pq_topk / ann_ivfpq_topk:
         # non-SQL-expressible kernels (Box-Muller SRP hyperplanes;
         # iterative k-means; PQ codebooks) → rows-only checks by

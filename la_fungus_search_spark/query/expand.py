@@ -70,16 +70,25 @@ from la_fungus_search_spark.tokenizer import tokenize, tokenize_query, tokens_ex
 ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789_"
 
 
-def ed1_variants(term: str) -> set:
-    """All strings within Levenshtein distance <= 1 of ``term`` over
+def ed1_variants(term: str, transpositions: bool = False) -> set:
+    """All strings within edit distance <= 1 of ``term`` over
     :data:`ALPHABET` (classic one-edit enumeration — deletions,
     substitutions, insertions — public algorithm, e.g. Norvig's
-    spelling-corrector edits1)."""
+    spelling-corrector edits1). With ``transpositions=True`` the
+    metric is Damerau-Levenshtein — adjacent-swap counts as ONE edit
+    — which is Lucene ``FuzzyQuery``'s DEFAULT (``transpositions:
+    true`` in the ES ``fuzzy`` query): the enumeration gains the
+    length-1 set of adjacent transpositions and becomes exactly the
+    DL<=1 ball, since DL's four unit ops are delete / substitute /
+    insert / adjacent-transpose."""
     splits = [(term[:i], term[i:]) for i in range(len(term) + 1)]
     deletes = {a + b[1:] for a, b in splits if b}
     subs = {a + c + b[1:] for a, b in splits if b for c in ALPHABET}
     inserts = {a + c + b for a, b in splits for c in ALPHABET}
-    return {term} | deletes | subs | inserts
+    out = {term} | deletes | subs | inserts
+    if transpositions:
+        out |= {a + b[1] + b[0] + b[2:] for a, b in splits if len(b) >= 2}
+    return out
 
 
 def _rank_expansions(cand: DataFrame, max_expansions: int, fuzzy: bool) -> DataFrame:
@@ -102,20 +111,42 @@ def fuzzy_expansions(
     queries: Sequence[str],
     max_edits: int = 1,
     max_expansions: int = 50,
+    transpositions: bool = False,
 ) -> DataFrame:
     """(query_id, term, dist, df, xr) — the capped fuzzy rewrite of
-    each query against the index's term dictionary."""
+    each query against the index's term dictionary. With
+    ``transpositions=True`` (the Lucene FuzzyQuery default metric)
+    the ed-1 ball is Damerau-Levenshtein: adjacent swaps cost one
+    edit, so ``imoprt`` reaches ``import`` at distance 1. Only the
+    ball path supports it (``max_edits <= 1``); inside the ball the
+    distance is simply ``term != qterm`` — plain ``F.levenshtein``
+    would misreport a transposed pair as 2, so the ball path must
+    NOT recompute distances when transpositions are on."""
+    if transpositions and max_edits > 1:
+        raise ValueError("transpositions supported for max_edits <= 1 only")
     qterms = [
         (qid, t) for qid, q in enumerate(queries) for t in sorted(set(tokenize_query(q)))
     ]
     spark = index.spark
     ts = index.term_stats.select("term", "df")
     if max_edits <= 1:
-        rows = [(qid, qt, v) for qid, qt in qterms for v in sorted(ed1_variants(qt))]
+        rows = [
+            (qid, qt, v)
+            for qid, qt in qterms
+            for v in sorted(ed1_variants(qt, transpositions=transpositions))
+        ]
         if not rows:
             rows = [(0, "\x00", "\x00")]
         var = spark.createDataFrame(rows, schema="query_id INT, qterm STRING, variant STRING")
         cand = ts.join(F.broadcast(var), ts["term"] == var["variant"])
+        if transpositions:
+            cand = cand.select(
+                "query_id",
+                "term",
+                "df",
+                F.when(F.col("term") == F.col("qterm"), 0).otherwise(1).alias("dist"),
+            )
+            return _rank_expansions(cand, max_expansions, fuzzy=True)
     else:
         qrows = qterms or [(0, "\x00")]
         var = F.broadcast(spark.createDataFrame(qrows, schema="query_id INT, qterm STRING"))
@@ -395,10 +426,15 @@ def search_fuzzy(
     k: int = 10,
     max_edits: int = 1,
     max_expansions: int = 50,
+    transpositions: bool = False,
 ) -> DataFrame:
     """Fuzzy top-k: expand each query term to dictionary terms within
-    ``max_edits``, cap deterministically, BM25-rank the disjunction."""
-    exp = fuzzy_expansions(engine.index, queries, max_edits, max_expansions)
+    ``max_edits``, cap deterministically, BM25-rank the disjunction.
+    ``transpositions=True`` switches the ed-1 metric to
+    Damerau-Levenshtein (the Lucene/ES default)."""
+    exp = fuzzy_expansions(
+        engine.index, queries, max_edits, max_expansions, transpositions=transpositions
+    )
     return _search_expanded(engine, exp, k)
 
 

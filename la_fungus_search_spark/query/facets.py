@@ -1516,3 +1516,283 @@ def diversified_sampler_agg(
         )
         .orderBy("grp")
     )
+
+
+def boxplot_agg(
+    docs_df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """ES ``boxplot`` metric aggregation under a ``terms`` bucketing:
+    per group ``(grp, n_docs, min_v, max_v, q1, q2, q3, lo_whisker, hi_whisker)``
+    where q1/q2/q3 are EXACT type-1 order statistics (the
+    ``(pct·n + 99) // 100`` integer rank device of
+    :func:`percentiles_agg` — ES interpolates a t-digest, the k-th
+    smallest element is engine-invariant) and lower/upper are the ES
+    whiskers: the closest values inside the 1.5·IQR fences. With
+    integer values the fence tests stay integral — ``2·v ≥ 2·q1−3·IQR``
+    and ``2·v ≤ 2·q3+3·IQR`` — so whisker membership is exact in both
+    engines (no 1.5· double product anywhere).
+
+    Physical shape: ONE rank window (the exact-order-statistic floor)
+    feeds all three quartiles via a broadcast group-sized grid; the
+    whisker pass is one conditional min/max aggregate over the keyed
+    rows joined to the broadcast quartile table. Cost: one sort of the
+    input + one re-scan — never a pass per statistic."""
+    keyed = docs_df.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("(none)")).alias("grp"),
+        F.col(value_col).cast("bigint").alias("v"),
+        F.monotonically_increasing_id().alias("_rid"),
+    ).filter(F.col("v").isNotNull())
+    n_per = keyed.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    grid = (
+        n_per.select(
+            F.col("grp").alias("_g_grp"),
+            "n_docs",
+            F.explode(F.array(F.lit(25), F.lit(50), F.lit(75))).alias("pct"),
+        )
+        .withColumn(
+            "r_target", F.floor((F.col("n_docs") * F.col("pct") + 99) / 100).cast("int")
+        )
+        .select("_g_grp", "pct", "r_target")
+    )
+    w = Window.partitionBy("grp").orderBy(F.asc("v"), F.asc("_rid"))
+    ranked = keyed.withColumn("r", F.row_number().over(w))
+    quarts = (
+        ranked.join(
+            F.broadcast(grid),
+            (F.col("grp") == F.col("_g_grp")) & (F.col("r") == F.col("r_target")),
+        )
+        .groupBy("grp")
+        .agg(
+            F.max(F.when(F.col("pct") == 25, F.col("v"))).alias("q1"),
+            F.max(F.when(F.col("pct") == 50, F.col("v"))).alias("q2"),
+            F.max(F.when(F.col("pct") == 75, F.col("v"))).alias("q3"),
+        )
+    )
+    iqr = F.col("q3") - F.col("q1")
+    fenced = keyed.join(F.broadcast(quarts), "grp")
+    whisk = fenced.groupBy("grp").agg(
+        F.min(
+            F.when(2 * F.col("v") >= 2 * F.col("q1") - 3 * iqr, F.col("v"))
+        ).alias("lo_whisker"),
+        F.max(
+            F.when(2 * F.col("v") <= 2 * F.col("q3") + 3 * iqr, F.col("v"))
+        ).alias("hi_whisker"),
+    )
+    return (
+        n_per.join(quarts, "grp")
+        .join(whisk, "grp")
+        .select("grp", "n_docs", "min_v", "max_v", "q1", "q2", "q3", "lo_whisker", "hi_whisker")
+        .orderBy("grp")
+    )
+
+
+def top_metrics_agg(
+    events_df: DataFrame,
+    group_col: str = "event_type",
+    sort_col: str = "ts",
+    metric_col: str = "value",
+    size: int = 1,
+) -> DataFrame:
+    """ES ``top_metrics`` aggregation: per bucket, the metric value(s)
+    carried by the ``size`` top documents under the sort — the
+    "latest reading per sensor" primitive. Sort is ``sort_col`` DESC
+    with ties pinned to the LOWEST ``event_id`` (ES inherits shard
+    order on ties; the pin makes the pick engine-invariant —
+    diversified_sampler's determinism choice). The sort key is
+    emitted as a formatted string (``date_histogram``'s portability
+    device), the DOUBLE metric micro-quantized.
+
+    Physical shape: one row_number window per group + the filter —
+    one sort of the input, no join."""
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    keyed = events_df.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("(none)")).alias("grp"),
+        F.col(sort_col).alias("s"),
+        F.col(metric_col).cast("double").alias("m"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("s"), F.asc("event_id"))
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= size)
+        .select(
+            "grp",
+            F.col("rn").cast("int").alias("rn"),
+            F.date_format("s", "yyyy-MM-dd HH:mm:ss").alias("sort_key"),
+            "event_id",
+            _quantize(F.col("m")).alias("metric_micro"),
+        )
+        .orderBy("grp", "rn")
+    )
+
+
+def bucket_siblings(events_df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """The ES SIBLING pipeline aggregations — ``max_bucket`` /
+    ``min_bucket`` / ``avg_bucket`` / ``sum_bucket`` /
+    ``stats_bucket``'s count — over the per-day ``doc_count`` series
+    of a daily date_histogram: one row per statistic ``(stat,
+    value_micro, keys)``. ``keys`` carries the comma-joined (sorted)
+    day keys achieving the extreme for max/min_bucket (the ES
+    contract returns a keys LIST because ties are legal), NULL for
+    the order-free stats. Values are micro-scaled BIGINTs; avg is the
+    single rounded division.
+
+    Physical shape: the histogram aggregate (cost ∝ events, map-side
+    combinable) → a 1-row global aggregate → one broadcast join back
+    onto the bucket frame for the tie lists → a literal 5-row
+    explode. Everything after the histogram is bucket-count-sized."""
+    per = (
+        events_df.select(
+            F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("doc_count"))
+    )
+    st = per.agg(
+        F.max("doc_count").alias("max_v"),
+        F.min("doc_count").alias("min_v"),
+        F.sum("doc_count").alias("sum_v"),
+        F.count("*").cast("bigint").alias("n_buckets"),
+    ).withColumn("_j", F.lit(1))
+    keys = (
+        per.withColumn("_j", F.lit(1))
+        .join(F.broadcast(st), "_j")
+        .agg(
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("doc_count") == F.col("max_v"), F.col("day"))
+                    )
+                ),
+                ",",
+            ).alias("keys_max"),
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("doc_count") == F.col("min_v"), F.col("day"))
+                    )
+                ),
+                ",",
+            ).alias("keys_min"),
+        )
+        .withColumn("_j", F.lit(1))
+    )
+    one = st.join(F.broadcast(keys), "_j")
+    null_s = F.lit(None).cast("string")
+    row = F.explode(
+        F.array(
+            F.struct(
+                F.lit("avg_bucket").alias("stat"),
+                F.round(F.col("sum_v") * 1_000_000 / F.col("n_buckets"))
+                .cast("bigint")
+                .alias("value_micro"),
+                null_s.alias("keys"),
+            ),
+            F.struct(
+                F.lit("max_bucket").alias("stat"),
+                (F.col("max_v") * 1_000_000).cast("bigint").alias("value_micro"),
+                F.col("keys_max").alias("keys"),
+            ),
+            F.struct(
+                F.lit("min_bucket").alias("stat"),
+                (F.col("min_v") * 1_000_000).cast("bigint").alias("value_micro"),
+                F.col("keys_min").alias("keys"),
+            ),
+            F.struct(
+                F.lit("stats_bucket_count").alias("stat"),
+                (F.col("n_buckets") * 1_000_000).cast("bigint").alias("value_micro"),
+                null_s.alias("keys"),
+            ),
+            F.struct(
+                F.lit("sum_bucket").alias("stat"),
+                (F.col("sum_v") * 1_000_000).cast("bigint").alias("value_micro"),
+                null_s.alias("keys"),
+            ),
+        )
+    ).alias("r")
+    return (
+        one.select(row)
+        .select("r.stat", "r.value_micro", "r.keys")
+        .orderBy("stat")
+    )
+
+
+def bucket_script_agg(events_df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """ES ``bucket_script`` pipeline aggregation — the canonical CTR
+    shape: per daily bucket, ``script = params.clicks / params.total``
+    from two sibling metrics of the SAME histogram (a conditional
+    count and the bucket count), micro-quantized. ES ``gap_policy:
+    skip`` drops buckets where an input gapped; a bucket's own
+    doc_count can't be 0 (the bucket wouldn't exist), so every bucket
+    emits. One map-side-combinable pass, cost ∝ events; the script is
+    one rounded division per bucket."""
+    per = (
+        events_df.select(
+            F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd").alias("day"),
+            F.col("event_type"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_click"),
+        )
+    )
+    return per.select(
+        "day",
+        "n_click",
+        "n_total",
+        F.round(F.col("n_click") * 1_000_000 / F.col("n_total"))
+        .cast("bigint")
+        .alias("ctr_micro"),
+    ).orderBy("day")
+
+
+def missing_agg(
+    docs_df: DataFrame, field_col: str, metric_col: str
+) -> DataFrame:
+    """ES ``missing`` aggregation: the bucket of documents LACKING a
+    field, with a sub-metric — plus the ``global`` bucket (the ES
+    ``global`` agg: every doc regardless of query context) as the
+    denominator row, so the output is self-describing:
+    ``(bucket, doc_count, sum_metric)`` with bucket ∈ {'global',
+    'missing'}. The missing bucket emits even at count 0 (the ES
+    contract — an absent bucket and an empty bucket are different
+    answers). One map-side-combinable conditional-sum pass, one row
+    pair out."""
+    agg = docs_df.agg(
+        F.count("*").cast("bigint").alias("g_n"),
+        F.coalesce(F.sum(F.col(metric_col).cast("bigint")), F.lit(0))
+        .cast("bigint")
+        .alias("g_sum"),
+        F.sum(F.when(F.col(field_col).isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("m_n"),
+        F.coalesce(
+            F.sum(F.when(F.col(field_col).isNull(), F.col(metric_col).cast("bigint"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("m_sum"),
+    )
+    row = F.explode(
+        F.array(
+            F.struct(
+                F.lit("global").alias("bucket"),
+                F.col("g_n").alias("doc_count"),
+                F.col("g_sum").alias("sum_metric"),
+            ),
+            F.struct(
+                F.lit("missing").alias("bucket"),
+                F.col("m_n").alias("doc_count"),
+                F.col("m_sum").alias("sum_metric"),
+            ),
+        )
+    ).alias("r")
+    return agg.select(row).select("r.bucket", "r.doc_count", "r.sum_metric").orderBy("bucket")

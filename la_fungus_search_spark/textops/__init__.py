@@ -17,6 +17,7 @@ from la_fungus_search_spark.textops import (
     ann_index,
     dedup,
     dsir,
+    filters,
     multimodal,
     pipeline,
     semdedup,
@@ -33,4 +34,5 @@ __all__ = [
     "multimodal",
     "pipeline",
     "ann_index",
+    "filters",
 ]

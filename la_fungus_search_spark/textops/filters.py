@@ -1,0 +1,155 @@
+"""Named web-text quality filter rule sets for LLM training-data
+curation — the two canonical published recipes, each as a per-document
+rule-flag frame (every rule's inputs and verdict ride the output, so
+downstream curation can re-weight rather than re-compute):
+
+* :func:`gopher_rules` — the Gopher quality heuristics (Rae et al.
+  2021, "Scaling Language Models: ...", arXiv:2112.11446 App. A1.1).
+* :func:`c4_rules` — the C4 cleaning rules (Raffel et al. 2020,
+  "Exploring the Limits of Transfer Learning...", arXiv:1910.10683
+  §2.2): line-level terminal-punctuation + min-words keep, page-level
+  sentence floor / "lorem ipsum" / curly-brace rejects.
+
+Engine-invariance contract (the repo-wide oracle discipline): every
+predicate is integer arithmetic over counts produced by ASCII-only
+regex fragments on which Java regex and DuckDB's RE2 agree exactly;
+ratio thresholds are cross-multiplied (``10·n_sym < n_words``), never
+floating division. Both operators are single-pass column expressions —
+pure JVM whole-stage codegen, no UDFs, no shuffle beyond the caller's.
+
+Documented deviations from the papers (both engines apply the same
+rule, so the gates stay exact): words are maximal non-whitespace runs
+over the ASCII class ``[^ \\t\\n\\r]``; C4's terminal-punctuation set
+is ``.!?`` (the paper also admits closing quotes); Gopher's bullet
+set is ``-``/``*`` (the paper's typographic bullets are non-ASCII);
+sentence count approximates as ``.!?`` character count.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ASCII fragments shared (verbatim) with the DuckDB oracles.
+WORD_PATTERN = "[^ \t\n\r]+"
+LINE_PATTERN = "[^\n]+"
+ALPHA_PATTERN = "[A-Za-z]"
+BULLET_PATTERN = "^[-*] "
+ELLIPSIS_END_PATTERN = "\\.\\.\\.$"
+SENT_PATTERN = "[.!?]"
+LOWER_WORD_PATTERN = "[a-z]+"
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher quality-filter rule flags per document (Rae et al. 2021
+    App. A1.1): word-count window [50, 100000], mean word length in
+    [3, 10], symbol-to-word ratio (# and ...) < 0.1, ≤90% of lines
+    bullet-started, ≤30% of lines ellipsis-terminated, ≥80% of words
+    containing an alphabetic character, and ≥2 of the 8 required
+    stopwords present. ``keep`` is the conjunction.
+
+    One projection pass: counts come from ``regexp_extract_all`` +
+    higher-order folds (JVM codegen, Arrow-free); every rule is a
+    cross-multiplied integer comparison."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.regexp_extract_all(t, F.lit(WORD_PATTERN), F.lit(0))
+    lines = F.regexp_extract_all(t, F.lit(LINE_PATTERN), F.lit(0))
+    lower_words = F.regexp_extract_all(F.lower(t), F.lit(LOWER_WORD_PATTERN), F.lit(0))
+    n_words = F.size(words).cast("bigint")
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    )
+    alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike(ALPHA_PATTERN))
+    ).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: ln.rlike(BULLET_PATTERN))
+    ).cast("bigint")
+    n_ell = F.size(
+        F.filter(lines, lambda ln: ln.rlike(ELLIPSIS_END_PATTERN))
+    ).cast("bigint")
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).cast("bigint")
+    n_dots = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    ).cast("bigint")
+    n_sym = n_hash + n_dots
+    n_stop = sum(
+        F.array_contains(lower_words, F.lit(sw)).cast("int") for sw in GOPHER_STOPWORDS
+    ).cast("bigint")
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        word_chars.alias("word_chars"),
+        n_lines.alias("n_lines"),
+        n_sym.alias("n_sym"),
+        n_bullet.alias("n_bullet"),
+        n_ell.alias("n_ell"),
+        alpha_words.alias("alpha_words"),
+        n_stop.alias("n_stop"),
+    )
+    r_wc = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    r_mwl = (3 * F.col("n_words") <= F.col("word_chars")) & (
+        F.col("word_chars") <= 10 * F.col("n_words")
+    )
+    r_sym = 10 * F.col("n_sym") < F.col("n_words")
+    r_bullet = 10 * F.col("n_bullet") <= 9 * F.col("n_lines")
+    r_ell = 10 * F.col("n_ell") <= 3 * F.col("n_lines")
+    r_alpha = 5 * F.col("alpha_words") >= 4 * F.col("n_words")
+    r_stop = F.col("n_stop") >= 2
+    keep = r_wc & r_mwl & r_sym & r_bullet & r_ell & r_alpha & r_stop
+    return out.select(
+        "*",
+        r_wc.cast("int").alias("r_word_count"),
+        r_mwl.cast("int").alias("r_mean_word_len"),
+        r_sym.cast("int").alias("r_symbol_ratio"),
+        r_bullet.cast("int").alias("r_bullet_lines"),
+        r_ell.cast("int").alias("r_ellipsis_lines"),
+        r_alpha.cast("int").alias("r_alpha_words"),
+        r_stop.cast("int").alias("r_stopwords"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+def c4_rules(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4 cleaning rules per document (Raffel et al. 2020 §2.2).
+    Line level: a line is KEPT iff its trimmed form ends in terminal
+    punctuation (``.!?``) AND carries ≥5 words. Page level: ``keep``
+    iff ≥3 sentences AND no ``lorem ipsum`` AND no ``{``. The cleaned
+    text (kept lines re-joined by newline) travels as its sha256 so
+    the gate pins byte-identical reconstruction, not just counts.
+
+    One projection pass, same engine-invariance contract as
+    :func:`gopher_rules`."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.regexp_extract_all(t, F.lit(LINE_PATTERN), F.lit(0))
+    kept = F.filter(
+        lines,
+        lambda ln: F.trim(ln).rlike("[.!?]$")
+        & (
+            F.size(F.regexp_extract_all(ln, F.lit(WORD_PATTERN), F.lit(0))) >= 5
+        ),
+    )
+    cleaned = F.array_join(kept, "\n")
+    n_sent = (
+        F.length(t) - F.length(F.regexp_replace(t, SENT_PATTERN, ""))
+    ).cast("bigint")
+    has_lorem = (F.instr(F.lower(t), "lorem ipsum") > 0).cast("int")
+    has_brace = (F.instr(t, "{") > 0).cast("int")
+    keep = (
+        (n_sent >= 3) & (F.instr(F.lower(t), "lorem ipsum") == 0) & (F.instr(t, "{") == 0)
+    ).cast("int")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        n_sent.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        keep.alias("keep"),
+        F.sha2(cleaned, 256).alias("cleaned_sha"),
+    )

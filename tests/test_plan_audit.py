@@ -205,6 +205,15 @@ AUDIT = [
     "intervals_query_topk",
     "terms_lookup_topk",
     "geohash_grid_agg",
+    # fourteenth wave
+    "boxplot_agg",
+    "top_metrics_agg",
+    "bucket_siblings",
+    "bucket_script_agg",
+    "missing_agg",
+    "gopher_rules",
+    "c4_rules",
+    "fuzzy_damerau_topk",
 ]
 
 

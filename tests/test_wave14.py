@@ -1,0 +1,269 @@
+"""Fourteenth wave — ES agg close-outs (boxplot, top_metrics, sibling
+pipeline aggs, bucket_script, missing+global), the named LLM-curation
+rule sets (Gopher, C4), and Damerau ed-1 fuzzy — each pinned against a
+pure-Python recompute or a hand fixture."""
+
+from datetime import datetime
+
+import pytest
+
+from la_fungus_search_spark.query.expand import ed1_variants
+from la_fungus_search_spark.query.facets import (
+    boxplot_agg,
+    bucket_script_agg,
+    bucket_siblings,
+    missing_agg,
+    top_metrics_agg,
+)
+from la_fungus_search_spark.textops.filters import c4_rules, gopher_rules
+
+
+def _t1(vals, pct):
+    """Type-1 order statistic at integer rank (pct*n+99)//100."""
+    s = sorted(vals)
+    return s[(pct * len(s) + 99) // 100 - 1]
+
+
+def test_boxplot_exact_order_stats_and_whiskers(spark):
+    vals_a = [10, 20, 30, 40, 50, 60, 70, 80, 90, 1000]  # 1000 is an outlier
+    rows = [("a", v) for v in vals_a] + [("b", 7)]
+    df = spark.createDataFrame(rows, schema="lang STRING, v INT")
+    out = {r.grp: r for r in boxplot_agg(df, "lang", "v").collect()}
+    a = out["a"]
+    q1, q2, q3 = _t1(vals_a, 25), _t1(vals_a, 50), _t1(vals_a, 75)
+    assert (a.q1, a.q2, a.q3) == (q1, q2, q3)
+    assert (a.min_v, a.max_v, a.n_docs) == (10, 1000, 10)
+    iqr = q3 - q1
+    lo = min(v for v in vals_a if 2 * v >= 2 * q1 - 3 * iqr)
+    hi = max(v for v in vals_a if 2 * v <= 2 * q3 + 3 * iqr)
+    assert (a.lo_whisker, a.hi_whisker) == (lo, hi)
+    # the outlier must sit OUTSIDE the upper whisker
+    assert a.hi_whisker < 1000
+    b = out["b"]  # singleton: everything collapses to the value
+    assert (b.q1, b.q2, b.q3, b.lo_whisker, b.hi_whisker) == (7, 7, 7, 7, 7)
+
+
+def test_top_metrics_latest_with_tie_pin(spark):
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    t1 = datetime(2024, 1, 2, 12, 0, 0)
+    rows = [
+        (1, t0, "x", 1.5),
+        (2, t1, "x", 2.5),   # latest ts
+        (3, t1, "x", 3.5),   # same ts, higher id -> loses the tie
+        (4, t0, "y", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    )
+    out = top_metrics_agg(df, "event_type", "ts", "value", size=2).collect()
+    got = {(r.grp, r.rn): (r.event_id, r.metric_micro) for r in out}
+    assert got[("x", 1)] == (2, 2_500_000)   # ties pin to the LOWEST id
+    assert got[("x", 2)] == (3, 3_500_000)
+    assert got[("y", 1)] == (4, 9_000_000)
+    assert ("y", 2) not in got               # group smaller than size
+
+
+def test_bucket_siblings_recompute(spark):
+    rows = [
+        (1, datetime(2024, 1, 1, 1), "a", 0.0),
+        (2, datetime(2024, 1, 1, 2), "a", 0.0),
+        (3, datetime(2024, 1, 2, 1), "a", 0.0),
+        (4, datetime(2024, 1, 3, 1), "a", 0.0),
+        (5, datetime(2024, 1, 3, 2), "a", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    )
+    out = {r.stat: (r.value_micro, r.keys) for r in bucket_siblings(df).collect()}
+    # counts: 2024-01-01→2, 01-02→1, 01-03→2 ; max ties on two days
+    assert out["max_bucket"] == (2_000_000, "2024-01-01,2024-01-03")
+    assert out["min_bucket"] == (1_000_000, "2024-01-02")
+    assert out["sum_bucket"] == (5_000_000, None)
+    assert out["stats_bucket_count"] == (3_000_000, None)
+    assert out["avg_bucket"] == (round(5_000_000 / 3), None)
+
+
+def test_bucket_script_ctr(spark):
+    rows = [
+        (1, datetime(2024, 1, 1, 1), "click", 0.0),
+        (2, datetime(2024, 1, 1, 2), "view", 0.0),
+        (3, datetime(2024, 1, 1, 3), "view", 0.0),
+        (4, datetime(2024, 1, 2, 1), "view", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    )
+    out = {r.day: (r.n_click, r.n_total, r.ctr_micro) for r in bucket_script_agg(df).collect()}
+    assert out["2024-01-01"] == (1, 3, round(1_000_000 / 3))
+    assert out["2024-01-02"] == (0, 1, 0)  # zero-click bucket still emits
+
+
+def test_missing_and_global_buckets(spark):
+    rows = [("en", 10), (None, 5), (None, 7), ("de", 3)]
+    df = spark.createDataFrame(rows, schema="f STRING, m INT")
+    out = {r.bucket: (r.doc_count, r.sum_metric) for r in missing_agg(df, "f", "m").collect()}
+    assert out["global"] == (4, 25)
+    assert out["missing"] == (2, 12)
+    # the missing bucket emits at count 0 too (the ES contract)
+    df2 = spark.createDataFrame([("en", 1)], schema="f STRING, m INT")
+    out2 = {r.bucket: (r.doc_count, r.sum_metric) for r in missing_agg(df2, "f", "m").collect()}
+    assert out2["missing"] == (0, 0)
+
+
+# ------------------------------------------------------------- rule sets
+
+GOOD_TEXT = (
+    "the quick brown fox jumps over the lazy dog and runs to be free of all "
+    "trouble that may have come with the morning light in a far land. "
+) * 3  # ~90 words, mean len in range, stopwords present
+
+
+def _gopher_py(text):
+    import re
+
+    words = re.findall(r"[^ \t\n\r]+", text)
+    lines = re.findall(r"[^\n]+", text)
+    lw = re.findall(r"[a-z]+", text.lower())
+    n_words = len(words)
+    word_chars = sum(len(w) for w in words)
+    n_sym = text.count("#") + (len(text) - len(text.replace("...", ""))) // 3
+    n_bullet = sum(1 for ln in lines if re.match(r"^[-*] ", ln))
+    n_ell = sum(1 for ln in lines if re.search(r"\.\.\.$", ln))
+    alpha = sum(1 for w in words if re.search(r"[A-Za-z]", w))
+    n_stop = sum(
+        1 for sw in ["the", "be", "to", "of", "and", "that", "have", "with"] if sw in lw
+    )
+    flags = (
+        int(50 <= n_words <= 100000),
+        int(3 * n_words <= word_chars <= 10 * n_words),
+        int(10 * n_sym < n_words),
+        int(10 * n_bullet <= 9 * len(lines)),
+        int(10 * n_ell <= 3 * len(lines)),
+        int(5 * alpha >= 4 * n_words),
+        int(n_stop >= 2),
+    )
+    return flags + (int(all(flags)),)
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        GOOD_TEXT,
+        "tiny doc.",                                   # word-count reject
+        GOOD_TEXT + " " + "# " * 40,                   # symbol-ratio reject
+        "- one two three four five.\n" * 10,           # bullet reject
+        GOOD_TEXT + ("\nwait..." * 60),                # ellipsis-lines reject
+        "zz qq ww " * 40,                              # stopword reject
+        "aaaaaaaaaaaaaaaaaaaa " * 60,                  # mean-word-len reject
+        "",                                            # empty text
+    ],
+)
+def test_gopher_rules_vs_python(spark, text):
+    df = spark.createDataFrame([(1, text)], schema="doc_id LONG, text STRING")
+    r = gopher_rules(df).collect()[0]
+    got = (
+        r.r_word_count,
+        r.r_mean_word_len,
+        r.r_symbol_ratio,
+        r.r_bullet_lines,
+        r.r_ellipsis_lines,
+        r.r_alpha_words,
+        r.r_stopwords,
+        r.keep,
+    )
+    assert got == _gopher_py(text)
+
+
+def test_gopher_good_text_keeps(spark):
+    df = spark.createDataFrame([(1, GOOD_TEXT)], schema="doc_id LONG, text STRING")
+    assert gopher_rules(df).collect()[0].keep == 1
+
+
+def _c4_py(text):
+    import re
+
+    lines = re.findall(r"[^\n]+", text)
+    kept = [
+        ln
+        for ln in lines
+        if re.search(r"[.!?]$", ln.strip()) and len(re.findall(r"[^ \t\n\r]+", ln)) >= 5
+    ]
+    n_sent = len(re.findall(r"[.!?]", text))
+    has_lorem = int("lorem ipsum" in text.lower())
+    has_brace = int("{" in text)
+    keep = int(n_sent >= 3 and not has_lorem and not has_brace)
+    import hashlib
+
+    sha = hashlib.sha256("\n".join(kept).encode()).hexdigest()
+    return (len(lines), len(kept), n_sent, has_lorem, has_brace, keep, sha)
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "one two three four five.\nshort line.\nsix seven eight nine ten!\nno punct line here",
+        "good sentence one two three.\ncontains lorem ipsum filler.\nanother line four five six.",
+        "code line { return 1; }\na b c d e.\nf g h i j.\nk l m n o.",
+        "only one sentence here with words.",
+        "",
+    ],
+)
+def test_c4_rules_vs_python(spark, text):
+    df = spark.createDataFrame([(1, text)], schema="doc_id LONG, text STRING")
+    r = c4_rules(df).collect()[0]
+    assert (
+        r.n_lines,
+        r.n_kept,
+        r.n_sentences,
+        r.has_lorem,
+        r.has_brace,
+        r.keep,
+        r.cleaned_sha,
+    ) == _c4_py(text)
+
+
+# ------------------------------------------------------------- Damerau
+
+
+def _osa_dist(a, b):
+    """Optimal string alignment distance (== Damerau-Levenshtein for
+    distances <= 1, the only regime the ball covers)."""
+    m, n = len(a), len(b)
+    d = [[0] * (n + 1) for _ in range(m + 1)]
+    for i in range(m + 1):
+        d[i][0] = i
+    for j in range(n + 1):
+        d[0][j] = j
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1, d[i - 1][j - 1] + cost)
+            if i > 1 and j > 1 and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]:
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+    return d[m][n]
+
+
+def test_damerau_ball_is_exact_dl1_ball():
+    """ed1_variants(transpositions=True) == the DL<=1 metric ball,
+    checked exhaustively over a tiny alphabet."""
+    import itertools
+
+    alpha = "abc"
+    universe = [
+        "".join(p) for ln in range(0, 5) for p in itertools.product(alpha, repeat=ln)
+    ]
+    for term in ["ab", "abc", "abca", "a"]:
+        ball = ed1_variants(term, transpositions=True)
+        truth = {u for u in universe if _osa_dist(term, u) <= 1}
+        got = {v for v in ball if set(v) <= set(alpha) and len(v) <= 4}
+        assert truth == got & truth  # every true member enumerated
+        # and nothing enumerated is outside the ball
+        for v in got:
+            assert _osa_dist(term, v) <= 1
+
+
+def test_damerau_includes_transpositions_plain_does_not():
+    assert "import" in ed1_variants("imoprt", transpositions=True)
+    assert "import" not in ed1_variants("imoprt", transpositions=False)
+    # plain edits still present
+    assert "import" in ed1_variants("imports", transpositions=True)
