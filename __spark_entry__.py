@@ -5105,6 +5105,207 @@ expn AS (
 {_expanded_scored_tail_sql(k).lstrip()}"""
 
 
+
+# ---------------------------------------------------------------- wave 15
+# ES children aggregation, significant_text with duplicate filtering,
+# and the Lucene CommonTermsQuery. All value-oracled.
+
+# CommonTermsQuery fixtures: 'dup' is the corpus' one genuinely rare
+# term (df 25/500); every other vocabulary word sits at df ~0.77n, so
+# cutoff_ratio=0.5 splits them cleanly. Query 3 has an absent (df 0 →
+# low) term, making its low clause unsatisfiable — empty result.
+COMMON_TERMS_QUERIES = [
+    "dup hash join",      # one low + two high: match set = dup docs
+    "scan merge sort",    # all high: the plain-disjunction fallback
+    "qzzqx table scan",   # low term matches nothing -> empty query
+    "dup key qzzqx",      # two low terms, msm 1: dup docs qualify
+]
+
+
+def q_children_agg(spark, sf_dir):
+    """ES ``children`` aggregation (query/parentchild.py
+    children_agg): per-lang parent buckets with child-side metrics
+    over the line-window chunks — distinct parents, child fan-out,
+    exact child-char sum, micro avg. One parent→child hash join +
+    one map-side-combinable aggregate."""
+    ch = chunk_line_windows(_doc_lines(spark, sf_dir), [CHUNK_W], carry_cols=("doc_id",))
+    children = ch.select(
+        F.col("doc_id").alias("parent_id"), F.length("body").alias("child_len")
+    )
+    meta = _documents(spark, sf_dir).select("doc_id", "lang")
+    return parentchild_ops.children_agg(meta, children, "lang", "child_len")
+
+
+def q_significant_text(spark, sf_dir):
+    """ES ``significant_text`` (facets.significant_text): JLH
+    significance re-analyzed from the text field with the
+    filter_duplicate_text adaptation — one foreground doc per
+    distinct leading-6-token fingerprint (lowest doc_id keeper), so
+    shared-prefix boilerplate can't manufacture significance. Same
+    sampler/JLH contract as significant_terms."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return facet_ops.significant_text(
+        eng, docs, FACET_QUERIES, m=50, top_terms=10, min_doc_count=3, dup_grams=6
+    )
+
+
+def q_common_terms_topk(spark, sf_dir):
+    """Lucene CommonTermsQuery / ES ``common`` (query/expand.py
+    search_common_terms): query terms split at df <= floor(0.5·n);
+    docs must match >= 1 low-frequency term (the high group can't
+    admit docs alone) but ALL terms score. All-high queries fall back
+    to the plain disjunction; an unmatched low clause empties its
+    query. Classification is an O(|terms|) vocabulary-metadata
+    lookup; scoring is one bucket-pruned pass over all terms + one
+    over the (short-posting) low terms."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    hits = expand_ops.search_common_terms(
+        eng, COMMON_TERMS_QUERIES, k=30, cutoff_ratio=0.5, msm_low=1
+    )
+    q = hits.withColumn("score_q", _micro(F.col("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        q.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "score_q",
+            F.col("n_matched").cast("int").alias("n_matched"),
+            F.col("n_low").cast("int").alias("n_low"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _significant_text_oracle_sql(
+    m: int = 50, top_terms: int = 10, min_doc_count: int = 3, dup_grams: int = 6
+) -> str:
+    """DuckDB twin of q_significant_text: the significant_terms
+    oracle with the duplicate-text filter spliced between the
+    foreground sample and the counting — fingerprint = md5 of the
+    space-joined leading ``dup_grams`` tokens (the SAME tokenizer
+    expression the base CTE inverts), keep the lowest doc_id per
+    (query, fingerprint)."""
+    return f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(FACET_QUERIES)}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt
+    JOIN idf USING (term)
+    JOIN tf USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM scored),
+fb AS (
+    SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS fr
+        FROM qz
+    ) WHERE fr <= {m}
+),
+fps AS (
+    SELECT doc_id,
+           md5(array_to_string(list_slice({_tok_sql("text")}, 1, {dup_grams}), ' ')) AS fp
+    FROM documents
+),
+fbd AS (
+    SELECT query_id, doc_id FROM (
+        SELECT f.query_id, f.doc_id,
+               row_number() OVER (PARTITION BY f.query_id, p.fp ORDER BY f.doc_id ASC) AS dr
+        FROM fb f JOIN fps p USING (doc_id)
+    ) WHERE dr = 1
+),
+fgn AS (SELECT query_id, count(*)::BIGINT AS fg_n FROM fbd GROUP BY 1),
+fg AS (
+    SELECT f.query_id, t.term, count(*)::BIGINT AS fg_df
+    FROM fbd f JOIN tf t USING (doc_id) GROUP BY 1, 2
+),
+cand AS (
+    SELECT fg.query_id, fg.term, fg.fg_df, df.df AS bg_df,
+           (CAST(fg.fg_df AS DOUBLE) / CAST(fgn.fg_n AS DOUBLE)
+            - CAST(df.df AS DOUBLE) / (SELECT n FROM g))
+           * ((CAST(fg.fg_df AS DOUBLE) / CAST(fgn.fg_n AS DOUBLE))
+              / (CAST(df.df AS DOUBLE) / (SELECT n FROM g))) AS sig
+    FROM fg JOIN df USING (term) JOIN fgn USING (query_id)
+    WHERE fg.fg_df >= {min_doc_count}
+),
+pos AS (
+    SELECT query_id, term, fg_df, bg_df, round(sig * 1e6)::BIGINT AS score_q
+    FROM cand WHERE sig > 0
+),
+ranked AS (
+    SELECT query_id, term, fg_df, bg_df, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, term ASC) AS rank
+    FROM pos
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, term, fg_df, bg_df, score_q
+FROM ranked WHERE rank <= {top_terms} ORDER BY query_id, rank
+"""
+
+
+def _common_terms_oracle_sql(k: int = 10, cutoff_ratio: float = 0.5, msm_low: int = 1) -> str:
+    """DuckDB twin of q_common_terms_topk: classification at
+    df <= floor(cutoff_ratio·n) off the corpus-derived df CTE (== the
+    index's term_stats, pinned by the bm25 gates), low-match counts
+    as a distinct-term conditional join, the standard disjunction
+    scoring, and the qualification filter mirroring the operator's
+    has_low/n_low algebra."""
+    return f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(COMMON_TERMS_QUERIES)}),
+cls AS (
+    SELECT qt.query_id, qt.term,
+           CASE WHEN coalesce(df.df, 0) <= floor((SELECT n FROM g) * {cutoff_ratio})::BIGINT
+                THEN 1 ELSE 0 END AS is_low
+    FROM qt LEFT JOIN df USING (term)
+),
+haslow AS (SELECT query_id, max(is_low) AS has_low FROM cls GROUP BY 1),
+lowm AS (
+    SELECT c.query_id, t.doc_id, count(*)::INT AS n_low
+    FROM cls c JOIN tf t USING (term)
+    WHERE c.is_low = 1
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score,
+           count(*)::INT AS n_matched
+    FROM qt
+    JOIN idf USING (term)
+    JOIN tf USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+qual AS (
+    SELECT s.query_id, s.doc_id, s.score, s.n_matched,
+           coalesce(l.n_low, 0)::INT AS n_low
+    FROM scored s
+    JOIN haslow h USING (query_id)
+    LEFT JOIN lowm l ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+    WHERE h.has_low = 0 OR coalesce(l.n_low, 0) >= {msm_low}
+),
+qz AS (
+    SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q, n_matched, n_low
+    FROM qual
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q,
+       n_matched::INT AS n_matched, n_low::INT AS n_low
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness run checks a
     # bounded PREFIX of this dict (~50 of 80). Round-4 rotation
@@ -5345,6 +5546,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "c4_rules": q_c4_rules,
         "fuzzy_damerau_topk": q_fuzzy_damerau_topk,
+        # wave 15
+        "children_agg": q_children_agg,
+        "significant_text": q_significant_text,
+        "common_terms_topk": q_common_terms_topk,
     }
 
 
@@ -7680,7 +7885,7 @@ SELECT * FROM (
            coalesce(sum(CASE WHEN f IS NULL THEN n_chars END), 0)::BIGINT FROM d
 ) ORDER BY bucket
 """,
-        "gopher_rules": """
+        "gopher_rules": r"""
 WITH base14 AS (
     SELECT doc_id,
            replace(coalesce(text, ''), ' scan ', '.' || chr(10) || ' scan ') AS b
@@ -7787,6 +7992,40 @@ SELECT doc_id,
 FROM k ORDER BY doc_id
 """,
         "fuzzy_damerau_topk": _damerau_oracle_sql(10),
+        "children_agg": f"""
+WITH dlv AS (SELECT doc_id, replace(coalesce(text, ''), ' ', chr(10)) AS content FROM documents),
+dl0 AS (SELECT doc_id, content, string_split(content, chr(10)) AS ls0 FROM dlv),
+dlx AS (
+    SELECT doc_id, content,
+           CASE WHEN content LIKE '%' || chr(10)
+                THEN list_slice(ls0, 1, greatest(len(ls0) - 1, 0)) ELSE ls0 END AS ls
+    FROM dl0
+),
+s AS (SELECT doc_id, ls, unnest(range(0, len(ls), {CHUNK_W})) AS i FROM dlx WHERE len(ls) > 0),
+c AS (
+    SELECT doc_id AS parent_id,
+           array_to_string(list_slice(ls, i + 1, least(i + {CHUNK_W}, len(ls))), chr(10)) AS body
+    FROM s
+),
+ch AS (
+    SELECT parent_id, length(body)::BIGINT AS clen FROM c
+    WHERE regexp_replace(body, '^[ \t\n\r\f\x0b]+|[ \t\n\r\f\x0b]+$', '', 'g') <> ''
+),
+p AS (SELECT doc_id AS parent_id, coalesce(lang, '(none)') AS grp FROM documents),
+pb AS (SELECT grp, count(DISTINCT parent_id)::BIGINT AS n_parents FROM p GROUP BY 1),
+cb AS (
+    SELECT p.grp, count(*)::BIGINT AS n_children, sum(clen)::BIGINT AS sum_child_chars,
+           round(sum(clen) * 1000000.0 / count(*))::BIGINT AS avg_child_chars_micro
+    FROM ch JOIN p USING (parent_id) GROUP BY 1
+)
+SELECT pb.grp AS grp, n_parents,
+       coalesce(n_children, 0)::BIGINT AS n_children,
+       coalesce(sum_child_chars, 0)::BIGINT AS sum_child_chars,
+       coalesce(avg_child_chars_micro, 0)::BIGINT AS avg_child_chars_micro
+FROM pb LEFT JOIN cb USING (grp) ORDER BY grp
+""",
+        "significant_text": _significant_text_oracle_sql(),
+        "common_terms_topk": _common_terms_oracle_sql(10),
         # ann_srp_topk / ann_ivf_topk / ann_pq_topk / ann_ivfpq_topk:
         # non-SQL-expressible kernels (Box-Muller SRP hyperplanes;
         # iterative k-means; PQ codebooks) → rows-only checks by

@@ -371,6 +371,17 @@ def bench_main(results: dict):
         "streaming_sessionize",
         "terms_lookup_topk",
         "geohash_grid_agg",
+        # wave 14
+        "boxplot_agg",
+        "top_metrics_agg",
+        "bucket_siblings",
+        "gopher_rules",
+        "c4_rules",
+        "fuzzy_damerau_topk",
+        # wave 15
+        "children_agg",
+        "significant_text",
+        "common_terms_topk",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

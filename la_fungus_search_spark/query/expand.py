@@ -621,3 +621,74 @@ def search_match_bool_prefix(
     uni = reduce(lambda a, b: a.unionByName(b), channels)
     summed = uni.groupBy("query_id", "doc_id").agg(F.sum("score").alias("score"))
     return engine._topk(summed, k)
+
+
+def search_common_terms(
+    engine: BM25QueryEngine,
+    queries: Sequence[str],
+    k: int = 10,
+    cutoff_ratio: float = 0.5,
+    msm_low: int = 1,
+) -> DataFrame:
+    """Lucene ``CommonTermsQuery`` (the ES ``common`` terms query /
+    ``cutoff_frequency``): query terms split by document frequency at
+    ``df <= floor(cutoff_ratio * n_docs)`` into LOW- and HIGH-frequency
+    groups; a document must match at least ``msm_low`` low-frequency
+    terms to qualify (the stopword-ish high group can't admit docs on
+    its own), but ALL terms — both groups — contribute to the BM25
+    score of qualifying docs. Queries with no low-frequency term
+    degenerate to the plain disjunction (the Lucene fallback). A
+    low-frequency term that matches nothing yields an empty result
+    for its query — the low group is a mandatory clause.
+
+    Returns ``(query_id, doc_id, score, n_matched, n_low)`` pre-rank
+    floats; callers quantize/rank.
+
+    Physical shape: term classification reads df for the query's own
+    terms (an O(|query terms|) vocabulary-metadata lookup, the fuzzy
+    layer's collect class); scoring is ONE bucket-pruned pass over
+    all terms plus one pass over the low terms only for the
+    qualification count — the low terms are by definition the ones
+    with short posting lists, so the second pass is the cheap one."""
+    if msm_low < 1:
+        raise ValueError("msm_low must be >= 1")
+    from collections import Counter
+
+    qt: list[tuple] = []
+    for qid, q in enumerate(queries):
+        toks = [t for t in tokenize_query(q) if t]
+        for t, c in sorted(Counter(toks).items()):
+            qt.append((qid, t, c))
+    if not qt:
+        qt = [(0, "\x00", 1)]
+    terms = sorted({t for _, t, _ in qt})
+    df_map = {
+        r["term"]: int(r["df"])
+        for r in engine.index.term_stats.filter(F.col("term").isin(terms))
+        .select("term", "df")
+        .collect()
+    }
+    cutoff = int(cutoff_ratio * engine.index.n_docs)
+    low = [(qid, t, 1) for qid, t, _ in qt if df_map.get(t, 0) <= cutoff]
+    has_low = {qid for qid, _, _ in low}
+    scored = engine.scored_from_terms(qt)
+    if not low:
+        return scored.select(
+            "query_id", "doc_id", "score", "n_matched", F.lit(0).cast("int").alias("n_low")
+        )
+    lowc = engine.scored_from_terms(low).select(
+        "query_id", "doc_id", F.col("n_matched").alias("n_low")
+    )
+    with_low = (
+        scored.filter(F.col("query_id").isin(sorted(has_low)))
+        .join(lowc, ["query_id", "doc_id"])
+        .filter(F.col("n_low") >= int(msm_low))
+        .select("query_id", "doc_id", "score", "n_matched", F.col("n_low").cast("int"))
+    )
+    no_low_ids = sorted(set(range(len(queries))) - has_low)
+    if not no_low_ids:
+        return with_low
+    without_low = scored.filter(F.col("query_id").isin(no_low_ids)).select(
+        "query_id", "doc_id", "score", "n_matched", F.lit(0).cast("int").alias("n_low")
+    )
+    return with_low.unionByName(without_low)

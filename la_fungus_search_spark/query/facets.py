@@ -1796,3 +1796,80 @@ def missing_agg(
         )
     ).alias("r")
     return agg.select(row).select("r.bucket", "r.doc_count", "r.sum_metric").orderBy("bucket")
+
+
+def significant_text(
+    engine,
+    docs_df: DataFrame,
+    queries: Sequence[str],
+    m: int = 50,
+    top_terms: int = 10,
+    min_doc_count: int = 3,
+    dup_grams: int = 6,
+) -> DataFrame:
+    """ES ``significant_text`` aggregation: :func:`significant_terms`
+    re-analyzed from the TEXT field with ``filter_duplicate_text`` —
+    near-duplicate foreground documents are removed BEFORE counting so
+    boilerplate copies can't manufacture fake significance (the ES
+    docs' motivating failure). ES's duplicate filter drops previously-
+    seen 6-gram sequences; here the deterministic adaptation keeps one
+    foreground doc per distinct LEADING ``dup_grams``-token
+    fingerprint (lowest doc_id — the repo's canonical-keeper rule),
+    which removes exactly the shared-prefix boilerplate class this
+    corpus contains. Everything downstream (fg_n, JLH, ranking) is
+    :func:`significant_terms` over the deduped sample — scoring
+    semantics documented there.
+
+    Physical shape: identical to significant_terms plus one
+    row_number window over the m·|queries| foreground dim (sample-
+    sized, never corpus-sized) for the dedup."""
+    from la_fungus_search_spark.tokenizer import tokens_expr
+
+    scored = engine.scored_sql(queries).withColumn("score_q", _quantize(F.col("score")))
+    wm = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    fb = (
+        scored.withColumn("fr", F.row_number().over(wm))
+        .filter(F.col("fr") <= m)
+        .select("query_id", "doc_id")
+    )
+    toks = docs_df.select("doc_id", tokens_expr("text").alias("toks")).join(
+        F.broadcast(fb), "doc_id"
+    )
+    fp = F.md5(F.array_join(F.slice(F.col("toks"), 1, dup_grams), " "))
+    wd = Window.partitionBy("query_id", "fp").orderBy(F.asc("doc_id"))
+    dedup = (
+        toks.withColumn("fp", fp)
+        .withColumn("dr", F.row_number().over(wd))
+        .filter(F.col("dr") == 1)
+    )
+    fg_n = dedup.groupBy("query_id").agg(F.count("*").cast("bigint").alias("fg_n"))
+    fg = (
+        dedup.select("query_id", F.explode(F.array_distinct("toks")).alias("term"))
+        .groupBy("query_id", "term")
+        .agg(F.count("*").cast("bigint").alias("fg_df"))
+        .filter(F.col("fg_df") >= min_doc_count)
+    )
+    ts = engine.index.term_stats.select("term", F.col("df").cast("bigint").alias("bg_df"))
+    a = F.col("fg_df").cast("double") / F.col("fg_n").cast("double")
+    b = F.col("bg_df").cast("double") / F.lit(float(engine.index.n_docs))
+    cand = (
+        F.broadcast(fg).join(ts, "term")
+        .join(F.broadcast(fg_n), "query_id")
+        .withColumn("sig", (a - b) * (a / b))
+        .filter(F.col("sig") > 0)
+        .withColumn("score_q", _quantize(F.col("sig")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("term"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_terms)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            "fg_df",
+            "bg_df",
+            "score_q",
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -152,3 +152,55 @@ def terms_lookup_topk(docs: DataFrame, lookup_doc_id: int, k: int = 10) -> DataF
     return top.select(
         F.row_number().over(w).alias("rank"), "doc_id", "n_matched"
     ).orderBy("rank")
+
+
+def children_agg(
+    parent_meta: DataFrame,
+    children: DataFrame,
+    bucket_col: str = "lang",
+    len_col: str = "child_len",
+) -> DataFrame:
+    """ES ``children`` aggregation (match_all context): a ``terms``
+    bucketing over a PARENT field whose sub-aggregations run over the
+    parents' CHILD documents — the agg-side dual of ``has_child``
+    (query side). Per parent bucket → ``(grp, n_parents, n_children,
+    sum_child_chars, avg_child_chars_micro)``: distinct parents,
+    child fan-out count, exact BIGINT child-length sum and the single
+    rounded division.
+
+    ``parent_meta``: (doc_id, <bucket_col>) — one row per parent.
+    ``children``: (parent_id, <len_col>) — one row per child unit.
+
+    Physical shape: one hash join fans the bucket key onto the child
+    rows (parent metadata is the small side), then ONE map-side-
+    combinable aggregate; parents without children still surface via
+    a left join from the parent-bucket counts (the ES contract — a
+    bucket with 0 children reports doc_count but empty child stats)."""
+    p = parent_meta.select(
+        F.col("doc_id").alias("parent_id"),
+        F.coalesce(F.col(bucket_col).cast("string"), F.lit("(none)")).alias("grp"),
+    )
+    pb = p.groupBy("grp").agg(F.count_distinct("parent_id").cast("bigint").alias("n_parents"))
+    ch = children.select("parent_id", F.col(len_col).cast("bigint").alias("clen")).join(
+        p, "parent_id"
+    )
+    cb = ch.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_children"),
+        F.sum("clen").cast("bigint").alias("sum_child_chars"),
+        F.round(F.sum("clen") * 1_000_000 / F.count("*")).cast("bigint").alias(
+            "avg_child_chars_micro"
+        ),
+    )
+    return (
+        pb.join(cb, "grp", "left")
+        .select(
+            "grp",
+            "n_parents",
+            F.coalesce("n_children", F.lit(0)).cast("bigint").alias("n_children"),
+            F.coalesce("sum_child_chars", F.lit(0)).cast("bigint").alias("sum_child_chars"),
+            F.coalesce("avg_child_chars_micro", F.lit(0)).cast("bigint").alias(
+                "avg_child_chars_micro"
+            ),
+        )
+        .orderBy("grp")
+    )

@@ -18,6 +18,11 @@ SF = "/root/testdata/sf0.001"
 # non-equi; the broadcast side is the tiny query-term dim, so the BNLJ
 # is linear in corpus × |terms|, which is the operator's true cost.
 BNLJ_ALLOWED = {
+    # sibling pipeline aggs: the constant-key join of the 1-row global
+    # stats frame onto the bucket-count-sized histogram folds to a BNLJ
+    # after constant propagation — both sides are already aggregated
+    # (≤ buckets rows), the dsir 1-row-totals precedent
+    "bucket_siblings",
     "keyword_score_topk",
     "hybrid_blend_topk",
     "dedup_by_source_results",
@@ -214,6 +219,10 @@ AUDIT = [
     "gopher_rules",
     "c4_rules",
     "fuzzy_damerau_topk",
+    # fifteenth wave
+    "children_agg",
+    "significant_text",
+    "common_terms_topk",
 ]
 
 

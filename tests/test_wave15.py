@@ -1,0 +1,160 @@
+"""Fifteenth wave — ES children aggregation, significant_text with
+duplicate-text filtering, Lucene CommonTermsQuery — semantics pinned
+independently of the driver's DuckDB oracles."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+from la_fungus_search_spark.index import build_index
+from la_fungus_search_spark.query import facets as facet_ops
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.query.expand import search_common_terms
+from la_fungus_search_spark.query.parentchild import children_agg
+from la_fungus_search_spark.tokenizer import tokenize_query
+
+SF = "/root/testdata/sf0.001"
+
+
+# ----------------------------------------------------------- children_agg
+
+
+def test_children_agg_hand_fixture(spark):
+    parents = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de"), (4, None)],
+        schema="doc_id LONG, lang STRING",
+    )
+    children = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5), (3, 7)],
+        schema="parent_id LONG, child_len INT",
+    )
+    out = {r.grp: r for r in children_agg(parents, children).collect()}
+    en = out["en"]
+    assert (en.n_parents, en.n_children, en.sum_child_chars) == (2, 3, 35)
+    assert en.avg_child_chars_micro == round(35_000_000 / 3)
+    de = out["de"]
+    assert (de.n_parents, de.n_children, de.sum_child_chars) == (1, 1, 7)
+    # parent bucket with NO children still reports (the ES contract)
+    none = out["(none)"]
+    assert (none.n_parents, none.n_children, none.sum_child_chars) == (1, 0, 0)
+
+
+def test_children_agg_gate_totals(spark):
+    """The gate's child totals must equal the chunk frame it fans out."""
+    from la_fungus_search_spark.chunking import chunk_line_windows
+    from pyspark.sql import functions as F
+
+    ch = chunk_line_windows(
+        entry._doc_lines(spark, SF), [entry.CHUNK_W], carry_cols=("doc_id",)
+    )
+    n_children = ch.count()
+    total = ch.select(F.sum(F.length("body"))).collect()[0][0]
+    out = entry.q_children_agg(spark, SF).collect()
+    assert sum(r.n_children for r in out) == n_children
+    assert sum(r.sum_child_chars for r in out) == total
+
+
+# ------------------------------------------------------- significant_text
+
+
+def _sig_corpus(spark):
+    """8 docs; docs 1-2 share their LEADING 6 tokens (boilerplate) and
+    are the only carriers of 'boiler'; every doc matches 'alpha'."""
+    boiler = "one two three four five six boiler "
+    rows = [
+        (1, boiler + "alpha beta"),
+        (2, boiler + "alpha gamma"),
+        (3, "alpha beta gamma delta"),
+        (4, "alpha beta delta epsilon"),
+        (5, "alpha gamma epsilon zeta"),
+        (6, "alpha delta zeta eta"),
+        (7, "alpha epsilon eta theta"),
+        (8, "alpha zeta theta beta"),
+    ]
+    # background docs that do NOT match the query — the foreground must
+    # be a strict subset of the corpus or nothing is over-represented
+    rows += [(i, "noise filler words only here") for i in range(9, 17)]
+    return spark.createDataFrame(rows, schema="doc_id LONG, content STRING")
+
+
+def test_significant_text_filters_duplicate_prefix_docs(spark):
+    docs = _sig_corpus(spark)
+    idx = build_index(spark, docs, id_col="doc_id", n_buckets=4, n_salts=2)
+    eng = BM25QueryEngine(idx)
+    d = docs.withColumnRenamed("content", "text")
+    with_dups = facet_ops.significant_terms(
+        eng, d, ["alpha"], m=8, top_terms=20, min_doc_count=2
+    ).collect()
+    deduped = facet_ops.significant_text(
+        eng, d, ["alpha"], m=8, top_terms=20, min_doc_count=2, dup_grams=6
+    ).collect()
+    # 'boiler' rides both boilerplate docs -> fg_df 2 without the
+    # filter; the dedup keeps only doc 1, dropping fg_df below the
+    # min_doc_count floor
+    assert "boiler" in {r.term for r in with_dups}
+    assert "boiler" not in {r.term for r in deduped}
+    # fg_n shrank by exactly the one duplicate
+    terms_fgn = {r.term: r for r in deduped}
+    # every doc matches 'alpha'; deduped foreground is 7 docs, so a
+    # term in all of them (alpha itself) has fg_df 7
+    assert terms_fgn["alpha"].fg_df == 7
+
+
+def test_significant_text_equals_terms_when_no_dups(spark):
+    """With all leading fingerprints distinct the filter is a no-op
+    and significant_text == significant_terms exactly."""
+    docs = _sig_corpus(spark).filter("doc_id >= 3")
+    idx = build_index(spark, docs, id_col="doc_id", n_buckets=4, n_salts=2)
+    eng = BM25QueryEngine(idx)
+    d = docs.withColumnRenamed("content", "text")
+    a = facet_ops.significant_terms(eng, d, ["alpha"], m=8, top_terms=20, min_doc_count=2)
+    b = facet_ops.significant_text(eng, d, ["alpha"], m=8, top_terms=20, min_doc_count=2)
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+# --------------------------------------------------------- common terms
+
+
+def test_common_terms_all_high_is_plain_disjunction(spark):
+    eng = BM25QueryEngine(entry._index(spark, SF))
+    q = ["scan merge sort"]
+    ct = entry._bm25_rank(
+        search_common_terms(eng, q, cutoff_ratio=0.5).select(
+            "query_id", "doc_id", "score"
+        ),
+        10,
+    ).collect()
+    plain = entry._bm25_rank(eng.scored_sql(q), 10).collect()
+    assert [tuple(r) for r in ct] == [tuple(r) for r in plain]
+
+
+def test_common_terms_low_clause_gates_matching(spark):
+    eng = BM25QueryEngine(entry._index(spark, SF))
+    out = search_common_terms(eng, ["dup hash join"], cutoff_ratio=0.5).collect()
+    assert out, "docs containing the rare term must qualify"
+    # every qualifying doc matched the low term
+    assert all(r.n_low >= 1 for r in out)
+    # the match set is exactly the 'dup' posting list
+    dup_docs = {
+        r.doc_id
+        for r in eng.scored_from_terms([(0, "dup", 1)]).select("doc_id").collect()
+    }
+    assert {r.doc_id for r in out} == dup_docs
+    # high terms DO contribute: some doc matched more terms than 'dup'
+    assert any(r.n_matched > 1 for r in out)
+
+
+def test_common_terms_unmatched_low_clause_empties_query(spark):
+    eng = BM25QueryEngine(entry._index(spark, SF))
+    out = search_common_terms(eng, ["qzzqx table scan"], cutoff_ratio=0.5).collect()
+    assert out == []
+
+
+def test_common_terms_scores_match_full_disjunction_on_qualifiers(spark):
+    """Qualifying docs keep their FULL BM25 score (all terms), not a
+    low-terms-only score."""
+    eng = BM25QueryEngine(entry._index(spark, SF))
+    q = ["dup hash join"]
+    ct = {r.doc_id: r.score for r in search_common_terms(eng, q, cutoff_ratio=0.5).collect()}
+    full = {r["doc_id"]: r["score"] for r in eng.scored_sql(q).collect()}
+    for d, s in ct.items():
+        assert abs(s - full[d]) < 1e-12
