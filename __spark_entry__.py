@@ -47,6 +47,7 @@ from la_fungus_search_spark.query import phrase as phrase_ops
 from la_fungus_search_spark.query import multifield as multifield_ops
 from la_fungus_search_spark.query import parentchild as parentchild_ops
 from la_fungus_search_spark.query import querystring as qs_ops
+from la_fungus_search_spark.query import filtering as filtering_ops
 from la_fungus_search_spark.query.ranking import (
     collapse_topk,
     dedup_by_source,
@@ -5306,6 +5307,291 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+# ---------------------------------------------------------------- wave 16
+# frequent_item_sets + categorize_text aggregations, FineWeb curation
+# rules, SpanMultiTermQueryWrapper, and filter-context retrieval.
+
+SPAN_MULTI_QUERIES = [
+    ([("prefix", "val"), ("term", "table")], 3),   # value* ... table
+    ([("term", "scan"), ("prefix", "mer")], 2),    # scan ... merge*
+    ([("prefix", "qu"), ("prefix", "fa")], 4),     # query*/0 ... fast*
+    ([("prefix", "zzzz"), ("term", "scan")], 5),   # dead prefix -> empty
+]
+
+FILTER_CONTEXT = dict(
+    terms=("lang", ["en", "es"]),
+    value_range=("n_chars", 150, 400),
+    exists_col="source",
+    not_ids=(0, 1, 2, 3, 4),
+    boost=1.2,
+    k=10,
+)
+
+
+def _fineweb_corpus(spark, sf_dir) -> DataFrame:
+    """The gopher/c4 planted web-text corpus plus one more mutation
+    class: doc_id % 19 plants an exactly-duplicated line pair so the
+    FineWeb duplicated-line-characters rule has real positives.
+    Mirrored verbatim in the oracle CTE (applied AFTER aug14, so the
+    gopher/c4 gates are untouched)."""
+    base = _webtext_aug(spark, sf_dir)
+    dup = F.lit("\nrepeat this line alpha beta.\nrepeat this line alpha beta.")
+    return base.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 19 == 0, F.concat(F.col("text"), dup))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_fineweb_rules(spark, sf_dir):
+    """FineWeb quality-filter rule flags (textops/filters.py, Penedo
+    et al. 2024 arXiv:2406.17557 §3.6 / datatrove defaults) over the
+    planted web-text corpus + duplicated-line plants: 4 rules as
+    cross-multiplied integer comparisons + the keep conjunction."""
+    return filters_ops.fineweb_rules(_fineweb_corpus(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_frequent_item_sets(spark, sf_dir):
+    """ES ``frequent_item_sets`` aggregation (query/facets.py): all
+    itemsets of size 1-3 over (user, day) transactions of distinct
+    event types with support >= 3. Subset enumeration is chained
+    posexplode/slice over per-transaction sorted item arrays — pure
+    JVM, C(|alphabet|,<=3) fan-out per transaction, one
+    map-side-combinable count on itemset keys."""
+    ev = _events(spark, sf_dir).withColumn(
+        "d", F.date_format(F.col("ts"), "yyyy-MM-dd")
+    )
+    return facet_ops.frequent_item_sets(
+        ev, tx_cols=("user_id", "d"), item_col="event_type", min_support=3, max_size=3
+    )
+
+
+def _logtext(spark, sf_dir) -> DataFrame:
+    """Log-like messages synthesized deterministically from doc_id
+    (the corpus is word-soup — real templates are needed for
+    categorization to have structure): 5 templates whose variable
+    slots are digit-bearing tokens. Mirrored verbatim in the oracle
+    CTE."""
+    d = _documents(spark, sf_dir).select("doc_id")
+    ds = F.col("doc_id").cast("string")
+    text = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("connection from host h"), ds, F.lit(" failed with code "),
+                     (F.col("doc_id") % 7).cast("string"), F.lit(" retrying now.")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("user u"), ds, F.lit(" logged in from session s"),
+                     (F.col("doc_id") % 13).cast("string"), F.lit(".")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit("disk usage at "), (F.col("doc_id") % 100).cast("string"),
+                     F.lit(" percent on volume v"), (F.col("doc_id") % 3).cast("string"),
+                     F.lit(".")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("query q"), ds, F.lit(" completed in "),
+                     (F.col("doc_id") % 500).cast("string"), F.lit(" ms.")),
+        )
+        .otherwise(
+            F.concat(F.lit("cache miss for key k"), ds, F.lit(" shard "),
+                     (F.col("doc_id") % 11).cast("string"), F.lit(".")),
+        )
+    )
+    return d.select("doc_id", text.alias("text"))
+
+
+def q_categorize_text(spark, sf_dir):
+    """ES ``categorize_text`` aggregation (query/facets.py) over the
+    synthesized log corpus: docs group by their digit-free token
+    pattern (the deterministic, order-independent adaptation of ES's
+    Drain-style categorizer — exact whenever templates differ in a
+    constant token); top categories by doc_count with the lowest
+    doc_id as the example."""
+    return facet_ops.categorize_text(_logtext(spark, sf_dir), max_cats=10)
+
+
+def q_span_multi(spark, sf_dir):
+    """Lucene SpanMultiTermQueryWrapper in an ordered span
+    (query/phrase.py span_multi_topk): prefix slots match ANY
+    vocabulary term with the prefix, resolved per-doc from the
+    position map — one corpus pass for all queries, the occurrence
+    predicate (literal-OR-startswith) pushed before both shuffles."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return phrase_ops.span_multi_topk(docs, SPAN_MULTI_QUERIES, k=10)
+
+
+def q_filter_context(spark, sf_dir):
+    """ES constant_score over a bool.filter clause tree
+    (query/filtering.py): terms + range + exists + must_not ids, all
+    as pushed-down Catalyst predicates; every match scores the
+    constant boost, rank ties on doc_id — filter context never
+    touches the BM25 machinery."""
+    meta = _documents(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    return filtering_ops.filter_context_topk(meta, **FILTER_CONTEXT)
+
+
+_FINEWEB_AUG_SQL = r"""
+base14 AS (
+    SELECT doc_id,
+           replace(coalesce(text, ''), ' scan ', '.' || chr(10) || ' scan ') AS b
+    FROM documents
+),
+aug14 AS (
+    SELECT doc_id,
+           CASE
+             WHEN doc_id % 17 = 0 THEN 'tiny doc.'
+             WHEN doc_id % 13 = 0 THEN '- alpha beta gamma delta one.' || chr(10) || '- two three four five six.' || chr(10) || b
+             WHEN doc_id % 11 = 0 THEN b || chr(10) || 'to be continued...'
+             WHEN doc_id % 29 = 0 THEN b || chr(10) || 'this page contains lorem ipsum filler text.'
+             WHEN doc_id % 31 = 0 THEN b || chr(10) || 'function f() { return 1; }'
+             WHEN doc_id % 23 = 0 THEN b || ' ' || repeat('# ', 40)
+             ELSE b
+           END AS text
+    FROM base14
+),
+aug16 AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 19 = 0
+                THEN text || chr(10) || 'repeat this line alpha beta.' || chr(10) || 'repeat this line alpha beta.'
+                ELSE text
+           END AS text
+    FROM aug14
+)
+"""
+
+
+def _fineweb_oracle_sql() -> str:
+    """DuckDB twin of q_fineweb_rules: the shared planted-corpus CTEs
+    + the fineweb dup-line layer, then the 4 cross-multiplied integer
+    rules; the duplicated-line fold transcribes the Spark HOF
+    literally (list_contains over the strict prefix)."""
+    return rf"""
+WITH {_FINEWEB_AUG_SQL.strip()},
+g AS (
+    SELECT doc_id, text,
+           regexp_extract_all(text, '[^' || chr(10) || ']+') AS lines,
+           regexp_extract_all(text, '[^ ' || chr(9) || chr(10) || chr(13) || ']+') AS words
+    FROM aug16
+),
+c AS (
+    SELECT doc_id,
+           len(lines)::BIGINT AS n_lines,
+           len(list_filter(lines, l -> regexp_matches(trim(l), '[.!?]$')))::BIGINT AS n_punct_lines,
+           len(list_filter(lines, l -> length(l) < 30))::BIGINT AS n_short_lines,
+           coalesce(list_sum(list_transform(lines, l -> length(l))), 0)::BIGINT AS line_chars,
+           coalesce(list_sum(list_transform(range(1, len(lines) + 1),
+               i -> CASE WHEN i > 1 AND list_contains(list_slice(lines, 1, i - 1), lines[i])
+                         THEN length(lines[i]) ELSE 0 END)), 0)::BIGINT AS dup_chars,
+           len(words)::BIGINT AS n_words,
+           (length(text) - length(replace(text, chr(10), '')))::BIGINT AS n_newlines
+    FROM g
+)
+SELECT doc_id, n_lines, n_punct_lines, n_short_lines, line_chars, dup_chars, n_words, n_newlines,
+       (100 * n_punct_lines >= 12 * n_lines AND n_lines > 0)::INT AS r_line_punct,
+       (100 * n_short_lines < 67 * n_lines)::INT AS r_short_lines,
+       (100 * dup_chars <= line_chars)::INT AS r_dup_chars,
+       (10 * n_newlines <= 3 * n_words)::INT AS r_newline_ratio,
+       ((100 * n_punct_lines >= 12 * n_lines AND n_lines > 0)
+        AND (100 * n_short_lines < 67 * n_lines)
+        AND (100 * dup_chars <= line_chars)
+        AND (10 * n_newlines <= 3 * n_words))::INT AS keep
+FROM c ORDER BY doc_id
+"""
+
+
+def _frequent_item_sets_oracle_sql(min_support: int = 3) -> str:
+    """DuckDB twin of q_frequent_item_sets: transactions as DISTINCT
+    (user, day, type) rows; level-wise self-joins with lexicographic
+    ordering enumerate exactly the sorted subsets the Spark side
+    builds from its sorted item arrays."""
+    return f"""
+WITH tx AS (
+    SELECT DISTINCT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+           event_type AS item
+    FROM events
+),
+s1 AS (SELECT item AS itemset, 1 AS size, count(*)::BIGINT AS support FROM tx GROUP BY 1),
+s2 AS (
+    SELECT a.item || '|' || b.item AS itemset, 2 AS size, count(*)::BIGINT AS support
+    FROM tx a JOIN tx b ON a.user_id = b.user_id AND a.d = b.d AND a.item < b.item
+    GROUP BY 1
+),
+s3 AS (
+    SELECT a.item || '|' || b.item || '|' || c.item AS itemset, 3 AS size,
+           count(*)::BIGINT AS support
+    FROM tx a
+    JOIN tx b ON a.user_id = b.user_id AND a.d = b.d AND a.item < b.item
+    JOIN tx c ON b.user_id = c.user_id AND b.d = c.d AND b.item < c.item
+    GROUP BY 1
+),
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+SELECT itemset, size::INT AS size, support FROM u
+WHERE support >= {int(min_support)}
+ORDER BY size, support DESC, itemset
+"""
+
+
+def _categorize_oracle_sql(max_cats: int = 10) -> str:
+    """DuckDB twin of q_categorize_text: the log-template CTE
+    (mirrors _logtext verbatim), tokenization over the SAME
+    ``[a-z0-9_.]+`` fragment, digit-free filter, group + rank."""
+    return f"""
+WITH logc AS (
+    SELECT doc_id,
+           CASE
+             WHEN doc_id % 5 = 0 THEN 'connection from host h' || doc_id::VARCHAR || ' failed with code ' || (doc_id % 7)::VARCHAR || ' retrying now.'
+             WHEN doc_id % 5 = 1 THEN 'user u' || doc_id::VARCHAR || ' logged in from session s' || (doc_id % 13)::VARCHAR || '.'
+             WHEN doc_id % 5 = 2 THEN 'disk usage at ' || (doc_id % 100)::VARCHAR || ' percent on volume v' || (doc_id % 3)::VARCHAR || '.'
+             WHEN doc_id % 5 = 3 THEN 'query q' || doc_id::VARCHAR || ' completed in ' || (doc_id % 500)::VARCHAR || ' ms.'
+             ELSE 'cache miss for key k' || doc_id::VARCHAR || ' shard ' || (doc_id % 11)::VARCHAR || '.'
+           END AS text
+    FROM documents
+),
+cat AS (
+    SELECT doc_id,
+           array_to_string(list_filter(regexp_extract_all(lower(text), '[a-z0-9_.]+'),
+                                       w -> NOT regexp_matches(w, '[0-9]')), ' ') AS category
+    FROM logc
+),
+agg AS (
+    SELECT category, count(*)::BIGINT AS doc_count, min(doc_id)::BIGINT AS example_doc_id
+    FROM cat WHERE length(category) > 0 GROUP BY 1
+),
+ranked AS (
+    SELECT *, row_number() OVER (ORDER BY doc_count DESC, category ASC) AS rank
+    FROM agg
+)
+SELECT rank::INT AS rank, category, doc_count, example_doc_id
+FROM ranked WHERE rank <= {int(max_cats)} ORDER BY rank
+"""
+
+
+def _filter_context_oracle_sql() -> str:
+    """DuckDB twin of q_filter_context: the same bool.filter clause
+    tree as one WHERE, constant score, doc_id-ordered top-k."""
+    fc = FILTER_CONTEXT
+    lang_list = ", ".join(f"'{v}'" for v in fc["terms"][1])
+    ids = ", ".join(str(i) for i in fc["not_ids"])
+    lo, hi = fc["value_range"][1], fc["value_range"][2]
+    boost_q = round(fc["boost"] * 1e6)
+    return f"""
+WITH m AS (
+    SELECT doc_id FROM documents
+    WHERE lang IN ({lang_list}) AND n_chars BETWEEN {lo} AND {hi}
+      AND source IS NOT NULL AND doc_id NOT IN ({ids})
+    ORDER BY doc_id LIMIT {fc["k"]}
+)
+SELECT row_number() OVER (ORDER BY doc_id)::INT AS rank, doc_id::BIGINT AS doc_id,
+       {boost_q}::BIGINT AS score_q
+FROM m ORDER BY rank
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness run checks a
     # bounded PREFIX of this dict (~50 of 80). Round-4 rotation
@@ -5550,6 +5836,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "children_agg": q_children_agg,
         "significant_text": q_significant_text,
         "common_terms_topk": q_common_terms_topk,
+        # wave 16
+        "fineweb_rules": q_fineweb_rules,
+        "frequent_item_sets_agg": q_frequent_item_sets,
+        "categorize_text_agg": q_categorize_text,
+        "span_multi_topk": q_span_multi,
+        "filter_context_topk": q_filter_context,
     }
 
 
@@ -8026,6 +8318,12 @@ FROM pb LEFT JOIN cb USING (grp) ORDER BY grp
 """,
         "significant_text": _significant_text_oracle_sql(),
         "common_terms_topk": _common_terms_oracle_sql(10),
+        # wave 16
+        "fineweb_rules": _fineweb_oracle_sql(),
+        "frequent_item_sets_agg": _frequent_item_sets_oracle_sql(3),
+        "categorize_text_agg": _categorize_oracle_sql(10),
+        "span_multi_topk": phrase_ops.span_multi_oracle_sql(SPAN_MULTI_QUERIES, 10),
+        "filter_context_topk": _filter_context_oracle_sql(),
         # ann_srp_topk / ann_ivf_topk / ann_pq_topk / ann_ivfpq_topk:
         # non-SQL-expressible kernels (Box-Muller SRP hyperplanes;
         # iterative k-means; PQ codebooks) → rows-only checks by

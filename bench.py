@@ -382,6 +382,12 @@ def bench_main(results: dict):
         "children_agg",
         "significant_text",
         "common_terms_topk",
+        # wave 16
+        "fineweb_rules",
+        "frequent_item_sets_agg",
+        "categorize_text_agg",
+        "span_multi_topk",
+        "filter_context_topk",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

@@ -1873,3 +1873,120 @@ def significant_text(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def frequent_item_sets(
+    events_df: DataFrame,
+    tx_cols: Sequence[str] = ("user_id",),
+    item_col: str = "event_type",
+    min_support: int = 2,
+    max_size: int = 3,
+) -> DataFrame:
+    """ES ``frequent_item_sets`` aggregation (market-basket mining):
+    itemsets of size 1..``max_size`` occurring in ≥ ``min_support``
+    transactions, where a transaction is one distinct ``tx_cols``
+    group and its items are the group's distinct ``item_col`` values.
+    Documented deviation from ES: ES returns only CLOSED frequent
+    sets (an Eclat variant with shard-local approximation); this
+    operator returns ALL frequent sets up to ``max_size`` — a
+    deterministic, engine-invariant superset (closedness is a
+    post-filter, not a mining property).
+
+    Physical shape: one distinct pass builds per-transaction sorted
+    item arrays (map-side-combinable ``collect_set``); subsets
+    enumerate via chained ``posexplode``/``slice`` (pure JVM, no
+    joins — per-tx fan-out is C(|alphabet|, ≤3), a constant), then
+    ONE map-side-combinable count per itemset key. At 100 TB the only
+    shuffles are the transaction distinct and the itemset groupBy —
+    both on keys far smaller than the input."""
+    tx = (
+        events_df.select(*tx_cols, F.col(item_col).alias("item"))
+        .groupBy(*tx_cols)
+        .agg(F.array_sort(F.collect_set("item")).alias("items"))
+    )
+    big = F.lit(1 << 30)
+    singles = tx.select(F.explode("items").alias("a")).select(
+        F.col("a").alias("itemset"), F.lit(1).alias("size")
+    )
+    levels = [singles]
+    if max_size >= 2:
+        p1 = tx.select("items", F.posexplode("items").alias("i", "a"))
+        p2 = p1.select(
+            "items", "i", "a",
+            F.posexplode(F.slice(F.col("items"), F.col("i") + 2, big)).alias("j", "b"),
+        )
+        pairs = p2.select(
+            F.concat_ws("|", "a", "b").alias("itemset"), F.lit(2).alias("size")
+        )
+        levels.append(pairs)
+        if max_size >= 3:
+            p3 = p2.select(
+                "a", "b",
+                F.explode(
+                    F.slice(F.col("items"), F.col("i") + F.col("j") + 3, big)
+                ).alias("c"),
+            )
+            triples = p3.select(
+                F.concat_ws("|", "a", "b", "c").alias("itemset"),
+                F.lit(3).alias("size"),
+            )
+            levels.append(triples)
+    allsets = levels[0]
+    for lv in levels[1:]:
+        allsets = allsets.unionByName(lv)
+    return (
+        allsets.groupBy("itemset", "size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= int(min_support))
+        .select(F.col("itemset"), F.col("size").cast("int").alias("size"), "support")
+        .orderBy(F.asc("size"), F.desc("support"), F.asc("itemset"))
+    )
+
+
+def categorize_text(
+    docs_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_cats: int = 20,
+) -> DataFrame:
+    """ES ``categorize_text`` aggregation over log-like messages:
+    docs group by their TOKEN PATTERN — the message with numeric /
+    id-bearing tokens dropped — so rows produced by the same template
+    land in one category. Documented deviation from ES: ES's
+    categorizer is a Drain-style incremental tree whose categories
+    depend on shard visit order; this operator uses the
+    order-independent exact rule *category = the message's
+    digit-free token sequence*, which agrees with ES whenever
+    templates differ in at least one constant token (the planted
+    corpus) and is deterministic always.
+
+    One projection pass (tokenize + filter + join — pure JVM codegen)
+    and one map-side-combinable groupBy on category keys; category
+    cardinality ∝ templates, not corpus."""
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit("[a-z0-9_.]+"),
+        F.lit(0),
+    )
+    pattern = F.array_join(
+        F.filter(toks, lambda w: ~w.rlike("[0-9]")), " "
+    )
+    per_doc = docs_df.select(
+        F.col(id_col).alias("doc_id"), pattern.alias("category")
+    ).filter(F.length("category") > 0)
+    agg = per_doc.groupBy("category").agg(
+        F.count(F.lit(1)).cast("bigint").alias("doc_count"),
+        F.min("doc_id").cast("bigint").alias("example_doc_id"),
+    )
+    w = Window.orderBy(F.desc("doc_count"), F.asc("category"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(max_cats))
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "category",
+            "doc_count",
+            "example_doc_id",
+        )
+        .orderBy("rank")
+    )

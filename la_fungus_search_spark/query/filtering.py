@@ -1,0 +1,62 @@
+"""Filter-context retrieval — the ES ``constant_score`` query over a
+``bool.filter`` clause tree (the non-scoring half of the Lucene query
+surface: ``term``/``terms``, ``range``, ``exists``, ``ids``). Scoring
+is the constant ``boost`` for every match (ES skips BM25 entirely in
+filter context), so ranking is the index tie-break alone.
+
+Reference behavior mirrored: Elasticsearch Query DSL "Query and filter
+context" + ``constant_score`` / ``exists`` / ``ids`` / ``range`` query
+docs. All clauses are native Catalyst predicates — at 100 TB this is
+ONE pushed-down scan (every clause reaches PushedFilters; no shuffle,
+no UDF), followed by a global top-k ``TakeOrderedAndProject``.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def filter_context_topk(
+    docs_meta: DataFrame,
+    terms: Optional[Tuple[str, Sequence[str]]] = None,
+    value_range: Optional[Tuple[str, int, int]] = None,
+    exists_col: Optional[str] = None,
+    not_ids: Sequence[int] = (),
+    boost: float = 1.2,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k matches of a filter-context bool tree under
+    ``constant_score(boost)``: ``terms`` = (col, allowed values) set
+    membership, ``value_range`` = (col, lo, hi) inclusive bounds,
+    ``exists_col`` = field non-NULL, ``not_ids`` = the ``ids`` clause
+    under ``must_not``. Every match scores exactly ``boost``
+    (micro-quantized like every gate score); rank ties break on
+    ``id_col`` asc — ES's internal-docid order made deterministic."""
+    cond = F.lit(True)
+    if terms is not None:
+        col, vals = terms
+        cond = cond & F.col(col).isin(list(vals))
+    if value_range is not None:
+        col, lo, hi = value_range
+        cond = cond & F.col(col).between(lo, hi)
+    if exists_col is not None:
+        cond = cond & F.col(exists_col).isNotNull()
+    if not_ids:
+        cond = cond & ~F.col(id_col).isin(list(not_ids))
+    score_q = F.round(F.lit(float(boost)) * F.lit(1e6)).cast("bigint")
+    matched = docs_meta.filter(cond).select(
+        F.col(id_col).cast("bigint").alias("doc_id"), score_q.alias("score_q")
+    )
+    return (
+        matched.orderBy(F.asc("doc_id"))
+        .limit(int(k))
+        .select(
+            F.row_number().over(Window.orderBy("doc_id")).cast("int").alias("rank"),
+            "doc_id",
+            "score_q",
+        )
+        .orderBy("rank")
+    )

@@ -1260,3 +1260,177 @@ ranked AS (
 SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, n_intervals, first_pos
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
+
+
+# ------------------------------------------------- span_multi (prefix slots)
+
+
+def _pos_map_pred(docs: DataFrame, pred) -> DataFrame:
+    """(doc_id, pm) position map like :func:`_term_pos_map` but the
+    occurrence restriction is an arbitrary term PREDICATE column
+    (prefix slots match open term sets, so no literal IN-list
+    exists). The filter still sits BEFORE both shuffles — working set
+    ∝ matched-term hits, never the corpus."""
+    occ = docs.select(
+        "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "term")
+    ).filter(pred(F.col("term")))
+    return (
+        occ.groupBy("doc_id", "term")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("pm")
+        )
+    )
+
+
+def _multi_slot_positions(slot: Tuple[str, str]) -> Column:
+    """Positions of one span_multi slot from the ``pm`` attribute:
+    a ``("term", t)`` slot reads one key; a ``("prefix", p)`` slot is
+    the sorted union of every pm key sharing the prefix (the
+    SpanMultiTermQueryWrapper rewrite — the matched term set is open,
+    so membership resolves per-doc from the map, not from a literal
+    list). Empty array when nothing matches — NULL-free like
+    :func:`_slot_positions`."""
+    kind, val = slot
+    empty = F.array().cast("array<int>")
+    if kind == "term":
+        return F.coalesce(F.element_at("pm", F.lit(val)), empty)
+    if kind == "prefix":
+        return F.coalesce(
+            F.array_sort(
+                F.flatten(
+                    F.map_values(
+                        F.map_filter(F.col("pm"), lambda k, _v: k.startswith(val))
+                    )
+                )
+            ),
+            empty,
+        )
+    raise ValueError(f"unknown span_multi slot kind: {kind!r}")
+
+
+def span_multi_topk(
+    docs: DataFrame,
+    queries: Sequence[Tuple[Sequence[Tuple[str, str]], int]],
+    k: int = 10,
+) -> DataFrame:
+    """Lucene ``SpanMultiTermQueryWrapper`` inside an ordered
+    ``SpanNearQuery``: each query is (slots, slop) where a slot is
+    ``("term", literal)`` or ``("prefix", p)`` — the prefix slot
+    matches ANY vocabulary term starting with ``p`` (the
+    multi-term-query rewrite), and the ordered greedy chain + Lucene
+    gap count are exactly :func:`span_near_topk`'s over the slot
+    unions (greedy-existence is exact existence by the same
+    minimal-end argument as :func:`intervals_query_topk`).
+
+    Physical shape: ONE corpus pass serves every query; the
+    occurrence filter is a literal-OR-startswith predicate pushed
+    before both shuffles, and per-doc evaluation is JVM HOF algebra
+    over the ``pm`` map — the open prefix set never materializes as a
+    driver-side term list, so vocabulary size never enters the
+    plan."""
+    parsed = []
+    for slots, slop in queries:
+        slots = [(kind, val.lower()) for kind, val in slots]
+        if not slots:
+            raise ValueError("span_multi needs >= 1 slot")
+        if int(slop) < 0:
+            raise ValueError("slop must be >= 0")
+        for kind, val in slots:
+            if kind not in ("term", "prefix") or not val:
+                raise ValueError(f"bad slot: {(kind, val)!r}")
+        parsed.append((slots, int(slop)))
+    lits = sorted({v for slots, _ in parsed for kk, v in slots if kk == "term"})
+    prefs = sorted({v for slots, _ in parsed for kk, v in slots if kk == "prefix"})
+
+    def pred(term: Column) -> Column:
+        cond = F.lit(False)
+        if lits:
+            cond = cond | term.isin(lits)
+        for p in prefs:
+            cond = cond | term.startswith(p)
+        return cond
+
+    pm = _pos_map_pred(docs, pred)
+
+    def _matcher(slots, slop):
+        # dedicated factory scope — a default-arg capture would give
+        # the predicate a second parameter and PySpark would switch it
+        # to the (value, index) HOF form (see _shifted's arity note)
+        m = len(slots)
+
+        def matches(s):
+            cur = s
+            for slot in slots[1:]:
+                cur = _next_after(_multi_slot_positions(slot), cur)
+            return (cur - s - F.lit(m - 1)) <= F.lit(slop)
+
+        return matches
+
+    per_q = []
+    for qid, (slots, slop) in enumerate(parsed):
+        spans = F.filter(_multi_slot_positions(slots[0]), _matcher(slots, slop))
+        per_q.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.coalesce(F.size(spans), F.lit(0)).alias("n_spans"),
+                F.coalesce(F.array_min(spans), F.lit(-1)).alias("first_pos"),
+            )
+        )
+    hits = (
+        pm.select("doc_id", F.explode(F.array(*per_q)).alias("h"))
+        .select("doc_id", "h.query_id", "h.n_spans", "h.first_pos")
+        .filter(F.col("n_spans") > 0)
+    )
+    return _rank_topk(hits, k, "n_spans")
+
+
+def span_multi_oracle_sql(
+    queries: Sequence[Tuple[Sequence[Tuple[str, str]], int]], k: int = 10
+) -> str:
+    """DuckDB twin of :func:`span_multi_topk`: slot position lists
+    via ``=`` / ``starts_with`` filters (starts_with, not LIKE — the
+    token alphabet contains ``_``, a LIKE wildcard), then the
+    intervals oracle's greedy-chain transcription."""
+    toks = duckdb_tokens_sql("text")
+    branches = []
+    for qid, (slots, slop) in enumerate(queries):
+        slots = [(kind, val.lower()) for kind, val in slots]
+        m = len(slots)
+
+        def slot_pred(slot, var="toks[i]"):
+            kind, val = slot
+            if kind == "term":
+                return f"{var} = {_sql_quote(val)}"
+            return f"starts_with({var}, {_sql_quote(val)})"
+
+        poscols = ", ".join(
+            f"list_filter(range(1, len(toks) + 1), i -> {slot_pred(slot)}) AS pos_{j}"
+            for j, slot in enumerate(slots)
+        )
+        cur = "s"
+        for j in range(1, m):
+            cur = f"list_min(list_filter(pos_{j}, x{j} -> x{j} > ({cur})))"
+        cond = f"(({cur}) - s - {m - 1}) <= {int(slop)}"
+        spans = f"list_filter(pos_0, s -> {cond})"
+        branches.append(
+            f"""SELECT query_id, doc_id, len({spans})::BIGINT AS n_spans,
+       (list_min({spans}) - 1)::INT AS first_pos
+FROM (SELECT {qid} AS query_id, doc_id, {poscols} FROM tokd)"""
+        )
+    body = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+hits AS ({body}),
+matched AS (SELECT * FROM hits WHERE n_spans > 0),
+ranked AS (
+    SELECT query_id, doc_id, n_spans, first_pos,
+           row_number() OVER (PARTITION BY query_id ORDER BY n_spans DESC, doc_id ASC) AS rank
+    FROM matched
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, n_spans, first_pos
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""

@@ -9,6 +9,11 @@ downstream curation can re-weight rather than re-compute):
   "Exploring the Limits of Transfer Learning...", arXiv:1910.10683
   §2.2): line-level terminal-punctuation + min-words keep, page-level
   sentence floor / "lorem ipsum" / curly-brace rejects.
+* :func:`fineweb_rules` — the FineWeb custom quality heuristics
+  (Penedo et al. 2024, "The FineWeb Datasets...", arXiv:2406.17557
+  §3.6 / datatrove ``FineWebQualityFilter`` defaults): terminal-
+  punctuation line-ratio floor, short-line ratio cap, duplicated-line
+  character-fraction cap, newline-to-word ratio cap.
 
 Engine-invariance contract (the repo-wide oracle discipline): every
 predicate is integer arithmetic over counts produced by ASCII-only
@@ -152,4 +157,86 @@ def c4_rules(
         has_brace.alias("has_brace"),
         keep.alias("keep"),
         F.sha2(cleaned, 256).alias("cleaned_sha"),
+    )
+
+
+def fineweb_rules(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """FineWeb custom quality-filter rule flags per document (Penedo
+    et al. 2024 arXiv:2406.17557 §3.6; thresholds are the published
+    datatrove ``FineWebQualityFilter`` defaults). A doc is KEPT iff:
+
+    * ``r_line_punct``  — ≥12% of lines end in terminal punctuation
+      (``.!?``), i.e. ``100·n_punct ≥ 12·n_lines`` (docs with zero
+      lines fail — the ratio floor is unsatisfiable);
+    * ``r_short_lines`` — <67% of lines are shorter than 30 chars:
+      ``100·n_short < 67·n_lines``;
+    * ``r_dup_chars``   — ≤1% of line characters sit in REPEATED
+      lines (chars of every occurrence after a line's first):
+      ``100·dup_chars ≤ line_chars``;
+    * ``r_newline_ratio`` — newline count ≤ 0.3·word count:
+      ``10·n_newlines ≤ 3·n_words``.
+
+    ``keep`` is the conjunction. Same engine-invariance contract as
+    :func:`gopher_rules`: every ratio is a cross-multiplied integer
+    comparison over ASCII-regex counts. The duplicated-line scan is a
+    shuffle-free O(L²) higher-order fold over the doc's own line
+    array (L = lines per doc — tens, not corpus-sized); at 100 TB the
+    operator stays a single projection pass."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.regexp_extract_all(t, F.lit(LINE_PATTERN), F.lit(0))
+    n_lines = F.size(lines).cast("bigint")
+    n_punct = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike("[.!?]$"))
+    ).cast("bigint")
+    n_short = F.size(F.filter(lines, lambda ln: F.length(ln) < 30)).cast("bigint")
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("bigint"), lambda acc, ln: acc + F.length(ln)
+    )
+    idx = F.sequence(F.lit(1), F.size(lines))
+    dup_chars = F.when(F.size(lines) <= 1, F.lit(0).cast("bigint")).otherwise(
+        F.aggregate(
+            idx,
+            F.lit(0).cast("bigint"),
+            lambda acc, i: acc
+            + F.when(
+                F.exists(
+                    F.slice(lines, F.lit(1), i - 1),
+                    lambda prev: prev == F.element_at(lines, i),
+                ),
+                F.length(F.element_at(lines, i)).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+    )
+    n_words = F.size(F.regexp_extract_all(t, F.lit(WORD_PATTERN), F.lit(0))).cast(
+        "bigint"
+    )
+    n_newlines = (
+        F.length(t) - F.length(F.replace(t, F.lit("\n"), F.lit("")))
+    ).cast("bigint")
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.alias("n_lines"),
+        n_punct.alias("n_punct_lines"),
+        n_short.alias("n_short_lines"),
+        line_chars.alias("line_chars"),
+        dup_chars.alias("dup_chars"),
+        n_words.alias("n_words"),
+        n_newlines.alias("n_newlines"),
+    )
+    r_punct = 100 * F.col("n_punct_lines") >= 12 * F.col("n_lines")
+    # zero-line docs: 0 >= 0 would pass vacuously — FineWeb drops them
+    r_punct = r_punct & (F.col("n_lines") > 0)
+    r_short = 100 * F.col("n_short_lines") < 67 * F.col("n_lines")
+    r_dup = 100 * F.col("dup_chars") <= F.col("line_chars")
+    r_nl = 10 * F.col("n_newlines") <= 3 * F.col("n_words")
+    keep = r_punct & r_short & r_dup & r_nl
+    return out.select(
+        "*",
+        r_punct.cast("int").alias("r_line_punct"),
+        r_short.cast("int").alias("r_short_lines"),
+        r_dup.cast("int").alias("r_dup_chars"),
+        r_nl.cast("int").alias("r_newline_ratio"),
+        keep.cast("int").alias("keep"),
     )

@@ -223,6 +223,12 @@ AUDIT = [
     "children_agg",
     "significant_text",
     "common_terms_topk",
+    # sixteenth wave
+    "fineweb_rules",
+    "frequent_item_sets_agg",
+    "categorize_text_agg",
+    "span_multi_topk",
+    "filter_context_topk",
 ]
 
 

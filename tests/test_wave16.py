@@ -1,0 +1,275 @@
+"""Sixteenth wave — FineWeb quality rules, frequent_item_sets,
+categorize_text, SpanMultiTermQueryWrapper, filter-context retrieval —
+semantics pinned independently of the driver's DuckDB oracles (hand
+fixtures + pure-Python recomputes)."""
+
+from __future__ import annotations
+
+import itertools
+import re
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from la_fungus_search_spark.query.facets import categorize_text, frequent_item_sets
+from la_fungus_search_spark.query.filtering import filter_context_topk
+from la_fungus_search_spark.query.phrase import span_multi_topk
+from la_fungus_search_spark.textops.filters import fineweb_rules
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------ fineweb_rules
+
+
+def _fineweb_py(text: str) -> dict:
+    lines = re.findall(r"[^\n]+", text)
+    n_lines = len(lines)
+    n_punct = sum(1 for ln in lines if re.search(r"[.!?]$", ln.strip()))
+    n_short = sum(1 for ln in lines if len(ln) < 30)
+    line_chars = sum(len(ln) for ln in lines)
+    dup_chars = sum(
+        len(ln) for i, ln in enumerate(lines) if ln in lines[:i]
+    )
+    n_words = len(re.findall(r"[^ \t\n\r]+", text))
+    n_newlines = text.count("\n")
+    r_punct = 100 * n_punct >= 12 * n_lines and n_lines > 0
+    r_short = 100 * n_short < 67 * n_lines
+    r_dup = 100 * dup_chars <= line_chars
+    r_nl = 10 * n_newlines <= 3 * n_words
+    return dict(
+        n_lines=n_lines, n_punct_lines=n_punct, n_short_lines=n_short,
+        line_chars=line_chars, dup_chars=dup_chars, n_words=n_words,
+        n_newlines=n_newlines, r_line_punct=int(r_punct),
+        r_short_lines=int(r_short), r_dup_chars=int(r_dup),
+        r_newline_ratio=int(r_nl),
+        keep=int(r_punct and r_short and r_dup and r_nl),
+    )
+
+
+FINEWEB_DOCS = [
+    (0, "a good paragraph always ends right here with punctuation.\n"
+        "another full sentence follows it right after that one."),
+    (1, "dup line.\ndup line.\nshort"),                     # duplicated chars
+    (2, "no terminal punctuation on any line\nstill none"),  # punct rule fails
+    (3, "x\ny\nz"),                                          # all short lines
+    (4, "word " * 5 + "\n\n\n\nmany newlines few words"),    # newline ratio
+    (5, ""),                                                 # zero lines
+    (6, "one single line that is long enough and ends properly."),
+]
+
+
+def test_fineweb_rules_vs_python(spark):
+    df = spark.createDataFrame(FINEWEB_DOCS, schema="doc_id LONG, text STRING")
+    got = {r.doc_id: r.asDict() for r in fineweb_rules(df).collect()}
+    for doc_id, text in FINEWEB_DOCS:
+        want = _fineweb_py(text)
+        row = got[doc_id]
+        for k, v in want.items():
+            assert row[k] == v, (doc_id, k, row[k], v)
+    # the fixtures exercise every rule in both directions
+    assert {got[0]["keep"], got[1]["keep"]} == {1, 0}
+    assert got[1]["r_dup_chars"] == 0 and got[1]["dup_chars"] == len("dup line.")
+    assert got[2]["r_line_punct"] == 0
+    assert got[3]["r_short_lines"] == 0
+    assert got[4]["r_newline_ratio"] == 0
+    assert got[5]["r_line_punct"] == 0 and got[5]["keep"] == 0
+
+
+def test_fineweb_gate_corpus_has_both_verdicts(spark):
+    out = entry.q_fineweb_rules(spark, SF).collect()
+    keeps = {r.keep for r in out}
+    assert keeps == {0, 1}
+    # the planted dup-line docs (doc_id % 19) actually trip the rule
+    tripped = [r for r in out if r.doc_id % 19 == 0 and r.dup_chars > 0]
+    assert tripped, "dup-line plants must produce dup_chars > 0"
+
+
+# ------------------------------------------------------ frequent_item_sets
+
+
+def test_frequent_item_sets_vs_itertools(spark):
+    tx_rows = [
+        (1, ["a", "b", "c"]),
+        (2, ["a", "b"]),
+        (3, ["a", "b", "c", "d"]),
+        (4, ["b", "c"]),
+        (5, ["a"]),
+    ]
+    flat = [(tid, item) for tid, items in tx_rows for item in items]
+    df = spark.createDataFrame(flat, schema="tid LONG, event_type STRING")
+    got = {
+        (r.itemset, r.size): r.support
+        for r in frequent_item_sets(
+            df, tx_cols=("tid",), min_support=2, max_size=3
+        ).collect()
+    }
+    want = {}
+    for size in (1, 2, 3):
+        for _tid, items in tx_rows:
+            for combo in itertools.combinations(sorted(items), size):
+                want["|".join(combo), size] = want.get(("|".join(combo), size), 0) + 1
+    want = {k: v for k, v in want.items() if v >= 2}
+    assert got == want
+
+
+def test_frequent_item_sets_duplicate_events_collapse(spark):
+    # the same (tx, item) seen many times is ONE basket membership
+    df = spark.createDataFrame(
+        [(1, "a")] * 5 + [(1, "b"), (2, "a")], schema="tid LONG, event_type STRING"
+    )
+    got = {
+        (r.itemset, r.size): r.support
+        for r in frequent_item_sets(df, tx_cols=("tid",), min_support=1).collect()
+    }
+    assert got == {("a", 1): 2, ("b", 1): 1, ("a|b", 2): 1}
+
+
+# --------------------------------------------------------- categorize_text
+
+
+def test_categorize_text_hand_fixture(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "error at line 14 in module alpha"),
+            (2, "error at line 99 in module alpha"),
+            (3, "user 7 logged in"),
+            (4, "user 8 logged in"),
+            (5, "user 9 logged in"),
+            (6, "12345 67"),  # all tokens digit-bearing -> no category
+        ],
+        schema="doc_id LONG, text STRING",
+    )
+    out = categorize_text(df, max_cats=10).collect()
+    cats = {r.category: (r.doc_count, r.example_doc_id, r.rank) for r in out}
+    assert cats == {
+        "user logged in": (3, 3, 1),
+        "error at line in module alpha": (2, 1, 2),
+    }
+
+
+def test_categorize_text_gate_covers_all_templates(spark):
+    out = entry.q_categorize_text(spark, SF).collect()
+    assert len(out) == 5  # one category per planted template
+    assert sum(r.doc_count for r in out) == entry._documents(spark, SF).count()
+
+
+# -------------------------------------------------------------- span_multi
+
+
+def _span_multi_py(tokens, slots, slop):
+    """Brute-force: all ways to choose one position per slot, ordered,
+    gap-counted; a start matches if ANY completion fits."""
+    def slot_positions(slot):
+        kind, val = slot
+        if kind == "term":
+            return [i for i, t in enumerate(tokens) if t == val]
+        return [i for i, t in enumerate(tokens) if t.startswith(val)]
+
+    pos = [slot_positions(s) for s in slots]
+    m = len(slots)
+    starts = []
+    for s in pos[0]:
+        def feasible(prev, j):
+            if j == m:
+                return prev - s - (m - 1) <= slop
+            return any(feasible(p, j + 1) for p in pos[j] if p > prev)
+        if m == 1:
+            if 0 <= slop:
+                starts.append(s)
+        elif feasible(s, 1):
+            starts.append(s)
+    return starts
+
+
+def test_span_multi_vs_bruteforce(spark):
+    docs = entry._documents(spark, SF).select("doc_id", "text").limit(40).collect()
+    queries = entry.SPAN_MULTI_QUERIES
+    got = {
+        (r.query_id, r.doc_id): (r.n_spans, r.first_pos)
+        for r in span_multi_topk(
+            spark.createDataFrame(docs), queries, k=10_000
+        ).collect()
+    }
+    from la_fungus_search_spark.tokenizer import tokenize
+
+    want = {}
+    for qid, (slots, slop) in enumerate(queries):
+        per_doc = []
+        for row in docs:
+            starts = _span_multi_py(tokenize(row.text), slots, slop)
+            if starts:
+                per_doc.append((row.doc_id, len(starts), min(starts)))
+        for doc_id, n, first in per_doc:
+            want[(qid, doc_id)] = (n, first)
+    assert got == want
+
+
+def test_span_multi_prefix_equals_expanded_terms(spark):
+    """A prefix slot must equal the span_near union over the matched
+    vocabulary terms — checked via a hand corpus."""
+    df = spark.createDataFrame(
+        [
+            (1, "value table end"),
+            (2, "values of the table"),
+            (3, "valid rows in a table of facts"),
+            (4, "table value inverted order"),
+            (5, "nothing here"),
+        ],
+        schema="doc_id LONG, text STRING",
+    )
+    out = {
+        r.doc_id: r.n_spans
+        for r in span_multi_topk(df, [([("prefix", "val"), ("term", "table")], 3)]).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1}  # doc 4 is out of order, doc 5 no match
+
+
+def test_span_multi_dead_prefix_empty(spark):
+    df = spark.createDataFrame([(1, "scan the table")], "doc_id LONG, text STRING")
+    assert span_multi_topk(df, [([("prefix", "zzzz"), ("term", "scan")], 5)]).count() == 0
+
+
+# ----------------------------------------------------------- filter_context
+
+
+def test_filter_context_hand_recompute(spark):
+    meta = entry._documents(spark, SF).select("doc_id", "lang", "source", "n_chars")
+    rows = meta.collect()
+    fc = entry.FILTER_CONTEXT
+    col, vals = fc["terms"]
+    rcol, lo, hi = fc["value_range"]
+    want = sorted(
+        r.doc_id
+        for r in rows
+        if r[col] in vals
+        and r[rcol] is not None
+        and lo <= r[rcol] <= hi
+        and r[fc["exists_col"]] is not None
+        and r.doc_id not in fc["not_ids"]
+    )[: fc["k"]]
+    out = filter_context_topk(meta, **fc).collect()
+    assert [r.doc_id for r in out] == want
+    assert {r.score_q for r in out} == {round(fc["boost"] * 1e6)}
+    assert [r.rank for r in out] == list(range(1, len(want) + 1))
+
+
+def test_filter_context_pushdown(spark):
+    """Every clause must reach the parquet scan as a pushed filter and
+    the match stage must be shuffle-free (TakeOrderedAndProject; the
+    only Exchange allowed is the trivial single-partition one under
+    the k-row rank window)."""
+    spark.read.parquet(f"{SF}/documents.parquet").createOrReplaceTempView("_fc_docs")
+    meta = spark.table("_fc_docs").select("doc_id", "lang", "source", "n_chars")
+    plan = (
+        filter_context_topk(meta, **entry.FILTER_CONTEXT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("ReadSchema", 1)[0]
+    # toString elides the tail of long filter lists ("...") — assert
+    # the fragments that survive truncation
+    assert "In(lang" in pushed and "GreaterThanOrEqual(n_chars" in pushed
+    assert "TakeOrderedAndProject" in plan
