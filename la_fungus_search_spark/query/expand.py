@@ -303,6 +303,56 @@ def regexp_expansions(
     return _rank_expansions(cand, max_expansions, fuzzy=False)
 
 
+def term_range_expansions(
+    index: BM25Index,
+    ranges: Sequence[Tuple[Optional[str], Optional[str], bool, bool]],
+    max_expansions: int = 50,
+) -> DataFrame:
+    """(query_id, term, dist, df, xr) — the capped term-range rewrite
+    (Lucene ``TermRangeQuery`` / ES ``range`` on a keyword field):
+    candidates are vocabulary terms inside the lexicographic interval
+    ``(lower, upper)`` with per-bound inclusivity flags; ``None``
+    bounds are open ends, exactly Lucene's
+    ``TermRangeQuery.newStringRange``. Capped by (df DESC, term ASC)
+    like the rest of the MultiTermQuery family.
+
+    Bounds are normalized through the index tokenizer's alphabet like
+    prefixes, so comparisons happen in the term dictionary's own
+    collation (plain codepoint order over ``[a-z0-9_]`` — the order
+    Lucene's term dictionary uses for ASCII terms). Physically one
+    joinless range-filter branch per query over ``term_stats`` —
+    vocabulary metadata, never the corpus; both bounds are pushable
+    comparison predicates."""
+    ts = index.term_stats.select("term", "df")
+    branches: List[DataFrame] = []
+    for qid, (lower, upper, inc_lo, inc_hi) in enumerate(ranges):
+        lo = normalize_prefix(lower) if lower is not None else None
+        hi = normalize_prefix(upper) if upper is not None else None
+        if lower is not None and not lo:
+            continue  # bound vanished under normalization: matches nothing
+        if upper is not None and not hi:
+            continue
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (ts["term"] >= lo if inc_lo else ts["term"] > lo)
+        if hi is not None:
+            cond = cond & (ts["term"] <= hi if inc_hi else ts["term"] < hi)
+        branches.append(
+            ts.filter(cond).select(
+                F.lit(qid).alias("query_id"),
+                "term",
+                "df",
+                F.when(ts["term"] == (lo or ""), F.lit(0)).otherwise(F.lit(1)).alias("dist"),
+            )
+        )
+    if not branches:
+        schema = "query_id INT, term STRING, df BIGINT, dist INT"
+        empty = index.spark.createDataFrame([], schema=schema)
+        return _rank_expansions(empty, max_expansions, fuzzy=False)
+    cand = reduce(lambda a, b: a.unionByName(b), branches)
+    return _rank_expansions(cand, max_expansions, fuzzy=False)
+
+
 def suggest_terms(
     index: BM25Index,
     words: Sequence[str],
@@ -473,6 +523,20 @@ def search_regexp(
     dictionary terms, cap deterministically, BM25-rank the
     disjunction."""
     exp = regexp_expansions(engine.index, patterns, max_expansions)
+    return _search_expanded(engine, exp, k)
+
+
+def search_term_range(
+    engine: BM25QueryEngine,
+    ranges: Sequence[Tuple[Optional[str], Optional[str], bool, bool]],
+    k: int = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Term-range top-k (Lucene ``TermRangeQuery``): expand each
+    lexicographic ``(lower, upper, include_lower, include_upper)``
+    interval to the dictionary terms inside it, cap deterministically,
+    BM25-rank the disjunction."""
+    exp = term_range_expansions(engine.index, ranges, max_expansions)
     return _search_expanded(engine, exp, k)
 
 

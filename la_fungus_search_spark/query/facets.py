@@ -1990,3 +1990,114 @@ def categorize_text(
         )
         .orderBy("rank")
     )
+
+
+def date_range_agg(
+    events: DataFrame,
+    ranges: Sequence,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """ES ``date_range`` aggregation: one named bucket per
+    ``(key, from_iso, to_iso)`` entry — ``from`` inclusive, ``to``
+    exclusive, either end ``None`` for an open bound, buckets may
+    overlap and each is counted independently (the ES contract; a row
+    can land in several buckets, unlike ``histogram``). Returns
+    ``(bucket_ord, key, doc_count, sum_micro)`` in the caller's range
+    order, ES's response order.
+
+    Determinism: bound comparisons act on epoch timestamps parsed
+    from ISO literals under the session's pinned UTC; the metric sum
+    micro-quantizes like every gate value.
+
+    Physical shape: ONE corpus pass — every bucket is a pair of
+    conditional aggregates (``sum(CASE WHEN in_range)``) in a single
+    map-side-combined global aggregate; the shuffle carries one
+    partial row per partition regardless of bucket count. No explode,
+    no per-range scan, no join. Scales with |ranges| · partitions."""
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    aggs = []
+    for i, (key, lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(ts_col) >= F.to_timestamp(F.lit(lo)))
+        if hi is not None:
+            cond = cond & (F.col(ts_col) < F.to_timestamp(F.lit(hi)))
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"c{i}")
+        )
+        aggs.append(
+            _quantize(F.sum(F.when(cond, F.col(value_col)).otherwise(0.0)))
+            .alias(f"s{i}")
+        )
+    one = events.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}, '{key}', c{i}, s{i}" for i, (key, _lo, _hi) in enumerate(ranges)
+    )
+    n = len(ranges)
+    return one.selectExpr(
+        f"stack({n}, {stack_args}) AS (bucket_ord, key, doc_count, sum_micro)"
+    ).orderBy("bucket_ord")
+
+
+def date_range_oracle_sql(
+    ranges: Sequence, src: str = "events", value_col: str = "value"
+) -> str:
+    """DuckDB twin of :func:`date_range_agg`: the same conditional
+    aggregates, unpivoted as a UNION ALL in range order."""
+    parts = []
+    for i, (key, lo, hi) in enumerate(ranges):
+        conds = []
+        if lo is not None:
+            conds.append(f"ts >= TIMESTAMP '{lo}'")
+        if hi is not None:
+            conds.append(f"ts < TIMESTAMP '{hi}'")
+        cond = " AND ".join(conds) if conds else "TRUE"
+        parts.append(
+            f"SELECT {i}::INT AS bucket_ord, '{key}' AS key,\n"
+            f"       sum(CASE WHEN {cond} THEN 1 ELSE 0 END)::BIGINT AS doc_count,\n"
+            f"       round(sum(CASE WHEN {cond} THEN {value_col} ELSE 0.0 END) * 1e6)::BIGINT AS sum_micro\n"
+            f"FROM {src}"
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY bucket_ord"
+
+
+def nested_terms_agg(
+    chunk_df: DataFrame,
+    key_col,
+    parent_col: str = "doc_id",
+    top_n: int = 15,
+) -> DataFrame:
+    """ES ``nested`` aggregation + ``reverse_nested`` over a
+    parent/nested two-level unit (here: documents and their
+    line-window chunks — the same nested-doc shape ES's block join
+    indexes): a ``terms`` agg in nested scope counts NESTED docs per
+    key, and the ``reverse_nested`` sub-agg re-scopes each bucket to
+    the count of DISTINCT PARENT docs owning ≥1 such nested doc — the
+    two numbers ES users read side by side to tell "many chunks" from
+    "many documents". Returns ``(rank, key, nested_count,
+    parent_count)``, top ``top_n`` by (nested_count DESC, key ASC).
+
+    Physical shape: one groupBy on the key with a partial count and a
+    two-phase exact count-distinct on the parent id (determinism over
+    sketch parity, like date_histogram's cardinality) — cost ∝
+    distinct keys, not corpus; the nested unit never re-joins its
+    parent table because provenance (``parent_col``) was lifted onto
+    the chunk rows at chunking time."""
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    key = key_col if not isinstance(key_col, str) else F.col(key_col)
+    counts = (
+        chunk_df.select(key.alias("key"), F.col(parent_col).alias("parent"))
+        .groupBy("key")
+        .agg(
+            F.count("*").cast("bigint").alias("nested_count"),
+            F.countDistinct("parent").cast("bigint").alias("parent_count"),
+        )
+    )
+    top = counts.orderBy(F.desc("nested_count"), F.asc("key")).limit(int(top_n))
+    w = Window.orderBy(F.desc("nested_count"), F.asc("key"))
+    return top.select(
+        F.row_number().over(w).alias("rank"), "key", "nested_count", "parent_count"
+    ).orderBy("rank")

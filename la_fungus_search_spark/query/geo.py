@@ -39,6 +39,7 @@ stage fused into the scan.
 from __future__ import annotations
 
 import math
+from typing import Sequence, Tuple
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -417,4 +418,141 @@ r AS (
     FROM k
 )
 SELECT rank::INT AS rank, key, doc_count FROM r WHERE rank <= {int(top_n)} ORDER BY rank
+"""
+
+
+# ------------------------------------------------------ geo_polygon
+
+
+def _polygon_micro(polygon) -> list:
+    """Vertices as exact integer microdegrees (lat_q, lon_q). The
+    quantize-then-compare contract (FIXTURES.md §3b) applied to
+    containment: BOTH the point and the polygon live on the integer
+    microdegree grid, so the ray-cast below is exact 64-bit integer
+    arithmetic — no libm, no rounding, engine-invariant by
+    construction (max |coordinate| 1.8e8; every edge product is
+    < 2^63)."""
+    out = [(int(round(la * 1e6)), int(round(lo * 1e6))) for la, lo in polygon]
+    if len(out) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    return out
+
+
+def _raycast_edges(poly_q):
+    """Per-edge crossing predicates of the standard even-odd ray cast
+    (a horizontal ray toward +lon), with the x-intersection comparison
+    cross-multiplied by (y2-y1) — whose sign is a Python-time constant
+    per edge, so each edge contributes a branch-free integer
+    predicate. Yields (y1, y2, x1, x2, flip) tuples."""
+    n = len(poly_q)
+    for i in range(n):
+        y1, x1 = poly_q[i]
+        y2, x2 = poly_q[(i + 1) % n]
+        if y1 == y2:
+            continue  # horizontal edge never crosses a horizontal ray
+        yield (y1, y2, x1, x2, y2 < y1)
+
+
+def geo_polygon_topk(
+    docs_df: DataFrame,
+    polygon: Sequence[Tuple[float, float]],
+    k: int = 25,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``geo_polygon`` query (+ ``_geo_distance`` sort to the first
+    vertex): docs whose synthetic point falls inside the polygon
+    (even-odd ray casting), the k nearest to vertex 0 first →
+    ``(rank, doc_id, lat_micro, lon_micro, dist_mm)``.
+
+    Containment is decided entirely on the integer microdegree grid
+    (see :func:`_polygon_micro`) — the per-edge test
+    ``(y1 > py) != (y2 > py) AND (px - x1)(y2 - y1) <op> (x2 - x1)(py - y1)``
+    with ``<op>`` fixed per edge by sign(y2 - y1) — so membership is
+    bit-identical in any engine; only the SORT key uses libm
+    (haversine), and it is mm-quantized like geo_distance. Points
+    exactly on an edge follow the ray-cast's own deterministic
+    convention in both engines.
+
+    Physical shape: scan → one codegen stage summing |edges| integer
+    predicates → parity filter → quantized distance →
+    TakeOrderedAndProject(k). No UDF, no join, no shuffle."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    poly_q = _polygon_micro(polygon)
+    lat0, lon0 = polygon[0]
+    pts = geo_points(docs_df, id_col=id_col)
+    py = F.round(F.col("lat") * F.lit(1e6)).cast("bigint")
+    px = F.round(F.col("lon") * F.lit(1e6)).cast("bigint")
+    crossings = F.lit(0)
+    for y1, y2, x1, x2, flip in _raycast_edges(poly_q):
+        straddles = (F.lit(y1) > py) != (F.lit(y2) > py)
+        lhs = (px - F.lit(x1)) * F.lit(y2 - y1)
+        rhs = F.lit(x2 - x1) * (py - F.lit(y1))
+        hit = straddles & ((lhs > rhs) if flip else (lhs < rhs))
+        crossings = crossings + hit.cast("int")
+    inside = (crossings % 2) == 1
+    d = (
+        pts.withColumn("lat_micro", py)
+        .withColumn("lon_micro", px)
+        .filter(inside)
+        .withColumn(
+            "dist_mm", _haversine_mm(F.col("lat"), F.col("lon"), lat0, lon0)
+        )
+    )
+    top = d.orderBy(F.asc("dist_mm"), F.asc("doc_id")).limit(int(k))
+    w = Window.orderBy(F.asc("dist_mm"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "doc_id",
+        "lat_micro",
+        "lon_micro",
+        "dist_mm",
+    ).orderBy("rank")
+
+
+def geo_polygon_oracle_sql(
+    polygon: Sequence[Tuple[float, float]], k: int = 25, src: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`geo_polygon_topk` — the identical per-edge
+    integer predicates (same cross-multiplied comparison, same
+    per-edge operator choice) and the identical mm-quantized haversine
+    sort."""
+    poly_q = _polygon_micro(polygon)
+    lat0, lon0 = polygon[0]
+    lat0r, lon0s = repr(math.radians(lat0)), repr(float(lon0))
+    lat0s = repr(float(lat0))
+    two_r = repr(2.0 * EARTH_RADIUS_M)
+    edges = []
+    for y1, y2, x1, x2, flip in _raycast_edges(poly_q):
+        op = ">" if flip else "<"
+        edges.append(
+            f"(CASE WHEN (({y1} > py) <> ({y2} > py))"
+            f" AND ((px - {x1}) * {y2 - y1} {op} {x2 - x1} * (py - {y1}))"
+            " THEN 1 ELSE 0 END)"
+        )
+    cross = " + ".join(edges)
+    return f"""
+WITH pts AS ({_points_sql(src)}),
+q AS (
+    SELECT doc_id, lat, lon,
+           round(lat * 1e6)::BIGINT AS py, round(lon * 1e6)::BIGINT AS px
+    FROM pts
+),
+inz AS (SELECT * FROM q WHERE ({cross}) % 2 = 1),
+d AS (
+    SELECT doc_id, py AS lat_micro, px AS lon_micro,
+           round({two_r} * asin(sqrt(least(
+               sin(radians(lat - {lat0s}) / 2.0) * sin(radians(lat - {lat0s}) / 2.0)
+               + cos(radians(lat)) * cos({lat0r})
+                 * sin(radians(lon - {lon0s}) / 2.0) * sin(radians(lon - {lon0s}) / 2.0)
+           , 1.0))) * 1000.0)::BIGINT AS dist_mm
+    FROM inz
+),
+r AS (
+    SELECT row_number() OVER (ORDER BY dist_mm ASC, doc_id ASC) AS rank,
+           doc_id, lat_micro, lon_micro, dist_mm
+    FROM d
+)
+SELECT rank::INT AS rank, doc_id, lat_micro, lon_micro, dist_mm
+FROM r WHERE rank <= {int(k)} ORDER BY rank
 """

@@ -1,0 +1,126 @@
+"""Drill-sideways faceting — Lucene's ``DrillSideways`` over flat
+dimension fields.
+
+Public semantics: Lucene facets module (``DrillDownQuery`` +
+``DrillSideways``). A drill-down query ANDs one selected value per
+dimension onto a base query. Drill-sideways then computes, for EACH
+dimension, the facet counts that the UI needs next: the counts over
+the docs matching the base query AND every OTHER dimension's
+selection — i.e. each dimension's own filter is lifted while the
+rest stay applied — so the sidebar keeps showing what *would* match
+if the user switched that dimension's choice. Hits themselves use
+all filters. (The reference has no facet layer; this is a
+fulltext-index delta capability, like query/facets.py.)
+
+Physical shape at 100 TB: the base predicate and every dimension
+filter are native Catalyst predicates pushed to the scan. One pass
+per dimension (|dims| is 2-3 in practice) over the column-pruned
+projection, each a map-side-combined groupBy on that dimension's
+low-cardinality values, plus one count for the drill-down hit total
+— all independent jobs over the same pruned scan, no joins, no
+window over the corpus. Lucene evaluates the same thing as |dims|+1
+collector passes over one index segment stream; the shapes match.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def drill_sideways_facets(
+    docs_df: DataFrame,
+    dims: Sequence[Tuple[str, str]],
+    base_cond=None,
+    top_n: int = 10,
+) -> DataFrame:
+    """Drill-sideways counts for ``dims`` = [(dim_col, selected
+    value), ...] over ``docs_df`` filtered by ``base_cond`` (a
+    Column, or None for match-all). Returns one row per
+    ``(dim, value)`` — for each dimension, the per-value doc counts
+    with that dimension's own selection LIFTED and all others
+    applied — plus the ``('_hits_', '_all_')`` row counting the full
+    drill-down match set (every filter applied). Per-dim buckets cap
+    at ``top_n`` by (doc_count DESC, value ASC); output ordered
+    (dim, rank) with the hits row last (dim ordering is the caller's
+    list order).
+
+    Mirrored by :func:`drill_sideways_oracle_sql`.
+    """
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    base = docs_df.filter(base_cond) if base_cond is not None else docs_df
+    outs = []
+    for i, (dim, _sel) in enumerate(dims):
+        others = F.lit(True)
+        for odim, osel in dims:
+            if odim != dim:
+                others = others & (F.col(odim) == osel)
+        counts = (
+            base.filter(others)
+            .filter(F.col(dim).isNotNull())
+            .groupBy(F.col(dim).cast("string").alias("value"))
+            .agg(F.count("*").cast("bigint").alias("doc_count"))
+        )
+        ranked = counts.orderBy(F.desc("doc_count"), F.asc("value")).limit(int(top_n))
+        outs.append(
+            ranked.select(
+                F.lit(i).alias("dim_ord"),
+                F.lit(dim).alias("dim"),
+                "value",
+                "doc_count",
+            )
+        )
+    allf = F.lit(True)
+    for dim, sel in dims:
+        allf = allf & (F.col(dim) == sel)
+    hits = base.filter(allf).agg(F.count("*").cast("bigint").alias("doc_count")).select(
+        F.lit(len(dims)).alias("dim_ord"),
+        F.lit("_hits_").alias("dim"),
+        F.lit("_all_").alias("value"),
+        "doc_count",
+    )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    out = out.unionByName(hits)
+    return out.orderBy("dim_ord", F.desc("doc_count"), F.asc("value")).drop("dim_ord")
+
+
+def drill_sideways_oracle_sql(
+    dims: Sequence[Tuple[str, str]],
+    base_where: str = "TRUE",
+    top_n: int = 10,
+    src: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`drill_sideways_facets`: one ranked
+    GROUP BY per dimension with the same lifted-filter semantics,
+    UNION ALL'd in dimension order, hits row last."""
+    parts = []
+    for i, (dim, _sel) in enumerate(dims):
+        others = " AND ".join(
+            f"{odim} = '{osel}'" for odim, osel in dims if odim != dim
+        ) or "TRUE"
+        parts.append(
+            f"SELECT {i} AS dim_ord, '{dim}' AS dim, value, doc_count FROM (\n"
+            f"  SELECT {dim}::VARCHAR AS value, count(*)::BIGINT AS doc_count,\n"
+            f"         row_number() OVER (ORDER BY count(*) DESC, {dim}::VARCHAR ASC) AS rnk\n"
+            f"  FROM {src} WHERE ({base_where}) AND ({others}) AND {dim} IS NOT NULL\n"
+            f"  GROUP BY 1\n"
+            f") WHERE rnk <= {int(top_n)}"
+        )
+    allf = " AND ".join(f"{dim} = '{sel}'" for dim, sel in dims)
+    parts.append(
+        f"SELECT {len(dims)} AS dim_ord, '_hits_' AS dim, '_all_' AS value,\n"
+        f"       count(*)::BIGINT AS doc_count\n"
+        f"FROM {src} WHERE ({base_where}) AND ({allf})"
+    )
+    return (
+        "SELECT dim, value, doc_count FROM (\n"
+        + "\nUNION ALL\n".join(parts)
+        + "\n) ORDER BY dim_ord, doc_count DESC, value ASC"
+    )

@@ -229,6 +229,12 @@ AUDIT = [
     "categorize_text_agg",
     "span_multi_topk",
     "filter_context_topk",
+    # seventeenth wave
+    "term_range_topk",
+    "drill_sideways_facets",
+    "date_range_agg",
+    "geo_polygon_topk",
+    "nested_agg",
 ]
 
 

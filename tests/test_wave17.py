@@ -1,0 +1,324 @@
+"""Seventeenth wave — TermRangeQuery, drill-sideways facets,
+date_range aggregation, geo_polygon containment, nested +
+reverse_nested over chunks — semantics pinned independently of the
+driver's DuckDB oracles (hand fixtures + pure-Python recomputes)."""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from la_fungus_search_spark.index.builder import build_index
+from la_fungus_search_spark.oracle import BM25Oracle
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.query.expand import (
+    normalize_prefix,
+    search_term_range,
+    term_range_expansions,
+)
+from la_fungus_search_spark.query.facets import date_range_agg, nested_terms_agg
+from la_fungus_search_spark.query.geo import EARTH_RADIUS_M, geo_polygon_topk
+from la_fungus_search_spark.query.taxonomy import drill_sideways_facets
+from la_fungus_search_spark.tokenizer import tokenize
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- term_range
+
+TEXTS = [
+    "merge sort merge batch order",
+    "marge table scan slow",
+    "window stream data merge",
+    "windows sort order stream",
+    "scan scan scan batch",
+    "stream strem data dta window",
+]
+RANGES = [
+    ("m", "p", True, False),      # half-open [m, p)
+    ("scan", "table", True, True),  # closed, exact endpoints in vocab
+    (None, "d", True, False),     # open lower
+    ("w", None, False, True),     # open upper, exclusive lower
+    ("zz", "zz", False, False),   # empty interval
+]
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    rows = [
+        ("r", f"{chr(97 + i)}.py", "c", "python", t) for i, t in enumerate(TEXTS)
+    ]
+    docs = spark.createDataFrame(
+        rows, schema="repo STRING, path STRING, commit STRING, lang STRING, content STRING"
+    )
+    idx = build_index(spark, docs, n_buckets=4, n_salts=2)
+    vocab = {}
+    for toks in (tokenize(t) for t in TEXTS):
+        for t in set(toks):
+            vocab[t] = vocab.get(t, 0) + 1  # df
+    return BM25QueryEngine(idx), vocab
+
+
+def _py_range(vocab, lower, upper, inc_lo, inc_hi):
+    lo = normalize_prefix(lower) if lower is not None else None
+    hi = normalize_prefix(upper) if upper is not None else None
+    if lower is not None and not lo:
+        return None
+    if upper is not None and not hi:
+        return None
+    out = []
+    for t in vocab:
+        if lo is not None and not (t >= lo if inc_lo else t > lo):
+            continue
+        if hi is not None and not (t <= hi if inc_hi else t < hi):
+            continue
+        out.append(t)
+    return sorted(out, key=lambda t: (-vocab[t], t))
+
+
+def test_term_range_expansions_and_search(setup):
+    eng, vocab = setup
+    exp = term_range_expansions(eng.index, RANGES, max_expansions=50)
+    by_q = {}
+    for r in exp.orderBy("query_id", "xr").collect():
+        by_q.setdefault(r["query_id"], []).append(r["term"])
+    for qid, rng in enumerate(RANGES):
+        want = _py_range(vocab, *rng) or []
+        assert by_q.get(qid, []) == want, rng
+    assert by_q.get(4, []) == []  # empty interval expands to nothing
+
+    oracle = BM25Oracle([tokenize(t) for t in TEXTS])
+    got = {}
+    for r in search_term_range(eng, RANGES, k=10, max_expansions=50).collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid in range(len(RANGES)):
+        terms = by_q.get(qid, [])
+        want = oracle.top_k(terms, 10) if terms else []
+        assert [d for d, _ in want] == [d for d, _ in got.get(qid, [])], RANGES[qid]
+
+
+def test_term_range_bound_inclusivity(setup):
+    eng, vocab = setup
+    # 'scan' and 'table' are both vocabulary terms: flipping the flags
+    # must add/remove exactly the endpoints.
+    closed = _py_range(vocab, "scan", "table", True, True)
+    open_ = _py_range(vocab, "scan", "table", False, False)
+    assert "scan" in closed and "table" in closed
+    assert "scan" not in open_ and "table" not in open_
+    exp = term_range_expansions(
+        eng.index, [("scan", "table", False, False)], max_expansions=50
+    )
+    got = [r["term"] for r in exp.orderBy("xr").collect()]
+    assert got == open_
+
+
+# --------------------------------------------------------- drill_sideways
+
+DS_ROWS = [
+    # (doc_id, lang, source, n)
+    (0, "en", "a", 5),
+    (1, "en", "a", 5),
+    (2, "en", "b", 5),
+    (3, "fr", "a", 5),
+    (4, "fr", "b", 5),
+    (5, "en", "a", 99),   # excluded by base condition
+    (6, None, "a", 5),    # NULL dim value never buckets
+    (7, "de", "a", 5),
+]
+
+
+def test_drill_sideways_hand_fixture(spark):
+    df = spark.createDataFrame(
+        DS_ROWS, schema="doc_id LONG, lang STRING, source STRING, n LONG"
+    )
+    out = drill_sideways_facets(
+        df, [("lang", "en"), ("source", "a")], base_cond=F.col("n") < 50, top_n=10
+    ).collect()
+    got = {(r.dim, r.value): r.doc_count for r in out}
+    # lang counts: own filter lifted, source='a' applied -> rows 0,1,3,7 (6 is NULL)
+    # source counts: lang='en' applied -> rows 0,1 (a), 2 (b)
+    # hits: lang='en' AND source='a' -> rows 0,1
+    assert got == {
+        ("lang", "en"): 2,
+        ("lang", "fr"): 1,
+        ("lang", "de"): 1,
+        ("source", "a"): 2,
+        ("source", "b"): 1,
+        ("_hits_", "_all_"): 2,
+    }
+    # per-dim ordering: count DESC then value ASC
+    langs = [r.value for r in out if r.dim == "lang"]
+    assert langs == ["en", "de", "fr"]
+
+
+def test_drill_sideways_gate_hits_row(spark):
+    out = entry.q_drill_sideways(spark, SF).collect()
+    col, lo, hi = entry.DRILL_BASE
+    docs = entry._documents(spark, SF)
+    want_hits = docs.filter(
+        (F.col(col).between(lo, hi))
+        & (F.col("lang") == "en")
+        & (F.col("source") == "src3")
+    ).count()
+    hits = [r.doc_count for r in out if r.dim == "_hits_"]
+    assert hits == [want_hits]
+    # the selected value's sideways count can never be below the hits
+    sel = {r.value: r.doc_count for r in out if r.dim == "lang"}
+    assert sel.get("en", 0) >= want_hits
+
+
+# ----------------------------------------------------------- date_range
+
+DR_EVENTS = [
+    (1, "2024-01-02 10:00:00", 1.5),
+    (2, "2024-01-08 00:00:00", 2.0),   # boundary: from is inclusive
+    (3, "2024-01-10 12:00:00", 0.25),
+    (4, "2024-01-20 00:00:00", 4.0),   # boundary: to is exclusive
+    (5, "2024-01-25 23:59:59", 1.0),
+]
+
+
+def test_date_range_hand_fixture(spark):
+    df = spark.createDataFrame(
+        [(i, datetime.datetime.fromisoformat(ts), v) for i, ts, v in DR_EVENTS],
+        schema="event_id LONG, ts TIMESTAMP, value DOUBLE",
+    )
+    ranges = [
+        ("early", None, "2024-01-08"),
+        ("mid", "2024-01-08", "2024-01-20"),
+        ("late", "2024-01-20", None),
+        ("overlap", "2024-01-05", "2024-01-12"),
+    ]
+    out = date_range_agg(df, ranges).collect()
+    got = {r.key: (r.bucket_ord, r.doc_count, r.sum_micro) for r in out}
+    assert got == {
+        "early": (0, 1, 1_500_000),
+        "mid": (1, 2, 2_250_000),      # rows 2,3 — row 4 lands in 'late'
+        "late": (2, 2, 5_000_000),
+        "overlap": (3, 2, 2_250_000),  # rows 2,3 count AGAIN (ES overlap)
+    }
+    assert [r.key for r in out] == ["early", "mid", "late", "overlap"]
+
+
+def test_date_range_gate_overlap_double_counts(spark):
+    out = {r.key: r.doc_count for r in entry.q_date_range_agg(spark, SF).collect()}
+    total = entry._events(spark, SF).count()
+    # the three disjoint buckets partition the corpus...
+    assert out["early"] + out["mid"] + out["late"] == total
+    assert out["all_jan"] == total
+    # ...and the overlapping bucket re-counts part of 'mid'
+    assert 0 < out["week2_overlap"] <= out["mid"]
+
+
+# ----------------------------------------------------------- geo_polygon
+
+
+def _frac(doc_id: int, salt: str) -> float:
+    h = hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()
+    return int(h[:8], 16) / 4294967296.0
+
+
+def _point(doc_id: int):
+    return (
+        _frac(doc_id, "geo:lat") * 170.0 - 85.0,
+        _frac(doc_id, "geo:lon") * 360.0 - 180.0,
+    )
+
+
+def _haversine_mm(lat, lon, lat0, lon0):
+    dphi = math.radians(lat - lat0)
+    dlam = math.radians(lon - lon0)
+    a = math.sin(dphi / 2.0) ** 2 + math.cos(math.radians(lat)) * math.cos(
+        math.radians(lat0)
+    ) * math.sin(dlam / 2.0) ** 2
+    return round(2.0 * EARTH_RADIUS_M * math.asin(math.sqrt(min(a, 1.0))) * 1000.0)
+
+
+def _inside_py(lat, lon, poly):
+    """The SAME integer ray cast as the Spark/DuckDB expression."""
+    py, px = round(lat * 1e6), round(lon * 1e6)
+    q = [(round(a * 1e6), round(b * 1e6)) for a, b in poly]
+    c = 0
+    n = len(q)
+    for i in range(n):
+        y1, x1 = q[i]
+        y2, x2 = q[(i + 1) % n]
+        if y1 == y2:
+            continue
+        if (y1 > py) == (y2 > py):
+            continue
+        lhs = (px - x1) * (y2 - y1)
+        rhs = (x2 - x1) * (py - y1)
+        if (lhs > rhs) if (y2 < y1) else (lhs < rhs):
+            c += 1
+    return c % 2 == 1
+
+
+def _docs(spark, n):
+    return spark.createDataFrame([(i,) for i in range(n)], schema="doc_id BIGINT")
+
+
+def test_geo_polygon_matches_recompute(spark):
+    poly = entry.GEO_POLYGON
+    k, n = 40, 300
+    got = geo_polygon_topk(_docs(spark, n), poly, k=k).collect()
+    lat0, lon0 = poly[0]
+    want = sorted(
+        (
+            (i, _haversine_mm(*_point(i), lat0, lon0))
+            for i in range(n)
+            if _inside_py(*_point(i), poly)
+        ),
+        key=lambda t: (t[1], t[0]),
+    )[:k]
+    assert [(r.doc_id, r.dist_mm) for r in got] == want
+    assert [r.rank for r in got] == list(range(1, len(want) + 1))
+    # membership is non-trivial in both directions at this n
+    assert 0 < len(want) < n if len(want) < k else True
+
+
+def test_geo_polygon_square_hand_points(spark):
+    # A 10x10-degree square: containment facts are checkable by eye.
+    square = [(10.0, 10.0), (20.0, 10.0), (20.0, 20.0), (10.0, 20.0)]
+    assert _inside_py(15.0, 15.0, square)
+    assert not _inside_py(5.0, 15.0, square)
+    assert not _inside_py(15.0, 25.0, square)
+    assert not _inside_py(-15.0, -15.0, square)
+    # concave chevron: the notch is outside even though the bbox says in
+    chevron = [(0.0, 0.0), (20.0, 10.0), (0.0, 20.0), (8.0, 10.0)]
+    assert not _inside_py(2.0, 10.0, chevron)   # in the notch
+    assert _inside_py(12.0, 10.0, chevron)
+    with pytest.raises(ValueError):
+        geo_polygon_topk(_docs(spark, 5), [(0.0, 0.0), (1.0, 1.0)], k=5)
+
+
+# ------------------------------------------------------------ nested_agg
+
+
+def test_nested_terms_agg_hand_fixture(spark):
+    rows = [
+        # (doc_id, key): doc 1 has three 'a' chunks; 'a' spans 2 parents
+        (1, "a"), (1, "a"), (1, "a"), (2, "a"),
+        (1, "b"), (2, "b"),
+        (3, "c"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id LONG, key STRING")
+    out = nested_terms_agg(df, "key", parent_col="doc_id", top_n=2).collect()
+    assert [(r.rank, r.key, r.nested_count, r.parent_count) for r in out] == [
+        (1, "a", 4, 2),
+        (2, "b", 2, 2),
+    ]
+
+
+def test_nested_agg_gate_scopes_differ(spark):
+    out = entry.q_nested_agg(spark, SF).collect()
+    assert len(out) == 15
+    for r in out:
+        assert 1 <= r.parent_count <= r.nested_count
+    # reverse_nested genuinely re-scopes: somewhere chunks > parents
+    assert any(r.nested_count > r.parent_count for r in out)
