@@ -49,6 +49,8 @@ from la_fungus_search_spark.query import parentchild as parentchild_ops
 from la_fungus_search_spark.query import querystring as qs_ops
 from la_fungus_search_spark.query import filtering as filtering_ops
 from la_fungus_search_spark.query import taxonomy as taxonomy_ops
+from la_fungus_search_spark.query import net as net_ops
+from la_fungus_search_spark.textops import urls as urls_ops
 from la_fungus_search_spark.query.ranking import (
     collapse_topk,
     dedup_by_source,
@@ -5740,6 +5742,69 @@ FROM r WHERE rank <= {int(top_n)} ORDER BY rank
 """
 
 
+# ---------------------------------------------------------------- wave 18
+# geo_bounding_box (dateline-crossing), ip_range / ip_prefix aggs,
+# URL canonicalization dedup, change_point scan statistic.
+
+GEO_BOX_TL = (35.0, 150.0)
+GEO_BOX_BR = (-35.0, -150.0)  # left > right: crosses the dateline (ES contract)
+
+IP_RANGES = [
+    ("lowhalf", None, "10.99.0.0"),
+    ("mid", "10.98.0.0", "10.100.0.0"),
+    ("cidr96_15", "10.96.0.0/15"),
+    ("all", None, None),
+    ("tail", "10.100.128.0", None),
+]
+IP_PREFIX_LEN = 18
+
+
+def q_geo_bounding_box(spark, sf_dir):
+    """ES geo_bounding_box query + _geo_distance sort (query/geo.py
+    geo_bounding_box_topk): membership decided entirely in integer
+    microdegrees — this gate's box has left > right, so the longitude
+    test is the dateline-crossing OR of two half-intervals; the k
+    docs nearest the top-left corner by mm-quantized haversine."""
+    return geo_ops.geo_bounding_box_topk(
+        _documents(spark, sf_dir), GEO_BOX_TL, GEO_BOX_BR, k=25
+    )
+
+
+def q_ip_range(spark, sf_dir):
+    """ES ip_range aggregation (query/net.py): named [from, to)
+    buckets over deterministic synthetic IPv4s, open ends and CIDR
+    masks, overlapping buckets counted independently — one corpus
+    pass of conditional aggregates, exact integer arithmetic
+    throughout."""
+    return net_ops.ip_range_agg(_documents(spark, sf_dir), IP_RANGES)
+
+
+def q_ip_prefix(spark, sf_dir):
+    """ES ip_prefix aggregation (query/net.py): /18 network buckets
+    in CIDR notation, key-ascending — one map-side-combined groupBy
+    on the masked integer."""
+    return net_ops.ip_prefix_agg(_documents(spark, sf_dir), IP_PREFIX_LEN)
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-level dedup (textops/urls.py): canonicalize messy
+    deterministic URLs (case, default port, fragment, utm_*/fbclid/
+    gclid params, param order, trailing slash) and keep min doc_id
+    per canonical page — the crawl-curation step that precedes
+    content dedup (RefinedWeb §3.1, CCNet). Pure JVM string
+    expressions + one md5-fingerprint-shaped shuffle."""
+    return urls_ops.url_dedup(_documents(spark, sf_dir))
+
+
+def q_change_point(spark, sf_dir):
+    """ES change_point aggregation, deterministic adaptation
+    (query/facets.py change_point_agg): max-mean-shift scan statistic
+    |S_k·(n−k) − (S_n−S_k)·k| over the per-day micro-quantized value
+    series, earliest-k ties — integer arithmetic end-to-end, one
+    bucket groupBy then windows over the bucket series."""
+    return facet_ops.change_point_agg(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness run checks a
     # bounded PREFIX of this dict (~50 of 80). Round-4 rotation
@@ -5996,6 +6061,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_range_agg": q_date_range_agg,
         "geo_polygon_topk": q_geo_polygon,
         "nested_agg": q_nested_agg,
+        # wave 18
+        "geo_bounding_box_topk": q_geo_bounding_box,
+        "ip_range_agg": q_ip_range,
+        "ip_prefix_agg": q_ip_prefix,
+        "url_dedup": q_url_dedup,
+        "change_point_agg": q_change_point,
     }
 
 
@@ -8488,6 +8559,14 @@ FROM pb LEFT JOIN cb USING (grp) ORDER BY grp
         "date_range_agg": facet_ops.date_range_oracle_sql(DATE_RANGES),
         "geo_polygon_topk": geo_ops.geo_polygon_oracle_sql(GEO_POLYGON, 25),
         "nested_agg": _nested_agg_oracle_sql(15),
+        # wave 18
+        "geo_bounding_box_topk": geo_ops.geo_bounding_box_oracle_sql(
+            GEO_BOX_TL, GEO_BOX_BR, 25
+        ),
+        "ip_range_agg": net_ops.ip_range_oracle_sql(IP_RANGES),
+        "ip_prefix_agg": net_ops.ip_prefix_oracle_sql(IP_PREFIX_LEN),
+        "url_dedup": urls_ops.url_dedup_oracle_sql(),
+        "change_point_agg": facet_ops.change_point_oracle_sql(),
         # ann_srp_topk / ann_ivf_topk / ann_pq_topk / ann_ivfpq_topk:
         # non-SQL-expressible kernels (Box-Muller SRP hyperplanes;
         # iterative k-means; PQ codebooks) → rows-only checks by

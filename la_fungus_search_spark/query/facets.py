@@ -2101,3 +2101,106 @@ def nested_terms_agg(
     return top.select(
         F.row_number().over(w).alias("rank"), "key", "nested_count", "parent_count"
     ).orderBy("rank")
+
+
+def change_point_agg(
+    events: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """ES ``change_point`` aggregation (the sibling pipeline agg that
+    spots a step change in a metric series), deterministically
+    adapted: over the per-day micro-quantized value sums, pick the
+    split k that maximizes the cross-multiplied mean-shift score
+
+        score(k) = | S_k·(n−k) − (S_n−S_k)·k |
+
+    (|mean_before − mean_after| times the positive constant k·(n−k) —
+    argmax over a SCALED family, documented deviation: ES's detector
+    is an ML change-point test with p-values; ours is the classic
+    max-mean-shift scan statistic in exact integer arithmetic, ties
+    to the earliest k). Returns ONE row: ``(change_ord, change_day,
+    score, n_before, n_after, sum_before_micro, sum_after_micro)``
+    where ``change_day`` is the first day of the AFTER segment —
+    nothing in the row ever divides, so it is engine-invariant.
+
+    Physical shape: one map-side-combined groupBy to day buckets
+    (shuffle carries one partial row per partition per day), then
+    windows + argmax over the BUCKET series — tens of rows, a
+    deliberate single-partition tail like every pipeline agg here
+    (the series is the aggregation's OUTPUT, not the corpus)."""
+    days = (
+        events.select(
+            F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("day")
+        .agg(_quantize(F.sum("v")).alias("vq"))
+    )
+    w_ord = Window.orderBy(F.asc("day"))
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ser = days.select(
+        "day",
+        F.row_number().over(w_ord).alias("k"),
+        F.sum("vq").over(w_run).alias("s_k"),
+        F.sum("vq").over(w_all).alias("s_n"),
+        F.count("*").over(w_all).alias("n"),
+        F.lead("day", 1).over(w_ord).alias("next_day"),
+    ).filter(F.col("k") < F.col("n"))
+    scored = ser.select(
+        "k",
+        F.col("next_day").alias("change_day"),
+        F.abs(
+            F.col("s_k") * (F.col("n") - F.col("k"))
+            - (F.col("s_n") - F.col("s_k")) * F.col("k")
+        ).alias("score"),
+        F.col("k").alias("n_before"),
+        (F.col("n") - F.col("k")).alias("n_after"),
+        F.col("s_k").alias("sum_before_micro"),
+        (F.col("s_n") - F.col("s_k")).alias("sum_after_micro"),
+    )
+    best = scored.orderBy(F.desc("score"), F.asc("k")).limit(1)
+    return best.select(
+        F.col("k").cast("int").alias("change_ord"),
+        "change_day",
+        "score",
+        F.col("n_before").cast("bigint").alias("n_before"),
+        F.col("n_after").cast("bigint").alias("n_after"),
+        "sum_before_micro",
+        "sum_after_micro",
+    )
+
+
+def change_point_oracle_sql(src: str = "events", value_col: str = "value") -> str:
+    """DuckDB twin of :func:`change_point_agg` — identical bucket
+    series, identical integer scan statistic, earliest-k tie-break."""
+    return f"""
+WITH days AS (
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           round(sum({value_col}) * 1e6)::BIGINT AS vq
+    FROM {src} GROUP BY 1
+),
+ser AS (
+    SELECT day,
+           row_number() OVER (ORDER BY day ASC) AS k,
+           sum(vq) OVER (ORDER BY day ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_k,
+           sum(vq) OVER () AS s_n,
+           count(*) OVER () AS n,
+           lead(day, 1) OVER (ORDER BY day ASC) AS next_day
+    FROM days
+),
+scored AS (
+    SELECT k, next_day AS change_day,
+           abs(s_k * (n - k) - (s_n - s_k) * k) AS score,
+           k AS n_before, n - k AS n_after,
+           s_k AS sum_before_micro, s_n - s_k AS sum_after_micro
+    FROM ser WHERE k < n
+)
+SELECT k::INT AS change_ord, change_day, score::BIGINT AS score,
+       n_before::BIGINT AS n_before, n_after::BIGINT AS n_after,
+       sum_before_micro::BIGINT AS sum_before_micro,
+       sum_after_micro::BIGINT AS sum_after_micro
+FROM scored ORDER BY score DESC, k ASC LIMIT 1
+"""

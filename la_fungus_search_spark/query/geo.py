@@ -556,3 +556,110 @@ r AS (
 SELECT rank::INT AS rank, doc_id, lat_micro, lon_micro, dist_mm
 FROM r WHERE rank <= {int(k)} ORDER BY rank
 """
+
+
+# ------------------------------------------------- geo_bounding_box
+
+
+def _box_micro(top_left, bottom_right):
+    """Box corners as exact integer microdegrees ((top, left),
+    (bottom, right)) — the quantize-then-compare contract applied to
+    box membership: the point and the box live on the same integer
+    grid, so containment is pure integer comparison."""
+    (t_lat, l_lon), (b_lat, r_lon) = top_left, bottom_right
+    t, l = int(round(t_lat * 1e6)), int(round(l_lon * 1e6))
+    b, r = int(round(b_lat * 1e6)), int(round(r_lon * 1e6))
+    if b > t:
+        raise ValueError("bottom latitude above top latitude")
+    return t, l, b, r
+
+
+def geo_bounding_box_topk(
+    docs_df: DataFrame,
+    top_left: Tuple[float, float],
+    bottom_right: Tuple[float, float],
+    k: int = 25,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``geo_bounding_box`` query + ``_geo_distance`` sort to the
+    box's top-left corner: docs whose synthetic point falls inside
+    the box, the k nearest first → ``(rank, doc_id, lat_micro,
+    lon_micro, dist_mm)``.
+
+    Membership is decided entirely on the integer microdegree grid
+    (bit-identical in any engine); like ES, a box whose ``left`` lies
+    east of ``right`` CROSSES THE DATELINE and the longitude test
+    becomes the OR of the two half-intervals. Only the sort key uses
+    libm (haversine), mm-quantized like geo_distance.
+
+    Physical shape: scan → one codegen stage of integer comparisons →
+    quantized distance → TakeOrderedAndProject(k). No UDF, no join,
+    no shuffle."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    t, l, b, r = _box_micro(top_left, bottom_right)
+    pts = geo_points(docs_df, id_col=id_col)
+    py = F.round(F.col("lat") * F.lit(1e6)).cast("bigint")
+    px = F.round(F.col("lon") * F.lit(1e6)).cast("bigint")
+    lat_in = (py <= F.lit(t)) & (py >= F.lit(b))
+    if l <= r:
+        lon_in = (px >= F.lit(l)) & (px <= F.lit(r))
+    else:  # dateline-crossing box, the ES contract
+        lon_in = (px >= F.lit(l)) | (px <= F.lit(r))
+    d = pts.filter(lat_in & lon_in).withColumn(
+        "dist_mm",
+        _haversine_mm(F.col("lat"), F.col("lon"), top_left[0], top_left[1]),
+    )
+    top = d.orderBy(F.asc("dist_mm"), F.asc("doc_id")).limit(int(k))
+    w = Window.orderBy(F.asc("dist_mm"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "doc_id",
+        F.round(F.col("lat") * F.lit(1e6)).cast("bigint").alias("lat_micro"),
+        F.round(F.col("lon") * F.lit(1e6)).cast("bigint").alias("lon_micro"),
+        "dist_mm",
+    ).orderBy("rank")
+
+
+def geo_bounding_box_oracle_sql(
+    top_left, bottom_right, k: int = 25, src: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`geo_bounding_box_topk` — identical
+    integer box test (incl. the dateline OR) and mm-quantized
+    haversine sort to the top-left corner."""
+    t, l, b, r = _box_micro(top_left, bottom_right)
+    lat0, lon0 = top_left
+    lat0r, lon0s = repr(math.radians(lat0)), repr(float(lon0))
+    lat0s = repr(float(lat0))
+    two_r = repr(2.0 * EARTH_RADIUS_M)
+    lon_cond = (
+        f"(px >= {l} AND px <= {r})" if l <= r else f"(px >= {l} OR px <= {r})"
+    )
+    return f"""
+WITH pts AS ({_points_sql(src)}),
+q AS (
+    SELECT doc_id, lat, lon,
+           round(lat * 1e6)::BIGINT AS py, round(lon * 1e6)::BIGINT AS px
+    FROM pts
+),
+inz AS (
+    SELECT * FROM q
+    WHERE py <= {t} AND py >= {b} AND {lon_cond}
+),
+d AS (
+    SELECT doc_id, py AS lat_micro, px AS lon_micro,
+           round({two_r} * asin(sqrt(least(
+               sin(radians(lat - {lat0s}) / 2.0) * sin(radians(lat - {lat0s}) / 2.0)
+               + cos(radians(lat)) * cos({lat0r})
+                 * sin(radians(lon - {lon0s}) / 2.0) * sin(radians(lon - {lon0s}) / 2.0)
+           , 1.0))) * 1000.0)::BIGINT AS dist_mm
+    FROM inz
+),
+r AS (
+    SELECT row_number() OVER (ORDER BY dist_mm ASC, doc_id ASC) AS rank,
+           doc_id, lat_micro, lon_micro, dist_mm
+    FROM d
+)
+SELECT rank::INT AS rank, doc_id, lat_micro, lon_micro, dist_mm
+FROM r WHERE rank <= {int(k)} ORDER BY rank
+"""

@@ -1,0 +1,235 @@
+"""Network-identifier aggregations: ES ``ip_range`` and
+``ip_prefix`` over a per-document IPv4 address.
+
+Public semantics: the Elasticsearch ``ip_range`` bucket aggregation
+(named [from, to) ranges over IP addresses — ``from`` inclusive,
+``to`` exclusive, open ends, CIDR masks accepted, overlapping ranges
+counted independently, exactly like ``date_range``) and the
+``ip_prefix`` bucket aggregation (group addresses by their /n network
+prefix, buckets keyed by the network address in CIDR notation,
+ordered by key like ES's histogram-family response).
+
+The reference corpus has no IP field, so addresses are SYNTHESIZED
+deterministically from the doc id with the repo-wide md5 device
+(geo.geo_points' coordinate synthesis): two independent 32-bit
+hashes pick a subnet s ∈ [0, 6) and a host h ∈ [0, 2¹⁶), and the
+address is ``10.(96+s).(h>>8).(h&255)`` — i.e. integer
+``10·2²⁴ + (96+s)·2¹⁶ + h``. Six /16 subnets under 10.96.0.0/11 give
+every prefix length from /11 to /24 non-trivial bucket structure at
+any corpus size, and any engine reproduces the addresses bit-for-bit.
+
+Determinism contract: everything here is exact integer arithmetic —
+address synthesis, range membership, prefix masking, dotted-quad
+rendering — so results are engine-invariant with no quantization
+step at all.
+
+Physical shape at 100 TB: both aggregations are pure JVM expression
+chains over a one-column projection. ``ip_range`` is ONE corpus pass
+of conditional aggregates (a pair of ``sum(CASE WHEN …)`` per range;
+the shuffle carries one partial row per partition regardless of
+range count). ``ip_prefix`` is one map-side-combined groupBy on
+≤ 2^prefix_len occupied networks followed by a take-ordered top-n.
+No UDF, no join, no explode.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ip_to_int(ip: str) -> int:
+    """Dotted-quad IPv4 → 32-bit integer (Python-time helper for
+    range bounds; bounds are plan constants, never data)."""
+    parts = [int(p) for p in ip.split(".")]
+    if len(parts) != 4 or any(p < 0 or p > 255 for p in parts):
+        raise ValueError(f"bad IPv4 literal: {ip}")
+    return (parts[0] << 24) | (parts[1] << 16) | (parts[2] << 8) | parts[3]
+
+
+def cidr_bounds(cidr: str) -> Tuple[int, int]:
+    """CIDR ``a.b.c.d/n`` → the ES ip_range mask contract:
+    [network, broadcast+1) as integer bounds."""
+    base, n = cidr.split("/")
+    n = int(n)
+    if not (0 <= n <= 32):
+        raise ValueError(f"bad prefix length: {cidr}")
+    lo = ip_to_int(base) & ~((1 << (32 - n)) - 1) if n else 0
+    return lo, lo + (1 << (32 - n))
+
+
+def _range_bounds(entry) -> Tuple[str, Optional[int], Optional[int]]:
+    """Normalize an ip_range entry — ``(key, from_ip, to_ip)`` with
+    None = open end, or ``(key, cidr)`` — to integer bounds."""
+    if len(entry) == 2:
+        key, cidr = entry
+        lo, hi = cidr_bounds(cidr)
+        return key, lo, hi
+    key, lo_ip, hi_ip = entry
+    lo = ip_to_int(lo_ip) if lo_ip is not None else None
+    hi = ip_to_int(hi_ip) if hi_ip is not None else None
+    return key, lo, hi
+
+
+def _u32(id_col, salt: str):
+    """md5(doc_id ':salt')'s top 32 bits as BIGINT — the geo_points
+    device, kept integral."""
+    return F.conv(
+        F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(f":{salt}"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def ip_addresses(docs_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, ip_int) — deterministic synthetic IPv4 addresses:
+    ``10.(96+s).(h>>8).(h&255)`` with s = hash % 6, h = hash % 2¹⁶."""
+    s = _u32(F.col(id_col), "ip:subnet") % F.lit(6)
+    h = _u32(F.col(id_col), "ip:host") % F.lit(65536)
+    ip = F.lit(10 * (1 << 24)) + (F.lit(96) + s) * F.lit(1 << 16) + h
+    return docs_df.select(F.col(id_col).alias("doc_id"), ip.alias("ip_int"))
+
+
+def _dotted(ip_col):
+    """Integer → dotted quad, pure integer div/mod (bit-identical in
+    any engine; shiftright is avoided so the DuckDB twin can use the
+    same ``// 2^k % 256`` arithmetic verbatim)."""
+    return F.concat_ws(
+        ".",
+        (F.floor(ip_col / F.lit(1 << 24)) % 256).cast("string"),
+        (F.floor(ip_col / F.lit(1 << 16)) % 256).cast("string"),
+        (F.floor(ip_col / F.lit(1 << 8)) % 256).cast("string"),
+        (ip_col % 256).cast("string"),
+    )
+
+
+def ip_range_agg(
+    docs_df: DataFrame, ranges: Sequence, id_col: str = "doc_id"
+) -> DataFrame:
+    """ES ``ip_range``: one named bucket per entry (``(key, from,
+    to)`` dotted-quad strings with None = open end, or ``(key,
+    "cidr")``), from inclusive / to exclusive, buckets may overlap
+    and each is counted independently. Returns ``(bucket_ord, key,
+    doc_count)`` in the caller's range order (ES response order).
+
+    ONE corpus pass: every bucket is a conditional aggregate in a
+    single map-side-combined global aggregate."""
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    ips = ip_addresses(docs_df, id_col=id_col)
+    aggs = []
+    names = []
+    for i, entry in enumerate(ranges):
+        key, lo, hi = _range_bounds(entry)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("ip_int") >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col("ip_int") < F.lit(hi))
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"c{i}"))
+        names.append(key)
+    one = ips.agg(*aggs)
+    stack_args = ", ".join(f"{i}, '{key}', c{i}" for i, key in enumerate(names))
+    return one.selectExpr(
+        f"stack({len(names)}, {stack_args}) AS (bucket_ord, key, doc_count)"
+    ).orderBy("bucket_ord")
+
+
+def ip_prefix_agg(
+    docs_df: DataFrame,
+    prefix_length: int,
+    min_doc_count: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``ip_prefix``: bucket addresses by their /``prefix_length``
+    network; bucket key is the network address in CIDR notation,
+    response ordered by key ascending (the histogram-family
+    contract). Returns ``(rank, key, doc_count)``.
+
+    One map-side-combined groupBy on the masked integer (≤ 2^len
+    occupied networks), then rank by the network integer."""
+    if not (0 <= prefix_length <= 32):
+        raise ValueError("prefix_length must be in [0, 32]")
+    block = 1 << (32 - prefix_length)
+    ips = ip_addresses(docs_df, id_col=id_col)
+    net = (F.floor(F.col("ip_int") / F.lit(block)) * F.lit(block)).alias("net")
+    counts = (
+        ips.select(net)
+        .groupBy("net")
+        .agg(F.count("*").cast("bigint").alias("doc_count"))
+        .filter(F.col("doc_count") >= int(min_doc_count))
+    )
+    w = Window.orderBy(F.asc("net"))
+    return counts.select(
+        F.row_number().over(w).alias("rank"),
+        F.concat(_dotted(F.col("net")), F.lit(f"/{prefix_length}")).alias("key"),
+        "doc_count",
+    ).orderBy("rank")
+
+
+# ------------------------------------------------------------- oracles
+
+
+def _ips_sql(src: str = "documents") -> str:
+    sub = (
+        "(('0x' || substr(md5(doc_id::VARCHAR || ':ip:subnet'), 1, 8))::BIGINT % 6)"
+    )
+    host = (
+        "(('0x' || substr(md5(doc_id::VARCHAR || ':ip:host'), 1, 8))::BIGINT % 65536)"
+    )
+    return (
+        f"SELECT doc_id, {10 * (1 << 24)} + (96 + {sub}) * 65536 + {host} AS ip_int"
+        f" FROM {src}"
+    )
+
+
+def ip_range_oracle_sql(ranges: Sequence, src: str = "documents") -> str:
+    """DuckDB twin of :func:`ip_range_agg` — the same integer bounds
+    (resolved by the same Python helpers) as conditional aggregates,
+    unpivoted in range order."""
+    parts = []
+    for i, entry in enumerate(ranges):
+        key, lo, hi = _range_bounds(entry)
+        conds = []
+        if lo is not None:
+            conds.append(f"ip_int >= {lo}")
+        if hi is not None:
+            conds.append(f"ip_int < {hi}")
+        cond = " AND ".join(conds) if conds else "TRUE"
+        parts.append(
+            f"SELECT {i}::INT AS bucket_ord, '{key}' AS key,\n"
+            f"       sum(CASE WHEN {cond} THEN 1 ELSE 0 END)::BIGINT AS doc_count\n"
+            f"FROM ips"
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"WITH ips AS ({_ips_sql(src)})\n{body}\nORDER BY bucket_ord"
+
+
+def ip_prefix_oracle_sql(
+    prefix_length: int, min_doc_count: int = 1, src: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`ip_prefix_agg` — identical mask, dotted
+    rendering, and key-ascending rank."""
+    block = 1 << (32 - prefix_length)
+    dotted = (
+        "((net // 16777216) % 256)::VARCHAR || '.' || "
+        "((net // 65536) % 256)::VARCHAR || '.' || "
+        "((net // 256) % 256)::VARCHAR || '.' || "
+        "(net % 256)::VARCHAR"
+    )
+    return f"""
+WITH ips AS ({_ips_sql(src)}),
+nz AS (
+    SELECT (ip_int // {block}) * {block} AS net, count(*)::BIGINT AS doc_count
+    FROM ips GROUP BY 1
+    HAVING count(*) >= {int(min_doc_count)}
+),
+r AS (
+    SELECT row_number() OVER (ORDER BY net ASC) AS rank,
+           {dotted} || '/{prefix_length}' AS key, doc_count
+    FROM nz
+)
+SELECT rank::INT AS rank, key, doc_count FROM r ORDER BY rank
+"""

@@ -1,0 +1,245 @@
+"""URL canonicalization + URL-level deduplication — the web-crawl
+curation primitive that runs BEFORE content dedup in every published
+pipeline (CCNet groups by URL; C4 and FineWeb dedupe fetches of the
+same canonical page; RefinedWeb §3.1 calls this "URL deduplication").
+
+Public semantics: the standard canonicalization rule set (RFC 3986
+normalization plus the tracking-parameter strip every crawler
+applies):
+
+- scheme and host lowercase;
+- default port dropped (``:80`` for http, ``:443`` for https);
+- fragment dropped;
+- tracking query parameters dropped (``utm_*``, ``fbclid``,
+  ``gclid`` — the datatrove/ccnet-style deny list);
+- remaining query parameters sorted bytewise;
+- trailing slash stripped from non-root paths; empty path → ``/``.
+
+The reference corpus has no URL field, so messy URLs are SYNTHESIZED
+deterministically from the doc id (the repo-wide md5 device): docs
+sharing ``gid = hash % 200`` fetch the SAME canonical page, and seven
+independent hash bits pick which mess each variant wears (host case,
+scheme case, tracking params, fragment, trailing slash, param order,
+explicit default port). Any engine rebuilds both the mess and the
+canonical form bit-for-bit, and the dedup groups are known by
+construction — which is what makes the gate value-checkable.
+
+Determinism contract: everything is exact string manipulation over
+an ASCII alphabet — split on literal separators, bytewise
+``array_sort`` (codepoint order, identical in Spark and DuckDB for
+ASCII), no regex, no floats.
+
+Physical shape at 100 TB: canonicalization is a pure JVM per-row
+expression chain (split/filter/sort/concat over ≤ a few tiny
+arrays — no UDF, no explode); dedup is ONE map-side-combined groupBy
+on the canonical string (the md5-fingerprint shuffle shape of
+dedup_exact — at the real scale the canonical URL would travel as
+its md5). Cost: one shuffle of (canonical, partial-agg) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TRACKING_PREFIXES = ("utm_",)
+TRACKING_EXACT = ("fbclid", "gclid")
+N_GROUPS = 200
+
+
+def _u32(id_col, salt: str):
+    return F.conv(
+        F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(f":{salt}"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def synth_urls(docs_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, url) — deterministic messy URLs. Docs sharing
+    ``gid = hash % 200`` share a canonical page; bits of a second
+    hash choose the variant's mess (see module docstring)."""
+    did = F.col(id_col)
+    gid = _u32(did, "url:gid") % F.lit(N_GROUPS)
+    bits = _u32(did, "url:bits")
+    bit = lambda i: (F.floor(bits / F.lit(1 << i)) % 2) == 1  # noqa: E731
+    host = F.concat(F.lit("www.site"), (gid % 37).cast("string"), F.lit(".example.com"))
+    host = F.when(bit(0), F.upper(host)).otherwise(host)
+    scheme = F.when(bit(4), F.lit("HTTPS")).otherwise(F.lit("https"))
+    port = F.when(bit(6), F.lit(":443")).otherwise(F.lit(""))
+    path = F.concat(F.lit("/p/"), gid.cast("string"))
+    path = F.when(bit(3), F.concat(path, F.lit("/"))).otherwise(path)
+    pa = F.concat(F.lit("a="), (gid % 11).cast("string"))
+    pb = F.concat(F.lit("b="), (gid % 7).cast("string"))
+    params = F.when(bit(5), F.concat(pb, F.lit("&"), pa)).otherwise(
+        F.concat(pa, F.lit("&"), pb)
+    )
+    params = F.when(
+        bit(1), F.concat(params, F.lit("&utm_source=feed&utm_medium=rss"))
+    ).otherwise(params)
+    frag = F.when(bit(2), F.lit("#section-2")).otherwise(F.lit(""))
+    url = F.concat(scheme, F.lit("://"), host, port, path, F.lit("?"), params, frag)
+    return docs_df.select(did.alias("doc_id"), url.alias("url"))
+
+
+def canonical_url(url_col):
+    """The canonicalization expression (column in, column out) —
+    split on literal separators, never regex, so the DuckDB twin is a
+    transliteration."""
+    nofrag = F.split_part(url_col, F.lit("#"), F.lit(1))
+    base = F.split_part(nofrag, F.lit("?"), F.lit(1))
+    query = F.split_part(nofrag, F.lit("?"), F.lit(2))
+    scheme = F.lower(F.split_part(base, F.lit("://"), F.lit(1)))
+    rest = F.split_part(base, F.lit("://"), F.lit(2))
+    hostport = F.split_part(rest, F.lit("/"), F.lit(1))
+    path = F.substring(rest, F.length(hostport) + 1, 2**30)
+    host = F.lower(F.split_part(hostport, F.lit(":"), F.lit(1)))
+    port = F.split_part(hostport, F.lit(":"), F.lit(2))
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    port_out = F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit(""))
+    path = F.when(
+        (F.length(path) > 1) & F.endswith(path, F.lit("/")),
+        F.substring(path, 1, F.length(path) - 1),
+    ).otherwise(path)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    parts = F.split(query, "&")
+    kept = F.filter(
+        parts,
+        lambda p: (p != "")
+        & ~F.startswith(p, F.lit("utm_"))
+        & ~F.startswith(p, F.lit("fbclid="))
+        & ~F.startswith(p, F.lit("gclid=")),
+    )
+    q_out = F.array_join(F.array_sort(kept), "&")
+    q_out = F.when(q_out == "", F.lit("")).otherwise(F.concat(F.lit("?"), q_out))
+    return F.concat(scheme, F.lit("://"), host, port_out, path, q_out)
+
+
+def url_dedup(docs_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """URL-level dedup over the synthesized crawl: canonicalize every
+    messy URL, group, keep the minimum doc_id as the canonical fetch
+    (the dedup_exact keeper rule) → ``(canonical_url, keeper,
+    dup_count)`` ordered by canonical_url."""
+    urls = synth_urls(docs_df, id_col=id_col)
+    return (
+        urls.select(canonical_url(F.col("url")).alias("canonical_url"), "doc_id")
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count("*").cast("bigint").alias("dup_count"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+# ------------------------------------------------------------- oracle
+
+
+def _synth_sql(src: str = "documents") -> str:
+    u32 = lambda salt: (  # noqa: E731
+        f"('0x' || substr(md5(doc_id::VARCHAR || ':{salt}'), 1, 8))::BIGINT"
+    )
+    return f"""
+SELECT doc_id,
+       (CASE WHEN bit4 THEN 'HTTPS' ELSE 'https' END)
+       || '://'
+       || (CASE WHEN bit0 THEN upper(host) ELSE host END)
+       || (CASE WHEN bit6 THEN ':443' ELSE '' END)
+       || path || (CASE WHEN bit3 THEN '/' ELSE '' END)
+       || '?'
+       || (CASE WHEN bit5 THEN pb || '&' || pa ELSE pa || '&' || pb END)
+       || (CASE WHEN bit1 THEN '&utm_source=feed&utm_medium=rss' ELSE '' END)
+       || (CASE WHEN bit2 THEN '#section-2' ELSE '' END) AS url
+FROM (
+    SELECT doc_id,
+           'www.site' || (gid % 37)::VARCHAR || '.example.com' AS host,
+           '/p/' || gid::VARCHAR AS path,
+           'a=' || (gid % 11)::VARCHAR AS pa,
+           'b=' || (gid % 7)::VARCHAR AS pb,
+           ((bits // 1) % 2) = 1 AS bit0, ((bits // 2) % 2) = 1 AS bit1,
+           ((bits // 4) % 2) = 1 AS bit2, ((bits // 8) % 2) = 1 AS bit3,
+           ((bits // 16) % 2) = 1 AS bit4, ((bits // 32) % 2) = 1 AS bit5,
+           ((bits // 64) % 2) = 1 AS bit6
+    FROM (
+        SELECT doc_id,
+               {u32("url:gid")} % {N_GROUPS} AS gid,
+               {u32("url:bits")} AS bits
+        FROM {src}
+    )
+)"""
+
+
+def url_dedup_oracle_sql(src: str = "documents") -> str:
+    """DuckDB twin of :func:`url_dedup` — the same synthesis and the
+    same canonicalization, transliterated (split_part / list_filter /
+    list_sort on the same literal separators)."""
+    return f"""
+WITH urls AS ({_synth_sql(src)}),
+p1 AS (
+    SELECT doc_id,
+           split_part(url, '#', 1) AS nofrag
+    FROM urls
+),
+p2 AS (
+    SELECT doc_id,
+           split_part(nofrag, '?', 1) AS base,
+           split_part(nofrag, '?', 2) AS query
+    FROM p1
+),
+p3 AS (
+    SELECT doc_id, query,
+           lower(split_part(base, '://', 1)) AS scheme,
+           split_part(base, '://', 2) AS rest
+    FROM p2
+),
+p4 AS (
+    SELECT doc_id, query, scheme,
+           split_part(rest, '/', 1) AS hostport,
+           substr(rest, length(split_part(rest, '/', 1)) + 1) AS path0
+    FROM p3
+),
+p5 AS (
+    SELECT doc_id, query, scheme,
+           lower(split_part(hostport, ':', 1)) AS host,
+           split_part(hostport, ':', 2) AS port,
+           path0
+    FROM p4
+),
+p6 AS (
+    SELECT doc_id, query, scheme, host,
+           CASE WHEN port <> ''
+                     AND NOT (scheme = 'http' AND port = '80')
+                     AND NOT (scheme = 'https' AND port = '443')
+                THEN ':' || port ELSE '' END AS port_out,
+           CASE WHEN pth = '' THEN '/' ELSE pth END AS path
+    FROM (
+        SELECT *,
+               CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
+                    THEN substr(path0, 1, length(path0) - 1)
+                    ELSE path0 END AS pth
+        FROM p5
+    )
+),
+p7 AS (
+    SELECT doc_id, scheme, host, port_out, path,
+           array_to_string(
+               list_sort(list_filter(string_split(query, '&'),
+                   p -> p <> '' AND NOT starts_with(p, 'utm_')
+                        AND NOT starts_with(p, 'fbclid=')
+                        AND NOT starts_with(p, 'gclid='))),
+               '&') AS q
+    FROM p6
+),
+canon AS (
+    SELECT doc_id,
+           scheme || '://' || host || port_out || path
+           || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canonical_url
+    FROM p7
+)
+SELECT canonical_url, min(doc_id) AS keeper, count(*)::BIGINT AS dup_count
+FROM canon GROUP BY 1 ORDER BY canonical_url
+"""

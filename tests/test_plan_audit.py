@@ -235,6 +235,12 @@ AUDIT = [
     "date_range_agg",
     "geo_polygon_topk",
     "nested_agg",
+    # eighteenth wave
+    "geo_bounding_box_topk",
+    "ip_range_agg",
+    "ip_prefix_agg",
+    "url_dedup",
+    "change_point_agg",
 ]
 
 

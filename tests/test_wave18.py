@@ -1,0 +1,269 @@
+"""Eighteenth wave — geo_bounding_box (dateline-crossing), ip_range /
+ip_prefix aggregations, URL canonicalization dedup, change_point scan
+statistic — semantics pinned independently of the driver's DuckDB
+oracles (hand fixtures + pure-Python recomputes)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from la_fungus_search_spark.query.facets import change_point_agg
+from la_fungus_search_spark.query.geo import EARTH_RADIUS_M, geo_bounding_box_topk
+from la_fungus_search_spark.query.net import (
+    cidr_bounds,
+    ip_prefix_agg,
+    ip_range_agg,
+    ip_to_int,
+)
+from la_fungus_search_spark.textops.urls import (
+    N_GROUPS,
+    canonical_url,
+    synth_urls,
+    url_dedup,
+)
+
+
+def _u32(doc_id, salt: str) -> int:
+    return int(hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()[:8], 16)
+
+
+def _docs(spark, n):
+    return spark.createDataFrame([(i,) for i in range(n)], schema="doc_id BIGINT")
+
+
+# ------------------------------------------------------ geo_bounding_box
+
+
+def _point(doc_id: int):
+    return (
+        _u32(doc_id, "geo:lat") / 4294967296.0 * 170.0 - 85.0,
+        _u32(doc_id, "geo:lon") / 4294967296.0 * 360.0 - 180.0,
+    )
+
+
+def _haversine_mm(lat, lon, lat0, lon0):
+    dphi = math.radians(lat - lat0)
+    dlam = math.radians(lon - lon0)
+    a = math.sin(dphi / 2.0) ** 2 + math.cos(math.radians(lat)) * math.cos(
+        math.radians(lat0)
+    ) * math.sin(dlam / 2.0) ** 2
+    return round(2.0 * EARTH_RADIUS_M * math.asin(math.sqrt(min(a, 1.0))) * 1000.0)
+
+
+def _in_box(lat, lon, tl, br) -> bool:
+    """The SAME integer test as the Spark/DuckDB expression."""
+    py, px = round(lat * 1e6), round(lon * 1e6)
+    t, l = round(tl[0] * 1e6), round(tl[1] * 1e6)
+    b, r = round(br[0] * 1e6), round(br[1] * 1e6)
+    if not (b <= py <= t):
+        return False
+    return (l <= px <= r) if l <= r else (px >= l or px <= r)
+
+
+def test_geo_bbox_dateline_matches_recompute(spark):
+    tl, br = entry.GEO_BOX_TL, entry.GEO_BOX_BR  # crosses the dateline
+    k, n = 40, 300
+    got = geo_bounding_box_topk(_docs(spark, n), tl, br, k=k).collect()
+    want = sorted(
+        (
+            (i, _haversine_mm(*_point(i), tl[0], tl[1]))
+            for i in range(n)
+            if _in_box(*_point(i), tl, br)
+        ),
+        key=lambda t: (t[1], t[0]),
+    )[:k]
+    assert [(r.doc_id, r.dist_mm) for r in got] == want
+    assert [r.rank for r in got] == list(range(1, len(want) + 1))
+    assert 0 < len(want) < n  # membership non-trivial both directions
+
+
+def test_geo_bbox_plain_box_hand_points(spark):
+    tl, br = (20.0, 10.0), (10.0, 20.0)
+    assert _in_box(15.0, 15.0, tl, br)
+    assert not _in_box(25.0, 15.0, tl, br)
+    assert not _in_box(15.0, 25.0, tl, br)
+    # dateline box: 170E..-170E wraps; 0 lon is outside
+    dtl, dbr = (10.0, 170.0), (-10.0, -170.0)
+    assert _in_box(0.0, 175.0, dtl, dbr)
+    assert _in_box(0.0, -175.0, dtl, dbr)
+    assert not _in_box(0.0, 0.0, dtl, dbr)
+    # Spark agrees on a crafted corpus: every doc point recomputed
+    n = 200
+    got = {r.doc_id for r in geo_bounding_box_topk(_docs(spark, n), tl, br, k=n).collect()}
+    want = {i for i in range(n) if _in_box(*_point(i), tl, br)}
+    assert got == want
+    with pytest.raises(ValueError):
+        geo_bounding_box_topk(_docs(spark, 5), (0.0, 0.0), (10.0, 10.0), k=5)
+
+
+# --------------------------------------------------------------- ip aggs
+
+
+def _ip_int(doc_id: int) -> int:
+    s = _u32(doc_id, "ip:subnet") % 6
+    h = _u32(doc_id, "ip:host") % 65536
+    return 10 * (1 << 24) + (96 + s) * (1 << 16) + h
+
+
+def test_ip_helpers():
+    assert ip_to_int("10.96.0.0") == 10 * 2**24 + 96 * 2**16
+    assert ip_to_int("255.255.255.255") == 2**32 - 1
+    assert cidr_bounds("10.96.0.0/15") == (ip_to_int("10.96.0.0"), ip_to_int("10.98.0.0"))
+    # mask applies: host bits in the literal are cleared first
+    assert cidr_bounds("10.97.3.9/16") == (ip_to_int("10.97.0.0"), ip_to_int("10.98.0.0"))
+    assert cidr_bounds("0.0.0.0/0") == (0, 2**32)
+    with pytest.raises(ValueError):
+        ip_to_int("1.2.3")
+    with pytest.raises(ValueError):
+        cidr_bounds("10.0.0.0/33")
+
+
+def test_ip_range_matches_recompute(spark):
+    n = 400
+    got = ip_range_agg(_docs(spark, n), entry.IP_RANGES).collect()
+    ips = [_ip_int(i) for i in range(n)]
+    for row, spec in zip(got, entry.IP_RANGES):
+        if len(spec) == 2:
+            key, (lo, hi) = spec[0], cidr_bounds(spec[1])
+        else:
+            key, lo, hi = spec[0], spec[1], spec[2]
+            lo = ip_to_int(lo) if lo is not None else None
+            hi = ip_to_int(hi) if hi is not None else None
+        want = sum(
+            1
+            for ip in ips
+            if (lo is None or ip >= lo) and (hi is None or ip < hi)
+        )
+        assert (row.key, row.doc_count) == (key, want)
+    # 'all' bucket counts everything; overlap means totals exceed n
+    assert next(r.doc_count for r in got if r.key == "all") == n
+    assert sum(r.doc_count for r in got) > n
+
+
+def test_ip_prefix_matches_recompute(spark):
+    n = 400
+    plen = 18
+    block = 1 << (32 - plen)
+    got = ip_prefix_agg(_docs(spark, n), plen).collect()
+    from collections import Counter
+
+    want = Counter((_ip_int(i) // block) * block for i in range(n))
+
+    def dotted(x):
+        return f"{x >> 24 & 255}.{x >> 16 & 255}.{x >> 8 & 255}.{x & 255}"
+
+    exp = [
+        (r + 1, f"{dotted(net)}/{plen}", c)
+        for r, (net, c) in enumerate(sorted(want.items()))
+    ]
+    assert [(r.rank, r.key, r.doc_count) for r in got] == exp
+    # six /16 subnets × 4 = at most 24 /18 networks
+    assert len(got) <= 24
+
+
+# ------------------------------------------------------------- url dedup
+
+
+def test_canonical_url_hand_cases(spark):
+    cases = [
+        # (messy, canonical)
+        ("HTTPS://WWW.Site1.Example.COM:443/p/9/?b=2&a=1&utm_source=x#f",
+         "https://www.site1.example.com/p/9?a=1&b=2"),
+        ("http://host.com:80/a/b?fbclid=abc", "http://host.com/a/b"),
+        ("http://host.com:8080/a/", "http://host.com:8080/a"),
+        ("https://host.com/", "https://host.com/"),          # root slash stays
+        ("https://host.com?z=1&y=2", "https://host.com/?y=2&z=1"),  # empty path → /
+        ("https://host.com/p?utm_medium=a&utm_source=b", "https://host.com/p"),
+    ]
+    df = spark.createDataFrame([(m,) for m, _ in cases], schema="url STRING")
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [c for _, c in cases]
+
+
+def _py_canonical(url: str) -> str:
+    """Independent sequential recompute of the canonicalization."""
+    nofrag = url.split("#", 1)[0]
+    base, _, query = nofrag.partition("?")
+    scheme, _, rest = base.partition("://")
+    scheme = scheme.lower()
+    hostport, slash, path = rest.partition("/")
+    path = slash + path
+    host, _, port = hostport.partition(":")
+    host = host.lower()
+    keep = port and not (
+        (scheme == "http" and port == "80") or (scheme == "https" and port == "443")
+    )
+    if len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    if path == "":
+        path = "/"
+    params = sorted(
+        p
+        for p in query.split("&")
+        if p and not p.startswith(("utm_", "fbclid=", "gclid="))
+    )
+    q = "?" + "&".join(params) if params else ""
+    return f"{scheme}://{host}{(':' + port) if keep else ''}{path}{q}"
+
+
+def test_url_dedup_matches_recompute(spark):
+    n = 300
+    docs = _docs(spark, n)
+    urls = {r.doc_id: r.url for r in synth_urls(docs).collect()}
+    groups = {}
+    for d in range(n):
+        groups.setdefault(_py_canonical(urls[d]), []).append(d)
+    want = sorted(
+        (c, min(ds), len(ds)) for c, ds in groups.items()
+    )
+    got = [(r.canonical_url, r.keeper, r.dup_count) for r in url_dedup(docs).collect()]
+    assert got == want
+    # the mess is real: more distinct raw urls than canonical pages
+    assert len(set(urls.values())) > len(groups)
+    # and grouping is non-trivial: some page fetched more than once
+    assert max(len(d) for d in groups.values()) > 1
+    assert len(groups) <= N_GROUPS
+
+
+# ----------------------------------------------------------- change_point
+
+
+def test_change_point_planted_step(spark):
+    # 10 quiet days then 8 loud days: split must land on day 11
+    rows = []
+    eid = 0
+    for d in range(1, 19):
+        v = 1.0 if d <= 10 else 5.0
+        for _ in range(3):
+            rows.append((eid, f"2024-03-{d:02d} 12:00:00", v))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, schema="event_id BIGINT, ts_s STRING, value DOUBLE"
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    got = change_point_agg(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.change_day == "2024-03-11"
+    assert r.change_ord == 10
+    assert r.n_before == 10 and r.n_after == 8
+    assert r.sum_before_micro == 10 * 3_000_000
+    assert r.sum_after_micro == 8 * 15_000_000
+    # the scan statistic at the chosen split, recomputed by hand
+    assert r.score == abs(30_000_000 * 8 - 120_000_000 * 10)
+
+
+def test_change_point_tie_breaks_earliest(spark):
+    # constant series: every split scores 0 → earliest k wins
+    rows = [(i, f"2024-03-{d:02d} 01:00:00", 2.0) for i, d in enumerate(range(1, 6))]
+    df = spark.createDataFrame(
+        rows, schema="event_id BIGINT, ts_s STRING, value DOUBLE"
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    r = change_point_agg(df).collect()[0]
+    assert r.score == 0
+    assert r.change_ord == 1
+    assert r.change_day == "2024-03-02"
