@@ -5805,6 +5805,52 @@ def q_change_point(spark, sf_dir):
     return facet_ops.change_point_agg(_events(spark, sf_dir))
 
 
+# ---------------------------------------------------------------- wave 19
+# ExactSubstr span stitching, UT1-style host blocklist,
+# variable_width_histogram, feature-hashing embeddings.
+
+
+def q_dedup_substring_spans(spark, sf_dir):
+    """Exact-substring dedup at span granularity (textops/dedup.py
+    duplicate_substring_spans, Lee et al. 2021 ExactSubstr): maximal
+    token spans ≥ 16 whose every 8-gram appears in ≥ 2 docs — the
+    islands stitch over cross_doc_grams' shared-gram signal, under a
+    per-document window. Runs over the planted near-dup corpus
+    (_docs_aug), whose mutants share almost-whole-doc spans with
+    their originals."""
+    return dedup.duplicate_substring_spans(
+        _docs_aug(spark, sf_dir), k=8, min_span_tokens=16
+    )
+
+
+def q_url_host_filter(spark, sf_dir):
+    """UT1-style URL blocklist filter (textops/urls.py
+    url_host_filter): canonical host against a broadcast exact-host
+    dim + dot-anchored suffix rules + path prefixes, first matching
+    rule names the verdict (RefinedWeb §3.1.2 / FineWeb's UT1
+    stage)."""
+    return urls_ops.url_host_filter(_documents(spark, sf_dir))
+
+
+def q_variable_width_histogram(spark, sf_dir):
+    """ES variable_width_histogram, deterministic equal-depth
+    adaptation (query/facets.py variable_width_histogram): per
+    event_type, bucket b = (rank−1)·k div n over the micro-quantized
+    value order — tie-invariant outputs (count/min/max/sum), exact
+    integer bucket index."""
+    return facet_ops.variable_width_histogram(
+        _events(spark, sf_dir), "event_type", "value", n_buckets=4
+    )
+
+
+def q_text_hash_embed(spark, sf_dir):
+    """Feature-hashing embeddings (textops/stats.py hash_embed,
+    Weinberger et al. 2009): signed token-hash counts into 16
+    coordinates, long form, exact integers — the vocabulary-free
+    embedder feeding cosine-dedup/ANN when no model exists."""
+    return stats.hash_embed(_documents(spark, sf_dir), dim=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness run checks a
     # bounded PREFIX of this dict (~50 of 80). Round-4 rotation
@@ -6067,6 +6113,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ip_prefix_agg": q_ip_prefix,
         "url_dedup": q_url_dedup,
         "change_point_agg": q_change_point,
+        # wave 19
+        "dedup_substring_spans": q_dedup_substring_spans,
+        "url_host_filter": q_url_host_filter,
+        "variable_width_histogram": q_variable_width_histogram,
+        "text_hash_embed": q_text_hash_embed,
     }
 
 
@@ -8567,6 +8618,46 @@ FROM pb LEFT JOIN cb USING (grp) ORDER BY grp
         "ip_prefix_agg": net_ops.ip_prefix_oracle_sql(IP_PREFIX_LEN),
         "url_dedup": urls_ops.url_dedup_oracle_sql(),
         "change_point_agg": facet_ops.change_point_oracle_sql(),
+        # wave 19
+        "dedup_substring_spans": f"""
+WITH {_DOCS_AUG_SQL.strip()},
+tokd AS (SELECT doc_id, {_tok_sql('text')} AS toks FROM docs_aug),
+pg AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= 8
+                       THEN range(1, len(toks) - 6)
+                       ELSE []::BIGINT[] END) AS pos,
+           unnest(CASE WHEN len(toks) >= 8
+                       THEN list_transform(range(1, len(toks) - 6),
+                            i -> md5(array_to_string(toks[i:i+7], ' ')))
+                       ELSE []::VARCHAR[] END) AS gram_md5
+    FROM tokd
+),
+shared AS (
+    SELECT gram_md5
+    FROM (SELECT DISTINCT doc_id, gram_md5 FROM pg)
+    GROUP BY 1 HAVING count(*) >= 2
+),
+hits AS (SELECT doc_id, pos FROM pg JOIN shared USING (gram_md5)),
+runs AS (
+    SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos ASC) AS isl
+    FROM hits
+),
+spans AS (
+    SELECT doc_id, min(pos) AS start_pos, max(pos) + 7 AS end_pos
+    FROM runs GROUP BY doc_id, isl
+)
+SELECT doc_id, start_pos::BIGINT AS start_pos, end_pos::BIGINT AS end_pos,
+       (end_pos - start_pos + 1)::BIGINT AS span_tokens
+FROM spans WHERE end_pos - start_pos + 1 >= 16
+ORDER BY doc_id, start_pos
+""",
+        "url_host_filter": urls_ops.url_host_filter_oracle_sql(),
+        "variable_width_histogram": facet_ops.variable_width_histogram_oracle_sql(
+            "event_type", "value", 4
+        ),
+        "text_hash_embed": stats.hash_embed_oracle_sql(16),
         # ann_srp_topk / ann_ivf_topk / ann_pq_topk / ann_ivfpq_topk:
         # non-SQL-expressible kernels (Box-Muller SRP hyperplanes;
         # iterative k-means; PQ codebooks) → rows-only checks by

@@ -388,6 +388,23 @@ def bench_main(results: dict):
         "categorize_text_agg",
         "span_multi_topk",
         "filter_context_topk",
+        # wave 17
+        "term_range_topk",
+        "drill_sideways_facets",
+        "date_range_agg",
+        "geo_polygon_topk",
+        "nested_agg",
+        # wave 18
+        "geo_bounding_box_topk",
+        "ip_range_agg",
+        "ip_prefix_agg",
+        "url_dedup",
+        "change_point_agg",
+        # wave 19
+        "dedup_substring_spans",
+        "url_host_filter",
+        "variable_width_histogram",
+        "text_hash_embed",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

@@ -2204,3 +2204,91 @@ SELECT k::INT AS change_ord, change_day, score::BIGINT AS score,
        sum_after_micro::BIGINT AS sum_after_micro
 FROM scored ORDER BY score DESC, k ASC LIMIT 1
 """
+
+
+def variable_width_histogram(
+    docs_df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_buckets: int = 4,
+) -> DataFrame:
+    """ES ``variable_width_histogram`` aggregation, deterministically
+    adapted (documented deviation: ES clusters with an order-
+    dependent streaming k-means-ish collector and explicitly warns
+    its buckets are approximate and shard-order-sensitive; the
+    engine-invariant counterpart chosen here is EQUAL-DEPTH
+    clustering — bucket ``b = ⌊(rank−1)·k / n⌋`` over the (value,
+    tie) total order — the classic fixed-population variable-width
+    histogram). Per group: ``(grp, bucket_ord, doc_count, min_v,
+    max_v, sum_micro)`` ordered (grp, bucket_ord).
+
+    Tie-invariance: equal values may straddle a rank boundary, but
+    every per-bucket output (count, min, max, sum) is invariant to
+    which copies land where — counts are fixed by the boundary ranks
+    and min/max/sum see the same multiset either way — so the result
+    is engine-invariant even though row-level bucket assignment is
+    not.
+
+    Physical shape: values micro-quantize first; ranks come from ONE
+    per-group sort window (the exact-order-statistic floor shared
+    with percentiles_agg / facet_stats), then a map-side-combined
+    groupBy on (grp, bucket). NULL groups bucket as "(none)"; NULL
+    values are excluded (ES ``missing`` contract)."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    keyed = docs_df.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("(none)")).alias("grp"),
+        _quantize(F.col(value_col)).alias("vq"),
+    ).filter(F.col("vq").isNotNull())
+    w = Window.partitionBy("grp").orderBy(F.asc("vq"))
+    w_n = Window.partitionBy("grp")
+    ranked = keyed.select(
+        "grp",
+        "vq",
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(w_n).alias("n"),
+    )
+    # bucket index in EXACT integer division (`div`): a double floor
+    # could misround once (rank·k)/n approaches 2^53-scale rationals
+    b = ((F.col("r") - F.lit(1)) * F.lit(int(n_buckets))).alias("num")
+    return (
+        ranked.select("grp", "vq", b, "n")
+        .select("grp", "vq", F.expr("num div n").cast("int").alias("bucket_ord"))
+        .groupBy("grp", "bucket_ord")
+        .agg(
+            F.count("*").cast("bigint").alias("doc_count"),
+            F.min("vq").alias("min_micro"),
+            F.max("vq").alias("max_micro"),
+            F.sum("vq").alias("sum_micro"),
+        )
+        .orderBy("grp", "bucket_ord")
+    )
+
+
+def variable_width_histogram_oracle_sql(
+    group_col: str, value_col: str, n_buckets: int = 4, src: str = "events"
+) -> str:
+    """DuckDB twin of :func:`variable_width_histogram` — same rank
+    formula; tie order differs but the output is tie-invariant (see
+    operator docstring)."""
+    return f"""
+WITH keyed AS (
+    SELECT coalesce({group_col}::VARCHAR, '(none)') AS grp,
+           round({value_col} * 1e6)::BIGINT AS vq
+    FROM {src} WHERE {value_col} IS NOT NULL
+),
+ranked AS (
+    SELECT grp, vq,
+           row_number() OVER (PARTITION BY grp ORDER BY vq ASC) AS r,
+           count(*) OVER (PARTITION BY grp) AS n
+    FROM keyed
+),
+bz AS (
+    SELECT grp, vq, ((r - 1) * {int(n_buckets)} // n)::INT AS bucket_ord
+    FROM ranked
+)
+SELECT grp, bucket_ord, count(*)::BIGINT AS doc_count,
+       min(vq)::BIGINT AS min_micro, max(vq)::BIGINT AS max_micro,
+       sum(vq)::BIGINT AS sum_micro
+FROM bz GROUP BY 1, 2 ORDER BY grp, bucket_ord
+"""

@@ -675,3 +675,85 @@ def cross_doc_grams(
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def duplicate_substring_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_span_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring dedup at SPAN granularity (Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" — the
+    ExactSubstr signal): per document, the MAXIMAL token spans of
+    length ≥ ``min_span_tokens`` whose every token ``k``-gram appears
+    verbatim in ≥ 2 distinct documents. :func:`cross_doc_grams` flags
+    the shared grams; this operator stitches overlapping flagged
+    grams back into the excisable spans (a run of g consecutive
+    flagged gram starts covers g + k − 1 tokens), which is what a
+    curation pipeline actually removes. Lee et al. use a suffix
+    array; consecutive shared k-grams are the distributable
+    equivalent — any shared substring of length ≥ L ≥ k is exactly a
+    run of L − k + 1 consecutive shared k-grams, so for spans ≥
+    ``min_span_tokens`` ≥ k the two constructions flag the SAME
+    spans.
+
+    Returns ``(doc_id, start_pos, end_pos, span_tokens)`` — 1-based
+    inclusive token positions — ordered (doc_id, start_pos).
+
+    Physical shape at 100 TB: one tokenize pass emits POSITIONAL
+    k-gram md5s (grams travel as 16-byte hashes, never text); the
+    shared-gram set comes from the same map-side-combined
+    groupBy(gram) as cross_doc_grams and joins back by gram hash;
+    run-stitching is the islands trick (pos − row_number() is
+    constant within a run) under a PER-DOCUMENT window — partitioned
+    by doc_id, never global. Shuffles: gram-hash agg, gram-hash
+    join-back, doc_id window. Nothing quadratic, nothing
+    driver-side."""
+    if k < 2 or min_span_tokens < k:
+        raise ValueError("need k >= 2 and min_span_tokens >= k")
+    toks = tokens_expr(text_col)
+    m = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    gm = F.slice(toks, 1, m)
+    for j in range(1, k):
+        gm = F.zip_with(gm, F.slice(toks, j + 1, m), lambda a, b: F.concat_ws(" ", a, b))
+    pos_grams = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(gm).alias("pos0", "gram")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.md5("gram").alias("gram_md5"),
+    )
+    shared = (
+        pos_grams.select("doc_id", "gram_md5")
+        .distinct()
+        .groupBy("gram_md5")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gram_md5")
+    )
+    hits = pos_grams.join(shared, "gram_md5").select("doc_id", "pos")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.asc("pos"))
+    runs = hits.withColumn("isl", F.col("pos") - F.row_number().over(w))
+    spans = (
+        runs.groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") + F.lit(k - 1)).alias("end_pos"),
+        )
+        .withColumn(
+            "span_tokens", (F.col("end_pos") - F.col("start_pos") + 1).cast("bigint")
+        )
+        .filter(F.col("span_tokens") >= int(min_span_tokens))
+        .select(
+            "doc_id",
+            F.col("start_pos").cast("bigint").alias("start_pos"),
+            F.col("end_pos").cast("bigint").alias("end_pos"),
+            "span_tokens",
+        )
+        .orderBy("doc_id", "start_pos")
+    )
+    return spans

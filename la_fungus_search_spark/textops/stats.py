@@ -661,3 +661,69 @@ def corpus_sketch(
         .agg(F.approx_count_distinct("term", rsd).alias("approx_vocab"))
     )
     return doc_level.join(vocab)
+
+
+def hash_embed(
+    docs: DataFrame,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing document embeddings (Weinberger et al. 2009,
+    "Feature Hashing for Large Scale Multitask Learning" — the
+    hashing trick; the same signed-hash construction fastText uses
+    for bucketed n-grams): every token hashes to a coordinate
+    ``h % dim`` with sign ``±1`` from an independent hash bit, and
+    the document's embedding is the signed count vector — the
+    training-free, vocabulary-free embedder a curation pipeline uses
+    when no model is available (e.g. to feed the cosine-dedup and
+    ANN stages). Exact integers end-to-end: no floats, no
+    normalization, engine-invariant by construction.
+
+    Returns LONG form ``(doc_id, dim_idx, component)`` — occupied
+    coordinates only — ordered (doc_id, dim_idx); pivot to an array
+    downstream if a dense vector is needed.
+
+    Physical shape at 100 TB: one tokenize pass, per-row explode
+    immediately partial-aggregated to (doc, dim) — the shuffle
+    carries ≤ ``dim`` rows per doc, never tokens; pure JVM md5 +
+    integer ops, no UDF."""
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    toks = tokens_expr(text_col)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("tok"), F.lit(":he"))), 1, 8), 16, 10
+    ).cast("bigint")
+    sign = F.when((F.floor(h / F.lit(int(dim))) % 2) == 0, F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
+        .select("doc_id", (h % F.lit(int(dim))).cast("int").alias("dim_idx"), sign.alias("s"))
+        .groupBy("doc_id", "dim_idx")
+        .agg(F.sum("s").cast("bigint").alias("component"))
+        .orderBy("doc_id", "dim_idx")
+    )
+
+
+def hash_embed_oracle_sql(
+    dim: int = 16, src: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`hash_embed` — identical token hash,
+    coordinate, and sign arithmetic."""
+    from la_fungus_search_spark.tokenizer import duckdb_tokens_sql
+
+    return f"""
+WITH tokd AS (
+    SELECT doc_id, unnest({duckdb_tokens_sql(text_col)}) AS tok FROM {src}
+),
+hz AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(tok || ':he'), 1, 8))::BIGINT AS h
+    FROM tokd
+)
+SELECT doc_id, (h % {int(dim)})::INT AS dim_idx,
+       sum(CASE WHEN ((h // {int(dim)}) % 2) = 0 THEN 1 ELSE -1 END)::BIGINT
+           AS component
+FROM hz GROUP BY 1, 2 ORDER BY doc_id, dim_idx
+"""

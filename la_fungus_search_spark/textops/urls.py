@@ -243,3 +243,117 @@ canon AS (
 SELECT canonical_url, min(doc_id) AS keeper, count(*)::BIGINT AS dup_count
 FROM canon GROUP BY 1 ORDER BY canonical_url
 """
+
+
+# ---------------------------------------------------------- host filter
+
+BLOCKED_HOSTS = (
+    "www.site3.example.com",
+    "www.site17.example.com",
+    "www.site29.example.com",
+)
+BLOCKED_SUFFIXES = (".site1.example.com",)  # leading dot: true subdomain match
+BLOCKED_PATH_PREFIXES = ("/p/13",)
+
+
+def url_host_filter(
+    docs_df: DataFrame,
+    blocked_hosts=BLOCKED_HOSTS,
+    blocked_suffixes=BLOCKED_SUFFIXES,
+    blocked_path_prefixes=BLOCKED_PATH_PREFIXES,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """UT1-style URL blocklist filtering — the other crawl-curation
+    step every published web pipeline runs before content filters
+    (RefinedWeb §3.1.2 and FineWeb both filter against the UT1
+    adult/malware domain lists): decide keep/drop per fetch from the
+    CANONICAL host and path, first matching rule names the verdict
+    (the clean_corpus first-reason contract):
+
+    1. exact host in the blocklist → ``blocked_host``;
+    2. host ends with a ``.``-prefixed suffix (true subdomain match —
+       ``.site1.example.com`` hits ``www.site1.example.com`` but NOT
+       ``www.site31.example.com``, the classic blocklist footgun) →
+       ``blocked_suffix``;
+    3. path starts with a blocked prefix → ``blocked_path``;
+    4. otherwise ``keep``.
+
+    Returns ``(doc_id, host, verdict)`` ordered by doc_id.
+
+    Physical shape at 100 TB: the exact-host list is a real
+    blocklist dimension (UT1 is ~4M domains) and is matched by a
+    BROADCAST LEFT join on the host — never an IN-list literal;
+    suffix/prefix rules are the small hand-curated tail and stay
+    per-row codegen predicates. One scan, one broadcast join, no
+    shuffle of the corpus."""
+    urls = synth_urls(docs_df, id_col=id_col)
+    canon = urls.select("doc_id", canonical_url(F.col("url")).alias("curl"))
+    rest = F.split_part(F.col("curl"), F.lit("://"), F.lit(2))
+    hostport = F.split_part(rest, F.lit("/"), F.lit(1))
+    parsed = canon.select(
+        "doc_id",
+        F.split_part(hostport, F.lit(":"), F.lit(1)).alias("host"),
+        F.substring(rest, F.length(hostport) + 1, 2**30).alias("pathq"),
+    ).select(
+        "doc_id", "host", F.split_part(F.col("pathq"), F.lit("?"), F.lit(1)).alias("path")
+    )
+    spark = docs_df.sparkSession
+    bl = spark.createDataFrame(
+        [(h,) for h in sorted(blocked_hosts)], schema="b_host STRING"
+    )
+    joined = parsed.join(F.broadcast(bl), parsed["host"] == bl["b_host"], "left")
+    suffix_hit = F.lit(False)
+    for s in blocked_suffixes:
+        suffix_hit = suffix_hit | F.endswith(F.col("host"), F.lit(s))
+    prefix_hit = F.lit(False)
+    for p in blocked_path_prefixes:
+        prefix_hit = prefix_hit | F.startswith(F.col("path"), F.lit(p))
+    verdict = (
+        F.when(F.col("b_host").isNotNull(), F.lit("blocked_host"))
+        .when(suffix_hit, F.lit("blocked_suffix"))
+        .when(prefix_hit, F.lit("blocked_path"))
+        .otherwise(F.lit("keep"))
+    )
+    return joined.select("doc_id", "host", verdict.alias("verdict")).orderBy("doc_id")
+
+
+def url_host_filter_oracle_sql(
+    blocked_hosts=BLOCKED_HOSTS,
+    blocked_suffixes=BLOCKED_SUFFIXES,
+    blocked_path_prefixes=BLOCKED_PATH_PREFIXES,
+    src: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`url_host_filter` — same canonical parse,
+    blocklist as a VALUES dim LEFT-joined, same rule order."""
+    hosts_values = ", ".join(f"('{h}')" for h in sorted(blocked_hosts))
+    suffix_cond = " OR ".join(f"host LIKE '%{s}'" for s in blocked_suffixes) or "FALSE"
+    prefix_cond = (
+        " OR ".join(f"path LIKE '{p}%'" for p in blocked_path_prefixes) or "FALSE"
+    )
+    canon = url_dedup_oracle_sql(src)
+    # reuse the canonicalization CTE chain up to `canon`
+    canon_ctes = canon.split("\ncanon AS (")[0]
+    return f"""{canon_ctes}
+canon AS (
+    SELECT doc_id,
+           scheme || '://' || host || port_out || path
+           || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS curl
+    FROM p7
+),
+parsed AS (
+    SELECT doc_id,
+           split_part(split_part(split_part(curl, '://', 2), '/', 1), ':', 1) AS host,
+           split_part(substr(split_part(curl, '://', 2),
+               length(split_part(split_part(curl, '://', 2), '/', 1)) + 1), '?', 1)
+               AS path
+    FROM canon
+),
+bl(b_host) AS (VALUES {hosts_values})
+SELECT doc_id, host,
+       CASE WHEN b_host IS NOT NULL THEN 'blocked_host'
+            WHEN {suffix_cond} THEN 'blocked_suffix'
+            WHEN {prefix_cond} THEN 'blocked_path'
+            ELSE 'keep' END AS verdict
+FROM parsed LEFT JOIN bl ON parsed.host = bl.b_host
+ORDER BY doc_id
+"""

@@ -241,6 +241,11 @@ AUDIT = [
     "ip_prefix_agg",
     "url_dedup",
     "change_point_agg",
+    # nineteenth wave
+    "dedup_substring_spans",
+    "url_host_filter",
+    "variable_width_histogram",
+    "text_hash_embed",
 ]
 
 

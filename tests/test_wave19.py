@@ -1,0 +1,200 @@
+"""Nineteenth wave — ExactSubstr span stitching, UT1-style host
+blocklist, variable_width_histogram (equal-depth adaptation),
+feature-hashing embeddings — pinned by hand fixtures and pure-Python
+recomputes, independent of the driver's DuckDB oracles."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.query.facets import variable_width_histogram
+from la_fungus_search_spark.textops.dedup import duplicate_substring_spans
+from la_fungus_search_spark.textops.stats import hash_embed
+from la_fungus_search_spark.textops.urls import (
+    synth_urls,
+    url_host_filter,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, schema="doc_id BIGINT, text STRING")
+
+
+# ------------------------------------------------- substring spans
+
+
+def test_substring_spans_hand_fixture(spark):
+    a = [f"a{i:02d}" for i in range(30)]          # 30 unique tokens
+    b = [f"b{i:02d}" for i in range(10)] + a[4:24] + [f"c{i:02d}" for i in range(5)]
+    df = _docs(spark, [(1, " ".join(a)), (2, " ".join(b))])
+    got = [
+        (r.doc_id, r.start_pos, r.end_pos, r.span_tokens)
+        for r in duplicate_substring_spans(df, k=8, min_span_tokens=16).collect()
+    ]
+    # the shared 20-token run sits at positions 5..24 in doc 1 and
+    # 11..30 in doc 2 (1-based inclusive)
+    assert got == [(1, 5, 24, 20), (2, 11, 30, 20)]
+
+
+def test_substring_spans_below_min_is_dropped(spark):
+    a = [f"a{i:02d}" for i in range(30)]
+    # 10 shared tokens: grams ARE shared (10 >= k) but span < 16
+    b = [f"b{i:02d}" for i in range(10)] + a[4:14] + [f"c{i:02d}" for i in range(5)]
+    df = _docs(spark, [(1, " ".join(a)), (2, " ".join(b))])
+    assert duplicate_substring_spans(df, k=8, min_span_tokens=16).count() == 0
+    # but a lower floor reveals exactly the 10-token spans
+    got = [
+        (r.doc_id, r.start_pos, r.end_pos)
+        for r in duplicate_substring_spans(df, k=8, min_span_tokens=8).collect()
+    ]
+    assert got == [(1, 5, 14), (2, 11, 20)]
+    with pytest.raises(ValueError):
+        duplicate_substring_spans(df, k=8, min_span_tokens=4)
+
+
+def test_substring_spans_within_doc_repeat_not_flagged(spark):
+    # the signal is CROSS-DOC (>= 2 distinct docs): a doc repeating
+    # its own 20 tokens twice produces no span
+    a = [f"a{i:02d}" for i in range(20)]
+    df = _docs(spark, [(1, " ".join(a + a)), (2, "zz yy xx " * 6)])
+    assert duplicate_substring_spans(df, k=8, min_span_tokens=16).count() == 0
+
+
+# ------------------------------------------------- url host filter
+
+
+def _py_host_path(doc_id: int, url: str):
+    nofrag = url.split("#", 1)[0]
+    base = nofrag.split("?", 1)[0]
+    rest = base.partition("://")[2]
+    hostport = rest.partition("/")[0]
+    host = hostport.partition(":")[0].lower()
+    path = rest[len(hostport):].split("?", 1)[0]
+    if len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    if path == "":
+        path = "/"
+    return host, path
+
+
+def test_url_host_filter_matches_recompute(spark):
+    n = 300
+    docs = spark.createDataFrame([(i,) for i in range(n)], schema="doc_id BIGINT")
+    urls = {r.doc_id: r.url for r in synth_urls(docs).collect()}
+    got = [(r.doc_id, r.host, r.verdict) for r in url_host_filter(docs).collect()]
+    blocked = {"www.site3.example.com", "www.site17.example.com", "www.site29.example.com"}
+    want = []
+    for d in range(n):
+        host, path = _py_host_path(d, urls[d])
+        if host in blocked:
+            v = "blocked_host"
+        elif host.endswith(".site1.example.com"):
+            v = "blocked_suffix"
+        elif path.startswith("/p/13"):
+            v = "blocked_path"
+        else:
+            v = "keep"
+        want.append((d, host, v))
+    assert got == want
+    verdicts = {v for _, _, v in got}
+    # every rule fires somewhere at n=300
+    assert verdicts == {"keep", "blocked_host", "blocked_suffix", "blocked_path"}
+
+
+def test_url_host_filter_rule_order(spark):
+    docs = spark.createDataFrame([(i,) for i in range(300)], schema="doc_id BIGINT")
+    # a host matching BOTH the exact list and a suffix takes the
+    # exact-host verdict (rule order, the clean_corpus contract)
+    out = url_host_filter(
+        docs,
+        blocked_hosts=("www.site1.example.com",),
+        blocked_suffixes=(".site1.example.com",),
+        blocked_path_prefixes=(),
+    ).collect()
+    hit = [r for r in out if r.host == "www.site1.example.com"]
+    assert hit and all(r.verdict == "blocked_host" for r in hit)
+    # the suffix does NOT hit site31 (dot anchor)
+    s31 = [r for r in out if r.host == "www.site31.example.com"]
+    assert s31 and all(r.verdict == "keep" for r in s31)
+
+
+# -------------------------------------- variable_width_histogram
+
+
+def test_vwh_equal_depth_hand_fixture(spark):
+    rows = [(f"e{i}", "g", float(i + 1)) for i in range(8)]
+    df = spark.createDataFrame(rows, schema="event_id STRING, t STRING, value DOUBLE")
+    got = [
+        (r.grp, r.bucket_ord, r.doc_count, r.min_micro, r.max_micro, r.sum_micro)
+        for r in variable_width_histogram(df, "t", "value", n_buckets=4).collect()
+    ]
+    m = 1_000_000
+    assert got == [
+        ("g", 0, 2, 1 * m, 2 * m, 3 * m),
+        ("g", 1, 2, 3 * m, 4 * m, 7 * m),
+        ("g", 2, 2, 5 * m, 6 * m, 11 * m),
+        ("g", 3, 2, 7 * m, 8 * m, 15 * m),
+    ]
+
+
+def test_vwh_ties_straddle_boundary_invariantly(spark):
+    vals = [5.0, 5.0, 5.0, 5.0, 1.0, 9.0]
+    rows = [(f"e{i}", "g", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, schema="event_id STRING, t STRING, value DOUBLE")
+    got = [
+        (r.bucket_ord, r.doc_count, r.min_micro, r.max_micro)
+        for r in variable_width_histogram(df, "t", "value", n_buckets=3).collect()
+    ]
+    m = 1_000_000
+    # sorted [1,5,5,5,5,9] → rank pairs (1,2)(3,4)(5,6): whichever 5s
+    # land where, the bucket stats are fixed
+    assert got == [(0, 2, 1 * m, 5 * m), (1, 2, 5 * m, 5 * m), (2, 2, 5 * m, 9 * m)]
+
+
+def test_vwh_null_contract(spark):
+    rows = [("a", None, 2.0), ("b", "g", None), ("c", "g", 4.0)]
+    df = spark.createDataFrame(rows, schema="event_id STRING, t STRING, value DOUBLE")
+    got = [
+        (r.grp, r.bucket_ord, r.doc_count)
+        for r in variable_width_histogram(df, "t", "value", n_buckets=2).collect()
+    ]
+    # NULL group buckets as '(none)'; NULL value row is excluded
+    assert got == [("(none)", 0, 1), ("g", 0, 1)]
+    with pytest.raises(ValueError):
+        variable_width_histogram(df, "t", "value", n_buckets=0)
+
+
+# -------------------------------------------------- hash embed
+
+
+def _py_embed(text: str, dim: int = 16):
+    import re
+
+    out = {}
+    for tok in re.findall(r"[A-Za-z0-9_]+", text):
+        tok = tok.lower()
+        h = int(hashlib.md5(f"{tok}:he".encode()).hexdigest()[:8], 16)
+        s = 1 if (h // dim) % 2 == 0 else -1
+        out[h % dim] = out.get(h % dim, 0) + s
+    return out
+
+
+def test_hash_embed_matches_recompute(spark):
+    texts = {
+        1: "merge sort merge batch order window",
+        2: "the quick brown fox jumps over the lazy dog",
+        3: "x " * 40,
+    }
+    df = _docs(spark, [(d, t) for d, t in texts.items()])
+    got = {}
+    for r in hash_embed(df, dim=16).collect():
+        got.setdefault(r.doc_id, {})[r.dim_idx] = r.component
+    want = {d: _py_embed(t) for d, t in texts.items()}
+    assert got == want
+    # signed counts: total mass equals token count in absolute sum bound
+    assert sum(abs(v) for v in got[3].values()) == 40
+    with pytest.raises(ValueError):
+        hash_embed(df, dim=0)
