@@ -5851,6 +5851,36 @@ def q_text_hash_embed(spark, sf_dir):
     return stats.hash_embed(_documents(spark, sf_dir), dim=16)
 
 
+# ---------------------------------------------------------------- wave 20
+# geo_line tracks, fastText-style quality classifier,
+# moving_percentiles pipeline agg.
+
+
+def q_geo_line(spark, sf_dir):
+    """ES geo_line aggregation (query/geo.py geo_line_agg): per user,
+    the (ts, event_id)-ordered track of integer-microdegree points
+    capped at 20, plus the total point count — one groupBy, per-group
+    cost ∝ group events."""
+    return geo_ops.geo_line_agg(_events(spark, sf_dir), size=20)
+
+
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style linear quality filter (textops/stats.py
+    quality_classifier, Joulin et al. 2016 / the FineWeb-Edu
+    classifier station): exact integer margin ⟨w, hash_embed(doc)⟩
+    with deterministic literal micro-weights, keep iff margin ≥ 0;
+    token-less docs score 0 via the left join back to doc ids."""
+    return stats.quality_classifier(_documents(spark, sf_dir), dim=16)
+
+
+def q_moving_percentiles(spark, sf_dir):
+    """ES moving_percentiles pipeline agg (query/facets.py
+    moving_percentiles): exact type-1 order statistics (p50/p90) of
+    the trailing 7 day-bucket sums — windows over the BUCKET series,
+    never the corpus; documented deviation: ES moves a t-digest."""
+    return facet_ops.moving_percentiles(_events(spark, sf_dir), window=7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness run checks a
     # bounded PREFIX of this dict (~50 of 80). Round-4 rotation
@@ -6118,6 +6148,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host_filter": q_url_host_filter,
         "variable_width_histogram": q_variable_width_histogram,
         "text_hash_embed": q_text_hash_embed,
+        # wave 20
+        "geo_line_agg": q_geo_line,
+        "quality_classifier": q_quality_classifier,
+        "moving_percentiles": q_moving_percentiles,
     }
 
 
@@ -8658,6 +8692,10 @@ ORDER BY doc_id, start_pos
             "event_type", "value", 4
         ),
         "text_hash_embed": stats.hash_embed_oracle_sql(16),
+        # wave 20
+        "geo_line_agg": geo_ops.geo_line_oracle_sql(size=20),
+        "quality_classifier": stats.quality_classifier_oracle_sql(16),
+        "moving_percentiles": facet_ops.moving_percentiles_oracle_sql(7),
         # ann_srp_topk / ann_ivf_topk / ann_pq_topk / ann_ivfpq_topk:
         # non-SQL-expressible kernels (Box-Muller SRP hyperplanes;
         # iterative k-means; PQ codebooks) → rows-only checks by

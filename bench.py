@@ -405,6 +405,10 @@ def bench_main(results: dict):
         "url_host_filter",
         "variable_width_histogram",
         "text_hash_embed",
+        # wave 20
+        "geo_line_agg",
+        "quality_classifier",
+        "moving_percentiles",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

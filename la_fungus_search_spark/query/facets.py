@@ -2292,3 +2292,91 @@ SELECT grp, bucket_ord, count(*)::BIGINT AS doc_count,
        sum(vq)::BIGINT AS sum_micro
 FROM bz GROUP BY 1, 2 ORDER BY grp, bucket_ord
 """
+
+
+def moving_percentiles(
+    events: DataFrame,
+    window: int = 7,
+    pcts: Sequence[int] = (50, 90),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """ES ``moving_percentiles`` pipeline aggregation over a daily
+    ``date_histogram``: per day bucket, the requested percentiles of
+    the TRAILING ``window`` buckets' (micro-quantized) value sums —
+    the window clipped at the series start like ``moving_fn`` with
+    ES's default gap policy. Percentiles are EXACT type-1 order
+    statistics (rank ``(pct·n + 99) // 100``, the facet_stats device)
+    where ES moves a t-digest — the k-th smallest element is
+    engine-invariant, an interpolated sketch is not (documented
+    deviation, same as percentiles_agg). Returns ``(day, n_window,
+    pct, value_micro)`` long form, ordered (day, pct).
+
+    Physical shape: one map-side-combined groupBy to day buckets,
+    then a trailing collect + sort per bucket over the BUCKET series
+    (tens of rows — the pipeline-agg contract: windows act on the
+    aggregation's output, never the corpus)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if not pcts or any(not (0 < int(p) <= 100) for p in pcts):
+        raise ValueError("pcts must be integers in (0, 100]")
+    days = (
+        events.select(
+            F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("day")
+        .agg(_quantize(F.sum("v")).alias("vq"))
+    )
+    w = Window.orderBy(F.asc("day")).rowsBetween(-(int(window) - 1), 0)
+    tr = days.select(
+        "day", F.sort_array(F.collect_list("vq").over(w)).alias("trail")
+    ).withColumn("n_window", F.size("trail").cast("bigint"))
+    out = tr.select(
+        "day",
+        "n_window",
+        F.explode(
+            F.array(*[F.lit(int(p)).cast("int") for p in sorted(set(map(int, pcts)))])
+        ).alias("pct"),
+        F.col("trail"),
+    ).select(
+        "day",
+        "n_window",
+        "pct",
+        F.element_at(
+            "trail",
+            F.floor((F.col("n_window") * F.col("pct") + 99) / 100).cast("int"),
+        ).alias("value_micro"),
+    )
+    return out.orderBy("day", "pct")
+
+
+def moving_percentiles_oracle_sql(
+    window: int = 7,
+    pcts: Sequence[int] = (50, 90),
+    src: str = "events",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`moving_percentiles` — identical bucket
+    series, trailing list, and order-statistic rank."""
+    pct_values = ", ".join(f"({int(p)})" for p in sorted(set(map(int, pcts))))
+    return f"""
+WITH days AS (
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           round(sum({value_col}) * 1e6)::BIGINT AS vq
+    FROM {src} GROUP BY 1
+),
+tr AS (
+    SELECT day,
+           list_sort(list(vq) OVER (ORDER BY day ASC
+               ROWS BETWEEN {int(window) - 1} PRECEDING AND CURRENT ROW)) AS trail
+    FROM days
+),
+pz(pct) AS (VALUES {pct_values})
+SELECT day, len(trail)::BIGINT AS n_window, pct::INT AS pct,
+       trail[((len(trail) * pct + 99) // 100)]::BIGINT AS value_micro
+FROM tr CROSS JOIN pz
+ORDER BY day, pct
+"""

@@ -663,3 +663,83 @@ r AS (
 SELECT rank::INT AS rank, doc_id, lat_micro, lon_micro, dist_mm
 FROM r WHERE rank <= {int(k)} ORDER BY rank
 """
+
+
+# ------------------------------------------------------------ geo_line
+
+
+def geo_line_agg(
+    events_df: DataFrame,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    size: int = 20,
+) -> DataFrame:
+    """ES ``geo_line`` aggregation: per group, the travel TRACK — the
+    member points ordered by the sort field (timestamp), truncated to
+    the first ``size`` (ES's ``size`` cap, default 10000) — plus the
+    group's total point count → ``(grp, n_points, line)``, line =
+    ``"latμ:lonμ,latμ:lonμ,…"`` in integer microdegrees, ordered by
+    grp.
+
+    Points synthesize from the event id with the geo_points device;
+    the line string carries QUANTIZED integer coordinates only, and
+    the sort key is (ts, event_id) — a strict total order — so the
+    track is engine-invariant end-to-end.
+
+    Physical shape at 100 TB: one map-side-combined groupBy; each
+    group's state is its (ts, id, point) list — ES materializes the
+    same per-bucket track — sorted and truncated AFTER the shuffle.
+    For bounded memory at extreme group sizes ES truncates
+    incrementally; here the cap applies post-sort for exactness, with
+    per-group cost ∝ group events (the agg's contract, not the
+    corpus)."""
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    lat = _u32_frac(F.col(id_col), "geo:lat") * F.lit(170.0) - F.lit(85.0)
+    lon = _u32_frac(F.col(id_col), "geo:lon") * F.lit(360.0) - F.lit(180.0)
+    pt = F.concat(
+        F.round(lat * F.lit(1e6)).cast("bigint").cast("string"),
+        F.lit(":"),
+        F.round(lon * F.lit(1e6)).cast("bigint").cast("string"),
+    )
+    rows = events_df.select(
+        F.col(group_col).alias("grp"),
+        F.struct(
+            F.col(ts_col).alias("ts"), F.col(id_col).alias("eid"), pt.alias("pt")
+        ).alias("s"),
+    )
+    agg = rows.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.slice(F.sort_array(F.collect_list("s")), 1, int(size)).alias("track"),
+    )
+    return agg.select(
+        "grp",
+        "n_points",
+        F.array_join(F.transform("track", lambda x: x["pt"]), ",").alias("line"),
+    ).orderBy("grp")
+
+
+def geo_line_oracle_sql(
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    size: int = 20,
+    src: str = "events",
+) -> str:
+    """DuckDB twin of :func:`geo_line_agg` — same synthetic points,
+    same (ts, id) ordered list, same cap and rendering."""
+    lat = f"{_u32_frac_sql('geo:lat', id_col)} * 170.0 - 85.0"
+    lon = f"{_u32_frac_sql('geo:lon', id_col)} * 360.0 - 180.0"
+    return f"""
+WITH pts AS (
+    SELECT {group_col} AS grp, {ts_col} AS ts, {id_col} AS eid,
+           round(({lat}) * 1e6)::BIGINT::VARCHAR || ':' ||
+           round(({lon}) * 1e6)::BIGINT::VARCHAR AS pt
+    FROM {src}
+)
+SELECT grp, count(*)::BIGINT AS n_points,
+       array_to_string(list_slice(list(pt ORDER BY ts ASC, eid ASC), 1, {int(size)}), ',')
+           AS line
+FROM pts GROUP BY grp ORDER BY grp
+"""

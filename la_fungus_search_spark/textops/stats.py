@@ -727,3 +727,101 @@ SELECT doc_id, (h % {int(dim)})::INT AS dim_idx,
            AS component
 FROM hz GROUP BY 1, 2 ORDER BY doc_id, dim_idx
 """
+
+
+def _hash_weights_micro(dim: int, salt: str = "qw") -> list:
+    """The classifier's weight vector as plan constants: w[d] =
+    round((md5frac(d ':qw')·2 − 1)·1e6) — deterministic integers any
+    engine (or reviewer) rebuilds from the formula; inlined as
+    literals in both plans exactly like range bounds."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"{d}:{salt}".encode()).hexdigest()[:8], 16)
+        out.append(round((h / 4294967296.0 * 2.0 - 1.0) * 1e6))
+    return out
+
+
+def quality_classifier(
+    docs: DataFrame,
+    dim: int = 16,
+    threshold: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality filtering, the fastText-linear-classifier
+    station of modern curation pipelines (Joulin et al. 2016; CCNet's
+    quality LM bucketing and FineWeb-Edu's classifier stage are the
+    published instances): score = ⟨w, φ(doc)⟩ over the
+    :func:`hash_embed` feature map with a fixed deterministic weight
+    vector, keep iff score ≥ threshold. With integer features and
+    integer micro-weights the dot product is EXACT — no sigmoid is
+    taken because the decision is monotone in the raw margin, so the
+    one engine-variant step (libm exp) is designed out entirely.
+
+    Returns ``(doc_id, score_margin, keep)`` for EVERY input doc
+    (token-less docs score 0), ordered by doc_id.
+
+    Physical shape at 100 TB: hash_embed's explode→partial-agg (≤ dim
+    rows per doc through the shuffle), weights applied via a
+    dim-sized literal array lookup (pure JVM), one LEFT join back to
+    the doc ids to resurrect empty docs — broadcast-sized nothing,
+    corpus passes exactly one."""
+    w = _hash_weights_micro(dim)
+    feats = hash_embed(docs, dim=dim, text_col=text_col, id_col=id_col)
+    w_arr = F.array(*[F.lit(int(x)) for x in w])
+    scored = (
+        feats.select(
+            "doc_id",
+            (F.element_at(w_arr, F.col("dim_idx") + 1) * F.col("component")).alias(
+                "addend"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("addend").cast("bigint").alias("score_margin"))
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("score_margin"), F.lit(0)).cast("bigint").alias(
+                "score_margin"
+            ),
+            (
+                F.coalesce(F.col("score_margin"), F.lit(0)) >= F.lit(int(threshold))
+            ).cast("int").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def quality_classifier_oracle_sql(
+    dim: int = 16,
+    threshold: int = 0,
+    src: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`quality_classifier` — same feature map,
+    same literal weight list, same exact integer margin."""
+    w = _hash_weights_micro(dim)
+    w_list = "[" + ", ".join(str(int(x)) for x in w) + "]"
+    embed = hash_embed_oracle_sql(dim, src, text_col).strip().rstrip()
+    # reuse the hash_embed construction as a CTE body (strip its ORDER BY)
+    embed_body = embed[: embed.rindex("ORDER BY")]
+    return f"""
+WITH feats AS (
+{embed_body}
+),
+scored AS (
+    SELECT doc_id, sum(({w_list})[dim_idx + 1] * component)::BIGINT AS score_margin
+    FROM feats GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.score_margin, 0)::BIGINT AS score_margin,
+       (CASE WHEN coalesce(s.score_margin, 0) >= {int(threshold)} THEN 1 ELSE 0 END)::INT
+           AS keep
+FROM {src} d LEFT JOIN scored s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""

@@ -246,6 +246,10 @@ AUDIT = [
     "url_host_filter",
     "variable_width_histogram",
     "text_hash_embed",
+    # twentieth wave
+    "geo_line_agg",
+    "quality_classifier",
+    "moving_percentiles",
 ]
 
 

@@ -1,0 +1,164 @@
+"""Twentieth wave — geo_line tracks, fastText-style quality
+classifier, moving_percentiles — pinned by hand fixtures and
+pure-Python recomputes."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.query.facets import moving_percentiles
+from la_fungus_search_spark.query.geo import geo_line_agg
+from la_fungus_search_spark.textops.stats import (
+    _hash_weights_micro,
+    hash_embed,
+    quality_classifier,
+)
+
+
+def _u32(x, salt: str) -> int:
+    return int(hashlib.md5(f"{x}:{salt}".encode()).hexdigest()[:8], 16)
+
+
+def _pt(eid: int) -> str:
+    lat = _u32(eid, "geo:lat") / 4294967296.0 * 170.0 - 85.0
+    lon = _u32(eid, "geo:lon") / 4294967296.0 * 360.0 - 180.0
+    return f"{round(lat * 1e6)}:{round(lon * 1e6)}"
+
+
+# ---------------------------------------------------------- geo_line
+
+
+def _events(spark, rows):
+    df = spark.createDataFrame(
+        rows, schema="event_id BIGINT, ts_s STRING, user_id BIGINT"
+    )
+    return df.select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id")
+
+
+def test_geo_line_orders_by_ts_then_id(spark):
+    rows = [
+        (3, "2024-01-02 00:00:00", 7),
+        (1, "2024-01-01 00:00:00", 7),
+        (2, "2024-01-03 00:00:00", 7),
+        # same-ts tie inside user 8: event_id breaks it
+        (5, "2024-01-01 00:00:00", 8),
+        (4, "2024-01-01 00:00:00", 8),
+    ]
+    got = geo_line_agg(_events(spark, rows), size=20).collect()
+    assert [(r.grp, r.n_points) for r in got] == [(7, 3), (8, 2)]
+    assert got[0].line == ",".join(_pt(e) for e in (1, 3, 2))
+    assert got[1].line == ",".join(_pt(e) for e in (4, 5))
+
+
+def test_geo_line_size_caps_track_not_count(spark):
+    rows = [(i, f"2024-01-{i:02d} 00:00:00", 1) for i in range(1, 11)]
+    got = geo_line_agg(_events(spark, rows), size=3).collect()[0]
+    assert got.n_points == 10
+    assert got.line == ",".join(_pt(e) for e in (1, 2, 3))
+    with pytest.raises(ValueError):
+        geo_line_agg(_events(spark, rows), size=0)
+
+
+# ------------------------------------------------- quality classifier
+
+
+def _py_margin(text: str, dim: int = 16) -> int:
+    import re
+
+    w = _hash_weights_micro(dim)
+    total = 0
+    for tok in re.findall(r"[A-Za-z0-9_]+", text):
+        h = _u32(tok.lower(), "he")
+        s = 1 if (h // dim) % 2 == 0 else -1
+        total += w[h % dim] * s
+    return total
+
+
+def test_quality_classifier_matches_recompute(spark):
+    texts = {
+        1: "merge sort merge batch order window",
+        2: "the quick brown fox jumps over the lazy dog",
+        3: "",  # token-less: margin 0, keep at threshold 0
+        4: "zqx " * 25,
+    }
+    df = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], schema="doc_id BIGINT, text STRING"
+    )
+    got = {r.doc_id: (r.score_margin, r.keep) for r in quality_classifier(df).collect()}
+    for d, t in texts.items():
+        m = _py_margin(t)
+        assert got[d] == (m, 1 if m >= 0 else 0), d
+    assert got[3] == (0, 1)
+    # margins differ across docs (weights actually discriminate)
+    assert len({m for m, _ in got.values()}) > 1
+
+
+def test_quality_classifier_threshold_and_linearity(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta alpha beta")],
+        schema="doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r.score_margin for r in quality_classifier(df).collect()}
+    # doubling every token doubles the margin (exact linearity)
+    assert out[2] == 2 * out[1]
+    # a threshold above every margin drops everything
+    hi = max(abs(v) for v in out.values()) + 1
+    flags = {r.doc_id: r.keep for r in quality_classifier(df, threshold=hi).collect()}
+    assert set(flags.values()) == {0}
+    # consistency with hash_embed: margin == <w, embed>
+    w = _hash_weights_micro(16)
+    emb = {}
+    for r in hash_embed(df).collect():
+        emb.setdefault(r.doc_id, {})[r.dim_idx] = r.component
+    assert out[1] == sum(w[d] * c for d, c in emb[1].items())
+
+
+# ------------------------------------------------ moving_percentiles
+
+
+def test_moving_percentiles_hand_series(spark):
+    # day d has one event of value d → bucket sums 1..6 micro-scaled
+    rows = [(i, f"2024-02-{d:02d} 09:00:00", float(d)) for i, d in enumerate(range(1, 7))]
+    df = spark.createDataFrame(
+        rows, schema="event_id BIGINT, ts_s STRING, value DOUBLE"
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    got = [
+        (r.day, r.n_window, r.pct, r.value_micro)
+        for r in moving_percentiles(df, window=3, pcts=(50, 90)).collect()
+    ]
+    m = 1_000_000
+
+    def want(day, vals):
+        n = len(vals)
+        s = sorted(vals)
+        out = []
+        for pct in (50, 90):
+            out.append((f"2024-02-{day:02d}", n, pct, s[(n * pct + 99) // 100 - 1] * m))
+        return out
+
+    exp = []
+    series = list(range(1, 7))
+    for i, d in enumerate(series):
+        trail = series[max(0, i - 2) : i + 1]
+        exp.extend(want(d, trail))
+    assert got == exp
+    # spot-check the arithmetic the loop just encoded: day 4's trail
+    # is [2,3,4] → p50 = 2nd smallest = 3, p90 = 3rd = 4
+    assert (f"2024-02-04", 3, 50, 3 * m) in got
+    assert (f"2024-02-04", 3, 90, 4 * m) in got
+
+
+def test_moving_percentiles_validation(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-02-01 09:00:00", 1.0)], schema="event_id BIGINT, ts_s STRING, value DOUBLE"
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    with pytest.raises(ValueError):
+        moving_percentiles(df, window=0)
+    with pytest.raises(ValueError):
+        moving_percentiles(df, pcts=(0,))
+    # single bucket: window clips to 1, every pct is the value itself
+    got = moving_percentiles(df, window=7, pcts=(50, 90)).collect()
+    assert [(r.n_window, r.value_micro) for r in got] == [(1, 1_000_000)] * 2
