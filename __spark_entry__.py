@@ -5881,6 +5881,40 @@ def q_moving_percentiles(spark, sf_dir):
     return facet_ops.moving_percentiles(_events(spark, sf_dir), window=7)
 
 
+# ---------------------------------------------------------------- wave 21
+# Bigram-LM perplexity, fuzzy benchmark decontamination,
+# random_sampler aggregation.
+
+
+def q_lm_bigram_logloss(spark, sf_dir):
+    """Bigram-LM cross-entropy with Laplace smoothing
+    (textops/stats.py lm_bigram_logloss) — the n-gram upgrade of the
+    CCNet perplexity signal: exact integer counts, grid-quantized
+    −log2 p per distinct bigram, context counts derived from the
+    bigram table itself."""
+    return stats.lm_bigram_logloss(_documents(spark, sf_dir))
+
+
+def q_decontaminate_fuzzy(spark, sf_dir):
+    """Fuzzy benchmark decontamination (textops/pipeline.py
+    decontaminate_fuzzy): training docs (incl. planted near-dup
+    mutants) that NEAR-duplicate an eval item — MinHash-LSH
+    candidates restricted to corpus×eval, exact trigram-Jaccard
+    verify ≥ 0.5, best match per doc; every 7th base doc plays the
+    eval set (the decontaminate gate's convention)."""
+    d = _docs_aug(spark, sf_dir)
+    bench = _documents(spark, sf_dir).filter(F.col("doc_id") % 7 == 0)
+    return pipeline.decontaminate_fuzzy(d, bench, k=3, threshold=0.5)
+
+
+def q_random_sampler(spark, sf_dir):
+    """ES random_sampler aggregation, deterministic adaptation
+    (query/facets.py random_sampler_agg): md5-fraction membership at
+    exactly p = 1/8, one conditional-aggregate pass, integer-scaled
+    unbiased estimates."""
+    return facet_ops.random_sampler_agg(_events(spark, sf_dir), denom=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness run checks a
     # bounded PREFIX of this dict (~50 of 80). Round-4 rotation
@@ -6152,6 +6186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_line_agg": q_geo_line,
         "quality_classifier": q_quality_classifier,
         "moving_percentiles": q_moving_percentiles,
+        # wave 21
+        "lm_bigram_logloss": q_lm_bigram_logloss,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "random_sampler_agg": q_random_sampler,
     }
 
 
@@ -8696,6 +8734,57 @@ ORDER BY doc_id, start_pos
         "geo_line_agg": geo_ops.geo_line_oracle_sql(size=20),
         "quality_classifier": stats.quality_classifier_oracle_sql(16),
         "moving_percentiles": facet_ops.moving_percentiles_oracle_sql(7),
+        # wave 21
+        "lm_bigram_logloss": stats.lm_bigram_oracle_sql(),
+        "decontaminate_fuzzy": f"""
+WITH {_DOCS_AUG_SQL.strip()},
+uz AS (
+    SELECT doc_id, text FROM docs_aug
+    UNION ALL
+    SELECT doc_id + {pipeline.BENCH_ID_OFFSET} AS doc_id, text
+    FROM documents WHERE doc_id % 7 = 0
+),
+{_shingle_cte('uz').strip()},
+sig AS (SELECT doc_id, {_minhash_cols_sql()} FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, {minhash_band_keys} FROM sig),
+bx AS ({band_union}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bx a JOIN bx b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id
+    WHERE a.doc_id < {pipeline.BENCH_ID_OFFSET}
+      AND b.doc_id >= {pipeline.BENCH_ID_OFFSET}
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+common AS (
+    SELECT c.id_a, c.id_b, count(*)::BIGINT AS common
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT c.id_a, c.id_b,
+           round(c.common / (sa.n_sh + sb.n_sh - c.common) * 1e6)::BIGINT AS jaccard_micro
+    FROM common c
+    JOIN sizes sa ON c.id_a = sa.doc_id
+    JOIN sizes sb ON c.id_b = sb.doc_id
+    WHERE round(c.common / (sa.n_sh + sb.n_sh - c.common) * 1e6) >= 500000
+),
+best AS (
+    SELECT id_a AS doc_id, id_b - {pipeline.BENCH_ID_OFFSET} AS eval_id, jaccard_micro,
+           row_number() OVER (PARTITION BY id_a
+                              ORDER BY jaccard_micro DESC, id_b ASC) AS rn
+    FROM jac
+)
+SELECT c.doc_id,
+       (CASE WHEN b.jaccard_micro IS NOT NULL THEN 1 ELSE 0 END)::INT AS contaminated_fuzzy,
+       coalesce(b.eval_id, -1)::BIGINT AS best_eval_id,
+       coalesce(b.jaccard_micro, 0)::BIGINT AS best_jaccard_micro
+FROM docs_aug c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON c.doc_id = b.doc_id
+ORDER BY c.doc_id
+""",
+        "random_sampler_agg": facet_ops.random_sampler_oracle_sql(8),
         # ann_srp_topk / ann_ivf_topk / ann_pq_topk / ann_ivfpq_topk:
         # non-SQL-expressible kernels (Box-Muller SRP hyperplanes;
         # iterative k-means; PQ codebooks) → rows-only checks by

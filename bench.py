@@ -409,6 +409,10 @@ def bench_main(results: dict):
         "geo_line_agg",
         "quality_classifier",
         "moving_percentiles",
+        # wave 21
+        "lm_bigram_logloss",
+        "decontaminate_fuzzy",
+        "random_sampler_agg",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

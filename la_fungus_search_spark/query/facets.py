@@ -2380,3 +2380,76 @@ SELECT day, len(trail)::BIGINT AS n_window, pct::INT AS pct,
 FROM tr CROSS JOIN pz
 ORDER BY day, pct
 """
+
+
+def random_sampler_agg(
+    events: DataFrame,
+    denom: int = 8,
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """ES ``random_sampler`` aggregation, deterministic adaptation
+    (documented deviation: ES samples per-shard with a seed; here
+    membership is the repo's md5-fraction device — engine/partition/
+    run invariant — at probability EXACTLY 1/``denom``): the
+    sub-aggregation (doc count + micro value sum) computes on the
+    sample in ONE pass, and the unbiased estimate scales by the
+    integer inverse probability, so estimates are exact integers with
+    no division anywhere. Returns one row: ``(sampled_count,
+    est_total_count, sampled_sum_micro, est_sum_micro, p_micro)``.
+
+    Physical shape: the membership test is one md5 + mod per row
+    fused into the scan; everything after is a single
+    map-side-combined global aggregate. The entire point of ES's agg
+    — touch a fraction of the data for approximate answers — is
+    preserved: at 100 TB only the hash is evaluated per row and the
+    conditional aggregates skip non-members."""
+    if denom < 1:
+        raise ValueError("denom must be >= 1")
+    if 1_000_000 % denom != 0:
+        raise ValueError("denom must divide 1e6 so p_micro is exact")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":rs"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    member = (h % F.lit(int(denom))) == 0
+    return events.agg(
+        F.sum(F.when(member, 1).otherwise(0)).cast("bigint").alias("sampled_count"),
+        (F.sum(F.when(member, 1).otherwise(0)) * F.lit(int(denom)))
+        .cast("bigint")
+        .alias("est_total_count"),
+        _quantize(F.sum(F.when(member, F.col(value_col)).otherwise(0.0)))
+        .alias("sampled_sum_micro"),
+        (
+            _quantize(F.sum(F.when(member, F.col(value_col)).otherwise(0.0)))
+            * F.lit(int(denom))
+        )
+        .cast("bigint")
+        .alias("est_sum_micro"),
+        F.lit(1_000_000 // int(denom)).cast("bigint").alias("p_micro"),
+    )
+
+
+def random_sampler_oracle_sql(
+    denom: int = 8,
+    src: str = "events",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`random_sampler_agg` — identical hash
+    membership and scaling."""
+    h = f"('0x' || substr(md5({id_col}::VARCHAR || ':rs'), 1, 8))::BIGINT"
+    return f"""
+SELECT sum(CASE WHEN ({h}) % {int(denom)} = 0 THEN 1 ELSE 0 END)::BIGINT AS sampled_count,
+       (sum(CASE WHEN ({h}) % {int(denom)} = 0 THEN 1 ELSE 0 END) * {int(denom)})::BIGINT
+           AS est_total_count,
+       round(sum(CASE WHEN ({h}) % {int(denom)} = 0 THEN {value_col} ELSE 0.0 END) * 1e6)::BIGINT
+           AS sampled_sum_micro,
+       (round(sum(CASE WHEN ({h}) % {int(denom)} = 0 THEN {value_col} ELSE 0.0 END) * 1e6)
+           * {int(denom)})::BIGINT AS est_sum_micro,
+       {1_000_000 // int(denom)}::BIGINT AS p_micro
+FROM {src}
+"""

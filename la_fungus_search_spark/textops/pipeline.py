@@ -595,3 +595,119 @@ def epoch_shuffle(
         )
         .orderBy("epoch", "pos")
     )
+
+
+BENCH_ID_OFFSET = 1 << 40
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "doc_id",
+) -> DataFrame:
+    """FUZZY benchmark decontamination — the near-duplicate complement
+    of :func:`decontaminate`'s n-gram membership check: flag training
+    docs that NEAR-duplicate an eval item as a whole (MinHash-LSH
+    candidates → exact k-gram Jaccard verify ≥ ``threshold``), the
+    practice pipelines added once paraphrased/lightly-edited test
+    items were found to slip past pure n-gram overlap (e.g. the
+    13-gram checks of GPT-3 appx C vs the fuzzy dedup stage both
+    Gopher §A.5 and Llama-style corpora run against benchmarks).
+
+    Output one row per training doc: ``(doc_id, contaminated_fuzzy,
+    best_eval_id, best_jaccard_micro)`` — best match by (jaccard
+    DESC, eval_id ASC), ``-1``/0 for untouched docs.
+
+    Physical shape at 100 TB: benchmark ids translate into a disjoint
+    id space (``+ 2⁴⁰``) and BOTH sides ride the standard fuzzy-dedup
+    machinery ONCE — shared shingle pass, MinHash signatures, banded
+    candidates with the hot-group chain cap, exact verify ON
+    CANDIDATES ONLY — then pairs are restricted to corpus×eval and
+    reduced per corpus doc. Same cost class as minhash_dedup_pairs
+    plus one broadcast-sized reduction; never all-pairs."""
+    from la_fungus_search_spark.textops.dedup import (
+        lsh_candidate_pairs_from_signatures,
+        minhash_signatures_from_shingles,
+        shingles,
+    )
+
+    c = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    b = benchmark.select(
+        (F.col(bench_id_col) + F.lit(BENCH_ID_OFFSET)).alias("doc_id"),
+        F.col(bench_text_col).alias("text"),
+    )
+    u = c.unionByName(b)
+    sh = shingles(u, "text", "doc_id", k)
+    sig = minhash_signatures_from_shingles(sh)
+    cand = lsh_candidate_pairs_from_signatures(sig)
+    # corpus×eval pairs only (id_a < id_b and eval ids are offset-high,
+    # so a cross pair always has id_a = corpus, id_b = eval)
+    cross = cand.filter(
+        (F.col("id_a") < F.lit(BENCH_ID_OFFSET))
+        & (F.col("id_b") >= F.lit(BENCH_ID_OFFSET))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        cross.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("common"))
+    )
+    jac = (
+        common.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("n_sh", "n_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .withColumnRenamed("n_sh", "n_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("common")
+                / (F.col("n_a") + F.col("n_b") - F.col("common"))
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("jaccard_micro"),
+        )
+        .filter(F.col("jaccard_micro") >= int(round(threshold * 1e6)))
+    )
+    best = (
+        jac.select(
+            F.col("id_a").alias("doc_id"),
+            (F.col("id_b") - F.lit(BENCH_ID_OFFSET)).alias("eval_id"),
+            "jaccard_micro",
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.desc("jaccard_micro"), F.asc("eval_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        c.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("jaccard_micro").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("contaminated_fuzzy"),
+            F.coalesce(F.col("eval_id"), F.lit(-1)).cast("bigint").alias("best_eval_id"),
+            F.coalesce(F.col("jaccard_micro"), F.lit(0))
+            .cast("bigint")
+            .alias("best_jaccard_micro"),
+        )
+        .orderBy("doc_id")
+    )

@@ -825,3 +825,127 @@ SELECT d.doc_id,
 FROM {src} d LEFT JOIN scored s ON d.doc_id = s.doc_id
 ORDER BY d.doc_id
 """
+
+
+def lm_bigram_logloss(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc cross-entropy under the corpus BIGRAM LM with add-one
+    smoothing — the n-gram upgrade of :func:`lm_logloss` toward
+    CCNet's actual KenLM 5-gram signal (Wenzek et al. 2020 §3.3):
+    repetitive/boilerplate text scores LOW (its transitions are
+    predictable), scrambled text scores HIGH — a distinction the
+    unigram model cannot see at all::
+
+        p(t₂|t₁)     = (cnt(t₁t₂) + 1) / (ctx(t₁) + V)     (Laplace)
+        logloss(doc) = Σ_bigrams −log2 p / n_bigrams        (bits/transition)
+
+    ``ctx(t₁) = Σ_t cnt(t₁t)`` (so the model is self-consistent with
+    its own event space) and ``V`` = distinct token types. Counts are
+    exact integers, so each distinct bigram's −log2 p quantizes to a
+    BIGINT once (the lm_logloss grid device); per-doc folds are exact
+    integer sums; the single terminal division matches both engines.
+    Empty/one-token docs emit 0.
+
+    Output: (doc_id, n_bigrams, logloss_micro). Physical shape: one
+    bigram pass (zip_with over two shifted slices — the shingles
+    device) partial-aggregated to (doc, bigram, tf) and (bigram, cnt);
+    context counts derive FROM the bigram table (groupBy its head —
+    bigram-vocabulary-sized, not corpus-sized); V is one scalar; the
+    probability table is vocabulary metadata joined back by bigram
+    (broadcast when it fits, shuffle equi-join beyond — never
+    all-pairs)."""
+    toks = tokens_expr(text_col)
+    m = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    bg = F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    pairs = docs.select(F.col(id_col).alias("doc_id"), F.explode(bg).alias("bigram"))
+    tf = pairs.groupBy("doc_id", "bigram").agg(F.count("*").cast("bigint").alias("tf"))
+    cnt2 = pairs.groupBy("bigram").agg(F.count("*").cast("bigint").alias("cnt2"))
+    ctx = (
+        cnt2.select(F.split_part("bigram", F.lit(" "), F.lit(1)).alias("head"), "cnt2")
+        .groupBy("head")
+        .agg(F.sum("cnt2").cast("bigint").alias("ctx"))
+    )
+    v_types = (
+        docs.select(F.explode(toks).alias("t")).agg(F.countDistinct("t")).collect()[0][0]
+        or 1
+    )
+    model = cnt2.withColumn(
+        "head", F.split_part("bigram", F.lit(" "), F.lit(1))
+    ).join(ctx, "head")
+    bits = F.round(
+        F.lit(1e6)
+        * -F.log2(
+            (F.col("cnt2") + F.lit(1)).cast("double")
+            / (F.col("ctx") + F.lit(int(v_types))).cast("double")
+        )
+    ).cast("bigint")
+    per_doc = (
+        tf.join(model.select("bigram", bits.alias("bits_micro")), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("bits_micro")).cast("bigint").alias("sum_bits"),
+        )
+        .withColumn(
+            "logloss_micro",
+            F.round(F.col("sum_bits").cast("double") / F.col("n_bigrams")).cast(
+                "bigint"
+            ),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc.select("doc_id", "n_bigrams", "logloss_micro"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("logloss_micro", F.lit(0)).cast("bigint").alias("logloss_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def lm_bigram_oracle_sql(src: str = "documents", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`lm_bigram_logloss` — identical bigram
+    construction, Laplace expression shape, grid quantization."""
+    from la_fungus_search_spark.tokenizer import duckdb_tokens_sql
+
+    toks = duckdb_tokens_sql(text_col)
+    return f"""
+WITH tokd AS (SELECT doc_id, {toks} AS toks FROM {src}),
+pairs AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= 2
+                       THEN list_transform(range(1, len(toks)),
+                            i -> array_to_string(toks[i:i+1], ' '))
+                       ELSE []::VARCHAR[] END) AS bigram
+    FROM tokd
+),
+tf AS (SELECT doc_id, bigram, count(*)::BIGINT AS tf FROM pairs GROUP BY 1, 2),
+cnt2 AS (SELECT bigram, count(*)::BIGINT AS cnt2 FROM pairs GROUP BY 1),
+ctx AS (
+    SELECT split_part(bigram, ' ', 1) AS head, sum(cnt2)::BIGINT AS ctx
+    FROM cnt2 GROUP BY 1
+),
+vz AS (SELECT count(DISTINCT t)::BIGINT AS v FROM (SELECT unnest(toks) AS t FROM tokd)),
+model AS (
+    SELECT c.bigram,
+           round(1e6 * -log2((c.cnt2 + 1)::DOUBLE / (x.ctx + (SELECT v FROM vz))::DOUBLE))::BIGINT
+               AS bits_micro
+    FROM cnt2 c JOIN ctx x ON split_part(c.bigram, ' ', 1) = x.head
+),
+per_doc AS (
+    SELECT t.doc_id, sum(t.tf)::BIGINT AS n_bigrams,
+           round(sum(t.tf * m.bits_micro)::DOUBLE / sum(t.tf))::BIGINT AS logloss_micro
+    FROM tf t JOIN model m ON t.bigram = m.bigram
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(p.logloss_micro, 0)::BIGINT AS logloss_micro
+FROM {src} d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""

@@ -250,6 +250,10 @@ AUDIT = [
     "geo_line_agg",
     "quality_classifier",
     "moving_percentiles",
+    # twenty-first wave
+    "lm_bigram_logloss",
+    "decontaminate_fuzzy",
+    "random_sampler_agg",
 ]
 
 

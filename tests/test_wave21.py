@@ -1,0 +1,220 @@
+"""Twenty-first wave — bigram-LM perplexity, fuzzy benchmark
+decontamination, random_sampler aggregation — pinned by pure-Python
+recomputes that mirror the full pipelines (including MinHash banding),
+independent of the driver's DuckDB oracles."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.query.facets import random_sampler_agg
+from la_fungus_search_spark.textops.dedup import (
+    MINHASH_PARAMS,
+    N_BANDS,
+    P_MINHASH,
+    ROWS_PER_BAND,
+)
+from la_fungus_search_spark.textops.pipeline import decontaminate_fuzzy
+from la_fungus_search_spark.textops.stats import lm_bigram_logloss, lm_logloss
+
+
+def _toks(text: str):
+    return [t.lower() for t in re.findall(r"[A-Za-z0-9_]+", text)]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, schema="doc_id BIGINT, text STRING")
+
+
+# ------------------------------------------------- lm_bigram_logloss
+
+
+def _py_bigram_logloss(texts: dict) -> dict:
+    cnt2, ctx, vocab = {}, {}, set()
+    per_doc_bigrams = {}
+    for d, t in texts.items():
+        toks = _toks(t)
+        vocab.update(toks)
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        per_doc_bigrams[d] = bgs
+        for bg in bgs:
+            cnt2[bg] = cnt2.get(bg, 0) + 1
+    for bg, c in cnt2.items():
+        h = bg.split(" ")[0]
+        ctx[h] = ctx.get(h, 0) + c
+    v = len(vocab)
+    bits = {
+        bg: round(1e6 * -math.log2((c + 1) / (ctx[bg.split(" ")[0]] + v)))
+        for bg, c in cnt2.items()
+    }
+    out = {}
+    for d, bgs in per_doc_bigrams.items():
+        if not bgs:
+            out[d] = (0, 0)
+            continue
+        s = sum(bits[bg] for bg in bgs)
+        out[d] = (len(bgs), round(s / len(bgs)))
+    return out
+
+
+def test_lm_bigram_matches_recompute(spark):
+    texts = {
+        1: "x y x y x y x y",          # predictable transitions
+        2: "x x y y x y y x",          # same unigrams, noisier transitions
+        3: "alpha beta gamma delta",
+        4: "",                          # empty: (0, 0)
+        5: "solo",                      # one token: no bigram
+    }
+    df = _docs(spark, list(texts.items()))
+    got = {
+        r.doc_id: (r.n_bigrams, r.logloss_micro)
+        for r in lm_bigram_logloss(df).collect()
+    }
+    assert got == _py_bigram_logloss(texts)
+    assert got[4] == (0, 0) and got[5] == (0, 0)
+
+
+def test_lm_bigram_sees_what_unigram_cannot(spark):
+    # docs 1 and 2 share the unigram profile exactly — unigram logloss
+    # ties; the bigram model separates them (doc 1's transitions
+    # dominate the corpus counts, so doc 1 scores strictly lower)
+    texts = {1: "x y x y x y x y", 2: "x x y y x y y x"}
+    df = _docs(spark, list(texts.items()))
+    uni = {r.doc_id: r.logloss_micro for r in lm_logloss(df).collect()}
+    bi = {r.doc_id: r.logloss_micro for r in lm_bigram_logloss(df).collect()}
+    assert uni[1] == uni[2]
+    assert bi[1] < bi[2]
+
+
+# ---------------------------------------------- decontaminate_fuzzy
+
+
+def _py_fuzzy(corpus: dict, bench: dict, k=3, thresh=0.5):
+    """Full-pipeline mirror: shingles → minhash → bands → corpus×eval
+    candidates → exact Jaccard — byte-equal to the Spark operator."""
+
+    def sh(text):
+        toks = _toks(text)
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    def sig(shingle_set):
+        out = []
+        for a, b, c in MINHASH_PARAMS:
+            best = None
+            for s in shingle_set:
+                h = hashlib.md5(s.encode()).hexdigest()
+                x1, x2 = int(h[:8], 16), int(h[8:16], 16)
+                v = ((a * x1) % P_MINHASH + (b * x2) % P_MINHASH + c) % P_MINHASH
+                best = v if best is None else min(best, v)
+            out.append(best)
+        return out
+
+    def bands(s):
+        return {
+            (bi, hashlib.md5(
+                "|".join(str(s[bi * ROWS_PER_BAND + r]) for r in range(ROWS_PER_BAND)).encode()
+            ).hexdigest())
+            for bi in range(N_BANDS)
+        }
+
+    csh = {d: sh(t) for d, t in corpus.items()}
+    bsh = {e: sh(t) for e, t in bench.items()}
+    cb = {d: bands(sig(s)) for d, s in csh.items() if s}
+    bb = {e: bands(sig(s)) for e, s in bsh.items() if s}
+    out = {}
+    for d in corpus:
+        hits = []
+        for e in bench:
+            if d in cb and e in bb and cb[d] & bb[e]:
+                inter = len(csh[d] & bsh[e])
+                uni = len(csh[d] | bsh[e])
+                if uni:
+                    j = round(inter / uni * 1e6)
+                    if j >= round(thresh * 1e6):
+                        hits.append((j, e))
+        if hits:
+            # best = jaccard DESC, eval id ASC
+            best_j = max(h[0] for h in hits)
+            best_e = min(e for jj, e in hits if jj == best_j)
+            out[d] = (1, best_e, best_j)
+        else:
+            out[d] = (0, -1, 0)
+    return out
+
+
+def test_decontaminate_fuzzy_hand_fixture(spark):
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota NEW"
+    corpus = {
+        1: eval_text,                      # exact leak: jaccard 1.0
+        2: near,                           # near-dup: flagged
+        3: "completely different words about spark joins and shuffles",
+        4: "",                             # empty: never flagged
+    }
+    bench = {7: eval_text, 14: "unrelated benchmark question text here"}
+    cdf = _docs(spark, list(corpus.items()))
+    bdf = _docs(spark, list(bench.items()))
+    got = {
+        r.doc_id: (r.contaminated_fuzzy, r.best_eval_id, r.best_jaccard_micro)
+        for r in decontaminate_fuzzy(cdf, bdf, k=3, threshold=0.5).collect()
+    }
+    assert got == _py_fuzzy(corpus, bench)
+    assert got[1] == (1, 7, 1_000_000)
+    assert got[2][0] == 1 and got[2][1] == 7 and got[2][2] < 1_000_000
+    assert got[3] == (0, -1, 0) and got[4] == (0, -1, 0)
+
+
+def test_decontaminate_fuzzy_threshold_gates(spark):
+    # overlap ~0.45 (below τ=0.5 but above τ=0.3): flag flips with τ
+    base = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    half = "a1 a2 a3 a4 a5 a6 b1 b2 b3 b4"
+    cdf = _docs(spark, [(1, half)])
+    bdf = _docs(spark, [(9, base)])
+    lo = decontaminate_fuzzy(cdf, bdf, k=3, threshold=0.2).collect()[0]
+    hi = decontaminate_fuzzy(cdf, bdf, k=3, threshold=0.9).collect()[0]
+    assert lo.contaminated_fuzzy in (0, 1)  # depends on band collision
+    if lo.contaminated_fuzzy:
+        assert hi.contaminated_fuzzy == 0  # same pair, stricter τ
+        assert lo.best_jaccard_micro < 900_000
+
+
+# ------------------------------------------------- random_sampler
+
+
+def _member(eid: int, denom: int) -> bool:
+    h = int(hashlib.md5(f"{eid}:rs".encode()).hexdigest()[:8], 16)
+    return h % denom == 0
+
+
+def test_random_sampler_matches_recompute(spark):
+    n = 400
+    rows = [(i, float(i) / 4.0) for i in range(n)]
+    df = spark.createDataFrame(rows, schema="event_id BIGINT, value DOUBLE")
+    r = random_sampler_agg(df, denom=8).collect()[0]
+    members = [i for i in range(n) if _member(i, 8)]
+    want_sum = round(sum(i / 4.0 for i in members) * 1e6)
+    assert r.sampled_count == len(members)
+    assert r.est_total_count == 8 * len(members)
+    assert r.sampled_sum_micro == want_sum
+    assert r.est_sum_micro == 8 * want_sum
+    assert r.p_micro == 125_000
+    # the estimate is in the right ballpark of the true total
+    true_total = round(sum(i / 4.0 for i in range(n)) * 1e6)
+    assert abs(r.est_sum_micro - true_total) / true_total < 0.5
+
+
+def test_random_sampler_validation(spark):
+    df = spark.createDataFrame([(1, 1.0)], schema="event_id BIGINT, value DOUBLE")
+    with pytest.raises(ValueError):
+        random_sampler_agg(df, denom=0)
+    with pytest.raises(ValueError):
+        random_sampler_agg(df, denom=7)  # 1e6 % 7 != 0: p_micro inexact
+    # denom=1: the sample IS the population, estimates are exact
+    r = random_sampler_agg(df, denom=1).collect()[0]
+    assert (r.sampled_count, r.est_total_count) == (1, 1)
+    assert r.sampled_sum_micro == r.est_sum_micro == 1_000_000
