@@ -423,8 +423,19 @@ def bench_main(results: dict):
     # mislabels as regressions (judged: bm25_topk_sql "1.35x slower"
     # with an unchanged plan)
     samples: dict[str, list] = {}
+    # wall budget for the op sweep (the registry grew to ~175 ops; if
+    # the harness's bench timeout lands mid-sweep the whole per-op
+    # record is lost to a kill): pass 1 ALWAYS completes — full
+    # coverage, single sample — and pass 2 (the jitter-canceling
+    # second sample) runs only while inside the budget. Ops pass 2
+    # doesn't reach keep their single sample; `queries_samples` shows
+    # which got two.
+    sweep_budget = int(os.environ.get("SPARK_GRAFT_SWEEP_BUDGET_SEC", "1200"))
+    t_sweep = time.time()
     for _pass in range(2):
         for name in sweep:
+            if _pass == 1 and time.time() - t_sweep > sweep_budget:
+                break
             t, _ = _timed(lambda: qmap[name](spark, SF_DIR).count())
             samples.setdefault(name, []).append(round(t, 3))
             queries[name] = min(queries.get(name, 1e9), round(t, 3))
