@@ -184,6 +184,28 @@ QS_QUERIES = [
     '"scan slow" spark batch^3',
     "the scan AND slow",
 ]
+# simple_query_string fixtures (querystring.parse_simple_query_string,
+# ES's lenient flat-operator grammar): OR/AND-promotion, negation,
+# phrase, prefix, fuzzy (ed-1), flattened groups, and one deliberately
+# malformed query (unbalanced quote) that the classic parser would
+# reject but this grammar must absorb.
+SQS_QUERIES = [
+    "table | scan + join",
+    '-python "table part" window',
+    "sca* batch~2 value",
+    'merge (sort | "scan slow") -agg',
+    '"unbalanced scan big',
+]
+# search_as_you_type fixtures: live-typing strings — the last token is
+# the in-flight prefix; the completed tokens feed the 2-/3-shingle
+# channels (the third query carries three completed tokens so the
+# 3-gram channel has a real query gram).
+SAYT_QUERIES = [
+    "table scan sl",
+    "merge sort bat",
+    "table part scan val",
+    "window stream da",
+]
 # Rescore fixtures (ranking.rescore_phrase, ES rescore block with a
 # match_phrase rescorer): (base BM25 query, exact phrase bonus).
 RESCORE_SPECS = [
@@ -214,6 +236,7 @@ TV_DOC_IDS = [5, 42, 123, 250]
 # TF-IDF VSM ranking (query/tfidf.py, SMART lnc.ltc) — reuses the BM25
 # fixtures incl. the duplicate-term qtf=2 query.
 TFIDF_QUERIES = BM25_QUERIES[:4]
+LM_QUERIES = BM25_QUERIES[:4]
 PRF_QUERIES = BM25_QUERIES[:4]
 FACET_QUERIES = ["hash join table scan", "merge", "spark stream batch data"]
 FACET_FIELDS = ["lang", "source"]
@@ -742,12 +765,32 @@ def _query_string_oracle_sql(k: int = 10) -> str:
     must_not as an anti-join, each phrase as a positional containment
     branch counted per query."""
     from la_fungus_search_spark.query.querystring import parse_query_string
+
+    return _qs_oracle_sql_impl(QS_QUERIES, parse_query_string, k)
+
+
+def _simple_query_string_oracle_sql(k: int = 10) -> str:
+    """DuckDB twin of q_simple_query_string_topk: the same scored /
+    must / must_not / phrase / prefix compilation as
+    _query_string_oracle_sql via the SHARED lenient parser
+    (querystring.parse_simple_query_string), plus per-clause fuzzy
+    branches — dictionary terms with levenshtein <= 1 (the engine's
+    ed-1 ball), ranked (dist ASC, df DESC, term ASC), capped <= 50."""
+    from la_fungus_search_spark.query.querystring import parse_simple_query_string
+
+    return _qs_oracle_sql_impl(SQS_QUERIES, parse_simple_query_string, k)
+
+
+def _qs_oracle_sql_impl(queries, parser, k: int) -> str:
+    """Shared query-string oracle builder: compiles the parser's
+    clause sets (the exact frames the Spark executor consumes) to one
+    DuckDB statement."""
     from la_fungus_search_spark.tokenizer import tokenize as corpus_tokenize
 
     qt_rows, mt_rows, nm_rows, xt_rows = [], [], [], []
     np_rows, ph_branches, expn_branches = [], [], []
-    for qid, q in enumerate(QS_QUERIES):
-        p = parse_query_string(q)
+    for qid, q in enumerate(queries):
+        p = parser(q)
         for term, b in p["scored"]:
             qt_rows.append(f"({qid}, '{term}', {float(b)!r})")
         mt_rows.extend(f"({qid}, '{t}')" for t in p["must_terms"])
@@ -768,6 +811,13 @@ def _query_string_oracle_sql(k: int = 10) -> str:
                 f"SELECT {qid} AS query_id, term, {float(b)!r} AS qtf,\n"
                 f"       row_number() OVER (ORDER BY df DESC, term ASC) AS xr\n"
                 f"FROM df WHERE starts_with(term, '{pre}')"
+            )
+        for t, b in p.get("fuzzy", []):
+            expn_branches.append(
+                f"SELECT {qid} AS query_id, term, {float(b)!r} AS qtf,\n"
+                f"       row_number() OVER (ORDER BY levenshtein(term, '{t}') ASC,"
+                f" df DESC, term ASC) AS xr\n"
+                f"FROM df WHERE levenshtein(term, '{t}') <= 1"
             )
     mt_sql = ", ".join(mt_rows) or "(-1, '')"
     xt_sql = ", ".join(xt_rows) or "(-1, '')"
@@ -921,6 +971,104 @@ dots AS (
 scored AS (
     SELECT d.query_id, d.doc_id, d.dot / (q.qnorm * n.dnorm) AS score
     FROM dots d JOIN qn q USING (query_id) JOIN dn n ON d.doc_id = n.doc_id
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM scored),
+ranked AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def _dfr_inl2_oracle_sql(k: int = 10, c: float = 1.0) -> str:
+    """DuckDB twin of q_dfr_inl2_topk: the base CTE's exact tf/df/dl/
+    g stats through the InL2 decomposition — tfn = tf·log2(1+c·avgdl/dl),
+    score addend qtf·(tfn/(tfn+1))·log2((N+1)/(df+0.5)) — micro-
+    quantized ranking."""
+    qt_vals = _query_terms_values(LM_QUERIES)
+    tfn = f"(t.tf::DOUBLE * log2(1.0 + {c} * (SELECT avgdl FROM g) / d.doclen::DOUBLE))"
+    return f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {qt_vals}),
+scored AS (
+    SELECT qt.query_id, t.doc_id,
+           sum(qt.qtf * ({tfn} / ({tfn} + 1.0))
+               * log2(((SELECT n FROM g) + 1.0) / (df.df::DOUBLE + 0.5))) AS score
+    FROM qt JOIN df USING (term) JOIN tf t USING (term) JOIN dl d ON t.doc_id = d.doc_id
+    GROUP BY 1, 2
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM scored),
+ranked AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def _lm_dirichlet_oracle_sql(k: int = 10, mu: float = 2000.0) -> str:
+    """DuckDB twin of q_lm_dirichlet_topk: collection model from exact
+    integer ctf / total (the base CTE's g.total), matched-term sum over
+    the tf chain, |q| over in-vocabulary terms only (join to ctf), the
+    μ/(dl+μ) length term from the dl chain, micro-quantized ranking."""
+    qt_vals = _query_terms_values(LM_QUERIES)
+    return f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {qt_vals}),
+ctf AS (SELECT term, sum(tf)::BIGINT AS ctf FROM tf GROUP BY 1),
+qd AS (
+    SELECT qt.query_id, qt.term, qt.qtf,
+           ctf.ctf::DOUBLE / (SELECT total FROM g)::DOUBLE AS p
+    FROM qt JOIN ctf USING (term)
+),
+ql AS (SELECT query_id, sum(qtf)::DOUBLE AS qlen FROM qd GROUP BY 1),
+matched AS (
+    SELECT qd.query_id, t.doc_id,
+           sum(qd.qtf * ln(1.0 + t.tf::DOUBLE / ({mu} * qd.p))) AS m
+    FROM qd JOIN tf t USING (term) GROUP BY 1, 2
+),
+scored AS (
+    SELECT m.query_id, m.doc_id,
+           m.m + q.qlen * ln({mu} / (d.doclen::DOUBLE + {mu})) AS score
+    FROM matched m JOIN ql q USING (query_id) JOIN dl d ON m.doc_id = d.doc_id
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM scored),
+ranked AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def _lm_jm_oracle_sql(k: int = 10, lam: float = 0.1) -> str:
+    """DuckDB twin of q_lm_jm_topk: one matched-term sum — the addend
+    folds (1−λ)/λ · (tf/dl) / p(t|C); dl joins into the addend (the
+    Spark side reads it off the postings rows), micro-quantized
+    ranking."""
+    qt_vals = _query_terms_values(LM_QUERIES)
+    ratio = (1.0 - lam) / lam
+    return f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {qt_vals}),
+ctf AS (SELECT term, sum(tf)::BIGINT AS ctf FROM tf GROUP BY 1),
+qd AS (
+    SELECT qt.query_id, qt.term, qt.qtf,
+           ctf.ctf::DOUBLE / (SELECT total FROM g)::DOUBLE AS p
+    FROM qt JOIN ctf USING (term)
+),
+scored AS (
+    SELECT qd.query_id, t.doc_id,
+           sum(qd.qtf * ln(1.0 + {ratio} * (t.tf::DOUBLE / d.doclen::DOUBLE) / qd.p)) AS score
+    FROM qd JOIN tf t USING (term) JOIN dl d ON t.doc_id = d.doc_id
+    GROUP BY 1, 2
 ),
 qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM scored),
 ranked AS (
@@ -1189,6 +1337,124 @@ expn AS (
     FROM exp0
 ),
 {_expanded_scored_tail_sql(k).lstrip()}"""
+
+
+def _sayt_oracle_sql(k: int = 10) -> str:
+    """DuckDB twin of q_search_as_you_type_topk: the _mbp_oracle_sql
+    root channels (completed-term BM25 + capped-prefix constant
+    membership) UNION ALL two shingle channels — per-g gram tf/df/
+    doclen(n−g+1)/avgdl/eps-floored-idf chains over the same token
+    arrays, query grams from the completed token sequence — then one
+    per-(query, doc) sum (most_fields), micro-quantized rank."""
+    from collections import Counter
+
+    from la_fungus_search_spark.query.expand import normalize_prefix
+    from la_fungus_search_spark.query.sayt import EPS as S_EPS
+    from la_fungus_search_spark.query.sayt import JOIN_CH, query_grams
+
+    qt_rows, pre_rows, qg_rows = [], [], []
+    for qid, q in enumerate(SAYT_QUERIES):
+        toks = tokenize_query(q)
+        *full, last = toks
+        for t, c in sorted(Counter(full).items()):
+            qt_rows.append(f"({qid}, '{t}', {c})")
+        pn = normalize_prefix(last)
+        if pn:
+            pre_rows.append(f"({qid}, '{pn}')")
+        for g in (2, 3):
+            for gram, c in sorted(Counter(query_grams(q, g)).items()):
+                qg_rows.append(f"({qid}, {g}, '{gram}', {c})")
+    qg_sql = ", ".join(qg_rows) or "(-1, 0, '', 0)"
+    J = JOIN_CH
+    return f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {", ".join(qt_rows)}),
+qpre(query_id, prefix) AS (VALUES {", ".join(pre_rows)}),
+exp0 AS (
+    SELECT q.query_id, i.term, i.df
+    FROM qpre q JOIN idf i ON starts_with(i.term, q.prefix)
+),
+expn AS (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id ORDER BY df DESC, term ASC) AS xr
+    FROM exp0
+),
+pmatch AS (
+    SELECT DISTINCT e.query_id, tf.doc_id
+    FROM expn e JOIN tf USING (term) WHERE e.xr <= 50
+),
+bm AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt JOIN idf USING (term) JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+tokd AS (SELECT doc_id, {duckdb_tokens_sql('text')} AS toks FROM documents),
+gr AS (
+    SELECT doc_id, 2 AS g,
+           unnest(CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)), i -> toks[i] || '{J}' || toks[i + 1])
+               ELSE [] END) AS gram
+    FROM tokd
+    UNION ALL
+    SELECT doc_id, 3 AS g,
+           unnest(CASE WHEN len(toks) >= 3 THEN
+               list_transform(range(1, len(toks) - 1),
+                              i -> toks[i] || '{J}' || toks[i + 1] || '{J}' || toks[i + 2])
+               ELSE [] END) AS gram
+    FROM tokd
+),
+tfg AS (SELECT g, gram, doc_id, count(*)::BIGINT AS tf FROM gr GROUP BY 1, 2, 3),
+dlg AS (
+    SELECT doc_id, greatest(len(toks) - 1, 0)::BIGINT AS dl2,
+           greatest(len(toks) - 2, 0)::BIGINT AS dl3
+    FROM tokd
+),
+gg AS (SELECT count(*)::DOUBLE AS n, avg(dl2)::DOUBLE AS avgdl2, avg(dl3)::DOUBLE AS avgdl3 FROM dlg),
+dfg AS (SELECT g, gram, count(*)::BIGINT AS df FROM tfg GROUP BY 1, 2),
+idfg0 AS (
+    SELECT g, gram, df,
+           ln((SELECT n FROM gg) - df + 0.5) - ln(df + 0.5) AS idf_raw
+    FROM dfg
+),
+aidfg AS (SELECT g, avg(idf_raw) AS average_idf FROM idfg0 GROUP BY 1),
+idfg AS (
+    SELECT i.g, i.gram,
+           CASE WHEN i.idf_raw < 0 THEN {S_EPS} * a.average_idf ELSE i.idf_raw END AS idf
+    FROM idfg0 i JOIN aidfg a ON i.g = a.g
+),
+qgr(query_id, g, gram, qtf) AS (VALUES {qg_sql}),
+shg AS (
+    SELECT q.query_id, t.doc_id,
+           sum(q.qtf * i.idf * (t.tf * {K1 + 1.0})
+               / (t.tf + {K1} * ({1.0 - B} + {B}
+                    * (CASE WHEN q.g = 2 THEN d.dl2 ELSE d.dl3 END)
+                    / (CASE WHEN q.g = 2 THEN (SELECT avgdl2 FROM gg)
+                            ELSE (SELECT avgdl3 FROM gg) END)))) AS score
+    FROM qgr q
+    JOIN idfg i ON q.g = i.g AND q.gram = i.gram
+    JOIN tfg t ON t.g = q.g AND t.gram = q.gram
+    JOIN dlg d ON t.doc_id = d.doc_id
+    GROUP BY 1, 2
+),
+uni AS (
+    SELECT query_id, doc_id, score FROM bm
+    UNION ALL
+    SELECT query_id, doc_id, 1.0 AS score FROM pmatch
+    UNION ALL
+    SELECT query_id, doc_id, score FROM shg
+),
+sc AS (SELECT query_id, doc_id, sum(score) AS score FROM uni GROUP BY 1, 2),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM sc),
+ranked AS (
+    SELECT query_id, doc_id, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, score_q
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
 
 
 def _mbp_oracle_sql(k: int = 10) -> str:
@@ -1951,6 +2217,70 @@ ranked AS (
 )
 SELECT query_id::INT AS query_id, (r - {k})::INT AS rank, doc_id, score_q
 FROM ranked WHERE r > {k} AND r <= {2 * k} ORDER BY query_id, rank
+"""
+
+
+def _wordpiece_oracle_sql() -> str:
+    """WordPiece token-count value-oracle: BERT's greedy longest-match
+    cursor walk as a DuckDB recursive CTE over DISTINCT pretokens
+    (single-path — each state has exactly one successor, the longest
+    vocabulary piece at the cursor). The deterministic embedded
+    vocabulary (same ``train_wordpiece()`` the Spark kernel uses)
+    ships as an inline MAP; continuation pieces probe with their
+    ``##`` form. A word whose walk stalls before the end is one
+    ``[UNK]`` token (whole-word fallback, BERT semantics)."""
+    from la_fungus_search_spark.textops.stats import BPE_PATTERN
+    from la_fungus_search_spark.textops.wordpiece import CONT, train_wordpiece
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vocab = sorted(train_wordpiece())
+    max_len = max(
+        (len(p) - len(CONT) if p.startswith(CONT) else len(p)) for p in vocab
+    )
+    keys = ", ".join(q(p) for p in vocab)
+    vals = ", ".join("1" for _ in vocab)
+    return f"""
+WITH RECURSIVE
+vt AS (SELECT map([{keys}], [{vals}]) AS m),
+pt AS (
+    SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), {q(BPE_PATTERN)})) AS word
+    FROM documents
+),
+perdoc AS (SELECT doc_id, word, count(*)::BIGINT AS n FROM pt GROUP BY 1, 2),
+words AS (SELECT DISTINCT word FROM perdoc),
+wp(word, pos, cnt) AS (
+    SELECT word, 0, 0 FROM words
+    UNION ALL
+    SELECT r.word, r.pos + t.blen, r.cnt + 1
+    FROM wp r, vt,
+    LATERAL (
+        SELECT list_max(list_filter(
+            list_transform(range(1, least({max_len}, length(r.word) - r.pos) + 1),
+                L -> CASE WHEN vt.m[CASE WHEN r.pos = 0 THEN '' ELSE '{CONT}' END
+                               || substr(r.word, r.pos + 1, L::INT)][1] IS NOT NULL
+                     THEN L END),
+            x -> x IS NOT NULL)) AS blen
+    ) t
+    WHERE t.blen IS NOT NULL
+),
+fin AS (SELECT word, max_by(cnt, pos) AS cnt, max(pos) AS endpos FROM wp GROUP BY word),
+counts AS (
+    SELECT word,
+           CASE WHEN endpos = length(word) THEN cnt ELSE 1 END::INT AS n_wp,
+           CASE WHEN endpos = length(word) THEN 0 ELSE 1 END::INT AS is_unk
+    FROM fin
+)
+SELECT d.doc_id,
+       coalesce(sum(p.n), 0)::BIGINT AS n_pretokens,
+       coalesce(sum(p.n * c.n_wp), 0)::BIGINT AS wp_tokens,
+       coalesce(sum(p.n * c.is_unk), 0)::BIGINT AS n_unk_words
+FROM documents d
+LEFT JOIN perdoc p USING (doc_id)
+LEFT JOIN counts c USING (word)
+GROUP BY d.doc_id
+ORDER BY d.doc_id
 """
 
 
@@ -2736,6 +3066,92 @@ def q_tfidf_topk(spark, sf_dir):
     return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
 
 
+def q_scripted_metric_agg(spark, sf_dir):
+    """scripted_metric aggregation (query/scripted.py — ES custom
+    map/combine/reduce, shard ≡ partition): one Arrow mapInPandas pass
+    emits per-(partition, group) integer-quantized partial states; the
+    reduce applyInPandas folds |partitions|·|groups| tiny rows. Pinned
+    metric: per-language geometric mean of (1+len) — addends exact
+    micro-ints, so distributed order cannot move the result."""
+    from la_fungus_search_spark.query import scripted
+
+    return scripted.geomean_doclen_by_lang(_documents(spark, sf_dir)).orderBy("lang")
+
+
+def q_search_as_you_type_topk(spark, sf_dir):
+    """search_as_you_type (query/sayt.py — the ES field type's
+    canonical multi_match bool_prefix query over root + 2-/3-shingle
+    subfields, most_fields sum): the root channel is the
+    match_bool_prefix contract (completed-term BM25 + constant-score
+    capped prefix rewrite); each shingle channel scores the completed
+    token sequence's shingles BM25Okapi against its OWN gram
+    statistics (df / doclen=n−g+1 / avgdl / eps-floored idf) computed
+    in one tokenize pass. Over-fetch k=30 on the float path, re-rank
+    micro-quantized."""
+    from la_fungus_search_spark.query import sayt as sayt_ops
+
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    hits = sayt_ops.search_as_you_type(eng, docs, SAYT_QUERIES, k=30)
+    return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+def q_simple_query_string_topk(spark, sf_dir):
+    """simple_query_string retrieval (query/querystring.py — ES's
+    lenient flat-operator grammar, Lucene SimpleQueryParser): the
+    lenient parser de-sugars +/|/-/phrase/prefix/~fuzzy clauses (never
+    raising — malformed input degrades, see parse_simple_query_string)
+    onto the SAME executor as query_string; fuzzy clauses rewrite
+    against the term dictionary via the capped ed-1 ball. The parser
+    is shared with the oracle builder. Over-fetch k=30 on the float
+    path, re-rank micro-quantized."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    hits = qs_ops.search_simple_query_string(eng, SQS_QUERIES, k=30, docs=docs)
+    return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+def q_dfr_inl2_topk(spark, sf_dir):
+    """DFR InL2 ranking (query/dfr.py, Amati & van Rijsbergen 2002 /
+    Lucene DFRSimilarity In+L+H2, c=1): pure expression over the
+    index's existing exact stats — H2-normalized tf, I(n) information
+    content, Laplace after-effect — on the engine's bucket-pruned
+    broadcast join. Over-fetch k=30 on the float path, re-rank
+    micro-quantized."""
+    from la_fungus_search_spark.query import dfr as dfr_ops
+
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    hits = dfr_ops.search_dfr_inl2(eng, LM_QUERIES, k=30)
+    return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+def q_lm_dirichlet_topk(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood ranking (query/lmsim.py,
+    Lucene LMDirichletSimilarity / Zhai & Lafferty 2001): matched-term
+    sum over bucket-pruned postings (which carry doclen) plus the
+    |q|·ln(μ/(dl+μ)) length term; collection model p(t|C) from exact
+    integer ctf/total. Over-fetch k=30 on the float path, re-rank
+    micro-quantized."""
+    from la_fungus_search_spark.query import lmsim as lm_ops
+
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    hits = lm_ops.search_lm_dirichlet(eng, LM_QUERIES, k=30)
+    return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+def q_lm_jm_topk(spark, sf_dir):
+    """Jelinek-Mercer-smoothed query likelihood (query/lmsim.py,
+    Lucene LMJelinekMercerSimilarity, λ=0.1): one bucket-pruned
+    postings ⋈ broadcast query-dim pass — doclen rides in the
+    postings, the rank-constant |q|·ln λ is dropped as in Lucene.
+    Over-fetch k=30 on the float path, re-rank micro-quantized."""
+    from la_fungus_search_spark.query import lmsim as lm_ops
+
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    hits = lm_ops.search_lm_jm(eng, LM_QUERIES, k=30)
+    return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
 def q_term_vectors(spark, sf_dir):
     """Per-doc term vectors (query/feedback.py, ES _termvectors
     semantics): requested docs' terms with corpus df/idf, ranked by
@@ -3469,6 +3885,21 @@ def q_ann_ivfpq_topk(spark, sf_dir):
     )
     queries = sorted((int(r[0]), list(r[1])) for r in qrows)
     return ann_index.ann_index_search(idx, queries, k=10, n_probe=12, rerank=8)
+
+
+def q_text_wordpiece_counts(spark, sf_dir):
+    """Real greedy longest-match WordPiece token counts (Schuster &
+    Nakajima 2012 likelihood training, BERT application; deterministic
+    embedded vocabulary). Same distinct-word kernel + join-back shape
+    as BPE — encode cost ∝ corpus vocabulary, never corpus tokens;
+    whole-word [UNK] fallback counted per doc. Value-oracle: the
+    greedy longest-match cursor walk runs in DuckDB as a single-path
+    recursive CTE (_wordpiece_oracle_sql — the piece vocabulary ships
+    as an inline MAP); tests/test_wordpiece.py additionally pins the
+    kernel against an independent per-word recompute."""
+    from la_fungus_search_spark.textops import wordpiece
+
+    return wordpiece.wordpiece_token_counts(_documents(spark, sf_dir)).orderBy("doc_id")
 
 
 def q_text_bpe_counts(spark, sf_dir):
@@ -6015,6 +6446,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "query_string_topk": q_query_string_topk,
+        "lm_dirichlet_topk": q_lm_dirichlet_topk,
+        "lm_jm_topk": q_lm_jm_topk,
+        "dfr_inl2_topk": q_dfr_inl2_topk,
+        "simple_query_string_topk": q_simple_query_string_topk,
+        "search_as_you_type_topk": q_search_as_you_type_topk,
+        "text_wordpiece_counts": q_text_wordpiece_counts,
+        "scripted_metric_agg": q_scripted_metric_agg,
         "ann_srp_topk": q_ann_srp_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
@@ -6678,6 +7116,17 @@ ORDER BY query_id
         "regexp_query_topk": _regexp_oracle_sql(10),
         "term_vectors": _term_vectors_oracle_sql(15),
         "tfidf_topk": _tfidf_oracle_sql(10),
+        "lm_dirichlet_topk": _lm_dirichlet_oracle_sql(10),
+        "lm_jm_topk": _lm_jm_oracle_sql(10),
+        "dfr_inl2_topk": _dfr_inl2_oracle_sql(10),
+        "simple_query_string_topk": _simple_query_string_oracle_sql(10),
+        "search_as_you_type_topk": _sayt_oracle_sql(10),
+        "scripted_metric_agg": """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       round(exp(sum(round(ln(1.0 + length(coalesce(text, ''))) * 1000000.0)::BIGINT)::DOUBLE
+                 / 1000000.0 / count(*)) * 1000000.0)::BIGINT AS geomean_len_q
+FROM documents GROUP BY lang ORDER BY lang
+""",
         "prefix_query_topk": _prefix_oracle_sql(10),
         "wildcard_query_topk": _wildcard_oracle_sql(10),
         "more_like_this_topk": _mlt_oracle_sql(10),
@@ -6688,6 +7137,7 @@ ORDER BY query_id
         "mmr_diverse_topk": _mmr_oracle_sql(),
         "query_dedup": _query_dedup_oracle_sql(),
         "text_bpe_counts": _bpe_oracle_sql(),
+        "text_wordpiece_counts": _wordpiece_oracle_sql(),
         "significant_terms": _significant_oracle_sql(),
         "search_after_topk": _search_after_oracle_sql(),
         "explain_topk": _explain_oracle_sql(),

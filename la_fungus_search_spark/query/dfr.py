@@ -1,0 +1,88 @@
+"""Divergence-from-randomness ranking, model InL2 (Amati & van
+Rijsbergen, TOIS 2002; Lucene ``DFRSimilarity(BasicModelIn,
+AfterEffectL, NormalizationH2)``) — completing the engine's
+similarity-module family beside BM25, classic TF-IDF
+(:mod:`.tfidf`) and the two LM smoothers (:mod:`.lmsim`).
+
+Public semantics (the Lucene component decomposition):
+
+* normalization H2 — ``tfn = tf · log2(1 + c·avgdl/dl)`` (c > 0,
+  Lucene default c = 1);
+* basic model I(n) — information content ``tfn · log2((N+1)/(df+0.5))``;
+* after-effect L — Laplace ``1/(tfn+1)``;
+* ``score(q, d) = Σ_t qtf_t · (1/(tfn+1)) · tfn · log2((N+1)/(df_t+0.5))``
+  over matched terms; docs matching ≥ 1 query term are returned.
+
+All inputs (tf, df, dl, avgdl, N) are the index's existing exact
+statistics — no new corpus artifact at all (unlike tfidf's doc norms
+or lmsim's ctf), so the scorer is a pure expression over the engine's
+normal bucket-pruned broadcast join: tiny query dim ⋈ postings on
+term (postings carry doclen), one map-side-combinable groupBy.
+
+Determinism contract: ≤ |query terms| float addends per (query, doc),
+micro-quantized re-rank — the standard engine contract; log2's 1-ulp
+engine wiggle dies at the grid.
+
+Reference parity: none (the reference ranks BM25-only) — engine-
+completeness surface per the brief's §2 families.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.tokenizer import tokenize_query
+from la_fungus_search_spark.xxhash import term_bucket
+
+DEFAULT_C = 1.0  # Lucene NormalizationH2 default
+
+
+def scored_dfr_inl2(
+    engine: BM25QueryEngine,
+    queries: Sequence[str],
+    c: float = DEFAULT_C,
+) -> DataFrame:
+    """Scored set ``(query_id, doc_id, score)`` under DFR InL2 (see
+    module contract)."""
+    if c <= 0:
+        raise ValueError("c must be positive")
+    idx = engine.index
+    n_docs = float(idx.globals["N"])
+    avgdl = float(idx.globals["avgdl"])
+    qt_rows = []
+    for qid, q in enumerate(queries):
+        for term, qtf in Counter(tokenize_query(q)).items():
+            qt_rows.append((qid, term, qtf))
+    qt = engine.spark.createDataFrame(
+        qt_rows or [(0, "\x00__no_terms__", 0)], schema="query_id INT, term STRING, qtf INT"
+    )
+    # in-vocabulary filter + df via the vocabulary dim
+    qdim = qt.join(idx.term_stats.select("term", "df"), "term")
+    nb = int(idx.globals["n_buckets"])
+    buckets = sorted({term_bucket(t, nb) for _, t, _ in qt_rows}) or [0]
+    postings = idx.postings.filter(F.col("term_bucket").isin(buckets))
+    tfn = F.col("tf").cast("double") * F.log2(
+        F.lit(1.0) + F.lit(c * avgdl) / F.col("doclen").cast("double")
+    )
+    info = F.log2(F.lit(n_docs + 1.0) / (F.col("df").cast("double") + F.lit(0.5)))
+    addend = F.col("qtf").cast("double") * (tfn / (tfn + F.lit(1.0))) * info
+    return (
+        postings.join(F.broadcast(qdim.select("query_id", "term", "qtf", "df")), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(addend).alias("score"))
+    )
+
+
+def search_dfr_inl2(
+    engine: BM25QueryEngine,
+    queries: Sequence[str],
+    k: int = 10,
+    c: float = DEFAULT_C,
+) -> DataFrame:
+    """DFR-InL2 top-k: ``(query_id, rank, doc_id, score)``."""
+    return engine._topk(scored_dfr_inl2(engine, queries, c), k)

@@ -644,7 +644,21 @@ def search_match_bool_prefix(
     rewrite (every doc matching any capped expansion gains a flat
     ``prefix_boost``, once). A doc matches if ANY clause matches, so
     the channels combine as a union + per-(query, doc) sum — the
-    distributed spelling of bool-should addition.
+    distributed spelling of bool-should addition."""
+    return engine._topk(
+        scored_match_bool_prefix(engine, queries, max_expansions, prefix_boost), k
+    )
+
+
+def scored_match_bool_prefix(
+    engine: BM25QueryEngine,
+    queries: Sequence[str],
+    max_expansions: int = 50,
+    prefix_boost: float = 1.0,
+) -> DataFrame:
+    """The pre-rank scored set of :func:`search_match_bool_prefix` —
+    exposed so composite scorers (``query/sayt.py``'s most_fields sum)
+    can fold it with other channels before ranking.
 
     Scale shape: the full-term channel is the engine's normal pruned
     scored path; the prefix channel reuses the bounded dictionary
@@ -681,10 +695,9 @@ def search_match_bool_prefix(
             .select("query_id", "doc_id", "score")
         )
     if not channels:
-        return engine._empty_result()
+        return engine._empty_result().select("query_id", "doc_id", "score")
     uni = reduce(lambda a, b: a.unionByName(b), channels)
-    summed = uni.groupBy("query_id", "doc_id").agg(F.sum("score").alias("score"))
-    return engine._topk(summed, k)
+    return uni.groupBy("query_id", "doc_id").agg(F.sum("score").alias("score"))
 
 
 def search_common_terms(

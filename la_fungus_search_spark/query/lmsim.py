@@ -1,0 +1,193 @@
+"""Language-model similarities (query likelihood with Dirichlet and
+Jelinek-Mercer smoothing) over the BM25 index's postings — the two LM
+scorers Lucene ships beside BM25 (``LMDirichletSimilarity``,
+``LMJelinekMercerSimilarity``; Zhai & Lafferty, SIGIR 2001).
+
+Public semantics (Zhai & Lafferty 2001, eq. 6/9; the sparse
+"matched-terms + doc-length" decomposition both Lucene similarities
+score with):
+
+* collection model: ``p(t|C) = ctf_t / total_tokens`` where ``ctf_t``
+  is the collection term frequency (Σ tf over all docs) and
+  ``total_tokens`` = Σ doclen — both exact BIGINTs from the index;
+* **Dirichlet** (μ > 0)::
+
+      score(q, d) = Σ_{t ∈ q ∩ d} qtf_t · ln(1 + tf_td / (μ·p(t|C)))
+                    + |q| · ln(μ / (dl_d + μ))
+
+  where ``|q|`` counts query tokens whose term exists in the index
+  vocabulary (out-of-vocabulary tokens contribute nothing, the Lucene
+  convention — an unindexed term has no postings and no p(t|C));
+* **Jelinek-Mercer** (0 < λ < 1)::
+
+      score(q, d) = Σ_{t ∈ q ∩ d} qtf_t ·
+                        ln(1 + ((1−λ)/λ) · (tf_td / dl_d) / p(t|C))
+
+  (the additive ``|q|·ln λ`` constant is rank-irrelevant and dropped,
+  as in Lucene).
+
+Only docs matching ≥ 1 in-vocabulary query term are scored/returned —
+the same candidate set as every other disjunctive gate.
+
+Determinism contract (mirrored by the DuckDB value-oracles in
+``__spark_entry__.py``): each per-(query, doc) score sums ≤ |query
+terms| float addends — the same bounded-addend shape the BM25 gates
+already pin cross-engine — and the gate re-ranks on the 1e-6-quantized
+score, where ``ln``'s 1-ulp engine wiggle dies. ``ctf`` and
+``total_tokens`` are exact integers on both engines.
+
+Physical shape, and why it scales: the scored side is the engine's
+normal bucket-pruned broadcast shape (tiny query dim ⋈ postings on
+term; postings already carry ``doclen``, so neither scorer joins
+doc_stats). The one artifact BM25 itself never materializes is the
+per-term collection frequency: ``lm_collection_stats(index)`` is a
+single full-postings aggregation with map-side combine (one row per
+vocabulary term out — vocabulary-sized, not corpus-sized). A
+production deployment computes it ONCE at index build and persists it
+beside ``term_stats``; ``scored_lm_dirichlet(..., ctf=...)`` /
+``scored_lm_jm(..., ctf=...)`` accept the precomputed frame so
+repeated queries never rescan postings. ``total_tokens`` ships free in
+the index globals.
+
+Reference parity: the reference ranks with BM25 only
+(``mcmp/bm25.py``); this module is part of the engine-completeness
+surface (Lucene/ES similarity module) the brief's §2.9/§2.2 families
+call for, not a port.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.tokenizer import tokenize_query
+from la_fungus_search_spark.xxhash import term_bucket
+
+DEFAULT_MU = 2000.0  # Lucene LMDirichletSimilarity default
+DEFAULT_LAMBDA = 0.1  # Lucene LMJelinekMercerSimilarity short-query default
+
+
+def lm_collection_stats(index) -> DataFrame:
+    """``(term, ctf)`` — collection term frequency, from one
+    full-postings aggregation with map-side combine (one row per
+    vocabulary term). Persist next to the index to amortize across
+    queries; both scorers accept it via their ``ctf=`` parameter."""
+    return index.postings.groupBy("term").agg(
+        F.sum(F.col("tf").cast("bigint")).alias("ctf")
+    )
+
+
+def lm_total_tokens(index) -> int:
+    """Exact Σ doclen. Free from the build's globals when present;
+    otherwise one narrow doc_stats aggregation (scalar out)."""
+    t = index.globals.get("total_tokens")
+    if t is not None:
+        return int(t)
+    return int(index.doc_stats.agg(F.sum("doclen")).collect()[0][0])
+
+
+def _query_dim(engine: BM25QueryEngine, queries: Sequence[str], ctf: Optional[DataFrame]):
+    """Broadcastable ``(query_id, term, qtf, p)`` over in-vocabulary
+    query terms, plus the bucket-pruned postings frame."""
+    idx = engine.index
+    qt_rows = []
+    for qid, q in enumerate(queries):
+        for term, qtf in Counter(tokenize_query(q)).items():
+            qt_rows.append((qid, term, qtf))
+    qt = engine.spark.createDataFrame(
+        qt_rows or [(0, "\x00__no_terms__", 0)], schema="query_id INT, term STRING, qtf INT"
+    )
+    total = float(lm_total_tokens(idx))
+    cstats = ctf if ctf is not None else lm_collection_stats(idx)
+    # inner join = the in-vocabulary filter (OOV terms have no ctf row)
+    qdim = qt.join(cstats, "term").withColumn(
+        "p", F.col("ctf").cast("double") / F.lit(total)
+    )
+    nb = int(idx.globals["n_buckets"])
+    buckets = sorted({term_bucket(t, nb) for _, t, _ in qt_rows}) or [0]
+    postings = idx.postings.filter(F.col("term_bucket").isin(buckets))
+    return qdim, postings
+
+
+def scored_lm_dirichlet(
+    engine: BM25QueryEngine,
+    queries: Sequence[str],
+    mu: float = DEFAULT_MU,
+    ctf: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Scored set ``(query_id, doc_id, score)`` under Dirichlet query
+    likelihood (see module contract)."""
+    if mu <= 0:
+        raise ValueError("mu must be positive")
+    qdim, postings = _query_dim(engine, queries, ctf)
+    # |q| over in-vocab terms — rank-relevant through the dl term
+    qlen = qdim.groupBy("query_id").agg(
+        F.sum("qtf").cast("double").alias("qlen")
+    )
+    addend = F.col("qtf").cast("double") * F.log(
+        F.lit(1.0) + F.col("tf").cast("double") / (F.lit(mu) * F.col("p"))
+    )
+    matched = (
+        postings.join(F.broadcast(qdim.select("query_id", "term", "qtf", "p")), "term")
+        # doclen is constant per doc — riding it in the key keeps the
+        # agg one-pass (the builder's own postings_df trick)
+        .groupBy("query_id", "doc_id", "doclen")
+        .agg(F.sum(addend).alias("m"))
+    )
+    dl_term = F.col("qlen") * F.log(
+        F.lit(mu) / (F.col("doclen").cast("double") + F.lit(mu))
+    )
+    return matched.join(F.broadcast(qlen), "query_id").select(
+        "query_id", "doc_id", (F.col("m") + dl_term).alias("score")
+    )
+
+
+def scored_lm_jm(
+    engine: BM25QueryEngine,
+    queries: Sequence[str],
+    lam: float = DEFAULT_LAMBDA,
+    ctf: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Scored set ``(query_id, doc_id, score)`` under Jelinek-Mercer
+    query likelihood (see module contract)."""
+    if not 0.0 < lam < 1.0:
+        raise ValueError("lambda must be in (0, 1)")
+    qdim, postings = _query_dim(engine, queries, ctf)
+    ratio = (1.0 - lam) / lam
+    addend = F.col("qtf").cast("double") * F.log(
+        F.lit(1.0)
+        + F.lit(ratio)
+        * (F.col("tf").cast("double") / F.col("doclen").cast("double"))
+        / F.col("p")
+    )
+    return (
+        postings.join(F.broadcast(qdim.select("query_id", "term", "qtf", "p")), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(addend).alias("score"))
+    )
+
+
+def search_lm_dirichlet(
+    engine: BM25QueryEngine,
+    queries: Sequence[str],
+    k: int = 10,
+    mu: float = DEFAULT_MU,
+    ctf: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Dirichlet-LM top-k: ``(query_id, rank, doc_id, score)``."""
+    return engine._topk(scored_lm_dirichlet(engine, queries, mu, ctf), k)
+
+
+def search_lm_jm(
+    engine: BM25QueryEngine,
+    queries: Sequence[str],
+    k: int = 10,
+    lam: float = DEFAULT_LAMBDA,
+    ctf: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Jelinek-Mercer-LM top-k: ``(query_id, rank, doc_id, score)``."""
+    return engine._topk(scored_lm_jm(engine, queries, lam, ctf), k)

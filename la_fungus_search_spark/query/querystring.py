@@ -55,7 +55,7 @@ from pyspark.sql import functions as F
 
 from ..tokenizer import tokenize, tokenize_query
 from .engine import BM25QueryEngine
-from .expand import normalize_prefix, prefix_expansions
+from .expand import fuzzy_expansions, normalize_prefix, prefix_expansions
 from .phrase import phrase_candidates_scan
 
 _TOK_RE = re.compile(r'[+-]?"[^"]*"\S*|\S+')
@@ -160,8 +160,22 @@ def search_query_string(
     phrase clause — phrase candidates use the scan path here; the
     positional-index path is interchangeable (pinned equal in
     tests/test_phrase.py)."""
-    parsed = [parse_query_string(q) for q in queries]
+    return _search_parsed(
+        engine, [parse_query_string(q) for q in queries], k, docs, max_expansions
+    )
 
+
+def _search_parsed(
+    engine: BM25QueryEngine,
+    parsed: List[Dict],
+    k: int,
+    docs: DataFrame | None,
+    max_expansions: int,
+) -> DataFrame:
+    """Shared executor over de-sugared clause sets (the output shape
+    of :func:`parse_query_string` / :func:`parse_simple_query_string`
+    — the two parsers compile onto one physical plan family)."""
+    n_queries = len(parsed)
     qt_rows: List[Tuple[int, str, float]] = [
         (qid, t, float(b)) for qid, p in enumerate(parsed) for t, b in p["scored"]
     ]
@@ -174,9 +188,20 @@ def search_query_string(
         for r in exp.select("query_id", "term").collect():
             qid, _, b = pref[int(r["query_id"])]
             qt_rows.append((qid, r["term"], float(b)))
+    # fuzzy rewrite (simple_query_string's ``term~N``, clamped to the
+    # ed-1 ball): one capped dictionary expansion per clause, ranked
+    # (dist ASC, df DESC, term ASC) — the query/expand.py contract
+    fz = [(qid, t, b) for qid, p in enumerate(parsed) for t, b in p.get("fuzzy", [])]
+    if fz:
+        exp = fuzzy_expansions(
+            engine.index, [t for _, t, _ in fz], max_edits=1, max_expansions=max_expansions
+        )
+        for r in exp.select("query_id", "term").collect():
+            qid, _, b = fz[int(r["query_id"])]
+            qt_rows.append((qid, r["term"], float(b)))
     have = {qid for qid, _, _ in qt_rows}
-    if have != set(range(len(queries))):
-        missing = sorted(set(range(len(queries))) - have)
+    if have != set(range(n_queries)):
+        missing = sorted(set(range(n_queries)) - have)
         raise ValueError(f"query strings {missing} have no positive clause")
 
     scored = engine.scored_from_terms(sorted(qt_rows), qtf_type="DOUBLE").select(
@@ -225,7 +250,7 @@ def search_query_string(
                 schema="pid INT, query_id INT",
             )
         )
-        n_ph = [sum(1 for q2, _ in pairs if q2 == qid) for qid in range(len(queries))]
+        n_ph = [sum(1 for q2, _ in pairs if q2 == qid) for qid in range(n_queries)]
         phc = (
             cand.withColumnRenamed("query_id", "pid")
             .join(pid_map, "pid")
@@ -244,3 +269,145 @@ def search_query_string(
             .select("query_id", "doc_id", "score")
         )
     return engine._topk(scored, k)
+
+
+# ------------------------------------------------------------------
+# simple_query_string — ES's lenient flat-operator grammar
+# ------------------------------------------------------------------
+
+_SQS_PHRASE_RE = re.compile(r'(-?)"([^"]*)"(?:~\d+)?')
+_SQS_FUZZY_RE = re.compile(r"^(.+?)~(\d+)$")
+
+
+def parse_simple_query_string(q: str) -> Dict:
+    """Parse one ES ``simple_query_string`` query (Lucene
+    ``SimpleQueryParser``) into the same de-sugared clause-set dict as
+    :func:`parse_query_string`, plus ``"fuzzy": [(term, boost)]``.
+
+    Grammar subset (ES docs "simple query string syntax"): ``+`` is
+    infix AND (promotes its term neighbours to MUST), ``|`` is infix
+    OR (the default operator — a separator), leading ``-`` negates,
+    ``"..."`` is a phrase (a ``~N`` slop suffix is accepted and
+    ignored — phrase slop is outside the subset), trailing ``*`` is a
+    prefix, ``term~N`` is a fuzzy term (N clamped to the ed-1 ball,
+    the engine's FuzzyQuery contract), ``(`` ``)`` flatten (the flat
+    clause model carries no nested precedence — documented deviation).
+
+    The defining property vs the classic parser: this NEVER raises.
+    Unbalanced quotes strip, bare operators drop, and
+    outside-the-subset combinations degrade to their nearest in-subset
+    reading — a negated phrase to must-not terms, a MUST/NOT prefix or
+    fuzzy clause to plain term clauses with that occur — exactly the
+    "never throw an exception, discard invalid parts" contract ES
+    documents for this query."""
+    scored: Dict[str, float] = {}
+    must_terms: set = set()
+    must_not_terms: set = set()
+    phrases: List[str] = []
+    prefixes: List[Tuple[str, float]] = []
+    fuzzy: List[Tuple[str, float]] = []
+
+    s = q or ""
+    neg_phrases: List[str] = []
+
+    def _take(m):
+        (neg_phrases if m.group(1) == "-" else phrases).append(m.group(2))
+        return " "
+
+    s = _SQS_PHRASE_RE.sub(_take, s)
+    s = s.replace('"', " ")  # unbalanced quote: lenient strip
+    s = s.replace("(", " ").replace(")", " ")  # groups flatten
+    s = s.replace("|", " | ").replace("+", " + ")
+
+    clauses: List[Dict] = []
+    for tok in s.split():
+        if tok == "|":
+            clauses.append({"sep": "or"})
+            continue
+        if tok == "+":
+            clauses.append({"sep": "and"})
+            continue
+        neg = tok.startswith("-")
+        body = tok[1:] if neg else tok
+        if not body:
+            continue
+        fz = False
+        m = _SQS_FUZZY_RE.match(body)
+        if m:
+            body, fz = m.group(1), int(m.group(2)) >= 1
+        pre = body.endswith("*") and "*" not in body[:-1]
+        if pre:
+            body = body[:-1]
+        if not body:
+            continue
+        clauses.append(
+            {"occur": "must_not" if neg else "should", "body": body,
+             "fuzzy": fz, "prefix": pre}
+        )
+
+    # '+' promotes its nearest term-clause neighbours to MUST
+    real = [i for i, c in enumerate(clauses) if "sep" not in c]
+    for i, c in enumerate(clauses):
+        if c.get("sep") != "and":
+            continue
+        left = [j for j in real if j < i]
+        right = [j for j in real if j > i]
+        for j in (left[-1:] + right[:1]):
+            if clauses[j]["occur"] == "should":
+                clauses[j]["occur"] = "must"
+
+    for c in clauses:
+        if "sep" in c:
+            continue
+        toks = tokenize_query(c["body"])
+        if c["prefix"] and c["occur"] == "should":
+            npre = normalize_prefix(c["body"])
+            if npre:
+                prefixes.append((npre, 1.0))
+            continue
+        if not toks:
+            continue
+        if c["fuzzy"] and c["occur"] == "should":
+            fuzzy.extend((t, 1.0) for t in toks)
+            continue
+        if c["occur"] == "must_not":
+            must_not_terms.update(toks)
+            continue
+        for t in toks:
+            scored[t] = scored.get(t, 0.0) + 1.0
+            if c["occur"] == "must":
+                must_terms.add(t)
+
+    kept_phrases: List[str] = []
+    for ph in phrases:
+        if not tokenize(ph):
+            continue
+        kept_phrases.append(ph)
+        for t in tokenize_query(ph):
+            scored[t] = scored.get(t, 0.0) + 1.0
+    for ph in neg_phrases:
+        must_not_terms.update(tokenize_query(ph))
+
+    return {
+        "scored": sorted(scored.items()),
+        "must_terms": sorted(must_terms),
+        "must_not_terms": sorted(must_not_terms),
+        "phrases": kept_phrases,
+        "prefixes": prefixes,
+        "fuzzy": fuzzy,
+    }
+
+
+def search_simple_query_string(
+    engine: BM25QueryEngine,
+    queries: Sequence[str],
+    k: int = 10,
+    docs: DataFrame | None = None,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Top-k for each simple-query-string → ``(query_id, doc_id,
+    score)`` (pre-rank). Same executor as :func:`search_query_string`
+    — the grammars differ, the physical plan family does not."""
+    return _search_parsed(
+        engine, [parse_simple_query_string(q) for q in queries], k, docs, max_expansions
+    )

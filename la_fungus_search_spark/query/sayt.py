@@ -1,0 +1,202 @@
+"""search_as_you_type retrieval (the Elasticsearch field type + its
+``multi_match type: bool_prefix`` query): unigram bool-prefix scoring
+plus word-shingle subfields.
+
+Public semantics (ES ``search-as-you-type`` docs): the field indexes
+shingle subfields ``._2gram`` / ``._3gram`` beside the root, and the
+canonical query is a ``multi_match`` of type ``bool_prefix`` over all
+three, combined ``most_fields`` (sum). The supported subset here:
+
+* root channel — exactly :func:`~.expand.search_match_bool_prefix`'s
+  contract: every completed token is a BM25 should clause; the LAST
+  token is a prefix clause under the constant-score rewrite (flat
+  +1.0 per doc matching any capped dictionary expansion);
+* shingle channels — the query's COMPLETED token sequence forms its
+  2-/3-shingles (order and multiplicity preserved); each channel is
+  scored BM25Okapi against its OWN statistics (per-channel df /
+  doclen / avgdl / eps-floored idf — a shingle channel's doclen is
+  ``n_tokens − g + 1``), mirroring ES scoring each subfield with its
+  own stats. The prefix term does not join shingles (ES reaches that
+  via the ``._index_prefix`` edge-ngram subfield — outside this
+  subset, documented);
+* total score = root + 2gram + 3gram channel sums (``most_fields``).
+
+Determinism contract: every per-(query, doc, channel) sum has ≤
+|query grams| float addends and the gate re-ranks micro-quantized —
+the standard engine contract; channel stats are exact integers.
+
+Physical shape, and why it scales: the root channel is the engine's
+normal bucket-pruned path + the bounded dictionary rewrite. The
+shingle channels are computed from the documents frame in ONE
+tokenize pass (both gram sizes explode from the same token arrays —
+gram rows carry a ``g`` tag, so stats group by (g, gram)); the
+per-gram join is filtered to the query's gram set FIRST (broadcast
+tiny dim), so the shuffle carries only matching gram postings. A
+production deployment materializes the shingle postings at index
+build exactly like the main index (the ES analogy: the ``._2gram``
+subfield IS an index); the per-call corpus pass here is the
+gate-sized spelling of the same plan.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import List, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.tokenizer import tokenize_query, tokens_expr
+
+from .engine import BM25QueryEngine
+from .expand import search_match_bool_prefix
+
+K1, B, EPS = 1.5, 0.75, 0.25
+JOIN_CH = ""  # private-use joiner: never appears inside a token
+
+
+def _gram_expr(g: int):
+    """ARRAY<STRING> of g-shingles over the ``toks`` column (empty
+    when the doc has fewer than g tokens — sequence() would count
+    backwards on an inverted range, hence the guard)."""
+    return F.when(
+        F.size("toks") >= g,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - F.lit(g - 1)),
+            lambda i: F.concat_ws(JOIN_CH, F.slice("toks", i, g)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+
+
+def query_grams(q: str, g: int) -> List[str]:
+    """The completed-token g-shingles of one as-you-type query (all
+    tokens but the last, order/multiplicity preserved)."""
+    toks = tokenize_query(q)[:-1]
+    return [JOIN_CH.join(toks[i : i + g]) for i in range(len(toks) - g + 1)]
+
+
+def _shingle_channel_scores(
+    docs: DataFrame,
+    queries: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame | None:
+    """(query_id, doc_id, score) summed over BOTH shingle channels, or
+    None when no query has a completed shingle."""
+    qg_rows: List[Tuple[int, int, str, int]] = []
+    for qid, q in enumerate(queries):
+        for g in (2, 3):
+            for gram, c in sorted(Counter(query_grams(q, g)).items()):
+                qg_rows.append((qid, g, gram, c))
+    if not qg_rows:
+        return None
+    spark = docs.sparkSession
+    qg = F.broadcast(
+        spark.createDataFrame(
+            qg_rows, schema="query_id INT, g INT, gram STRING, qtf INT"
+        )
+    )
+
+    d = docs.select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks"))
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(2).alias("g"), _gram_expr(2).alias("arr")),
+                F.struct(F.lit(3).alias("g"), _gram_expr(3).alias("arr")),
+            )
+        ).alias("ch"),
+    ).select("doc_id", F.col("ch.g").alias("g"), F.explode("ch.arr").alias("gram"))
+    tf = grams.groupBy("g", "gram", "doc_id").agg(F.count("*").cast("int").alias("tf"))
+
+    # channel doclen over ALL docs (zero for short docs — they still
+    # count in N and avgdl, the _bm25_base_cte convention)
+    dl = d.select(
+        "doc_id",
+        *[
+            F.greatest(F.size("toks") - F.lit(g - 1), F.lit(0))
+            .cast("bigint")
+            .alias(f"dl{g}")
+            for g in (2, 3)
+        ],
+    )
+    gstats = dl.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("dl2").alias("avgdl2"),
+        F.avg("dl3").alias("avgdl3"),
+    )
+
+    # df/idf per channel — over the QUERY's grams only would bias the
+    # eps floor's average_idf, so the chain runs over the channel's
+    # full vocabulary exactly like the main index
+    df = tf.groupBy("g", "gram").agg(F.count("*").cast("bigint").alias("df"))
+    # the 1-row stats frame folds in as a broadcast cross join (the
+    # dsir 1-row-totals precedent — build side is exactly one row)
+    idf0 = df.crossJoin(F.broadcast(gstats.select("n"))).select(
+        "g",
+        "gram",
+        "df",
+        (F.log(F.col("n") - F.col("df") + F.lit(0.5)) - F.log(F.col("df") + F.lit(0.5))).alias(
+            "idf_raw"
+        ),
+    )
+    aidf = idf0.groupBy("g").agg(F.avg("idf_raw").alias("average_idf"))
+    idf = idf0.join(F.broadcast(aidf), "g").select(
+        "g",
+        "gram",
+        F.when(
+            F.col("idf_raw") < 0, F.lit(EPS) * F.col("average_idf")
+        ).otherwise(F.col("idf_raw")).alias("idf"),
+    )
+
+    qdim = qg.join(idf, ["g", "gram"])
+    hits = (
+        tf.join(F.broadcast(qdim), ["g", "gram"])
+        .join(dl, "doc_id")
+        .withColumn(
+            "dlc",
+            F.when(F.col("g") == 2, F.col("dl2")).otherwise(F.col("dl3")).cast("double"),
+        )
+        .crossJoin(F.broadcast(gstats.select("avgdl2", "avgdl3")))
+        .withColumn(
+            "avgdlc",
+            F.when(F.col("g") == 2, F.col("avgdl2")).otherwise(F.col("avgdl3")),
+        )
+        .withColumn(
+            "addend",
+            F.col("qtf")
+            * F.col("idf")
+            * (F.col("tf") * F.lit(K1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dlc") / F.col("avgdlc"))
+            ),
+        )
+    )
+    return hits.groupBy("query_id", "doc_id").agg(F.sum("addend").alias("score"))
+
+
+def search_as_you_type(
+    engine: BM25QueryEngine,
+    docs: DataFrame,
+    queries: Sequence[str],
+    k: int = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """most_fields sum of the root bool-prefix channel and the 2-/3-
+    shingle channels → top-k ``(query_id, rank, doc_id, score)``."""
+    from .expand import scored_match_bool_prefix
+
+    root_scored = scored_match_bool_prefix(
+        engine, queries, max_expansions=max_expansions
+    ).select("query_id", "doc_id", "score")
+    sh = _shingle_channel_scores(docs, queries)
+    if sh is None:
+        summed = root_scored
+    else:
+        summed = (
+            root_scored.unionByName(sh)
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("score").alias("score"))
+        )
+    return engine._topk(summed, k)

@@ -1,0 +1,113 @@
+"""scripted_metric aggregation (the Elasticsearch custom map/combine/
+reduce metric) — a typed harness mapping ES's four scripts onto
+Spark's partition/shuffle structure, plus the concrete metric the
+gate pins.
+
+Public semantics (ES ``scripted_metric`` docs): ``init_script`` makes
+per-shard state, ``map_script`` folds each document in, ``combine_
+script`` finalizes a shard's state to a transferable value, ``reduce_
+script`` folds the per-shard values into the result. The honest Spark
+translation of "shard" is PARTITION:
+
+* map+combine — ONE ``mapInPandas`` pass emits a partial-state row
+  per (partition, group): Arrow-batched, nothing per-row crosses the
+  Python boundary individually;
+* reduce — a ``groupBy(group).applyInPandas`` over the per-partition
+  partials: the shuffle carries |partitions|·|groups| tiny state rows,
+  never documents.
+
+This is exactly the two-phase shape Spark's own partial aggregation
+uses — the harness exists for metrics the built-in aggregate library
+cannot express (bring-your-own fold), NOT as a substitute for it: if
+``F.sum``/``avg``/… can express the metric, use them (they run
+JVM-side). Determinism is the USER's obligation, as in ES: the gate's
+metric below shows the standard device — integer-quantize addends in
+map so partial sums are exact and order-free.
+
+``geomean_doclen_by_lang`` — the pinned concrete metric: per-language
+geometric mean of (1 + text length); map quantizes ``ln(1+len)`` to
+1e-6 BIGINT micro-units, combine sums exact ints per partition,
+reduce sums ints and exponentiates once. The DuckDB oracle replays
+the identical integer arithmetic.
+
+Reference parity: none — ES-API completeness surface (brief §2
+aggregation families).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Iterable, Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def scripted_metric(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    map_combine: Callable[[pd.DataFrame], pd.DataFrame],
+    reduce_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    state_schema: str,
+    out_schema: str,
+) -> DataFrame:
+    """Generic harness: ``map_combine`` turns one partition's batch
+    into per-group partial-state rows (must include ``group_cols``;
+    schema ``state_schema``); ``reduce_fn`` turns one group's partial
+    rows into exactly the group's result rows (schema ``out_schema``).
+    """
+    gcols = list(group_cols)
+
+    def _mc(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [map_combine(pdf) for pdf in batches]
+        parts = [p for p in parts if len(p)]
+        if parts:
+            yield pd.concat(parts, ignore_index=True)
+
+    partials = df.mapInPandas(_mc, schema=state_schema)
+    return partials.groupBy(*gcols).applyInPandas(
+        lambda pdf: reduce_fn(pdf), schema=out_schema
+    )
+
+
+def geomean_doclen_by_lang(
+    docs: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """(lang, n_docs, geomean_len_q) — geometric mean of (1 + char
+    length) per language via the scripted-metric harness; the mean is
+    micro-quantized AFTER the single exp (addends were exact ints, so
+    the result is engine-invariant)."""
+
+    def map_combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        lens = pdf[text_col].fillna("").str.len()
+        # round-half-up to the micro grid, exactly like F.round/DuckDB
+        q = ((1.0 + lens).map(math.log) * MICRO).map(lambda x: math.floor(x + 0.5))
+        g = pd.DataFrame({"lang": pdf[lang_col], "lsum": q.astype("int64"), "n": 1})
+        agg = g.groupby("lang", as_index=False).agg(
+            lsum=("lsum", "sum"), n=("n", "sum")
+        )
+        return agg
+
+    def reduce_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        lsum = int(pdf["lsum"].sum())
+        n = int(pdf["n"].sum())
+        gm = math.exp(lsum / MICRO / n)
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [n],
+                "geomean_len_q": [math.floor(gm * MICRO + 0.5)],
+            }
+        )
+
+    return scripted_metric(
+        docs.select(F.col(lang_col).alias("lang"), F.col(text_col).alias(text_col)),
+        ["lang"],
+        map_combine,
+        reduce_fn,
+        state_schema="lang STRING, lsum LONG, n LONG",
+        out_schema="lang STRING, n_docs LONG, geomean_len_q LONG",
+    )

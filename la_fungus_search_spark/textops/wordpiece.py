@@ -1,0 +1,209 @@
+"""WordPiece token counts (Schuster & Nakajima, ICASSP 2012; the BERT
+tokenizer's greedy longest-match-first application) — the third
+model-grade token accountant beside :mod:`stats`'s regex counts and
+:mod:`bpe`'s merge-table BPE, because real pipelines budget against
+more than one tokenizer family.
+
+Training follows the documented WordPiece criterion (the likelihood
+score BERT's vocab was built with, as published in the HuggingFace
+tokenizer course and the original paper): repeatedly merge the
+adjacent symbol pair maximizing ``count(ab) / (count(a)·count(b))``
+— BPE's loop with a likelihood numerator — over the embedded seed
+texts; symbols after the first char of a word carry the ``##``
+continuation prefix. The vocabulary = the initial alphabet (both
+forms) plus one entry per merge. Scores compare as exact rationals
+(Fraction), tie-break (score desc, pair lexicographic asc):
+deterministic across runs and machines.
+
+Application is BERT's: per pretoken, repeatedly take the LONGEST
+vocabulary piece matching at the cursor (plain form at position 0,
+``##`` form after); a word with no match at some cursor is emitted as
+a single ``[UNK]`` token (the whole word, BERT semantics).
+
+Reference analog: none (the reference budget-estimates tokens as
+``len(text) // 4`` — ``rag/generation.py:153-154``); brief-driven
+(training-data pipeline token accounting).
+
+Spark-first shape — identical to :mod:`bpe` (the only sane shape for
+a per-word iterative loop):
+
+1. pretokenize (JVM regex) → per-(doc, word) counts            [shuffle 1]
+2. DISTINCT words → Arrow-batched greedy-match kernel
+3. join back on word, per-doc sum                              [shuffle 2]
+
+Encode cost ∝ |vocabulary of the corpus| (Zipf-tiny), never ∝ corpus
+tokens. The greedy matcher is O(|word|·max_piece_len) per distinct
+word.
+"""
+
+from __future__ import annotations
+
+import re
+from fractions import Fraction
+from functools import lru_cache
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.textops.bpe import CODE_SEED
+from la_fungus_search_spark.textops.stats import BPE_PATTERN, LANG_SEED_TEXTS
+
+N_MERGES_DEFAULT = 512
+CONT = "##"
+
+
+def train_wordpiece(
+    seed_texts: list[str] | None = None, n_merges: int = N_MERGES_DEFAULT
+) -> set[str]:
+    """WordPiece vocabulary from seed word frequencies: the BPE merge
+    loop with the likelihood criterion ``count(ab)/(count(a)·count(b))``
+    (exact-rational compare, tie-break (score desc, pair asc)).
+    Returns the piece vocabulary — plain first-pieces and ``##``
+    continuation pieces."""
+    from collections import Counter
+
+    texts = seed_texts if seed_texts is not None else [
+        CODE_SEED, *[LANG_SEED_TEXTS[k] for k in sorted(LANG_SEED_TEXTS)]
+    ]
+    words = Counter()
+    for t in texts:
+        words.update(re.findall(BPE_PATTERN, t))
+    seqs = {
+        w: tuple([w[0]] + [CONT + c for c in w[1:]]) for w in words
+    }
+    vocab = {s for seq in seqs.values() for s in seq}
+
+    def merge_sym(a: str, b: str) -> str:
+        return a + (b[len(CONT):] if b.startswith(CONT) else b)
+
+    for _ in range(n_merges):
+        pair_counts: Counter = Counter()
+        sym_counts: Counter = Counter()
+        for w, seq in seqs.items():
+            c = words[w]
+            for s in seq:
+                sym_counts[s] += c
+            for i in range(len(seq) - 1):
+                pair_counts[(seq[i], seq[i + 1])] += c
+        # singleton pairs would always top the likelihood score
+        # (count(ab)=ca=cb=1 → score 1); a merge seen once generalizes
+        # nothing, so candidates need support >= 2 — the same minimum
+        # support train_bpe stops at
+        best, best_score = None, None
+        for pair, cab in pair_counts.items():
+            if cab < 2:
+                continue
+            score = Fraction(cab, sym_counts[pair[0]] * sym_counts[pair[1]])
+            if best_score is None or score > best_score or (
+                score == best_score and pair < best
+            ):
+                best, best_score = pair, score
+        if best is None:
+            break
+        a, b = best
+        ab = merge_sym(a, b)
+        vocab.add(ab)
+        new_seqs = {}
+        for w, seq in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i < len(seq) - 1 and seq[i] == a and seq[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_seqs[w] = tuple(out)
+        seqs = new_seqs
+    return vocab
+
+
+def encode_word(word: str, vocab: set[str], max_len: int) -> tuple[int, bool]:
+    """BERT greedy longest-match-first: ``(n_pieces, is_unk)``. A word
+    that cannot be fully segmented is one ``[UNK]`` token."""
+    pos, n = 0, 0
+    while pos < len(word):
+        end = min(len(word), pos + max_len)
+        piece = None
+        while end > pos:
+            cand = word[pos:end]
+            key = cand if pos == 0 else CONT + cand
+            if key in vocab:
+                piece = cand
+                break
+            end -= 1
+        if piece is None:
+            return 1, True
+        pos += len(piece)
+        n += 1
+    return n, False
+
+
+def wordpiece_token_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: set[str] | None = None,
+) -> DataFrame:
+    """(doc_id, n_pretokens, wp_tokens, n_unk_words) with real greedy
+    longest-match WordPiece. Plan: JVM pretokenize/explode →
+    (doc, word) counts → encode each DISTINCT word once in an Arrow
+    kernel → join back → per-doc sum. Docs with no pretokens get
+    zeros."""
+    vocab = train_wordpiece() if vocab is None else vocab
+    max_len = max(
+        (len(p) - len(CONT) if p.startswith(CONT) else len(p)) for p in vocab
+    )
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_extract_all(
+            F.coalesce(F.col(text_col), F.lit("")), F.lit(BPE_PATTERN), F.lit(0)
+        ).alias("words"),
+    )
+    wc = (
+        d.select("doc_id", F.explode("words").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    distinct_words = wc.select("word").distinct()
+
+    def enc(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        @lru_cache(maxsize=1 << 16)
+        def one(w: str) -> tuple[int, bool]:
+            return encode_word(w, vocab, max_len)
+
+        for pdf in batches:
+            res = [one(w) for w in pdf["word"]]
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_wp": pd.array([r[0] for r in res], dtype="int32"),
+                    "is_unk": pd.array([int(r[1]) for r in res], dtype="int32"),
+                }
+            )
+
+    encoded = distinct_words.mapInPandas(
+        enc, schema="word STRING, n_wp INT, is_unk INT"
+    )
+    per_doc = (
+        wc.join(encoded, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_pretokens"),
+            F.sum(F.col("n") * F.col("n_wp")).cast("bigint").alias("wp_tokens"),
+            F.sum(F.col("n") * F.col("is_unk")).cast("bigint").alias("n_unk_words"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_pretokens", F.lit(0)).cast("bigint").alias("n_pretokens"),
+            F.coalesce("wp_tokens", F.lit(0)).cast("bigint").alias("wp_tokens"),
+            F.coalesce("n_unk_words", F.lit(0)).cast("bigint").alias("n_unk_words"),
+        )
+    )

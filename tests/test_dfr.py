@@ -1,0 +1,97 @@
+"""DFR InL2 ranking (query/dfr.py): Spark == pure-Python recompute of
+the full InL2 decomposition, the c knob actually moves length
+normalization, and ranking differs from BM25 (different tf saturation
+and idf shape)."""
+
+import math
+from collections import Counter
+
+import pytest
+
+from la_fungus_search_spark.index.builder import build_index
+from la_fungus_search_spark.query.dfr import scored_dfr_inl2, search_dfr_inl2
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.tokenizer import tokenize, tokenize_query
+
+TEXTS = [
+    "merge merge merge merge merge merge merge merge pad",
+    "merge sort batch",
+    "window stream data merge",
+    "window sort order stream stream",
+    "scan scan scan batch",
+    "table scan window order pad pad",
+]
+QUERIES = ["merge sort", "window stream stream", "scan", "merge nosuchterm"]
+C = 1.0
+
+
+def _py_dfr(texts, queries, c=C):
+    docs = [tokenize(t) for t in texts]
+    n = float(len(docs))
+    avgdl = sum(len(d) for d in docs) / n
+    df = Counter()
+    for d in docs:
+        df.update(set(d))
+    out = {}
+    for qid, q in enumerate(queries):
+        qtf = Counter(tokenize_query(q))
+        for i, d in enumerate(docs):
+            tfd = Counter(d)
+            s, matched = 0.0, False
+            for t, cq in sorted(qtf.items()):
+                if tfd[t] == 0:
+                    continue
+                matched = True
+                tfn = tfd[t] * math.log2(1.0 + c * avgdl / len(d))
+                s += cq * (tfn / (tfn + 1.0)) * math.log2((n + 1.0) / (df[t] + 0.5))
+            if matched:
+                out.setdefault(qid, {})[i] = s
+    return out
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    rows = [
+        ("r", f"{chr(97 + i)}.py", "c", "python", t) for i, t in enumerate(TEXTS)
+    ]
+    docs = spark.createDataFrame(
+        rows, schema="repo STRING, path STRING, commit STRING, lang STRING, content STRING"
+    )
+    return BM25QueryEngine(build_index(spark, docs, n_buckets=4, n_salts=2))
+
+
+def test_scores_match_python(setup):
+    got = {}
+    for r in scored_dfr_inl2(setup, QUERIES).collect():
+        got.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+    want = _py_dfr(TEXTS, QUERIES)
+    assert set(got) == set(want)
+    for qid in want:
+        assert set(got[qid]) == set(want[qid]), qid
+        for d, s in want[qid].items():
+            assert got[qid][d] == pytest.approx(s, rel=1e-12), (qid, d)
+            assert got[qid][d] > 0
+
+
+def test_c_moves_normalization(setup):
+    a = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in scored_dfr_inl2(setup, ["merge sort"], c=0.5).collect()
+    }
+    b = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in scored_dfr_inl2(setup, ["merge sort"], c=8.0).collect()
+    }
+    assert set(a) == set(b) and a != b
+
+
+def test_ranking_differs_from_bm25(setup):
+    bm = [
+        (r["query_id"], r["rank"], r["doc_id"])
+        for r in setup.search(QUERIES[:3], k=7, mode="sql").collect()
+    ]
+    dfr = [
+        (r["query_id"], r["rank"], r["doc_id"])
+        for r in search_dfr_inl2(setup, QUERIES[:3], k=7).collect()
+    ]
+    assert dfr != bm

@@ -1,0 +1,149 @@
+"""LM query-likelihood ranking (query/lmsim.py): Spark == pure-Python
+recompute of the full contract for both smoothers (Dirichlet μ term +
+matched sum; Jelinek-Mercer folded addend), the precomputed-ctf path
+is bit-identical to the inline path, the Dirichlet length term
+actually orders same-match docs by length, and ranking genuinely
+differs from BM25 (no idf in LM scoring)."""
+
+import math
+from collections import Counter
+
+import pytest
+
+from la_fungus_search_spark.index.builder import build_index
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.query.lmsim import (
+    lm_collection_stats,
+    lm_total_tokens,
+    scored_lm_dirichlet,
+    scored_lm_jm,
+    search_lm_dirichlet,
+    search_lm_jm,
+)
+from la_fungus_search_spark.tokenizer import tokenize, tokenize_query
+
+TEXTS = [
+    "merge merge merge merge merge merge merge merge pad",
+    "merge sort batch",
+    "window stream data merge",
+    "window sort order stream stream",
+    "scan scan scan batch",
+    "table scan window order pad pad",
+    # same matched profile as doc 1 for 'merge sort' but longer — the
+    # Dirichlet length term must rank it below doc 1
+    "merge sort batch pad pad pad pad pad pad pad pad pad",
+]
+QUERIES = ["merge sort", "window stream stream", "scan", "merge nosuchterm"]
+MU = 2000.0
+LAM = 0.1
+
+
+def _py_lm(texts, queries):
+    docs = [tokenize(t) for t in texts]
+    ctf = Counter()
+    for d in docs:
+        ctf.update(d)
+    total = float(sum(len(d) for d in docs))
+    dirich, jm = {}, {}
+    for qid, q in enumerate(queries):
+        qtf = {t: c for t, c in Counter(tokenize_query(q)).items() if t in ctf}
+        qlen = float(sum(qtf.values()))
+        for i, d in enumerate(docs):
+            tfd = Counter(d)
+            if not any(t in tfd for t in qtf):
+                continue
+            dl = float(len(d))
+            m = sum(
+                c * math.log(1.0 + tfd[t] / (MU * (ctf[t] / total)))
+                for t, c in qtf.items()
+                if t in tfd
+            )
+            dirich.setdefault(qid, {})[i] = m + qlen * math.log(MU / (dl + MU))
+            jm.setdefault(qid, {})[i] = sum(
+                c
+                * math.log(
+                    1.0 + ((1.0 - LAM) / LAM) * (tfd[t] / dl) / (ctf[t] / total)
+                )
+                for t, c in qtf.items()
+                if t in tfd
+            )
+    return dirich, jm
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    rows = [
+        ("r", f"{chr(97 + i)}.py", "c", "python", t) for i, t in enumerate(TEXTS)
+    ]
+    docs = spark.createDataFrame(
+        rows, schema="repo STRING, path STRING, commit STRING, lang STRING, content STRING"
+    )
+    return BM25QueryEngine(build_index(spark, docs, n_buckets=4, n_salts=2))
+
+
+def test_scores_match_python(setup):
+    want_d, want_j = _py_lm(TEXTS, QUERIES)
+    got_d, got_j = {}, {}
+    for r in scored_lm_dirichlet(setup, QUERIES, mu=MU).collect():
+        got_d.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+    for r in scored_lm_jm(setup, QUERIES, lam=LAM).collect():
+        got_j.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+    for got, want in ((got_d, want_d), (got_j, want_j)):
+        assert set(got) == set(want)
+        for qid in want:
+            assert set(got[qid]) == set(want[qid]), qid
+            for d, s in want[qid].items():
+                assert got[qid][d] == pytest.approx(s, rel=1e-12), (qid, d)
+    # JM scores are strictly positive; the unmatched-doc set is empty
+    for qid in got_j:
+        assert all(s > 0 for s in got_j[qid].values())
+
+
+def test_precomputed_ctf_identical(setup):
+    ctf = lm_collection_stats(setup.index)
+    total = lm_total_tokens(setup.index)
+    assert total == sum(len(tokenize(t)) for t in TEXTS)
+    a = sorted(
+        (r["query_id"], r["doc_id"], r["score"])
+        for r in scored_lm_dirichlet(setup, QUERIES).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["doc_id"], r["score"])
+        for r in scored_lm_dirichlet(setup, QUERIES, ctf=ctf).collect()
+    )
+    assert a == b
+
+
+def test_dirichlet_length_term_orders(setup):
+    """Docs 1 and 6 match 'merge sort' with identical tf — the longer
+    doc must score strictly lower under Dirichlet (its matched addends
+    are equal; the μ/(dl+μ) term decides)."""
+    got = {
+        r["doc_id"]: r["score"]
+        for r in scored_lm_dirichlet(setup, ["merge sort"]).collect()
+    }
+    assert got[6] < got[1]
+
+
+def test_oov_only_query_returns_nothing(setup):
+    assert scored_lm_dirichlet(setup, ["nosuchterm whatsoever"]).count() == 0
+    assert scored_lm_jm(setup, ["nosuchterm whatsoever"]).count() == 0
+
+
+def test_ranking_differs_from_bm25(setup):
+    """LM scoring carries no idf — on a corpus where BM25's idf
+    dominates, neither smoother may be rank-identical to BM25 (that
+    would mean the LM path is secretly BM25)."""
+    bm = [
+        (r["query_id"], r["rank"], r["doc_id"])
+        for r in setup.search(QUERIES[:3], k=7, mode="sql").collect()
+    ]
+    dr = [
+        (r["query_id"], r["rank"], r["doc_id"])
+        for r in search_lm_dirichlet(setup, QUERIES[:3], k=7).collect()
+    ]
+    jm = [
+        (r["query_id"], r["rank"], r["doc_id"])
+        for r in search_lm_jm(setup, QUERIES[:3], k=7).collect()
+    ]
+    assert dr != bm and jm != bm

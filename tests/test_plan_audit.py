@@ -23,6 +23,11 @@ BNLJ_ALLOWED = {
     # after constant propagation — both sides are already aggregated
     # (≤ buckets rows), the dsir 1-row-totals precedent
     "bucket_siblings",
+    # sayt shingle channels fold the 1-row gram-stats frame (N,
+    # avgdl2, avgdl3) in as broadcast cross joins — build side is
+    # exactly one row (dsir precedent); the prefix rewrite is
+    # StartsWith filter branches, not a join
+    "search_as_you_type_topk",
     "keyword_score_topk",
     "hybrid_blend_topk",
     "dedup_by_source_results",
@@ -108,6 +113,8 @@ AUDIT = [
     "import_only_filter",
     "text_lang_id_model",
     "text_bpe_counts",
+    "text_wordpiece_counts",
+    "scripted_metric_agg",
     "multimodal_decode",
     "phrase_match_topk",
     "proximity_window_topk",
@@ -127,6 +134,9 @@ AUDIT = [
     "regexp_query_topk",
     "term_vectors",
     "tfidf_topk",
+    "lm_dirichlet_topk",
+    "lm_jm_topk",
+    "dfr_inl2_topk",
     "significant_terms",
     "search_after_topk",
     "explain_topk",
@@ -138,6 +148,8 @@ AUDIT = [
     "bm25_topk_boosted",
     "suggest_complete",
     "query_string_topk",
+    "simple_query_string_topk",
+    "search_as_you_type_topk",
     "boolean_msm_topk",
     "has_child_topk",
     "collapse_topk",

@@ -1,0 +1,146 @@
+"""search_as_you_type (query/sayt.py): query-gram construction, the
+shingle channel against a pure-Python recompute of its BM25 chain,
+channel-sum structural identity, and the behavioral point of the
+operator — adjacency outranks scattered terms."""
+
+import math
+from collections import Counter
+
+import pytest
+
+from la_fungus_search_spark.index.builder import build_index
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.query.expand import scored_match_bool_prefix
+from la_fungus_search_spark.query.sayt import (
+    EPS,
+    JOIN_CH,
+    K1,
+    B,
+    _shingle_channel_scores,
+    query_grams,
+    search_as_you_type,
+)
+from la_fungus_search_spark.tokenizer import tokenize
+
+TEXTS = [
+    "table scan slow merge batch",          # adjacent "table scan"
+    "table part scan window slow",          # scattered table..scan
+    "merge sort batch table",
+    "window stream data merge sort",
+    "scan scan table scan",
+    "pad",                                   # 1-token doc: empty 2/3-gram channels
+]
+QUERIES = ["table scan sl", "merge sort ba"]
+
+
+def test_query_grams():
+    assert query_grams("table scan sl", 2) == [f"table{JOIN_CH}scan"]
+    assert query_grams("table scan sl", 3) == []
+    assert query_grams("table part scan val", 3) == [
+        f"table{JOIN_CH}part{JOIN_CH}scan"
+    ]
+    assert query_grams("sl", 2) == []
+
+
+def _py_shingles(texts, queries):
+    docs = [tokenize(t) for t in texts]
+    n = float(len(docs))
+    chan = {}
+    for g in (2, 3):
+        tf, dl = [], []
+        for d in docs:
+            grams = [JOIN_CH.join(d[i : i + g]) for i in range(len(d) - g + 1)]
+            tf.append(Counter(grams))
+            dl.append(max(len(d) - g + 1, 0))
+        avgdl = sum(dl) / n
+        df = Counter()
+        for t in tf:
+            df.update(set(t))
+        idf_raw = {
+            w: math.log(n - c + 0.5) - math.log(c + 0.5) for w, c in df.items()
+        }
+        avg_idf = sum(idf_raw.values()) / len(idf_raw)
+        idf = {
+            w: (EPS * avg_idf if v < 0 else v) for w, v in idf_raw.items()
+        }
+        chan[g] = (tf, dl, avgdl, idf)
+    out = {}
+    for qid, q in enumerate(queries):
+        for g in (2, 3):
+            tf, dl, avgdl, idf = chan[g]
+            qg = Counter(query_grams(q, g))
+            for i in range(len(docs)):
+                s = 0.0
+                for w, c in sorted(qg.items()):
+                    if tf[i][w] == 0 or w not in idf:
+                        continue
+                    s += (
+                        c
+                        * idf[w]
+                        * (tf[i][w] * (K1 + 1.0))
+                        / (tf[i][w] + K1 * (1.0 - B + B * dl[i] / avgdl))
+                    )
+                if s != 0.0:
+                    out[(qid, i)] = out.get((qid, i), 0.0) + s
+    return out
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    rows = [
+        ("r", f"{chr(97 + i)}.py", "c", "python", t) for i, t in enumerate(TEXTS)
+    ]
+    docs = spark.createDataFrame(
+        rows, schema="repo STRING, path STRING, commit STRING, lang STRING, content STRING"
+    )
+    eng = BM25QueryEngine(build_index(spark, docs, n_buckets=4, n_salts=2))
+    text_docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], schema="doc_id LONG, text STRING"
+    )
+    return eng, text_docs
+
+
+def test_shingle_channel_matches_python(setup):
+    eng, docs = setup
+    got = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in _shingle_channel_scores(docs, QUERIES).collect()
+    }
+    want = _py_shingles(TEXTS, QUERIES)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
+
+
+def test_sum_of_channels(setup):
+    eng, docs = setup
+    root = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in scored_match_bool_prefix(eng, QUERIES).collect()
+    }
+    sh = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in _shingle_channel_scores(docs, QUERIES).collect()
+    }
+    total = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in search_as_you_type(eng, docs, QUERIES, k=10).collect()
+    }
+    want = dict(root)
+    for k, v in sh.items():
+        want[k] = want.get(k, 0.0) + v
+    assert set(total) == set(want)
+    for k in want:
+        assert total[k] == pytest.approx(want[k], rel=1e-12), k
+
+
+def test_adjacency_outranks_scattered(setup):
+    """Doc 0 has 'table scan' adjacent; doc 1 has the same terms
+    scattered. The shingle channel must put doc 0 above doc 1 for the
+    as-you-type query — that is the operator's reason to exist."""
+    eng, docs = setup
+    ranks = {
+        r["doc_id"]: r["rank"]
+        for r in search_as_you_type(eng, docs, ["table scan sl"], k=6).collect()
+    }
+    assert ranks[0] < ranks[1]

@@ -1,0 +1,51 @@
+"""scripted_metric harness (query/scripted.py): the pinned geomean
+metric equals a sequential recompute, and the integer-quantized state
+makes the result partition-invariant (the determinism device the
+module documents)."""
+
+import math
+
+import pytest
+
+from la_fungus_search_spark.query.scripted import MICRO, geomean_doclen_by_lang
+
+ROWS = [
+    ("python", "def main(): pass"),
+    ("python", "x" * 400),
+    ("python", None),
+    ("go", "package main"),
+    ("go", "func f() {}" * 30),
+    ("rust", "fn main() {}"),
+]
+
+
+def _py(rows):
+    out = {}
+    for lang, text in rows:
+        ln = len(text or "")
+        q = math.floor(math.log(1.0 + ln) * MICRO + 0.5)
+        s, n = out.get(lang, (0, 0))
+        out[lang] = (s + q, n + 1)
+    return {
+        lang: (n, math.floor(math.exp(s / MICRO / n) * MICRO + 0.5))
+        for lang, (s, n) in out.items()
+    }
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, schema="lang STRING, text STRING")
+
+
+def test_matches_python(docs):
+    got = {
+        r["lang"]: (r["n_docs"], r["geomean_len_q"])
+        for r in geomean_doclen_by_lang(docs).collect()
+    }
+    assert got == _py(ROWS)
+
+
+def test_partition_invariant(docs):
+    a = sorted(map(tuple, geomean_doclen_by_lang(docs.repartition(1)).collect()))
+    b = sorted(map(tuple, geomean_doclen_by_lang(docs.repartition(7)).collect()))
+    assert a == b

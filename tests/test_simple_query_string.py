@@ -1,0 +1,101 @@
+"""simple_query_string (query/querystring.py, Lucene
+SimpleQueryParser / ES lenient grammar): parser de-sugaring table,
+the never-raise leniency contract, documented degradations, fuzzy
+clause == the FuzzyQuery path, and classic-parser equivalence on the
+shared subset."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.index.builder import build_index
+from la_fungus_search_spark.query.engine import BM25QueryEngine
+from la_fungus_search_spark.query.expand import search_fuzzy
+from la_fungus_search_spark.query.querystring import (
+    parse_simple_query_string,
+    search_query_string,
+    search_simple_query_string,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_parser_operators():
+    p = parse_simple_query_string("table | scan + join")
+    # '|' separates (default OR); '+' promotes both neighbours
+    assert dict(p["scored"]) == {"table": 1.0, "scan": 1.0, "join": 1.0}
+    assert p["must_terms"] == ["join", "scan"]
+    p = parse_simple_query_string('-python "table part" window')
+    assert p["must_not_terms"] == ["python"]
+    assert p["phrases"] == ["table part"]
+    assert dict(p["scored"]) == {"table": 1.0, "part": 1.0, "window": 1.0}
+    p = parse_simple_query_string("sca* merge~1")
+    assert p["prefixes"] == [("sca", 1.0)]
+    assert p["fuzzy"] == [("merge", 1.0)]
+    assert p["scored"] == []  # fuzzy/prefix clauses score via expansion only
+
+
+def test_parser_never_raises_and_degrades():
+    # the classic parser raises on all of these; the simple grammar
+    # must absorb them (ES's documented "never throw" contract)
+    p = parse_simple_query_string('-"table part" scan')
+    assert p["must_not_terms"] == ["part", "table"] and p["phrases"] == []
+    p = parse_simple_query_string("+wind* scan")
+    # leading '+' promotes the next clause; a non-SHOULD prefix
+    # degrades to a term clause with that occur
+    assert p["must_terms"] == ["wind"] and p["prefixes"] == []
+    p = parse_simple_query_string('"unbalanced scan big')
+    assert dict(p["scored"]) == {"unbalanced": 1.0, "scan": 1.0, "big": 1.0}
+    assert parse_simple_query_string("~~ | + - ()")["scored"] == []
+    assert parse_simple_query_string("")["scored"] == []
+    # groups flatten; operators inside groups still apply flat
+    p = parse_simple_query_string("merge (sort | batch)")
+    assert dict(p["scored"]) == {"merge": 1.0, "sort": 1.0, "batch": 1.0}
+    # a '~N' fuzzy on a negated term degrades to plain negation
+    p = parse_simple_query_string("-merge~1 scan")
+    assert p["must_not_terms"] == ["merge"] and p["fuzzy"] == []
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F.col("text").alias("content"))
+    )
+    return BM25QueryEngine(build_index(spark, docs, id_col="doc_id"))
+
+
+def test_fuzzy_clause_equals_fuzzy_query_path(engine):
+    """A lone ``term~1`` clause IS a FuzzyQuery: the simple-grammar
+    path and expand.search_fuzzy must return identical rankings."""
+    a = [
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in search_simple_query_string(engine, ["mergee~1"], k=10).collect()
+    ]
+    b = [
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in search_fuzzy(engine, ["mergee"], k=10, max_edits=1).collect()
+    ]
+    assert a and a == b
+
+
+def test_shared_subset_equals_classic(engine):
+    """On +/-/bare term clauses the two grammars de-sugar to the same
+    clause sets — rankings must match."""
+    a = [
+        (r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in search_simple_query_string(
+            engine, ["scan + merge -python table"], k=10
+        ).collect()
+    ]
+    b = [
+        (r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in search_query_string(
+            engine, ["+scan +merge -python table"], k=10
+        ).collect()
+    ]
+    assert a and a == b
+
+
+def test_malformed_query_still_searches(engine):
+    hits = search_simple_query_string(engine, ['"unbalanced scan big'], k=5)
+    assert hits.count() > 0

@@ -1,0 +1,102 @@
+"""WordPiece token counts (textops/wordpiece.py): training is
+deterministic and likelihood-driven, greedy longest-match application
+matches an independent recompute, the Spark plan equals per-row
+python, and [UNK] whole-word fallback behaves (BERT semantics)."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.textops.wordpiece import (
+    CONT,
+    encode_word,
+    train_wordpiece,
+    wordpiece_token_counts,
+)
+
+VOCAB = train_wordpiece()
+MAX_LEN = max((len(p) - len(CONT) if p.startswith(CONT) else len(p)) for p in VOCAB)
+
+
+def test_training_deterministic_and_shaped():
+    v2 = train_wordpiece()
+    assert v2 == VOCAB
+    assert len(VOCAB) > 300  # alphabet + real merges, not a stub
+    # both piece forms exist
+    assert any(p.startswith(CONT) for p in VOCAB)
+    assert any(not p.startswith(CONT) for p in VOCAB)
+
+
+def test_encode_matches_independent_recompute():
+    """Greedy longest-match re-derived with a different control flow
+    (scan all prefixes, pick max) — must agree on every seed word and
+    on adversarial strings."""
+
+    def reference(word):
+        pos, n = 0, 0
+        while pos < len(word):
+            cands = []
+            for end in range(pos + 1, len(word) + 1):
+                key = word[pos:end] if pos == 0 else CONT + word[pos:end]
+                if key in VOCAB:
+                    cands.append(end - pos)
+            if not cands:
+                return 1, True
+            pos += max(cands)
+            n += 1
+        return n, False
+
+    words = [
+        "import", "value", "condition", "counter", "xyzzy", "a", "zz",
+        "functionvalue", "qqqq", "données", "print", "123", "x1y2",
+    ]
+    for w in words:
+        assert encode_word(w, VOCAB, MAX_LEN) == reference(w), w
+
+
+def test_unk_fallback():
+    n, unk = encode_word("données", VOCAB, MAX_LEN)  # é not in alphabet
+    assert (n, unk) == (1, True)
+    n, unk = encode_word("import", VOCAB, MAX_LEN)
+    assert not unk and n >= 1
+
+
+def test_spark_plan_equals_python(spark):
+    import re
+
+    from la_fungus_search_spark.textops.stats import BPE_PATTERN
+
+    texts = [
+        "def main(args): return value",
+        "import numpy as np import import",
+        "",
+        "données außer 日本語",  # all-UNK words
+        "counter condition xyzzy print(x1y2)",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema="doc_id LONG, text STRING"
+    )
+    got = {
+        r["doc_id"]: (r["n_pretokens"], r["wp_tokens"], r["n_unk_words"])
+        for r in wordpiece_token_counts(docs).collect()
+    }
+    for i, t in enumerate(texts):
+        words = re.findall(BPE_PATTERN, t)
+        wp = unk = 0
+        for w in words:
+            n, u = encode_word(w, VOCAB, MAX_LEN)
+            wp += n
+            unk += int(u)
+        assert got[i] == (len(words), wp, unk), (i, t)
+
+
+def test_distinct_word_economy(spark):
+    """The kernel sees each distinct word once: a corpus of one word
+    repeated 10k times costs the same distinct-frame as one doc."""
+    docs = spark.createDataFrame(
+        [(0, "import " * 10000)], schema="doc_id LONG, text STRING"
+    )
+    row = wordpiece_token_counts(docs).collect()[0]
+    n, _ = encode_word("import", VOCAB, MAX_LEN)
+    assert row["n_pretokens"] == 10000 and row["wp_tokens"] == 10000 * n
