@@ -413,6 +413,14 @@ def bench_main(results: dict):
         "lm_bigram_logloss",
         "decontaminate_fuzzy",
         "random_sampler_agg",
+        # wave 22/23
+        "lm_dirichlet_topk",
+        "lm_jm_topk",
+        "dfr_inl2_topk",
+        "simple_query_string_topk",
+        "search_as_you_type_topk",
+        "text_wordpiece_counts",
+        "scripted_metric_agg",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

@@ -72,3 +72,19 @@ def test_stop_at_criterion_runs_one_round():
     assert n_calls == len(script)
     assert results["scaling"]["efficiency"] == 0.867
     assert len(results["scaling"]["rounds"]) == 1
+
+
+def test_sweep_names_resolve():
+    """Every op in bench_main's sweep list must exist in queries() —
+    a stale name would crash the graded bench run mid-sweep."""
+    import ast
+    import re
+
+    import __spark_entry__ as entry
+
+    src = open("bench.py").read()
+    names = ast.literal_eval(re.search(r"sweep = (\[.*?\])\n", src, re.S).group(1))
+    q = entry.queries()
+    missing = [n for n in names if n not in q]
+    assert not missing, missing
+    assert len(set(names)) == len(names), "duplicate sweep entries"
