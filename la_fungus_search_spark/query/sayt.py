@@ -41,7 +41,7 @@ gate-sized spelling of the same plan.
 from __future__ import annotations
 
 from collections import Counter
-from typing import List, Sequence, Tuple
+from typing import List, NamedTuple, Sequence, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -75,28 +75,27 @@ def query_grams(q: str, g: int) -> List[str]:
     return [JOIN_CH.join(toks[i : i + g]) for i in range(len(toks) - g + 1)]
 
 
-def _shingle_channel_scores(
-    docs: DataFrame,
-    queries: Sequence[str],
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame | None:
-    """(query_id, doc_id, score) summed over BOTH shingle channels, or
-    None when no query has a completed shingle."""
-    qg_rows: List[Tuple[int, int, str, int]] = []
-    for qid, q in enumerate(queries):
-        for g in (2, 3):
-            for gram, c in sorted(Counter(query_grams(q, g)).items()):
-                qg_rows.append((qid, g, gram, c))
-    if not qg_rows:
-        return None
-    spark = docs.sparkSession
-    qg = F.broadcast(
-        spark.createDataFrame(
-            qg_rows, schema="query_id INT, g INT, gram STRING, qtf INT"
-        )
-    )
+class GramStats(NamedTuple):
+    """The persistable shingle-subfield statistics (the production
+    analogue of ES's indexed ``._2gram``/``._3gram`` subfields): build
+    ONCE per corpus with :func:`build_gram_stats`, persist/write the
+    frames beside the main index, and pass to
+    :func:`search_as_you_type` so repeated query sets never rescan the
+    corpus — the same amortization contract as
+    :func:`~.tfidf.tfidf_doc_norms` and :func:`~.lmsim.lm_collection_stats`."""
 
+    tf: DataFrame      # (g, gram, doc_id, tf)
+    dl: DataFrame      # (doc_id, dl2, dl3)
+    gstats: DataFrame  # 1 row: (n, avgdl2, avgdl3)
+    idf: DataFrame     # (g, gram, idf) — eps-floored per channel
+
+
+def build_gram_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> GramStats:
+    """One tokenize pass over the corpus → the four shingle-stat
+    frames (both gram sizes ride the same explode, rows tagged by g;
+    every agg is map-side combinable)."""
     d = docs.select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks"))
     grams = d.select(
         "doc_id",
@@ -149,6 +148,36 @@ def _shingle_channel_scores(
         ).otherwise(F.col("idf_raw")).alias("idf"),
     )
 
+    return GramStats(tf=tf, dl=dl, gstats=gstats, idf=idf)
+
+
+def _shingle_channel_scores(
+    docs: DataFrame,
+    queries: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_stats: GramStats | None = None,
+) -> DataFrame | None:
+    """(query_id, doc_id, score) summed over BOTH shingle channels, or
+    None when no query has a completed shingle. With ``gram_stats``
+    precomputed (and persisted by the caller) the corpus is never
+    touched — only the gram-keyed scored join runs."""
+    qg_rows: List[Tuple[int, int, str, int]] = []
+    for qid, q in enumerate(queries):
+        for g in (2, 3):
+            for gram, c in sorted(Counter(query_grams(q, g)).items()):
+                qg_rows.append((qid, g, gram, c))
+    if not qg_rows:
+        return None
+    spark = docs.sparkSession
+    qg = F.broadcast(
+        spark.createDataFrame(
+            qg_rows, schema="query_id INT, g INT, gram STRING, qtf INT"
+        )
+    )
+    st = gram_stats if gram_stats is not None else build_gram_stats(docs, id_col, text_col)
+    tf, dl, gstats, idf = st.tf, st.dl, st.gstats, st.idf
+
     qdim = qg.join(idf, ["g", "gram"])
     hits = (
         tf.join(F.broadcast(qdim), ["g", "gram"])
@@ -182,15 +211,18 @@ def search_as_you_type(
     queries: Sequence[str],
     k: int = 10,
     max_expansions: int = 50,
+    gram_stats: GramStats | None = None,
 ) -> DataFrame:
     """most_fields sum of the root bool-prefix channel and the 2-/3-
-    shingle channels → top-k ``(query_id, rank, doc_id, score)``."""
+    shingle channels → top-k ``(query_id, rank, doc_id, score)``.
+    Pass a persisted ``gram_stats`` (:func:`build_gram_stats`) to
+    amortize the corpus pass across query sets."""
     from .expand import scored_match_bool_prefix
 
     root_scored = scored_match_bool_prefix(
         engine, queries, max_expansions=max_expansions
     ).select("query_id", "doc_id", "score")
-    sh = _shingle_channel_scores(docs, queries)
+    sh = _shingle_channel_scores(docs, queries, gram_stats=gram_stats)
     if sh is None:
         summed = root_scored
     else:

@@ -134,6 +134,25 @@ def test_sum_of_channels(setup):
         assert total[k] == pytest.approx(want[k], rel=1e-12), k
 
 
+def test_precomputed_gram_stats_identical(setup):
+    """The persisted-artifact path (build_gram_stats once, pass in)
+    must be bit-identical to the inline path — the amortization
+    contract the module documents."""
+    from la_fungus_search_spark.query.sayt import build_gram_stats
+
+    eng, docs = setup
+    st = build_gram_stats(docs)
+    a = sorted(
+        (r["query_id"], r["doc_id"], r["score"])
+        for r in _shingle_channel_scores(docs, QUERIES).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["doc_id"], r["score"])
+        for r in _shingle_channel_scores(docs, QUERIES, gram_stats=st).collect()
+    )
+    assert a == b
+
+
 def test_adjacency_outranks_scattered(setup):
     """Doc 0 has 'table scan' adjacent; doc 1 has the same terms
     scattered. The shingle channel must put doc 0 above doc 1 for the
