@@ -2350,6 +2350,81 @@ ORDER BY d.doc_id
 """
 
 
+def _unigram_oracle_sql() -> str:
+    """Unigram-LM token-count value-oracle: the Viterbi DP as a DuckDB
+    recursive CTE over DISTINCT pretokens — ONE row per word per
+    position (the recursion carries the whole DP array as a LIST
+    column), so the oracle is linear in total word length with zero
+    segmentation-enumeration blowup. The deterministic embedded model
+    (same ``train_unigram()`` the Spark kernel uses, quantized logp_q)
+    ships as an inline MAP. The DP value at each position packs
+    (score_q, -n_pieces) into one BIGINT — ``enc = (score_q + OFF)
+    * 256 + (255 - n_pieces)`` — so DuckDB's plain ``max`` IS the
+    engine's lexicographic (score desc, fewer pieces) compare
+    (FIXTURES §3b integer-packing device). Unsegmentable words take
+    the whole-word [UNK] arm (1 token, fixed UNK_LOGP_Q); words are
+    truncated to MAX_WORD_LEN chars for scoring on both engines."""
+    from la_fungus_search_spark.textops.stats import BPE_PATTERN
+    from la_fungus_search_spark.textops.unigram import (
+        MAX_PIECE_LEN,
+        MAX_WORD_LEN,
+        UNK_LOGP_Q,
+        train_unigram,
+    )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    model = train_unigram()
+    pieces = sorted(model)
+    keys = ", ".join(q(p) for p in pieces)
+    vals = ", ".join(str(model[p]) for p in pieces)
+    NEG = -(2**62)
+    OFF = 2**40
+    return f"""
+WITH RECURSIVE
+um AS (SELECT map([{keys}], [{vals}]) AS m),
+pt AS (
+    SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), {q(BPE_PATTERN)})) AS word
+    FROM documents
+),
+perdoc AS (SELECT doc_id, word, count(*)::BIGINT AS n FROM pt GROUP BY 1, 2),
+words AS (SELECT DISTINCT word, left(word, {MAX_WORD_LEN}) AS w FROM perdoc),
+dp(word, w, j, best) AS (
+    SELECT word, w, 1, [CAST({OFF} AS BIGINT) * 256 + 255] FROM words
+    UNION ALL
+    SELECT r.word, r.w, r.j + 1,
+        list_append(r.best,
+            list_aggregate(
+                list_transform(range(GREATEST(1, r.j - {MAX_PIECE_LEN} + 1), r.j + 1),
+                    i -> CASE WHEN len(map_extract(um.m, r.w[i:r.j])) > 0
+                              AND r.best[i] > {NEG}
+                         THEN ((r.best[i] // 256) + map_extract(um.m, r.w[i:r.j])[1]) * 256
+                              + (r.best[i] % 256) - 1
+                         ELSE CAST({NEG} AS BIGINT) END),
+                'max'))
+    FROM dp r, um WHERE r.j <= length(r.w)
+),
+seg AS (
+    SELECT word,
+        (CASE WHEN best[length(w) + 1] <= {NEG} THEN 1
+              ELSE 255 - (best[length(w) + 1] % 256) END)::INT AS n_uni,
+        (CASE WHEN best[length(w) + 1] <= {NEG} THEN {UNK_LOGP_Q}
+              ELSE best[length(w) + 1] // 256 - {OFF} END)::BIGINT AS score_q
+    FROM dp WHERE j = length(w) + 1
+)
+SELECT d.doc_id,
+       coalesce(sum(p.n), 0)::BIGINT AS n_pretokens,
+       coalesce(sum(p.n * s.n_uni), 0)::BIGINT AS unigram_tokens,
+       coalesce(sum(p.n * s.score_q), 0)::BIGINT AS logprob_q
+FROM documents d
+LEFT JOIN perdoc p USING (doc_id)
+LEFT JOIN seg s USING (word)
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def _hybrid_knn_oracle_sql(
     cos_expr: str, window: int = 50, k_const: int = 60, topk: int = 10
 ) -> str:
@@ -3914,6 +3989,23 @@ def q_text_bpe_counts(spark, sf_dir):
     from la_fungus_search_spark.textops import bpe
 
     return bpe.bpe_token_counts(_documents(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_text_unigram_counts(spark, sf_dir):
+    """Real unigram-LM token counts (Kudo 2018, the SentencePiece
+    model: quantized-logp EM training over embedded seeds, Viterbi
+    application) — completes the BPE / WordPiece / Unigram tokenizer
+    trio. Same distinct-word kernel + join-back shape as BPE: DP cost
+    ∝ corpus vocabulary, never corpus tokens; whole-word [UNK]
+    fallback. Value-oracle: the Viterbi DP runs in DuckDB as a
+    one-row-per-word recursive CTE carrying the DP array as a LIST,
+    with (score, -pieces) packed into one BIGINT so plain ``max`` is
+    the lexicographic compare (_unigram_oracle_sql);
+    tests/test_unigram.py additionally pins the kernel against an
+    independent recursive segmenter and EM against its invariants."""
+    from la_fungus_search_spark.textops import unigram
+
+    return unigram.unigram_token_counts(_documents(spark, sf_dir)).orderBy("doc_id")
 
 
 def q_text_lang_id_model(spark, sf_dir):
@@ -6452,6 +6544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simple_query_string_topk": q_simple_query_string_topk,
         "search_as_you_type_topk": q_search_as_you_type_topk,
         "text_wordpiece_counts": q_text_wordpiece_counts,
+        "text_unigram_counts": q_text_unigram_counts,
         "scripted_metric_agg": q_scripted_metric_agg,
         "ann_srp_topk": q_ann_srp_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -7138,6 +7231,7 @@ FROM documents GROUP BY lang ORDER BY lang
         "query_dedup": _query_dedup_oracle_sql(),
         "text_bpe_counts": _bpe_oracle_sql(),
         "text_wordpiece_counts": _wordpiece_oracle_sql(),
+        "text_unigram_counts": _unigram_oracle_sql(),
         "significant_terms": _significant_oracle_sql(),
         "search_after_topk": _search_after_oracle_sql(),
         "explain_topk": _explain_oracle_sql(),

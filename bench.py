@@ -421,6 +421,8 @@ def bench_main(results: dict):
         "search_as_you_type_topk",
         "text_wordpiece_counts",
         "scripted_metric_agg",
+        # wave 24
+        "text_unigram_counts",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

@@ -1,0 +1,320 @@
+"""Unigram-LM token counts (Kudo, ACL 2018 — the SentencePiece unigram
+model) — the fourth token accountant beside :mod:`stats`'s regex
+counts, :mod:`bpe`'s merge-table BPE and :mod:`wordpiece`'s greedy
+longest-match, completing the tokenizer-family trio real pipelines
+budget against (BPE / WordPiece / Unigram).
+
+Training is the published EM + prune loop over the embedded seed
+texts, with two documented simplifications that buy exact
+determinism:
+
+* the model's log-probabilities are QUANTIZED to 1e-6 (BIGINT
+  ``logp_q``) at every M-step boundary, so the model the E-step reads
+  — and the final model both engines score with — is integer-valued
+  and identical across runs, machines and partitionings;
+* pruning is expected-count-based (keep all single chars + the top-K
+  multi-char pieces by (expected count desc, piece asc)) instead of
+  Kudo's likelihood-loss ranking — same shape, exact tie-break.
+
+Application is Viterbi (the paper's ``l=1`` decode): the best
+segmentation maximizes total ``logp_q``; ties prefer FEWER pieces
+(then any equal-(score, count) segmentation — the outputs, count and
+score, are already equal). A pretoken that cannot be segmented (a
+character outside the vocabulary) is one ``[UNK]`` token with the
+fixed score ``UNK_LOGP_Q``, mirroring WordPiece's whole-word UNK.
+
+Reference analog: none (the reference budget-estimates tokens as
+``len(text) // 4`` — ``rag/generation.py:153-154``); brief-driven
+(training-data pipeline token accounting).
+
+Spark-first shape — identical to :mod:`bpe` / :mod:`wordpiece` (the
+only sane shape for a per-word DP):
+
+1. pretokenize (JVM regex) → per-(doc, word) counts            [shuffle 1]
+2. DISTINCT words → Arrow-batched Viterbi kernel → (word, n, score)
+3. join back on word, per-doc sum                              [shuffle 2]
+
+DP cost is O(|word| · max_piece_len) per DISTINCT word — ∝ corpus
+vocabulary (Zipf-tiny), never ∝ corpus tokens. The value-oracle runs
+the same DP in DuckDB as a single-row-per-word recursive CTE carrying
+the whole DP array as a LIST column (one row per word per position —
+linear, no segmentation-enumeration blowup), with (score, -pieces)
+packed into one BIGINT so ``max`` IS the lexicographic compare
+(FIXTURES §3b: integer packing + single-path recursion devices).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from functools import lru_cache
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.textops.bpe import CODE_SEED
+from la_fungus_search_spark.textops.stats import BPE_PATTERN, LANG_SEED_TEXTS
+
+SCALE = 10**6  # logp quantization: logp_q = round(ln p * SCALE)
+MAX_PIECE_LEN = 8
+MAX_WORD_LEN = 64  # pretokens are truncated to this for scoring (both engines)
+VOCAB_SIZE_DEFAULT = 512
+N_EM_DEFAULT = 2  # EM rounds before pruning (one more runs after)
+UNK_LOGP_Q = -20 * SCALE  # fixed whole-word [UNK] score
+
+
+def _seed_words() -> dict[str, int]:
+    from collections import Counter
+
+    texts = [CODE_SEED, *[LANG_SEED_TEXTS[k] for k in sorted(LANG_SEED_TEXTS)]]
+    words: Counter = Counter()
+    for t in texts:
+        words.update(w[:MAX_WORD_LEN] for w in re.findall(BPE_PATTERN, t))
+    return dict(words)
+
+
+def _viterbi(word: str, logp_q: dict[str, int]) -> tuple[int, int] | None:
+    """Best (score_q, n_pieces) for ``word`` under the quantized model,
+    maximizing (score_q, -n_pieces); None if unsegmentable."""
+    w = word[:MAX_WORD_LEN]
+    n = len(w)
+    # best[j] = (score_q, -n_pieces) for prefix w[:j], or None
+    best: list[tuple[int, int] | None] = [None] * (n + 1)
+    best[0] = (0, 0)
+    for j in range(1, n + 1):
+        b = None
+        for i in range(max(0, j - MAX_PIECE_LEN), j):
+            if best[i] is None:
+                continue
+            lp = logp_q.get(w[i:j])
+            if lp is None:
+                continue
+            cand = (best[i][0] + lp, best[i][1] - 1)
+            if b is None or cand > b:
+                b = cand
+        best[j] = b
+    if best[n] is None:
+        return None
+    return best[n][0], -best[n][1]
+
+
+def _expected_counts(
+    words: dict[str, int], logp_q: dict[str, int]
+) -> dict[str, int]:
+    """E-step: quantized expected piece counts over the word lattice
+    (forward-backward in log-space — serial per word, deterministic;
+    per-word contributions quantized to 1e-6 BEFORE accumulation so
+    the corpus sum is exact integer arithmetic)."""
+    totals: dict[str, int] = {}
+    for w in sorted(words):
+        f = words[w]
+        n = len(w)
+        # forward/backward log-marginals over positions
+        NEGINF = float("-inf")
+        alpha = [NEGINF] * (n + 1)
+        beta = [NEGINF] * (n + 1)
+        alpha[0] = 0.0
+        for j in range(1, n + 1):
+            acc: list[float] = []
+            for i in range(max(0, j - MAX_PIECE_LEN), j):
+                lp = logp_q.get(w[i:j])
+                if lp is not None and alpha[i] > NEGINF:
+                    acc.append(alpha[i] + lp / SCALE)
+            if acc:
+                m = max(acc)
+                alpha[j] = m + math.log(sum(math.exp(a - m) for a in acc))
+        if alpha[n] == NEGINF:
+            continue  # unsegmentable seed word contributes nothing
+        beta[n] = 0.0
+        for i in range(n - 1, -1, -1):
+            acc = []
+            for j in range(i + 1, min(n, i + MAX_PIECE_LEN) + 1):
+                lp = logp_q.get(w[i:j])
+                if lp is not None and beta[j] > NEGINF:
+                    acc.append(lp / SCALE + beta[j])
+            if acc:
+                m = max(acc)
+                beta[i] = m + math.log(sum(math.exp(a - m) for a in acc))
+        z = alpha[n]
+        contrib: dict[str, float] = {}
+        for i in range(n):
+            if alpha[i] == NEGINF:
+                continue
+            for j in range(i + 1, min(n, i + MAX_PIECE_LEN) + 1):
+                lp = logp_q.get(w[i:j])
+                if lp is None or beta[j] == NEGINF:
+                    continue
+                e = math.exp(alpha[i] + lp / SCALE + beta[j] - z) * f
+                p = w[i:j]
+                contrib[p] = contrib.get(p, 0.0) + e
+        for p, e in contrib.items():
+            q = int(round(e * SCALE))
+            if q > 0:
+                totals[p] = totals.get(p, 0) + q
+    return totals
+
+
+def _m_step(counts: dict[str, int], chars: set[str]) -> dict[str, int]:
+    """Quantized log-prob model from integer expected counts; single
+    chars keep a floor count of 1 (quantized) so the model can always
+    segment any in-alphabet word."""
+    c = dict(counts)
+    for ch in chars:
+        if c.get(ch, 0) <= 0:
+            c[ch] = 1
+    total = sum(v for v in c.values() if v > 0)
+    return {
+        p: int(round(math.log(v / total) * SCALE))
+        for p, v in c.items()
+        if v > 0
+    }
+
+
+def train_unigram(
+    seed_texts: list[str] | None = None,
+    vocab_size: int = VOCAB_SIZE_DEFAULT,
+    n_em: int = N_EM_DEFAULT,
+) -> dict[str, int]:
+    """Unigram-LM model (piece → quantized logp) from seed word
+    frequencies: substring-count seeding, ``n_em`` EM rounds,
+    count-based prune to ``vocab_size``, one final EM round.
+    Deterministic end to end (integer counts, exact tie-breaks)."""
+    if seed_texts is None:
+        words = _seed_words()
+    else:
+        from collections import Counter
+
+        wc: Counter = Counter()
+        for t in seed_texts:
+            wc.update(w[:MAX_WORD_LEN] for w in re.findall(BPE_PATTERN, t))
+        words = dict(wc)
+    chars = {ch for w in words for ch in w}
+    # seed counts: every substring occurrence up to MAX_PIECE_LEN
+    seed_counts: dict[str, int] = {}
+    for w in sorted(words):
+        f = words[w]
+        n = len(w)
+        for i in range(n):
+            for j in range(i + 1, min(n, i + MAX_PIECE_LEN) + 1):
+                p = w[i:j]
+                seed_counts[p] = seed_counts.get(p, 0) + f * SCALE
+    # seed cap: chars always in; multi-char pieces need support >= 2
+    # occurrences and survive a generous 4x-vocab preselection
+    multi = sorted(
+        (
+            (p, c)
+            for p, c in seed_counts.items()
+            if len(p) > 1 and c >= 2 * SCALE
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[: 4 * vocab_size]
+    counts = {p: c for p, c in multi}
+    for ch in chars:
+        counts[ch] = seed_counts.get(ch, SCALE)
+    model = _m_step(counts, chars)
+    for _ in range(n_em):
+        model = _m_step(_expected_counts(words, model), chars)
+    # prune: chars always kept; top-K multi-char pieces by
+    # (expected count desc, piece asc)
+    ec = _expected_counts(words, model)
+    keep_k = max(0, vocab_size - len(chars))
+    kept = sorted(
+        ((p, c) for p, c in ec.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:keep_k]
+    pruned = {p: c for p, c in kept}
+    for ch in chars:
+        pruned[ch] = ec.get(ch, 1)
+    model = _m_step(pruned, chars)
+    model = _m_step(_expected_counts(words, model), chars)
+    return model
+
+
+def segment_counts(word: str, model: dict[str, int]) -> tuple[int, int]:
+    """(n_tokens, score_q) for one pretoken — Viterbi, or the
+    whole-word [UNK] fallback."""
+    r = _viterbi(word, model)
+    if r is None:
+        return 1, UNK_LOGP_Q
+    return r[1], r[0]
+
+
+def unigram_token_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model: dict[str, int] | None = None,
+) -> DataFrame:
+    """(doc_id, n_pretokens, unigram_tokens, logprob_q) with the real
+    unigram-LM tokenizer.
+
+    Plan: JVM pretokenize/explode → (doc, word) counts → Viterbi each
+    DISTINCT word once in an Arrow kernel → join back → per-doc sum.
+    Docs with no pretokens get zeros.
+    """
+    model = train_unigram() if model is None else model
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_extract_all(
+            F.coalesce(F.col(text_col), F.lit("")), F.lit(BPE_PATTERN), F.lit(0)
+        ).alias("words"),
+    )
+    wc = (
+        d.select("doc_id", F.explode("words").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    distinct_words = wc.select("word").distinct()
+
+    def seg(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        @lru_cache(maxsize=1 << 16)
+        def one(w: str) -> tuple[int, int]:
+            return segment_counts(w, model)
+
+        for pdf in batches:
+            pairs = [one(w) for w in pdf["word"]]
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_uni": pd.array([p[0] for p in pairs], dtype="int32"),
+                    "score_q": pd.array(
+                        [p[1] for p in pairs], dtype="int64"
+                    ),
+                }
+            )
+
+    encoded = distinct_words.mapInPandas(
+        seg, schema="word STRING, n_uni INT, score_q BIGINT"
+    )
+    per_doc = (
+        wc.join(encoded, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_pretokens"),
+            F.sum(F.col("n") * F.col("n_uni")).cast("bigint").alias(
+                "unigram_tokens"
+            ),
+            F.sum(F.col("n") * F.col("score_q")).cast("bigint").alias(
+                "logprob_q"
+            ),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_pretokens", F.lit(0)).cast("bigint").alias(
+                "n_pretokens"
+            ),
+            F.coalesce("unigram_tokens", F.lit(0)).cast("bigint").alias(
+                "unigram_tokens"
+            ),
+            F.coalesce("logprob_q", F.lit(0)).cast("bigint").alias(
+                "logprob_q"
+            ),
+        )
+    )

@@ -114,6 +114,7 @@ AUDIT = [
     "text_lang_id_model",
     "text_bpe_counts",
     "text_wordpiece_counts",
+    "text_unigram_counts",
     "scripted_metric_agg",
     "multimodal_decode",
     "phrase_match_topk",

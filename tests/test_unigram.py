@@ -1,0 +1,174 @@
+"""Unigram-LM token counts (textops/unigram.py): EM training is
+deterministic and quantized, Viterbi application matches an
+independent recursive segmenter, EM improves seed-corpus likelihood,
+the Spark plan equals per-row python, [UNK] whole-word fallback and
+partitioning invariance hold, and the DuckDB value-oracle (packed-DP
+recursive CTE) agrees with the kernel on a synthetic corpus."""
+
+import math
+import re
+from functools import lru_cache
+
+import pytest
+
+from la_fungus_search_spark.textops.stats import BPE_PATTERN
+from la_fungus_search_spark.textops.unigram import (
+    MAX_PIECE_LEN,
+    MAX_WORD_LEN,
+    SCALE,
+    UNK_LOGP_Q,
+    _seed_words,
+    _viterbi,
+    segment_counts,
+    train_unigram,
+    unigram_token_counts,
+)
+
+MODEL = train_unigram()
+
+
+def test_training_deterministic_and_shaped():
+    m2 = train_unigram()
+    assert m2 == MODEL
+    assert 300 < len(MODEL) <= 520  # alphabet + real learned pieces
+    assert any(len(p) > 1 for p in MODEL)
+    # every logp is a negative quantized integer; the model is a
+    # (sub-)distribution: sum of probs <= 1 + quantization slack
+    assert all(isinstance(v, int) and v < 0 for v in MODEL.values())
+    total = sum(math.exp(v / SCALE) for v in MODEL.values())
+    assert total <= 1.0 + 1e-3
+    # single chars of the seed alphabet always survive pruning
+    assert all(ch in MODEL for w in _seed_words() for ch in w)
+
+
+def test_viterbi_matches_independent_recursive_segmenter():
+    """Viterbi re-derived with a different control flow: top-down
+    recursion with memoization maximizing (score, -pieces) — must
+    agree on seed words and adversarial strings."""
+
+    @lru_cache(maxsize=None)
+    def rec(w):
+        if not w:
+            return (0, 0)
+        best = None
+        for k in range(1, min(len(w), MAX_PIECE_LEN) + 1):
+            lp = MODEL.get(w[:k])
+            if lp is None:
+                continue
+            rest = rec(w[k:])
+            if rest is None:
+                continue
+            cand = (lp + rest[0], rest[1] - 1)
+            if best is None or cand > best:
+                best = cand
+        return best
+
+    words = list(_seed_words()) + [
+        "functionvalue", "xyzzy", "qqqq", "a", "zz", "123", "x1y2",
+        "tokenization", "unigram", "internationalization",
+    ]
+    for w in words:
+        got = _viterbi(w, MODEL)
+        want = rec(w[:MAX_WORD_LEN])
+        if want is None:
+            assert got is None, w
+        else:
+            assert got == (want[0], -want[1]), w
+
+
+def test_unk_fallback_and_truncation():
+    # out-of-alphabet char -> whole-word UNK
+    assert segment_counts("внешний", MODEL) == (1, UNK_LOGP_Q)
+    # truncation: scoring sees only the first MAX_WORD_LEN chars
+    long = "a" * (MAX_WORD_LEN + 50)
+    assert segment_counts(long, MODEL) == segment_counts("a" * MAX_WORD_LEN, MODEL)
+
+
+def test_em_improves_seed_likelihood():
+    """Total Viterbi log-likelihood of the seed corpus under the
+    trained model beats the 0-EM (seed-count) model."""
+    m0 = train_unigram(n_em=0)
+    words = _seed_words()
+
+    def ll(model):
+        s = 0
+        for w, f in words.items():
+            r = _viterbi(w, model)
+            s += (r[0] if r is not None else UNK_LOGP_Q) * f
+        return s
+
+    assert ll(MODEL) >= ll(m0)
+
+
+def test_distributed_counts_match_driver_recompute(spark):
+    rows = [
+        (1, "def main(args): return value for item in range"),
+        (2, "the quick brown fox jumps import numpy"),
+        (3, None),
+        (4, ""),
+        (5, "功能 mixed функция with known words class object"),
+        (6, "x" * 200),  # one long pretoken, exercises truncation
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {
+        r["doc_id"]: (r["n_pretokens"], r["unigram_tokens"], r["logprob_q"])
+        for r in unigram_token_counts(df, model=MODEL).collect()
+    }
+    for doc_id, text in rows:
+        words = re.findall(BPE_PATTERN, text or "")
+        n_tok = sc = 0
+        for w in words:
+            n, s = segment_counts(w, MODEL)
+            n_tok += n
+            sc += s
+        assert got[doc_id] == (len(words), n_tok, sc), doc_id
+
+
+def test_partitioning_invariance(spark):
+    rows = [(i, f"value {i} condition import x{i}") for i in range(40)]
+    df1 = spark.createDataFrame(rows, "doc_id BIGINT, text STRING").repartition(1)
+    df7 = spark.createDataFrame(rows, "doc_id BIGINT, text STRING").repartition(7)
+    a = sorted(map(tuple, unigram_token_counts(df1, model=MODEL).collect()))
+    b = sorted(map(tuple, unigram_token_counts(df7, model=MODEL).collect()))
+    assert a == b
+
+
+def test_duckdb_oracle_matches_kernel():
+    """The packed-DP recursive CTE (the gate's value-oracle) agrees
+    with the Arrow kernel's per-word results on a synthetic corpus
+    with UNK, ties and truncation edges."""
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from __spark_entry__ import _unigram_oracle_sql
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "def main(args): return value",
+                "the quick brown fox",
+                "внешний unknown chars",
+                "a" * 200 + " tie tie tie",
+                None,
+            ],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    odf = con.execute(_unigram_oracle_sql()).fetchdf()
+    want = {}
+    for _, row in docs.iterrows():
+        words = re.findall(BPE_PATTERN, row["text"] or "")
+        n_tok = sc = 0
+        for w in words:
+            n, s = segment_counts(w, MODEL)
+            n_tok += n
+            sc += s
+        want[row["doc_id"]] = (len(words), n_tok, sc)
+    for _, r in odf.iterrows():
+        assert (
+            int(r["n_pretokens"]),
+            int(r["unigram_tokens"]),
+            int(r["logprob_q"]),
+        ) == want[int(r["doc_id"])], r["doc_id"]
