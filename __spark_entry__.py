@@ -5029,6 +5029,7 @@ def q_diversified_sampler_agg(spark, sf_dir):
 GEO_ORIGIN = (37.7749, -122.4194)  # fixed query origin (San Francisco)
 GEO_RADIUS_M = 6_000_000
 GEO_K = 25
+GEO_RING_EDGES_M = [3_000_000, 8_000_000, 14_000_000, 19_000_000]
 GEO_ZOOM = 4
 GEO_TOP_N = 20
 
@@ -5042,6 +5043,19 @@ def q_geo_distance_topk(spark, sf_dir):
     TakeOrderedAndProject — no shuffle, no corpus window."""
     return geo_ops.geo_distance_topk(
         _documents(spark, sf_dir), GEO_ORIGIN[0], GEO_ORIGIN[1], GEO_RADIUS_M, GEO_K
+    )
+
+
+def q_geo_distance_agg(spark, sf_dir):
+    """ES ``geo_distance`` AGGREGATION (query/geo.py
+    geo_distance_agg): ring buckets ``[0,3000km) … [19000km,∞)``
+    around the fixed origin over the same synthetic points; ring
+    membership tests the mm-quantized distance, every requested ring
+    surfaces (zero counts included, the ES contract — the last ring
+    sits past the ~20015 km antipodal maximum to pin that edge). One
+    codegen distance pass + groupBy on ≤5 keys + broadcast ring dim."""
+    return geo_ops.geo_distance_agg(
+        _documents(spark, sf_dir), GEO_ORIGIN[0], GEO_ORIGIN[1], GEO_RING_EDGES_M
     )
 
 
@@ -5661,6 +5675,28 @@ def q_children_agg(spark, sf_dir):
     )
     meta = _documents(spark, sf_dir).select("doc_id", "lang")
     return parentchild_ops.children_agg(meta, children, "lang", "child_len")
+
+
+def q_parent_agg(spark, sf_dir):
+    """ES ``parent`` aggregation (query/parentchild.py parent_agg):
+    the children_agg dual — terms buckets over a CHILD field (the
+    chunk's content class: 'join' / 'merge' / 'other') whose metrics
+    run over the resolved PARENT docs, deduplicated (a parent with
+    many matching chunks counts once — ES's join-back semantics).
+    DISTINCT (bucket, parent) shuffle + one parent-keyed equi-join +
+    one map-side-combinable aggregate."""
+    ch = chunk_line_windows(_doc_lines(spark, sf_dir), [CHUNK_W], carry_cols=("doc_id",))
+    children = ch.select(
+        F.col("doc_id").alias("parent_id"),
+        F.when(F.col("body").contains("join"), F.lit("join"))
+        .when(F.col("body").contains("merge"), F.lit("merge"))
+        .otherwise(F.lit("other"))
+        .alias("grp"),
+    )
+    meta = _documents(spark, sf_dir).select(
+        "doc_id", F.length(F.coalesce(F.col("text"), F.lit(""))).alias("parent_len")
+    )
+    return parentchild_ops.parent_agg(meta, children, "grp", "parent_len")
 
 
 def q_significant_text(spark, sf_dir):
@@ -6668,6 +6704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_agg": q_normalize_agg,
         "diversified_sampler_agg": q_diversified_sampler_agg,
         "geo_distance_topk": q_geo_distance_topk,
+        "geo_distance_agg": q_geo_distance_agg,
         "geotile_grid_agg": q_geotile_grid_agg,
         "semdedup_select": q_semdedup_select,
         "geo_bounds_agg": q_geo_bounds_agg,
@@ -6688,6 +6725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_damerau_topk": q_fuzzy_damerau_topk,
         # wave 15
         "children_agg": q_children_agg,
+        "parent_agg": q_parent_agg,
         "significant_text": q_significant_text,
         "common_terms_topk": q_common_terms_topk,
         # wave 16
@@ -8698,6 +8736,9 @@ FROM s WHERE rn <= 2 GROUP BY 1 ORDER BY 1
         "geo_distance_topk": geo_ops.geo_distance_oracle_sql(
             GEO_ORIGIN[0], GEO_ORIGIN[1], GEO_RADIUS_M, GEO_K
         ),
+        "geo_distance_agg": geo_ops.geo_distance_agg_oracle_sql(
+            GEO_ORIGIN[0], GEO_ORIGIN[1], GEO_RING_EDGES_M
+        ),
         "geotile_grid_agg": geo_ops.geotile_grid_oracle_sql(
             zoom=GEO_ZOOM, top_n=GEO_TOP_N
         ),
@@ -9207,6 +9248,37 @@ SELECT pb.grp AS grp, n_parents,
        coalesce(sum_child_chars, 0)::BIGINT AS sum_child_chars,
        coalesce(avg_child_chars_micro, 0)::BIGINT AS avg_child_chars_micro
 FROM pb LEFT JOIN cb USING (grp) ORDER BY grp
+""",
+        "parent_agg": f"""
+WITH dlv AS (SELECT doc_id, replace(coalesce(text, ''), ' ', chr(10)) AS content FROM documents),
+dl0 AS (SELECT doc_id, content, string_split(content, chr(10)) AS ls0 FROM dlv),
+dlx AS (
+    SELECT doc_id, content,
+           CASE WHEN content LIKE '%' || chr(10)
+                THEN list_slice(ls0, 1, greatest(len(ls0) - 1, 0)) ELSE ls0 END AS ls
+    FROM dl0
+),
+s AS (SELECT doc_id, ls, unnest(range(0, len(ls), {CHUNK_W})) AS i FROM dlx WHERE len(ls) > 0),
+c AS (
+    SELECT doc_id AS parent_id,
+           array_to_string(list_slice(ls, i + 1, least(i + {CHUNK_W}, len(ls))), chr(10)) AS body
+    FROM s
+),
+ch AS (
+    SELECT parent_id,
+           CASE WHEN body LIKE '%join%' THEN 'join'
+                WHEN body LIKE '%merge%' THEN 'merge'
+                ELSE 'other' END AS grp
+    FROM c
+    WHERE regexp_replace(body, '^[ \t\n\r\f\x0b]+|[ \t\n\r\f\x0b]+$', '', 'g') <> ''
+),
+cset AS (SELECT DISTINCT grp, parent_id FROM ch),
+p AS (SELECT doc_id AS parent_id, length(coalesce(text, ''))::BIGINT AS plen FROM documents)
+SELECT grp, count(*)::BIGINT AS n_parents,
+       sum(plen)::BIGINT AS sum_parent_chars,
+       round(sum(plen) * 1000000.0 / count(*))::BIGINT AS avg_parent_chars_micro
+FROM cset JOIN p USING (parent_id)
+GROUP BY grp ORDER BY grp
 """,
         "significant_text": _significant_text_oracle_sql(),
         "common_terms_topk": _common_terms_oracle_sql(10),

@@ -423,6 +423,8 @@ def bench_main(results: dict):
         "scripted_metric_agg",
         # wave 24
         "text_unigram_counts",
+        "geo_distance_agg",
+        "parent_agg",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

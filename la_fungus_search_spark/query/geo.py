@@ -743,3 +743,112 @@ SELECT grp, count(*)::BIGINT AS n_points,
            AS line
 FROM pts GROUP BY grp ORDER BY grp
 """
+
+
+# ----------------------------------------------------- geo_distance agg
+
+
+def geo_distance_agg(
+    docs_df: DataFrame,
+    origin_lat: float,
+    origin_lon: float,
+    edges_m: Sequence[int],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``geo_distance`` AGGREGATION (the ring-bucket dual of the
+    geo_distance query): every synthetic point falls into exactly one
+    distance ring from the origin — ``[0, e1), [e1, e2), …,
+    [e_last, ∞)`` for ``edges_m`` ascending metre edges — and each
+    REQUESTED ring reports its doc_count, zero-count rings included
+    (the ES contract: the agg always returns one bucket per requested
+    range) → ``(bucket_idx, from_m, to_m, doc_count)``, ``to_m`` NULL
+    on the unbounded last ring.
+
+    Ring membership tests the QUANTIZED integer millimetre distance
+    (the module's quantize-then-compare contract), so bucket counts
+    are engine-invariant.
+
+    Physical shape at 100 TB: per-row distance + ring index in one
+    codegen stage fused into the scan, one map-side-combined groupBy
+    on ≤ len(edges)+1 keys, then a broadcast left join from the tiny
+    requested-rings dim so empty rings surface — no corpus-sized
+    shuffle beyond the ≤(rings × partitions) partial rows."""
+    edges = [int(e) for e in edges_m]
+    if not edges or any(e <= 0 for e in edges) or sorted(set(edges)) != edges:
+        raise ValueError("edges_m must be ascending positive metres")
+    pts = geo_points(docs_df, id_col=id_col)
+    d = pts.select(
+        _haversine_mm(F.col("lat"), F.col("lon"), origin_lat, origin_lon).alias(
+            "dist_mm"
+        )
+    )
+    # ring index: number of edges <= dist  (edge e in mm bounds ring
+    # [prev, e) — dist_mm < e*1000 keeps it in the lower ring)
+    idx = F.lit(0)
+    for e in edges:
+        idx = idx + F.when(F.col("dist_mm") >= e * 1000, F.lit(1)).otherwise(F.lit(0))
+    counts = (
+        d.select(idx.cast("int").alias("bucket_idx"))
+        .groupBy("bucket_idx")
+        .agg(F.count("*").cast("bigint").alias("doc_count"))
+    )
+    spark = docs_df.sparkSession
+    bounds = [(i, (0 if i == 0 else edges[i - 1]), (edges[i] if i < len(edges) else None)) for i in range(len(edges) + 1)]
+    rings = spark.createDataFrame(
+        bounds, "bucket_idx INT, from_m BIGINT, to_m BIGINT"
+    )
+    return (
+        F.broadcast(rings)
+        .join(counts, "bucket_idx", "left")
+        .select(
+            "bucket_idx",
+            "from_m",
+            "to_m",
+            F.coalesce("doc_count", F.lit(0)).cast("bigint").alias("doc_count"),
+        )
+        .orderBy("bucket_idx")
+    )
+
+
+def geo_distance_agg_oracle_sql(
+    origin_lat: float,
+    origin_lon: float,
+    edges_m: Sequence[int],
+    src: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`geo_distance_agg` — identical haversine
+    expression order, identical mm quantization and ring edges, the
+    requested rings as a VALUES dim left-joined so empty rings
+    surface."""
+    edges = [int(e) for e in edges_m]
+    lat0r, lon0 = repr(math.radians(origin_lat)), repr(float(origin_lon))
+    lat0 = repr(float(origin_lat))
+    two_r = repr(2.0 * EARTH_RADIUS_M)
+    ring_rows = ", ".join(
+        f"({i}, {0 if i == 0 else edges[i - 1]}, "
+        f"{edges[i] if i < len(edges) else 'NULL'})"
+        for i in range(len(edges) + 1)
+    )
+    idx_expr = " + ".join(
+        f"(CASE WHEN dist_mm >= {e}::BIGINT * 1000 THEN 1 ELSE 0 END)" for e in edges
+    )
+    return f"""
+WITH pts AS ({_points_sql(src)}),
+d AS (
+    SELECT round({two_r} * asin(sqrt(least(
+               sin(radians(lat - {lat0}) / 2.0) * sin(radians(lat - {lat0}) / 2.0)
+               + cos(radians(lat)) * cos({lat0r})
+                 * sin(radians(lon - {lon0}) / 2.0) * sin(radians(lon - {lon0}) / 2.0)
+           , 1.0))) * 1000.0)::BIGINT AS dist_mm
+    FROM pts
+),
+c AS (
+    SELECT ({idx_expr})::INT AS bucket_idx, count(*)::BIGINT AS doc_count
+    FROM d GROUP BY 1
+),
+rings(bucket_idx, from_m, to_m) AS (VALUES {ring_rows})
+SELECT rings.bucket_idx::INT AS bucket_idx, from_m::BIGINT AS from_m,
+       to_m::BIGINT AS to_m, coalesce(doc_count, 0)::BIGINT AS doc_count
+FROM rings LEFT JOIN c USING (bucket_idx)
+ORDER BY bucket_idx
+"""

@@ -204,3 +204,50 @@ def children_agg(
         )
         .orderBy("grp")
     )
+
+
+def parent_agg(
+    parent_meta: DataFrame,
+    children: DataFrame,
+    child_bucket_col: str = "grp",
+    parent_len_col: str = "parent_len",
+) -> DataFrame:
+    """ES ``parent`` aggregation (match_all context): the dual of
+    :func:`children_agg` — a ``terms`` bucketing over a CHILD field
+    whose sub-aggregations run over the children's PARENT documents.
+    ES's join-back deduplicates: a parent with many children in the
+    bucket counts ONCE (the agg's doc_count is parent docs), so per
+    child bucket → ``(grp, n_parents, sum_parent_chars,
+    avg_parent_chars_micro)``: distinct parents, exact BIGINT sum of
+    the parent metric over those distinct parents, one rounded
+    division.
+
+    ``children``: (parent_id, <child_bucket_col>) — one row per child.
+    ``parent_meta``: (doc_id, <parent_len_col>) — one row per parent.
+
+    Physical shape: project → DISTINCT (grp, parent_id) — the dedup
+    shuffle carries one row per (bucket, parent) pair, never the
+    child fan-out — then one parent-keyed equi-join onto the parent
+    metric and one map-side-combinable aggregate on ≤|buckets| keys."""
+    c = children.select(
+        F.coalesce(F.col(child_bucket_col).cast("string"), F.lit("(none)")).alias(
+            "grp"
+        ),
+        "parent_id",
+    ).distinct()
+    p = parent_meta.select(
+        F.col("doc_id").alias("parent_id"),
+        F.col(parent_len_col).cast("bigint").alias("plen"),
+    )
+    return (
+        c.join(p, "parent_id")
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parents"),
+            F.sum("plen").cast("bigint").alias("sum_parent_chars"),
+            F.round(F.sum("plen") * 1_000_000 / F.count("*")).cast("bigint").alias(
+                "avg_parent_chars_micro"
+            ),
+        )
+        .orderBy("grp")
+    )

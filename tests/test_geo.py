@@ -172,3 +172,45 @@ def test_geohash_matches_reference_encoder(spark):
         geohash_grid_agg(_docs(spark), precision=0)
     with _pytest.raises(ValueError):
         geohash_grid_agg(_docs(spark), top_n=0)
+
+
+def test_geo_distance_agg_matches_recompute(spark):
+    from la_fungus_search_spark.query.geo import geo_distance_agg
+
+    lat0, lon0 = 37.7749, -122.4194
+    edges = [3_000_000, 8_000_000, 14_000_000, 19_000_000]
+    got = geo_distance_agg(_docs(spark, 80), lat0, lon0, edges).collect()
+    want = [0] * (len(edges) + 1)
+    for i in range(80):
+        lat, lon = _point(i)
+        d = _haversine_mm(lat, lon, lat0, lon0)
+        want[sum(1 for e in edges if d >= e * 1000)] += 1
+    assert [r.doc_count for r in got] == want
+    assert sum(want) == 80  # rings partition the corpus
+    # bounds surface per requested ring, last unbounded
+    assert [(r.bucket_idx, r.from_m, r.to_m) for r in got] == [
+        (0, 0, 3_000_000),
+        (1, 3_000_000, 8_000_000),
+        (2, 8_000_000, 14_000_000),
+        (3, 14_000_000, 19_000_000),
+        (4, 19_000_000, None),
+    ]
+
+
+def test_geo_distance_agg_empty_ring_surfaces(spark):
+    from la_fungus_search_spark.query.geo import geo_distance_agg
+
+    # a 1m-wide first ring is empty at any realistic point spread;
+    # it must still report doc_count 0 (the ES contract)
+    got = geo_distance_agg(_docs(spark, 30), 37.7749, -122.4194, [1, 25_000_000]).collect()
+    assert got[0].doc_count == 0
+    assert got[2].doc_count == 0  # beyond the antipodal maximum
+    assert sum(r.doc_count for r in got) == 30
+
+
+def test_geo_distance_agg_rejects_bad_edges(spark):
+    from la_fungus_search_spark.query.geo import geo_distance_agg
+
+    for bad in ([], [5, 5], [8, 3], [0, 4]):
+        with pytest.raises(ValueError):
+            geo_distance_agg(_docs(spark, 5), 0.0, 0.0, bad)

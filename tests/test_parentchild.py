@@ -104,3 +104,28 @@ def test_terms_lookup_ranks_by_distinct_overlap(spark):
     assert out == [(1, 0, 3), (2, 1, 3), (3, 3, 2), (4, 2, 1)]
     with _pytest.raises(ValueError):
         terms_lookup_topk(docs, 0, k=0)
+
+
+def test_parent_agg_dedups_parents_and_matches_recompute(spark):
+    from la_fungus_search_spark.query.parentchild import parent_agg
+
+    parents = spark.createDataFrame(
+        [(1, 100), (2, 250), (3, 40)], "doc_id BIGINT, parent_len BIGINT"
+    )
+    # parent 1 has THREE 'a'-bucket children -> must count once in 'a';
+    # parent 2 spans both buckets; bucket key NULL folds to '(none)'
+    children = spark.createDataFrame(
+        [
+            (1, "a"), (1, "a"), (1, "a"),
+            (2, "a"), (2, "b"),
+            (3, "b"), (3, None),
+        ],
+        "parent_id BIGINT, grp STRING",
+    )
+    got = {r.grp: (r.n_parents, r.sum_parent_chars, r.avg_parent_chars_micro)
+           for r in parent_agg(parents, children).collect()}
+    assert got == {
+        "a": (2, 350, round(350 / 2 * 1_000_000)),
+        "b": (2, 290, round(290 / 2 * 1_000_000)),
+        "(none)": (1, 40, 40_000_000),
+    }

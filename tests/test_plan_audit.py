@@ -218,6 +218,7 @@ AUDIT = [
     "diversified_sampler_agg",
     "geo_distance_topk",
     "geotile_grid_agg",
+    "geo_distance_agg",
     "geo_bounds_agg",
     "sessionize",
     "intervals_query_topk",
@@ -234,6 +235,7 @@ AUDIT = [
     "fuzzy_damerau_topk",
     # fifteenth wave
     "children_agg",
+    "parent_agg",
     "significant_text",
     "common_terms_topk",
     # sixteenth wave
