@@ -3831,6 +3831,18 @@ def q_dedup_cross_doc_grams(spark, sf_dir):
     )
 
 
+def q_soft_dedup_weights(spark, sf_dir):
+    """SoftDeDup sampling weights (textops/dedup.py
+    soft_dedup_weights — He et al. 2024): per-doc commonness = the
+    geometric mean of its 3-grams' corpus document frequencies,
+    weight = 1/commonness, on the near-dup-augmented corpus (the
+    planted near-dups drive their grams' df up, so mutated docs and
+    their originals get visibly down-weighted while unique docs keep
+    weight 1). ln(df) micro-quantized once at the vocabulary-sized
+    gram dim; per-doc folds are exact integer sums."""
+    return dedup.soft_dedup_weights(_docs_aug(spark, sf_dir), k=3).orderBy("doc_id")
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs_aug(spark, sf_dir), k=3, threshold=0.5).orderBy(
         "id_a", "id_b"
@@ -4083,6 +4095,18 @@ def q_sample_temperature(spark, sf_dir):
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+def q_doremi_weights(spark, sf_dir):
+    """DoReMi-style domain reweighting (textops/pipeline.py
+    doremi_weights — Xie et al. 2023): one exponentiated-gradient
+    Group-DRO step on corpus statistics, per-lang weights
+    ``∝ share · exp(η · excess_loss)`` with the corpus unigram LM
+    (the CCNet signal) standing in for the proxy/reference pair.
+    Integer-exact up to the per-domain exp on a quantized excess;
+    the normalization divides integers over the ≤|domains|-row
+    frame."""
+    return pipeline.doremi_weights(_documents(spark, sf_dir), by="lang", eta=0.1)
 
 
 def _pii_aug(spark, sf_dir) -> DataFrame:
@@ -6589,6 +6613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sketch": q_corpus_sketch,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "soft_dedup_weights": q_soft_dedup_weights,
         "dedup_cross_doc_grams": q_dedup_cross_doc_grams,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "decontaminate": q_decontaminate,
@@ -6647,6 +6672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dis_max_topk": q_dis_max_topk,
         "match_phrase_prefix": q_match_phrase_prefix,
         "sample_temperature": q_sample_temperature,
+        "doremi_weights": q_doremi_weights,
         "pii_scrub": q_pii_scrub,
         "hybrid_bm25_knn_topk": q_hybrid_bm25_knn,
         "terms_set_topk": q_terms_set_topk,
@@ -7306,6 +7332,50 @@ ll AS (
 )
 SELECT doc_id, n_tokens, logloss_micro FROM ll ORDER BY doc_id
 """,
+        "doremi_weights": f"""
+WITH tok AS (SELECT doc_id, unnest({duckdb_tokens_sql('text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+cnt AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT sum(cnt)::BIGINT AS t FROM cnt),
+bits AS (
+    SELECT term, round(1e6 * -log2(cnt::DOUBLE / (SELECT t FROM tot)))::BIGINT AS bits_micro
+    FROM cnt
+),
+pd AS (
+    SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
+           sum(tf.tf * b.bits_micro)::BIGINT AS sum_bits
+    FROM tf JOIN bits b USING (term) GROUP BY 1
+),
+ll AS (
+    SELECT d.doc_id, coalesce(d.lang, '(none)') AS domain,
+           coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(round(pd.sum_bits::DOUBLE / pd.n_tokens), 0)::BIGINT AS logloss_micro
+    FROM documents d LEFT JOIN pd USING (doc_id)
+),
+dom AS (
+    SELECT domain, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+           sum(n_tokens * logloss_micro)::BIGINT AS sum_bits
+    FROM ll GROUP BY 1
+),
+t2 AS (SELECT sum(n_tokens)::BIGINT AS tt, sum(sum_bits)::BIGINT AS tb FROM dom),
+x AS (
+    SELECT domain, n_docs, n_tokens,
+           round(1e6 * n_tokens / (SELECT tt FROM t2))::BIGINT AS share_micro,
+           (CASE WHEN n_tokens > 0 THEN round(sum_bits::DOUBLE / n_tokens) ELSE 0 END)::BIGINT AS loss_micro,
+           round((SELECT tb FROM t2)::DOUBLE / (SELECT tt FROM t2))::BIGINT AS corpus_loss_micro
+    FROM dom
+),
+y AS (
+    SELECT domain, n_docs, n_tokens, share_micro, loss_micro,
+           (loss_micro - corpus_loss_micro)::BIGINT AS excess_micro,
+           round(share_micro * exp(0.1 * (loss_micro - corpus_loss_micro)::DOUBLE / 1e6))::BIGINT AS u_micro
+    FROM x
+),
+s AS (SELECT sum(u_micro)::BIGINT AS su FROM y)
+SELECT domain, n_docs, n_tokens, share_micro, loss_micro, excess_micro,
+       round(1e6 * u_micro / (SELECT su FROM s))::BIGINT AS weight_micro
+FROM y ORDER BY domain
+""",
         "ccnet_bucket": f"""
 WITH tok AS (SELECT doc_id, unnest({duckdb_tokens_sql('text')}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
@@ -7774,6 +7844,26 @@ SELECT {_NORM} AS norm_md5, count(*)::BIGINT AS n_dups, min(doc_id) AS canonical
 FROM documents GROUP BY 1 ORDER BY canonical_id
 """,
         "dedup_ngram_jaccard": _jaccard_pairs_sql(500000, _DOCS_AUG_SQL.strip()),
+        "soft_dedup_weights": f"""
+WITH {_DOCS_AUG_SQL.strip()},
+{_shingle_cte('docs_aug').strip()},
+gdf AS (
+    SELECT shingle, count(*)::BIGINT AS df,
+           round(1e6 * ln(count(*)::DOUBLE))::BIGINT AS lnf_micro
+    FROM sh GROUP BY shingle
+),
+perdoc AS (
+    SELECT doc_id, count(*)::BIGINT AS n_grams,
+           round(sum(lnf_micro)::DOUBLE / count(*))::BIGINT AS commonness_micro
+    FROM sh JOIN gdf USING (shingle) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_grams, 0)::BIGINT AS n_grams,
+       coalesce(commonness_micro, 0)::BIGINT AS commonness_micro,
+       round(1e6 * exp(-coalesce(commonness_micro, 0)::DOUBLE / 1e6))::BIGINT AS weight_micro
+FROM docs_aug d LEFT JOIN perdoc USING (doc_id)
+ORDER BY d.doc_id
+""",
         "dedup_minhash_signatures": f"""
 WITH docs_aug AS (SELECT doc_id, text FROM documents),
 {_shingle_cte()}

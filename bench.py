@@ -425,6 +425,9 @@ def bench_main(results: dict):
         "text_unigram_counts",
         "geo_distance_agg",
         "parent_agg",
+        # wave 25
+        "soft_dedup_weights",
+        "doremi_weights",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

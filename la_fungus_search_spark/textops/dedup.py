@@ -757,3 +757,71 @@ def duplicate_substring_spans(
         .orderBy("doc_id", "start_pos")
     )
     return spans
+
+
+def soft_dedup_weights(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """SoftDeDup (He et al. 2024, arXiv:2401.00396): instead of hard-
+    removing near-duplicates, DOWN-WEIGHT common text for sampling —
+    a doc's "commonness" is the geometric mean of its word k-grams'
+    corpus document frequencies, and its sampling weight is the
+    reciprocal ``1 / commonness`` (a unique doc keeps weight 1; a doc
+    whose grams all appear in f docs is sampled ~1/f as often).
+
+    Returns (doc_id, n_grams, commonness_micro, weight_micro):
+    ``commonness_micro`` is the micro-quantized ln of the geometric
+    mean, ``weight_micro = round(1e6 · exp(−commonness))``. Docs with
+    fewer than k tokens have no grams and keep weight 1.
+
+    Determinism (FIXTURES §3b): each gram's ``ln(df)`` is quantized
+    to a BIGINT once at the (gram → df) dim — df is a small integer,
+    so the libm wiggle dies at the 1e-6 grid — per-doc sums are exact
+    integer folds, and the two terminal float ops (one division, one
+    exp) act on already-quantized inputs, the scripted_metric
+    precedent.
+
+    Physical shape at 100 TB: the shingle explode + (gram, df) agg is
+    exactly the ngram-Jaccard front half (distinct grams per doc,
+    partial-agg counts); the (gram → lnf) frame is vocabulary-sized
+    metadata joined back on the gram key; the per-doc fold is one
+    map-side-combinable groupBy. Nothing quadratic, no doc ever
+    compares to another doc — that is the point of the SOFT method."""
+    sh = shingles(docs, text_col=text_col, id_col=id_col, k=k)
+    gram_df = sh.groupBy("shingle").agg(F.count("*").cast("bigint").alias("df"))
+    lnf = gram_df.withColumn(
+        "lnf_micro",
+        F.round(F.lit(1e6) * F.log(F.col("df").cast("double"))).cast("bigint"),
+    )
+    per_doc = (
+        sh.join(lnf, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum("lnf_micro").cast("bigint").alias("sum_lnf"),
+        )
+        .withColumn(
+            "commonness_micro",
+            F.round(F.col("sum_lnf").cast("double") / F.col("n_grams")).cast("bigint"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("commonness_micro", F.lit(0)).cast("bigint").alias(
+                "commonness_micro"
+            ),
+            F.round(
+                F.lit(1e6)
+                * F.exp(
+                    -F.coalesce("commonness_micro", F.lit(0)).cast("double")
+                    / F.lit(1e6)
+                )
+            )
+            .cast("bigint")
+            .alias("weight_micro"),
+        )
+    )

@@ -711,3 +711,103 @@ def decontaminate_fuzzy(
         )
         .orderBy("doc_id")
     )
+
+
+def doremi_weights(
+    docs: DataFrame,
+    by: str = "lang",
+    eta: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al., NeurIPS 2023):
+    ONE exponentiated-gradient step of the Group-DRO update on corpus
+    statistics — domain weights tilt the baseline token shares toward
+    domains with EXCESS loss, ``w_g ∝ share_g · exp(η · excess_g)``,
+    the paper's multiplicative-weights rule with the per-domain
+    excess loss as the gradient signal. The proxy/reference model
+    pair (the part that needs training runs) is replaced by the
+    corpus's own unigram LM — :func:`stats.lm_logloss`, the engine's
+    CCNet signal — so the operator is deterministic corpus analytics:
+    a domain whose text the corpus LM finds surprising (rare
+    vocabulary) is up-weighted, exactly the DoReMi direction.
+
+    Returns one row per domain: (domain, n_docs, n_tokens,
+    share_micro, loss_micro, excess_micro, weight_micro) with
+    Σ weight ≈ 1e6.
+
+    Determinism (FIXTURES §3b): per-term bits are micro-quantized
+    once (lm_logloss's grid), every fold up to the domain level is
+    exact integer arithmetic; the per-domain ``exp`` acts on an
+    already-quantized excess and is immediately re-quantized, and
+    the final normalization divides integer by integer (the
+    scripted_metric single-float-op precedent).
+
+    Physical shape at 100 TB: lm_logloss's one tokenize pass +
+    vocabulary-metadata join; everything after is aggregation to
+    ≤|domains| rows — the corpus-total fold joins in as a 1-row
+    broadcast (the dsir totals precedent) and the normalization
+    window runs over the |domains|-row frame, never the corpus."""
+    from la_fungus_search_spark.textops.stats import lm_logloss
+
+    ll = lm_logloss(docs, text_col=text_col, id_col=id_col)
+    dom = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(by).cast("string"), F.lit("(none)")).alias("domain"),
+    )
+    per_dom = (
+        ll.join(dom, "doc_id")
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("n_tokens") * F.col("logloss_micro")).cast("bigint").alias(
+                "sum_bits"
+            ),
+        )
+    )
+    totals = per_dom.agg(
+        F.sum("n_tokens").cast("bigint").alias("tot_tokens"),
+        F.sum("sum_bits").cast("bigint").alias("tot_bits"),
+    )
+    j = per_dom.crossJoin(F.broadcast(totals)).select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        F.round(F.lit(1e6) * F.col("n_tokens") / F.col("tot_tokens"))
+        .cast("bigint")
+        .alias("share_micro"),
+        F.when(F.col("n_tokens") > 0,
+               F.round(F.col("sum_bits").cast("double") / F.col("n_tokens")))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("loss_micro"),
+        F.round(F.col("tot_bits").cast("double") / F.col("tot_tokens"))
+        .cast("bigint")
+        .alias("corpus_loss_micro"),
+    )
+    j = j.withColumn(
+        "excess_micro", (F.col("loss_micro") - F.col("corpus_loss_micro")).cast("bigint")
+    ).withColumn(
+        "u_micro",
+        F.round(
+            F.col("share_micro")
+            * F.exp(F.lit(float(eta)) * F.col("excess_micro").cast("double") / F.lit(1e6))
+        ).cast("bigint"),
+    )
+    w = Window.partitionBy(F.lit(1))
+    return (
+        j.withColumn("sum_u", F.sum("u_micro").over(w))
+        .select(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            "share_micro",
+            "loss_micro",
+            "excess_micro",
+            F.round(F.lit(1e6) * F.col("u_micro") / F.col("sum_u"))
+            .cast("bigint")
+            .alias("weight_micro"),
+        )
+        .orderBy("domain")
+    )

@@ -55,6 +55,10 @@ BNLJ_ALLOWED = {
     # the 1-row corpus totals to fold λ (dsir.py:117) — build side is
     # exactly 1 row, the corpus never enters a non-equi join
     "dsir_select",
+    # doremi: the corpus-total (tokens, bits) fold joins in as a
+    # SINGLE-ROW broadcast crossJoin (dsir precedent) before the
+    # |domains|-row normalization window
+    "doremi_weights",
     # consumes the T4 substring-keyword channel (same containment BNLJ
     # as keyword_score_topk) as one RRF fusion leg
     "rrf_fusion_topk",
@@ -81,6 +85,7 @@ AUDIT = [
     "term_intersection",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "soft_dedup_weights",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -215,6 +220,7 @@ AUDIT = [
     "t_test_agg",
     "rate_agg",
     "normalize_agg",
+    "doremi_weights",
     "diversified_sampler_agg",
     "geo_distance_topk",
     "geotile_grid_agg",

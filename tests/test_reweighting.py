@@ -1,0 +1,99 @@
+"""Soft/weighted data-curation operators: SoftDeDup sampling weights
+(dedup.soft_dedup_weights) and DoReMi-style domain reweighting
+(pipeline.doremi_weights) — pinned against hand recomputes and their
+papers' directional contracts."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.textops.dedup import soft_dedup_weights
+from la_fungus_search_spark.textops.pipeline import doremi_weights
+
+
+def test_soft_dedup_unique_docs_keep_weight_one(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "zeta eta theta iota kappa"),
+            (3, "one two"),  # < k tokens: no grams
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.doc_id: r for r in soft_dedup_weights(docs, k=3).collect()}
+    # every 3-gram is unique -> df 1 -> ln 0 -> weight exactly 1e6
+    assert got[1].weight_micro == 1_000_000 and got[1].n_grams == 3
+    assert got[2].weight_micro == 1_000_000
+    # short doc: no grams, commonness 0, weight 1
+    assert (got[3].n_grams, got[3].commonness_micro, got[3].weight_micro) == (
+        0, 0, 1_000_000,
+    )
+
+
+def test_soft_dedup_downweights_copies(spark):
+    base = "spark scans parquet files fast"
+    docs = spark.createDataFrame(
+        [(i, base) for i in range(4)] + [(10, "totally different words here now")],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.doc_id: r for r in soft_dedup_weights(docs, k=3).collect()}
+    # 4 exact copies: every gram df=4 -> geometric mean 4 -> weight ~ 1/4
+    want = round(1e6 * math.exp(-round(1e6 * math.log(4.0)) / 1e6))
+    for i in range(4):
+        assert got[i].weight_micro == want
+    assert abs(got[0].weight_micro - 250_000) <= 1
+    assert got[10].weight_micro == 1_000_000  # the unique doc is untouched
+
+
+def test_soft_dedup_matches_hand_recompute(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),       # grams: "a b c", "b c d"
+            (2, "a b c e"),       # grams: "a b c", "b c e"
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.doc_id: r for r in soft_dedup_weights(docs, k=3).collect()}
+    ln2 = round(1e6 * math.log(2.0))
+    # doc 1: dfs (2, 1) -> sum ln2 -> mean ln2/2
+    c1 = round(ln2 / 2)
+    assert got[1].commonness_micro == c1
+    assert got[1].weight_micro == round(1e6 * math.exp(-c1 / 1e6))
+
+
+def test_doremi_weights_sum_and_direction(spark):
+    # domain 'rare' uses vocabulary nothing else uses -> its unigram
+    # logloss exceeds the corpus mean -> DoReMi up-weights it past its
+    # token share; 'common' repeats the corpus's dominant tokens ->
+    # down-weighted below share
+    rows = []
+    for i in range(20):
+        rows.append((i, "common", "the the the data data table table scan"))
+    for i in range(20, 24):
+        rows.append((i, "rare", f"obscure{i} lexeme{i} hapax{i} singleton{i}"))
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, lang STRING, text STRING")
+    got = {r.domain: r for r in doremi_weights(docs, by="lang", eta=0.1).collect()}
+    assert set(got) == {"common", "rare"}
+    total_w = sum(r.weight_micro for r in got.values())
+    assert abs(total_w - 1_000_000) <= 2  # rounding slack
+    assert got["rare"].excess_micro > 0 > got["common"].excess_micro
+    assert got["rare"].weight_micro > got["rare"].share_micro
+    assert got["common"].weight_micro < got["common"].share_micro
+
+
+def test_doremi_eta_zero_reproduces_shares(spark):
+    rows = [(i, "a" if i % 3 else "b", f"tok{i} word{i % 5} thing") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, lang STRING, text STRING")
+    got = doremi_weights(docs, by="lang", eta=0.0).collect()
+    for r in got:
+        # exp(0)=1: u == share, weight = share / sum(shares)
+        assert abs(r.weight_micro - r.share_micro) <= 2
+
+
+def test_doremi_null_domain_folds(spark):
+    docs = spark.createDataFrame(
+        [(1, None, "x y z"), (2, "en", "p q r")],
+        "doc_id BIGINT, lang STRING, text STRING",
+    )
+    got = {r.domain for r in doremi_weights(docs).collect()}
+    assert got == {"(none)", "en"}
