@@ -4097,6 +4097,19 @@ def q_sample_temperature(spark, sf_dir):
     )
 
 
+def q_unimax_alloc(spark, sf_dir):
+    """UniMax budget allocation (textops/pipeline.py unimax_alloc —
+    Chung et al. ICLR 2023): water-fill a 45k-token budget uniformly
+    across langs under a 2-epoch per-lang cap, via the closed form
+    (sorted-capacity prefix sums + the all-integer saturation test
+    ``cap·(n−i+1) ≤ B − prefix``). At both test scales the small
+    langs saturate at 2 epochs and the rest share the remainder —
+    both arms of the allocation are exercised."""
+    return pipeline.unimax_alloc(
+        _documents(spark, sf_dir), budget_tokens=45_000, by="lang", max_epochs=2
+    )
+
+
 def q_doremi_weights(spark, sf_dir):
     """DoReMi-style domain reweighting (textops/pipeline.py
     doremi_weights — Xie et al. 2023): one exponentiated-gradient
@@ -6673,6 +6686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_phrase_prefix": q_match_phrase_prefix,
         "sample_temperature": q_sample_temperature,
         "doremi_weights": q_doremi_weights,
+        "unimax_alloc": q_unimax_alloc,
         "pii_scrub": q_pii_scrub,
         "hybrid_bm25_knn_topk": q_hybrid_bm25_knn,
         "terms_set_topk": q_terms_set_topk,
@@ -7331,6 +7345,42 @@ ll AS (
     FROM documents d LEFT JOIN pd USING (doc_id)
 )
 SELECT doc_id, n_tokens, logloss_micro FROM ll ORDER BY doc_id
+""",
+        "unimax_alloc": f"""
+WITH dom AS (
+    SELECT coalesce(lang, '(none)') AS domain,
+           sum(len({duckdb_tokens_sql('text')}))::BIGINT AS n_tokens
+    FROM documents GROUP BY 1
+),
+c AS (SELECT domain, n_tokens, (n_tokens * 2)::BIGINT AS cap_tokens FROM dom),
+o AS (
+    SELECT *, row_number() OVER (ORDER BY cap_tokens, domain) AS pos,
+           count(*) OVER () AS n,
+           sum(cap_tokens) OVER (ORDER BY cap_tokens, domain ROWS UNBOUNDED PRECEDING) AS pfx
+    FROM c
+),
+f AS (
+    SELECT *, (cap_tokens * (n - pos + 1)) <= (45000 - (pfx - cap_tokens)) AS flag
+    FROM o
+),
+g AS (
+    SELECT *, coalesce(min(CASE WHEN NOT flag THEN pos END) OVER (), n + 1) - 1 AS k
+    FROM f
+),
+h AS (
+    SELECT *, coalesce(sum(CASE WHEN pos <= k THEN cap_tokens END) OVER (), 0) AS pfx_k
+    FROM g
+),
+a AS (
+    SELECT domain, n_tokens, cap_tokens, pos, k, n_tokens AS nt, n, pfx_k,
+           (CASE WHEN pos <= k THEN 1 ELSE 0 END)::INT AS saturated,
+           (CASE WHEN pos <= k THEN cap_tokens
+                 ELSE round((45000 - pfx_k)::DOUBLE / (n - k))::BIGINT END)::BIGINT AS alloc_tokens
+    FROM h
+)
+SELECT domain, n_tokens, cap_tokens, saturated, alloc_tokens,
+       (CASE WHEN n_tokens > 0 THEN round(1e6 * alloc_tokens / n_tokens) ELSE 0 END)::BIGINT AS epochs_micro
+FROM a ORDER BY cap_tokens, domain
 """,
         "doremi_weights": f"""
 WITH tok AS (SELECT doc_id, unnest({duckdb_tokens_sql('text')}) AS term FROM documents),

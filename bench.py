@@ -428,6 +428,7 @@ def bench_main(results: dict):
         # wave 25
         "soft_dedup_weights",
         "doremi_weights",
+        "unimax_alloc",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

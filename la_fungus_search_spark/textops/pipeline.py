@@ -811,3 +811,107 @@ def doremi_weights(
         )
         .orderBy("domain")
     )
+
+
+def unimax_alloc(
+    docs: DataFrame,
+    budget_tokens: int,
+    by: str = "lang",
+    max_epochs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """UniMax language sampling (Chung et al., ICLR 2023): allocate a
+    total token ``budget_tokens`` UNIFORMLY across domains subject to
+    a per-domain cap of ``max_epochs`` epochs — the paper's
+    water-filling: low-resource domains saturate at their cap, the
+    leftover budget spreads evenly over the rest. Completes the
+    mixing family beside :func:`temperature_mix` (mT5/Gopher α) and
+    :func:`doremi_weights` (Group-DRO tilt).
+
+    Closed form instead of the paper's loop (identical result): sort
+    domains by capacity ascending, a domain saturates iff
+    ``cap_i · (n−i+1) ≤ B − prefix_{i−1}`` — an ALL-INTEGER
+    inequality, and saturation is prefix-closed in this order — then
+    every unsaturated domain gets the one-division uniform share of
+    the post-saturation remainder.
+
+    Returns one row per domain, capacity-ascending order:
+    (domain, n_tokens, cap_tokens, saturated, alloc_tokens,
+    epochs_micro) with ``Σ alloc ≈ min(B, Σ cap)`` (the uniform
+    share's single rounding).
+
+    Determinism: token counts, caps, prefix sums and the saturation
+    test are exact BIGINT arithmetic; the only float op is the final
+    share division on integer inputs (exact in double far past any
+    test scale). Ties in the sort break on the domain string.
+
+    Physical shape at 100 TB: one tokenize-count aggregate to
+    ≤|domains| rows; every window below runs on that tiny frame —
+    the corpus is touched once."""
+    from la_fungus_search_spark.tokenizer import tokens_expr
+
+    if budget_tokens <= 0 or max_epochs <= 0:
+        raise ValueError("budget_tokens and max_epochs must be positive")
+    B = int(budget_tokens)
+    dom = (
+        docs.select(
+            F.coalesce(F.col(by).cast("string"), F.lit("(none)")).alias("domain"),
+            F.size(tokens_expr(text_col)).cast("bigint").alias("nt"),
+        )
+        .groupBy("domain")
+        .agg(F.sum("nt").cast("bigint").alias("n_tokens"))
+        .withColumn("cap_tokens", (F.col("n_tokens") * int(max_epochs)).cast("bigint"))
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    w_ord = w_all.orderBy(F.asc("cap_tokens"), F.asc("domain"))
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = (
+        dom.withColumn("pos", F.row_number().over(w_ord))
+        .withColumn("n", F.count("*").over(w_all))
+        .withColumn("pfx", F.sum("cap_tokens").over(w_run))
+        .withColumn("pfx_prev", F.col("pfx") - F.col("cap_tokens"))
+        .withColumn(
+            "flag",
+            (F.col("cap_tokens") * (F.col("n") - F.col("pos") + 1))
+            <= (F.lit(B) - F.col("pfx_prev")),
+        )
+    )
+    d = d.withColumn(
+        "first_false",
+        F.coalesce(
+            F.min(F.when(~F.col("flag"), F.col("pos"))).over(w_all),
+            F.col("n") + 1,
+        ),
+    ).withColumn("k", F.col("first_false") - 1)
+    d = d.withColumn(
+        "pfx_k",
+        F.coalesce(
+            F.sum(F.when(F.col("pos") <= F.col("k"), F.col("cap_tokens"))).over(w_all),
+            F.lit(0),
+        ),
+    )
+    share = F.round(
+        (F.lit(B) - F.col("pfx_k")).cast("double") / (F.col("n") - F.col("k"))
+    ).cast("bigint")
+    alloc = F.when(F.col("pos") <= F.col("k"), F.col("cap_tokens")).otherwise(share)
+    return (
+        d.withColumn("saturated", (F.col("pos") <= F.col("k")).cast("int"))
+        .withColumn("alloc_tokens", alloc)
+        .withColumn(
+            "epochs_micro",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.lit(1e6) * F.col("alloc_tokens") / F.col("n_tokens")
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+        .select(
+            "domain", "n_tokens", "cap_tokens", "saturated",
+            "alloc_tokens", "epochs_micro",
+        )
+        .orderBy("cap_tokens", "domain")
+    )

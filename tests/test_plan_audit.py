@@ -221,6 +221,7 @@ AUDIT = [
     "rate_agg",
     "normalize_agg",
     "doremi_weights",
+    "unimax_alloc",
     "diversified_sampler_agg",
     "geo_distance_topk",
     "geotile_grid_agg",

@@ -1,7 +1,8 @@
 """Soft/weighted data-curation operators: SoftDeDup sampling weights
-(dedup.soft_dedup_weights) and DoReMi-style domain reweighting
-(pipeline.doremi_weights) — pinned against hand recomputes and their
-papers' directional contracts."""
+(dedup.soft_dedup_weights), DoReMi-style domain reweighting
+(pipeline.doremi_weights) and UniMax budget allocation
+(pipeline.unimax_alloc) — pinned against hand recomputes, the papers'
+reference loops, and their directional contracts."""
 
 import math
 
@@ -97,3 +98,62 @@ def test_doremi_null_domain_folds(spark):
     )
     got = {r.domain for r in doremi_weights(docs).collect()}
     assert got == {"(none)", "en"}
+
+
+def test_unimax_matches_paper_loop(spark):
+    """The closed form must equal the paper's iterative water-filling
+    on a fixture with saturated, unsaturated and tied domains."""
+    from la_fungus_search_spark.textops.pipeline import unimax_alloc
+
+    rows = []
+    did = 0
+    # lang -> docs of 4 tokens each: a=2 docs, b=2 docs (tie), c=10, d=40
+    for lang, ndocs in [("a", 2), ("b", 2), ("c", 10), ("d", 40)]:
+        for _ in range(ndocs):
+            rows.append((did, lang, "w x y z"))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, lang STRING, text STRING")
+    B, E = 120, 2
+    got = {r.domain: r for r in unimax_alloc(docs, B, by="lang", max_epochs=E).collect()}
+
+    # reference: the paper's loop
+    caps = {"a": 16, "b": 16, "c": 80, "d": 320}
+    remaining, langs, alloc = B, sorted(caps, key=lambda g: (caps[g], g)), {}
+    for i, g in enumerate(langs):
+        share = remaining / (len(langs) - i)
+        alloc[g] = min(caps[g], share)
+        remaining -= alloc[g]
+    for g in caps:
+        assert got[g].cap_tokens == caps[g]
+        assert got[g].alloc_tokens == round(alloc[g]), g
+        assert got[g].saturated == (1 if caps[g] <= alloc[g] else 0), g
+    # saturated domains run exactly max_epochs
+    assert got["a"].epochs_micro == 2_000_000
+    # total allocation stays within rounding of the budget
+    assert abs(sum(r.alloc_tokens for r in got.values()) - B) <= len(caps)
+
+
+def test_unimax_budget_exceeds_all_caps(spark):
+    from la_fungus_search_spark.textops.pipeline import unimax_alloc
+
+    docs = spark.createDataFrame(
+        [(1, "a", "one two three"), (2, "b", "four five")],
+        "doc_id BIGINT, lang STRING, text STRING",
+    )
+    got = unimax_alloc(docs, 10**6, by="lang", max_epochs=3).collect()
+    # everything saturates at cap
+    for r in got:
+        assert r.saturated == 1 and r.alloc_tokens == r.cap_tokens
+        assert r.epochs_micro == 3_000_000
+
+
+def test_unimax_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from la_fungus_search_spark.textops.pipeline import unimax_alloc
+
+    docs = spark.createDataFrame([(1, "a", "x")], "doc_id BIGINT, lang STRING, text STRING")
+    with _pytest.raises(ValueError):
+        unimax_alloc(docs, 0)
+    with _pytest.raises(ValueError):
+        unimax_alloc(docs, 10, max_epochs=0)
