@@ -111,6 +111,15 @@ def semdedup_verdicts(
         F.array_max(F.col("_sims")).alias("csim_q"),
         "_v",
     )
+    # the assignment subtree feeds BOTH self-join branches and the
+    # final verdict join — materialize it once (the dedup.py CC-loop
+    # localCheckpoint device: blocks are reclaimed by the context
+    # cleaner when the frame is dropped) instead of re-running the
+    # k·dim codegen scan three times. At petabyte scale this is the
+    # one corpus-sized intermediate; a cluster deployment would
+    # checkpoint it to storage — the shape (compute once, scan
+    # thrice) is the same.
+    assigned = assigned.localCheckpoint(eager=True)
     a = assigned.select(
         F.col("vec_id").alias("id_a"), F.col("cell"),
         F.col("csim_q").alias("csim_a"), F.col("_v").alias("va"),
