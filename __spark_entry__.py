@@ -5558,6 +5558,16 @@ def q_bucket_siblings(spark, sf_dir):
     return facet_ops.bucket_siblings(_events(spark, sf_dir))
 
 
+def q_percentiles_bucket(spark, sf_dir):
+    """ES ``percentiles_bucket`` sibling pipeline agg
+    (facets.percentiles_bucket_agg): exact type-1 order statistics
+    (the percentiles_agg integer-rank device) over the per-day
+    doc_count series — the last member of the sibling family
+    (max/min/avg/sum/stats in bucket_siblings, derivative/moving_fn/
+    serial_diff/cumulative in the pipeline gates)."""
+    return facet_ops.percentiles_bucket_agg(_events(spark, sf_dir))
+
+
 def q_bucket_script_agg(spark, sf_dir):
     """ES ``bucket_script`` (facets.bucket_script_agg): per-day CTR =
     clicks/total from two sibling metrics of one histogram pass,
@@ -6758,6 +6768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boxplot_agg": q_boxplot_agg,
         "top_metrics_agg": q_top_metrics_agg,
         "bucket_siblings": q_bucket_siblings,
+        "percentiles_bucket": q_percentiles_bucket,
         "bucket_script_agg": q_bucket_script_agg,
         "missing_agg": q_missing_agg,
         "gopher_rules": q_gopher_rules,
@@ -9203,6 +9214,22 @@ r AS (
 SELECT grp, rn::INT AS rn, strftime(ts, '%Y-%m-%d %H:%M:%S') AS sort_key,
        event_id, round(value * 1000000)::BIGINT AS metric_micro
 FROM r WHERE rn <= 3 ORDER BY grp, rn
+""",
+        "percentiles_bucket": """
+WITH per AS (
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, count(*)::BIGINT AS doc_count
+    FROM events GROUP BY 1
+),
+r AS (
+    SELECT doc_count AS value,
+           row_number() OVER (ORDER BY doc_count ASC, day ASC) AS r,
+           count(*) OVER () AS n_buckets
+    FROM per
+),
+g AS (SELECT unnest([25, 50, 75, 99]) AS pct)
+SELECT pct::INT AS pct, n_buckets::BIGINT AS n_buckets, value
+FROM g JOIN r ON r.r = (n_buckets * pct + 99) // 100
+ORDER BY pct
 """,
         "bucket_siblings": """
 WITH per AS (

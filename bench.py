@@ -429,6 +429,7 @@ def bench_main(results: dict):
         "soft_dedup_weights",
         "doremi_weights",
         "unimax_alloc",
+        "percentiles_bucket",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

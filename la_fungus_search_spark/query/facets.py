@@ -2453,3 +2453,44 @@ SELECT sum(CASE WHEN ({h}) % {int(denom)} = 0 THEN 1 ELSE 0 END)::BIGINT AS samp
        {1_000_000 // int(denom)}::BIGINT AS p_micro
 FROM {src}
 """
+
+
+def percentiles_bucket_agg(
+    events_df: DataFrame, ts_col: str = "ts", pcts: Sequence[int] = (25, 50, 75, 99)
+) -> DataFrame:
+    """ES ``percentiles_bucket`` sibling pipeline aggregation: the
+    requested percentiles of the per-day ``doc_count`` series of a
+    daily date_histogram → ``(pct, n_buckets, value)`` ordered by
+    pct. Like :func:`percentiles_agg`, percentiles are EXACT type-1
+    order statistics (rank ``(pct·n + 99) // 100``, all-integer)
+    where ES interpolates — the k-th smallest bucket count is
+    engine-invariant, an interpolated one is not; rank ties broken on
+    the day key select the same VALUE either way.
+
+    Physical shape: the histogram aggregate (cost ∝ events) collapses
+    to a ≤|days|-row frame; the rank window and the pct grid join run
+    entirely on that tiny series."""
+    if not pcts or any(not (0 < int(p) <= 100) for p in pcts):
+        raise ValueError("pcts must be integers in (0, 100]")
+    per = (
+        events_df.select(
+            F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("doc_count"))
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    ranked = per.withColumn(
+        "r", F.row_number().over(w_all.orderBy(F.asc("doc_count"), F.asc("day")))
+    ).withColumn("n_buckets", F.count("*").over(w_all))
+    grid = F.explode(
+        F.array(*[F.lit(int(p)).cast("int") for p in sorted(set(int(p) for p in pcts))])
+    )
+    return (
+        ranked.select("r", "n_buckets", F.col("doc_count").alias("value"), grid.alias("pct"))
+        .filter(
+            F.col("r") == F.floor((F.col("n_buckets") * F.col("pct") + 99) / 100).cast("int")
+        )
+        .select("pct", F.col("n_buckets").cast("bigint").alias("n_buckets"), "value")
+        .orderBy("pct")
+    )

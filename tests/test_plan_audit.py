@@ -235,6 +235,7 @@ AUDIT = [
     "boxplot_agg",
     "top_metrics_agg",
     "bucket_siblings",
+    "percentiles_bucket",
     "bucket_script_agg",
     "missing_agg",
     "gopher_rules",

@@ -267,3 +267,28 @@ def test_damerau_includes_transpositions_plain_does_not():
     assert "import" not in ed1_variants("imoprt", transpositions=False)
     # plain edits still present
     assert "import" in ed1_variants("imports", transpositions=True)
+
+
+def test_percentiles_bucket_exact_order_stats(spark):
+    from la_fungus_search_spark.query.facets import percentiles_bucket_agg
+
+    # 6 days with counts 1..6 (day d gets d events)
+    rows = [
+        (datetime(2024, 1, d, 10, 0, 0),)
+        for d in range(1, 7)
+        for _ in range(d)
+    ]
+    df = spark.createDataFrame(rows, schema="ts TIMESTAMP")
+    got = {r.pct: (r.n_buckets, r.value) for r in percentiles_bucket_agg(df).collect()}
+    counts = list(range(1, 7))
+    assert got == {p: (6, _t1(counts, p)) for p in (25, 50, 75, 99)}
+
+
+def test_percentiles_bucket_rejects_bad_pcts(spark):
+    from la_fungus_search_spark.query.facets import percentiles_bucket_agg
+
+    df = spark.createDataFrame([(datetime(2024, 1, 1),)], schema="ts TIMESTAMP")
+    with pytest.raises(ValueError):
+        percentiles_bucket_agg(df, pcts=[0])
+    with pytest.raises(ValueError):
+        percentiles_bucket_agg(df, pcts=[])
