@@ -632,6 +632,96 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+def _cross_fields_oracle_sql(k: int = 10) -> str:
+    """DuckDB twin of the cross_fields gate (Lucene BlendedTermQuery
+    / ES multi_match type cross_fields): per-field practical scoring
+    (own length norms + boost) under a BLENDED idf (df̃ = max_f df_f,
+    Lucene non-negative BM25 idf), per-term dis-max fold (pure max,
+    the ES default), per-doc qtf-weighted sum. Field construction,
+    token source and the N = max per-field unit count all mirror the
+    combined_fields twins."""
+    n = len(MULTI_FIELD_BOOSTS)
+    boost_case = "CASE " + " ".join(
+        f"WHEN field_idx = {i} THEN {float(b)!r}"
+        for i, b in enumerate(MULTI_FIELD_BOOSTS)
+    ) + " END"
+    return f"""
+WITH tokd0 AS (SELECT doc_id, {duckdb_tokens_sql('text')} AS tk FROM documents),
+fields AS (
+    SELECT doc_id * {n} AS unit_id, 0 AS field_idx,
+           array_to_string(tk[1:8], ' ') AS content FROM tokd0
+    UNION ALL
+    SELECT doc_id * {n} + 1 AS unit_id, 1 AS field_idx,
+           array_to_string(tk[9:len(tk)], ' ') AS content FROM tokd0
+),
+tok AS (
+    SELECT unit_id, field_idx, unnest({duckdb_tokens_sql('content')}) AS term
+    FROM fields
+),
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),
+tfu AS (
+    SELECT term, unit_id, field_idx, count(*)::BIGINT AS tf
+    FROM tok GROUP BY 1, 2, 3
+),
+tfq AS (
+    SELECT t.* FROM tfu t JOIN (SELECT DISTINCT term FROM qt) q USING (term)
+),
+dfb AS (
+    SELECT term, max(df_f)::BIGINT AS df_blend FROM (
+        SELECT term, field_idx, count(DISTINCT unit_id // {n})::BIGINT AS df_f
+        FROM tfq GROUP BY 1, 2
+    ) GROUP BY 1
+),
+dlu AS (
+    SELECT f.unit_id, f.field_idx, coalesce(c.cnt, 0)::BIGINT AS doclen
+    FROM fields f
+    LEFT JOIN (SELECT unit_id, count(*) AS cnt FROM tok GROUP BY 1) c USING (unit_id)
+),
+fstats AS (
+    SELECT field_idx, sum(doclen)::BIGINT AS s, count(*)::BIGINT AS c
+    FROM dlu GROUP BY 1
+),
+np AS (SELECT max(c)::BIGINT AS n_parents FROM fstats),
+fsrow AS (
+    SELECT qt.query_id, qt.qtf, t.term, (t.unit_id // {n})::BIGINT AS parent,
+           ({boost_case.replace('field_idx', 't.field_idx')})
+           * (t.tf * {K1 + 1.0})
+           / (t.tf + {K1} * ({1.0 - B} + ({B} * l.doclen) / (fs.s::DOUBLE / fs.c))) AS fs
+    FROM qt
+    JOIN tfq t USING (term)
+    JOIN dlu l USING (unit_id)
+    JOIN fstats fs ON t.field_idx = fs.field_idx
+),
+per_term AS (
+    SELECT query_id, qtf, term, parent, max(fs) AS fs_max
+    FROM fsrow GROUP BY 1, 2, 3, 4
+),
+scored AS (
+    SELECT p.query_id, p.parent AS doc_id,
+           sum(
+               p.qtf
+               * ln(1.0 + (((SELECT n_parents FROM np)::DOUBLE - d.df_blend + 0.5)
+                           / (d.df_blend + 0.5)))
+               * p.fs_max
+           ) AS score,
+           count(*)::INT AS n_terms_matched
+    FROM per_term p JOIN dfb d USING (term)
+    GROUP BY 1, 2
+),
+qz AS (
+    SELECT query_id, doc_id, n_terms_matched, round(score * 1e6)::BIGINT AS score_q
+    FROM scored
+),
+ranked AS (
+    SELECT query_id, doc_id, n_terms_matched, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+    FROM qz
+)
+SELECT query_id::INT AS query_id, rank::INT AS rank, doc_id, n_terms_matched, score_q
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
 def _phrase_suggest_oracle_sql(max_cand: int = 5, n: int = 3) -> str:
     """DuckDB twin of q_phrase_suggest: per-position ed-1 candidates
     via a levenshtein join against the vocabulary (the fuzzy-oracle
@@ -2836,6 +2926,34 @@ def q_multi_match_most(spark, sf_dir):
     """multi_match most_fields: SUM(boost · field score) over the same
     two-field unit index."""
     return _q_multi_match(spark, sf_dir, "most_fields")
+
+
+def q_cross_fields_topk(spark, sf_dir):
+    """ES ``multi_match`` type ``cross_fields`` (query/multifield.py
+    cross_fields — Lucene BlendedTermQuery): per-field practical
+    scoring with the field's OWN length norms and boost under a
+    BLENDED idf (df̃ = max_f df_f — a term common in one field cannot
+    look rare via another), per-term dis-max, per-doc qtf-weighted
+    sum. Completes the four multi_match types: best_fields /
+    most_fields (multi_match), bool_prefix (sayt), cross_fields."""
+    eng = BM25QueryEngine(_units_index(spark, sf_dir))
+    folded = multifield_ops.cross_fields(eng, BM25_QUERIES, MULTI_FIELD_BOOSTS)
+    q = folded.select(
+        "query_id", "doc_id", "n_terms_matched", _micro(F.col("score")).alias("score_q")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        q.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "n_terms_matched",
+            "score_q",
+        )
+        .orderBy("query_id", "rank")
+    )
 
 
 def q_dis_max_topk(spark, sf_dir):
@@ -6710,6 +6828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfs_sharded_search": q_dfs_sharded_search,
         "assign_splits": q_assign_splits,
         "combined_fields_topk": q_combined_fields_topk,
+        "cross_fields_topk": q_cross_fields_topk,
         "pipeline_aggs": q_pipeline_aggs,
         "composite_agg_page": q_composite_agg_page,
         # tenth wave (r4 continuation): same driver-prefix rationale —
@@ -7486,6 +7605,7 @@ FROM grpd g JOIN thr t USING (grp) ORDER BY g.doc_id
         "multi_match_most": _multi_match_oracle_sql("most_fields", 10),
         "dis_max_topk": _multi_match_oracle_sql("best_fields", 10, tie_breaker=0.3),
         "combined_fields_topk": _combined_fields_oracle_sql(10),
+        "cross_fields_topk": _cross_fields_oracle_sql(10),
         "pipeline_aggs": """
 WITH h AS (
     SELECT event_type AS grp, strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,

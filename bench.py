@@ -430,6 +430,7 @@ def bench_main(results: dict):
         "doremi_weights",
         "unimax_alloc",
         "percentiles_bucket",
+        "cross_fields_topk",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

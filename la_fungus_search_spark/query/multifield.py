@@ -242,3 +242,111 @@ def rank_topk(folded: DataFrame, k: int = 10) -> DataFrame:
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def cross_fields(
+    engine: BM25QueryEngine,
+    queries: Sequence[str],
+    boosts: Sequence[float],
+    tie_breaker: float = 0.0,
+) -> DataFrame:
+    """ES ``multi_match`` type ``cross_fields`` → ``(query_id,
+    doc_id, score, n_terms_matched)`` pre-rank floats (chain
+    :func:`rank_topk`) — the fourth and last multi_match type beside
+    best_fields / most_fields (:func:`multi_match`) and bool_prefix
+    (query/sayt.py).
+
+    Public semantics: Lucene ``BlendedTermQuery`` as ES documents it —
+    term-centric like ``combined_fields`` but with the ORIGINAL
+    per-field practical scoring: each query term's per-field score
+    keeps the field's own length norms (dl_f, avgdl_f) and boost,
+    while the IDF is BLENDED across fields (``df̃ = max_f df_f``, so a
+    term common in one field cannot look rare via another — the
+    "cross fields search should look like one field" contract); per
+    term the fields fold dis-max style (``max + tie_breaker·(sum −
+    max)``, default pure max), per doc the terms sum weighted by qtf.
+    Like combined_fields, the similarity is Lucene's non-negative
+    BM25 (``idf = ln(1 + (N − df̃ + 0.5)/(df̃ + 0.5))``) — the Okapi
+    epsilon-floor of the core engine intentionally does not apply.
+
+    Physical shape at 100 TB: per-(term, unit) tf + doclen ride the
+    engine's bucket-pruned postings join (cost ∝ query-term df); the
+    blended df and the per-field avgdl are aggregations of that
+    pruned slice resp. of unit-count doc_stats METADATA (two
+    broadcast-sized frames); the per-term fold and the per-doc sum
+    are one map-side-combinable groupBy each."""
+    if not boosts:
+        raise ValueError("need at least one field boost")
+    if not (0.0 <= tie_breaker <= 1.0):
+        raise ValueError("tie_breaker must be in [0, 1]")
+    n = len(boosts)
+    k1, b = engine.k1, engine.b
+    qt_rows = [
+        (qid, term, qtf)
+        for qid, q in enumerate(queries)
+        for term, qtf in Counter(tokenize_query(q)).items()
+    ]
+    j = engine._joined_postings(qt_rows).select(
+        "query_id", "term", "qtf",
+        (F.col("doc_id") / n).cast("bigint").alias("parent"),
+        (F.col("doc_id") % n).cast("int").alias("field_idx"),
+        "tf", "doclen",
+    )
+    # blended df: max over fields of the per-field df, from the same
+    # pruned slice (df is only needed for query terms); parents count
+    # once per field they match in, so count per (term, field) first
+    dff = (
+        j.select("term", "field_idx", "parent").distinct()
+        .groupBy("term", "field_idx")
+        .agg(F.count("*").cast("bigint").alias("df_f"))
+        .groupBy("term")
+        .agg(F.max("df_f").cast("bigint").alias("df_blend"))
+    )
+    # per-field avgdl + parent count: unit-count metadata, driver-scale
+    ds = engine.index.doc_stats.select(
+        (F.col("doc_id") % n).cast("int").alias("field_idx"), "doclen"
+    )
+    stats = {
+        int(r["field_idx"]): (int(r["s"]), int(r["c"]))
+        for r in ds.groupBy("field_idx")
+        .agg(F.sum("doclen").alias("s"), F.count("*").alias("c"))
+        .collect()
+    }
+    n_parents = max((c for _, c in stats.values()), default=1)
+    avgdl_f = F.lit(0.0)
+    boost_f = F.lit(0.0)
+    for i in range(n):
+        s, c = stats.get(i, (0, 1))
+        avgdl_f = F.when(F.col("field_idx") == i, F.lit(s / max(c, 1))).otherwise(avgdl_f)
+        boost_f = F.when(F.col("field_idx") == i, F.lit(float(boosts[i]))).otherwise(boost_f)
+    fs = (
+        boost_f
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen") / avgdl_f)
+        )
+    )
+    per_term = (
+        j.withColumn("fs", fs)
+        .groupBy("query_id", "term", "qtf", "parent")
+        .agg(F.max("fs").alias("fs_max"), F.sum("fs").alias("fs_sum"))
+    )
+    fold = F.col("fs_max") + F.lit(float(tie_breaker)) * (
+        F.col("fs_sum") - F.col("fs_max")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_parents)) - F.col("df_blend") + F.lit(0.5))
+        / (F.col("df_blend") + F.lit(0.5))
+    )
+    return (
+        per_term.join(F.broadcast(dff), "term")
+        .withColumn("contrib", F.col("qtf") * idf * fold)
+        .groupBy("query_id", F.col("parent").alias("doc_id"))
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.count("*").cast("int").alias("n_terms_matched"),
+        )
+    )

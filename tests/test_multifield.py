@@ -92,3 +92,96 @@ def test_validation(setup):
         multi_match(eng, QUERIES, [])
     with pytest.raises(ValueError):
         explode_fields(None, {})
+
+
+def test_cross_fields_recompute(setup, spark):
+    """cross_fields vs an independent python recompute from the raw
+    unit tf/doclen rows: blended idf (max per-field df), per-field
+    length norms, per-term max fold, per-doc qtf-weighted sum."""
+    import math
+    from collections import Counter, defaultdict
+
+    from la_fungus_search_spark.query.multifield import cross_fields
+    from la_fungus_search_spark.tokenizer import tokenize_query
+
+    eng, units = setup
+    n = len(BOOSTS)
+    k1, b = eng.k1, eng.b
+    # raw ground truth from the unit corpus
+    urows = units.select(
+        "doc_id", "field_idx", tokens_expr(F.col("content")).alias("toks")
+    ).collect()
+    tf = defaultdict(Counter)   # (doc, field) -> term counts
+    dl = {}
+    for r in urows:
+        tf[(r["doc_id"], r["field_idx"])] = Counter(r["toks"])
+        dl[(r["doc_id"], r["field_idx"])] = len(r["toks"])
+    n_parents = len({d for d, _ in tf})
+    avgdl = {
+        f: sum(v for (d2, f2), v in dl.items() if f2 == f)
+        / max(sum(1 for (d2, f2) in dl if f2 == f), 1)
+        for f in range(n)
+    }
+    want = {}
+    for qid, q in enumerate(QUERIES):
+        qt = Counter(tokenize_query(q))
+        per_doc = defaultdict(lambda: [0.0, 0])
+        for term, qtf in qt.items():
+            dfs = {
+                f: sum(1 for (d2, f2) in tf if f2 == f and tf[(d2, f2)][term] > 0)
+                for f in range(n)
+            }
+            df_blend = max(dfs.values())
+            if df_blend == 0:
+                continue
+            idf = math.log(1.0 + (n_parents - df_blend + 0.5) / (df_blend + 0.5))
+            docs_with = {d for (d, f) in tf if tf[(d, f)][term] > 0}
+            for d in docs_with:
+                best = max(
+                    BOOSTS[f] * (tf[(d, f)][term] * (k1 + 1.0))
+                    / (
+                        tf[(d, f)][term]
+                        + k1 * (1.0 - b + b * dl[(d, f)] / avgdl[f])
+                    )
+                    for f in range(n)
+                    if tf[(d, f)][term] > 0
+                )
+                per_doc[d][0] += qtf * idf * best
+                per_doc[d][1] += 1
+        for d, (s, m) in per_doc.items():
+            want[(qid, d)] = (round(s, 8), m)
+    got = {
+        (r["query_id"], r["doc_id"]): (round(r["score"], 8), r["n_terms_matched"])
+        for r in cross_fields(eng, QUERIES, BOOSTS).collect()
+    }
+    assert got == want
+
+
+def test_cross_fields_blended_idf_caps_rarity(spark):
+    """The defining cross_fields property: a term COMMON in one field
+    cannot borrow the other field's high idf. 'hot' is in every title
+    but only one body — under per-field scoring (best_fields) the
+    body hit would get a huge body-idf; under the blended df the body
+    match scores with the title's common-term idf, so the doc that
+    matches only in body cannot outrank title matchers with better
+    norms."""
+    import math
+
+    from la_fungus_search_spark.query.multifield import cross_fields
+
+    rows = [(i, f"hot title{i}", "plain body words here " + ("hot" if i == 0 else "cold"))
+            for i in range(6)]
+    d = spark.createDataFrame(rows, "doc_id BIGINT, title STRING, body STRING")
+    units = explode_fields(d, {"title": F.col("title"), "body": F.col("body")})
+    eng = BM25QueryEngine(
+        build_index(spark, units.select("unit_id", "content"), id_col="unit_id",
+                    n_buckets=4, n_salts=2)
+    )
+    out = {r["doc_id"]: r["score"] for r in cross_fields(eng, ["hot"], [1.0, 1.0]).collect()}
+    # every doc matches (all titles contain 'hot'); blended df = max(6, 1) = 6
+    assert set(out) == set(range(6))
+    idf_blend = math.log(1.0 + (6 - 6 + 0.5) / (6 + 0.5))
+    # doc 0 matches in BOTH fields; its fold is the max field score, and
+    # every score must carry the COMMON idf, bounded by idf_blend * max norm
+    for v in out.values():
+        assert v <= idf_blend * (eng.k1 + 1.0) * 1.0 + 1e-9

@@ -168,6 +168,7 @@ AUDIT = [
     # eighth wave
     "dis_max_topk",
     "combined_fields_topk",
+    "cross_fields_topk",
     "pipeline_aggs",
     "composite_agg_page",
     "match_phrase_prefix",
