@@ -3453,6 +3453,20 @@ def q_prf_expanded_topk(spark, sf_dir):
     return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
 
 
+def q_terms_agg_sharded(spark, sf_dir):
+    """ES ``terms`` aggregation as it actually runs distributed
+    (query/facets.py terms_agg_sharded): per-shard top-shard_size
+    candidates, coordinator merge, and ES's
+    ``doc_count_error_upper_bound`` — the sum of the smallest
+    reported counts of the shards that hid the term. Shards are the
+    deterministic md5 buckets, so the WHOLE approximation, error
+    bounds included, is value-oracled in DuckDB. 8 shards,
+    shard_size 20, size 15 over distinct doc tokens."""
+    return facet_ops.terms_agg_sharded(
+        _documents(spark, sf_dir), n_shards=8, shard_size=20, size=15
+    )
+
+
 def q_facet_counts(spark, sf_dir):
     """Faceted search (query/facets.py, Solr/ES field faceting): per
     query, hit counts over the FULL match set per (lang, source)
@@ -6708,6 +6722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this_topk": q_more_like_this_topk,
         "prf_expanded_topk": q_prf_expanded_topk,
         "facet_counts": q_facet_counts,
+        "terms_agg_sharded": q_terms_agg_sharded,
         "span_near_topk": q_span_near_topk,
         "facet_ranges": q_facet_ranges,
         "significant_terms": q_significant_terms,
@@ -7433,6 +7448,39 @@ FROM documents GROUP BY lang ORDER BY lang
         "more_like_this_topk": _mlt_oracle_sql(10),
         "prf_expanded_topk": _prf_oracle_sql(10),
         "facet_counts": _facet_oracle_sql(10),
+        "terms_agg_sharded": f"""
+WITH toks AS (
+    SELECT (('0x' || substr(md5(doc_id::VARCHAR || ':shard'), 1, 8))::BIGINT % 8)::INT AS shard,
+           unnest(list_distinct({duckdb_tokens_sql('text')})) AS term
+    FROM documents
+),
+per AS (SELECT shard, term, count(*)::BIGINT AS cnt FROM toks GROUP BY 1, 2),
+ranked AS (
+    SELECT shard, term, cnt,
+           row_number() OVER (PARTITION BY shard ORDER BY cnt DESC, term ASC) AS r,
+           count(*) OVER (PARTITION BY shard) AS n_terms
+    FROM per
+),
+kept AS (SELECT * FROM ranked WHERE r <= 20),
+smin AS (
+    SELECT shard,
+           (CASE WHEN max(n_terms) > 20 THEN min(cnt) ELSE 0 END)::BIGINT AS smin
+    FROM kept GROUP BY 1
+),
+ts AS (SELECT sum(smin)::BIGINT AS total_smin FROM smin),
+agg AS (
+    SELECT k.term, sum(k.cnt)::BIGINT AS doc_count, sum(s.smin)::BIGINT AS rep_smin
+    FROM kept k JOIN smin s USING (shard) GROUP BY 1
+),
+r2 AS (
+    SELECT term, doc_count,
+           ((SELECT total_smin FROM ts) - rep_smin)::BIGINT AS err_ub,
+           row_number() OVER (ORDER BY doc_count DESC, term ASC) AS rank
+    FROM agg
+)
+SELECT rank::INT AS rank, term, doc_count, err_ub
+FROM r2 WHERE rank <= 15 ORDER BY rank
+""",
         "span_near_topk": phrase_ops.span_near_oracle_sql(SPAN_QUERIES, 10),
         "facet_ranges": _facet_ranges_oracle_sql(),
         "mmr_diverse_topk": _mmr_oracle_sql(),

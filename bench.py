@@ -431,6 +431,7 @@ def bench_main(results: dict):
         "unimax_alloc",
         "percentiles_bucket",
         "cross_fields_topk",
+        "terms_agg_sharded",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

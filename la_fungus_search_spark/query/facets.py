@@ -2494,3 +2494,91 @@ def percentiles_bucket_agg(
         .select("pct", F.col("n_buckets").cast("bigint").alias("n_buckets"), "value")
         .orderBy("pct")
     )
+
+
+def terms_agg_sharded(
+    docs_df: DataFrame,
+    n_shards: int = 8,
+    shard_size: int = 20,
+    size: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ES ``terms`` aggregation AS IT ACTUALLY RUNS DISTRIBUTED —
+    the shard-size approximation WITH its published error accounting
+    (``doc_count_error_upper_bound``), not just the exact counts the
+    other facet gates compute. Each shard reports only its local top
+    ``shard_size`` terms by (count DESC, term ASC); the coordinator
+    sums what arrived and keeps the global top ``size``; a reported
+    term's true count can exceed the sum by at most the sum of the
+    LAST (smallest) reported counts of the shards that did NOT report
+    it — exactly ES's bound, and a shard that exhausted its terms
+    (fewer distinct terms than shard_size) contributes 0 because it
+    hid nothing.
+
+    → ``(rank, term, doc_count, err_ub)`` ordered by rank
+    (doc_count DESC, term ASC). ``doc_count`` counts DOCS containing
+    the term (the terms-agg contract over an analyzed field).
+
+    Shards are DETERMINISTIC: ``md5(doc_id ':shard')`` buckets (the
+    repo-wide hash-sample device), so the whole approximation —
+    including which terms each shard hides and therefore the error
+    bounds — is engine-invariant and value-oracled in DuckDB. The
+    bound identity used (both engines): ``err(term) =
+    total_smin − Σ_{shards reporting term} smin(shard)``.
+
+    Physical shape at 100 TB: one tokenize/explode pass → per
+    (shard, term) partial counts (map-side combinable) → a per-shard
+    top-k window over the shard-local term frame → everything after
+    is ≤ n_shards·shard_size rows. This IS the cost story of ES's
+    terms agg, expressed in DataFrame ops."""
+    if n_shards < 1 or shard_size < 1 or size < 1:
+        raise ValueError("n_shards, shard_size and size must be >= 1")
+    shard = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":shard"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(int(n_shards)),
+    ).cast("int")
+    toks = docs_df.select(
+        shard.alias("shard"),
+        F.explode(F.array_distinct(tokens_expr(text_col))).alias("term"),
+    )
+    per = toks.groupBy("shard", "term").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = per.withColumn("r", F.row_number().over(w)).withColumn(
+        "n_terms", F.count("*").over(Window.partitionBy("shard"))
+    )
+    kept = ranked.filter(F.col("r") <= int(shard_size))
+    # a shard hides counts only if it truncated; its per-term bound is
+    # the smallest count it DID report
+    smin = kept.groupBy("shard").agg(
+        F.when(F.max("n_terms") > int(shard_size), F.min("cnt"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("smin")
+    )
+    total_smin = smin.agg(F.sum("smin").cast("bigint").alias("total_smin"))
+    agg = (
+        kept.join(smin, "shard")
+        .groupBy("term")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("doc_count"),
+            F.sum("smin").cast("bigint").alias("rep_smin"),
+        )
+        .crossJoin(F.broadcast(total_smin))
+        .withColumn("err_ub", (F.col("total_smin") - F.col("rep_smin")).cast("bigint"))
+    )
+    w2 = Window.orderBy(F.desc("doc_count"), F.asc("term"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= int(size))
+        .select("rank", "term", "doc_count", "err_ub")
+        .orderBy("rank")
+    )

@@ -59,6 +59,9 @@ BNLJ_ALLOWED = {
     # SINGLE-ROW broadcast crossJoin (dsir precedent) before the
     # |domains|-row normalization window
     "doremi_weights",
+    # sharded terms agg: the 1-row total_smin fold crossJoins the
+    # <= shards*shard_size candidate frame (dsir precedent)
+    "terms_agg_sharded",
     # consumes the T4 substring-keyword channel (same containment BNLJ
     # as keyword_score_topk) as one RRF fusion leg
     "rrf_fusion_topk",
@@ -131,6 +134,7 @@ AUDIT = [
     "more_like_this_topk",
     "prf_expanded_topk",
     "facet_counts",
+    "terms_agg_sharded",
     "span_near_topk",
     "facet_ranges",
     "term_suggest",

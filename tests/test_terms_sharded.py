@@ -1,0 +1,70 @@
+"""Sharded terms aggregation (facets.terms_agg_sharded): the ES
+shard_size approximation with doc_count_error_upper_bound — the bound
+must actually BOUND (true count ≤ reported + err_ub), reported counts
+never exceed truth, a single shard is exact with zero error, and the
+md5 shard assignment makes every run identical."""
+
+from collections import Counter
+
+from la_fungus_search_spark.query.facets import terms_agg_sharded
+from la_fungus_search_spark.tokenizer import tokenize
+
+
+def _docs(spark, n=120):
+    # zipf-ish vocabulary: term t_i appears in every (i+1)-th doc,
+    # plus a per-doc unique term so shards have tails to truncate
+    rows = []
+    for d in range(n):
+        words = [f"t{i}" for i in range(12) if d % (i + 1) == 0] + [f"u{d}"]
+        rows.append((d, " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def _exact(spark, df):
+    cnt = Counter()
+    for r in df.collect():
+        for t in set(tokenize(r.text)):
+            cnt[t] += 1
+    return cnt
+
+
+def test_error_bound_actually_bounds(spark):
+    df = _docs(spark)
+    exact = _exact(spark, df)
+    got = terms_agg_sharded(df, n_shards=5, shard_size=4, size=10).collect()
+    # 5 shards x 4 slots with heavy overlap: fewer than `size` distinct
+    # candidates can reach the coordinator — ES returns what arrived
+    assert 1 <= len(got) <= 10
+    for r in got:
+        assert r.doc_count <= exact[r.term]          # reported never exceeds truth
+        assert exact[r.term] <= r.doc_count + r.err_ub, r.term  # the ES guarantee
+        assert r.err_ub >= 0
+    # with shard_size 4 against a 12+-term vocabulary, truncation is
+    # real: at least one term must carry a nonzero bound
+    assert any(r.err_ub > 0 for r in got)
+
+
+def test_single_shard_is_exact(spark):
+    df = _docs(spark, 40)
+    exact = _exact(spark, df)
+    got = terms_agg_sharded(df, n_shards=1, shard_size=10**6, size=5).collect()
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r.term, r.doc_count, r.err_ub) for r in got] == [
+        (t, c, 0) for t, c in want
+    ]
+
+
+def test_deterministic_across_runs_and_partitions(spark):
+    df = _docs(spark, 60)
+    a = [tuple(r) for r in terms_agg_sharded(df.repartition(2), n_shards=4, shard_size=3, size=8).collect()]
+    b = [tuple(r) for r in terms_agg_sharded(df.repartition(7), n_shards=4, shard_size=3, size=8).collect()]
+    assert a == b
+
+
+def test_rejects_bad_args(spark):
+    import pytest
+
+    df = _docs(spark, 5)
+    for kw in ({"n_shards": 0}, {"shard_size": 0}, {"size": 0}):
+        with pytest.raises(ValueError):
+            terms_agg_sharded(df, **kw)
