@@ -4864,6 +4864,36 @@ def q_streaming_step_metrics(spark, sf_dir):
     ).orderBy("window_epoch", "event_type")
 
 
+def q_streaming_trending_terms(spark, sf_dir):
+    """Streaming trending terms (streaming/metrics.py
+    trending_terms_stream) — the stream-static join exhibit: the
+    event stream joins the static document table on the event's
+    ``props.k`` doc reference per micro-batch, referenced docs'
+    distinct tokens explode into a watermarked tumbling-window count,
+    drained availableNow; the gate ranks the top 5 terms per hourly
+    window. Oracle = the identical batch join/rollup in DuckDB."""
+    from la_fungus_search_spark.streaming.metrics import (
+        run_available_now,
+        trending_terms_stream,
+    )
+
+    out = run_available_now(
+        trending_terms_stream(spark, sf_dir, _documents(spark, sf_dir))
+    )
+    w = Window.partitionBy("window_start").orderBy(F.desc("n_events"), F.asc("term"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.unix_timestamp("window_start").cast("bigint").alias("window_epoch"),
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            "n_events",
+        )
+        .orderBy("window_epoch", "rank")
+    )
+
+
 def q_streaming_stability_state(spark, sf_dir):
     """ST5/A8 (realtime/server.py:948-983) as applyInPandasWithState:
     per-user stability + stagnation verdicts from running state; final
@@ -6792,6 +6822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trail_degree": q_trail_degree,
         "incremental_changed_docs": q_incremental_changed_docs,
         "streaming_step_metrics": q_streaming_step_metrics,
+        "streaming_trending_terms": q_streaming_trending_terms,
         "streaming_dedup_state": q_streaming_dedup_state,
         "pagination": q_pagination,
         "streaming_stability_state": q_streaming_stability_state,
@@ -8676,6 +8707,27 @@ SELECT doc_id,
             WHEN osha = nsha THEN 'unchanged'
             ELSE 'changed' END AS status
 FROM j ORDER BY doc_id
+""",
+        "streaming_trending_terms": f"""
+WITH ref AS (
+    SELECT ts, json_extract_string(props, '$.k')::BIGINT AS doc_id FROM events
+),
+tok AS (
+    SELECT r.ts, unnest(list_distinct({duckdb_tokens_sql('d.text')})) AS term
+    FROM ref r JOIN documents d USING (doc_id)
+),
+c AS (
+    SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS window_epoch,
+           term, count(*)::BIGINT AS n_events
+    FROM tok GROUP BY 1, 2
+),
+r2 AS (
+    SELECT window_epoch, term, n_events,
+           row_number() OVER (PARTITION BY window_epoch ORDER BY n_events DESC, term ASC) AS rank
+    FROM c
+)
+SELECT window_epoch, rank::INT AS rank, term, n_events
+FROM r2 WHERE rank <= 5 ORDER BY window_epoch, rank
 """,
         "streaming_step_metrics": """
 SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS window_epoch,

@@ -432,6 +432,7 @@ def bench_main(results: dict):
         "percentiles_bucket",
         "cross_fields_topk",
         "terms_agg_sharded",
+        "streaming_trending_terms",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

@@ -152,3 +152,50 @@ def streamed_sessions(spark: SparkSession, events_dir: str, **kwargs) -> DataFra
     """Streaming sessionization end-to-end: stream → session_window →
     drained batch-equal result."""
     return run_available_now(session_stream(spark, events_dir, **kwargs))
+
+
+def trending_terms_stream(
+    spark: SparkSession,
+    events_dir: str,
+    docs_df: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    glob: str = "events.parquet",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming trending terms — the classic live-search dashboard
+    rollup, and the streaming family's STREAM-STATIC JOIN exhibit:
+    each event references a document (``props.k``), the event stream
+    joins the static document table on that key (Spark's stream-static
+    hash join — the static side is a normal batch relation, re-read
+    per micro-batch, never state), the referenced doc's DISTINCT
+    tokens explode, and a tumbling event-time window counts term
+    mentions → ``(window_start, term, n_events)`` (callers rank).
+
+    At 100 TB the static side is the corpus keyed by doc id — the
+    join is the engine's usual id-keyed hash join per micro-batch and
+    the aggregation state is (window × vocabulary)-bounded, evicted
+    by the watermark exactly like step_metrics_stream."""
+    schema = spark.read.option("pathGlobFilter", glob).parquet(events_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+    src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    keyed = src.withWatermark(ts_col, watermark).withColumn(
+        "doc_id", F.get_json_object("props", "$.k").cast("bigint")
+    )
+    from la_fungus_search_spark.tokenizer import tokens_expr
+
+    d = docs_df.select(
+        F.col("doc_id"), F.array_distinct(tokens_expr("text")).alias("toks")
+    )
+    return (
+        keyed.join(d, "doc_id")
+        .select(ts_col, F.explode("toks").alias("term"))
+        .groupBy(F.window(ts_col, window).alias("win"), "term")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "term", "n_events")
+    )

@@ -416,3 +416,31 @@ def test_streaming_sessionize_equals_batch(spark, tmp_path):
     for u, *_ in got:
         per_user[u] = per_user.get(u, 0) + 1
     assert per_user == {1: 1, 2: 2, 3: 2}
+
+
+def test_streaming_trending_terms_equals_batch(spark):
+    """The stream-static join rollup (trending_terms_stream) drained
+    availableNow must equal the same join+explode+window computed as
+    one batch query — including events whose doc reference matches
+    nothing (inner-join drop) and docs referenced by many events."""
+    from la_fungus_search_spark.streaming.metrics import (
+        run_available_now,
+        trending_terms_stream,
+    )
+    from la_fungus_search_spark.tokenizer import tokens_expr
+
+    docs = spark.read.parquet(f"{EVENTS_DIR}/documents.parquet")
+    got = run_available_now(trending_terms_stream(spark, EVENTS_DIR, docs))
+    want = (
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(EVENTS_DIR)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("doc_id", F.get_json_object("props", "$.k").cast("bigint"))
+        .join(docs.select("doc_id", F.array_distinct(tokens_expr("text")).alias("toks")), "doc_id")
+        .select("ts", F.explode("toks").alias("term"))
+        .groupBy(F.window("ts", "1 hour").alias("win"), "term")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "term", "n_events")
+    )
+    assert got.count() == want.count() and got.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
