@@ -1,0 +1,73 @@
+"""Scale evidence for the wave-24+ operators: time the real-tokenizer
+counts (unigram-LM), SoftDeDup gram weights, the sharded terms agg,
+DoReMi domain weights and UniMax allocation over the deterministic
+synthetic code corpus at a given parallelism level — same discipline
+as pipeline_scale_run.py (corpus generated executor-side, persisted
+and counted before the clock; every op forced by an aggregate that
+consumes its full output).
+
+Usage: python scripts/wave_scale_run.py '<master>' <n_files>
+Prints one JSON line: per-op wall seconds and docs/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.corpus import corpus_df
+from la_fungus_search_spark.query.facets import terms_agg_sharded
+from la_fungus_search_spark.session import get_spark
+from la_fungus_search_spark.textops.dedup import soft_dedup_weights
+from la_fungus_search_spark.textops.pipeline import doremi_weights, unimax_alloc
+from la_fungus_search_spark.textops.unigram import train_unigram, unigram_token_counts
+
+
+def main():
+    master, n_files = sys.argv[1], int(sys.argv[2])
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    spark = get_spark(master=master, shuffle_partitions=64,
+                      app_name=f"wave-scale-{master}")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = (
+        corpus_df(spark, n_files)
+        .select(
+            F.xxhash64("path").alias("doc_id"),
+            F.col("content").alias("text"),
+            "lang",
+        )
+        .repartition(128)
+        .persist()
+    )
+    n = docs.count()
+    out = {"master": master, "n_docs": n}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        out[name] = {"sec": round(dt, 3), "docs_per_sec": round(n / dt, 1)}
+        print(f"{name}: {dt:.2f}s", file=sys.stderr, flush=True)
+
+    model = train_unigram()  # driver-side, seed-trained — not on the clock
+    timed("unigram_token_counts", lambda: unigram_token_counts(docs, model=model)
+          .agg(F.sum("unigram_tokens"), F.sum("logprob_q")).collect())
+    timed("soft_dedup_weights", lambda: soft_dedup_weights(docs, k=3)
+          .agg(F.sum("weight_micro"), F.sum("n_grams")).collect())
+    timed("terms_agg_sharded", lambda: terms_agg_sharded(
+        docs, n_shards=32, shard_size=200, size=50).collect())
+    timed("doremi_weights", lambda: doremi_weights(docs, by="lang").collect())
+    timed("unimax_alloc", lambda: unimax_alloc(
+        docs, budget_tokens=10_000_000, by="lang", max_epochs=2).collect())
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
