@@ -130,3 +130,81 @@ def test_capped_self_pairs_properties(spark):
                 assert all((a, b) in got for a, b in zip(ms, ms[1:]))
 
     inner()
+
+
+def test_unigram_and_softdedup_properties(spark):
+    """Random-corpus properties for the wave-24+ ops:
+    (a) unigram counts: per-doc token count from the Spark plan equals
+        a per-row python recompute; pretokens ≥ unigram tokens never
+        holds in general but logprob is ≤ 0 and tokens ≥ pretokens
+        only via multi-piece splits — assert the exact recompute;
+    (b) soft-dedup: exact-duplicate docs share identical weights, and
+        every weight ∈ (0, 1e6];
+    (c) sharded terms agg: for every reported term the true doc count
+        is bounded by reported + err_ub (the ES guarantee) on random
+        corpora and shard counts."""
+    import re
+    from collections import Counter as C
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from la_fungus_search_spark.query.facets import terms_agg_sharded
+    from la_fungus_search_spark.textops.dedup import soft_dedup_weights
+    from la_fungus_search_spark.textops.stats import BPE_PATTERN
+    from la_fungus_search_spark.textops.unigram import (
+        segment_counts,
+        train_unigram,
+        unigram_token_counts,
+    )
+
+    model = train_unigram()
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        texts=st.lists(doc_text, min_size=2, max_size=10),
+        n_shards=st.integers(min_value=1, max_value=5),
+        shard_size=st.integers(min_value=1, max_value=6),
+    )
+    def run(texts, n_shards, shard_size):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+        # (a) unigram exact recompute
+        got = {
+            r.doc_id: (r.n_pretokens, r.unigram_tokens, r.logprob_q)
+            for r in unigram_token_counts(df, model=model).collect()
+        }
+        for i, t in rows:
+            words = re.findall(BPE_PATTERN, t or "")
+            n = sc = 0
+            for w in words:
+                a, b = segment_counts(w, model)
+                n += a
+                sc += b
+            assert got[i] == (len(words), n, sc)
+        # (b) soft-dedup invariants
+        wrows = soft_dedup_weights(df, k=3).collect()
+        by_text = {}
+        for r in wrows:
+            assert 0 < r.weight_micro <= 1_000_000
+            by_text.setdefault(texts[r.doc_id], set()).add(
+                (r.n_grams, r.commonness_micro, r.weight_micro)
+            )
+        for t, vals in by_text.items():
+            assert len(vals) == 1, f"duplicate docs disagree: {t!r} {vals}"
+        # (c) sharded terms bound
+        exact = C()
+        for t in texts:
+            for w in set(tokenize(t)):
+                exact[w] += 1
+        for r in terms_agg_sharded(
+            df, n_shards=n_shards, shard_size=shard_size, size=10
+        ).collect():
+            assert r.doc_count <= exact[r.term]
+            assert exact[r.term] <= r.doc_count + r.err_ub
+
+    run()
