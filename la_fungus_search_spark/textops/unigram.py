@@ -267,7 +267,16 @@ def unigram_token_counts(
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("n"))
     )
-    distinct_words = wc.select("word").distinct()
+    # AQE coalesces the small distinct-word frame to ONE partition
+    # (measured), which would serialize the Python encode kernel at
+    # real vocabulary sizes — spread it across the executors
+    # explicitly; the reshuffled payload is the word list itself,
+    # vocabulary-sized.
+    distinct_words = (
+        wc.select("word")
+        .distinct()
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    )
 
     def seg(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         @lru_cache(maxsize=1 << 16)
