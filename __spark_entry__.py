@@ -5730,6 +5730,24 @@ def q_percentiles_bucket(spark, sf_dir):
     return facet_ops.percentiles_bucket_agg(_events(spark, sf_dir))
 
 
+def q_bucket_correlation(spark, sf_dir):
+    """ES ``bucket_correlation`` (facets.bucket_correlation_agg —
+    x-pack count-correlation): Pearson r between daily doc_counts and
+    the day's micro-quantized mean value; all five Pearson sums are
+    exact BIGINT folds, one terminal sqrt+division quantizes to
+    micro. Completes the pipeline-agg family's x-pack pair."""
+    return facet_ops.bucket_correlation_agg(_events(spark, sf_dir))
+
+
+def q_bucket_ks_test(spark, sf_dir):
+    """ES ``bucket_count_ks_test`` (facets.bucket_ks_test_agg —
+    x-pack): the K-S statistic of daily doc_counts vs the uniform
+    expectation, ``D = max |n·cumsum − i·total| / (n·total)`` —
+    integer numerator, one quantized division; the statistic (not
+    ES's simulated p-value) is the deterministic deliverable."""
+    return facet_ops.bucket_ks_test_agg(_events(spark, sf_dir))
+
+
 def q_bucket_script_agg(spark, sf_dir):
     """ES ``bucket_script`` (facets.bucket_script_agg): per-day CTR =
     clicks/total from two sibling metrics of one histogram pass,
@@ -6934,6 +6952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_metrics_agg": q_top_metrics_agg,
         "bucket_siblings": q_bucket_siblings,
         "percentiles_bucket": q_percentiles_bucket,
+        "bucket_correlation": q_bucket_correlation,
+        "bucket_ks_test": q_bucket_ks_test,
         "bucket_script_agg": q_bucket_script_agg,
         "missing_agg": q_missing_agg,
         "gopher_rules": q_gopher_rules,
@@ -9434,6 +9454,40 @@ r AS (
 SELECT grp, rn::INT AS rn, strftime(ts, '%Y-%m-%d %H:%M:%S') AS sort_key,
        event_id, round(value * 1000000)::BIGINT AS metric_micro
 FROM r WHERE rn <= 3 ORDER BY grp, rn
+""",
+        "bucket_correlation": """
+WITH per AS (
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*)::BIGINT AS x, round(avg(value) * 1e6)::BIGINT AS y
+    FROM events GROUP BY 1
+),
+s AS (
+    SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+           sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+    FROM per
+)
+SELECT n AS n_buckets,
+       (CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+             THEN round(1e6 * (n * sxy - sx * sy)::DOUBLE
+                        / sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE))
+             ELSE NULL END)::BIGINT AS r_micro
+FROM s
+""",
+        "bucket_ks_test": """
+WITH per AS (
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, count(*)::BIGINT AS cnt
+    FROM events GROUP BY 1
+),
+d AS (
+    SELECT row_number() OVER (ORDER BY day ASC) AS i,
+           sum(cnt) OVER (ORDER BY day ASC ROWS UNBOUNDED PRECEDING) AS cum,
+           count(*) OVER () AS n,
+           sum(cnt) OVER () AS total
+    FROM per
+)
+SELECT n::BIGINT AS n_buckets, total::BIGINT AS total,
+       round(1e6 * max(abs(n * cum - i * total))::DOUBLE / (n * total)::DOUBLE)::BIGINT AS d_micro
+FROM d GROUP BY n, total
 """,
         "percentiles_bucket": """
 WITH per AS (

@@ -433,6 +433,8 @@ def bench_main(results: dict):
         "cross_fields_topk",
         "terms_agg_sharded",
         "streaming_trending_terms",
+        "bucket_correlation",
+        "bucket_ks_test",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

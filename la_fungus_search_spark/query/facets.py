@@ -2582,3 +2582,100 @@ def terms_agg_sharded(
         .select("rank", "term", "doc_count", "err_ub")
         .orderBy("rank")
     )
+
+
+def bucket_correlation_agg(events_df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """ES ``bucket_correlation`` pipeline aggregation (the x-pack
+    count-correlation function): Pearson correlation between a
+    histogram's bucket doc_counts and a sibling metric series — here
+    the daily doc_count vs the day's micro-quantized mean ``value``
+    → one row ``(n_buckets, r_micro)``.
+
+    Determinism: both series are integers (counts; quantized means),
+    so all five Pearson sums (Σx, Σy, Σxy, Σx², Σy²) are EXACT BIGINT
+    folds in any order; the single sqrt + division acts on those
+    integers and quantizes to micro (the scripted_metric single-
+    float-op device). A degenerate series (zero variance) reports
+    r_micro NULL, the ES undefined-correlation contract.
+
+    Physical shape: the histogram aggregate (cost ∝ events), then a
+    1-row fold over the ≤|days| bucket frame."""
+    per = (
+        events_df.select(
+            F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd").alias("day"),
+            F.col("value"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("x"),
+            F.round(F.avg("value") * F.lit(1e6)).cast("bigint").alias("y"),
+        )
+    )
+    s = per.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("n").alias("n_buckets"),
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.round(
+                F.lit(1e6)
+                * num.cast("double")
+                / F.sqrt(varx.cast("double") * vary.cast("double"))
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("r_micro"),
+    )
+
+
+def bucket_ks_test_agg(events_df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """ES ``bucket_count_ks_test`` pipeline aggregation (x-pack): the
+    Kolmogorov–Smirnov STATISTIC of a histogram's bucket doc_counts
+    against the uniform expectation over the buckets (ES's default
+    ``fractions`` = equal) → one row ``(n_buckets, total, d_micro)``
+    with ``D = max_i |ECDF_obs(i) − i/n|`` over day buckets in day
+    order. ES reports simulated p-values for the same statistic; the
+    deterministic engine reports the statistic itself (documented
+    choice — the p-value is a fixed monotone transform).
+
+    Determinism: ``D = max_i |n·cumsum_i − i·total| / (n·total)`` —
+    the numerator is EXACT integer arithmetic per bucket and the max
+    is an integer compare; the one division quantizes to micro.
+
+    Physical shape: histogram aggregate, then a cumulative window
+    over the ≤|days| frame."""
+    per = (
+        events_df.select(
+            F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    w_ord = w_all.orderBy(F.asc("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = (
+        per.withColumn("i", F.row_number().over(w_all.orderBy(F.asc("day"))))
+        .withColumn("cum", F.sum("cnt").over(w_ord))
+        .withColumn("n", F.count("*").over(w_all))
+        .withColumn("total", F.sum("cnt").over(w_all))
+        .withColumn(
+            "num",
+            F.abs(F.col("n") * F.col("cum") - F.col("i") * F.col("total")).cast("bigint"),
+        )
+    )
+    return d.groupBy("n", "total").agg(
+        F.round(
+            F.lit(1e6) * F.max("num").cast("double") / (F.col("n") * F.col("total")).cast("double")
+        )
+        .cast("bigint")
+        .alias("d_micro")
+    ).select(F.col("n").alias("n_buckets"), "total", "d_micro")

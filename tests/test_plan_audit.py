@@ -241,6 +241,8 @@ AUDIT = [
     "top_metrics_agg",
     "bucket_siblings",
     "percentiles_bucket",
+    "bucket_correlation",
+    "bucket_ks_test",
     "bucket_script_agg",
     "missing_agg",
     "gopher_rules",

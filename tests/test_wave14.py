@@ -292,3 +292,62 @@ def test_percentiles_bucket_rejects_bad_pcts(spark):
         percentiles_bucket_agg(df, pcts=[0])
     with pytest.raises(ValueError):
         percentiles_bucket_agg(df, pcts=[])
+
+
+def test_bucket_correlation_exact_recompute(spark):
+    import math
+
+    from la_fungus_search_spark.query.facets import bucket_correlation_agg
+
+    # 3 days: counts (2, 3, 1), values chosen so means are exact
+    rows = (
+        [(datetime(2024, 1, 1, h), 10.0) for h in (1, 2)]
+        + [(datetime(2024, 1, 2, h), 20.0) for h in (1, 2, 3)]
+        + [(datetime(2024, 1, 3, 1), 5.0)]
+    )
+    df = spark.createDataFrame(rows, schema="ts TIMESTAMP, value DOUBLE")
+    r = bucket_correlation_agg(df).collect()[0]
+    xs, ys = [2, 3, 1], [10_000_000, 20_000_000, 5_000_000]
+    n = 3
+    num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    vx = n * sum(x * x for x in xs) - sum(xs) ** 2
+    vy = n * sum(y * y for y in ys) - sum(ys) ** 2
+    assert r.n_buckets == 3
+    assert r.r_micro == round(1e6 * num / math.sqrt(vx * vy))
+    # perfectly correlated counts<->means -> r == 1
+    rows2 = [(datetime(2024, 1, d, h), float(d)) for d in (1, 2) for h in range(1, d + 1)]
+    r2 = bucket_correlation_agg(
+        spark.createDataFrame(rows2, schema="ts TIMESTAMP, value DOUBLE")
+    ).collect()[0]
+    assert r2.r_micro == 1_000_000
+    # degenerate (constant counts AND means) -> NULL
+    rows3 = [(datetime(2024, 1, d, 1), 7.0) for d in (1, 2, 3)]
+    r3 = bucket_correlation_agg(
+        spark.createDataFrame(rows3, schema="ts TIMESTAMP, value DOUBLE")
+    ).collect()[0]
+    assert r3.r_micro is None
+
+
+def test_bucket_ks_test_exact_recompute(spark):
+    from fractions import Fraction
+
+    from la_fungus_search_spark.query.facets import bucket_ks_test_agg
+
+    # counts by day: (1, 5, 2) -> ECDF (1/8, 6/8, 1); uniform (1/3, 2/3, 1)
+    rows = (
+        [(datetime(2024, 1, 1, 1),)]
+        + [(datetime(2024, 1, 2, h),) for h in range(1, 6)]
+        + [(datetime(2024, 1, 3, h),) for h in (1, 2)]
+    )
+    df = spark.createDataFrame(rows, schema="ts TIMESTAMP")
+    r = bucket_ks_test_agg(df).collect()[0]
+    d = max(abs(Fraction(c, 8) - Fraction(i, 3))
+            for i, c in [(1, 1), (2, 6), (3, 8)])
+    assert (r.n_buckets, r.total) == (3, 8)
+    assert r.d_micro == round(1e6 * float(d))
+    # a perfectly uniform series -> D == 0
+    rows2 = [(datetime(2024, 1, d, h),) for d in (1, 2, 3, 4) for h in (1, 2)]
+    r2 = bucket_ks_test_agg(
+        spark.createDataFrame(rows2, schema="ts TIMESTAMP")
+    ).collect()[0]
+    assert r2.d_micro == 0
