@@ -4894,6 +4894,23 @@ def q_streaming_trending_terms(spark, sf_dir):
     )
 
 
+def q_streaming_funnel_join(spark, sf_dir):
+    """Streaming funnel (streaming/metrics.py funnel_stream) — the
+    STREAM-STREAM interval join: signups join purchases per user
+    within [0, 4h] event time, both sides watermarked so the join
+    state is bounded and GC-able (the range condition is what makes
+    the streaming join legal at all). Drained availableNow in append
+    mode; delta is exact integer microseconds (unix_micros ↔ DuckDB
+    epoch_us). Oracle = the identical batch self-join."""
+    from la_fungus_search_spark.streaming.metrics import (
+        funnel_stream,
+        run_available_now,
+    )
+
+    out = run_available_now(funnel_stream(spark, sf_dir, gap_s=14_400), output_mode="append")
+    return out.orderBy("user_id", "first_id", "then_id")
+
+
 def q_streaming_stability_state(spark, sf_dir):
     """ST5/A8 (realtime/server.py:948-983) as applyInPandasWithState:
     per-user stability + stagnation verdicts from running state; final
@@ -6841,6 +6858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_changed_docs": q_incremental_changed_docs,
         "streaming_step_metrics": q_streaming_step_metrics,
         "streaming_trending_terms": q_streaming_trending_terms,
+        "streaming_funnel_join": q_streaming_funnel_join,
         "streaming_dedup_state": q_streaming_dedup_state,
         "pagination": q_pagination,
         "streaming_stability_state": q_streaming_stability_state,
@@ -8727,6 +8745,17 @@ SELECT doc_id,
             WHEN osha = nsha THEN 'unchanged'
             ELSE 'changed' END AS status
 FROM j ORDER BY doc_id
+""",
+        "streaming_funnel_join": """
+SELECT a.user_id, a.event_id AS first_id, b.event_id AS then_id,
+       (epoch_us(b.ts) - epoch_us(a.ts))::BIGINT AS delta_us
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts
+ AND b.ts <= a.ts + INTERVAL 14400 SECONDS
+WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
+ORDER BY a.user_id, first_id, then_id
 """,
         "streaming_trending_terms": f"""
 WITH ref AS (

@@ -435,6 +435,7 @@ def bench_main(results: dict):
         "streaming_trending_terms",
         "bucket_correlation",
         "bucket_ks_test",
+        "streaming_funnel_join",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

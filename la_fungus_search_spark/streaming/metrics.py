@@ -199,3 +199,68 @@ def trending_terms_stream(
         .agg(F.count("*").cast("bigint").alias("n_events"))
         .select(F.col("win.start").alias("window_start"), "term", "n_events")
     )
+
+
+def funnel_stream(
+    spark: SparkSession,
+    events_dir: str,
+    gap_s: int = 3600,
+    first_type: str = "signup",
+    then_type: str = "purchase",
+    glob: str = "events.parquet",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming funnel — the STREAM-STREAM interval join exhibit
+    (the one Structured Streaming join class the family didn't yet
+    carry beside stream-static, session windows and
+    applyInPandasWithState): the ``first_type`` stream joins the
+    ``then_type`` stream on user with the event-time range condition
+    ``then.ts ∈ [first.ts, first.ts + gap_s]`` → one row per
+    qualifying (signup, purchase) pair ``(user_id, first_id,
+    then_id, delta_s)``. Both sides carry watermarks, so Spark bounds
+    the join state: a signup is dropped from state once the purchase
+    watermark passes its window end — the textbook bounded-state
+    stream-stream join.
+
+    At scale the state per key is (watermark horizon × arrival rate)
+    — the range condition is what makes the state GC-able; without
+    it Spark would reject the streaming join outright."""
+    schema = spark.read.option("pathGlobFilter", glob).parquet(events_dir).schema
+
+    def side(et, alias):
+        s = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", glob)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(events_dir)
+            .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+            .filter(F.col("event_type") == et)
+            .withWatermark(ts_col, "2 hours")
+        )
+        return s.select(
+            F.col("user_id").alias(f"{alias}_user"),
+            F.col("event_id").alias(f"{alias}_id"),
+            F.col(ts_col).alias(f"{alias}_ts"),
+        )
+
+    a = side(first_type, "a")
+    b = side(then_type, "b")
+    return (
+        a.join(
+            b,
+            (F.col("a_user") == F.col("b_user"))
+            & (F.col("b_ts") >= F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {int(gap_s)} SECONDS")),
+        )
+        .select(
+            F.col("a_user").alias("user_id"),
+            F.col("a_id").alias("first_id"),
+            F.col("b_id").alias("then_id"),
+            # exact integer microseconds (unix_micros ↔ DuckDB
+            # epoch_us) — a seconds-truncated delta would disagree
+            # between engines on sub-second phases
+            (F.unix_micros("b_ts") - F.unix_micros("a_ts")).cast("bigint").alias(
+                "delta_us"
+            ),
+        )
+    )

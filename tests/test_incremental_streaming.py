@@ -444,3 +444,62 @@ def test_streaming_trending_terms_equals_batch(spark):
     )
     assert got.count() == want.count() and got.count() > 0
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_streaming_funnel_join_across_batches(spark, tmp_path):
+    """Stream-stream interval join: signups and purchases arriving in
+    DIFFERENT micro-batches (maxFilesPerTrigger=1, two files) must
+    still pair via join state — drained result equals the batch
+    self-join, deltas in exact microseconds."""
+    from datetime import datetime, timedelta
+
+    from la_fungus_search_spark.streaming.metrics import (
+        funnel_stream,
+        run_available_now,
+    )
+
+    t0 = datetime(2024, 3, 1, 10, 0, 0)
+    # file 1: signups (u1 two signups, u2 one); file 2: purchases
+    f1 = [
+        (1, t0, 10, "signup", 1.0, "{}"),
+        (2, t0 + timedelta(minutes=30), 10, "signup", 1.0, "{}"),
+        (3, t0, 20, "signup", 1.0, "{}"),
+        (4, t0, 30, "error", 1.0, "{}"),
+    ]
+    f2 = [
+        # u10: inside both signup windows (+45min) and only the 2nd's (+70min... inside 1st too at 4h)
+        (5, t0 + timedelta(minutes=45), 10, "purchase", 2.0, "{}"),
+        (6, t0 + timedelta(hours=5), 10, "purchase", 2.0, "{}"),  # outside 4h of s1, inside of none? s2+4.5h -> outside
+        (7, t0 + timedelta(minutes=10), 20, "purchase", 2.0, "{}"),
+        (8, t0 - timedelta(minutes=5), 20, "purchase", 2.0, "{}"),  # before signup: excluded
+    ]
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    d = str(tmp_path / "ev")
+    spark.createDataFrame(f1, schema).coalesce(1).write.mode("overwrite").parquet(d + "/a")
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode("overwrite").parquet(d + "/b")
+    import glob as g
+    import shutil
+
+    dest = tmp_path / "stream"
+    dest.mkdir()
+    for i, src in enumerate(sorted(g.glob(d + "/*/part-*.parquet"))):
+        shutil.copy(src, dest / f"events_{i}.parquet")
+    got = sorted(
+        tuple(r)
+        for r in run_available_now(
+            funnel_stream(spark, str(dest), gap_s=14_400, glob="events_*.parquet"),
+            output_mode="append",
+        ).collect()
+    )
+    us = lambda dt: int(dt.total_seconds() * 1_000_000)  # noqa: E731
+    want = sorted(
+        [
+            (10, 1, 5, us(timedelta(minutes=45))),
+            (10, 2, 5, us(timedelta(minutes=15))),
+            (10, 2, 6, us(timedelta(hours=4, minutes=30))),
+            (20, 3, 7, us(timedelta(minutes=10))),
+        ]
+    )
+    # event 6 is 5h after signup 1 (outside) but 4.5h after signup 2 — also outside 4h
+    want = [w for w in want if w[3] <= 14_400 * 1_000_000]
+    assert got == want
