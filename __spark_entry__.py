@@ -52,6 +52,7 @@ from la_fungus_search_spark.query import taxonomy as taxonomy_ops
 from la_fungus_search_spark.query import net as net_ops
 from la_fungus_search_spark.textops import urls as urls_ops
 from la_fungus_search_spark.query.ranking import (
+    collapse_inner_hits,
     collapse_topk,
     dedup_by_source,
     decay_lambda,
@@ -3052,6 +3053,31 @@ def q_collapse_topk(spark, sf_dir):
         "score_q",
         F.col("inner_hits").cast("int").alias("inner_hits"),
     )
+
+
+def q_collapse_inner_hits(spark, sf_dir):
+    """ES ``collapse`` with ``inner_hits`` (query/ranking.py
+    collapse_inner_hits): the top-5 collapsed groups per query, each
+    EXPANDED to its top-3 member hits with in-group ranks — the
+    inner_hits form of the collapse gate, same quantized-score
+    determinism, one extra window on the match-set frame."""
+    eng = BM25QueryEngine(_index(spark, sf_dir))
+    scored = eng.scored_sql(BM25_QUERIES).select(
+        "query_id", "doc_id", _micro(F.col("score")).alias("score_q")
+    )
+    meta = _documents(spark, sf_dir).select(
+        "doc_id", F.coalesce(F.col("source"), F.lit("(none)")).alias("value")
+    )
+    out = collapse_inner_hits(scored, meta, k=5, m=3, score_col="score_q")
+    return out.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("group_rank").cast("int").alias("group_rank"),
+        "value",
+        F.col("inner_rank").cast("int").alias("inner_rank"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "score_q",
+        F.col("n_group").cast("int").alias("n_group"),
+    ).orderBy("query_id", "group_rank", "inner_rank")
 
 
 def q_function_score_topk(spark, sf_dir):
@@ -6883,6 +6909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_msm_topk": q_boolean_msm_topk,
         "has_child_topk": q_has_child_topk,
         "collapse_topk": q_collapse_topk,
+        "collapse_inner_hits": q_collapse_inner_hits,
         "function_score_topk": q_function_score_topk,
         "top_hits_agg": q_top_hits_agg,
         "date_histogram": q_date_histogram,
@@ -7757,6 +7784,43 @@ WITH a AS (
 r AS (SELECT *, row_number() OVER (ORDER BY grp, bucket) AS rn FROM a)
 SELECT grp, bucket, doc_count, sum_micro
 FROM r WHERE rn BETWEEN 9 AND 16 ORDER BY grp, bucket
+""",
+        "collapse_inner_hits": f"""
+WITH {_bm25_base_cte()},
+qt(query_id, term, qtf) AS (VALUES {_query_terms_values(BM25_QUERIES)}),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           sum(qt.qtf * idf.idf * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / (SELECT avgdl FROM g)))) AS score
+    FROM qt JOIN idf USING (term) JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY 1, 2
+),
+qz AS (SELECT query_id, doc_id, round(score * 1e6)::BIGINT AS score_q FROM scored),
+m AS (SELECT doc_id, coalesce(source, '(none)') AS value FROM documents),
+j AS (SELECT qz.query_id, qz.doc_id, qz.score_q, m.value FROM qz JOIN m USING (doc_id)),
+inner_h AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY query_id, value ORDER BY score_q DESC, doc_id ASC) AS inner_rank,
+           count(*) OVER (PARTITION BY query_id, value)::INT AS n_group,
+           max(score_q) OVER (PARTITION BY query_id, value) AS best_score
+    FROM j
+),
+inner2 AS (
+    SELECT *,
+           min(CASE WHEN score_q = best_score THEN doc_id END)
+               OVER (PARTITION BY query_id, value) AS best_doc
+    FROM inner_h
+),
+grps AS (
+    SELECT query_id, value, best_score, best_doc,
+           row_number() OVER (PARTITION BY query_id ORDER BY best_score DESC, best_doc ASC) AS group_rank
+    FROM (SELECT DISTINCT query_id, value, best_score, best_doc FROM inner2)
+)
+SELECT i.query_id::INT AS query_id, g.group_rank::INT AS group_rank, i.value,
+       i.inner_rank::INT AS inner_rank, i.doc_id, i.score_q, i.n_group
+FROM inner2 i JOIN grps g ON g.query_id = i.query_id AND g.value = i.value
+WHERE i.inner_rank <= 3 AND g.group_rank <= 5
+ORDER BY query_id, group_rank, inner_rank
 """,
         "collapse_topk": f"""
 WITH {_bm25_base_cte()},

@@ -436,6 +436,7 @@ def bench_main(results: dict):
         "bucket_correlation",
         "bucket_ks_test",
         "streaming_funnel_join",
+        "collapse_inner_hits",
     ]
     qmap = entry.queries()
     # warm the shared index cache with OUR built index so entry BM25

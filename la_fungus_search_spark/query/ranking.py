@@ -409,6 +409,61 @@ def collapse_topk(
     )
 
 
+def collapse_inner_hits(
+    scored: DataFrame,
+    meta: DataFrame,
+    k: int = 10,
+    m: int = 3,
+    score_col: str = "score",
+) -> DataFrame:
+    """ES ``collapse`` WITH ``inner_hits``: the expanded form of
+    :func:`collapse_topk` — the top-``k`` groups per query (ranked by
+    their best hit, like the collapse), each EXPANDED to its top-``m``
+    member hits with their in-group rank → one row per inner hit
+    ``(query_id, group_rank, value, inner_rank, doc_id, score_col,
+    n_group)``.
+
+    Same determinism contract as the collapse (argmax and both ranks
+    on the given — quantized — score, ties → lowest doc_id), same
+    physical shape plus one more window on the match-set-sized frame:
+    the corpus is never touched, inner hits never materialize beyond
+    the per-group ``m`` cut."""
+    j = scored.join(meta.select("doc_id", "value"), "doc_id")
+    w_in = Window.partitionBy("query_id", "value").orderBy(
+        F.desc(score_col), F.asc("doc_id")
+    )
+    w_grp = Window.partitionBy("query_id", "value")
+    inner = (
+        j.withColumn("inner_rank", F.row_number().over(w_in))
+        .withColumn("n_group", F.count("*").over(w_grp).cast("int"))
+        .withColumn("best_score", F.max(score_col).over(w_grp))
+        .withColumn(
+            "best_doc",
+            F.min(F.when(F.col(score_col) == F.col("best_score"), F.col("doc_id"))).over(
+                w_grp
+            ),
+        )
+        .filter(F.col("inner_rank") <= int(m))
+    )
+    w_out = Window.partitionBy("query_id").orderBy(
+        F.desc("best_score"), F.asc("best_doc")
+    )
+    groups = (
+        inner.select("query_id", "value", "best_score", "best_doc")
+        .distinct()
+        .withColumn("group_rank", F.row_number().over(w_out))
+        .filter(F.col("group_rank") <= int(k))
+    )
+    return (
+        inner.join(groups.select("query_id", "value", "group_rank"), ["query_id", "value"])
+        .select(
+            "query_id", "group_rank", "value", "inner_rank", "doc_id",
+            score_col, "n_group",
+        )
+        .orderBy("query_id", "group_rank", "inner_rank")
+    )
+
+
 def function_score_decay(
     scored: DataFrame,
     meta: DataFrame,

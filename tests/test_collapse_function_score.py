@@ -122,3 +122,30 @@ def test_date_histogram_shapes(spark):
     }
     with pytest.raises(ValueError):
         date_histogram(ev, "fortnight")
+
+
+def test_collapse_inner_hits_recompute(spark):
+    """inner_hits expansion vs a python recompute: group ranking by
+    best hit, per-group top-m with in-group ranks, n_group = full
+    group size (not the cut)."""
+    from collections import defaultdict
+
+    from la_fungus_search_spark.query.ranking import collapse_inner_hits
+
+    scored = spark.createDataFrame(
+        [(0, d, s) for d, s in [(1, 90), (2, 80), (3, 80), (4, 70), (5, 60), (6, 50), (7, 40)]],
+        "query_id INT, doc_id BIGINT, score_q BIGINT",
+    )
+    meta = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "a"), (5, "b"), (6, "b"), (7, "c")],
+        "doc_id BIGINT, value STRING",
+    )
+    got = [tuple(r) for r in collapse_inner_hits(scored, meta, k=2, m=2, score_col="score_q").collect()]
+    # group a best 90 -> rank 1, top-2 = docs 1, 2 (tie 80 -> doc 2 < 3), n=4
+    # group b best 60 -> rank 2, top-2 = docs 5, 6, n=2 ; group c cut by k=2
+    assert got == [
+        (0, 1, "a", 1, 1, 90, 4),
+        (0, 1, "a", 2, 2, 80, 4),
+        (0, 2, "b", 1, 5, 60, 2),
+        (0, 2, "b", 2, 6, 50, 2),
+    ]

@@ -163,6 +163,7 @@ AUDIT = [
     "boolean_msm_topk",
     "has_child_topk",
     "collapse_topk",
+    "collapse_inner_hits",
     "function_score_topk",
     "top_hits_agg",
     "date_histogram",
