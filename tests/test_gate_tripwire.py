@@ -1,0 +1,85 @@
+"""Gate-harness tripwire: the DuckDB value-oracles must actually
+DETECT engine deviations, not just agree vacuously. Perturb scoring
+constants / model inputs and assert the oracle comparison fails —
+if these tests ever pass with a perturbed engine, the gates have
+gone blind."""
+
+import re
+
+import pytest
+
+
+def test_bm25_oracle_detects_k1_perturbation(spark):
+    """The bm25_topk gate's oracle pins k1: an engine built with
+    k1=1.3 must disagree with the k1=1.2 oracle on score values."""
+    duckdb = pytest.importorskip("duckdb")
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(entry.oracle_sql()["bm25_topk"]).fetchdf()
+
+    from la_fungus_search_spark.query.engine import BM25QueryEngine
+
+    idx = entry._index(spark, sf)
+    good = BM25QueryEngine(idx)  # k1 from index globals — the oracle's constant
+    bad = BM25QueryEngine(idx)
+    bad.k1 = bad.k1 + 0.1  # the perturbed engine
+
+    def scores(eng):
+        df = eng.search(entry.BM25_QUERIES, k=10, mode="sql")
+        return [
+            (r.query_id, r.rank, r.doc_id, round(r.score * 1e6))
+            for r in df.orderBy("query_id", "rank").collect()
+        ]
+
+    oracle = [
+        (int(r.query_id), int(r.rank), int(r.doc_id), int(r.score_q))
+        for r in want.itertuples()
+    ]
+    assert scores(good) == oracle            # the gate agrees...
+    assert scores(bad) != oracle             # ...and is NOT vacuous
+
+
+def test_unigram_oracle_detects_model_perturbation():
+    """The unigram oracle embeds the trained model: perturbing one
+    piece's logp by a single quantum must change some doc's output."""
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from __spark_entry__ import _unigram_oracle_sql
+    from la_fungus_search_spark.textops.stats import BPE_PATTERN
+    from la_fungus_search_spark.textops.unigram import segment_counts, train_unigram
+
+    model = train_unigram()
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["def main returns value", "the quick fox"]}
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    odf = con.execute(_unigram_oracle_sql()).fetchdf()
+
+    # perturb: every single-char piece loses one quantum — any word's
+    # best path uses at least one piece, and a path of only
+    # multi-char pieces still competes against per-char paths, so at
+    # least one doc's total must move
+    perturbed = {k: (v - 1 if len(k) == 1 else v) for k, v in model.items()}
+
+    def recompute(m):
+        out = {}
+        for _, row in docs.iterrows():
+            sc = 0
+            for w in re.findall(BPE_PATTERN, row["text"]):
+                sc += segment_counts(w, m)[1]
+            out[row["doc_id"]] = sc
+        return out
+
+    good = recompute(model)
+    bad = recompute(perturbed)
+    oracle = {int(r.doc_id): int(r.logprob_q) for r in odf.itertuples()}
+    assert good == oracle
+    assert bad != oracle  # one quantum moves at least one logprob
