@@ -83,3 +83,24 @@ def test_or_semantics(setup):
     for h in hits:
         doc_terms = set(oracle.doc_freqs[h.doc_id].keys())
         assert doc_terms & terms
+
+
+def test_adversarial_queries_rank_identical(setup):
+    """Edge query shapes that historically break BM25 engines: pure
+    stopword-class terms (negative-idf regime), massive duplicate
+    query terms (qtf weighting), OOV-only, single-char, unicode,
+    mixed rare+OOV, and a 30-term query (bucket-pruning breadth) —
+    rank-identical on BOTH physical paths."""
+    engine, oracle = setup
+    adversarial = [
+        "def def def def def def def def",        # one hot term, qtf 8
+        "import self return value",               # all common terms
+        "zzzz_not_in_corpus qqqq_also_missing",   # OOV only -> empty
+        "a",                                       # single char
+        "pheromone_decay_kernel zzzz_not_in_corpus",  # rare + OOV
+        "ΩΩ λλ",                                   # unicode OOV
+        " ".join(["def", "import", "self", "return", "value", "range",
+                  "class", "print", "while", "break"] * 3),  # 30 terms
+    ]
+    for mode in ("sql", "blockmax", "auto"):
+        _assert_rank_identical(engine, oracle, adversarial, mode)
