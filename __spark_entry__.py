@@ -4933,7 +4933,19 @@ def q_streaming_funnel_join(spark, sf_dir):
         run_available_now,
     )
 
-    out = run_available_now(funnel_stream(spark, sf_dir, gap_s=14_400), output_mode="append")
+    # a stream-stream join keeps FOUR state stores per shuffle
+    # partition; at the gate's tiny arrival rate 64 partitions are
+    # pure checkpoint overhead (measured 11.3 s -> 2.1 s at 8).
+    # State partitioning is sized to arrival rate — a production
+    # stream would keep it high; scope the knob to this drain.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_available_now(
+            funnel_stream(spark, sf_dir, gap_s=14_400), output_mode="append"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out.orderBy("user_id", "first_id", "then_id")
 
 
