@@ -4880,7 +4880,7 @@ def q_streaming_step_metrics(spark, sf_dir):
     """ST1/ST2 (realtime/server.py:709-1008): the step-metrics loop as
     Structured Streaming (watermark + tumbling window, availableNow),
     drained to a batch result."""
-    out = streamed_step_metrics(spark, sf_dir)
+    out = streamed_step_metrics(spark, sf_dir, state_partitions=8)
     return out.select(
         F.unix_timestamp("window_start").cast("bigint").alias("window_epoch"),
         "event_type",
@@ -4904,7 +4904,8 @@ def q_streaming_trending_terms(spark, sf_dir):
     )
 
     out = run_available_now(
-        trending_terms_stream(spark, sf_dir, _documents(spark, sf_dir))
+        trending_terms_stream(spark, sf_dir, _documents(spark, sf_dir)),
+        state_partitions=8,
     )
     w = Window.partitionBy("window_start").orderBy(F.desc("n_events"), F.asc("term"))
     return (
@@ -4933,19 +4934,11 @@ def q_streaming_funnel_join(spark, sf_dir):
         run_available_now,
     )
 
-    # a stream-stream join keeps FOUR state stores per shuffle
-    # partition; at the gate's tiny arrival rate 64 partitions are
-    # pure checkpoint overhead (measured 11.3 s -> 2.1 s at 8).
-    # State partitioning is sized to arrival rate — a production
-    # stream would keep it high; scope the knob to this drain.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        out = run_available_now(
-            funnel_stream(spark, sf_dir, gap_s=14_400), output_mode="append"
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = run_available_now(
+        funnel_stream(spark, sf_dir, gap_s=14_400),
+        output_mode="append",
+        state_partitions=8,
+    )
     return out.orderBy("user_id", "first_id", "then_id")
 
 
@@ -4956,7 +4949,7 @@ def q_streaming_stability_state(spark, sf_dir):
     from la_fungus_search_spark.streaming.metrics import run_available_now
     from la_fungus_search_spark.streaming.stateful import stability_stream
 
-    out = run_available_now(stability_stream(spark, sf_dir), output_mode="update")
+    out = run_available_now(stability_stream(spark, sf_dir), output_mode="update", state_partitions=8)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_seen"))
     return (
         out.withColumn("_rn", F.row_number().over(w))
@@ -4979,7 +4972,7 @@ def q_streaming_dedup_state(spark, sf_dir):
     from la_fungus_search_spark.streaming.metrics import run_available_now
     from la_fungus_search_spark.streaming.stateful import exact_dedup_stream
 
-    out = run_available_now(exact_dedup_stream(spark, sf_dir), output_mode="update")
+    out = run_available_now(exact_dedup_stream(spark, sf_dir), output_mode="update", state_partitions=8)
     w = Window.partitionBy("norm_md5").orderBy(F.desc("n_dups"))
     return (
         out.withColumn("_rn", F.row_number().over(w))
@@ -5369,7 +5362,7 @@ def q_streaming_sessionize(spark, sf_dir):
     the ordinal."""
     from la_fungus_search_spark.streaming.metrics import streamed_sessions
 
-    return streamed_sessions(spark, sf_dir, gap_s=SESSION_GAP_S).orderBy(
+    return streamed_sessions(spark, sf_dir, gap_s=SESSION_GAP_S, state_partitions=8).orderBy(
         "user_id", "session_start"
     )
 

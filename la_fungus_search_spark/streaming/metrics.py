@@ -71,28 +71,57 @@ def step_metrics_stream(
 
 
 def run_available_now(
-    agg: DataFrame, output_mode: str = "complete", timeout_sec: int = 300
+    agg: DataFrame,
+    output_mode: str = "complete",
+    timeout_sec: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain the stream with an availableNow trigger into a memory sink
     and return the final result as a batch DataFrame (the deterministic
-    form the correctness gate compares against SQL)."""
+    form the correctness gate compares against SQL).
+
+    ``state_partitions`` scopes ``spark.sql.shuffle.partitions`` —
+    which fixes a streaming query's state-store count FOR LIFE at
+    start — around the drain: stateful operators keep one (joins:
+    four) checkpointed store per partition, so a tiny-arrival-rate
+    drain at the batch default of 64 pays pure checkpoint overhead
+    (measured: stream-stream join 11.3 s → 2.1 s, windowed rollup
+    6.3 s → 1.0 s at 8). Results are partition-count-invariant (the
+    gates hash-match either way); production streams size this to
+    arrival rate instead."""
+    spark = agg.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"lfs_ckpt_{name}")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
-    return agg.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(state_partitions)))
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
-def streamed_step_metrics(spark: SparkSession, events_dir: str, **kwargs) -> DataFrame:
+def streamed_step_metrics(
+    spark: SparkSession,
+    events_dir: str,
+    state_partitions: int | None = None,
+    **kwargs,
+) -> DataFrame:
     """ST1/ST2 end-to-end: stream → windowed rollup → drained result."""
-    return run_available_now(step_metrics_stream(spark, events_dir, **kwargs))
+    return run_available_now(
+        step_metrics_stream(spark, events_dir, **kwargs),
+        state_partitions=state_partitions,
+    )
 
 
 def session_stream(
@@ -148,10 +177,18 @@ def session_stream(
     )
 
 
-def streamed_sessions(spark: SparkSession, events_dir: str, **kwargs) -> DataFrame:
+def streamed_sessions(
+    spark: SparkSession,
+    events_dir: str,
+    state_partitions: int | None = None,
+    **kwargs,
+) -> DataFrame:
     """Streaming sessionization end-to-end: stream → session_window →
     drained batch-equal result."""
-    return run_available_now(session_stream(spark, events_dir, **kwargs))
+    return run_available_now(
+        session_stream(spark, events_dir, **kwargs),
+        state_partitions=state_partitions,
+    )
 
 
 def trending_terms_stream(
