@@ -296,6 +296,25 @@ def cmd_curate(args) -> None:
         )
     if "bpe" in ops:
         out = out.join(bpe.bpe_token_counts(docs), "doc_id", "left")
+    if "unigram" in ops:
+        from la_fungus_search_spark.textops import unigram
+
+        out = out.join(
+            unigram.unigram_token_counts(docs).select(
+                "doc_id", "unigram_tokens", "logprob_q"
+            ),
+            "doc_id", "left",
+        )
+    if "softdedup" in ops:
+        # SoftDeDup (He et al. 2024): duplicates are DOWN-WEIGHTED for
+        # sampling, never removed — the weight column rides along and
+        # does not touch the keep verdict
+        out = out.join(
+            dedup.soft_dedup_weights(docs).select(
+                "doc_id", F.col("weight_micro").alias("sample_weight_micro")
+            ),
+            "doc_id", "left",
+        )
     if "dedup" in ops:
         pairs = dedup.minhash_dedup_pairs(docs, k=3, threshold=args.jaccard)
         clusters = dedup.dedup_clusters(pairs, docs).select(
@@ -322,6 +341,24 @@ def cmd_mix(args) -> None:
 
     spark = get_spark(app_name="lfs-mix")
     docs = spark.read.parquet(args.input)
+    if args.strategy == "doremi":
+        # one EG/Group-DRO step on corpus statistics (Xie et al. 2023)
+        w = pipeline.doremi_weights(docs, by=args.by, eta=args.eta)
+        w.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"status": "mixed", "strategy": "doremi",
+                          "out": args.out, "eta": args.eta,
+                          "weights": {r["domain"]: r["weight_micro"] for r in w.collect()}}))
+        return
+    if args.strategy == "unimax":
+        # budget-capped uniform language sampling (Chung et al. 2023)
+        w = pipeline.unimax_alloc(
+            docs, budget_tokens=args.budget, by=args.by, max_epochs=args.epochs
+        )
+        w.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"status": "mixed", "strategy": "unimax",
+                          "out": args.out, "budget": args.budget,
+                          "alloc": {r["domain"]: r["alloc_tokens"] for r in w.collect()}}))
+        return
     out = pipeline.temperature_mix(
         docs, by=args.by, alpha=args.alpha, target_docs=args.target
     )
@@ -461,7 +498,7 @@ def main() -> None:
     c = sub.add_parser("curate")
     c.add_argument("--input", required=True, help="parquet with (doc_id, text)")
     c.add_argument("--out", required=True)
-    c.add_argument("--ops", default="clean,langid,bpe,dedup",
+    c.add_argument("--ops", default="clean,langid,bpe,dedup",  # also: rep,scrub,linededup,ppl,unigram,softdedup
                    help="comma set from clean,rep,langid,bpe,dedup,scrub,linededup,ppl")
     c.add_argument("--jaccard", type=float, default=0.5)
     c.add_argument("--id-col", dest="id_col", default="doc_id")
@@ -485,6 +522,13 @@ def main() -> None:
     m.add_argument("--by", default="lang")
     m.add_argument("--alpha", type=float, default=0.5)
     m.add_argument("--target", type=int, default=1000)
+    m.add_argument("--strategy", default="temperature",
+                   choices=["temperature", "doremi", "unimax"])
+    m.add_argument("--eta", type=float, default=0.1, help="doremi EG step size")
+    m.add_argument("--budget", type=int, default=1_000_000,
+                   help="unimax total token budget")
+    m.add_argument("--epochs", type=int, default=2,
+                   help="unimax per-domain epoch cap")
     m.set_defaults(fn=cmd_mix)
 
     args = p.parse_args()
