@@ -99,7 +99,8 @@ def test_cli_mix(spark, tmp_path, capsys):
 
     args = types.SimpleNamespace(
         input=str(src), out=str(tmp_path / "mixed"),
-        by="lang", alpha=0.5, target=40,
+        by="lang", alpha=0.5, target=40, strategy="temperature",
+        eta=0.1, budget=1_000_000, epochs=2,
     )
     cmd_mix(args)
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
@@ -140,3 +141,28 @@ def test_dsir_cli(spark, tmp_path, capsys):
     # the en-vocabulary docs (incl. the off-target-flag one) beat cooking
     assert got == {0, 1, 3}
     assert {c for c in ("rank", "weight_q", "text", "lang")} <= set(sel.columns)
+
+
+def test_cli_mix_doremi_and_unimax(spark, tmp_path, capsys):
+    cmd_mix = _load_cli().cmd_mix
+
+    rows = [(i, "text word" + str(i % 7), "en" if i % 4 else "fr") for i in range(80)]
+    src = tmp_path / "mixsrc2.parquet"
+    spark.createDataFrame(rows, "doc_id BIGINT, text STRING, lang STRING").write.parquet(str(src))
+
+    args = types.SimpleNamespace(
+        input=str(src), out=str(tmp_path / "w_doremi"), by="lang",
+        alpha=0.5, target=40, strategy="doremi", eta=0.1,
+        budget=1_000_000, epochs=2,
+    )
+    cmd_mix(args)
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["strategy"] == "doremi"
+    assert abs(sum(summary["weights"].values()) - 1_000_000) <= 2
+
+    args.strategy, args.out, args.budget = "unimax", str(tmp_path / "w_unimax"), 100
+    cmd_mix(args)
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["strategy"] == "unimax"
+    assert sum(summary["alloc"].values()) <= 100 + len(summary["alloc"])
+    assert spark.read.parquet(str(tmp_path / "w_unimax")).count() == 2
