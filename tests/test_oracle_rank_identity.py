@@ -104,3 +104,27 @@ def test_adversarial_queries_rank_identical(setup):
     ]
     for mode in ("sql", "blockmax", "auto"):
         _assert_rank_identical(engine, oracle, adversarial, mode)
+
+
+def test_degenerate_corpus_all_identical_docs(spark):
+    """A corpus of N identical documents: every match ties exactly, so
+    top-k is decided purely by the doc-id tie-break — rank-identical
+    to the oracle on both physical paths, scores all equal."""
+    from la_fungus_search_spark.corpus import corpus_df
+
+    base = corpus_df(spark, 1).filter("lang = 'python'").collect()[0]
+    rows = [
+        (base["repo"], f"src/copy_{i:03d}.py", base["commit"], "python", base["content"])
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(
+        rows, "repo STRING, path STRING, commit STRING, lang STRING, content STRING"
+    )
+    idx = IndexBuilder(spark, n_buckets=4, block_size=8, n_salts=2).build(docs)
+    eng = BM25QueryEngine(idx)
+    oracle = BM25Oracle([tokenize(r[4]) for r in sorted(rows, key=lambda r: (r[0], r[1], r[2]))])
+    for mode in ("sql", "blockmax"):
+        res = eng.search(["def main return"], k=10, mode=mode).collect()
+        exp = oracle.top_k(tokenize_query("def main return"), 10)
+        assert [r.doc_id for r in res] == [d for d, _ in exp], mode
+        assert len({round(r.score, 9) for r in res}) == 1  # all tied
