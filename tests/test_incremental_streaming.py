@@ -503,3 +503,41 @@ def test_streaming_funnel_join_across_batches(spark, tmp_path):
     # event 6 is 5h after signup 1 (outside) but 4.5h after signup 2 — also outside 4h
     want = [w for w in want if w[3] <= 14_400 * 1_000_000]
     assert got == want
+
+
+def test_appended_index_serves_similarity_family_identically(spark):
+    """Index maintenance × similarity-family composition: an index
+    built cold over the full corpus and one built base+append_build
+    must serve LM-Dirichlet, LM-JM, DFR InL2 and cross_fields-style
+    BM25 identically (same docs, same quantized scores) — the
+    appended artifacts (postings, doc_stats, globals, ctf recompute)
+    carry every scorer, not just the core BM25 gate."""
+    from la_fungus_search_spark.corpus import corpus_df
+    from la_fungus_search_spark.index.builder import (
+        IncrementalIndexBuilder,
+        IndexBuilder,
+    )
+    from la_fungus_search_spark.query.dfr import search_dfr_inl2
+    from la_fungus_search_spark.query.engine import BM25QueryEngine
+    from la_fungus_search_spark.query.lmsim import search_lm_dirichlet, search_lm_jm
+
+    full = corpus_df(spark, 60).filter("lang = 'python'").persist()
+    base = full.filter(F.col("path") < "src/pkg05")
+    batch = full.filter(F.col("path") >= "src/pkg05")
+    qs = ["pheromone decay kernel", "def return value import"]
+
+    cold = IndexBuilder(spark, n_buckets=4, n_salts=2, id_mode="hash").build(full)
+    b = IncrementalIndexBuilder(spark, n_buckets=4, n_salts=2, id_mode="hash")
+    appended = b.append_build(b.build(base), batch)
+
+    def snap(idx, fn):
+        return [
+            (r.query_id, r.rank, r.doc_id, round(r.score * 1e6))
+            for r in fn(BM25QueryEngine(idx), qs, k=10)
+            .orderBy("query_id", "rank")
+            .collect()
+        ]
+
+    for fn in (search_lm_dirichlet, search_lm_jm, search_dfr_inl2):
+        assert snap(cold, fn) == snap(appended, fn), fn.__name__
+    full.unpersist()
