@@ -541,3 +541,30 @@ def test_appended_index_serves_similarity_family_identically(spark):
     for fn in (search_lm_dirichlet, search_lm_jm, search_dfr_inl2):
         assert snap(cold, fn) == snap(appended, fn), fn.__name__
     full.unpersist()
+
+
+def test_incremental_index_serves_similarity_family_identically(spark):
+    """The stricter composition: an AFFECTED-SCOPE incremental rebuild
+    (changed + added + removed docs, unaffected terms' blocks reused
+    verbatim) must serve LM-Dirichlet, LM-JM and DFR InL2 identically
+    to a cold build of the new snapshot — collection frequencies and
+    doc stats must reflect the change-set, not the old corpus."""
+    from la_fungus_search_spark.query.dfr import search_dfr_inl2
+    from la_fungus_search_spark.query.lmsim import search_lm_dirichlet, search_lm_jm
+
+    d1, d2 = _snapshots(spark)
+    inc_b = IncrementalIndexBuilder(spark, id_mode="hash", n_buckets=8)
+    inc = inc_b.incremental_build(inc_b.build(d1), d2, rebuild_scope="affected")
+    cold = IndexBuilder(spark, id_mode="hash", n_buckets=8).build(d2)
+    qs = ["mutated_sentinel_token added_fn_2", "merge batch window"]
+
+    def snap(idx, fn):
+        return [
+            (r.query_id, r.rank, r.doc_id, round(r.score * 1e6))
+            for r in fn(BM25QueryEngine(idx), qs, k=10)
+            .orderBy("query_id", "rank")
+            .collect()
+        ]
+
+    for fn in (search_lm_dirichlet, search_lm_jm, search_dfr_inl2):
+        assert snap(cold, fn) == snap(inc, fn), fn.__name__
