@@ -616,6 +616,30 @@ def phrase_index_n_buckets(index_dir: str) -> int:
         return int(json.load(f)["n_buckets"])
 
 
+def append_phrase_index(docs: DataFrame, index_dir: str) -> None:
+    """Append-only maintenance for the positional store — the phrase
+    twin of the BM25 store's ``append_build``: NEW docs' positional
+    postings land in the same bucket partitions (the stored modulus
+    is reused, never guessed), and because positions are strictly
+    per-(term, doc) with no cross-doc statistics, an append IS a
+    rebuild for phrase/slop/span semantics — no merge, no bound
+    refresh. Per-batch cost: tokenize the batch + one batch-sized
+    bucketed write. Caller contract (same as append_build): batch
+    doc ids must be new; an id collision would shadow rows at read
+    time instead of failing loudly here."""
+    n_buckets = phrase_index_n_buckets(index_dir)
+    (
+        _occurrences(docs, None)
+        .groupBy("term", "doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+        .repartition("bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(index_dir)
+    )
+
+
 def search_phrase_indexed(
     spark: SparkSession,
     index_dir: str,

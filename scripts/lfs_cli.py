@@ -200,12 +200,21 @@ def cmd_ann_search(args) -> None:
 def cmd_phrase_build(args) -> None:
     from pyspark.sql import functions as F
 
-    from la_fungus_search_spark.query.phrase import build_phrase_index
+    from la_fungus_search_spark.query.phrase import (
+        append_phrase_index,
+        build_phrase_index,
+        phrase_index_n_buckets,
+    )
 
     spark = get_spark(app_name="lfs-phrase-build")
     docs = spark.read.parquet(args.input).select(
         F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
     )
+    if args.append:
+        append_phrase_index(docs, args.out)
+        print(json.dumps({"status": "appended", "out": args.out,
+                          "n_buckets": phrase_index_n_buckets(args.out)}))
+        return
     build_phrase_index(docs, args.out, n_buckets=args.buckets)
     print(json.dumps({"status": "built", "out": args.out, "n_buckets": args.buckets}))
 
@@ -472,6 +481,8 @@ def main() -> None:
     pb = sub.add_parser("phrase-build")
     pb.add_argument("--input", required=True, help="parquet with (doc_id, text)")
     pb.add_argument("--out", required=True)
+    pb.add_argument("--append", action="store_true",
+                    help="append NEW docs to an existing positional index")
     pb.add_argument("--buckets", type=int, default=32)
     pb.add_argument("--id-col", dest="id_col", default="doc_id")
     pb.add_argument("--text-col", dest="text_col", default="text")

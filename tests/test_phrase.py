@@ -282,3 +282,22 @@ def test_span_validation(spark, docs_df):
         span_near_topk(docs_df, [("...", 2)], k=5)  # tokenizes to nothing
     with pytest.raises(ValueError):
         span_near_topk(docs_df, [("scan slow", -1)], k=5)
+
+
+def test_phrase_index_append_equals_cold(spark, docs_df, tmp_path):
+    """append_phrase_index: base build + appended batch must serve
+    phrase search identically to a cold build over the full corpus —
+    positions are per-(term, doc), so an append IS a rebuild."""
+    from la_fungus_search_spark.query.phrase import append_phrase_index
+
+    out_cold = str(tmp_path / "pos_cold")
+    out_app = str(tmp_path / "pos_app")
+    base = docs_df.filter(F.col("doc_id") % 2 == 0)
+    batch = docs_df.filter(F.col("doc_id") % 2 == 1)
+    build_phrase_index(docs_df, out_cold, n_buckets=8)
+    build_phrase_index(base, out_app, n_buckets=8)
+    append_phrase_index(batch, out_app)
+    live = [p for p in PHRASES if p != "zebra quux"]
+    cold = [tuple(r) for r in search_phrase_indexed(spark, out_cold, live, k=10, n_buckets=8).collect()]
+    app = [tuple(r) for r in search_phrase_indexed(spark, out_app, live, k=10, n_buckets=8).collect()]
+    assert app == cold and len(cold) > 0
