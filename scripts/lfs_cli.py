@@ -174,6 +174,20 @@ def cmd_ann_build(args) -> None:
     print(json.dumps({"status": "built", "out": args.out, **idx.params}))
 
 
+def cmd_ann_append(args) -> None:
+    from la_fungus_search_spark.textops.ann_index import (
+        append_to_ann_index,
+        load_ann_index,
+    )
+
+    spark = get_spark(app_name="lfs-ann-append")
+    idx = load_ann_index(spark, args.index)
+    emb = spark.read.parquet(args.input)
+    append_to_ann_index(idx, emb, id_col=args.id_col, vec_col=args.vec_col)
+    print(json.dumps({"status": "appended", "index": args.index,
+                      "n_new": emb.count()}))
+
+
 def cmd_ann_search(args) -> None:
     from pyspark.sql import functions as F
 
@@ -467,6 +481,13 @@ def main() -> None:
     ab.add_argument("--id-col", dest="id_col", default="vec_id")
     ab.add_argument("--vec-col", dest="vec_col", default="embedding")
     ab.set_defaults(fn=cmd_ann_build)
+
+    aa = sub.add_parser("ann-append")
+    aa.add_argument("--index", required=True)
+    aa.add_argument("--input", required=True, help="parquet with NEW (vec_id, embedding)")
+    aa.add_argument("--id-col", default="vec_id")
+    aa.add_argument("--vec-col", default="embedding")
+    aa.set_defaults(fn=cmd_ann_append)
 
     asr = sub.add_parser("ann-search")
     asr.add_argument("--index", required=True)
