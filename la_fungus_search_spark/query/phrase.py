@@ -640,6 +640,74 @@ def append_phrase_index(docs: DataFrame, index_dir: str) -> None:
     )
 
 
+def update_phrase_index(
+    spark: SparkSession,
+    index_dir: str,
+    changed_or_added: DataFrame,
+    removed_ids: Sequence[int] = (),
+) -> dict:
+    """Change/remove-aware maintenance for the positional store — the
+    phrase twin of the BM25 ``incremental_build``: rows of CHANGED or
+    REMOVED docs are dropped, changed/added docs' fresh postings land,
+    and ONLY the affected bucket partitions rewrite (Spark dynamic
+    partition overwrite — untouched buckets' files are not rewritten).
+
+    ``changed_or_added``: (doc_id, text) — changed docs keep their id
+    (their old rows are stale and dropped); added docs bring new ids.
+    ``removed_ids``: ids whose rows vanish without replacement.
+
+    Affected buckets = buckets holding a stale row ∪ buckets the fresh
+    postings hash into; finding the former needs one pruned read of
+    the store filtered to the stale-id set (positions are per-(term,
+    doc) with no cross-doc statistics, so no other state exists to
+    refresh). Returns {n_affected_buckets, n_stale_ids}."""
+    n_buckets = phrase_index_n_buckets(index_dir)
+    stale = {int(i) for i in removed_ids} | {
+        int(r["doc_id"]) for r in changed_or_added.select("doc_id").collect()
+    }
+    old = spark.read.parquet(index_dir)
+    stale_buckets = {
+        int(r["bucket"])
+        for r in old.filter(F.col("doc_id").isin(sorted(stale)))
+        .select("bucket").distinct().collect()
+    } if stale else set()
+    fresh = (
+        _occurrences(changed_or_added, None)
+        .groupBy("term", "doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    )
+    fresh_buckets = {
+        int(r["bucket"]) for r in fresh.select("bucket").distinct().collect()
+    }
+    affected = sorted(stale_buckets | fresh_buckets)
+    if not affected:
+        return {"n_affected_buckets": 0, "n_stale_ids": len(stale)}
+    kept = old.filter(F.col("bucket").isin(affected)).filter(
+        ~F.col("doc_id").isin(sorted(stale)) if stale else F.lit(True)
+    )
+    out = kept.select("term", "doc_id", "positions", "bucket").unionByName(
+        fresh.filter(F.col("bucket").isin(affected))
+    )
+    # materialize BEFORE the overwrite: the plan reads the same path it
+    # is about to rewrite, and Spark refuses (or worse, races) a
+    # read-while-overwrite — the checkpoint pins the affected buckets'
+    # rows in block storage first (bounded: only affected buckets)
+    out = out.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            out.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(index_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {"n_affected_buckets": len(affected), "n_stale_ids": len(stale)}
+
+
 def search_phrase_indexed(
     spark: SparkSession,
     index_dir: str,

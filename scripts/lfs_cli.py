@@ -233,6 +233,20 @@ def cmd_phrase_build(args) -> None:
     print(json.dumps({"status": "built", "out": args.out, "n_buckets": args.buckets}))
 
 
+def cmd_phrase_update(args) -> None:
+    from pyspark.sql import functions as F
+
+    from la_fungus_search_spark.query.phrase import update_phrase_index
+
+    spark = get_spark(app_name="lfs-phrase-update")
+    changed = spark.read.parquet(args.input).select(
+        F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
+    )
+    removed = [int(x) for x in args.removed.split(",") if x] if args.removed else []
+    stats = update_phrase_index(spark, args.index, changed, removed_ids=removed)
+    print(json.dumps({"status": "updated", "index": args.index, **stats}))
+
+
 def cmd_phrase_search(args) -> None:
     from la_fungus_search_spark.query.phrase import (
         phrase_index_n_buckets,
@@ -508,6 +522,15 @@ def main() -> None:
     pb.add_argument("--id-col", dest="id_col", default="doc_id")
     pb.add_argument("--text-col", dest="text_col", default="text")
     pb.set_defaults(fn=cmd_phrase_build)
+
+    pu = sub.add_parser("phrase-update")
+    pu.add_argument("--index", required=True)
+    pu.add_argument("--input", required=True,
+                    help="parquet with CHANGED or ADDED (doc_id, text)")
+    pu.add_argument("--removed", default="", help="comma-separated removed doc ids")
+    pu.add_argument("--id-col", default="doc_id")
+    pu.add_argument("--text-col", default="text")
+    pu.set_defaults(fn=cmd_phrase_update)
 
     ps = sub.add_parser("phrase-search")
     ps.add_argument("--index", required=True)

@@ -301,3 +301,37 @@ def test_phrase_index_append_equals_cold(spark, docs_df, tmp_path):
     cold = [tuple(r) for r in search_phrase_indexed(spark, out_cold, live, k=10, n_buckets=8).collect()]
     app = [tuple(r) for r in search_phrase_indexed(spark, out_app, live, k=10, n_buckets=8).collect()]
     assert app == cold and len(cold) > 0
+
+
+def test_phrase_index_update_equals_cold(spark, docs_df, tmp_path):
+    """update_phrase_index (change + add + remove) must leave the
+    store equal to a cold build of the new snapshot, rewriting only
+    the affected bucket partitions."""
+    from la_fungus_search_spark.query.phrase import update_phrase_index
+
+    out = str(tmp_path / "pos_upd")
+    build_phrase_index(docs_df, out, n_buckets=8)
+    # snapshot v2: doc 0 changes text, doc 1 is removed, doc 9000 is new
+    changed = spark.createDataFrame(
+        [(0, "zebra quux zebra table"), (9000, "brand new table scan doc")],
+        "doc_id BIGINT, text STRING",
+    )
+    stats = update_phrase_index(spark, out, changed, removed_ids=[1])
+    # stale = removed {1} ∪ incoming ids {0, 9000} (an added id has no
+    # old rows to drop — harmless by definition)
+    assert stats["n_stale_ids"] == 3 and stats["n_affected_buckets"] >= 1
+
+    v2 = (
+        docs_df.filter(~F.col("doc_id").isin([0, 1]))
+        .unionByName(changed)
+    )
+    cold = str(tmp_path / "pos_cold2")
+    build_phrase_index(v2, cold, n_buckets=8)
+    live = [p for p in PHRASES] + ["zebra quux", "brand new"]
+    a = [tuple(r) for r in search_phrase_indexed(spark, out, live, k=10, n_buckets=8).collect()]
+    b = [tuple(r) for r in search_phrase_indexed(spark, cold, live, k=10, n_buckets=8).collect()]
+    assert a == b
+    # the changed doc's new phrase and the added doc are findable; the
+    # removed doc is gone
+    assert any(r[2] == 0 for r in a if r[0] == live.index("zebra quux")), a
+    assert all(r[2] != 1 for r in a)
