@@ -37,6 +37,7 @@ class StreamingIndexMaintainer:
         block_size: int = 32,
         on_update=None,
         checkpoint_every: int = 8,
+        phrase_index_dir: str | None = None,
     ):
         self.spark = spark
         self.index = base_index
@@ -49,12 +50,27 @@ class StreamingIndexMaintainer:
         self.on_update = on_update
         self.checkpoint_every = max(1, checkpoint_every)
         self.n_batches = 0
+        # optional sibling store: each appended batch ALSO lands in the
+        # positional (phrase) index, keyed by the SAME prepare() ids —
+        # one stream maintains both stores consistently
+        self.phrase_index_dir = phrase_index_dir
 
     def _process(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         builder = IncrementalIndexBuilder(self.spark, **self._builder_kw)
         self.index = builder.append_build(self.index, batch_df)
+        if self.phrase_index_dir is not None:
+            from pyspark.sql import functions as F
+
+            from la_fungus_search_spark.query.phrase import append_phrase_index
+
+            append_phrase_index(
+                builder.prepare(batch_df).select(
+                    "doc_id", F.col("content").alias("text")
+                ),
+                self.phrase_index_dir,
+            )
         # materialize the new lists so each batch's work is bounded and
         # the lineage doesn't accumulate across batches
         self.index.posting_lists.persist().count()

@@ -143,7 +143,10 @@ def cmd_watch(args) -> None:
     spark = get_spark(app_name="lfs-watch")
     old = load_index(spark, args.index)
     schema = "repo STRING, path STRING, commit STRING, lang STRING, content STRING"
-    m = StreamingIndexMaintainer(spark, old, n_salts=old.globals.get("n_salts", 4))
+    m = StreamingIndexMaintainer(
+        spark, old, n_salts=old.globals.get("n_salts", 4),
+        phrase_index_dir=args.phrase_index or None,
+    )
     q = m.start(args.input, args.checkpoint, schema, available_now=not args.continuous)
     q.awaitTermination()
     idx = m.index
@@ -478,6 +481,8 @@ def main() -> None:
     u.set_defaults(fn=cmd_update)
 
     w = sub.add_parser("watch")
+    w.add_argument("--phrase-index", default="",
+                   help="also land each batch in this positional index")
     w.add_argument("--index", required=True)
     w.add_argument("--input", required=True, help="directory new corpus parquet files land in")
     w.add_argument("--checkpoint", required=True)

@@ -568,3 +568,49 @@ def test_incremental_index_serves_similarity_family_identically(spark):
 
     for fn in (search_lm_dirichlet, search_lm_jm, search_dfr_inl2):
         assert snap(cold, fn) == snap(inc, fn), fn.__name__
+
+
+def test_streaming_maintainer_keeps_phrase_store_in_sync(spark, tmp_path):
+    """One stream, two stores: the maintainer's optional
+    phrase_index_dir lands every appended batch in the positional
+    store with the SAME prepare() doc ids — after the drain, phrase
+    search over the maintained store equals a cold phrase build over
+    the full corpus with identical ids."""
+    from la_fungus_search_spark.corpus import corpus_df
+    from la_fungus_search_spark.index.builder import IncrementalIndexBuilder
+    from la_fungus_search_spark.query.phrase import (
+        build_phrase_index,
+        search_phrase_indexed,
+    )
+    from la_fungus_search_spark.streaming.incremental import StreamingIndexMaintainer
+
+    full = corpus_df(spark, 60).filter("lang = 'python'").persist()
+    base = full.filter(F.col("path") < "src/pkg05")
+    rest = full.filter(F.col("path") >= "src/pkg05")
+
+    b = IncrementalIndexBuilder(spark, id_mode="hash", n_buckets=4, n_salts=2)
+    base_idx = b.build(base)
+    pdir = str(tmp_path / "pos_watch")
+    build_phrase_index(
+        b.prepare(base).select("doc_id", F.col("content").alias("text")),
+        pdir, n_buckets=8,
+    )
+
+    src = str(tmp_path / "incoming")
+    rest.coalesce(2).write.parquet(src)
+    m = StreamingIndexMaintainer(
+        spark, base_idx, n_salts=2, phrase_index_dir=pdir
+    )
+    m.start(src, str(tmp_path / "ckpt"),
+            "repo STRING, path STRING, commit STRING, lang STRING, content STRING")
+
+    cold_dir = str(tmp_path / "pos_cold")
+    build_phrase_index(
+        b.prepare(full).select("doc_id", F.col("content").alias("text")),
+        cold_dir, n_buckets=8,
+    )
+    qs = ["module 0", "import tree"]  # real corpus bigrams (probed)
+    a = [tuple(r) for r in search_phrase_indexed(spark, pdir, qs, k=10, n_buckets=8).collect()]
+    c = [tuple(r) for r in search_phrase_indexed(spark, cold_dir, qs, k=10, n_buckets=8).collect()]
+    assert a == c and len(c) > 0
+    full.unpersist()
