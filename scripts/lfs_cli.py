@@ -57,7 +57,24 @@ def cmd_search(args) -> None:
 
     spark = get_spark(app_name="lfs-search")
     eng = BM25QueryEngine(load_index(spark, args.index))
-    if args.mode == "and":
+    if args.similarity != "bm25":
+        # the Lucene similarity family on the same index artifacts
+        from la_fungus_search_spark.query.dfr import search_dfr_inl2
+        from la_fungus_search_spark.query.lmsim import (
+            search_lm_dirichlet,
+            search_lm_jm,
+        )
+
+        fn = {"lm_dirichlet": search_lm_dirichlet, "lm_jm": search_lm_jm,
+              "dfr": search_dfr_inl2}[args.similarity]
+        hits = fn(eng, args.query, k=args.k).join(
+            eng.index.doc_stats.select(
+                "doc_id", *[c for c in ("repo", "path", "commit", "content_sha256")
+                            if c in eng.index.doc_stats.columns]
+            ),
+            "doc_id", "left",
+        ).orderBy("query_id", "rank")
+    elif args.mode == "and":
         hits = eng.search_and(args.query, k=args.k)
         hits = hits.join(
             eng.index.doc_stats.select(
@@ -459,6 +476,8 @@ def main() -> None:
     b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("search")
+    s.add_argument("--similarity", default="bm25",
+                   choices=["bm25", "lm_dirichlet", "lm_jm", "dfr"])
     s.add_argument("--index", required=True)
     s.add_argument("--query", action="append", required=True)
     s.add_argument("-k", type=int, default=10)
