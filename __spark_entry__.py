@@ -5319,18 +5319,29 @@ def q_geotile_grid_agg(spark, sf_dir):
 
 def q_semdedup_select(spark, sf_dir):
     """SemDeDup (textops/semdedup.py, Abbas et al. 2023 arXiv:
-    2303.09540): deterministic spherical k-means clusters, within-cell
-    quantized cosine pairs, keep-rule = lowest (csim, id) exemplar
-    survives each duplicate neighbourhood. Rows-only by nature
-    (k-means + float matmul); tests/test_semdedup.py pins the full
-    pipeline against a pure-numpy mirror, exact per-row. τ=0.22 is
-    calibrated to the synthetic corpus's cosine range (near-random
-    vectors, max pairwise cos 0.48) so the gate exercises removal —
-    the mechanism is τ-independent."""
-    from la_fungus_search_spark.textops.semdedup import semdedup_select
+    2303.09540): cluster assignment, within-cell quantized cosine
+    pairs, keep-rule = lowest (csim, id) exemplar survives each
+    duplicate neighbourhood. Value-oracled since r5 (VERDICT r4 item
+    3): the gate pins the FIXTURE quantizer (semdedup.
+    fixture_centroids — md5-derived unit vectors, the trigram-profile
+    device), so the verdict is deterministic micro-quantized
+    arithmetic whose DuckDB oracle embeds the same centroid literals;
+    it also removes the Lloyd-iteration fixed overhead that made this
+    the sweep's heavyweight (10.5–13.6 s → assignment + one equi
+    self-join). The PRODUCTION trained-quantizer path
+    (ivf_train_centroids, bit-identical on retrain) stays pinned by
+    tests/test_semdedup.py's pure-numpy mirror and the ivf determinism
+    pytest. τ=0.22 is calibrated to the synthetic corpus's cosine
+    range (near-random vectors, max pairwise cos 0.48) so the gate
+    exercises removal — the mechanism is τ-independent."""
+    from la_fungus_search_spark.textops.semdedup import (
+        fixture_centroids,
+        semdedup_select,
+    )
 
     return semdedup_select(
-        _embeddings(spark, sf_dir), n_clusters=8, tau=0.22, n_iters=3
+        _embeddings(spark, sf_dir), n_clusters=8, tau=0.22,
+        centroids=fixture_centroids(8, 64),
     )
 
 
@@ -6751,37 +6762,203 @@ def q_random_sampler(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness run checks a
-    # bounded PREFIX of this dict (~50 of 80). Round-4 rotation
-    # (VERDICT r3 item 3): (a) the 15 entries whose only driver-green
-    # row is from r2 go FIRST — especially multimodal_decode, whose
-    # real-container-decode semantics postdate its r2 row; (b) then
-    # the gates whose implementation changed this round
-    # (text_lang_id_model and dedup_simhash gained value-oracles,
-    # dedup_clusters/bm25_* changed internals); (c) then the
-    # entries that were no_oracle entering r4 (query_dedup and
-    # mmr_diverse_topk gained recursive-CTE value-oracles mid-round —
-    # kept in place, the prefix position is what matters);
-    # (d) then greens touching this round's changed modules. The 15
-    # r3-green entries with unchanged code rotate to the back — every
-    # entry then has a green driver row in r3 ∪ r4. The nine NEW
-    # gates (positional search ×2, boolean retrieval, fuzzy/prefix/
-    # wildcard expansion, more-like-this, PRF, facets — then span-near,
-    # range facets, the did-you-mean suggester, collocations,
-    # highlighting, SynonymQuery scoring, significant-terms and
-    # search_after cursor pagination) displace
-    # concrete_query_filter, term_intersection, text_token_counts,
-    # grep_scan, grep_context, corpus_clean, corpus_clean_rep,
-    # ann_cosine_topk, keyword_score_topk, dedup_ngram_jaccard,
-    # dedup_cross_doc_grams, dedup_embedding_cosine, decontaminate,
-    # sample_stratified, pack_token_shards — and finally ann_srp_topk
-    # / ann_ivf_topk (rows-only by nature, unchanged since their r3
-    # driver rows, each pinned by a pytest recall floor AND re-measured
-    # in every bench run's ann_recall block) — from the ~50 prefix; ALL
-    # displaced value-oracle entries are r3 hash-green on unchanged
-    # code (verified against CORRECTNESS_r03.json before each
-    # displacement).
+    # bounded PREFIX of this dict (~50 of 223). Round-5 rotation
+    # (VERDICT r4 item 2): 137 of 223 gates were born in r4's waves
+    # 8-31 and have NEVER had a driver row (all are locally hash-green
+    # vs their DuckDB oracles via scripts/check_entry.py and pytest).
+    # The front-50 is the highest-user-weight slice of those, in the
+    # verdict's stated priority: query_string/simple_query_string, the
+    # LM-Dirichlet/JM/DFR similarity family, multi_match/cross_fields/
+    # combined_fields/dis_max, function_score, collapse (+inner hits),
+    # RRF fusion, rescore, date_histogram + pipeline aggs, then
+    # geo/IP/parent-child, explain, suggesters, and the remaining
+    # match-family queries. The other 87 never-checked gates follow
+    # immediately (if the driver checks past 50 it still lands on
+    # fresh entries); then the 36 gates whose only driver rows are
+    # r1-r3; the 50 r4-green gates sit at the very back (covered last
+    # round, nothing changed). semdedup_select leads the remainder
+    # block: it gained its fixture-centroid DuckDB value-oracle AND a
+    # new integer-matmul kernel this round (VERDICT r4 item 3), so it
+    # is the highest-priority candidate if the checked prefix ever
+    # widens past 50.
     return {
-        # (a) r2-green only, driver-unchecked in r3
+        # --- never driver-checked, front-50 (verdict priority order)
+        "query_string_topk": q_query_string_topk,
+        "simple_query_string_topk": q_simple_query_string_topk,
+        "lm_dirichlet_topk": q_lm_dirichlet_topk,
+        "lm_jm_topk": q_lm_jm_topk,
+        "dfr_inl2_topk": q_dfr_inl2_topk,
+        "multi_match_best": q_multi_match_best,
+        "multi_match_most": q_multi_match_most,
+        "cross_fields_topk": q_cross_fields_topk,
+        "combined_fields_topk": q_combined_fields_topk,
+        "dis_max_topk": q_dis_max_topk,
+        "function_score_topk": q_function_score_topk,
+        "collapse_topk": q_collapse_topk,
+        "collapse_inner_hits": q_collapse_inner_hits,
+        "rrf_fusion_topk": q_rrf_fusion_topk,
+        "rescore_phrase_topk": q_rescore_phrase,
+        "date_histogram": q_date_histogram,
+        "pipeline_aggs": q_pipeline_aggs,
+        "bucket_pipeline_agg": q_bucket_pipeline_agg,
+        "percentiles_bucket": q_percentiles_bucket,
+        "auto_date_histogram": q_auto_date_histogram,
+        "date_range_agg": q_date_range_agg,
+        "composite_agg_page": q_composite_agg_page,
+        "top_hits_agg": q_top_hits_agg,
+        "geo_distance_topk": q_geo_distance_topk,
+        "geo_distance_agg": q_geo_distance_agg,
+        "geotile_grid_agg": q_geotile_grid_agg,
+        "geohash_grid_agg": q_geohash_grid_agg,
+        "geo_bounds_agg": q_geo_bounds_agg,
+        "geo_bounding_box_topk": q_geo_bounding_box,
+        "geo_polygon_topk": q_geo_polygon,
+        "geo_line_agg": q_geo_line,
+        "ip_range_agg": q_ip_range,
+        "ip_prefix_agg": q_ip_prefix,
+        "has_child_topk": q_has_child_topk,
+        "has_parent_topk": q_has_parent_topk,
+        "children_agg": q_children_agg,
+        "parent_agg": q_parent_agg,
+        "nested_agg": q_nested_agg,
+        "explain_topk": q_explain_topk,
+        "phrase_suggest": q_phrase_suggest,
+        "suggest_complete": q_suggest_complete,
+        "bm25_topk_english": q_bm25_topk_english,
+        "bm25_topk_boosted": q_bm25_topk_boosted,
+        "boolean_msm_topk": q_boolean_msm_topk,
+        "match_phrase_prefix": q_match_phrase_prefix,
+        "match_bool_prefix_topk": q_match_bool_prefix,
+        "terms_set_topk": q_terms_set_topk,
+        "percolate_matches": q_percolate,
+        "search_as_you_type_topk": q_search_as_you_type_topk,
+        "fuzzy_damerau_topk": q_fuzzy_damerau_topk,
+        # --- never driver-checked, remainder (fresh if prefix > 50)
+        "semdedup_select": q_semdedup_select,
+        "text_wordpiece_counts": q_text_wordpiece_counts,
+        "text_unigram_counts": q_text_unigram_counts,
+        "scripted_metric_agg": q_scripted_metric_agg,
+        "soft_dedup_weights": q_soft_dedup_weights,
+        "streaming_trending_terms": q_streaming_trending_terms,
+        "streaming_funnel_join": q_streaming_funnel_join,
+        "facet_stats": q_facet_stats,
+        "sample_temperature": q_sample_temperature,
+        "doremi_weights": q_doremi_weights,
+        "unimax_alloc": q_unimax_alloc,
+        "pii_scrub": q_pii_scrub,
+        "hybrid_bm25_knn_topk": q_hybrid_bm25_knn,
+        "dedup_lines": q_dedup_lines,
+        "knn_filtered_topk": q_knn_filtered,
+        "span_not_topk": q_span_not_topk,
+        "rank_eval": q_rank_eval,
+        "streaming_percolate": q_streaming_percolate,
+        "text_lm_logloss": q_text_lm_logloss,
+        "ccnet_bucket": q_ccnet_bucket,
+        "dfs_sharded_search": q_dfs_sharded_search,
+        "assign_splits": q_assign_splits,
+        "boosting_query_topk": q_boosting_query_topk,
+        "pinned_query_topk": q_pinned_query_topk,
+        "rank_feature_topk": q_rank_feature_topk,
+        "distance_feature_topk": q_distance_feature_topk,
+        "adjacency_matrix": q_adjacency_matrix,
+        "multi_terms_agg": q_multi_terms_agg,
+        "histogram_numeric": q_histogram_numeric,
+        "matrix_stats": q_matrix_stats,
+        "span_first_topk": q_span_first_topk,
+        "analyze_text": q_analyze_text,
+        "sample_token_budget": q_sample_token_budget,
+        "epoch_shuffle": q_epoch_shuffle,
+        "percentile_ranks": q_percentile_ranks,
+        "rare_terms_agg": q_rare_terms_agg,
+        "weighted_avg_agg": q_weighted_avg_agg,
+        "random_score_topk": q_random_score_topk,
+        "field_value_factor_topk": q_field_value_factor_topk,
+        "span_or_topk": q_span_or_topk,
+        "span_containing_topk": q_span_containing_topk,
+        "span_within_topk": q_span_within_topk,
+        "dsir_select": q_dsir_select,
+        "filters_agg": q_filters_agg,
+        "cardinality_agg": q_cardinality_agg,
+        "extended_stats_agg": q_extended_stats_agg,
+        "mad_agg": q_mad_agg,
+        "cumulative_cardinality": q_cumulative_cardinality,
+        "percentiles_agg": q_percentiles_agg,
+        "string_stats_agg": q_string_stats_agg,
+        "t_test_agg": q_t_test_agg,
+        "rate_agg": q_rate_agg,
+        "normalize_agg": q_normalize_agg,
+        "diversified_sampler_agg": q_diversified_sampler_agg,
+        "sessionize": q_sessionize,
+        "intervals_query_topk": q_intervals_query,
+        "streaming_sessionize": q_streaming_sessionize,
+        "terms_lookup_topk": q_terms_lookup_topk,
+        "boxplot_agg": q_boxplot_agg,
+        "top_metrics_agg": q_top_metrics_agg,
+        "bucket_siblings": q_bucket_siblings,
+        "bucket_correlation": q_bucket_correlation,
+        "bucket_ks_test": q_bucket_ks_test,
+        "bucket_script_agg": q_bucket_script_agg,
+        "missing_agg": q_missing_agg,
+        "gopher_rules": q_gopher_rules,
+        "c4_rules": q_c4_rules,
+        "significant_text": q_significant_text,
+        "common_terms_topk": q_common_terms_topk,
+        "fineweb_rules": q_fineweb_rules,
+        "frequent_item_sets_agg": q_frequent_item_sets,
+        "categorize_text_agg": q_categorize_text,
+        "span_multi_topk": q_span_multi,
+        "filter_context_topk": q_filter_context,
+        "term_range_topk": q_term_range_topk,
+        "drill_sideways_facets": q_drill_sideways,
+        "url_dedup": q_url_dedup,
+        "change_point_agg": q_change_point,
+        "dedup_substring_spans": q_dedup_substring_spans,
+        "url_host_filter": q_url_host_filter,
+        "variable_width_histogram": q_variable_width_histogram,
+        "text_hash_embed": q_text_hash_embed,
+        "quality_classifier": q_quality_classifier,
+        "moving_percentiles": q_moving_percentiles,
+        "lm_bigram_logloss": q_lm_bigram_logloss,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "random_sampler_agg": q_random_sampler,
+        # --- driver-green in r1-r3 only (unchanged code)
+        "ann_srp_topk": q_ann_srp_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "corpus_sketch": q_corpus_sketch,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_cross_doc_grams": q_dedup_cross_doc_grams,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "decontaminate": q_decontaminate,
+        "sample_stratified": q_sample_stratified,
+        "pack_token_shards": q_pack_token_shards,
+        "corpus_clean": q_corpus_clean,
+        "corpus_clean_rep": q_corpus_clean_rep,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "keyword_score_topk": q_keyword_score_topk,
+        "grep_scan": q_grep_scan,
+        "grep_context": q_grep_context,
+        "concrete_query_filter": q_concrete_query_filter,
+        "term_intersection": q_term_intersection,
+        "text_token_counts": q_text_token_counts,
+        "multi_query_max_merge": q_multi_query_max_merge,
+        "dedup_by_source_results": q_dedup_by_source_results,
+        "usage_rollup_sets": q_usage_rollup_sets,
+        "usage_cost_estimate": q_usage_cost_estimate,
+        "trail_degree": q_trail_degree,
+        "incremental_changed_docs": q_incremental_changed_docs,
+        "streaming_step_metrics": q_streaming_step_metrics,
+        "streaming_dedup_state": q_streaming_dedup_state,
+        "pagination": q_pagination,
+        "streaming_stability_state": q_streaming_stability_state,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprints": q_text_fingerprints,
+        "text_repetition": q_text_repetition,
+        "text_winnow": q_text_winnow,
+        # --- r4-green last round; rotated to the back
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_resize_plan": q_multimodal_resize_plan,
@@ -6797,9 +6974,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet_extract": q_snippet_extract,
         "hybrid_blend_topk": q_hybrid_blend_topk,
         "blended_topk_len_prior": q_blended_topk_len_prior,
-        # (b) new value-oracles this round; phrase/proximity are NEW
-        # operators (positional search) — born with oracles, must sit
-        # inside the checked prefix
         "text_lang_id_model": q_text_lang_id_model,
         "dedup_simhash": q_dedup_simhash,
         "phrase_match_topk": q_phrase_match_topk,
@@ -6823,23 +6997,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_ranges": q_facet_ranges,
         "significant_terms": q_significant_terms,
         "search_after_topk": q_search_after_topk,
-        # (c) no_oracle entering r4 (query_dedup / mmr_diverse_topk /
-        # text_bpe_counts gained value-oracles mid-round and MUST be
-        # driver-hash-checked this round; ann_ivfpq_topk and
-        # corpus_sketch are rows-only BY NATURE, unchanged in r4, and
-        # carry r3 driver rows + pytest recall/bounds oracles — they
-        # yield their prefix slots to the sixth-wave value-oracle
-        # gates and sit just behind the cut with the other rows-only
-        # ANN entries)
         "query_dedup": q_query_dedup,
         "mmr_diverse_topk": q_mmr_diverse_topk,
         "text_bpe_counts": q_text_bpe_counts,
-        # (d) greens over modules changed this round + cheap staples.
-        # dedup_minhash_* moved AHEAD of the unchanged rows-only ANN
-        # gates: the MinHash kernel was reworked mid-r4 (one md5 per
-        # shingle, universal hash family), so these two need an
-        # r4-driver row; ann_srp/ivf/pq are no_oracle (rows-only) and
-        # unchanged since their r3 rows + pytest recall floors.
         "bm25_topk": q_bm25_topk,
         "bm25_topk_blockmax": q_bm25_topk_blockmax,
         "bm25_topk_and": q_bm25_topk_and,
@@ -6849,202 +7009,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "query_string_topk": q_query_string_topk,
-        "lm_dirichlet_topk": q_lm_dirichlet_topk,
-        "lm_jm_topk": q_lm_jm_topk,
-        "dfr_inl2_topk": q_dfr_inl2_topk,
-        "simple_query_string_topk": q_simple_query_string_topk,
-        "search_as_you_type_topk": q_search_as_you_type_topk,
-        "text_wordpiece_counts": q_text_wordpiece_counts,
-        "text_unigram_counts": q_text_unigram_counts,
-        "scripted_metric_agg": q_scripted_metric_agg,
-        "ann_srp_topk": q_ann_srp_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "corpus_sketch": q_corpus_sketch,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "soft_dedup_weights": q_soft_dedup_weights,
-        "dedup_cross_doc_grams": q_dedup_cross_doc_grams,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "decontaminate": q_decontaminate,
-        "sample_stratified": q_sample_stratified,
-        "pack_token_shards": q_pack_token_shards,
-        "corpus_clean": q_corpus_clean,
-        "corpus_clean_rep": q_corpus_clean_rep,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "keyword_score_topk": q_keyword_score_topk,
-        "grep_scan": q_grep_scan,
-        "grep_context": q_grep_context,
-        "concrete_query_filter": q_concrete_query_filter,
-        "term_intersection": q_term_intersection,
-        "text_token_counts": q_text_token_counts,
-        # r3-green, unchanged code — rotated behind the checked prefix
-        "multi_query_max_merge": q_multi_query_max_merge,
-        "dedup_by_source_results": q_dedup_by_source_results,
-        "usage_rollup_sets": q_usage_rollup_sets,
-        "usage_cost_estimate": q_usage_cost_estimate,
-        "trail_degree": q_trail_degree,
-        "incremental_changed_docs": q_incremental_changed_docs,
-        "streaming_step_metrics": q_streaming_step_metrics,
-        "streaming_trending_terms": q_streaming_trending_terms,
-        "streaming_funnel_join": q_streaming_funnel_join,
-        "streaming_dedup_state": q_streaming_dedup_state,
-        "pagination": q_pagination,
-        "streaming_stability_state": q_streaming_stability_state,
-        "text_quality": q_text_quality,
-        "text_lang_id": q_text_lang_id,
-        "text_fingerprints": q_text_fingerprints,
-        "text_repetition": q_text_repetition,
-        "text_winnow": q_text_winnow,
-        # NEW in late r4, deliberately BEHIND the checked prefix (the
-        # prefix's 50 slots are all claimed by gates that changed this
-        # round): these entries' r4 verification is LOCAL ONLY —
-        # check_entry.py hash-match vs their DuckDB oracles + pytest —
-        # they rotate into the prefix next round.
-        "explain_topk": q_explain_topk,
-        "bm25_topk_english": q_bm25_topk_english,
-        "rrf_fusion_topk": q_rrf_fusion_topk,
-        "percolate_matches": q_percolate,
-        "rescore_phrase_topk": q_rescore_phrase,
-        "facet_stats": q_facet_stats,
-        "bm25_topk_boosted": q_bm25_topk_boosted,
-        "suggest_complete": q_suggest_complete,
-        "boolean_msm_topk": q_boolean_msm_topk,
-        "has_child_topk": q_has_child_topk,
-        "collapse_topk": q_collapse_topk,
-        "collapse_inner_hits": q_collapse_inner_hits,
-        "function_score_topk": q_function_score_topk,
-        "top_hits_agg": q_top_hits_agg,
-        "date_histogram": q_date_histogram,
-        "phrase_suggest": q_phrase_suggest,
-        "multi_match_best": q_multi_match_best,
-        "multi_match_most": q_multi_match_most,
-        # eighth wave (late r4): same driver-prefix rationale as the
-        # seventh — full DuckDB value-oracles + pytest, local
-        # check_entry.py verification this round, prefix rotation in r5
-        "dis_max_topk": q_dis_max_topk,
-        "match_phrase_prefix": q_match_phrase_prefix,
-        "sample_temperature": q_sample_temperature,
-        "doremi_weights": q_doremi_weights,
-        "unimax_alloc": q_unimax_alloc,
-        "pii_scrub": q_pii_scrub,
-        "hybrid_bm25_knn_topk": q_hybrid_bm25_knn,
-        "terms_set_topk": q_terms_set_topk,
-        "dedup_lines": q_dedup_lines,
-        "knn_filtered_topk": q_knn_filtered,
-        "span_not_topk": q_span_not_topk,
-        "rank_eval": q_rank_eval,
-        "streaming_percolate": q_streaming_percolate,
-        "text_lm_logloss": q_text_lm_logloss,
-        "ccnet_bucket": q_ccnet_bucket,
-        "dfs_sharded_search": q_dfs_sharded_search,
-        "assign_splits": q_assign_splits,
-        "combined_fields_topk": q_combined_fields_topk,
-        "cross_fields_topk": q_cross_fields_topk,
-        "pipeline_aggs": q_pipeline_aggs,
-        "composite_agg_page": q_composite_agg_page,
-        # tenth wave (r4 continuation): same driver-prefix rationale —
-        # full DuckDB value-oracles + pytest, local check_entry.py
-        # verification this round, prefix rotation next round
-        "boosting_query_topk": q_boosting_query_topk,
-        "pinned_query_topk": q_pinned_query_topk,
-        "rank_feature_topk": q_rank_feature_topk,
-        "distance_feature_topk": q_distance_feature_topk,
-        "adjacency_matrix": q_adjacency_matrix,
-        "multi_terms_agg": q_multi_terms_agg,
-        "histogram_numeric": q_histogram_numeric,
-        "auto_date_histogram": q_auto_date_histogram,
-        "matrix_stats": q_matrix_stats,
-        "span_first_topk": q_span_first_topk,
-        "match_bool_prefix_topk": q_match_bool_prefix,
-        "analyze_text": q_analyze_text,
-        "sample_token_budget": q_sample_token_budget,
-        "epoch_shuffle": q_epoch_shuffle,
-        # eleventh wave: ES aggregation + function_score completions
-        "percentile_ranks": q_percentile_ranks,
-        "rare_terms_agg": q_rare_terms_agg,
-        "weighted_avg_agg": q_weighted_avg_agg,
-        "bucket_pipeline_agg": q_bucket_pipeline_agg,
-        "random_score_topk": q_random_score_topk,
-        "field_value_factor_topk": q_field_value_factor_topk,
-        "span_or_topk": q_span_or_topk,
-        "has_parent_topk": q_has_parent_topk,
-        "span_containing_topk": q_span_containing_topk,
-        "span_within_topk": q_span_within_topk,
-        "dsir_select": q_dsir_select,
-        "filters_agg": q_filters_agg,
-        "cardinality_agg": q_cardinality_agg,
-        "extended_stats_agg": q_extended_stats_agg,
-        "mad_agg": q_mad_agg,
-        "cumulative_cardinality": q_cumulative_cardinality,
-        # thirteenth wave: remaining ES agg family
-        "percentiles_agg": q_percentiles_agg,
-        "string_stats_agg": q_string_stats_agg,
-        "t_test_agg": q_t_test_agg,
-        "rate_agg": q_rate_agg,
-        "normalize_agg": q_normalize_agg,
-        "diversified_sampler_agg": q_diversified_sampler_agg,
-        "geo_distance_topk": q_geo_distance_topk,
-        "geo_distance_agg": q_geo_distance_agg,
-        "geotile_grid_agg": q_geotile_grid_agg,
-        "semdedup_select": q_semdedup_select,
-        "geo_bounds_agg": q_geo_bounds_agg,
-        "sessionize": q_sessionize,
-        "intervals_query_topk": q_intervals_query,
-        "streaming_sessionize": q_streaming_sessionize,
-        "terms_lookup_topk": q_terms_lookup_topk,
-        "geohash_grid_agg": q_geohash_grid_agg,
-        # wave 14 (behind the prefix this round; rotate in r5): ES agg
-        # close-outs, named curation rule sets, Damerau fuzzy
-        "boxplot_agg": q_boxplot_agg,
-        "top_metrics_agg": q_top_metrics_agg,
-        "bucket_siblings": q_bucket_siblings,
-        "percentiles_bucket": q_percentiles_bucket,
-        "bucket_correlation": q_bucket_correlation,
-        "bucket_ks_test": q_bucket_ks_test,
-        "bucket_script_agg": q_bucket_script_agg,
-        "missing_agg": q_missing_agg,
-        "gopher_rules": q_gopher_rules,
-        "c4_rules": q_c4_rules,
-        "fuzzy_damerau_topk": q_fuzzy_damerau_topk,
-        # wave 15
-        "children_agg": q_children_agg,
-        "parent_agg": q_parent_agg,
-        "significant_text": q_significant_text,
-        "common_terms_topk": q_common_terms_topk,
-        # wave 16
-        "fineweb_rules": q_fineweb_rules,
-        "frequent_item_sets_agg": q_frequent_item_sets,
-        "categorize_text_agg": q_categorize_text,
-        "span_multi_topk": q_span_multi,
-        "filter_context_topk": q_filter_context,
-        # wave 17
-        "term_range_topk": q_term_range_topk,
-        "drill_sideways_facets": q_drill_sideways,
-        "date_range_agg": q_date_range_agg,
-        "geo_polygon_topk": q_geo_polygon,
-        "nested_agg": q_nested_agg,
-        # wave 18
-        "geo_bounding_box_topk": q_geo_bounding_box,
-        "ip_range_agg": q_ip_range,
-        "ip_prefix_agg": q_ip_prefix,
-        "url_dedup": q_url_dedup,
-        "change_point_agg": q_change_point,
-        # wave 19
-        "dedup_substring_spans": q_dedup_substring_spans,
-        "url_host_filter": q_url_host_filter,
-        "variable_width_histogram": q_variable_width_histogram,
-        "text_hash_embed": q_text_hash_embed,
-        # wave 20
-        "geo_line_agg": q_geo_line,
-        "quality_classifier": q_quality_classifier,
-        "moving_percentiles": q_moving_percentiles,
-        # wave 21
-        "lm_bigram_logloss": q_lm_bigram_logloss,
-        "decontaminate_fuzzy": q_decontaminate_fuzzy,
-        "random_sampler_agg": q_random_sampler,
     }
 
 
@@ -7462,6 +7426,26 @@ def oracle_sql() -> dict[str, str]:
         " * sqrt(list_sum(list_transform(b.embedding, x -> x * x))),"
         " 1e-300)) * 1e6)::BIGINT"
     )
+
+    # SemDeDup verdict GIVEN the fixture quantizer (VERDICT r4 item 3):
+    # the 8×64 md5-derived centroids ride as q7 BIGINT[] literals —
+    # everything past the JVM normalize fold is exact int64 arithmetic
+    # (assignment Gram, csim rescale through a ≤2^53 double, pair
+    # predicate), order-independent in BOTH engines. Same fixture
+    # device as the lang-ID trigram profile VALUES table.
+    from la_fungus_search_spark.textops.semdedup import Q as _SD_Q
+    from la_fungus_search_spark.textops.semdedup import (
+        _round_half_away,
+        fixture_centroids,
+    )
+
+    _sd_cq = _round_half_away(fixture_centroids(8, 64) * _SD_Q).astype("int64")
+    semdedup_cents = ", ".join(
+        f"({i}, [{', '.join(str(int(x)) for x in row)}]::BIGINT[])"
+        for i, row in enumerate(_sd_cq)
+    )
+    # pair predicate on the q7² integer dot scale (semdedup.Q = 1e7)
+    semdedup_tau_q14 = 220000 * 10**8  # round(0.22 * 1e6) * 1e8
 
     kind_case = "CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
 
@@ -8510,6 +8494,43 @@ ranked AS (
 )
 SELECT query_id, rank::INT AS rank, vec_id, cos_micro
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+""",
+        "semdedup_select": f"""
+WITH cents(cell, cvec) AS (VALUES {semdedup_cents}),
+uqv AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> round(x::DOUBLE
+               / greatest(sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))), 1e-300)
+               * 10000000.0)::BIGINT) AS uq
+    FROM embeddings
+),
+sims AS (
+    SELECT u.vec_id, c.cell,
+           round(list_sum(list_transform(range(1, len(u.uq) + 1),
+                  i -> u.uq[i] * c.cvec[i]))::DOUBLE * 1e-8)::BIGINT AS sim
+    FROM uqv u CROSS JOIN cents c
+),
+assigned AS (
+    SELECT vec_id, cell, sim AS csim_q FROM (
+        SELECT vec_id, cell, sim,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+        FROM sims) WHERE rn = 1
+),
+pairs AS (
+    SELECT a.vec_id AS id_a, a.csim_q AS csim_a, b.vec_id AS id_b, b.csim_q AS csim_b
+    FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    JOIN uqv ua ON ua.vec_id = a.vec_id JOIN uqv ub ON ub.vec_id = b.vec_id
+    WHERE list_sum(list_transform(range(1, len(ua.uq) + 1), i -> ua.uq[i] * ub.uq[i]))
+          >= {semdedup_tau_q14}
+),
+removed AS (
+    SELECT DISTINCT id_a AS vec_id FROM pairs
+    WHERE csim_b < csim_a OR (csim_b = csim_a AND id_b < id_a)
+)
+SELECT a.vec_id, a.cell::INT AS cell, a.csim_q
+FROM assigned a LEFT JOIN removed r ON a.vec_id = r.vec_id
+WHERE r.vec_id IS NULL
+ORDER BY a.vec_id
 """,
         "multimodal_decode": f"""
 WITH m AS (SELECT doc_id AS media_id, coalesce(text, '') AS txt FROM documents)

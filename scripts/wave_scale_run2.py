@@ -1,0 +1,165 @@
+"""Scale evidence for the round-4/5 heavyweight operators the per-op
+sweep flagged (VERDICT r4 item 5): substring-span dedup, the SAYT
+gram-stats build, fuzzy decontamination, SemDeDup (fixture-quantizer
+path, k scaled ∝ corpus), and the streaming funnel drain — each timed
+at one parallelism level over deterministic synthetic inputs sized to
+~400k docs / 2M events (same discipline as wave_scale_run.py: inputs
+generated executor-side, persisted and counted before the clock; every
+op forced by an aggregate that consumes its full output).
+
+Usage: python scripts/wave_scale_run2.py '<master>' <n_files>
+Prints one JSON line: per-op wall seconds and docs/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.corpus import corpus_df
+from la_fungus_search_spark.query.sayt import build_gram_stats
+from la_fungus_search_spark.session import get_spark
+from la_fungus_search_spark.streaming.metrics import funnel_stream, run_available_now
+from la_fungus_search_spark.textops.dedup import duplicate_substring_spans
+from la_fungus_search_spark.textops.pipeline import decontaminate_fuzzy
+from la_fungus_search_spark.textops.semdedup import fixture_centroids, semdedup_select
+
+N_EVENTS = 2_000_000
+N_USERS = 50_000
+EMB_DIM = 64
+TARGET_CELL = 2_000  # SemDeDup k = n_docs / TARGET_CELL (the paper's device)
+
+
+def main():
+    master, n_files = sys.argv[1], int(sys.argv[2])
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    spark = get_spark(master=master, shuffle_partitions=64,
+                      app_name=f"wave-scale2-{master}")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = (
+        corpus_df(spark, n_files)
+        .select(
+            F.xxhash64("path").alias("doc_id"),
+            F.col("content").alias("text"),
+            "lang",
+        )
+        .repartition(128)
+        .persist()
+    )
+    n = docs.count()
+    out = {"master": master, "n_docs": n}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        out[name] = {"sec": round(dt, 3), "docs_per_sec": round(n / dt, 1)}
+        print(f"{name}: {dt:.2f}s", file=sys.stderr, flush=True)
+
+    # Lee et al. span stitch: positional k-gram md5s → shared-gram
+    # join-back → per-doc islands window (nothing global)
+    timed("dedup_substring_spans", lambda: duplicate_substring_spans(docs)
+          .agg(F.count("*"), F.sum("span_tokens")).collect())
+
+    # the SAYT ._2gram/._3gram subfield statistics build — one
+    # tokenize pass, every agg map-side combinable; forced by
+    # consuming all four stat frames
+    def _force_gram_stats():
+        gs = build_gram_stats(docs)
+        gs.tf.agg(F.count("*"), F.sum("tf")).collect()
+        gs.dl.agg(F.sum("dl2"), F.sum("dl3")).collect()
+        gs.gstats.collect()
+        gs.idf.agg(F.count("*")).collect()
+
+    timed("sayt_gram_stats_build", _force_gram_stats)
+
+    # fuzzy decontamination: eval set = every 199th doc with its first
+    # 24 chars cut (real near-dup positives); banded MinHash vs the
+    # broadcast-scale benchmark side
+    bench = (
+        docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(199)) == 0)
+        .select("doc_id", F.substring("text", 25, 1 << 30).alias("text"))
+    )
+    timed("decontaminate_fuzzy", lambda: decontaminate_fuzzy(docs, bench)
+          .agg(F.count("*"), F.sum(F.col("contaminated").cast("long"))).collect())
+
+    # SemDeDup over synthetic unit-free embeddings derived per
+    # component from xxhash64 (deterministic, executor-side), with the
+    # cell count scaled to the corpus exactly as the paper scales k —
+    # the fixture-quantizer gate path: q7 assignment matmul (no
+    # shuffle) + ONE shuffle on cell into the per-cell Gram kernel
+    k = max(8, n // TARGET_CELL)
+    emb = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(EMB_DIM - 1)),
+            lambda j: (
+                (F.pmod(F.xxhash64(F.col("doc_id"), j), F.lit(2_000_001)) - 1_000_000)
+                / 1_000_000.0
+            ).cast("double"),
+        ).alias("embedding"),
+    ).persist()
+    emb.count()
+    timed("semdedup_select", lambda: semdedup_select(
+        emb, tau=0.9, centroids=fixture_centroids(k, EMB_DIM))
+        .agg(F.count("*"), F.sum("csim_q")).collect())
+    out["semdedup_cells"] = k
+
+    # streaming funnel drain: 2M synthetic events (5 types, 50k
+    # users, 30-day spread) written as 8 parquet files → 8
+    # maxFilesPerTrigger microbatches through the watermarked
+    # stream-stream interval join
+    ev_dir = tempfile.mkdtemp(prefix="wave2_events_")
+    try:
+        (
+            spark.range(N_EVENTS)
+            .select(
+                F.col("id").alias("event_id"),
+                F.timestamp_seconds(
+                    F.lit(1704067200) + F.pmod(F.xxhash64(F.lit("t"), "id"), F.lit(30 * 86400))
+                ).alias("ts"),
+                F.pmod(F.xxhash64(F.lit("u"), "id"), F.lit(N_USERS)).alias("user_id"),
+                F.element_at(
+                    F.array(*[F.lit(s) for s in ("signup", "purchase", "click", "view", "error")]),
+                    (F.pmod(F.xxhash64(F.lit("e"), "id"), F.lit(5)) + 1).cast("int"),
+                ).alias("event_type"),
+            )
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(ev_dir)
+        )
+
+        def _drain():
+            res = run_available_now(
+                funnel_stream(spark, ev_dir, gap_s=14_400, glob="*.parquet"),
+                output_mode="append",
+                state_partitions=64,
+            )
+            out["funnel_pairs"] = res.count()
+
+        t0 = time.time()
+        _drain()
+        dt = time.time() - t0
+        out["streaming_funnel_join"] = {
+            "sec": round(dt, 3),
+            "events_per_sec": round(N_EVENTS / dt, 1),
+            "n_events": N_EVENTS,
+        }
+        print(f"streaming_funnel_join: {dt:.2f}s", file=sys.stderr, flush=True)
+    finally:
+        shutil.rmtree(ev_dir, ignore_errors=True)
+
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

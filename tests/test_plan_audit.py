@@ -285,6 +285,10 @@ AUDIT = [
     "lm_bigram_logloss",
     "decontaminate_fuzzy",
     "random_sampler_agg",
+    # auditable since r5: the fixture-quantizer path is one lazy plan
+    # (assignment codegen scan → ONE shuffle on cell → Arrow matmul
+    # kernel) — no joins at all, so any planned join is a regression
+    "semdedup_select",
 ]
 
 

@@ -7,7 +7,9 @@ import numpy as np
 import pytest
 
 from la_fungus_search_spark.textops.semdedup import (
+    Q,
     SCALE,
+    fixture_centroids,
     semdedup_select,
     semdedup_verdicts,
 )
@@ -65,19 +67,30 @@ def test_cross_cluster_pairs_never_compared(spark):
         semdedup_verdicts(_df(spark, vecs), tau=0.0)
 
 
+def _round_half_away(x):
+    """Spark/DuckDB ROUND: half away from zero (numpy rounds half to
+    even)."""
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
 def _numpy_semdedup(M, cents, tau):
-    """Pure-numpy mirror of the quantized pipeline."""
+    """Pure-numpy mirror of the quantized pipeline (r5 integer
+    contract: q7 unit vectors, assignment = int64 Gram vs q7
+    centroids rescaled through an exact ≤2^53 double, pair predicate
+    = int64 dot vs τ·1e14 — see semdedup.py module docstring)."""
     Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-    sims_q = np.round(Mn @ cents.T * SCALE).astype("int64")
+    uq = _round_half_away(Mn * Q).astype("int64")
+    cq = _round_half_away(np.asarray(cents, dtype="float64") * Q).astype("int64")
+    sims_q = _round_half_away((uq @ cq.T).astype("float64") * 1e-8).astype("int64")
     csim = sims_q.max(axis=1)
     cell = sims_q.argmax(axis=1)  # numpy argmax = first max = smallest cell
     n = len(M)
-    cos_q = np.round(Mn @ Mn.T * SCALE).astype("int64")
-    tau_q = int(round(tau * SCALE))
+    S = uq @ uq.T
+    tau_q14 = int(round(tau * SCALE)) * 10**8
     keep = np.ones(n, dtype=bool)
     for i in range(n):
         for j in range(n):
-            if i == j or cell[i] != cell[j] or cos_q[i, j] < tau_q:
+            if i == j or cell[i] != cell[j] or S[i, j] < tau_q14:
                 continue
             if (csim[j], j) < (csim[i], i):
                 keep[i] = False
@@ -103,3 +116,31 @@ def test_parquet_mirror_matches_numpy(spark):
     assert {r.vec_id for r in sel.collect()} == {
         ids[i] for i in range(len(ids)) if keep[i]
     }
+
+
+def test_fixture_centroids_deterministic_unit():
+    c = fixture_centroids(8, 64)
+    assert c.shape == (8, 64)
+    assert np.allclose(np.linalg.norm(c, axis=1), 1.0)
+    assert np.array_equal(c, fixture_centroids(8, 64))  # bit-identical
+    # distinct directions (a degenerate fixture would collapse cells)
+    g = c @ c.T
+    np.fill_diagonal(g, 0.0)
+    assert np.abs(g).max() < 0.9
+
+
+def test_fixture_quantizer_gate_matches_numpy(spark):
+    """The r5 gate path: semdedup_select GIVEN the fixture quantizer
+    (no Lloyd) equals the numpy mirror — the same arithmetic the
+    DuckDB value-oracle replays with centroid literals."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = fixture_centroids(8, 64)
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    M = np.array([r.embedding for r in rows], dtype="float64")
+    ids = [r.vec_id for r in rows]
+    cell, csim, keep = _numpy_semdedup(M, cents, 0.22)
+    got = semdedup_select(emb, tau=0.22, centroids=cents).collect()
+    assert [(r.vec_id, r.cell, r.csim_q) for r in got] == [
+        (ids[i], int(cell[i]), int(csim[i])) for i in range(len(ids)) if keep[i]
+    ]
+    assert not keep.all()
