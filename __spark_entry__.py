@@ -4601,21 +4601,38 @@ def q_concrete_query_filter(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+_CHUNK_INDEX_CACHE: dict = {}
+
+
+def _chunk_index(spark, sf_dir):
+    """Chunk-unit BM25 index + chunk frame (cached per session+sf —
+    the same amortization the doc-unit gates get from _index(); the
+    chunk frame is persisted so the meta join-back doesn't re-chunk,
+    VERDICT r4 item 7)."""
+    key = (id(spark), sf_dir)
+    if key not in _CHUNK_INDEX_CACHE:
+        ch = chunk_line_windows(
+            _doc_lines(spark, sf_dir), [CHUNK_W], carry_cols=("doc_id",)
+        )
+        chunks = ch.select(
+            (F.col("doc_id") * 100000 + F.col("start_line")).alias("chunk_id"),
+            F.col("doc_id").alias("orig_doc"),
+            "start_line",
+            "end_line",
+            F.col("body").alias("content"),
+        ).persist()
+        chunks.count()
+        _CHUNK_INDEX_CACHE[key] = (build_index(spark, chunks, id_col="chunk_id"), chunks)
+    return _CHUNK_INDEX_CACHE[key]
+
+
 def q_bm25_topk_chunks(spark, sf_dir):
     """Chunk-granularity BM25 end-to-end (SURVEY §7.0 v2 doc unit, the
     reference's actual result shape mcmp_rag.py:185-188): line-window
     chunks become the indexed doc unit; results carry (doc_id,
     start_line, end_line). chunk_id = doc_id·100000 + start_line is the
     deterministic dense unit id shared with the oracle."""
-    ch = chunk_line_windows(_doc_lines(spark, sf_dir), [CHUNK_W], carry_cols=("doc_id",))
-    chunks = ch.select(
-        (F.col("doc_id") * 100000 + F.col("start_line")).alias("chunk_id"),
-        F.col("doc_id").alias("orig_doc"),
-        "start_line",
-        "end_line",
-        F.col("body").alias("content"),
-    )
-    idx = build_index(spark, chunks, id_col="chunk_id")
+    idx, chunks = _chunk_index(spark, sf_dir)
     eng = BM25QueryEngine(idx)
     ranked = _bm25_rank(eng.scored_sql(BM25_QUERIES), 10)
     meta = chunks.select(F.col("chunk_id").alias("doc_id"), "orig_doc", "start_line", "end_line")

@@ -7,7 +7,8 @@ at one parallelism level over deterministic synthetic inputs sized to
 generated executor-side, persisted and counted before the clock; every
 op forced by an aggregate that consumes its full output).
 
-Usage: python scripts/wave_scale_run2.py '<master>' <n_files>
+Usage: python scripts/wave_scale_run2.py '<master>' <n_files> [op ...]
+(ops default to all five; name a subset to resume a partial run)
 Prints one JSON line: per-op wall seconds and docs/sec.
 """
 
@@ -38,8 +39,18 @@ EMB_DIM = 64
 TARGET_CELL = 2_000  # SemDeDup k = n_docs / TARGET_CELL (the paper's device)
 
 
+ALL_OPS = (
+    "dedup_substring_spans",
+    "sayt_gram_stats_build",
+    "decontaminate_fuzzy",
+    "semdedup_select",
+    "streaming_funnel_join",
+)
+
+
 def main():
     master, n_files = sys.argv[1], int(sys.argv[2])
+    only = set(sys.argv[3:]) or set(ALL_OPS)
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     spark = get_spark(master=master, shuffle_partitions=64,
                       app_name=f"wave-scale2-{master}")
@@ -66,8 +77,9 @@ def main():
 
     # Lee et al. span stitch: positional k-gram md5s → shared-gram
     # join-back → per-doc islands window (nothing global)
-    timed("dedup_substring_spans", lambda: duplicate_substring_spans(docs)
-          .agg(F.count("*"), F.sum("span_tokens")).collect())
+    if "dedup_substring_spans" in only:
+        timed("dedup_substring_spans", lambda: duplicate_substring_spans(docs)
+              .agg(F.count("*"), F.sum("span_tokens")).collect())
 
     # the SAYT ._2gram/._3gram subfield statistics build — one
     # tokenize pass, every agg map-side combinable; forced by
@@ -79,17 +91,20 @@ def main():
         gs.gstats.collect()
         gs.idf.agg(F.count("*")).collect()
 
-    timed("sayt_gram_stats_build", _force_gram_stats)
+    if "sayt_gram_stats_build" in only:
+        timed("sayt_gram_stats_build", _force_gram_stats)
 
     # fuzzy decontamination: eval set = every 199th doc with its first
     # 24 chars cut (real near-dup positives); banded MinHash vs the
     # broadcast-scale benchmark side
-    bench = (
-        docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(199)) == 0)
-        .select("doc_id", F.substring("text", 25, 1 << 30).alias("text"))
-    )
-    timed("decontaminate_fuzzy", lambda: decontaminate_fuzzy(docs, bench)
-          .agg(F.count("*"), F.sum(F.col("contaminated").cast("long"))).collect())
+    if "decontaminate_fuzzy" in only:
+        bench = (
+            docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(199)) == 0)
+            .select("doc_id", F.substring("text", 25, 1 << 30).alias("text"))
+        )
+        timed("decontaminate_fuzzy", lambda: decontaminate_fuzzy(docs, bench)
+              .agg(F.count("*"),
+                   F.sum(F.col("contaminated_fuzzy").cast("long"))).collect())
 
     # SemDeDup over synthetic unit-free embeddings derived per
     # component from xxhash64 (deterministic, executor-side), with the
@@ -97,7 +112,9 @@ def main():
     # the fixture-quantizer gate path: q7 assignment matmul (no
     # shuffle) + ONE shuffle on cell into the per-cell Gram kernel
     k = max(8, n // TARGET_CELL)
-    emb = docs.select(
+    if "semdedup_select" not in only:
+        k = 0
+    emb = None if not k else docs.select(
         F.col("doc_id").alias("vec_id"),
         F.transform(
             F.sequence(F.lit(0), F.lit(EMB_DIM - 1)),
@@ -107,18 +124,27 @@ def main():
             ).cast("double"),
         ).alias("embedding"),
     ).persist()
-    emb.count()
-    timed("semdedup_select", lambda: semdedup_select(
-        emb, tau=0.9, centroids=fixture_centroids(k, EMB_DIM))
-        .agg(F.count("*"), F.sum("csim_q")).collect())
-    out["semdedup_cells"] = k
+    if emb is not None:
+        emb.count()
+        timed("semdedup_select", lambda: semdedup_select(
+            emb, tau=0.9, centroids=fixture_centroids(k, EMB_DIM))
+            .agg(F.count("*"), F.sum("csim_q")).collect())
+        out["semdedup_cells"] = k
 
     # streaming funnel drain: 2M synthetic events (5 types, 50k
-    # users, 30-day spread) written as 8 parquet files → 8
+    # users, 30-day spread) written as 8 TIME-RANGE parquet files → 8
     # maxFilesPerTrigger microbatches through the watermarked
-    # stream-stream interval join
+    # stream-stream interval join. Range-partitioning by ts makes the
+    # replay arrive (near-)time-ordered like a real stream: with the
+    # whole 30-day range interleaved into every file, every batch
+    # after the first is mostly behind the watermark and the
+    # late-drop count depends on file order — deterministic replay
+    # needs ordered arrival, the same contract production replays
+    # (Kafka per-partition order) give the engine
     ev_dir = tempfile.mkdtemp(prefix="wave2_events_")
     try:
+        if "streaming_funnel_join" not in only:
+            raise StopIteration
         (
             spark.range(N_EVENTS)
             .select(
@@ -132,10 +158,21 @@ def main():
                     (F.pmod(F.xxhash64(F.lit("e"), "id"), F.lit(5)) + 1).cast("int"),
                 ).alias("event_type"),
             )
-            .repartition(8)
+            .repartitionByRange(8, "ts")
+            .sortWithinPartitions("ts")
             .write.mode("overwrite")
             .parquet(ev_dir)
         )
+        # FileStreamSource orders files by MODIFICATION TIME, and the 8
+        # concurrent write tasks finish in arbitrary order — pin mtimes
+        # to the range order (part-00000 = oldest slice first) so the
+        # replay is exactly time-ordered and the drain deterministic
+        parts = sorted(
+            f for f in os.listdir(ev_dir) if f.endswith(".parquet")
+        )
+        base = time.time() - len(parts) - 60
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(ev_dir, f), (base + i, base + i))
 
         def _drain():
             res = run_available_now(
@@ -154,6 +191,8 @@ def main():
             "n_events": N_EVENTS,
         }
         print(f"streaming_funnel_join: {dt:.2f}s", file=sys.stderr, flush=True)
+    except StopIteration:
+        pass
     finally:
         shutil.rmtree(ev_dir, ignore_errors=True)
 
