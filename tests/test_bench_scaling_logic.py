@@ -47,8 +47,10 @@ def test_degraded_hi_aborts_lo_leg_then_retry_recovers():
         {"master": "local[4]", "docs_per_sec": 3000.0},  # round 1: < 0.85x best -> abort
         {"master": "local[4]", "docs_per_sec": 5000.0},  # retry: recovered
         {"master": "local[1]", "docs_per_sec": 1500.0},  # eff 0.833 -> stop
-        {"master": "local[8]", "docs_per_sec": 8000.0},  # 2v8 continuity
+        {"master": "local[8]", "docs_per_sec": 8000.0},  # 2v8 round 0: 0.769
         {"master": "local[2]", "docs_per_sec": 2600.0},
+        {"master": "local[8]", "docs_per_sec": 8500.0},  # 2v8 weather retry
+        {"master": "local[2]", "docs_per_sec": 2500.0},  # best-lo stays 2600
     ]
     results, n_calls = _run(script)
     s = results["scaling"]
@@ -58,20 +60,43 @@ def test_degraded_hi_aborts_lo_leg_then_retry_recovers():
     rounds = s["rounds"]
     assert rounds[1]["aborted_degraded_hi"] is True
     assert rounds[1]["lo_docs_per_sec"] is None and rounds[1]["paired_eff"] is None
-    assert results["scaling_2v8"]["efficiency"] == 0.769
+    # 2v8 continuity: round 0 lands 0.769 < 0.8 -> one weather retry;
+    # best-per-level (hi 8500, lo 2600) reaches 0.817 -> stop at target
+    assert results["scaling_2v8"]["efficiency"] == 0.817
 
 
 def test_stop_at_criterion_runs_one_round():
     script = [
         {"master": "local[4]", "docs_per_sec": 5200.0},
         {"master": "local[1]", "docs_per_sec": 1500.0},  # eff 0.867 -> stop
-        {"master": "local[8]", "docs_per_sec": 8000.0},
+        {"master": "local[8]", "docs_per_sec": 8400.0},  # 2v8: 0.808 -> stop
         {"master": "local[2]", "docs_per_sec": 2600.0},
     ]
     results, n_calls = _run(script)
     assert n_calls == len(script)
     assert results["scaling"]["efficiency"] == 0.867
     assert len(results["scaling"]["rounds"]) == 1
+    assert results["scaling_2v8"]["efficiency"] == 0.808
+
+
+def test_2v8_retry_cap_records_best_pair():
+    """All three 2v8 rounds below target: the continuity record keeps
+    the best-per-level pair instead of the last (loaded) one."""
+    script = [
+        {"master": "local[4]", "docs_per_sec": 5200.0},
+        {"master": "local[1]", "docs_per_sec": 1500.0},  # criterion stops
+        {"master": "local[8]", "docs_per_sec": 6000.0},  # 2v8 r0: 0.577
+        {"master": "local[2]", "docs_per_sec": 2600.0},
+        {"master": "local[8]", "docs_per_sec": 7000.0},  # r1: 0.673
+        {"master": "local[2]", "docs_per_sec": 2600.0},
+        {"master": "local[8]", "docs_per_sec": 6500.0},  # r2: best hi stays 7000
+        {"master": "local[2]", "docs_per_sec": 2400.0},  # best lo stays 2600
+    ]
+    results, n_calls = _run(script)
+    assert n_calls == len(script)  # capped at 3 rounds
+    assert results["scaling_2v8"]["efficiency"] == 0.673
+    assert results["scaling_2v8"]["4n"]["docs_per_sec"] == 7000.0
+    assert results["scaling_2v8"]["n"]["docs_per_sec"] == 2600.0
 
 
 def test_sweep_names_resolve():
