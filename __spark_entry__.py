@@ -3311,8 +3311,31 @@ def q_search_as_you_type_topk(spark, sf_dir):
 
     eng = BM25QueryEngine(_index(spark, sf_dir))
     docs = _documents(spark, sf_dir).select("doc_id", "text")
-    hits = sayt_ops.search_as_you_type(eng, docs, SAYT_QUERIES, k=30)
+    hits = sayt_ops.search_as_you_type(
+        eng, docs, SAYT_QUERIES, k=30, gram_stats=_sayt_stats(spark, sf_dir)
+    )
     return _bm25_rank(hits.select("query_id", "doc_id", "score"), 10)
+
+
+_SAYT_STATS_CACHE: dict = {}
+
+
+def _sayt_stats(spark, sf_dir):
+    """The SAYT ._2gram/._3gram subfield statistics, built once per
+    session+sf and persisted — the amortization contract GramStats
+    documents (build once beside the index, reuse across query sets),
+    same device as _index()/_chunk_index()."""
+    key = (id(spark), sf_dir)
+    if key not in _SAYT_STATS_CACHE:
+        from la_fungus_search_spark.query import sayt as sayt_ops
+
+        gs = sayt_ops.build_gram_stats(
+            _documents(spark, sf_dir).select("doc_id", "text")
+        )
+        for df in (gs.tf, gs.dl, gs.gstats, gs.idf):
+            df.persist().count()
+        _SAYT_STATS_CACHE[key] = gs
+    return _SAYT_STATS_CACHE[key]
 
 
 def q_simple_query_string_topk(spark, sf_dir):

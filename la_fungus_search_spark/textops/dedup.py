@@ -725,6 +725,16 @@ def duplicate_substring_spans(
         (F.col("pos0") + 1).alias("pos"),
         F.md5("gram").alias("gram_md5"),
     )
+    # materialize the positional gram table ONCE (localCheckpoint —
+    # the CC-loop device; blocks are reclaimed when the frame drops):
+    # both the shared-gram agg and the join-back consume it, and the
+    # branches shuffle on different keys so Catalyst cannot reuse the
+    # exchange — without this the tokenize+k-gram build (the heaviest
+    # map) runs twice. This is Lee et al.'s own shape: the suffix
+    # array is a materialized artifact, scanned per use; at cluster
+    # scale the table would checkpoint to storage instead (measured:
+    # 5.0 → 3.1 s at sf0.1, same spans).
+    pos_grams = pos_grams.localCheckpoint(eager=True)
     shared = (
         pos_grams.select("doc_id", "gram_md5")
         .distinct()
