@@ -129,6 +129,20 @@ def test_fixture_centroids_deterministic_unit():
     assert np.abs(g).max() < 0.9
 
 
+def test_partition_invariance(spark):
+    """The r5 integer contract's point: verdicts must not move with
+    physical layout. Same embeddings at 1 partition vs 16 → identical
+    (vec_id, cell, csim_q, keep) rows."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = fixture_centroids(8, 64)
+
+    def run(df):
+        return [tuple(r) for r in
+                semdedup_verdicts(df, tau=0.22, centroids=cents).collect()]
+
+    assert run(emb.coalesce(1)) == run(emb.repartition(16))
+
+
 def test_fixture_quantizer_gate_matches_numpy(spark):
     """The r5 gate path: semdedup_select GIVEN the fixture quantizer
     (no Lloyd) equals the numpy mirror — the same arithmetic the
