@@ -3140,13 +3140,11 @@ def q_has_child_topk(spark, sf_dir):
     as the MAX child BM25 score (order-insensitive, so distributed
     and sequential evaluation agree bitwise). Over-fetch k=30 float,
     re-rank micro-quantized keeping n_children."""
-    ch = chunk_line_windows(_doc_lines(spark, sf_dir), [CHUNK_W], carry_cols=("doc_id",))
-    chunks = ch.select(
-        (F.col("doc_id") * 100000 + F.col("start_line")).alias("chunk_id"),
-        F.col("doc_id").alias("orig_doc"),
-        F.col("body").alias("content"),
-    )
-    eng = BM25QueryEngine(build_index(spark, chunks, id_col="chunk_id"))
+    # the child unit IS the chunk unit — reuse the session-cached
+    # chunk index (_chunk_index, VERDICT r4 item 7) instead of
+    # rebuilding it per call; the block-join itself is unchanged
+    idx, chunks = _chunk_index(spark, sf_dir)
+    eng = BM25QueryEngine(idx)
     parent_of = chunks.select(
         F.col("chunk_id").alias("doc_id"), F.col("orig_doc").alias("parent_id")
     )
