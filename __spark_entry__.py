@@ -6800,79 +6800,74 @@ def q_random_sampler(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness run checks a
-    # bounded PREFIX of this dict (~50 of 223). Round-5 rotation
-    # (VERDICT r4 item 2): 137 of 223 gates were born in r4's waves
-    # 8-31 and have NEVER had a driver row (all are locally hash-green
-    # vs their DuckDB oracles via scripts/check_entry.py and pytest).
-    # The front-50 is the highest-user-weight slice of those, in the
-    # verdict's stated priority: query_string/simple_query_string, the
-    # LM-Dirichlet/JM/DFR similarity family, multi_match/cross_fields/
-    # combined_fields/dis_max, function_score, collapse (+inner hits),
-    # RRF fusion, rescore, date_histogram + pipeline aggs, then
-    # geo/IP/parent-child, explain, suggesters, and the remaining
-    # match-family queries. The other 87 never-checked gates follow
-    # immediately (if the driver checks past 50 it still lands on
-    # fresh entries); then the 36 gates whose only driver rows are
-    # r1-r3; the 50 r4-green gates sit at the very back (covered last
-    # round, nothing changed). semdedup_select leads the remainder
-    # block: it gained its fixture-centroid DuckDB value-oracle AND a
-    # new integer-matmul kernel this round (VERDICT r4 item 3), so it
-    # is the highest-priority candidate if the checked prefix ever
-    # widens past 50.
+    # bounded PREFIX of this dict (~50 of 223). Round-6 rotation
+    # (VERDICT r5 item 1): after five rounds, 87 gates have never had
+    # a driver row (all are locally hash-green vs their DuckDB oracles
+    # via scripts/check_entry.py and pytest). The front-50 is the
+    # highest-user-weight slice of those, in the verdict's stated
+    # priority: the percentile/extended-stats family, the span family,
+    # intervals, the kNN/hybrid pair, rank_eval, the bucket-filter
+    # aggs, the curation rule sets (gopher/c4/fineweb, DSIR, fuzzy
+    # decontamination, substring-span dedup) and the samplers, then
+    # the remaining user-weighted aggs and function-score variants.
+    # The other 37 never-checked gates follow immediately (if the
+    # driver checks past 50 it still lands on fresh entries); then the
+    # gates whose only driver rows are r1-r3; the r4-green block; and
+    # the 50 r5-green gates sit at the very back (covered last round,
+    # nothing changed).
     return {
-        # --- never driver-checked, front-50 (verdict priority order)
-        "query_string_topk": q_query_string_topk,
-        "simple_query_string_topk": q_simple_query_string_topk,
-        "lm_dirichlet_topk": q_lm_dirichlet_topk,
-        "lm_jm_topk": q_lm_jm_topk,
-        "dfr_inl2_topk": q_dfr_inl2_topk,
-        "multi_match_best": q_multi_match_best,
-        "multi_match_most": q_multi_match_most,
-        "cross_fields_topk": q_cross_fields_topk,
-        "combined_fields_topk": q_combined_fields_topk,
-        "dis_max_topk": q_dis_max_topk,
-        "function_score_topk": q_function_score_topk,
-        "collapse_topk": q_collapse_topk,
-        "collapse_inner_hits": q_collapse_inner_hits,
-        "rrf_fusion_topk": q_rrf_fusion_topk,
-        "rescore_phrase_topk": q_rescore_phrase,
-        "date_histogram": q_date_histogram,
-        "pipeline_aggs": q_pipeline_aggs,
-        "bucket_pipeline_agg": q_bucket_pipeline_agg,
-        "percentiles_bucket": q_percentiles_bucket,
-        "auto_date_histogram": q_auto_date_histogram,
-        "date_range_agg": q_date_range_agg,
-        "composite_agg_page": q_composite_agg_page,
-        "top_hits_agg": q_top_hits_agg,
-        "geo_distance_topk": q_geo_distance_topk,
-        "geo_distance_agg": q_geo_distance_agg,
-        "geotile_grid_agg": q_geotile_grid_agg,
-        "geohash_grid_agg": q_geohash_grid_agg,
-        "geo_bounds_agg": q_geo_bounds_agg,
-        "geo_bounding_box_topk": q_geo_bounding_box,
-        "geo_polygon_topk": q_geo_polygon,
-        "geo_line_agg": q_geo_line,
-        "ip_range_agg": q_ip_range,
-        "ip_prefix_agg": q_ip_prefix,
-        "has_child_topk": q_has_child_topk,
-        "has_parent_topk": q_has_parent_topk,
-        "children_agg": q_children_agg,
-        "parent_agg": q_parent_agg,
-        "nested_agg": q_nested_agg,
-        "explain_topk": q_explain_topk,
-        "phrase_suggest": q_phrase_suggest,
-        "suggest_complete": q_suggest_complete,
-        "bm25_topk_english": q_bm25_topk_english,
-        "bm25_topk_boosted": q_bm25_topk_boosted,
-        "boolean_msm_topk": q_boolean_msm_topk,
-        "match_phrase_prefix": q_match_phrase_prefix,
-        "match_bool_prefix_topk": q_match_bool_prefix,
-        "terms_set_topk": q_terms_set_topk,
-        "percolate_matches": q_percolate,
-        "search_as_you_type_topk": q_search_as_you_type_topk,
-        "fuzzy_damerau_topk": q_fuzzy_damerau_topk,
-        # --- never driver-checked, remainder (fresh if prefix > 50)
+        # --- never driver-checked, front-50 (verdict r5 priority order)
+        "percentiles_agg": q_percentiles_agg,
+        "percentile_ranks": q_percentile_ranks,
+        "extended_stats_agg": q_extended_stats_agg,
+        "boxplot_agg": q_boxplot_agg,
+        "mad_agg": q_mad_agg,
+        "span_or_topk": q_span_or_topk,
+        "span_not_topk": q_span_not_topk,
+        "span_first_topk": q_span_first_topk,
+        "span_within_topk": q_span_within_topk,
+        "span_containing_topk": q_span_containing_topk,
+        "span_multi_topk": q_span_multi,
+        "intervals_query_topk": q_intervals_query,
+        "knn_filtered_topk": q_knn_filtered,
+        "hybrid_bm25_knn_topk": q_hybrid_bm25_knn,
+        "rank_eval": q_rank_eval,
+        "filters_agg": q_filters_agg,
+        "missing_agg": q_missing_agg,
+        "multi_terms_agg": q_multi_terms_agg,
+        "cardinality_agg": q_cardinality_agg,
+        "gopher_rules": q_gopher_rules,
+        "c4_rules": q_c4_rules,
+        "fineweb_rules": q_fineweb_rules,
+        "dsir_select": q_dsir_select,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "dedup_substring_spans": q_dedup_substring_spans,
+        "random_sampler_agg": q_random_sampler,
+        "diversified_sampler_agg": q_diversified_sampler_agg,
+        "sample_temperature": q_sample_temperature,
+        "sample_token_budget": q_sample_token_budget,
+        "epoch_shuffle": q_epoch_shuffle,
+        "sessionize": q_sessionize,
         "semdedup_select": q_semdedup_select,
+        "cumulative_cardinality": q_cumulative_cardinality,
+        "string_stats_agg": q_string_stats_agg,
+        "t_test_agg": q_t_test_agg,
+        "rate_agg": q_rate_agg,
+        "normalize_agg": q_normalize_agg,
+        "terms_lookup_topk": q_terms_lookup_topk,
+        "top_metrics_agg": q_top_metrics_agg,
+        "bucket_siblings": q_bucket_siblings,
+        "bucket_script_agg": q_bucket_script_agg,
+        "rare_terms_agg": q_rare_terms_agg,
+        "weighted_avg_agg": q_weighted_avg_agg,
+        "boosting_query_topk": q_boosting_query_topk,
+        "pinned_query_topk": q_pinned_query_topk,
+        "rank_feature_topk": q_rank_feature_topk,
+        "distance_feature_topk": q_distance_feature_topk,
+        "random_score_topk": q_random_score_topk,
+        "field_value_factor_topk": q_field_value_factor_topk,
+        "term_range_topk": q_term_range_topk,
+        # --- never driver-checked, remainder (fresh if prefix > 50)
         "text_wordpiece_counts": q_text_wordpiece_counts,
         "text_unigram_counts": q_text_unigram_counts,
         "scripted_metric_agg": q_scripted_metric_agg,
@@ -6880,85 +6875,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_trending_terms": q_streaming_trending_terms,
         "streaming_funnel_join": q_streaming_funnel_join,
         "facet_stats": q_facet_stats,
-        "sample_temperature": q_sample_temperature,
         "doremi_weights": q_doremi_weights,
         "unimax_alloc": q_unimax_alloc,
         "pii_scrub": q_pii_scrub,
-        "hybrid_bm25_knn_topk": q_hybrid_bm25_knn,
         "dedup_lines": q_dedup_lines,
-        "knn_filtered_topk": q_knn_filtered,
-        "span_not_topk": q_span_not_topk,
-        "rank_eval": q_rank_eval,
         "streaming_percolate": q_streaming_percolate,
         "text_lm_logloss": q_text_lm_logloss,
         "ccnet_bucket": q_ccnet_bucket,
         "dfs_sharded_search": q_dfs_sharded_search,
         "assign_splits": q_assign_splits,
-        "boosting_query_topk": q_boosting_query_topk,
-        "pinned_query_topk": q_pinned_query_topk,
-        "rank_feature_topk": q_rank_feature_topk,
-        "distance_feature_topk": q_distance_feature_topk,
         "adjacency_matrix": q_adjacency_matrix,
-        "multi_terms_agg": q_multi_terms_agg,
         "histogram_numeric": q_histogram_numeric,
         "matrix_stats": q_matrix_stats,
-        "span_first_topk": q_span_first_topk,
         "analyze_text": q_analyze_text,
-        "sample_token_budget": q_sample_token_budget,
-        "epoch_shuffle": q_epoch_shuffle,
-        "percentile_ranks": q_percentile_ranks,
-        "rare_terms_agg": q_rare_terms_agg,
-        "weighted_avg_agg": q_weighted_avg_agg,
-        "random_score_topk": q_random_score_topk,
-        "field_value_factor_topk": q_field_value_factor_topk,
-        "span_or_topk": q_span_or_topk,
-        "span_containing_topk": q_span_containing_topk,
-        "span_within_topk": q_span_within_topk,
-        "dsir_select": q_dsir_select,
-        "filters_agg": q_filters_agg,
-        "cardinality_agg": q_cardinality_agg,
-        "extended_stats_agg": q_extended_stats_agg,
-        "mad_agg": q_mad_agg,
-        "cumulative_cardinality": q_cumulative_cardinality,
-        "percentiles_agg": q_percentiles_agg,
-        "string_stats_agg": q_string_stats_agg,
-        "t_test_agg": q_t_test_agg,
-        "rate_agg": q_rate_agg,
-        "normalize_agg": q_normalize_agg,
-        "diversified_sampler_agg": q_diversified_sampler_agg,
-        "sessionize": q_sessionize,
-        "intervals_query_topk": q_intervals_query,
         "streaming_sessionize": q_streaming_sessionize,
-        "terms_lookup_topk": q_terms_lookup_topk,
-        "boxplot_agg": q_boxplot_agg,
-        "top_metrics_agg": q_top_metrics_agg,
-        "bucket_siblings": q_bucket_siblings,
         "bucket_correlation": q_bucket_correlation,
         "bucket_ks_test": q_bucket_ks_test,
-        "bucket_script_agg": q_bucket_script_agg,
-        "missing_agg": q_missing_agg,
-        "gopher_rules": q_gopher_rules,
-        "c4_rules": q_c4_rules,
         "significant_text": q_significant_text,
         "common_terms_topk": q_common_terms_topk,
-        "fineweb_rules": q_fineweb_rules,
         "frequent_item_sets_agg": q_frequent_item_sets,
         "categorize_text_agg": q_categorize_text,
-        "span_multi_topk": q_span_multi,
         "filter_context_topk": q_filter_context,
-        "term_range_topk": q_term_range_topk,
         "drill_sideways_facets": q_drill_sideways,
         "url_dedup": q_url_dedup,
         "change_point_agg": q_change_point,
-        "dedup_substring_spans": q_dedup_substring_spans,
         "url_host_filter": q_url_host_filter,
         "variable_width_histogram": q_variable_width_histogram,
         "text_hash_embed": q_text_hash_embed,
         "quality_classifier": q_quality_classifier,
         "moving_percentiles": q_moving_percentiles,
         "lm_bigram_logloss": q_lm_bigram_logloss,
-        "decontaminate_fuzzy": q_decontaminate_fuzzy,
-        "random_sampler_agg": q_random_sampler,
         # --- driver-green in r1-r3 only (unchanged code)
         "ann_srp_topk": q_ann_srp_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -7047,6 +6993,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        # --- r5-green last round; rotated to the back
+        "query_string_topk": q_query_string_topk,
+        "simple_query_string_topk": q_simple_query_string_topk,
+        "lm_dirichlet_topk": q_lm_dirichlet_topk,
+        "lm_jm_topk": q_lm_jm_topk,
+        "dfr_inl2_topk": q_dfr_inl2_topk,
+        "multi_match_best": q_multi_match_best,
+        "multi_match_most": q_multi_match_most,
+        "cross_fields_topk": q_cross_fields_topk,
+        "combined_fields_topk": q_combined_fields_topk,
+        "dis_max_topk": q_dis_max_topk,
+        "function_score_topk": q_function_score_topk,
+        "collapse_topk": q_collapse_topk,
+        "collapse_inner_hits": q_collapse_inner_hits,
+        "rrf_fusion_topk": q_rrf_fusion_topk,
+        "rescore_phrase_topk": q_rescore_phrase,
+        "date_histogram": q_date_histogram,
+        "pipeline_aggs": q_pipeline_aggs,
+        "bucket_pipeline_agg": q_bucket_pipeline_agg,
+        "percentiles_bucket": q_percentiles_bucket,
+        "auto_date_histogram": q_auto_date_histogram,
+        "date_range_agg": q_date_range_agg,
+        "composite_agg_page": q_composite_agg_page,
+        "top_hits_agg": q_top_hits_agg,
+        "geo_distance_topk": q_geo_distance_topk,
+        "geo_distance_agg": q_geo_distance_agg,
+        "geotile_grid_agg": q_geotile_grid_agg,
+        "geohash_grid_agg": q_geohash_grid_agg,
+        "geo_bounds_agg": q_geo_bounds_agg,
+        "geo_bounding_box_topk": q_geo_bounding_box,
+        "geo_polygon_topk": q_geo_polygon,
+        "geo_line_agg": q_geo_line,
+        "ip_range_agg": q_ip_range,
+        "ip_prefix_agg": q_ip_prefix,
+        "has_child_topk": q_has_child_topk,
+        "has_parent_topk": q_has_parent_topk,
+        "children_agg": q_children_agg,
+        "parent_agg": q_parent_agg,
+        "nested_agg": q_nested_agg,
+        "explain_topk": q_explain_topk,
+        "phrase_suggest": q_phrase_suggest,
+        "suggest_complete": q_suggest_complete,
+        "bm25_topk_english": q_bm25_topk_english,
+        "bm25_topk_boosted": q_bm25_topk_boosted,
+        "boolean_msm_topk": q_boolean_msm_topk,
+        "match_phrase_prefix": q_match_phrase_prefix,
+        "match_bool_prefix_topk": q_match_bool_prefix,
+        "terms_set_topk": q_terms_set_topk,
+        "percolate_matches": q_percolate,
+        "search_as_you_type_topk": q_search_as_you_type_topk,
+        "fuzzy_damerau_topk": q_fuzzy_damerau_topk,
     }
 
 

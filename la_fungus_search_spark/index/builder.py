@@ -36,14 +36,12 @@ import math
 import os
 import time
 from dataclasses import dataclass, field
-from typing import Iterable
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from la_fungus_search_spark.index.codec import varint_encode_blocks
-from la_fungus_search_spark.tokenizer import tokenize, tokens_expr
+from la_fungus_search_spark.tokenizer import tokens_expr
 
 POSTING_LIST_SCHEMA = (
     "term STRING, term_bucket INT, block_id BIGINT, range_ids ARRAY<BIGINT>, first_doc BIGINT, "
@@ -138,11 +136,12 @@ class IndexBuilder:
     b: float = 0.75
     epsilon: float = 0.25
     id_mode: str = "dense"  # "dense" (row_number, test scale) | "hash" (xxhash64, 10^12 scale)
-    # "arrow" (mapInPandas Counter) is the default: tf is doc-local, so
-    # the kernel emits final (term, doc_id, tf) rows with ZERO shuffle —
-    # the JVM explode+groupBy(term, doc_id) path shuffles one row per
-    # posting and measured 7-20x slower at high parallelism (local[32]:
-    # 2.2s arrow vs 15-49s shuffle on 2.65M postings). "jvm" kept as the
+    # "arrow" (mapInArrow, fully vectorized — see _postings_arrow) is
+    # the default: tf is doc-local, so the kernel emits final
+    # (term, doc_id, tf) rows with ZERO shuffle — the JVM
+    # explode+groupBy(term, doc_id) path shuffles one row per posting
+    # and measured 7-20x slower at high parallelism (local[32]: 2.2s
+    # arrow vs 15-49s shuffle on 2.65M postings). "jvm" kept as the
     # whole-stage-codegen cross-check path (tested equal).
     tokenizer_impl: str = "arrow"
     _manifest: list = field(default_factory=list)
@@ -222,34 +221,60 @@ class IndexBuilder:
     def _postings_arrow(self, prepared: DataFrame, content_col: str) -> DataFrame:
         """Arrow-batched tokenize+count (no per-row Python, no explode
         shuffle amplification) — alternative kernel, tested equal to
-        the JVM path."""
+        the JVM path.
 
-        def count_terms(batches: Iterable[pd.DataFrame]):
-            # Batch assembly is fully vectorized: the old list-extend
-            # version materialized three postings-sized Python lists
-            # per batch (~3×n_postings PyObjects) and handed pandas
-            # object-dtype columns to Arrow — measurable memory-churn
-            # inflation at high worker counts (this is the build's
-            # largest stage). ids via np.repeat, tfs via one fromiter
-            # pass, and terms go straight into an Arrow string array
-            # (one buffer copy, zero-copy into the output frame).
-            from collections import Counter
-            from itertools import chain
+        Fully vectorized end to end (guide §4.2): the batch's text
+        stays in its ONE contiguous Arrow data buffer — a single numpy
+        lookup-table gather translates every byte (A-Z→a-z, every
+        non-[a-z0-9_] byte → space; each byte of a multi-byte UTF-8
+        codepoint is ≥ 0x80 and maps to a separator, exactly like the
+        per-codepoint '?' of the tokenizer's ascii-replace path, so
+        token output is byte-identical — property-tested), then Arrow's
+        C++ split_whitespace builds the token list and tf counting runs
+        as dictionary-encode (one hash pass over the token strings) +
+        one int64 np.unique over (row, code) keys. No per-doc Python
+        loop, no Counter, no per-token PyObject — the previous
+        Counter-per-doc kernel measured 2.2x slower on the 400k-doc
+        scaling corpus (this is the build's largest stage). mapInArrow
+        rather than mapInPandas so neither side pays an Arrow↔pandas
+        object conversion."""
 
+        def count_terms(batches):
             import numpy as np
             import pyarrow as pa
+            import pyarrow.compute as pc
 
-            for pdf in batches:
-                doc_ids = pdf["doc_id"].to_numpy()
-                counters = [Counter(tokenize(c)) for c in pdf[content_col]]
-                sizes = np.fromiter(
-                    (len(c) for c in counters), dtype=np.int64, count=len(counters)
+            from la_fungus_search_spark.tokenizer import _TRANS
+
+            lut = np.frombuffer(_TRANS, dtype=np.uint8)
+            empty = pa.scalar("", pa.string())
+            for batch in batches:
+                arr = batch.column(1)  # content (selected second below)
+                ids_np = batch.column(0).to_numpy(zero_copy_only=False)
+                bufs = arr.buffers()
+                if bufs[2] is None or len(arr) == 0:
+                    continue
+                data = np.frombuffer(bufs[2], dtype=np.uint8)
+                translated = pa.py_buffer(lut[data])
+                new_arr = pa.StringArray.from_buffers(
+                    len(arr), bufs[1], translated, bufs[0],
+                    arr.null_count, arr.offset,
                 )
-                n = int(sizes.sum())
-                terms = pa.array(
-                    chain.from_iterable(c.keys() for c in counters),
-                    type=pa.string(), size=n,
+                tok = pc.ascii_split_whitespace(new_arr)
+                lens = (
+                    pc.list_value_length(tok).fill_null(0)
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
                 )
+                row = np.repeat(np.arange(len(arr), dtype=np.int64), lens)
+                flat = pc.list_flatten(tok)
+                # split_whitespace emits one empty token per leading /
+                # trailing separator run (interior runs collapse) —
+                # drop them so multiplicities match tokenize() exactly
+                nonempty = pc.not_equal(flat, empty)
+                mask = nonempty.to_numpy(zero_copy_only=False)
+                if not mask.all():
+                    flat = flat.filter(nonempty)
+                    row = row[mask]
                 # per-doc token total (doclen) is known right here —
                 # emitting it per posting row lets the scoring stage
                 # skip a full postings-granularity shuffle join against
@@ -257,23 +282,28 @@ class IndexBuilder:
                 # docs, and corpus-proportional at any scale; a
                 # broadcast would cap at driver memory — this local
                 # emission has no cap)
-                doclens = np.fromiter(
-                    (sum(c.values()) for c in counters),
-                    dtype=np.int64, count=len(counters),
-                )
-                yield pd.DataFrame(
-                    {
-                        "term": pd.Series(terms, dtype=pd.ArrowDtype(pa.string())),
-                        "doc_id": np.repeat(doc_ids, sizes),
-                        "tf": np.fromiter(
-                            chain.from_iterable(c.values() for c in counters),
-                            dtype=np.int32, count=n,
-                        ),
-                        "doclen": np.repeat(doclens, sizes).astype(np.int32),
-                    }
+                doclens = np.bincount(row, minlength=len(arr)).astype(np.int64)
+                denc = pc.dictionary_encode(flat)
+                codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                vocab = denc.dictionary
+                k = len(vocab)
+                # (row, code) fused into one int64: row < batch rows
+                # (≤ maxRecordsPerBatch) and code < per-batch vocab, so
+                # the product stays far under 2^63
+                key, tf = np.unique(row * max(k, 1) + codes, return_counts=True)
+                orow = key // max(k, 1)
+                ocode = key - orow * max(k, 1)
+                yield pa.record_batch(
+                    [
+                        pc.take(vocab, pa.array(ocode.astype(np.int32))),
+                        pa.array(ids_np[orow]),
+                        pa.array(tf.astype(np.int32)),
+                        pa.array(doclens[orow].astype(np.int32)),
+                    ],
+                    names=["term", "doc_id", "tf", "doclen"],
                 )
 
-        return prepared.select("doc_id", content_col).mapInPandas(
+        return prepared.select("doc_id", content_col).mapInArrow(
             count_terms, schema="term STRING, doc_id BIGINT, tf INT, doclen INT"
         )
 

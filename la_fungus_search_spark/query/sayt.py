@@ -82,12 +82,35 @@ class GramStats(NamedTuple):
     frames beside the main index, and pass to
     :func:`search_as_you_type` so repeated query sets never rescan the
     corpus — the same amortization contract as
-    :func:`~.tfidf.tfidf_doc_norms` and :func:`~.lmsim.lm_collection_stats`."""
+    :func:`~.tfidf.tfidf_doc_norms` and :func:`~.lmsim.lm_collection_stats`.
 
-    tf: DataFrame      # (g, gram, doc_id, tf)
+    Grams travel as a 128-bit hash pair ``(c1, c2)`` — see
+    :func:`_gram_code_cols` — never as strings."""
+
+    tf: DataFrame      # (g, c1, c2, doc_id, tf)
     dl: DataFrame      # (doc_id, dl2, dl3)
     gstats: DataFrame  # 1 row: (n, avgdl2, avgdl3)
-    idf: DataFrame     # (g, gram, idf) — eps-floored per channel
+    idf: DataFrame     # (g, c1, c2, idf) — eps-floored per channel
+
+
+def _gram_code_cols(gram_col):
+    """The gram's travel identity: two independent xxhash64 codes (the
+    128-bit pair device the posting build documents as the at-scale
+    successor of its single-code + injectivity check —
+    index/builder.py posting_lists_df). The shingle vocabulary is far
+    larger than the term vocabulary (most 3-grams are near-unique), so
+    a vocabulary-sized string-keyed check frame would itself be a
+    gram-string shuffle; the pair's collision odds (~n²/2¹²⁹) are
+    negligible at any corpus this engine can hold. 16 bytes travel per
+    gram instead of the ~25-35-byte shingle string — the 2-/3-shingle
+    explode is ~2x the corpus token volume, so the stats build's
+    shuffle (its scaling-limiting stage at 400k docs: memory-bus-bound,
+    1.18x from 4x cores) moves less than half the bytes."""
+    c = F.col(gram_col) if isinstance(gram_col, str) else gram_col
+    return [
+        F.xxhash64(c).alias("c1"),
+        F.xxhash64(c, F.lit(1)).alias("c2"),
+    ]
 
 
 def build_gram_stats(
@@ -95,7 +118,10 @@ def build_gram_stats(
 ) -> GramStats:
     """One tokenize pass over the corpus → the four shingle-stat
     frames (both gram sizes ride the same explode, rows tagged by g;
-    every agg is map-side combinable)."""
+    every agg is map-side combinable). Gram strings never leave the
+    tokenize stage: the explode emits the hash-pair identity and every
+    downstream shuffle/join is all-numeric (query-side grams hash with
+    the same JVM expression in :func:`_shingle_channel_scores`)."""
     d = docs.select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks"))
     grams = d.select(
         "doc_id",
@@ -105,8 +131,12 @@ def build_gram_stats(
                 F.struct(F.lit(3).alias("g"), _gram_expr(3).alias("arr")),
             )
         ).alias("ch"),
-    ).select("doc_id", F.col("ch.g").alias("g"), F.explode("ch.arr").alias("gram"))
-    tf = grams.groupBy("g", "gram", "doc_id").agg(F.count("*").cast("int").alias("tf"))
+    ).select(
+        "doc_id", F.col("ch.g").alias("g"), F.explode("ch.arr").alias("gram")
+    ).select("doc_id", "g", *_gram_code_cols("gram"))
+    tf = grams.groupBy("g", "c1", "c2", "doc_id").agg(
+        F.count("*").cast("int").alias("tf")
+    )
 
     # channel doclen over ALL docs (zero for short docs — they still
     # count in N and avgdl, the _bm25_base_cte convention)
@@ -128,12 +158,13 @@ def build_gram_stats(
     # df/idf per channel — over the QUERY's grams only would bias the
     # eps floor's average_idf, so the chain runs over the channel's
     # full vocabulary exactly like the main index
-    df = tf.groupBy("g", "gram").agg(F.count("*").cast("bigint").alias("df"))
+    df = tf.groupBy("g", "c1", "c2").agg(F.count("*").cast("bigint").alias("df"))
     # the 1-row stats frame folds in as a broadcast cross join (the
     # dsir 1-row-totals precedent — build side is exactly one row)
     idf0 = df.crossJoin(F.broadcast(gstats.select("n"))).select(
         "g",
-        "gram",
+        "c1",
+        "c2",
         "df",
         (F.log(F.col("n") - F.col("df") + F.lit(0.5)) - F.log(F.col("df") + F.lit(0.5))).alias(
             "idf_raw"
@@ -142,7 +173,8 @@ def build_gram_stats(
     aidf = idf0.groupBy("g").agg(F.avg("idf_raw").alias("average_idf"))
     idf = idf0.join(F.broadcast(aidf), "g").select(
         "g",
-        "gram",
+        "c1",
+        "c2",
         F.when(
             F.col("idf_raw") < 0, F.lit(EPS) * F.col("average_idf")
         ).otherwise(F.col("idf_raw")).alias("idf"),
@@ -173,14 +205,14 @@ def _shingle_channel_scores(
     qg = F.broadcast(
         spark.createDataFrame(
             qg_rows, schema="query_id INT, g INT, gram STRING, qtf INT"
-        )
+        ).select("query_id", "g", "qtf", *_gram_code_cols("gram"))
     )
     st = gram_stats if gram_stats is not None else build_gram_stats(docs, id_col, text_col)
     tf, dl, gstats, idf = st.tf, st.dl, st.gstats, st.idf
 
-    qdim = qg.join(idf, ["g", "gram"])
+    qdim = qg.join(idf, ["g", "c1", "c2"])
     hits = (
-        tf.join(F.broadcast(qdim), ["g", "gram"])
+        tf.join(F.broadcast(qdim), ["g", "c1", "c2"])
         .join(dl, "doc_id")
         .withColumn(
             "dlc",

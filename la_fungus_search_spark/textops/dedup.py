@@ -703,9 +703,10 @@ def duplicate_substring_spans(
     inclusive token positions — ordered (doc_id, start_pos).
 
     Physical shape at 100 TB: one tokenize pass emits POSITIONAL
-    k-gram md5s (grams travel as 16-byte hashes, never text); the
-    shared-gram set comes from the same map-side-combined
-    groupBy(gram) as cross_doc_grams and joins back by gram hash;
+    k-gram identities (a 128-bit xxhash64 pair over the token slice —
+    grams travel as 16 bytes, never text); the shared-gram set comes
+    from the same map-side-combined groupBy(gram) as cross_doc_grams
+    and joins back by gram hash;
     run-stitching is the islands trick (pos − row_number() is
     constant within a run) under a PER-DOCUMENT window — partitioned
     by doc_id, never global. Shuffles: gram-hash agg, gram-hash
@@ -713,17 +714,35 @@ def duplicate_substring_spans(
     driver-side."""
     if k < 2 or min_span_tokens < k:
         raise ValueError("need k >= 2 and min_span_tokens >= k")
-    toks = tokens_expr(text_col)
-    m = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
-    gm = F.slice(toks, 1, m)
-    for j in range(1, k):
-        gm = F.zip_with(gm, F.slice(toks, j + 1, m), lambda a, b: F.concat_ws(" ", a, b))
+    # positional k-grams WITHOUT building gram strings: each position's
+    # gram is a k-token slice (element references only — the old
+    # k−1-step zip_with/concat_ws chain copied O(k²) characters per
+    # position), and its travel identity is a structural 128-bit
+    # xxhash64 pair over the token ARRAY (order- and boundary-aware,
+    # so it needs no join separator; two independent seeds — the
+    # posting build's documented at-scale pair device, same rationale
+    # as query/sayt.py _gram_code_cols). 16 bytes per gram through
+    # every downstream shuffle instead of the 32-char md5 hex.
+    # Tokenize lands in a REAL column first: a lambda body gets no
+    # common-subexpression elimination, so referencing tokens_expr
+    # inside transform() would re-run the regex tokenizer per position.
+    toks = F.col("toks")
+    gm = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+            lambda i: F.slice(toks, i, k),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<ARRAY<STRING>>)"))
     pos_grams = docs.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(gm).alias("pos0", "gram")
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
+    ).select(
+        "doc_id", F.posexplode(gm).alias("pos0", "gram_arr")
     ).select(
         "doc_id",
         (F.col("pos0") + 1).alias("pos"),
-        F.md5("gram").alias("gram_md5"),
+        F.xxhash64("gram_arr").alias("c1"),
+        F.xxhash64("gram_arr", F.lit(1)).alias("c2"),
     )
     # materialize the positional gram table ONCE (localCheckpoint —
     # the CC-loop device; blocks are reclaimed when the frame drops):
@@ -736,14 +755,14 @@ def duplicate_substring_spans(
     # 5.0 → 3.1 s at sf0.1, same spans).
     pos_grams = pos_grams.localCheckpoint(eager=True)
     shared = (
-        pos_grams.select("doc_id", "gram_md5")
+        pos_grams.select("doc_id", "c1", "c2")
         .distinct()
-        .groupBy("gram_md5")
+        .groupBy("c1", "c2")
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
-        .select("gram_md5")
+        .select("c1", "c2")
     )
-    hits = pos_grams.join(shared, "gram_md5").select("doc_id", "pos")
+    hits = pos_grams.join(shared, ["c1", "c2"]).select("doc_id", "pos")
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy(F.asc("pos"))

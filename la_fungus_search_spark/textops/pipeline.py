@@ -642,7 +642,12 @@ def decontaminate_fuzzy(
         F.col(bench_text_col).alias("text"),
     )
     u = c.unionByName(b)
-    sh = shingles(u, "text", "doc_id", k)
+    # the shingle table feeds FOUR consumers below (signatures, sizes,
+    # and both sides of the common-shingle join) — materialize the
+    # tokenize+shingle pass once (the minhash_dedup_pairs contract;
+    # localCheckpoint so independent downstream stages can never race
+    # into computing the uncached parent twice)
+    sh = shingles(u, "text", "doc_id", k).localCheckpoint(eager=True)
     sig = minhash_signatures_from_shingles(sh)
     cand = lsh_candidate_pairs_from_signatures(sig)
     # corpus×eval pairs only (id_a < id_b and eval ids are offset-high,

@@ -64,7 +64,20 @@ def main():
         master=master,
         shuffle_partitions=shuffle,
         app_name=f"scaling-{master}",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # the corpus cache is written as 128 ~2.6 MB files (one per
+            # generator partition, uniform by construction); map each
+            # file to its own read split so the persisted corpus gets
+            # its 128-partition layout from the SCAN instead of a full
+            # repartition shuffle (untimed, but at local[1] that
+            # shuffle is a single-threaded pass over the whole corpus
+            # — pure leg wall). Identical conf at every parallelism
+            # level, so the timed builds still start from the same
+            # layout at N and 4N.
+            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(4 * 1024 * 1024),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -88,17 +101,19 @@ def main():
         corpus_df(spark, n_files, partitions=128).write.mode("overwrite").parquet(tmp_dir)
         shutil.rmtree(cache, ignore_errors=True)
         os.rename(tmp_dir, cache)
-    # repartition(128) BEFORE the (untimed) persist: the ~2.6 MB cache
-    # files coalesce to ~7 read splits under the default 128 MB
+    # 128 read partitions BEFORE the (untimed) persist: the ~2.6 MB
+    # cache files coalesce to ~7 read splits under the default 128 MB
     # maxPartitionBytes + 4 MB open-cost packing, and the in-memory
     # cache inherits that layout — so the tokenize stage (the build's
     # heaviest, a straight map over the corpus) ran ONE ragged wave of
     # 7 tasks at local[8] while local[2] was unaffected. Measured as a
     # ~54 s Amdahl "serial" term that capped 2→8 scaling at ~0.68 even
     # on a quiet box. At the north rule's 100 TB the source has
-    # thousands of natural splits; 128 explicit partitions is the
-    # sandbox stand-in, identical for both parallelism levels.
-    corpus = spark.read.parquet(cache).repartition(128).persist()
+    # thousands of natural splits; 128 file-aligned splits (see the
+    # session conf above — one split per generator-partition file,
+    # replacing the earlier repartition(128) shuffle) is the sandbox
+    # stand-in, identical for both parallelism levels.
+    corpus = spark.read.parquet(cache).persist()
     n_docs = corpus.count()
     # JVM/codegen warmup outside the timed window
     from pyspark.sql import functions as F
@@ -153,13 +168,30 @@ def main():
     # term with df < k forces common-only docs into the top-k, whose
     # scores sit just under every range's UB — nothing prunable); ONE
     # common term, since each eps-floored hot term adds its full block
-    # max to every range's UB
+    # max to every range's UB.
+    #
+    # Only the criterion HI leg's blockmax record is ever consumed:
+    # bench.py pops and discards `blockmax_selective`/`blockmax_two_hot`
+    # from the lo leg and from both 2v8 continuity legs (bench.py
+    # one_round / the continuity loop). Warming + timing both query
+    # paths at local[1] costs ~1-2 min of pure leg wall for a record
+    # nobody reads, so the evidence sections run only where the output
+    # is kept. SPARK_GRAFT_FORCE_BLOCKMAX=1 restores them everywhere
+    # (manual at-scale records, e.g. the 400k local[8] BASELINE rows).
+    hi_n = int(os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "1,4").split(",")[1])
+    want_blockmax = (
+        master == f"local[{hi_n}]"
+        or os.environ.get("SPARK_GRAFT_FORCE_BLOCKMAX") == "1"
+    )
     df_hi = max(24, n_docs // BM25QueryEngine.SELECTIVITY)
-    rare = [r.term for r in idx.term_stats.filter(F.col("df").between(20, df_hi))
-            .orderBy("df", "term").limit(4).collect()]
-    common = [r.term for r in idx.term_stats
-              .orderBy(F.desc("df"), F.asc("term")).limit(1).collect()]
-    sel_queries = [f"{r} {' '.join(common)}" for r in rare]
+    if want_blockmax:
+        rare = [r.term for r in idx.term_stats.filter(F.col("df").between(20, df_hi))
+                .orderBy("df", "term").limit(4).collect()]
+        common = [r.term for r in idx.term_stats
+                  .orderBy(F.desc("df"), F.asc("term")).limit(1).collect()]
+        sel_queries = [f"{r} {' '.join(common)}" for r in rare]
+    else:
+        sel_queries = []
     if sel_queries:
         # stats pass first (collect_stats adds two agg jobs — keep them
         # out of the timed window)
