@@ -276,11 +276,21 @@ _INDEX_CACHE: dict = {}
 
 
 def _index(spark: SparkSession, sf_dir: str):
-    """BM25 index over the documents table (cached per session+sf)."""
-    key = (id(spark), sf_dir)
+    """BM25 index over the documents table (cached per session+sf).
+
+    Keyed by applicationId (unique per SparkContext — an id(spark) key
+    can be reused by a NEW session after the old one is gc'd, serving
+    frames bound to a dead session). External seeders (bench.py warms
+    this cache with its own built index) historically used the
+    id(spark) key, so that form is honored as a read-through alias."""
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
-        docs = _documents(spark, sf_dir).withColumnRenamed("text", "content")
-        _INDEX_CACHE[key] = build_index(spark, docs, id_col="doc_id")
+        legacy = (id(spark), sf_dir)
+        if legacy in _INDEX_CACHE:
+            _INDEX_CACHE[key] = _INDEX_CACHE[legacy]
+        else:
+            docs = _documents(spark, sf_dir).withColumnRenamed("text", "content")
+            _INDEX_CACHE[key] = build_index(spark, docs, id_col="doc_id")
     return _INDEX_CACHE[key]
 
 
@@ -2883,7 +2893,7 @@ def _units_index(spark, sf_dir):
     """Field-unit index shared by the four multi-field gates (same
     per-session cache discipline as ``_index`` — the bench sweep calls
     each gate twice and the unit corpus is identical across them)."""
-    key = (id(spark), sf_dir, "field_units")
+    key = (spark.sparkContext.applicationId, sf_dir, "field_units")
     if key not in _INDEX_CACHE:
         units = _field_units(spark, sf_dir)
         _INDEX_CACHE[key] = build_index(
@@ -3323,7 +3333,7 @@ def _sayt_stats(spark, sf_dir):
     session+sf and persisted — the amortization contract GramStats
     documents (build once beside the index, reuse across query sets),
     same device as _index()/_chunk_index()."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SAYT_STATS_CACHE:
         from la_fungus_search_spark.query import sayt as sayt_ops
 
@@ -3590,7 +3600,7 @@ def _index_english(spark: SparkSession, sf_dir: str):
     rewritten corpus — no engine mode exists."""
     from la_fungus_search_spark.analysis import analyze_df
 
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ANALYZED_INDEX_CACHE:
         docs = analyze_df(_documents(spark, sf_dir)).withColumnRenamed("text", "content")
         _ANALYZED_INDEX_CACHE[key] = build_index(spark, docs, id_col="doc_id")
@@ -3858,7 +3868,7 @@ def _shard_indexes(spark, sf_dir):
     """Two disjoint shard indexes over the documents table (split on
     doc_id parity — deliberately UNEVEN term distributions per shard,
     the regime where per-shard idf skews), cached per session+sf."""
-    key = (id(spark), sf_dir, "shards")
+    key = (spark.sparkContext.applicationId, sf_dir, "shards")
     if key not in _INDEX_CACHE:
         docs = _documents(spark, sf_dir).withColumnRenamed("text", "content")
         _INDEX_CACHE[key] = [
@@ -4116,7 +4126,7 @@ def _ann_index(spark, sf_dir):
 
     from la_fungus_search_spark.textops import ann_index
 
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ANN_INDEX_CACHE:
         out = os.path.join(
             tempfile.gettempdir(),
@@ -4479,7 +4489,7 @@ def _interval_edges(spark, sf_dir) -> DataFrame:
     """Interval-overlap pair set, persisted per (session, sf) — shared
     by q_interval_self_join and q_trail_degree so the degree query
     doesn't recompute the whole bin-join pipeline."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _EDGES_CACHE:
         _EDGES_CACHE[key] = _interval_pairs(spark, sf_dir).persist()
     return _EDGES_CACHE[key]
@@ -4630,7 +4640,7 @@ def _chunk_index(spark, sf_dir):
     the same amortization the doc-unit gates get from _index(); the
     chunk frame is persisted so the meta join-back doesn't re-chunk,
     VERDICT r4 item 7)."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CHUNK_INDEX_CACHE:
         ch = chunk_line_windows(
             _doc_lines(spark, sf_dir), [CHUNK_W], carry_cols=("doc_id",)
@@ -4874,6 +4884,9 @@ def q_incremental_changed_docs(spark, sf_dir):
     )
 
 
+_STREAM_PERC_SRC_CACHE: dict = {}
+
+
 def q_streaming_percolate(spark, sf_dir):
     """Streaming percolation (query/percolate.py composed under
     foreachBatch — the ES percolator's alerting use: match every
@@ -4886,9 +4899,28 @@ def q_streaming_percolate(spark, sf_dir):
 
     from la_fungus_search_spark.query.percolate import percolate
 
-    base = tempfile.mkdtemp(prefix="gate_stream_perc_")
-    src, out = os.path.join(base, "in"), os.path.join(base, "out")
-    _documents(spark, sf_dir).select("doc_id", "text").repartition(2).write.parquet(src)
+    # fast scratch (the spark.local.dir choice — session.py): the
+    # micro-batch results and the stream's checkpoint are many small
+    # files, and this sandbox's /tmp write path is slow enough to
+    # dominate a 2-batch drain
+    fast = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or (
+        "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    )
+    os.makedirs(fast, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="gate_stream_perc_", dir=fast)
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    # the 2-file staged source is a pure function of the input table —
+    # stage it once per session+sf (the _index()/_sayt_stats()
+    # amortization contract; every micro-batch still re-percolates
+    # from the staged files on every call)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    src = _STREAM_PERC_SRC_CACHE.get(key)
+    if src is None or not os.path.exists(os.path.join(src, "_SUCCESS")):
+        src = os.path.join(fast, f"gate_stream_perc_src_{abs(hash(key)) % 10**8}")
+        _documents(spark, sf_dir).select("doc_id", "text").repartition(2).write.mode(
+            "overwrite"
+        ).parquet(src)
+        _STREAM_PERC_SRC_CACHE[key] = src
 
     def _sink(batch_df, batch_id):
         percolate(batch_df, PERCOLATE_QUERIES).write.mode("append").parquet(out)
@@ -4898,6 +4930,7 @@ def q_streaming_percolate(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
         .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )

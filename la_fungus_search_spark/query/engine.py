@@ -101,18 +101,26 @@ class BM25QueryEngine:
         qt_rows: Sequence[tuple],
         with_df: bool = False,
         qtf_type: str = "INT",
+        extra_cols: str = "",
     ) -> DataFrame:
         """Bucket-pruned postings × broadcast query dim — the shared
         scan of :meth:`scored_from_terms` and :meth:`explain`. Rows
         carry (query_id, term, qtf, doc_id, tf, doclen, idf[, df]).
         ``qtf_type="DOUBLE"`` switches the qtf column to a float
         clause weight (the query-time-boost path) without perturbing
-        the default integer plan."""
+        the default integer plan. ``extra_cols`` appends caller-owned
+        columns to the query dim (schema fragment, e.g.
+        ``"is_must INT"``; each row then carries matching trailing
+        fields) — they ride the same broadcast join, letting a caller
+        fuse several per-channel posting passes into one scan
+        (query/querystring.py)."""
         idx = self.index
-        rows = list(qt_rows) or [(0, "\x00__no_terms__", 0)]
-        qt = self.spark.createDataFrame(
-            rows, schema=f"query_id INT, term STRING, qtf {qtf_type}"
-        )
+        n_extra = len([c for c in extra_cols.split(",") if c.strip()])
+        rows = list(qt_rows) or [(0, "\x00__no_terms__", 0) + (0,) * n_extra]
+        schema = f"query_id INT, term STRING, qtf {qtf_type}"
+        if extra_cols:
+            schema += f", {extra_cols}"
+        qt = self.spark.createDataFrame(rows, schema=schema)
         # broadcast the tiny query-side dim through both joins
         stat_cols = ["term", "idf", "term_bucket"] + (["df"] if with_df else [])
         q_with_idf = F.broadcast(qt.join(idx.term_stats.select(*stat_cols), "term"))
@@ -120,7 +128,7 @@ class BM25QueryEngine:
         # the build's pmod(xxhash64(term), n_buckets)) — ZERO Spark
         # jobs before the query itself; parity asserted in tests
         nb = int(self.index.globals["n_buckets"])
-        buckets = sorted({term_bucket(t, nb) for _, t, _ in rows}) or [0]
+        buckets = sorted({term_bucket(r[1], nb) for r in rows}) or [0]
         postings = idx.postings.filter(F.col("term_bucket").isin(buckets))  # partition pruning
         joined = postings.join(q_with_idf, "term")
         if "doclen" not in postings.columns:

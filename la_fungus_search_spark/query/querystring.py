@@ -176,18 +176,33 @@ def _search_parsed(
     of :func:`parse_query_string` / :func:`parse_simple_query_string`
     — the two parsers compile onto one physical plan family)."""
     n_queries = len(parsed)
-    qt_rows: List[Tuple[int, str, float]] = [
-        (qid, t, float(b)) for qid, p in enumerate(parsed) for t, b in p["scored"]
+    # ONE fused posting pass for all three boolean channels: each row
+    # is (query_id, term, boost, is_must, is_not) and the aggregate
+    # below computes score, matched-must count and the exclusion flag
+    # together — the previous three scored_from_terms passes (scored,
+    # must, must_not) each re-ran the bucket-pruned postings join and
+    # then re-joined their outputs, tripling the job chain for what is
+    # one scan's worth of information. Exactness: must terms are
+    # always in the scored set too (the parsers add them — see
+    # parse_query_string pass 2), so the candidate base is unchanged;
+    # must_not rows ride with boost 0.0, and x + 0.0 is exact in IEEE
+    # arithmetic, so the score sum is bit-wise unaffected by the extra
+    # zero addends.
+    qt_rows: List[Tuple[int, str, float, int, int]] = [
+        (qid, t, float(b), int(t in p["must_terms"]), 0)
+        for qid, p in enumerate(parsed)
+        for t, b in p["scored"]
     ]
     # prefix rewrite: one expansion pass over all prefix clauses; the
     # capped result is bounded (<= max_expansions per clause) and
-    # rides as SEPARATE weighted rows (see module docstring)
+    # rides as SEPARATE weighted rows (see module docstring) — never
+    # must-flagged (the base scored row already carries the flag)
     pref = [(qid, pr, b) for qid, p in enumerate(parsed) for pr, b in p["prefixes"]]
     if pref:
         exp = prefix_expansions(engine.index, [pr for _, pr, _ in pref], max_expansions)
         for r in exp.select("query_id", "term").collect():
             qid, _, b = pref[int(r["query_id"])]
-            qt_rows.append((qid, r["term"], float(b)))
+            qt_rows.append((qid, r["term"], float(b), 0, 0))
     # fuzzy rewrite (simple_query_string's ``term~N``, clamped to the
     # ed-1 ball): one capped dictionary expansion per clause, ranked
     # (dist ASC, df DESC, term ASC) — the query/expand.py contract
@@ -198,24 +213,37 @@ def _search_parsed(
         )
         for r in exp.select("query_id", "term").collect():
             qid, _, b = fz[int(r["query_id"])]
-            qt_rows.append((qid, r["term"], float(b)))
-    have = {qid for qid, _, _ in qt_rows}
+            qt_rows.append((qid, r["term"], float(b), 0, 0))
+    have = {r[0] for r in qt_rows}
     if have != set(range(n_queries)):
         missing = sorted(set(range(n_queries)) - have)
         raise ValueError(f"query strings {missing} have no positive clause")
-
-    scored = engine.scored_from_terms(sorted(qt_rows), qtf_type="DOUBLE").select(
-        "query_id", "doc_id", "score"
+    qt_rows.extend(
+        (qid, t, 0.0, 0, 1)
+        for qid, p in enumerate(parsed)
+        for t in p["must_not_terms"]
     )
+
+    agg = (
+        engine._joined_postings(
+            sorted(qt_rows), qtf_type="DOUBLE", extra_cols="is_must INT, is_not INT"
+        )
+        .withColumn(
+            "contrib",
+            F.col("qtf") * F.col("idf")
+            * engine._contribution(F.col("tf"), F.col("doclen")),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.sum("is_must").cast("int").alias("must_matched"),
+            F.max("is_not").alias("excluded"),
+        )
+    )
+    scored = agg.filter(F.col("excluded") == 0)
 
     n_must = [len(p["must_terms"]) for p in parsed]
     if any(n_must):
-        mm_rows = [
-            (qid, t, 1) for qid, p in enumerate(parsed) for t in p["must_terms"]
-        ]
-        mm = engine.scored_from_terms(mm_rows).select(
-            "query_id", "doc_id", F.col("n_matched").alias("must_matched")
-        )
         nt = F.broadcast(
             engine.spark.createDataFrame(
                 list(enumerate(n_must)), schema="query_id INT, n_must INT"
@@ -223,17 +251,9 @@ def _search_parsed(
         )
         scored = (
             scored.join(nt, "query_id")
-            .join(mm, ["query_id", "doc_id"], "left")
-            .filter(F.coalesce("must_matched", F.lit(0)) >= F.col("n_must"))
-            .select("query_id", "doc_id", "score")
+            .filter(F.col("must_matched") >= F.col("n_must"))
         )
-
-    xn_rows = [
-        (qid, t, 1) for qid, p in enumerate(parsed) for t in p["must_not_terms"]
-    ]
-    if xn_rows:
-        ex = engine.scored_from_terms(xn_rows).select("query_id", "doc_id")
-        scored = scored.join(ex, ["query_id", "doc_id"], "left_anti")
+    scored = scored.select("query_id", "doc_id", "score")
 
     pairs = [
         (qid, ph) for qid, p in enumerate(parsed) for ph in p["phrases"]

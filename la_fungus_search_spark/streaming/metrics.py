@@ -91,7 +91,18 @@ def run_available_now(
     arrival rate instead."""
     spark = agg.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    ckpt = os.path.join(tempfile.gettempdir(), f"lfs_ckpt_{name}")
+    # checkpoint on the fast local dir (the spark.local.dir choice —
+    # session.py): streaming state stores commit many small files per
+    # micro-batch, and this sandbox's /tmp is slow enough that the
+    # commit wall dominates a small drain; on a real cluster this is
+    # node-local SSD / HDFS. The dir is ephemeral by contract here
+    # (memory-sink drain, removed below) — durability lives with the
+    # production caller's checkpoint location.
+    ckpt_base = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or (
+        "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    )
+    os.makedirs(ckpt_base, exist_ok=True)
+    ckpt = os.path.join(ckpt_base, f"lfs_ckpt_{name}")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(int(state_partitions)))
@@ -108,6 +119,11 @@ def run_available_now(
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # the drain's result lives in the memory sink; the checkpoint
+        # is dead state (and on /dev/shm it is RAM) — reclaim it
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 

@@ -711,7 +711,14 @@ def duplicate_substring_spans(
     constant within a run) under a PER-DOCUMENT window — partitioned
     by doc_id, never global. Shuffles: gram-hash agg, gram-hash
     join-back, doc_id window. Nothing quadratic, nothing
-    driver-side."""
+    driver-side.
+
+    Side effect: the positional gram table is materialized EAGERLY
+    (``localCheckpoint(eager=True)`` below), so calling this function
+    launches a Spark job at plan-construction time and the checkpointed
+    blocks are lineage-truncated (not recomputable on executor loss).
+    Measured faster in-sandbox; a durability-sensitive deployment would
+    checkpoint to storage instead."""
     if k < 2 or min_span_tokens < k:
         raise ValueError("need k >= 2 and min_span_tokens >= k")
     # positional k-grams WITHOUT building gram strings: each position's

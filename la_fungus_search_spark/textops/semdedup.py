@@ -118,6 +118,17 @@ def semdedup_verdicts(
             id_col=id_col, vec_col=vec_col,
         )
     c = np.asarray(centroids, dtype="float64")
+    # the 'exact ≤ 2^53 double rescale' invariant for csim_q requires
+    # dim·Q² < 2^53 (dim ≤ 90 at Q=2^23): higher-dimensional inputs
+    # would silently void the bit-exactness the DuckDB oracle and the
+    # docstring rely on — fail loudly instead (dim read off the
+    # centroid matrix: no extra Spark job)
+    dim = int(c.shape[1])
+    if dim * Q * Q >= 2**53:
+        raise ValueError(
+            f"embedding dim {dim} breaks the exact-integer contract "
+            f"(need dim * Q^2 < 2^53, i.e. dim <= {(2**53 - 1) // (Q * Q)})"
+        )
     # q7-quantized unit vector: the ONLY payload that leaves the scan.
     # The normalize fold is the one float step, and it runs JVM-side
     # with a fixed array-order reduction — the established cross-engine
