@@ -262,6 +262,7 @@ def funnel_stream(
     then_type: str = "purchase",
     glob: str = "events.parquet",
     ts_col: str = "ts",
+    max_files_per_trigger: int | None = 1,
 ) -> DataFrame:
     """Streaming funnel — the STREAM-STREAM interval join exhibit
     (the one Structured Streaming join class the family didn't yet
@@ -281,11 +282,17 @@ def funnel_stream(
     schema = spark.read.option("pathGlobFilter", glob).parquet(events_dir).schema
 
     def side(et, alias):
+        # micro-batch sizing is the production lever: files-per-trigger
+        # ∝ arrival rate (None = let availableNow take everything in
+        # one batch). The inner-join RESULT is trigger-shape-invariant
+        # — matches emit as both sides arrive; the watermark only GCs
+        # state — which scripts/funnel_drain_run.py exercises by
+        # draining the same corpus at several shapes.
+        src = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+        if max_files_per_trigger is not None:
+            src = src.option("maxFilesPerTrigger", str(int(max_files_per_trigger)))
         s = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", glob)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(events_dir)
+            src.parquet(events_dir)
             .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
             .filter(F.col("event_type") == et)
             .withWatermark(ts_col, "2 hours")

@@ -1,0 +1,102 @@
+"""Production-shaped streaming-funnel drain record (VERDICT r5 item 3).
+
+The r5 wave record drained 2M events as 8 one-file micro-batches with
+64 state partitions — 8 × 64 × 4 state-store instances of pure
+checkpoint overhead at a toy arrival rate, and local[32] measured
+SLOWER than local[8] (48.4 s vs 34.3 s): the only inverse-scaling
+datapoint in SCALE.md. Production sizes both knobs to arrival rate:
+bigger micro-batches (files-per-trigger) and state partitions ∝
+arrival. This script drains the IDENTICAL event corpus (same
+generator expressions as wave_scale_run2.py, same pair count) at a
+configurable shape so the record can show cores helping once the
+fixed per-batch state cost is amortized.
+
+Usage:
+  python scripts/funnel_drain_run.py '<master>' <n_events> \
+      <files_per_trigger|all> <state_partitions>
+Prints one JSON line with the drain wall, pair count and shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.session import get_spark
+from la_fungus_search_spark.streaming.metrics import funnel_stream, run_available_now
+
+N_USERS = 50_000
+
+
+def main():
+    master, n_events = sys.argv[1], int(sys.argv[2])
+    fpt = None if sys.argv[3] == "all" else int(sys.argv[3])
+    state_parts = int(sys.argv[4])
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    spark = get_spark(master=master, shuffle_partitions=64,
+                      app_name=f"funnel-drain-{master}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # identical corpus to wave_scale_run2.py's funnel section (same
+    # expressions, same repartitionByRange(8) layout, same pinned
+    # mtime ordering) so pair counts are comparable across records
+    ev_dir = tempfile.mkdtemp(prefix="funnel_drain_events_")
+    try:
+        (
+            spark.range(n_events)
+            .select(
+                F.col("id").alias("event_id"),
+                F.timestamp_seconds(
+                    F.lit(1704067200) + F.pmod(F.xxhash64(F.lit("t"), "id"), F.lit(30 * 86400))
+                ).alias("ts"),
+                F.pmod(F.xxhash64(F.lit("u"), "id"), F.lit(N_USERS)).alias("user_id"),
+                F.element_at(
+                    F.array(*[F.lit(s) for s in ("signup", "purchase", "click", "view", "error")]),
+                    (F.pmod(F.xxhash64(F.lit("e"), "id"), F.lit(5)) + 1).cast("int"),
+                ).alias("event_type"),
+            )
+            .repartitionByRange(8, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(ev_dir)
+        )
+        parts = sorted(f for f in os.listdir(ev_dir) if f.endswith(".parquet"))
+        base = time.time() - len(parts) - 60
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(ev_dir, f), (base + i, base + i))
+
+        t0 = time.time()
+        res = run_available_now(
+            funnel_stream(
+                spark, ev_dir, gap_s=14_400, glob="*.parquet",
+                max_files_per_trigger=fpt,
+            ),
+            output_mode="append",
+            state_partitions=state_parts,
+        )
+        pairs = res.count()
+        dt = time.time() - t0
+        print(json.dumps({
+            "master": master,
+            "n_events": n_events,
+            "files_per_trigger": fpt if fpt is not None else "all",
+            "state_partitions": state_parts,
+            "funnel_pairs": pairs,
+            "sec": round(dt, 3),
+            "events_per_sec": round(n_events / dt, 1),
+        }), flush=True)
+    finally:
+        shutil.rmtree(ev_dir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
