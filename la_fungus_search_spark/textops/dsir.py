@@ -103,7 +103,18 @@ def dsir_weights(
         F.expr(target_pred).alias("_t"),
         F.coalesce(F.col(text_col), F.lit("")).alias("_text"),
     )
-    counts = _gram_counts(base, n_buckets)
+    # `counts` feeds three consumers (the weight fold, the bucket
+    # profile, and the profile totals); the profile branches push a
+    # `bucket IS NOT NULL` filter below their aggregates, so the three
+    # exchange subtrees never canonicalize equal and ReuseExchange
+    # cannot fire — without materialization the tokenize+explode pass
+    # runs 3×. localCheckpoint pins the (doc, bucket) counts — the
+    # op's one corpus-sized artifact, ≤ docs·min(doclen, B) rows — so
+    # the corpus text is scanned once. NOTE: eager=True launches a
+    # Spark job at plan-construction time and truncates lineage (same
+    # documented trade-off as duplicate_substring_spans; at cluster
+    # scale this artifact would checkpoint to storage).
+    counts = _gram_counts(base, n_buckets).localCheckpoint(eager=True)
     prof = counts.filter(F.col("bucket").isNotNull()).groupBy("bucket").agg(
         F.sum("c").cast("bigint").alias("cr"),
         F.sum(F.when(F.col("_t"), F.col("c")).otherwise(F.lit(0)))
