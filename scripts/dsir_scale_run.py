@@ -1,0 +1,59 @@
+"""One dsir_select timing datapoint at wave scale — the harness behind
+the round-6 §7 400k-doc A/B (same corpus device as wave_scale_run2:
+deterministic synthetic docs generated executor-side, persisted and
+counted before the clock; the op forced by a full collect of its
+top-k output).
+
+Usage: python scripts/dsir_scale_run.py <label> [master] [n_files]
+Prints one JSON line: per-sample wall seconds and the top-3 rows (so
+two builds of the code can be diffed for output identity).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from la_fungus_search_spark.corpus import corpus_df
+from la_fungus_search_spark.session import get_spark
+from la_fungus_search_spark.textops.dsir import dsir_select
+
+
+def main():
+    label = sys.argv[1] if len(sys.argv) > 1 else "run"
+    master = sys.argv[2] if len(sys.argv) > 2 else "local[32]"
+    n_files = int(sys.argv[3]) if len(sys.argv) > 3 else 400_000
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    spark = get_spark(master=master, shuffle_partitions=64,
+                      app_name=f"dsir-scale-{label}")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = (
+        corpus_df(spark, n_files)
+        .select(F.xxhash64("path").alias("doc_id"),
+                F.col("content").alias("text"), "lang")
+        .repartition(128)
+        .persist()
+    )
+    n = docs.count()
+    out = {"label": label, "master": master, "n_docs": n, "samples": []}
+    rows = []
+    for _ in range(2):
+        t0 = time.time()
+        rows = dsir_select(docs, "lang = 'en'", k=50, n_buckets=512).collect()
+        out["samples"].append(round(time.time() - t0, 3))
+    out["rows"] = len(rows)
+    out["top3"] = [
+        (int(r["rank"]), int(r["doc_id"]), int(r["weight_q"])) for r in rows[:3]
+    ]
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
