@@ -286,7 +286,13 @@ def _index(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
         legacy = (id(spark), sf_dir)
-        if legacy in _INDEX_CACHE:
+        # adopt the alias ONLY if its index is bound to THIS session —
+        # a gc'd session's id() can be reused by a new SparkSession,
+        # and adopting that entry would serve frames of a dead context
+        # (the exact hazard the applicationId key exists to prevent)
+        if legacy in _INDEX_CACHE and getattr(
+            _INDEX_CACHE[legacy], "spark", None
+        ) is spark:
             _INDEX_CACHE[key] = _INDEX_CACHE[legacy]
         else:
             docs = _documents(spark, sf_dir).withColumnRenamed("text", "content")
@@ -4903,20 +4909,33 @@ def q_streaming_percolate(spark, sf_dir):
     # micro-batch results and the stream's checkpoint are many small
     # files, and this sandbox's /tmp write path is slow enough to
     # dominate a 2-batch drain
-    fast = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or (
-        "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    )
-    os.makedirs(fast, exist_ok=True)
-    base = tempfile.mkdtemp(prefix="gate_stream_perc_", dir=fast)
+    import hashlib
+    import shutil
+
+    from la_fungus_search_spark.session import local_scratch_dir
+
+    fast = local_scratch_dir(default=tempfile.gettempdir(), create=True)
+    # ONE scratch base per session+sf, derived from a DETERMINISTIC
+    # digest (hash() is PYTHONHASHSEED-randomized and its 1e8 residue
+    # can collide across keys — a collision would silently percolate
+    # the wrong staged corpus); each call reclaims the previous call's
+    # drain output+checkpoint (dead once its result was consumed, and
+    # on /dev/shm it is RAM), so scratch is bounded at one drain per
+    # (session, sf) instead of accumulating per invocation
+    key = (spark.sparkContext.applicationId, sf_dir)
+    digest = hashlib.md5(("\x00".join(map(str, key))).encode()).hexdigest()[:16]
+    base = os.path.join(fast, f"gate_stream_perc_{digest}")
     out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    for d in (out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
     # the 2-file staged source is a pure function of the input table —
     # stage it once per session+sf (the _index()/_sayt_stats()
     # amortization contract; every micro-batch still re-percolates
     # from the staged files on every call)
-    key = (spark.sparkContext.applicationId, sf_dir)
     src = _STREAM_PERC_SRC_CACHE.get(key)
     if src is None or not os.path.exists(os.path.join(src, "_SUCCESS")):
-        src = os.path.join(fast, f"gate_stream_perc_src_{abs(hash(key)) % 10**8}")
+        src = os.path.join(base, "src")
         _documents(spark, sf_dir).select("doc_id", "text").repartition(2).write.mode(
             "overwrite"
         ).parquet(src)
@@ -4934,7 +4953,10 @@ def q_streaming_percolate(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # overran the drain timeout: stop the query so no further
+        # micro-batch can race the next call's scratch reclaim
+        q.stop()
     return (
         spark.read.parquet(out)
         .select(

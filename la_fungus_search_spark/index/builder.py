@@ -240,11 +240,57 @@ class IndexBuilder:
         object conversion."""
 
         def count_terms(batches):
+            import os as _os
+
             import numpy as np
             import pyarrow as pa
             import pyarrow.compute as pc
 
-            from la_fungus_search_spark.tokenizer import _TRANS
+            from la_fungus_search_spark.tokenizer import _TRANS, tokenize
+
+            # honor the LFS_TOKENIZE_IMPL=regex A/B instrument here
+            # too: the vectorized path inlines the byte-LUT translate,
+            # so without this branch the knob (which swaps `tokenize`
+            # to the regex reference) would silently stop reaching the
+            # build's largest stage and the A/B would measure a no-op
+            if _os.environ.get("LFS_TOKENIZE_IMPL") == "regex":
+                from collections import Counter
+
+                for batch in batches:
+                    ids_np = batch.column(0).to_numpy(zero_copy_only=False)
+                    counters = [
+                        Counter(tokenize(c if c is not None else ""))
+                        for c in batch.column(1).to_pylist()
+                    ]
+                    sizes = np.fromiter(
+                        (len(c) for c in counters), dtype=np.int64, count=len(counters)
+                    )
+                    n = int(sizes.sum())
+                    from itertools import chain
+
+                    terms = pa.array(
+                        chain.from_iterable(c.keys() for c in counters),
+                        type=pa.string(), size=n,
+                    )
+                    doclens = np.fromiter(
+                        (sum(c.values()) for c in counters),
+                        dtype=np.int64, count=len(counters),
+                    )
+                    yield pa.record_batch(
+                        [
+                            terms,
+                            pa.array(np.repeat(ids_np, sizes)),
+                            pa.array(
+                                np.fromiter(
+                                    chain.from_iterable(c.values() for c in counters),
+                                    dtype=np.int32, count=n,
+                                )
+                            ),
+                            pa.array(np.repeat(doclens, sizes).astype(np.int32)),
+                        ],
+                        names=["term", "doc_id", "tf", "doclen"],
+                    )
+                return
 
             lut = np.frombuffer(_TRANS, dtype=np.uint8)
             empty = pa.scalar("", pa.string())

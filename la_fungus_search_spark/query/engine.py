@@ -116,7 +116,10 @@ class BM25QueryEngine:
         (query/querystring.py)."""
         idx = self.index
         n_extra = len([c for c in extra_cols.split(",") if c.strip()])
-        rows = list(qt_rows) or [(0, "\x00__no_terms__", 0) + (0,) * n_extra]
+        # the sentinel's qtf must match the declared type — a Python
+        # int in a DOUBLE field fails createDataFrame's verifier
+        zero = 0.0 if qtf_type.upper() == "DOUBLE" else 0
+        rows = list(qt_rows) or [(0, "\x00__no_terms__", zero) + (0,) * n_extra]
         schema = f"query_id INT, term STRING, qtf {qtf_type}"
         if extra_cols:
             schema += f", {extra_cols}"

@@ -11,6 +11,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def local_scratch_dir(default: str | None = None, create: bool = False) -> str | None:
+    """The fast local scratch directory, resolved ONCE for every
+    consumer (the SparkSession's ``spark.local.dir``, streaming drain
+    checkpoints, gate scratch): ``SPARK_GRAFT_LOCAL_DIR`` if set, else
+    ``/dev/shm/spark-local`` where tmpfs exists (this sandbox's /tmp
+    is slow enough that many-small-file writers serialize on it; on a
+    real cluster this is node-local SSD), else ``default``."""
+    d = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or (
+        "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else default
+    )
+    if d and create:
+        os.makedirs(d, exist_ok=True)
+    return d
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "la_fungus_search_spark",
@@ -35,9 +50,7 @@ def get_spark(
     # 1.3s for an identical 128-partition shuffle at local[32]). On a
     # real cluster spark.local.dir is node-local SSD; tmpfs is the
     # sandbox stand-in. Override with SPARK_GRAFT_LOCAL_DIR.
-    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-local"
+    local_dir = local_scratch_dir(create=False)
 
     builder = (
         SparkSession.builder.master(master)

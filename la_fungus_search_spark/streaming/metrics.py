@@ -98,10 +98,9 @@ def run_available_now(
     # node-local SSD / HDFS. The dir is ephemeral by contract here
     # (memory-sink drain, removed below) — durability lives with the
     # production caller's checkpoint location.
-    ckpt_base = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or (
-        "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    )
-    os.makedirs(ckpt_base, exist_ok=True)
+    from la_fungus_search_spark.session import local_scratch_dir
+
+    ckpt_base = local_scratch_dir(default=tempfile.gettempdir(), create=True)
     ckpt = os.path.join(ckpt_base, f"lfs_ckpt_{name}")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
@@ -115,7 +114,13 @@ def run_available_now(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_sec)
+        if not q.awaitTermination(timeout_sec):
+            # drain overran the timeout: the query is STILL RUNNING —
+            # stop it before the finally block reclaims its checkpoint,
+            # or the next micro-batch commit would fail mid-air on the
+            # deleted directory (and q would linger for the session's
+            # lifetime)
+            q.stop()
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -178,7 +178,11 @@ def main():
     # nobody reads, so the evidence sections run only where the output
     # is kept. SPARK_GRAFT_FORCE_BLOCKMAX=1 restores them everywhere
     # (manual at-scale records, e.g. the 400k local[8] BASELINE rows).
-    hi_n = int(os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "1,4").split(",")[1])
+    # the HI level is the LAST entry — a single-level override (e.g.
+    # SPARK_GRAFT_SCALE_LEVELS=8 for a one-leg experiment) must not
+    # IndexError a completed multi-minute leg at record time
+    _levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "1,4").split(",")
+    hi_n = int(_levels[-1])
     want_blockmax = (
         master == f"local[{hi_n}]"
         or os.environ.get("SPARK_GRAFT_FORCE_BLOCKMAX") == "1"
